@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's scale-minded defaults.
+  *
+  * The reference (PSU-Cloud/splitserve, a Spark 2.1 fork) exposes Spark's own
+  * SQL surface; we target the modern equivalent with configs pinned for
+  * (a) Spark-2.1-parity semantics (non-ANSI casts, UTC session time zone —
+  * reference `sql/catalyst/.../expressions/Cast.scala` is permissive) and
+  * (b) 100 TB posture: AQE on (runtime re-plan, skew-join splitting,
+  * partition coalescing — the modern replacement for the reference's
+  * experimental `ExchangeCoordinator`, see SURVEY.md §4.2).
+  *
+  * On a real cluster the same builder is used; only `master` and the
+  * shuffle-partition count change (shuffle partitions should be ~2-3× total
+  * executor cores, or left to AQE's coalescing with a high initial value).
+  */
+object GraftSession {
+
+  /** Apply engine defaults onto any builder (shared by tests/mains). */
+  def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.autoBroadcastJoinThreshold", (32L << 20).toString)
+    .config("spark.sql.parquet.filterPushdown", "true")
+    .config("spark.sql.ui.explainMode", "formatted")
+    .config("spark.ui.enabled", "false")
+
+  /** Local session for tests and ad-hoc runs. */
+  def local(cores: Int = 4, shufflePartitions: Int = -1): SparkSession = {
+    val sp = if (shufflePartitions > 0) shufflePartitions else cores
+    val spark = tune(
+      SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName("graft")
+        .config("spark.sql.shuffle.partitions", sp.toString)
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
