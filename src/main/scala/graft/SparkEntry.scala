@@ -12,7 +12,9 @@ object SparkEntry {
 
   /** All operator modules, in SURVEY §2 order. */
   def modules: Seq[QueryModule] = Seq(
-    graft.operators.Relational)
+    graft.operators.Relational, graft.operators.Grouping,
+    graft.operators.Windows, graft.operators.SqlSurface,
+    graft.functions.ScalarFunctions)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -21,7 +21,20 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def df(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") eventsDf(spark, dir) else
+      spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects (SPARK-40819). Read nanos as long (legacy conf) and
+    * truncate to microseconds — the same truncation DuckDB applies — so the
+    * engine-visible schema is a proper TimestampType column. */
+  private def eventsDf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
 
   /** Register all tables as temp views for `spark.sql` queries. */
   def registerAll(spark: SparkSession, dir: String): Unit =
