@@ -14,7 +14,8 @@ object SparkEntry {
   def modules: Seq[QueryModule] = Seq(
     graft.operators.Relational, graft.operators.Grouping,
     graft.operators.Windows, graft.operators.SqlSurface,
-    graft.functions.ScalarFunctions)
+    graft.functions.ScalarFunctions, graft.operators.Dedup,
+    graft.operators.Similarity, graft.functions.TextAnalysis)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.functions.VectorExpressions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * fingerprint, n-gram Jaccard, MinHash+LSH, SimHash. All stages are
+  * expressed as shuffles on hash keys, never all-pairs comparisons:
+  *
+  *   - exact / fingerprint: one hash-aggregate on the (normalized) key —
+  *     at 100 TB this is the cheapest possible distributed dedup.
+  *   - MinHash-LSH: signature (map-side, custom codegen'd expression) →
+  *     explode to (band, bucket) keys → self-join *within buckets only*.
+  *     Candidate count scales with collision rate, not n², and the band
+  *     join shuffles each doc id `bands` times (a few hundred bytes/doc).
+  *   - SimHash: 64-bit fingerprint, banded into 4×16-bit keys so any pair
+  *     within Hamming distance 3·16 shares ≥1 band (pigeonhole); verified
+  *     with a popcount expression.
+  *
+  * Oracle coverage: exact/fingerprint/Jaccard are SQL-expressible and
+  * DuckDB-checked; LSH/SimHash outputs are deterministic (seeded hashes)
+  * but not SQL-expressible → rows-only check + ScalaTest invariants.
+  */
+object Dedup extends QueryModule {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.df(s, d, n)
+
+  /** Tokenized view of documents. */
+  private def docWords(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    t(s, d, "documents").select($"doc_id", $"lang", $"source", $"text",
+      split(lower($"text"), " ").as("words"))
+  }
+
+  val qExact: QueryDef = QueryDef(
+    "q60_dedup_exact",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "documents").select($"lang", $"text").distinct()
+        .groupBy($"lang").agg(count(lit(1)).as("n_unique"))
+        .orderBy($"lang")
+    },
+    Some("""
+      SELECT lang, COUNT(*) AS n_unique
+      FROM (SELECT DISTINCT lang, text FROM documents)
+      GROUP BY lang ORDER BY lang"""))
+
+  /** Normalized-content fingerprint dedup (md5 of canonicalized text). */
+  val qFingerprint: QueryDef = QueryDef(
+    "q61_dedup_fingerprint",
+    (s, d) => {
+      import s.implicits._
+      val fp = md5(regexp_replace(lower(trim($"text")), " +", " "))
+      t(s, d, "documents").select($"source", fp.as("fp"))
+        .groupBy($"source")
+        .agg(countDistinct($"fp").as("n_unique"), count(lit(1)).as("n_docs"))
+        .orderBy($"source")
+    },
+    Some("""
+      SELECT source, COUNT(DISTINCT fp) AS n_unique, COUNT(*) AS n_docs
+      FROM (SELECT source,
+              md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp
+            FROM documents)
+      GROUP BY source ORDER BY source"""))
+
+  /** Exact 3-gram Jaccard similarity for same-lang pairs in a bounded id
+    * window — the "verify" stage a MinHash pipeline feeds. All-pairs is
+    * intentional here and bounded (|ids|²); the scale path is q63's LSH. */
+  val qNgramJaccard: QueryDef = QueryDef(
+    "q62_dedup_ngram_jaccard",
+    (s, d) => {
+      import s.implicits._
+      val shingled = docWords(s, d).filter($"doc_id" < 40)
+        .select($"doc_id", $"lang",
+          array_distinct(transform(
+            sequence(lit(1), size($"words") - 2),
+            i => concat_ws(" ", element_at($"words", i),
+              element_at($"words", i + 1), element_at($"words", i + 2))))
+            .as("sh"))
+      val a = shingled.select($"doc_id".as("doc_a"), $"lang", $"sh".as("sh_a"))
+      val b = shingled.select($"doc_id".as("doc_b"), $"lang", $"sh".as("sh_b"))
+      a.join(b, Seq("lang")).filter($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b",
+          round(size(array_intersect($"sh_a", $"sh_b")).cast(DoubleType) /
+            size(array_union($"sh_a", $"sh_b")), 6).as("jaccard"))
+        .filter($"jaccard" >= 0.03)
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some("""
+      WITH shingled AS (
+        SELECT doc_id, lang,
+          list_distinct(list_transform(
+            generate_series(1, len(w) - 2),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS w
+              FROM documents WHERE doc_id < 40))
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+      FROM shingled a JOIN shingled b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.03
+      ORDER BY doc_a, doc_b"""))
+
+  /** MinHash + banded LSH near-dup candidates (custom codegen'd
+    * expressions; deterministic seeded hashing). 64 hashes, 16 bands of 4
+    * ⇒ catches pairs above ~0.5 estimated Jaccard with high probability. */
+  val qMinHashLsh: QueryDef = QueryDef(
+    "q63_dedup_minhash_lsh",
+    (s, d) => {
+      import s.implicits._
+      val sigs = docWords(s, d)
+        .select($"doc_id", minhash($"words", 64, 3, 42L).as("sig"))
+      val bands = sigs.select($"doc_id", $"sig",
+        posexplode(transform(sequence(lit(0), lit(15)),
+          b => hash(slice($"sig", b * lit(4) + lit(1), lit(4))))))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+      val l = bands.select($"band", $"bucket", $"doc_id".as("doc_a"), $"sig".as("sig_a"))
+      val r = bands.select($"band", $"bucket", $"doc_id".as("doc_b"), $"sig".as("sig_b"))
+      l.join(r, Seq("band", "bucket")).filter($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b",
+          sigAgreement($"sig_a", $"sig_b").as("est_jaccard"))
+        .distinct()
+        .filter($"est_jaccard" >= 0.2)
+        .orderBy($"doc_a", $"doc_b")
+    },
+    None)
+
+  /** SimHash near-dup: 64-bit fingerprints, 4×16-bit band join, popcount
+    * verify at Hamming ≤ 16. */
+  val qSimHash: QueryDef = QueryDef(
+    "q64_dedup_simhash",
+    (s, d) => {
+      import s.implicits._
+      val fps = docWords(s, d).select($"doc_id", simhash64($"words").as("fp"))
+      val bands = fps.select($"doc_id", $"fp",
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned($"fp", b * 16).bitwiseAND(lit(0xffffL))): _*)))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "key"))
+      val l = bands.select($"band", $"key", $"doc_id".as("doc_a"), $"fp".as("fp_a"))
+      val r = bands.select($"band", $"key", $"doc_id".as("doc_b"), $"fp".as("fp_b"))
+      l.join(r, Seq("band", "key")).filter($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b", hamming64($"fp_a", $"fp_b").as("hamming"))
+        .distinct()
+        .filter($"hamming" <= 16)
+        .orderBy($"doc_a", $"doc_b")
+    },
+    None)
+
+  /** Embedding near-dup: cosine over a bounded id window (oracle-checked);
+    * the scale path is the LSH-bucketed variant in Similarity. */
+  val qEmbeddingCosine: QueryDef = QueryDef(
+    "q65_dedup_embedding_cosine",
+    (s, d) => {
+      import s.implicits._
+      val e = t(s, d, "embeddings").filter($"vec_id" < 60)
+      val a = e.select($"vec_id".as("vec_a"), $"embedding".as("emb_a"))
+      val b = e.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"))
+      a.crossJoin(b).filter($"vec_a" < $"vec_b")
+        .select($"vec_a", $"vec_b",
+          round(cosine($"emb_a", $"emb_b"), 6).as("sim"))
+        .filter($"sim" >= 0.22)
+        .orderBy($"vec_a", $"vec_b")
+    },
+    Some("""
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.vec_id < 60 AND b.vec_id < 60
+        AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.22
+      ORDER BY vec_a, vec_b"""))
+
+  override def defs: Seq[QueryDef] = Seq(
+    qExact, qFingerprint, qNgramJaccard, qMinHashLsh, qSimHash,
+    qEmbeddingCosine)
+}
