@@ -15,7 +15,10 @@ object SparkEntry {
     graft.operators.Relational, graft.operators.Grouping,
     graft.operators.Windows, graft.operators.SqlSurface,
     graft.functions.ScalarFunctions, graft.operators.Dedup,
-    graft.operators.Similarity, graft.functions.TextAnalysis)
+    graft.operators.Similarity, graft.functions.TextAnalysis,
+    graft.operators.TypedOps, graft.sources.Sources,
+    graft.streaming.StreamingOps, graft.operators.Multimodal,
+    graft.operators.Workloads)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, QueryModule, Tables}
+
+/** Multimodal-column convention: media as opaque `binary` payloads with a
+  * typed metadata struct alongside (kind, n_bytes, checksum). The decode /
+  * feature-extract stage runs per partition over batches of rows — the
+  * Spark-side plumbing (schema, partitioning, batch shape) is real; the
+  * byte-level decoder is a STUB (this container ships no image/audio
+  * codecs): `FakeCodec.decode` derives deterministic pseudo-features from
+  * the payload bytes where a real deployment would invoke an image/audio
+  * library per batch.
+  *
+  * Scale: payloads never shuffle — metadata extraction and feature
+  * aggregation happen map-side; only (id, features) rows move. For 100 TB
+  * of media you would additionally store payloads out-of-line (object
+  * store) and carry URIs + byte ranges in the column.
+  */
+object Multimodal extends QueryModule {
+
+  /** STUB decoder — deterministic stand-in for an image/audio codec. */
+  object FakeCodec {
+    /** "Decode" a payload into (width, height, mean-byte) pseudo-metadata. */
+    def decode(bytes: Array[Byte]): (Int, Int, Double) = {
+      if (bytes.isEmpty) return (0, 0, 0.0)
+      var sum = 0L
+      var i = 0
+      while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
+      val w = 64 + (bytes.length % 512)
+      val h = 64 + ((bytes(0) & 0xff) % 512)
+      (w, h, sum.toDouble / bytes.length)
+    }
+  }
+
+  case class Media(media_id: Long, kind: String, payload: Array[Byte])
+
+  /** Metadata pass over binary payloads — oracle-checked (byte length and
+    * first-byte code are format-independent). */
+  val qMeta: QueryDef = QueryDef(
+    "q93_multimodal_meta",
+    (s, d) => {
+      import s.implicits._
+      Tables.df(s, d, "documents")
+        .select($"doc_id".as("media_id"),
+          lit("text/plain").as("kind"),
+          $"text".cast("binary").as("payload"))
+        .select($"media_id", $"kind",
+          octet_length($"payload").as("n_bytes"),
+          ascii(decode($"payload", "UTF-8")).as("first_byte"))
+        .groupBy($"kind")
+        .agg(count(lit(1)).as("n_media"),
+          sum($"n_bytes").cast("long").as("total_bytes"),
+          min($"first_byte").as("min_first"), max($"first_byte").as("max_first"))
+    },
+    Some("""
+      SELECT 'text/plain' AS kind, COUNT(*) AS n_media,
+        CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        MIN(ascii(text)) AS min_first, MAX(ascii(text)) AS max_first
+      FROM documents"""))
+
+  /** Partition-batched decode: Dataset[Media] → mapPartitions → features.
+    * Deterministic (stub codec), not SQL-expressible → rows-only check;
+    * the spec pins exact values for known payloads. */
+  val qDecode: QueryDef = QueryDef(
+    "q94_multimodal_decode_stub",
+    (s, d) => {
+      import s.implicits._
+      Tables.df(s, d, "documents")
+        .select($"doc_id".as("media_id"), lit("image/fake").as("kind"),
+          $"text".cast("binary").as("payload"))
+        .as[Media]
+        .mapPartitions(_.map { m =>
+          val (w, h, mean) = FakeCodec.decode(m.payload)
+          (m.media_id, m.kind, w, h, math.round(mean * 1000.0) / 1000.0)
+        })
+        .toDF("media_id", "kind", "width", "height", "mean_byte")
+        .groupBy($"kind", $"width")
+        .agg(count(lit(1)).as("n"), max($"mean_byte").as("max_mean"))
+        .orderBy($"width")
+    },
+    None)
+
+  override def defs: Seq[QueryDef] = Seq(qMeta, qDecode)
+}

@@ -1,0 +1,114 @@
+package graft.sources
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, QueryModule, Tables}
+
+/** Source/sink format coverage (SURVEY.md §2.1): CSV, JSON, ORC, text
+  * round-trips plus a partitioned-parquet write with partition-pruned
+  * read-back. Each query writes a deterministic derivation of a testdata
+  * table into `target/graft-io`, reads it back through the format's
+  * reader (schema inference exercised where the format supports it), and
+  * aggregates — the oracle computes the same aggregate straight from the
+  * original parquet, so a round-trip fidelity bug fails the hash.
+  *
+  * Scale: writers all go through `FileFormatWriter` with per-partition
+  * task files; `partitionBy` lays out directory partitions that the
+  * read-side prunes (`PartitioningUtils` inference + `PruneFileSource
+  * Partitions`) — the `.explain` of q89's read shows PartitionFilters.
+  */
+object Sources extends QueryModule {
+
+  private def tmp(d: String, name: String): String =
+    Paths.get("target", "graft-io",
+      d.replaceAll("[^A-Za-z0-9.]", "_"), name).toString
+
+  val qCsv: QueryDef = QueryDef(
+    "q85_source_csv_roundtrip",
+    (s, d) => {
+      import s.implicits._
+      val path = tmp(d, "nation_csv")
+      Tables.df(s, d, "nation").write.mode(SaveMode.Overwrite)
+        .option("header", "true").csv(path)
+      s.read.option("header", "true").option("inferSchema", "true").csv(path)
+        .join(broadcast(Tables.df(s, d, "region")), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name").agg(count(lit(1)).as("n_nations"))
+        .orderBy($"r_name")
+    },
+    Some("""
+      SELECT r_name, COUNT(*) AS n_nations
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name"""))
+
+  val qJson: QueryDef = QueryDef(
+    "q86_source_json_roundtrip",
+    (s, d) => {
+      import s.implicits._
+      val path = tmp(d, "supplier_json")
+      Tables.df(s, d, "supplier").write.mode(SaveMode.Overwrite).json(path)
+      s.read.json(path) // schema inferred from JSON lines
+        .groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("n"),
+          sum($"s_acctbal".cast("decimal(18,6)")).cast("double").as("bal"))
+        .orderBy($"s_nationkey")
+    },
+    Some("""
+      SELECT s_nationkey, COUNT(*) AS n,
+        CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS bal
+      FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""))
+
+  val qOrc: QueryDef = QueryDef(
+    "q87_source_orc_roundtrip",
+    (s, d) => {
+      import s.implicits._
+      val path = tmp(d, "part_orc")
+      Tables.df(s, d, "part").filter($"p_size" > 20)
+        .write.mode(SaveMode.Overwrite).orc(path)
+      s.read.orc(path)
+        .groupBy($"p_type").agg(count(lit(1)).as("n"), max($"p_size").as("max_size"))
+        .orderBy($"p_type")
+    },
+    Some("""
+      SELECT p_type, COUNT(*) AS n, MAX(p_size) AS max_size
+      FROM part WHERE p_size > 20 GROUP BY p_type ORDER BY p_type"""))
+
+  val qText: QueryDef = QueryDef(
+    "q88_source_text_roundtrip",
+    (s, d) => {
+      import s.implicits._
+      val path = tmp(d, "docs_text")
+      Tables.df(s, d, "documents").select($"text")
+        .write.mode(SaveMode.Overwrite).text(path)
+      s.read.text(path)
+        .agg(count(lit(1)).as("n_lines"),
+          sum(length($"value")).cast("long").as("total_chars"))
+    },
+    Some("""
+      SELECT COUNT(*) AS n_lines,
+        CAST(SUM(length(text)) AS BIGINT) AS total_chars
+      FROM documents"""))
+
+  /** Partitioned write + pruned read: the filter on the partition column
+    * must become a PartitionFilter (no data files of other statuses read). */
+  val qPartitioned: QueryDef = QueryDef(
+    "q89_source_partitioned_pruning",
+    (s, d) => {
+      import s.implicits._
+      val path = tmp(d, "orders_by_status")
+      Tables.df(s, d, "orders").write.mode(SaveMode.Overwrite)
+        .partitionBy("o_orderstatus").parquet(path)
+      s.read.parquet(path)
+        .filter($"o_orderstatus" === "F")
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n
+      FROM orders WHERE o_orderstatus = 'F'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  override def defs: Seq[QueryDef] = Seq(qCsv, qJson, qOrc, qText, qPartitioned)
+}

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.{QueryDef, QueryModule, Tables}
+
+/** Structured Streaming coverage (SURVEY.md §2.9): file source →
+  * event-time windowed aggregation with watermark, streaming
+  * deduplication, and arbitrary stateful processing via
+  * `mapGroupsWithState` (the modern replacement for the reference's
+  * DStream `updateStateByKey`/`mapWithState`,
+  * `streaming/.../PairDStreamFunctions.scala:380-475`).
+  *
+  * Each query drives a real micro-batch execution (`MicroBatchExecution`,
+  * reference `StreamExecution.scala:217 runBatches`) over the events table
+  * replayed through the parquet file source, lands in a memory sink, and
+  * returns the final table — so the driver's DuckDB oracle checks the
+  * *streaming* result against the batch-SQL answer (stream/batch
+  * consistency, the core Structured Streaming contract).
+  *
+  * Scale: state lives in the executor state store (RocksDB/HDFS-backed in
+  * production); watermarks bound it. Complete mode is used only where the
+  * result cardinality is small (per-type hourly counts).
+  */
+object StreamingOps extends QueryModule {
+
+  /** events replayed as a stream: same nanos→micros normalization as the
+    * batch reader (Tables.eventsDf). */
+  private def eventStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = s.read.parquet(s"$d/events.parquet").schema
+    s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
+  private def runToTable(s: SparkSession, df: DataFrame, mode: OutputMode,
+      name: String): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
+  /** Tumbling event-time window + watermark; complete mode to a memory
+    * sink. Window starts align to the hour ⇒ oracle via date_trunc. */
+  val qHourly: QueryDef = QueryDef(
+    "q90_stream_hourly_counts",
+    (s, d) => {
+      import s.implicits._
+      val agg = eventStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(18,6)")).cast("double").as("total_value"))
+      runToTable(s, agg, OutputMode.Complete, "graft_stream_hourly")
+        .select($"window.start".as("wstart"), $"event_type", $"n", $"total_value")
+        .orderBy($"wstart", $"event_type")
+    },
+    Some("""
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS wstart, event_type,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Streaming deduplication (`dropDuplicates` on the stream) feeding an
+    * aggregate — result must equal batch COUNT(DISTINCT). */
+  val qDedup: QueryDef = QueryDef(
+    "q91_stream_dedup_users",
+    (s, d) => {
+      import s.implicits._
+      val deduped = eventStream(s, d)
+        .select($"user_id")
+        .dropDuplicates("user_id")
+        .groupBy().agg(count(lit(1)).as("n_users"))
+      runToTable(s, deduped, OutputMode.Complete, "graft_stream_dedup")
+    },
+    Some("SELECT COUNT(DISTINCT user_id) AS n_users FROM events"))
+
+  /** Arbitrary stateful op: per-user running event count via
+    * mapGroupsWithState (update mode). The memory sink accumulates one row
+    * per (user, batch); max(n) per user is the final state — equal to the
+    * batch group count. */
+  val qStateful: QueryDef = QueryDef(
+    "q92_stream_stateful_counts",
+    (s, d) => {
+      import s.implicits._
+      val counted = eventStream(s, d)
+        .select($"user_id").as[Long]
+        .groupByKey(identity)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+          (user: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+            val n = state.getOption.getOrElse(0L) + rows.size
+            state.update(n)
+            (user, n)
+        }
+        .toDF("user_id", "n_events")
+      runToTable(s, counted, OutputMode.Update, "graft_stream_stateful")
+        .groupBy($"user_id").agg(max($"n_events").as("n_events"))
+        .orderBy($"user_id")
+    },
+    Some("""
+      SELECT user_id, COUNT(*) AS n_events
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  override def defs: Seq[QueryDef] = Seq(qHourly, qDedup, qStateful)
+}
