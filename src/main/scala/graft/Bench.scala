@@ -1,23 +1,54 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs the headline query set on
+  * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line with per-query seconds.
+  *
+  * Queries execute through the `noop` sink so the FULL physical plan runs
+  * (a bare `.count()` lets Catalyst prune every column and skip the
+  * project/compute work being measured). One untimed warmup amortizes JVM/
+  * codegen compilation, as Spark's own `benchmark/` suites do.
+  */
 object Bench {
+
+  /** Headline set: scan-agg, joins, windows, explode, dedup (exact +
+    * MinHash/SimHash LSH), similarity (brute force + LSH), text stats,
+    * and the compute kernel — the shapes BASELINE.md grades. */
+  val headline: Seq[String] = Seq(
+    "q01_pricing_summary", "q03_shipping_priority", "q05_local_supplier_volume",
+    "q06_forecast_revenue", "q13_cust_order_distribution", "q22_multi_distinct",
+    "q23_cube", "q33_window_rank", "q34_window_running", "q45_lateral_explode",
+    "q60_dedup_exact", "q61_dedup_fingerprint", "q63_dedup_minhash_lsh",
+    "q64_dedup_simhash", "q66_sim_bruteforce_topk", "q67_sim_lsh_topk",
+    "q70_text_token_stats", "q71_text_token_count", "q97_compute_pi")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    val spark = GraftSession.tune(
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+    ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    runOnce(headline.head) // warmup (codegen + parquet footer caches)
+    val results = headline.map(n => n -> runOnce(n))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

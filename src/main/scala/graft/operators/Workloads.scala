@@ -62,8 +62,7 @@ object Workloads extends QueryModule {
     * SQL oracle. */
   val qPi: QueryDef = QueryDef(
     "q97_compute_pi",
-    (s, d) => {
-      Tables.registerAll(s, d)
+    (s, _) => {
       s.sql("""
         SELECT CAST(COUNT(*) AS BIGINT) AS inside,
           round(4.0 * COUNT(*) / 1000000, 6) AS pi_est
