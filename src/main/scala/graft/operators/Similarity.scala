@@ -107,5 +107,37 @@ object Similarity extends QueryModule {
     },
     None)
 
-  override def defs: Seq[QueryDef] = Seq(qBruteForceTopK, qLshTopK, qIvfCells)
+  /** Same semantics as q66 but through the engine's custom distributed
+    * top-k operator (graft.plans.TopKPerKey: partial per-partition heaps →
+    * hash-cluster exchange → final merge). Hash-matches the same DuckDB
+    * oracle as the window formulation — a correctness proof for the custom
+    * physical operator. */
+  val qCustomTopK: QueryDef = QueryDef(
+    "q69_sim_custom_topk",
+    (s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "embeddings")
+      val queries = corpus.filter($"vec_id" < 10)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+      val scored = corpus.join(broadcast(queries), $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id",
+          round(cosine($"q_emb", $"embedding"), 6).as("sim"))
+      graft.plans.TopK.perKey(scored,
+        keys = Seq("query_id"),
+        order = Seq(graft.plans.TopK.desc("sim"), graft.plans.TopK.asc("vec_id")), k = 3)
+        .orderBy($"query_id", $"sim".desc, $"vec_id")
+    },
+    Some("""
+      SELECT query_id, vec_id, sim FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+          round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS sim,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                     c.vec_id) AS rk
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10)
+      WHERE rk <= 3 ORDER BY query_id, sim DESC, vec_id"""))
+
+  override def defs: Seq[QueryDef] =
+    Seq(qBruteForceTopK, qLshTopK, qIvfCells, qCustomTopK)
 }
