@@ -18,7 +18,7 @@ object SparkEntry {
     graft.operators.Similarity, graft.functions.TextAnalysis,
     graft.operators.TypedOps, graft.sources.Sources,
     graft.streaming.StreamingOps, graft.operators.Multimodal,
-    graft.operators.Workloads)
+    graft.operators.Workloads, graft.operators.CoverageExtras)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
