@@ -1,0 +1,154 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.VectorExpressions._
+import graft.plans.TopK
+
+/** The library facade: the data-pipeline operators a user calls directly
+  * (a reference user switching to this library programs against these, or
+  * against plain `org.apache.spark.sql` for the relational surface, which
+  * IS the reference's own API).
+  *
+  * Every operator returns a lazy DataFrame — composable with the rest of
+  * a Spark plan, optimized by Catalyst, and scale-shaped as documented on
+  * each method (what shuffles, on which key, and why).
+  */
+object Graft {
+
+  // ------------------------------------------------------------- dedup
+
+  /** Exact dedup on the given columns — one hash-aggregate shuffle. */
+  def dedupExact(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.dropDuplicates(cols)
+
+  /** Canonicalized-content fingerprint (md5 of lower/trim/space-collapsed
+    * text) — add as column `fp`; dedup = dropDuplicates("fp"). */
+  def withFingerprint(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("fp",
+      md5(regexp_replace(lower(trim(col(textCol))), " +", " ")))
+
+  /** MinHash signature column over whitespace tokens (codegen'd custom
+    * expression; O(shingles×k) per row, map-side only). */
+  def withMinHash(df: DataFrame, textCol: String, numHashes: Int = 64,
+      shingleSize: Int = 3, seed: Long = 42L): DataFrame =
+    df.withColumn("minhash_sig",
+      minhash(split(lower(col(textCol)), " "), numHashes, shingleSize, seed))
+
+  /** LSH near-duplicate candidate pairs above an estimated-Jaccard
+    * threshold. Shuffles (band, bucket, id, signature) — a few hundred
+    * bytes per doc per band — never the documents themselves; candidate
+    * volume scales with collision rate, not n². */
+  def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+      shingleSize: Int = 3, seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sigs = withMinHash(df.select(col(idCol), col(textCol)), textCol,
+      numHashes, shingleSize, seed)
+      .select(col(idCol).as("doc_id"), col("minhash_sig").as("sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+    val l = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "bucket")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        sigAgreement(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** SimHash near-duplicate candidates within a Hamming radius, via 16-bit
+    * band keys (pigeonhole guarantees recall for radius < bands·16). */
+  def simHashCandidates(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 16): DataFrame = {
+    val fps = df.select(col(idCol).as("doc_id"),
+      simhash64(split(lower(col(textCol)), " ")).as("fp"))
+    val banded = fps.select(col("doc_id"), col("fp"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "key"))
+    val l = banded.select(col("band"), col("key"),
+      col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+    val r = banded.select(col("band"), col("key"),
+      col("doc_id").as("doc_b"), col("fp").as("fp_b"))
+    l.join(r, Seq("band", "key")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        hamming64(col("fp_a"), col("fp_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard for a candidate pair set (the verify stage after
+    * LSH): join shingle sets back and compute |∩|/|∪|. */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3): DataFrame = {
+    val words = split(lower(col(textCol)), " ")
+    df.select(col(idCol).as("doc_id"),
+      array_distinct(transform(
+        sequence(lit(1), size(words) - (shingleSize - 1)),
+        i => concat_ws(" ", (0 until shingleSize).map(j =>
+          element_at(words, i + j)): _*))).as("shingles"))
+  }
+
+  // -------------------------------------------------------- similarity
+
+  /** Exact top-k cosine neighbors of each query vector, via the custom
+    * distributed top-k operator (partial per-partition heaps → one
+    * hash-cluster shuffle of ≤k rows per (partition, query)). Queries are
+    * broadcast; the corpus never shuffles before the top-k cut. */
+  def topKNeighbors(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, queryIdCol: String, queryVecCol: String,
+      k: Int): DataFrame = {
+    val scored = corpus.join(
+      broadcast(queries.select(col(queryIdCol).as("query_id"),
+        col(queryVecCol).as("q_vec"))),
+      col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        round(cosine(col("q_vec"), col(vecCol)), 6).as("sim"))
+    TopK.perKey(scored, Seq("query_id"),
+      Seq(TopK.desc("sim"), TopK.asc("neighbor_id")), k)
+  }
+
+  /** Approximate neighbors: random-hyperplane LSH bucket join — each
+    * corpus row moves once keyed by bucket; recall is traded via `planes`
+    * (fewer planes → bigger buckets → higher recall and cost). */
+  def lshNeighbors(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, queryIdCol: String, queryVecCol: String,
+      k: Int, planes: Int = 4, seed: Long = 7L): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
+      lshBucket(col(vecCol), planes, seed).as("bucket"))
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(queryVecCol).as("q_vec"),
+      lshBucket(col(queryVecCol), planes, seed).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q_vec"), col("vec")), 6).as("sim"))
+    TopK.perKey(scored, Seq("query_id"),
+      Seq(TopK.desc("sim"), TopK.asc("neighbor_id")), k)
+  }
+
+  // ------------------------------------------------------ text analysis
+
+  /** Whitespace token count. */
+  def tokenCount(textCol: Column): Column = size(split(textCol, " "))
+
+  /** BPE-ish pre-tokenizer count (letter runs / digit runs / symbols). */
+  def bpeTokenCount(textCol: Column): Column =
+    size(call_function("regexp_extract_all", textCol,
+      lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  /** Stopword hit ratio against a lexicon. */
+  def stopwordRatio(textCol: Column, lexicon: Seq[String]): Column = {
+    val words = split(lower(textCol), " ")
+    size(filter(words, w => w.isInCollection(lexicon)))
+      .cast(DoubleType) / size(words)
+  }
+}

@@ -49,9 +49,8 @@ object TextAnalysis extends QueryModule {
     "q71_text_token_count",
     (s, d) => {
       import s.implicits._
-      val toks = expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
       t(s, d, "documents")
-        .select($"source", size(toks).as("n_bpe_tok"))
+        .select($"source", graft.api.Graft.bpeTokenCount($"text").as("n_bpe_tok"))
         .groupBy($"source")
         .agg(count(lit(1)).as("n_docs"),
           sum($"n_bpe_tok").cast(LongType).as("total_bpe"),

@@ -64,12 +64,23 @@ object CoverageExtras extends QueryModule {
       val suffix = d.replaceAll("[^A-Za-z0-9]", "_")
       val liT = s"li_bkt_$suffix"
       val ordT = s"ord_bkt_$suffix"
+      // The in-memory catalog forgets tables across sessions but the
+      // warehouse directory persists — clear both before (re)creating.
+      def resetTable(name: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        val wh = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), name)
+        val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(wh)) fs.delete(wh, true)
+      }
       if (!s.catalog.tableExists(liT)) {
+        resetTable(liT)
         t(s, d, "lineitem").select($"l_orderkey", $"l_quantity")
           .write.mode(SaveMode.Overwrite)
           .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(liT)
       }
       if (!s.catalog.tableExists(ordT)) {
+        resetTable(ordT)
         t(s, d, "orders").select($"o_orderkey", $"o_orderpriority")
           .write.mode(SaveMode.Overwrite)
           .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ordT)

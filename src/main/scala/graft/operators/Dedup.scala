@@ -114,19 +114,9 @@ object Dedup extends QueryModule {
     "q63_dedup_minhash_lsh",
     (s, d) => {
       import s.implicits._
-      val sigs = docWords(s, d)
-        .select($"doc_id", minhash($"words", 64, 3, 42L).as("sig"))
-      val bands = sigs.select($"doc_id", $"sig",
-        posexplode(transform(sequence(lit(0), lit(15)),
-          b => hash(slice($"sig", b * lit(4) + lit(1), lit(4))))))
-        .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
-      val l = bands.select($"band", $"bucket", $"doc_id".as("doc_a"), $"sig".as("sig_a"))
-      val r = bands.select($"band", $"bucket", $"doc_id".as("doc_b"), $"sig".as("sig_b"))
-      l.join(r, Seq("band", "bucket")).filter($"doc_a" < $"doc_b")
-        .select($"doc_a", $"doc_b",
-          sigAgreement($"sig_a", $"sig_b").as("est_jaccard"))
-        .distinct()
-        .filter($"est_jaccard" >= 0.2)
+      graft.api.Graft.minHashCandidates(
+        t(s, d, "documents"), "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.2)
         .orderBy($"doc_a", $"doc_b")
     },
     None)
@@ -137,17 +127,8 @@ object Dedup extends QueryModule {
     "q64_dedup_simhash",
     (s, d) => {
       import s.implicits._
-      val fps = docWords(s, d).select($"doc_id", simhash64($"words").as("fp"))
-      val bands = fps.select($"doc_id", $"fp",
-        posexplode(array((0 until 4).map(b =>
-          shiftrightunsigned($"fp", b * 16).bitwiseAND(lit(0xffffL))): _*)))
-        .withColumnsRenamed(Map("pos" -> "band", "col" -> "key"))
-      val l = bands.select($"band", $"key", $"doc_id".as("doc_a"), $"fp".as("fp_a"))
-      val r = bands.select($"band", $"key", $"doc_id".as("doc_b"), $"fp".as("fp_b"))
-      l.join(r, Seq("band", "key")).filter($"doc_a" < $"doc_b")
-        .select($"doc_a", $"doc_b", hamming64($"fp_a", $"fp_b").as("hamming"))
-        .distinct()
-        .filter($"hamming" <= 16)
+      graft.api.Graft.simHashCandidates(
+        t(s, d, "documents"), "doc_id", "text", maxHamming = 16)
         .orderBy($"doc_a", $"doc_b")
     },
     None)

@@ -68,17 +68,12 @@ object Similarity extends QueryModule {
     (s, d) => {
       import s.implicits._
       val corpus = t(s, d, "embeddings")
-        .select($"vec_id", $"embedding", lshBucket($"embedding", 4, 7L).as("bucket"))
-      val queries = corpus.filter($"vec_id" < 10)
-        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"bucket")
-      val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"vec_id")
-      corpus.join(broadcast(queries), Seq("bucket"))
-        .filter($"vec_id" =!= $"query_id")
-        .select($"query_id", $"vec_id",
-          round(cosine($"q_emb", $"embedding"), 6).as("sim"))
-        .withColumn("rk", row_number().over(w))
-        .filter($"rk" <= 3)
-        .orderBy($"query_id", $"rk")
+      graft.api.Graft.lshNeighbors(
+        corpus, corpus.filter($"vec_id" < 10),
+        idCol = "vec_id", vecCol = "embedding",
+        queryIdCol = "vec_id", queryVecCol = "embedding",
+        k = 3, planes = 4, seed = 7L)
+        .orderBy($"query_id", $"sim".desc, $"neighbor_id")
     },
     None)
 
@@ -117,14 +112,11 @@ object Similarity extends QueryModule {
     (s, d) => {
       import s.implicits._
       val corpus = t(s, d, "embeddings")
-      val queries = corpus.filter($"vec_id" < 10)
-        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
-      val scored = corpus.join(broadcast(queries), $"vec_id" =!= $"query_id")
-        .select($"query_id", $"vec_id",
-          round(cosine($"q_emb", $"embedding"), 6).as("sim"))
-      graft.plans.TopK.perKey(scored,
-        keys = Seq("query_id"),
-        order = Seq(graft.plans.TopK.desc("sim"), graft.plans.TopK.asc("vec_id")), k = 3)
+      graft.api.Graft.topKNeighbors(
+        corpus, corpus.filter($"vec_id" < 10),
+        idCol = "vec_id", vecCol = "embedding",
+        queryIdCol = "vec_id", queryVecCol = "embedding", k = 3)
+        .withColumnRenamed("neighbor_id", "vec_id")
         .orderBy($"query_id", $"sim".desc, $"vec_id")
     },
     Some("""
