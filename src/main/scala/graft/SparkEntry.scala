@@ -18,7 +18,8 @@ object SparkEntry {
     graft.operators.Similarity, graft.functions.TextAnalysis,
     graft.operators.TypedOps, graft.sources.Sources,
     graft.streaming.StreamingOps, graft.operators.Multimodal,
-    graft.operators.Workloads, graft.operators.CoverageExtras)
+    graft.operators.Workloads, graft.operators.CoverageExtras,
+    graft.sources.JdbcSource, graft.functions.RegistrySweep)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+import graft.{QueryDef, QueryModule}
+
+/** Long-tail of the reference's 229-name function registry
+  * (`FunctionRegistry.scala:160-420`): numeral conversion, bit twiddling,
+  * formatting, soundex/sentences, xpath, stack/inline generators, map
+  * constructors, partition-introspection functions. Output formats are
+  * Spark-specific (e.g. `format_number` locale grouping) → rows-only
+  * check here; `RegistrySweepSpec` pins exact values in-JVM.
+  */
+object RegistrySweep extends QueryModule {
+
+  val sweepSql: String = """
+    SELECT
+      conv('100', 2, 10)                       AS conv_b2_b10,
+      hex(255)                                 AS hex255,
+      unhex('4D')                              AS unhex4d,
+      bin(5)                                   AS bin5,
+      factorial(5)                             AS fact5,
+      soundex('spark')                         AS sdx,
+      format_number(1234567.891, 2)            AS fmt,
+      bround(CAST(2.5 AS DOUBLE), 0)                           AS br_half_even,
+      round(CAST(2.5 AS DOUBLE), 0)                            AS r_half_up,
+      hypot(3.0, 4.0)                          AS hyp,
+      degrees(pi())                            AS deg_pi,
+      bit_count(7)                             AS bits7,
+      sentences('Spark runs fast. It scales.') AS sent,
+      xpath_string('<a><b>x</b></a>', 'a/b')   AS xp,
+      map_keys(map('k1', 1, 'k2', 2))          AS mkeys,
+      map_values(map('k1', 1, 'k2', 2))        AS mvals,
+      str_to_map('a:1,b:2', ',', ':')          AS s2m,
+      named_struct('x', 1, 'y', 'z')           AS ns,
+      array_repeat('ab', 3)                    AS arep,
+      flatten(array(array(1, 2), array(3)))    AS flat,
+      arrays_zip(array(1, 2), array('a', 'b')) AS azip,
+      crc32('spark')                           AS crc,
+      xxhash64('spark')                        AS xxh,
+      hash('spark')                            AS mh3,
+      spark_partition_id()                     AS pid,
+      typeof(1.5)                              AS ty
+  """
+
+  val qSweep: QueryDef = QueryDef(
+    "q111_registry_sweep",
+    (s, _) => s.sql(sweepSql),
+    None)
+
+  /** stack/inline generators (reference `generators.scala:112,276`). */
+  val qStack: QueryDef = QueryDef(
+    "q113_stack_inline",
+    (s, _) => s.sql("""
+      SELECT k, v FROM (SELECT stack(3, 'a', 1, 'b', 2, 'c', 3) AS (k, v))
+      UNION ALL
+      SELECT col.k, col.v FROM (
+        SELECT explode(array(named_struct('k', 'd', 'v', 4))) AS col)
+      ORDER BY k"""),
+    Some("""
+      SELECT k, v FROM (VALUES ('a', 1), ('b', 2), ('c', 3), ('d', 4)) t(k, v)
+      ORDER BY k"""))
+
+  override def defs: Seq[QueryDef] = Seq(qSweep, qStack)
+}
