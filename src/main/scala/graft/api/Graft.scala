@@ -135,6 +135,28 @@ object Graft {
       Seq(TopK.desc("sim"), TopK.asc("neighbor_id")), k)
   }
 
+  // ---------------------------------------------------- skew mitigation
+
+  /** Salted equi-join for skewed keys: the big side gets a deterministic
+    * salt in [0, saltFactor) derived from a second column (so hot keys
+    * spread across saltFactor reducers), the small side is exploded to
+    * every salt value (saltFactor× replication — keep the small side
+    * small). AQE's skew-join splitting handles moderate skew on its own;
+    * this is the explicit tool for pathological keys. Result is identical
+    * to a plain inner join on `bigKey === smallKey`.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, saltCol: String, saltFactor: Int = 8): DataFrame = {
+    val salted = big.withColumn("_salt",
+      pmod(hash(col(saltCol)), lit(saltFactor)))
+    val exploded = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(exploded,
+      salted(bigKey) === exploded(smallKey) &&
+        salted("_salt") === exploded("_salt"))
+      .drop("_salt")
+  }
+
   // ------------------------------------------------------ text analysis
 
   /** Whitespace token count. */
