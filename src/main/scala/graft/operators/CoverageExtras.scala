@@ -243,8 +243,60 @@ object CoverageExtras extends QueryModule {
         o_orderdate AS rt
       FROM orders WHERE o_orderkey < 30 ORDER BY o_orderkey"""))
 
+  /** collect_list / collect_set (reference `collect.scala:137`) — sorted
+    * for determinism; bounded group sizes only (these buffer in memory). */
+  val qCollectAggs: QueryDef = QueryDef(
+    "q114_collect_aggs",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "nation")
+        .join(broadcast(t(s, d, "region")), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name")
+        .agg(sort_array(collect_list($"n_name")).as("nations"),
+          sort_array(collect_set($"n_regionkey")).as("region_keys"))
+        .orderBy($"r_name")
+    },
+    Some("""
+      SELECT r_name,
+        list_sort(list(n_name)) AS nations,
+        list_sort(list(DISTINCT n_regionkey)) AS region_keys
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name"""))
+
+  /** NATURAL JOIN resolution (reference `ResolveNaturalAndUsingJoin`). */
+  val qNaturalJoin: QueryDef = QueryDef(
+    "q115_natural_join",
+    (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT r_name, COUNT(*) AS n FROM
+          (SELECT n_regionkey AS rk, n_name FROM nation) NATURAL JOIN
+          (SELECT r_regionkey AS rk, r_name FROM region)
+        GROUP BY r_name ORDER BY r_name""")
+    },
+    Some("""
+      SELECT r_name, COUNT(*) AS n FROM
+        (SELECT n_regionkey AS rk, n_name FROM nation) NATURAL JOIN
+        (SELECT r_regionkey AS rk, r_name FROM region)
+      GROUP BY r_name ORDER BY r_name"""))
+
+  /** max_by / min_by (argmax aggregates). */
+  val qArgMax: QueryDef = QueryDef(
+    "q116_argmax",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "customer").groupBy($"c_mktsegment")
+        .agg(max_by($"c_name", $"c_acctbal").as("richest"),
+          min_by($"c_name", $"c_acctbal").as("poorest"))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""
+      SELECT c_mktsegment, arg_max(c_name, c_acctbal) AS richest,
+             arg_min(c_name, c_acctbal) AS poorest
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   override def defs: Seq[QueryDef] = Seq(
     qCache, qJoinHint, qBucketedJoin, qIntersectAll, qExceptAll,
     qRddPrimitives, qSample, qStatHelpers, qUnionByName, qStringExtras,
-    qDateExtras)
+    qDateExtras, qCollectAggs, qNaturalJoin, qArgMax)
 }

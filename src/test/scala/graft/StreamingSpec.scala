@@ -51,6 +51,18 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rate source produces rows under a processing-time trigger") {
+    val q = spark.readStream.format("rate")
+      .option("rowsPerSecond", "50").load()
+      .writeStream.format("memory").queryName("rate_smoke").start()
+    try {
+      Thread.sleep(1500)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("rate_smoke").columns.toSet == Set("timestamp", "value"))
+    assert(spark.table("rate_smoke").count() > 0)
+  }
+
   test("streaming query results match batch on events table") {
     val got = graft.streaming.StreamingOps.qDedup.run(spark, "/root/testdata/sf0.001")
       .collect().head.getLong(0)
