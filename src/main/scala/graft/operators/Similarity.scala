@@ -20,8 +20,8 @@ import graft.functions.VectorExpressions._
   * of the data, recall traded via multi-probe).
   *
   * The cosine is a custom codegen'd Catalyst expression (Kernels.cosineF):
-  * one static call per pair, no boxing — ~10× over an equivalent Scala UDF
-  * on wide vectors.
+  * one static call per pair, no boxing — measured ~2.7× over the same
+  * math as a Scala UDF on 2M 64-dim pairs (graft.MicroBench).
   */
 object Similarity extends QueryModule {
 
