@@ -19,7 +19,8 @@ object SparkEntry {
     graft.operators.TypedOps, graft.sources.Sources,
     graft.streaming.StreamingOps, graft.operators.Multimodal,
     graft.operators.Workloads, graft.operators.CoverageExtras,
-    graft.sources.JdbcSource, graft.functions.RegistrySweep)
+    graft.sources.JdbcSource, graft.functions.RegistrySweep,
+    graft.operators.TpchStyle)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
