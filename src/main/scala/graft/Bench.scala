@@ -21,7 +21,9 @@ object Bench {
     "q23_cube", "q33_window_rank", "q34_window_running", "q45_lateral_explode",
     "q60_dedup_exact", "q61_dedup_fingerprint", "q63_dedup_minhash_lsh",
     "q64_dedup_simhash", "q66_sim_bruteforce_topk", "q67_sim_lsh_topk",
-    "q70_text_token_stats", "q71_text_token_count", "q97_compute_pi")
+    "q69_sim_custom_topk", "q70_text_token_stats", "q71_text_token_count",
+    "q97_compute_pi", "q120_nation_trade_volume", "q123_returned_items",
+    "q127_small_quantity_orders", "q131_sessionize", "q132_funnel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -135,6 +135,23 @@ object Graft {
       Seq(TopK.desc("sim"), TopK.asc("neighbor_id")), k)
   }
 
+  /** Resolve near-duplicate candidate pairs into clusters (connected
+    * components over the pair graph — GraphX Pregel under the hood) and
+    * pick the minimum id as each cluster's canonical document. Output:
+    * (doc_id, canonical_id); rows with doc_id == canonical_id are the
+    * keepers. Iterative label propagation runs on the cluster; only ids
+    * move, never documents. */
+  def dedupClusters(candidates: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b"): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val edges = candidates.select(col(aCol).cast("long"), col(bCol).cast("long"))
+      .as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, ()) }
+    val cc = Graph.fromEdges(edges, ()).connectedComponents().vertices
+    spark.createDataFrame(cc).toDF("doc_id", "canonical_id")
+  }
+
   // ---------------------------------------------------- skew mitigation
 
   /** Salted equi-join for skewed keys: the big side gets a deterministic

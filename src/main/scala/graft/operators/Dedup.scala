@@ -156,7 +156,25 @@ object Dedup extends QueryModule {
         AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.22
       ORDER BY vec_a, vec_b"""))
 
+  /** Full near-dup pipeline end product: LSH candidates → connected
+    * components → canonical id per cluster (keep-one dedup). Deterministic
+    * (seeded hashing + min-id canonicalization) but iterative → rows-only;
+    * DedupClusterSpec pins the invariants. */
+  val qDedupClusters: QueryDef = QueryDef(
+    "q134_dedup_clusters",
+    (s, d) => {
+      import s.implicits._
+      val candidates = graft.api.Graft.minHashCandidates(
+        t(s, d, "documents"), "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.2)
+      graft.api.Graft.dedupClusters(candidates)
+        .groupBy($"canonical_id")
+        .agg(count(lit(1)).as("cluster_size"))
+        .orderBy($"canonical_id")
+    },
+    None)
+
   override def defs: Seq[QueryDef] = Seq(
     qExact, qFingerprint, qNgramJaccard, qMinHashLsh, qSimHash,
-    qEmbeddingCosine)
+    qEmbeddingCosine, qDedupClusters)
 }

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** dedupClusters invariants: every candidate pair lands in one cluster,
+  * the canonical id is the cluster minimum, and synthetic exact near-dups
+  * are found by the full MinHash→LSH→CC pipeline. */
+class DedupClusterSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local(4)
+
+  test("synthetic near-duplicates cluster together through the full pipeline") {
+    import spark.implicits._
+    // 20 distinct docs + near-identical variants of doc 0 and doc 1
+    val base = (0 until 20).map { i =>
+      (i.toLong, (0 until 60).map(w => s"w${(w * (i + 3)) % 211}").mkString(" "))
+    }
+    val variants = Seq(
+      (100L, base(0)._2.replaceFirst("w0", "xx")),
+      (101L, base(1)._2 + " extra token"))
+    val docs = (base ++ variants).toDF("doc_id", "text")
+
+    val candidates = graft.api.Graft.minHashCandidates(
+      docs, "doc_id", "text", numHashes = 128, bands = 32, threshold = 0.5)
+    val pairs = candidates.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((0L, 100L)), s"missing (0,100) in $pairs")
+    assert(pairs.contains((1L, 101L)), s"missing (1,101) in $pairs")
+
+    val clusters = graft.api.Graft.dedupClusters(candidates).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(100L) == clusters(0L))
+    assert(clusters(101L) == clusters(1L))
+    // canonical = min id of the cluster
+    assert(clusters(0L) == 0L && clusters(1L) == 1L)
+  }
+}
