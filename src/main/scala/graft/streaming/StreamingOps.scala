@@ -105,5 +105,30 @@ object StreamingOps extends QueryModule {
       SELECT user_id, COUNT(*) AS n_events
       FROM events GROUP BY user_id ORDER BY user_id"""))
 
-  override def defs: Seq[QueryDef] = Seq(qHourly, qDedup, qStateful)
+  /** Sliding event-time windows (1 h window, 30 min slide) — each event
+    * lands in two windows (reference `TimeWindowing` rule expands to
+    * Expand+Filter); oracle enumerates both buckets per event. */
+  val qSliding: QueryDef = QueryDef(
+    "q135_stream_sliding_window",
+    (s, d) => {
+      import s.implicits._
+      val agg = eventStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+      runToTable(s, agg, OutputMode.Complete, "graft_stream_sliding")
+        .select($"window.start".as("wstart"), $"n")
+        .orderBy($"wstart")
+    },
+    Some("""
+      SELECT wstart, COUNT(*) AS n FROM (
+        SELECT TIMESTAMP '1970-01-01 00:00:00'
+            + ((CAST(floor(epoch(ts) / 1800) AS BIGINT) - x.k) * 1800)
+              * INTERVAL 1 SECOND AS wstart, ts
+        FROM events
+        CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k) x)
+      WHERE epoch(wstart) + 3600 > epoch(ts) AND epoch(wstart) <= epoch(ts)
+      GROUP BY wstart ORDER BY wstart"""))
+
+  override def defs: Seq[QueryDef] = Seq(qHourly, qDedup, qStateful, qSliding)
 }
