@@ -249,7 +249,40 @@ object ScalarFunctions extends QueryModule {
         embedding[1:3] AS first3
       FROM embeddings WHERE vec_id < 30 ORDER BY vec_id"""))
 
+  /** Higher-order array functions (Spark 2.4+/4 lambda functions —
+    * a superset of the reference's collection ops): transform, filter,
+    * exists, forall, aggregate/reduce, zip_with over integer arrays so
+    * every value is exact in both engines. */
+  val qHigherOrder: QueryDef = QueryDef(
+    "q136_higher_order_funcs",
+    (s, d) => {
+      import s.implicits._
+      val arr = sequence(lit(1), $"p_size")
+      t(s, d, "part").filter($"p_partkey" < 40)
+        .select(
+          $"p_partkey",
+          aggregate(arr, lit(0), (acc, x) => acc + x).as("tri_sum"),
+          size(filter(arr, x => x % 3 === 0)).as("n_div3"),
+          exists(arr, x => x > 45).cast(IntegerType).as("has_gt45"),
+          forall(arr, x => x < 60).cast(IntegerType).as("all_lt60"),
+          aggregate(zip_with(arr, arr, (a, b) => a * b), lit(0L),
+            (acc, x) => acc + x).as("sum_sq"),
+          element_at(transform(arr, x => x * 2), 1).as("first_doubled"))
+        .orderBy($"p_partkey")
+    },
+    Some("""
+      SELECT p_partkey,
+        CAST(list_sum(r) AS INT) AS tri_sum,
+        CAST(len(list_filter(r, x -> x % 3 = 0)) AS INT) AS n_div3,
+        CAST(list_has_any(r, range(46, 1000)) AS INT) AS has_gt45,
+        CAST(NOT list_has_any(r, range(60, 1000)) AS INT) AS all_lt60,
+        CAST(list_sum(list_transform(r, x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS sum_sq,
+        list_transform(r, x -> x * 2)[1] AS first_doubled
+      FROM (SELECT p_partkey, range(1, p_size + 1) AS r FROM part
+            WHERE p_partkey < 40)
+      ORDER BY p_partkey"""))
+
   override def defs: Seq[QueryDef] = Seq(
     qString, qRegex, qDate, qMath, qConditional, qJson, qJsonStruct,
-    qHash, qCollection)
+    qHash, qCollection, qHigherOrder)
 }

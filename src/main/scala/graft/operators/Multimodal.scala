@@ -83,5 +83,33 @@ object Multimodal extends QueryModule {
     },
     None)
 
-  override def defs: Seq[QueryDef] = Seq(qMeta, qDecode)
+  /** Frame sampling: treat the payload as fixed-stride frames and keep
+    * every Nth — the video-pipeline shape (stride/offset arithmetic is
+    * real; frame decode remains the stub). Emits (media_id, frame_no,
+    * frame_checksum) rows — one explode, no payload shuffle before it. */
+  val qFrameSample: QueryDef = QueryDef(
+    "q95b_multimodal_frame_sample",
+    (s, d) => {
+      import s.implicits._
+      val frameBytes = 32
+      val everyNth = 4
+      Tables.df(s, d, "documents")
+        .select($"doc_id".as("media_id"), $"text".cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .flatMap { case (id, payload) =>
+          val nFrames = payload.length / frameBytes
+          (0 until nFrames by everyNth).map { f =>
+            val frame = payload.slice(f * frameBytes, (f + 1) * frameBytes)
+            (id, f, frame.foldLeft(0L)((a, b) => a * 31 + (b & 0xff)))
+          }
+        }
+        .toDF("media_id", "frame_no", "frame_checksum")
+        .groupBy($"media_id")
+        .agg(count(lit(1)).as("n_sampled"),
+          max($"frame_no").as("last_frame"))
+        .orderBy($"media_id")
+    },
+    None)
+
+  override def defs: Seq[QueryDef] = Seq(qMeta, qDecode, qFrameSample)
 }
