@@ -123,7 +123,36 @@ object SqlSurface extends QueryModule {
               COUNT(*) AS n
        FROM range(0, 1000000) t(id) WHERE id % 7 = 0""")
 
+  /** CTAS + INSERT INTO (reference `command/tables.scala`,
+    * `InsertIntoHadoopFsRelationCommand`): create a managed parquet table
+    * from a query, append more rows through the SQL write path, read the
+    * union back. */
+  val qCtasInsert: QueryDef = QueryDef(
+    "q137_ctas_insert",
+    (s, d) => {
+      Tables.registerAll(s, d)
+      val tbl = s"big_orders_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), tbl)
+      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(wh)) fs.delete(wh, true)
+      s.sql(s"""CREATE TABLE $tbl USING parquet AS
+                SELECT o_orderkey, o_orderpriority, o_totalprice
+                FROM orders WHERE o_totalprice > 450000.0""")
+      s.sql(s"""INSERT INTO $tbl
+                SELECT o_orderkey, o_orderpriority, o_totalprice
+                FROM orders WHERE o_totalprice < 50000.0""")
+      s.sql(s"""SELECT o_orderpriority, COUNT(*) AS n
+                FROM $tbl GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n
+      FROM orders WHERE o_totalprice > 450000.0 OR o_totalprice < 50000.0
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   override def defs: Seq[QueryDef] = Seq(
     qScalarSubquery, qInSubquery, qNotInSubquery, qExistsCorrelated,
-    qCte, qViewDdl, qLateralExplode, qPosExplode, qValues, qRange)
+    qCte, qViewDdl, qLateralExplode, qPosExplode, qValues, qRange,
+    qCtasInsert)
 }
