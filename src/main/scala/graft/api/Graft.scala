@@ -46,8 +46,14 @@ object Graft {
       shingleSize: Int = 3, seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sigs = withMinHash(df.select(col(idCol), col(textCol)), textCol,
-      numHashes, shingleSize, seed)
+    // Documents shorter than one shingle have an empty shingle set; their
+    // signatures would be the identical all-sentinel vector and every such
+    // pair would collide at est_jaccard=1. Standard practice: exclude them
+    // from near-dup candidacy (exact dedup still covers them).
+    val sigs = withMinHash(
+      df.select(col(idCol), col(textCol))
+        .filter(size(split(lower(col(textCol)), " ")) >= shingleSize),
+      textCol, numHashes, shingleSize, seed)
       .select(col(idCol).as("doc_id"), col("minhash_sig").as("sig"))
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
