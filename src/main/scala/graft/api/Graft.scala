@@ -43,7 +43,8 @@ object Graft {
     * volume scales with collision rate, not n². */
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
-      shingleSize: Int = 3, seed: Long = 42L): DataFrame = {
+      shingleSize: Int = 3, seed: Long = 42L,
+      maxBucketSize: Int = 10000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     // Documents shorter than one shingle have an empty shingle set; their
@@ -55,10 +56,20 @@ object Graft {
         .filter(size(split(lower(col(textCol)), " ")) >= shingleSize),
       textCol, numHashes, shingleSize, seed)
       .select(col(idCol).as("doc_id"), col("minhash_sig").as("sig"))
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    val bandedRaw = sigs.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+    // Worst-case bound: a bucket of n docs yields n² candidate pairs, so
+    // boilerplate-heavy corpora can explode one reducer. Buckets above
+    // maxBucketSize are dropped (their members are near-identical en masse —
+    // the exact/fingerprint pass is the right tool for those); this bounds
+    // per-bucket work at maxBucketSize² regardless of corpus skew.
+    val banded = bandedRaw
+      .withColumn("_bsize", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      .filter(col("_bsize") <= maxBucketSize)
+      .drop("_bsize")
     val l = banded.select(col("band"), col("bucket"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("bucket"),

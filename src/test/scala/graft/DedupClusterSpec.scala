@@ -35,4 +35,22 @@ class DedupClusterSpec extends AnyFunSuite {
     // canonical = min id of the cluster
     assert(clusters(0L) == 0L && clusters(1L) == 1L)
   }
+
+  test("bucket-size cap bounds boilerplate cliques but keeps real near-dups") {
+    import spark.implicits._
+    val boiler = (0 until 50).map(i =>
+      (1000L + i, "same same " + (0 until 40).map(w => s"b$w").mkString(" ")))
+    val distinctDoc = (0 until 40).map(w => s"d$w").mkString(" ")
+    val pairDocs = Seq((1L, distinctDoc), (2L, distinctDoc + " tail"))
+    val docs = (boiler ++ pairDocs).toDF("doc_id", "text")
+
+    val capped = graft.api.Graft.minHashCandidates(
+      docs, "doc_id", "text", numHashes = 128, bands = 32,
+      threshold = 0.5, maxBucketSize = 10)
+    val pairs = capped.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((1L, 2L)), "real near-dup must survive the cap")
+    assert(!pairs.exists(p => p._1 >= 1000L && p._2 >= 1000L),
+      "50-doc boilerplate clique must be excluded by the bucket cap")
+  }
 }
