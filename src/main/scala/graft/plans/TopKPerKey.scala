@@ -25,21 +25,25 @@ import org.apache.spark.sql.graft.ColumnBridge
   *   1. partial: per input partition, a bounded heap of ≤k rows per key —
   *      shuffle input shrinks from |rows| to ≤ k·|keys-per-partition|;
   *   2. final: after hash-clustering on the keys (EnsureRequirements
-  *      inserts the Exchange), merge heaps to the exact per-key top-k.
+  *      inserts the Exchange) and a (keys, order) sort (SortExec — spills
+  *      via UnsafeExternalSorter), a constant-memory streaming group scan
+  *      emits the first k rows per key.
   *
-  * Memory is O(live keys per partition × k); a production hardening would
-  * spill the heap map via UnsafeExternalSorter the way HashAggregate falls
-  * back to sort-based aggregation.
+  * Memory: the partial phase caps live keys at `maxKeysInMemory` and
+  * flushes a superset downstream on overflow (the final phase re-reduces
+  * exactly, like re-aggregation after a hash-agg spill); the final phase
+  * is O(1) beyond the sort, whose spilling Spark already manages.
   */
 case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan, maxKeysInMemory: Int = 1 << 20) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(c: LogicalPlan): TopKPerKey =
     copy(child = c)
 }
 
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
-    partial: Boolean, child: SparkPlan) extends UnaryExecNode {
+    partial: Boolean, child: SparkPlan,
+    maxKeysInMemory: Int = 1 << 20) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
@@ -47,35 +51,89 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(keys) :: Nil
 
-  override protected def doExecute(): RDD[InternalRow] = {
+  /** The final phase is a constant-memory streaming scan over
+    * (keys, order)-sorted input; EnsureRequirements plants a SortExec,
+    * which spills through UnsafeExternalSorter — so the operator as a
+    * whole is spill-safe the same way sort-based aggregation is. */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Seq(Nil)
+    else Seq(keys.map(SortOrder(_, Ascending)) ++ order)
+
+  override protected def doExecute(): RDD[InternalRow] =
+    if (partial) doPartial() else doFinal()
+
+  /** Per-partition bounded heaps. Memory is capped at `maxKeysInMemory`
+    * live keys: on overflow the current heaps flush downstream (a superset
+    * of the per-partition top-k — the final phase still reduces exactly,
+    * like re-aggregation after a hash-agg spill). */
+  private def doPartial(): RDD[InternalRow] = {
     val keyExprs = keys
     val orderExprs = order
     val limit = k
+    val maxKeys = maxKeysInMemory
     val childOutput = child.output
-    child.execute().mapPartitions ({ iter =>
+    child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // "better" = earlier under the requested sort order; the heap keeps
       // the worst kept row at its head so one comparison decides eviction.
       val better = new LazilyGeneratedOrdering(orderExprs, childOutput)
+      val heapOrd = better.asInstanceOf[Ordering[InternalRow]]
+        .asInstanceOf[Ordering[UnsafeRow]]
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
-      iter.foreach { row =>
-        val key = keyProj(row)
-        val heap = heaps.get(key) match {
-          case Some(h) => h
-          case None =>
-            val h = mutable.PriorityQueue.empty[UnsafeRow](
-              better.asInstanceOf[Ordering[InternalRow]].asInstanceOf[Ordering[UnsafeRow]])
-            heaps.put(key.copy(), h)
-            h
-        }
-        if (heap.size < limit) {
-          heap += row.asInstanceOf[UnsafeRow].copy()
-        } else if (better.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap += row.asInstanceOf[UnsafeRow].copy()
-        }
+
+      def drain(): Iterator[InternalRow] = {
+        val out = heaps.values.toArray.iterator.flatMap(_.dequeueAll.reverseIterator)
+        heaps.clear()
+        out
       }
-      heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+
+      new Iterator[InternalRow] {
+        private var flushed: Iterator[InternalRow] = Iterator.empty
+        private def fill(): Unit = {
+          while (flushed.isEmpty && iter.hasNext) {
+            val row = iter.next()
+            val key = keyProj(row)
+            val heap = heaps.getOrElse(key, null) match {
+              case null =>
+                val h = mutable.PriorityQueue.empty[UnsafeRow](heapOrd)
+                heaps.put(key.copy(), h)
+                h
+              case h => h
+            }
+            if (heap.size < limit) {
+              heap += row.asInstanceOf[UnsafeRow].copy()
+            } else if (better.compare(row, heap.head) < 0) {
+              heap.dequeue()
+              heap += row.asInstanceOf[UnsafeRow].copy()
+            }
+            if (heaps.size > maxKeys) flushed = drain()
+          }
+          if (flushed.isEmpty && !iter.hasNext && heaps.nonEmpty) flushed = drain()
+        }
+        override def hasNext: Boolean = { fill(); flushed.hasNext }
+        override def next(): InternalRow = { fill(); flushed.next() }
+      }
+    }, preservesPartitioning = true)
+  }
+
+  /** Streaming group scan over sorted input: emit the first k rows of
+    * each key group. O(1) memory beyond the current key. */
+  private def doFinal(): RDD[InternalRow] = {
+    val keyExprs = keys
+    val limit = k
+    val childOutput = child.output
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      var currentKey: UnsafeRow = null
+      var emitted = 0
+      iter.flatMap { row =>
+        val key = keyProj(row)
+        if (currentKey == null || key != currentKey) {
+          currentKey = key.copy()
+          emitted = 0
+        }
+        if (emitted < limit) { emitted += 1; Some(row) } else None
+      }
     }, preservesPartitioning = true)
   }
 
@@ -85,9 +143,10 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(keys, order, k, child) =>
+    case TopKPerKey(keys, order, k, child, maxKeys) =>
       TopKPerKeyExec(keys, order, k, partial = false,
-        TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
+        TopKPerKeyExec(keys, order, k, partial = true, planLater(child),
+          maxKeys)) :: Nil
     case _ => Nil
   }
 }
@@ -104,7 +163,8 @@ object TopK {
   def asc(name: String): Ord = Ord(name)
   def desc(name: String): Ord = Ord(name, ascending = false)
 
-  def perKey(df: DataFrame, keys: Seq[String], order: Seq[Ord], k: Int): DataFrame = {
+  def perKey(df: DataFrame, keys: Seq[String], order: Seq[Ord], k: Int,
+      maxKeysInMemory: Int = 1 << 20): DataFrame = {
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
       spark.experimental.extraStrategies =
@@ -116,6 +176,7 @@ object TopK {
         s"column $n not in ${plan.output.map(_.name).mkString(", ")}"))
     val sortOrders = order.map(o =>
       SortOrder(attr(o.name), if (o.ascending) Ascending else Descending))
-    ColumnBridge.ofRows(spark, TopKPerKey(keys.map(attr), sortOrders, k, plan))
+    ColumnBridge.ofRows(spark,
+      TopKPerKey(keys.map(attr), sortOrders, k, plan, maxKeysInMemory))
   }
 }

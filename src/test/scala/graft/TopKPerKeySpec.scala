@@ -46,6 +46,22 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(execs.sorted == Seq(false, true), s"got $execs")
   }
 
+  test("partial-phase flush (tiny key budget) still yields exact top-k") {
+    import spark.implicits._
+    val orders = Tables.df(spark, dir, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+    val viaFlush = TopK.perKey(orders, Seq("o_custkey"),
+      Seq(TopK.desc("o_totalprice"), TopK.asc("o_orderkey")), 3,
+      maxKeysInMemory = 8) // forces many flushes per partition
+      .select($"o_custkey", $"o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaDefault = TopK.perKey(orders, Seq("o_custkey"),
+      Seq(TopK.desc("o_totalprice"), TopK.asc("o_orderkey")), 3)
+      .select($"o_custkey", $"o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaFlush == viaDefault)
+  }
+
   test("k larger than group size returns whole groups") {
     import spark.implicits._
     val df = TopK.perKey(
