@@ -282,7 +282,28 @@ object ScalarFunctions extends QueryModule {
             WHERE p_partkey < 40)
       ORDER BY p_partkey"""))
 
+  /** Timezone conversions (reference `datetimeExpressions.scala`
+    * to_utc_timestamp/from_utc_timestamp) — session stays UTC; the
+    * functions reinterpret wall times across zones. */
+  val qTimezone: QueryDef = QueryDef(
+    "q138_tz_funcs",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "orders").filter($"o_orderkey" < 30)
+        .select($"o_orderkey",
+          to_utc_timestamp($"o_orderdate", "America/New_York").as("ny_to_utc"),
+          from_utc_timestamp($"o_orderdate", "Asia/Tokyo").as("utc_to_tokyo"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey,
+        CAST(timezone('UTC', timezone('America/New_York', o_orderdate)) AS TIMESTAMP)
+          AS ny_to_utc,
+        CAST(timezone('Asia/Tokyo', timezone('UTC', o_orderdate)) AS TIMESTAMP)
+          AS utc_to_tokyo
+      FROM orders WHERE o_orderkey < 30 ORDER BY o_orderkey"""))
+
   override def defs: Seq[QueryDef] = Seq(
     qString, qRegex, qDate, qMath, qConditional, qJson, qJsonStruct,
-    qHash, qCollection, qHigherOrder)
+    qHash, qCollection, qHigherOrder, qTimezone)
 }
