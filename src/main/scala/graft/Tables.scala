@@ -29,10 +29,12 @@ object Tables {
     * truncate to microseconds — the same truncation DuckDB applies — so the
     * engine-visible schema is a proper TimestampType column. */
   private def eventsDf(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    // `div` = integral division: nanos (~1.7e18) exceed 2^53, so a double
+    // round-trip would drop up to ~128 ns before truncation.
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 

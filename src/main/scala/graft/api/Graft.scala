@@ -38,8 +38,14 @@ object Graft {
       minhash(split(lower(col(textCol)), " "), numHashes, shingleSize, seed))
 
   /** LSH near-duplicate candidate pairs above an estimated-Jaccard
-    * threshold. Shuffles (band, bucket, id, signature) — a few hundred
-    * bytes per doc per band — never the documents themselves; candidate
+    * threshold.
+    *
+    * Shuffle discipline (the 100 TB shape): the only rows that move keyed
+    * by (band, bucket) are 24-byte `(doc_id, band, bucket)` triples — the
+    * 64-long signatures stay columnar at the scan and are joined back BY ID
+    * only after the candidate pair set is distinct. A naive formulation
+    * that carries the ~0.5 KB signature through the band shuffle and both
+    * self-join sides moves ~3 orders of magnitude more bytes. Candidate
     * volume scales with collision rate, not n². */
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
@@ -51,12 +57,14 @@ object Graft {
     // signatures would be the identical all-sentinel vector and every such
     // pair would collide at est_jaccard=1. Standard practice: exclude them
     // from near-dup candidacy (exact dedup still covers them).
-    val sigs = withMinHash(
+    def sigs = withMinHash(
       df.select(col(idCol), col(textCol))
         .filter(size(split(lower(col(textCol)), " ")) >= shingleSize),
       textCol, numHashes, shingleSize, seed)
       .select(col(idCol).as("doc_id"), col("minhash_sig").as("sig"))
-    val bandedRaw = sigs.select(col("doc_id"), col("sig"),
+    // (doc_id, band, bucket) only — the signature is dropped before any
+    // shuffle; band hashes are derived map-side.
+    val banded = sigs.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
@@ -65,19 +73,24 @@ object Graft {
     // maxBucketSize are dropped (their members are near-identical en masse —
     // the exact/fingerprint pass is the right tool for those); this bounds
     // per-bucket work at maxBucketSize² regardless of corpus skew.
-    val banded = bandedRaw
+    val capped = banded
       .withColumn("_bsize", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
       .filter(col("_bsize") <= maxBucketSize)
       .drop("_bsize")
-    val l = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("band", "bucket")).filter(col("doc_a") < col("doc_b"))
+    val pairs = capped.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+      .join(capped.select(col("band"), col("bucket"), col("doc_id").as("doc_b")),
+        Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    // Signatures re-enter only now, joined by id against the (small)
+    // distinct pair set to compute the agreement estimate.
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         sigAgreement(col("sig_a"), col("sig_b")).as("est_jaccard"))
-      .distinct()
       .filter(col("est_jaccard") >= threshold)
   }
 

@@ -27,15 +27,15 @@ object RegistrySweep extends QueryModule {
       hypot(3.0, 4.0)                          AS hyp,
       degrees(pi())                            AS deg_pi,
       bit_count(7)                             AS bits7,
-      sentences('Spark runs fast. It scales.') AS sent,
+      CAST(sentences('Spark runs fast. It scales.') AS STRING) AS sent,
       xpath_string('<a><b>x</b></a>', 'a/b')   AS xp,
-      map_keys(map('k1', 1, 'k2', 2))          AS mkeys,
-      map_values(map('k1', 1, 'k2', 2))        AS mvals,
-      str_to_map('a:1,b:2', ',', ':')          AS s2m,
-      named_struct('x', 1, 'y', 'z')           AS ns,
-      array_repeat('ab', 3)                    AS arep,
-      flatten(array(array(1, 2), array(3)))    AS flat,
-      arrays_zip(array(1, 2), array('a', 'b')) AS azip,
+      CAST(map_keys(map('k1', 1, 'k2', 2)) AS STRING)   AS mkeys,
+      CAST(map_values(map('k1', 1, 'k2', 2)) AS STRING) AS mvals,
+      CAST(str_to_map('a:1,b:2', ',', ':') AS STRING)   AS s2m,
+      CAST(named_struct('x', 1, 'y', 'z') AS STRING)    AS ns,
+      CAST(array_repeat('ab', 3) AS STRING)             AS arep,
+      CAST(flatten(array(array(1, 2), array(3))) AS STRING)    AS flat,
+      CAST(arrays_zip(array(1, 2), array('a', 'b')) AS STRING) AS azip,
       crc32('spark')                           AS crc,
       xxhash64('spark')                        AS xxh,
       hash('spark')                            AS mh3,

@@ -238,7 +238,12 @@ object ScalarFunctions extends QueryModule {
           round(element_at($"embedding", 1).cast(DoubleType), 6).as("e1"),
           round(array_max($"embedding").cast(DoubleType), 6).as("mx"),
           round(array_min($"embedding").cast(DoubleType), 6).as("mn"),
-          slice($"embedding", 1, 3).as("first3"))
+          // slice exercised via scalar extraction — the driver's comparator
+          // cannot sort rows holding raw array cells.
+          round(element_at(slice($"embedding", 1, 3), 2).cast(DoubleType), 6)
+            .as("s2"),
+          round(element_at(slice($"embedding", 1, 3), 3).cast(DoubleType), 6)
+            .as("s3"))
         .orderBy($"vec_id")
     },
     Some("""
@@ -246,7 +251,8 @@ object ScalarFunctions extends QueryModule {
         round(CAST(embedding[1] AS DOUBLE), 6) AS e1,
         round(CAST(list_max(embedding) AS DOUBLE), 6) AS mx,
         round(CAST(list_min(embedding) AS DOUBLE), 6) AS mn,
-        embedding[1:3] AS first3
+        round(CAST(embedding[1:3][2] AS DOUBLE), 6) AS s2,
+        round(CAST(embedding[1:3][3] AS DOUBLE), 6) AS s3
       FROM embeddings WHERE vec_id < 30 ORDER BY vec_id"""))
 
   /** Higher-order array functions (Spark 2.4+/4 lambda functions —

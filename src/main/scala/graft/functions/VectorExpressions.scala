@@ -29,10 +29,13 @@ object VectorExpressions {
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def checkInputDataTypes(): TypeCheckResult =
-      if (isNumArray(left.dataType) && isNumArray(right.dataType))
+      if (isNumArray(left.dataType) && isNumArray(right.dataType) &&
+          left.dataType.asInstanceOf[ArrayType].elementType ==
+            right.dataType.asInstanceOf[ArrayType].elementType)
         TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure(
-        s"cosine expects numeric arrays, got ${left.dataType}, ${right.dataType}")
+        s"cosine expects two arrays of the same numeric element type, " +
+          s"got ${left.dataType}, ${right.dataType}")
     private def kernel: String = left.dataType match {
       case ArrayType(FloatType, _) => "cosineF"
       case _ => "cosineD"

@@ -244,7 +244,9 @@ object CoverageExtras extends QueryModule {
       FROM orders WHERE o_orderkey < 30 ORDER BY o_orderkey"""))
 
   /** collect_list / collect_set (reference `collect.scala:137`) — sorted
-    * for determinism; bounded group sizes only (these buffer in memory). */
+    * for determinism; bounded group sizes only (these buffer in memory).
+    * Lists are serialized to a joined string because the driver's
+    * comparator cannot sort rows containing raw array cells. */
   val qCollectAggs: QueryDef = QueryDef(
     "q114_collect_aggs",
     (s, d) => {
@@ -252,14 +254,16 @@ object CoverageExtras extends QueryModule {
       t(s, d, "nation")
         .join(broadcast(t(s, d, "region")), $"n_regionkey" === $"r_regionkey")
         .groupBy($"r_name")
-        .agg(sort_array(collect_list($"n_name")).as("nations"),
-          sort_array(collect_set($"n_regionkey")).as("region_keys"))
+        .agg(
+          array_join(sort_array(collect_list($"n_name")), ",").as("nations"),
+          array_join(transform(sort_array(collect_set($"n_regionkey")),
+            _.cast("string")), ",").as("region_keys"))
         .orderBy($"r_name")
     },
     Some("""
       SELECT r_name,
-        list_sort(list(n_name)) AS nations,
-        list_sort(list(DISTINCT n_regionkey)) AS region_keys
+        array_to_string(list_sort(list(n_name)), ',') AS nations,
+        array_to_string(list_sort(list(DISTINCT n_regionkey)), ',') AS region_keys
       FROM nation JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name ORDER BY r_name"""))
 
@@ -280,20 +284,31 @@ object CoverageExtras extends QueryModule {
         (SELECT r_regionkey AS rk, r_name FROM region)
       GROUP BY r_name ORDER BY r_name"""))
 
-  /** max_by / min_by (argmax aggregates). */
+  /** max_by / min_by (argmax aggregates). Ties on c_acctbal are broken by
+    * c_name via a composite (balance, name) ordering key on BOTH engines —
+    * bare max_by tie-breaking is nondeterministic in Spark and unspecified
+    * in DuckDB, a latent oracle flake if balances ever collide. */
   val qArgMax: QueryDef = QueryDef(
     "q116_argmax",
     (s, d) => {
       import s.implicits._
       t(s, d, "customer").groupBy($"c_mktsegment")
-        .agg(max_by($"c_name", $"c_acctbal").as("richest"),
-          min_by($"c_name", $"c_acctbal").as("poorest"))
+        .agg(max_by($"c_name", struct($"c_acctbal", $"c_name")).as("richest"),
+          min_by($"c_name", struct($"c_acctbal", $"c_name")).as("poorest"))
         .orderBy($"c_mktsegment")
     },
     Some("""
-      SELECT c_mktsegment, arg_max(c_name, c_acctbal) AS richest,
-             arg_min(c_name, c_acctbal) AS poorest
-      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+      WITH ranked AS (
+        SELECT c_mktsegment, c_name,
+          row_number() OVER (PARTITION BY c_mktsegment
+            ORDER BY c_acctbal DESC, c_name DESC) AS rmax,
+          row_number() OVER (PARTITION BY c_mktsegment
+            ORDER BY c_acctbal ASC, c_name ASC) AS rmin
+        FROM customer)
+      SELECT c_mktsegment,
+        MAX(CASE WHEN rmax = 1 THEN c_name END) AS richest,
+        MAX(CASE WHEN rmin = 1 THEN c_name END) AS poorest
+      FROM ranked GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
   override def defs: Seq[QueryDef] = Seq(
     qCache, qJoinHint, qBucketedJoin, qIntersectAll, qExceptAll,

@@ -117,16 +117,18 @@ object Grouping extends QueryModule {
       base.select(
         $"l_returnflag", $"min_qty", $"max_qty", $"sd", $"corr_qp",
         (($"s3" / $"n" - lit(3.0) * ($"s1" / $"n") * ($"s2" / $"n")
-          + lit(2.0) * ($"s1" / $"n") * ($"s1" / $"n") * ($"s1" / $"n")) /
-          sqrt(pow($"s2" / $"n" - ($"s1" / $"n") * ($"s1" / $"n"), lit(3.0))))
-          .as("skew"))
+          + lit(2.0) * ($"s1" / $"n") * ($"s1" / $"n") * ($"s1" / $"n")) / {
+          val v = $"s2" / $"n" - ($"s1" / $"n") * ($"s1" / $"n")
+          sqrt(v * v * v) // x*x*x is exact IEEE; libm pow is not
+        }).as("skew"))
         .withColumn("skew", round($"skew", 6))
         .orderBy($"l_returnflag")
     },
     Some("""
       SELECT l_returnflag, min_qty, max_qty, sd, corr_qp,
         ROUND((s3/n - 3.0*(s1/n)*(s2/n) + 2.0*(s1/n)*(s1/n)*(s1/n))
-          / SQRT(POW(s2/n - (s1/n)*(s1/n), 3.0)), 6) AS skew
+          / SQRT((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))
+                 * (s2/n - (s1/n)*(s1/n))), 6) AS skew
       FROM (
         SELECT l_returnflag,
           CAST(COUNT(*) AS DOUBLE) AS n,
