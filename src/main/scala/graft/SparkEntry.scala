@@ -20,7 +20,9 @@ object SparkEntry {
     graft.streaming.StreamingOps, graft.operators.Multimodal,
     graft.operators.Workloads, graft.operators.CoverageExtras,
     graft.sources.JdbcSource, graft.functions.RegistrySweep,
-    graft.operators.TpchStyle, graft.operators.EventAnalytics)
+    graft.operators.TpchStyle, graft.operators.EventAnalytics,
+    graft.operators.Temporal, graft.operators.IterativeGraph,
+    graft.operators.PipelineExtras)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -33,8 +33,12 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     // `div` = integral division: nanos (~1.7e18) exceed 2^53, so a double
-    // round-trip would drop up to ~128 ns before truncation.
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // round-trip would drop up to ~128 ns before truncation. `div` alone
+    // truncates toward zero, which rounds pre-1970 timestamps UP; subtract
+    // the (always non-negative) pmod remainder first so the division is
+    // exact — i.e. floor semantics, matching DuckDB's nanos→micros cast —
+    // for any epoch sign.
+    raw.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 

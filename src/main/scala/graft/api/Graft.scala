@@ -57,11 +57,19 @@ object Graft {
     // signatures would be the identical all-sentinel vector and every such
     // pair would collide at est_jaccard=1. Standard practice: exclude them
     // from near-dup candidacy (exact dedup still covers them).
-    def sigs = withMinHash(
+    //
+    // The signature relation is used three times (banding pass + both
+    // re-join branches); persist it so the corpus scan and the
+    // O(shingles×numHashes) signature computation run once. Signatures are
+    // ~(8·numHashes + id) bytes/doc — the 0.1% shadow of the corpus — so
+    // MEMORY_AND_DISK never pressures executors the way caching documents
+    // would.
+    val sigs = withMinHash(
       df.select(col(idCol), col(textCol))
         .filter(size(split(lower(col(textCol)), " ")) >= shingleSize),
       textCol, numHashes, shingleSize, seed)
       .select(col(idCol).as("doc_id"), col("minhash_sig").as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // (doc_id, band, bucket) only — the signature is dropped before any
     // shuffle; band hashes are derived map-side.
     val banded = sigs.select(col("doc_id"),
@@ -180,6 +188,81 @@ object Graft {
       .as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, ()) }
     val cc = Graph.fromEdges(edges, ()).connectedComponents().vertices
     spark.createDataFrame(cc).toDF("doc_id", "canonical_id")
+  }
+
+  // ------------------------------------------------------ temporal joins
+
+  /** Backward as-of join: for each left row, the single right row with the
+    * same key and the greatest right time ≤ the left time (inner — left
+    * rows with no prior right row are dropped). Spark has no native as-of
+    * operator, so this composes one from a union + one running-window pass
+    * (the standard formulation, cf. pandas merge_asof / DuckDB ASOF JOIN
+    * semantics):
+    *
+    *   union(right tagged 0, left tagged 1) → window partitionBy(key)
+    *   orderBy(time, tag) running last(right payload, ignoreNulls)
+    *
+    * Scale shape: ONE hash shuffle of both inputs on the key plus an
+    * in-partition sort — the same cost class as a sort-merge join — and
+    * never materializes the |left|×|matching right| intermediate that a
+    * naive `t_r <= t_l` range join + argmax would. Ties on the time value
+    * resolve to the right row (inclusive ≤), matching DuckDB ASOF. If
+    * several right rows share the exact same (key, time), which of them
+    * wins is unspecified in both engines — dedupe the right side first if
+    * that matters.
+    *
+    * Column contract: output = all left columns + right's non-key columns;
+    * names must not collide (rename before calling). */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTimeCol: String, rightTimeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rightPayloadCols = right.columns.filterNot(keyCols.contains)
+    val clash = left.columns.toSet.intersect(rightPayloadCols.toSet)
+    require(clash.isEmpty, s"column name collision: $clash — rename first")
+    val lPay = struct(left.columns.map(col): _*)
+    val rPay = struct(rightPayloadCols.map(col): _*)
+    val lPayType = left.select(lPay).schema.head.dataType
+    val rPayType = right.select(rPay).schema.head.dataType
+    val l2 = left.select(keyCols.map(col) ++ Seq(col(leftTimeCol).as("_t"),
+      lit(1).as("_src"), lPay.as("_lpay"),
+      lit(null).cast(rPayType).as("_rpay")): _*)
+    val r2 = right.select(keyCols.map(col) ++ Seq(col(rightTimeCol).as("_t"),
+      lit(0).as("_src"), lit(null).cast(lPayType).as("_lpay"),
+      rPay.as("_rpay")): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_t"), col("_src"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l2.unionByName(r2)
+      .withColumn("_m", last(col("_rpay"), ignoreNulls = true).over(w))
+      .filter(col("_src") === 1 && col("_m").isNotNull)
+      .select(left.columns.map(c => col(s"_lpay.$c").as(c)) ++
+        rightPayloadCols.map(c => col(s"_m.$c").as(c)): _*)
+  }
+
+  /** Point-in-interval range join without an equi key, via binning: each
+    * interval replicates to every bin it overlaps (map-side explode), each
+    * point maps to exactly one bin, then an ordinary equi-join on the bin
+    * plus the residual range filter. Because a point lives in exactly one
+    * bin, no pair is produced twice — no distinct pass needed.
+    *
+    * Scale shape: this turns the O(|points|×|intervals|) nested-loop plan
+    * Spark would otherwise pick for a pure inequality join into a hash
+    * join whose shuffle volume is |points| + |intervals|·(avg interval
+    * width / binWidth). Pick binWidth ≈ the typical interval width so
+    * replication stays a small constant. Columns must be non-negative
+    * numerics (epoch micros/seconds); names must not collide. */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, pointCol: String,
+      startCol: String, endCol: String, binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val clash = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(clash.isEmpty, s"column name collision: $clash — rename first")
+    val binnedIv = intervals.withColumn("_bin",
+      explode(sequence(expr(s"$startCol div ${binWidth}L"),
+        expr(s"$endCol div ${binWidth}L"))))
+    val binnedPt = points.withColumn("_bin", expr(s"$pointCol div ${binWidth}L"))
+    binnedPt.join(binnedIv, Seq("_bin"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("_bin")
   }
 
   // ---------------------------------------------------- skew mitigation

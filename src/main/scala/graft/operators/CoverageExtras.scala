@@ -287,12 +287,17 @@ object CoverageExtras extends QueryModule {
   /** max_by / min_by (argmax aggregates). Ties on c_acctbal are broken by
     * c_name via a composite (balance, name) ordering key on BOTH engines —
     * bare max_by tie-breaking is nondeterministic in Spark and unspecified
-    * in DuckDB, a latent oracle flake if balances ever collide. */
+    * in DuckDB, a latent oracle flake if balances ever collide. Both sides
+    * also filter NULL ordering keys explicitly: Spark's max_by silently
+    * ignores rows whose ordering key is NULL while row_number ranks them
+    * (NULLS FIRST/LAST), so the two formulations are only equivalent under
+    * a non-null key — enforce it rather than assume it. */
   val qArgMax: QueryDef = QueryDef(
     "q116_argmax",
     (s, d) => {
       import s.implicits._
-      t(s, d, "customer").groupBy($"c_mktsegment")
+      t(s, d, "customer").filter($"c_acctbal".isNotNull)
+        .groupBy($"c_mktsegment")
         .agg(max_by($"c_name", struct($"c_acctbal", $"c_name")).as("richest"),
           min_by($"c_name", struct($"c_acctbal", $"c_name")).as("poorest"))
         .orderBy($"c_mktsegment")
@@ -304,7 +309,7 @@ object CoverageExtras extends QueryModule {
             ORDER BY c_acctbal DESC, c_name DESC) AS rmax,
           row_number() OVER (PARTITION BY c_mktsegment
             ORDER BY c_acctbal ASC, c_name ASC) AS rmin
-        FROM customer)
+        FROM customer WHERE c_acctbal IS NOT NULL)
       SELECT c_mktsegment,
         MAX(CASE WHEN rmax = 1 THEN c_name END) AS richest,
         MAX(CASE WHEN rmin = 1 THEN c_name END) AS poorest

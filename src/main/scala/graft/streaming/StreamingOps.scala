@@ -34,7 +34,7 @@ object StreamingOps extends QueryModule {
     s.readStream.schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
   }
 
   private def runToTable(s: SparkSession, df: DataFrame, mode: OutputMode,

@@ -22,7 +22,12 @@ class BucketingSpec extends AnyFunSuite {
 
   test("bucketed sort-merge join plans without any ShuffleExchange") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // AQE wraps the plan in AdaptiveSparkPlanExec/QueryStageExec, which
+    // collect() does not traverse; it is not what this test checks, so pin
+    // it off to keep the plan assertions direct.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val df = CoverageExtras.qBucketedJoin.run(spark, "/root/testdata/sf0.001")
       df.collect() // force planning + execution
@@ -41,6 +46,7 @@ class BucketingSpec extends AnyFunSuite {
         "join key shuffle found — bucket pruning failed")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
   }
 }

@@ -23,13 +23,13 @@ class RegistrySweepSpec extends AnyFunSuite {
     assert(r.getAs[Double]("hyp") == 5.0)
     assert(math.abs(r.getAs[Double]("deg_pi") - 180.0) < 1e-12)
     assert(r.getAs[Int]("bits7") == 3)
-    assert(r.getAs[collection.Seq[collection.Seq[String]]]("sent").map(_.toList).toList ==
-      List(List("Spark", "runs", "fast"), List("It", "scales")))
+    // sentences() is CAST ... AS STRING in the sweep (hashable output)
+    assert(r.getAs[String]("sent") == "[[Spark, runs, fast], [It, scales]]")
     assert(r.getAs[String]("xp") == "x")
-    assert(r.getAs[collection.Seq[String]]("mkeys").sorted.toList == List("k1", "k2"))
-    assert(r.getAs[Map[String, String]]("s2m") == Map("a" -> "1", "b" -> "2"))
-    assert(r.getAs[collection.Seq[String]]("arep").toList == List("ab", "ab", "ab"))
-    assert(r.getAs[collection.Seq[Int]]("flat").toList == List(1, 2, 3))
+    assert(r.getAs[String]("mkeys") == "[k1, k2]")
+    assert(r.getAs[String]("s2m") == "{a -> 1, b -> 2}")
+    assert(r.getAs[String]("arep") == "[ab, ab, ab]")
+    assert(r.getAs[String]("flat") == "[1, 2, 3]")
     assert(r.getAs[Long]("crc") == 2635321133L)
     assert(r.getAs[String]("ty") == "decimal(2,1)")
   }
