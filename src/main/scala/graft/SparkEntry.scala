@@ -22,7 +22,8 @@ object SparkEntry {
     graft.sources.JdbcSource, graft.functions.RegistrySweep,
     graft.operators.TpchStyle, graft.operators.EventAnalytics,
     graft.operators.Temporal, graft.operators.IterativeGraph,
-    graft.operators.PipelineExtras)
+    graft.operators.PipelineExtras, graft.operators.GraphExtras,
+    graft.operators.TextPipeline)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
