@@ -156,15 +156,29 @@ object Graft {
 
   /** Approximate neighbors: random-hyperplane LSH bucket join — each
     * corpus row moves once keyed by bucket; recall is traded via `planes`
-    * (fewer planes → bigger buckets → higher recall and cost). */
+    * (fewer planes → bigger buckets → higher recall and cost).
+    *
+    * `probes` enables multi-probe LSH (Lv et al., VLDB '07, simplified to
+    * Hamming-1 perturbation): each query additionally probes the buckets
+    * reached by flipping each of the first `probes` hyperplane bits. That
+    * recovers near-neighbors that fall just across a hyperplane — the
+    * recall of ~2^probes hash tables for ONE table's storage and ONE scan
+    * of the corpus. Cost shape is unchanged: the corpus is hashed and
+    * shuffled exactly once; only the (broadcast) query side fans out
+    * ×(probes+1). A corpus row lives in one bucket, so a (query, corpus)
+    * pair can match through at most one probe — no dedup pass needed. */
   def lshNeighbors(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, queryIdCol: String, queryVecCol: String,
-      k: Int, planes: Int = 4, seed: Long = 7L): DataFrame = {
+      k: Int, planes: Int = 4, seed: Long = 7L, probes: Int = 0): DataFrame = {
+    require(probes <= planes, s"probes ($probes) must be <= planes ($planes)")
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
       lshBucket(col(vecCol), planes, seed).as("bucket"))
+    val bucket0 = lshBucket(col(queryVecCol), planes, seed)
+    val probeSet = array(bucket0 +:
+      (0 until probes).map(i => bucket0.bitwiseXOR(lit(1 << i))): _*)
     val q = queries.select(col(queryIdCol).as("query_id"),
       col(queryVecCol).as("q_vec"),
-      lshBucket(col(queryVecCol), planes, seed).as("bucket"))
+      explode(probeSet).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -130,6 +130,25 @@ object Similarity extends QueryModule {
         WHERE q.vec_id < 10)
       WHERE rk <= 3 ORDER BY query_id, sim DESC, vec_id"""))
 
+  /** Multi-probe variant of q67: same planes/seed, but each query also
+    * probes every Hamming-1 neighbor bucket — one corpus scan and one
+    * shuffle, recall of ~2^probes hash tables (spec asserts recall ≥ the
+    * single-probe run against the q66 brute-force truth). Deterministic
+    * but not SQL-expressible → rows-only. */
+  val qMultiProbeTopK: QueryDef = QueryDef(
+    "q156_sim_multiprobe_topk",
+    (s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "embeddings")
+      graft.api.Graft.lshNeighbors(
+        corpus, corpus.filter($"vec_id" < 10),
+        idCol = "vec_id", vecCol = "embedding",
+        queryIdCol = "vec_id", queryVecCol = "embedding",
+        k = 3, planes = 4, seed = 7L, probes = 4)
+        .orderBy($"query_id", $"sim".desc, $"neighbor_id")
+    },
+    None)
+
   override def defs: Seq[QueryDef] =
-    Seq(qBruteForceTopK, qLshTopK, qIvfCells, qCustomTopK)
+    Seq(qBruteForceTopK, qLshTopK, qIvfCells, qCustomTopK, qMultiProbeTopK)
 }
