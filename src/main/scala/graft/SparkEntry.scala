@@ -23,7 +23,8 @@ object SparkEntry {
     graft.operators.TpchStyle, graft.operators.EventAnalytics,
     graft.operators.Temporal, graft.operators.IterativeGraph,
     graft.operators.PipelineExtras, graft.operators.GraphExtras,
-    graft.operators.TextPipeline, graft.operators.SurfaceExtras)
+    graft.operators.TextPipeline, graft.operators.SurfaceExtras,
+    graft.operators.ScalePatterns)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
