@@ -18,6 +18,26 @@ import graft.plans.TopK
   */
 object Graft {
 
+  // ------------------------------------------------- cache lifecycle
+  // Operators that persist an intermediate (minHashCandidates' signature
+  // relation) register it here; disk-backed blocks are NOT LRU-evicted, so
+  // without an explicit release every call would leak cached blocks for
+  // the application's lifetime. Callers release after materializing the
+  // returned DataFrame (the result no longer references the intermediate
+  // once its own computation is done): `Graft.releaseCaches()`.
+  private val pinned =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  private def pin(df: DataFrame): DataFrame = { pinned.add(df); df }
+
+  /** Unpersist every intermediate cached by Graft operators since the last
+    * release. Call after materializing (writing/collecting) the returned
+    * DataFrames — unpersisting earlier would just silently recompute. */
+  def releaseCaches(): Unit = {
+    var df = pinned.poll()
+    while (df != null) { df.unpersist(blocking = false); df = pinned.poll() }
+  }
+
   // ------------------------------------------------------------- dedup
 
   /** Exact dedup on the given columns — one hash-aggregate shuffle. */
@@ -64,12 +84,12 @@ object Graft {
     // ~(8·numHashes + id) bytes/doc — the 0.1% shadow of the corpus — so
     // MEMORY_AND_DISK never pressures executors the way caching documents
     // would.
-    val sigs = withMinHash(
+    val sigs = pin(withMinHash(
       df.select(col(idCol), col(textCol))
         .filter(size(split(lower(col(textCol)), " ")) >= shingleSize),
       textCol, numHashes, shingleSize, seed)
       .select(col(idCol).as("doc_id"), col("minhash_sig").as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // (doc_id, band, bucket) only — the signature is dropped before any
     // shuffle; band hashes are derived map-side.
     val banded = sigs.select(col("doc_id"),
@@ -80,12 +100,18 @@ object Graft {
     // boilerplate-heavy corpora can explode one reducer. Buckets above
     // maxBucketSize are dropped (their members are near-identical en masse —
     // the exact/fingerprint pass is the right tool for those); this bounds
-    // per-bucket work at maxBucketSize² regardless of corpus skew.
-    val capped = banded
-      .withColumn("_bsize", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
-      .filter(col("_bsize") <= maxBucketSize)
-      .drop("_bsize")
+    // per-bucket work at maxBucketSize² regardless of corpus skew. The cap
+    // is enforced as a hash-aggregate (partial map-side combine on the
+    // 12-byte (band,bucket) keys) plus an anti-join against the oversized
+    // set — NOT a window count, which would force a full sort of every
+    // banded triple per partition. The oversized set is tiny by
+    // construction (only pathological buckets), so AQE turns the anti-join
+    // into a broadcast.
+    val oversized = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_bsize"))
+      .filter(col("_bsize") > maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val capped = banded.join(oversized, Seq("band", "bucket"), "left_anti")
     val pairs = capped.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
       .join(capped.select(col("band"), col("bucket"), col("doc_id").as("doc_b")),
         Seq("band", "bucket"))

@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom table-generating expression (UDTF surface): `ngrams(words, n)`
+  * emits one row per word n-gram of the input token array.
+  *
+  * Pattern follows the reference's `Generator` contract
+  * (`sql/catalyst/.../expressions/generators.scala:68`,
+  * `UserDefinedGenerator`): the analyzer's `ExtractGenerators` rule lifts
+  * the expression out of the `Project` into a `Generate` logical node,
+  * which plans to `GenerateExec` (`sql/core/.../GenerateExec.scala:52`) —
+  * the per-row fan-out is streamed, never materialized as a whole array
+  * per document the way the `transform(sequence(...))` + `explode` idiom
+  * builds it. That is the scale win: a 100k-token document produces 100k
+  * output rows without ever holding a 100k-element array in the row
+  * buffer.
+  *
+  * Emits n-grams directly as `UTF8String.concat` of array slices —
+  * zero-copy over the input's UTF8 bytes. Null token entries (possible
+  * only if the caller built the array with explicit nulls — `split` never
+  * does) make their n-gram null-join like SQL `concat`.
+  */
+case class NGramGenerator(child: Expression, n: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+  require(n >= 1, "ngram size must be >= 1")
+
+  override def elementSchema: StructType =
+    new StructType().add("ngram", StringType, nullable = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"ngrams expects array<string>, got $dt")
+  }
+
+  private val sep = UTF8String.fromString(" ")
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val arr = child.eval(input).asInstanceOf[ArrayData]
+    if (arr == null || arr.numElements() < n) Iterator.empty
+    else {
+      val len = arr.numElements()
+      (0 to len - n).iterator.map { i =>
+        val parts = new Array[UTF8String](2 * n - 1)
+        var j = 0
+        while (j < n) {
+          if (j > 0) parts(2 * j - 1) = sep
+          parts(2 * j) = arr.getUTF8String(i + j)
+          j += 1
+        }
+        InternalRow(UTF8String.concat(parts: _*))
+      }
+    }
+  }
+
+  override def prettyName: String = "ngrams"
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NGramGenerator = copy(child = newChild)
+}
+
+object NGramGenerator {
+  /** Column API: `ngrams(words, n)` — use in `select` like `explode`. */
+  def ngrams(words: Column, n: Int): Column =
+    ColumnBridge.column(NGramGenerator(ColumnBridge.expression(words), n))
+}

@@ -90,12 +90,20 @@ case class TopKLabels(
     new GenericArrayData(
       buf.sorted(ord).take(k).map(p => UTF8String.fromString(p._2)).toArray[Any])
 
+  // Labels are length-prefixed raw UTF-8 (writeUTF's 2-byte length field
+  // caps strings at 65535 encoded bytes — a real document label can exceed
+  // that, and a serde that throws mid-shuffle is a job killer).
   override def serialize(buf: ArrayBuffer[(Double, String)]): Array[Byte] = {
     val kept = compact(buf)
     val bytes = new ByteArrayOutputStream()
     val out = new DataOutputStream(bytes)
     out.writeInt(kept.length)
-    kept.foreach { case (v, l) => out.writeDouble(v); out.writeUTF(l) }
+    kept.foreach { case (v, l) =>
+      out.writeDouble(v)
+      val b = l.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length)
+      out.write(b)
+    }
     out.flush()
     bytes.toByteArray
   }
@@ -105,7 +113,13 @@ case class TopKLabels(
     val n = in.readInt()
     val buf = ArrayBuffer.empty[(Double, String)]
     var i = 0
-    while (i < n) { buf += ((in.readDouble(), in.readUTF())); i += 1 }
+    while (i < n) {
+      val v = in.readDouble()
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      buf += ((v, new String(b, java.nio.charset.StandardCharsets.UTF_8)))
+      i += 1
+    }
     buf
   }
 

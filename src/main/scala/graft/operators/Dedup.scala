@@ -174,7 +174,62 @@ object Dedup extends QueryModule {
     },
     None)
 
+  /** Connected-components clustering over an ORACLE-CHECKABLE pair set:
+    * the exact-Jaccard pairs from q62 feed the same GraphX Pregel CC that
+    * q134 uses on LSH candidates, and DuckDB reproduces the components
+    * with a recursive transitive-closure CTE (min reachable id = the
+    * component's canonical id, which is exactly what GraphX
+    * `connectedComponents` assigns — reference `graphx/.../GraphOps
+    * .scala:433`). This hash-matches the last stage of the dedup pipeline
+    * that was previously only spec-checked. The closure is O(n·edges) —
+    * fine for an oracle on a bounded id window; the distributed path is
+    * the Pregel loop. At sf0.01 this id window covers the whole corpus
+    * and yields ~46 components (largest 19 docs) — a real clustering,
+    * not a vacuous empty match. */
+  val qDedupClustersExact: QueryDef = QueryDef(
+    "q162_dedup_clusters_exact",
+    (s, d) => {
+      import s.implicits._
+      val shingled = docWords(s, d).filter($"doc_id" < 500)
+        .select($"doc_id", $"lang",
+          array_distinct(transform(
+            sequence(lit(1), size($"words") - 2),
+            i => concat_ws(" ", element_at($"words", i),
+              element_at($"words", i + 1), element_at($"words", i + 2))))
+            .as("sh"))
+      val a = shingled.select($"doc_id".as("doc_a"), $"lang", $"sh".as("sh_a"))
+      val b = shingled.select($"doc_id".as("doc_b"), $"lang", $"sh".as("sh_b"))
+      val pairs = a.join(b, Seq("lang")).filter($"doc_a" < $"doc_b")
+        .filter(size(array_intersect($"sh_a", $"sh_b")).cast(DoubleType) /
+          size(array_union($"sh_a", $"sh_b")) >= 0.02)
+        .select($"doc_a", $"doc_b")
+      graft.api.Graft.dedupClusters(pairs).orderBy($"doc_id")
+    },
+    Some("""
+      WITH RECURSIVE shingled AS (
+        SELECT doc_id, lang,
+          list_distinct(list_transform(
+            generate_series(1, len(w) - 2),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS w
+              FROM documents WHERE doc_id < 500)),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM shingled a JOIN shingled b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.02),
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+      walk AS (
+        SELECT a AS node, a AS reach FROM edges
+        UNION
+        SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a)
+      SELECT CAST(node AS BIGINT) AS doc_id,
+             CAST(MIN(reach) AS BIGINT) AS canonical_id
+      FROM walk GROUP BY node ORDER BY doc_id"""))
+
   override def defs: Seq[QueryDef] = Seq(
     qExact, qFingerprint, qNgramJaccard, qMinHashLsh, qSimHash,
-    qEmbeddingCosine, qDedupClusters)
+    qEmbeddingCosine, qDedupClusters, qDedupClustersExact)
 }

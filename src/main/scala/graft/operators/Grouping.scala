@@ -207,7 +207,35 @@ object Grouping extends QueryModule {
              COUNT(*) AS n
       FROM customer GROUP BY 1 ORDER BY 1"""))
 
+  /** Custom `TypedImperativeAggregate` (graft.functions.TopKLabels —
+    * the reference's opaque-buffer aggregate interface,
+    * `sql/catalyst/.../expressions/aggregate/interfaces.scala:463`):
+    * top-3 customer names per segment by balance. The array result is
+    * exploded to scalar rows and hash-checked against the row_number
+    * formulation — proving the partial/merge/serialize paths produce
+    * exactly the declarative answer. */
+  val qTopKLabels: QueryDef = QueryDef(
+    "q161_topk_labels_agg",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "customer")
+        .groupBy($"c_mktsegment")
+        .agg(graft.functions.TopKAggregate
+          .topKLabels($"c_acctbal", $"c_name", 3).as("labels"))
+        .select($"c_mktsegment", posexplode($"labels"))
+        .select($"c_mktsegment", ($"pos" + 1).cast("int").as("rnk"),
+          $"col".as("c_name"))
+        .orderBy($"c_mktsegment", $"rnk")
+    },
+    Some("""
+      SELECT c_mktsegment, CAST(rnk AS INT) AS rnk, c_name
+      FROM (SELECT c_mktsegment, c_name,
+              row_number() OVER (PARTITION BY c_mktsegment
+                                 ORDER BY c_acctbal DESC, c_name DESC) AS rnk
+            FROM customer)
+      WHERE rnk <= 3 ORDER BY c_mktsegment, rnk"""))
+
   override def defs: Seq[QueryDef] = Seq(
     qCube, qRollup, qGroupingSets, qPivot, qStats, qPercentile,
-    qApprox, qCrosstab, qNaReplace)
+    qApprox, qCrosstab, qNaReplace, qTopKLabels)
 }

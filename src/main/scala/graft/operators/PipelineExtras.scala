@@ -18,12 +18,16 @@ object PipelineExtras extends QueryModule {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.df(s, d, n)
 
-  /** Element-wise mean vector per label over the embeddings table.
-    * Shape: posexplode → (label, pos) hash-agg (exact decimal sums) →
-    * regroup to arrays. Two shuffles, both on small keys; the wide
-    * vectors are never carried through an aggregation buffer, so this
-    * scales to arbitrary corpus size (state = labels × dims, not rows).
-    * The float→double cast happens before summation in both engines. */
+  /** Element-wise mean vector per label over the embeddings table,
+    * emitted long-form as one `(label, pos, mu, n_vecs)` row per
+    * dimension (scalar columns only — array-valued result columns break
+    * engine-portable comparison, and downstream consumers regroup with
+    * `collect_list(struct(pos, mu))` when they need the dense vector).
+    * Shape: posexplode → (label, pos) hash-agg (exact decimal sums).
+    * One shuffle on small keys; the wide vectors are never carried
+    * through an aggregation buffer, so this scales to arbitrary corpus
+    * size (state = labels × dims, not rows). The float→double cast
+    * happens before summation in both engines. */
   val qVectorCentroid: QueryDef = QueryDef(
     "q144_vector_centroid",
     (s, d) => {
@@ -34,23 +38,16 @@ object PipelineExtras extends QueryModule {
         .groupBy($"label", $"pos")
         .agg((dsum($"e", 9) / count(lit(1))).as("mu"),
           count(lit(1)).as("n_vecs"))
-        .groupBy($"label")
-        .agg(
-          transform(array_sort(collect_list(struct($"pos", $"mu"))),
-            x => x("mu")).as("centroid"),
-          max($"n_vecs").as("n_vecs"))
-        .orderBy($"label")
+        .orderBy($"label", $"pos")
     },
     Some("""
       WITH ex AS (SELECT label, s.pos, CAST(embedding[s.pos] AS DOUBLE) AS e
                   FROM embeddings,
-                       UNNEST(generate_series(1, len(embedding))) AS s(pos)),
-           m AS (SELECT label, pos,
-                   CAST(SUM(CAST(e AS DECIMAL(18,9))) AS DOUBLE)/COUNT(*) AS mu,
-                   CAST(COUNT(*) AS BIGINT) AS n_vecs
-                 FROM ex GROUP BY label, pos)
-      SELECT label, list(mu ORDER BY pos) AS centroid, MAX(n_vecs) AS n_vecs
-      FROM m GROUP BY label ORDER BY label"""))
+                       UNNEST(generate_series(1, len(embedding))) AS s(pos))
+      SELECT label, CAST(pos AS INTEGER) AS pos,
+             CAST(SUM(CAST(e AS DECIMAL(18,9))) AS DOUBLE)/COUNT(*) AS mu,
+             CAST(COUNT(*) AS BIGINT) AS n_vecs
+      FROM ex GROUP BY label, pos ORDER BY label, pos"""))
 
   /** Deterministic train/valid/test split by md5 of the row key: the
     * first hex nibble buckets 10/3/3 of 16. Pure map-side (no shuffle, no

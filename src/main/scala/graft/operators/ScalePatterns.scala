@@ -64,18 +64,25 @@ object ScalePatterns extends QueryModule {
       val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
       val path = new org.apache.hadoop.fs.Path(
         s.conf.get("spark.sql.warehouse.dir"),
-        s"graft_dynpart_${d.replaceAll("[^A-Za-z0-9]", "_")}").toString
+        s"graft_dynpart_${d.replaceAll("[^A-Za-z0-9]", "_")}")
       try {
+        // The seeding write must replace the WHOLE table: clear any prior
+        // run's output and force static mode explicitly (an inherited
+        // dynamic mode would only rewrite the partitions present in this
+        // seed and let stale partitions leak into the graded result).
+        path.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(path, true)
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
         val cols = Seq($"o_orderkey", $"o_totalprice", $"o_orderpriority")
         t(s, d, "orders").select(cols: _*)
           .write.mode(SaveMode.Overwrite)
-          .partitionBy("o_orderpriority").parquet(path)
+          .partitionBy("o_orderpriority").parquet(path.toString)
         s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         t(s, d, "orders").select(cols: _*)
           .filter($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 100000.0)
           .write.mode(SaveMode.Overwrite)
-          .partitionBy("o_orderpriority").parquet(path)
-        s.read.parquet(path)
+          .partitionBy("o_orderpriority").parquet(path.toString)
+        s.read.parquet(path.toString)
           .groupBy($"o_orderpriority")
           .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("volume"))
           .orderBy($"o_orderpriority")
@@ -114,33 +121,73 @@ object ScalePatterns extends QueryModule {
 
   /** foreachBatch + Trigger.AvailableNow: the incremental-upsert sink
     * shape (MERGE INTO a serving store per micro-batch, then stop when
-    * caught up). Update-mode batches carry only changed keys; the upsert
-    * map converges to exactly the batch group-by. */
+    * caught up). The serving store is a parquet table partitioned by the
+    * upsert key: each update-mode batch carries only changed keys, and a
+    * dynamic-partition-overwrite write replaces exactly those partitions —
+    * the whole MERGE stays executor-side (no rows ever reach the driver),
+    * which is the shape that survives 100 TB. The table converges to
+    * exactly the batch group-by. */
   val qForeachBatchUpsert: QueryDef = QueryDef(
     "q158_stream_foreachbatch_upsert",
     (s, d) => {
       import s.implicits._
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val store = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"),
+        s"graft_upsert_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      store.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(store, true)
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val counts = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
         .groupBy($"event_type").agg(count(lit(1)).as("n"))
-      val acc = new scala.collection.concurrent.TrieMap[String, Long]
-      val upsert: (Dataset[Row], Long) => Unit = (batch, _) =>
-        batch.collect().foreach { r =>
-          acc.update(r.getAs[String]("event_type"), r.getAs[Long]("n"))
-        }
+      val upsert: (Dataset[Row], Long) => Unit = (batch, _) => {
+        val sp = batch.sparkSession
+        val prev =
+          sp.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try batch.write.mode(SaveMode.Overwrite)
+          .partitionBy("event_type").parquet(store.toString)
+        finally sp.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      }
       val q = counts.writeStream.outputMode("update")
         .trigger(Trigger.AvailableNow())
         .foreachBatch(upsert).start()
       q.awaitTermination()
-      s.createDataFrame(acc.toSeq).toDF("event_type", "n")
-        .orderBy($"event_type")
+      s.read.parquet(store.toString)
+        .select($"event_type", $"n").orderBy($"event_type")
     },
     Some("""
       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** CountMinSketch heavy-hitter estimation (reference
+    * `common/sketch/.../CountMinSketch.java`, exposed via
+    * `DataFrameStatFunctions.countMinSketch`) — BloomFilter's sibling
+    * sketch (q157). The sketch is built distributed (treeAggregate under
+    * the hood), broadcast, and probed per key next to the exact count so
+    * the one-sided error is visible in the output: est_n >= exact_n
+    * always, est_n <= exact_n + eps·N with probability 1-delta
+    * (CountMinSketchSpec pins the bound). Sketch internals are
+    * impl-specific → rows-only check; the exact_n column carries the
+    * ground truth. */
+  val qCountMin: QueryDef = QueryDef(
+    "q164_countmin_sketch",
+    (s, d) => {
+      import s.implicits._
+      val keys = t(s, d, "lineitem").select($"l_suppkey".cast("long").as("k"))
+      val cms = keys.stat.countMinSketch("k",
+        eps = 0.0005, confidence = 0.99, seed = 42)
+      val bc = s.sparkContext.broadcast(cms)
+      val est = udf((k: Long) => bc.value.estimateCount(k))
+      keys.filter($"k" <= 50)
+        .groupBy($"k").agg(count(lit(1)).as("exact_n"))
+        .withColumn("est_n", est($"k"))
+        .orderBy($"k")
+    },
+    None)
+
   override def defs: Seq[QueryDef] =
-    Seq(qBloomPrune, qForeachBatchUpsert, qDynamicOverwrite, qSaltedJoin)
+    Seq(qBloomPrune, qForeachBatchUpsert, qDynamicOverwrite, qSaltedJoin,
+      qCountMin)
 }

@@ -86,8 +86,12 @@ object TextPipeline extends QueryModule {
       val sents = filter(split($"text", "\\. "), x => length(x) > 0)
       val wordRep = round(lit(1.0) -
         size(array_distinct(words)).cast("double") / size(words), 6)
-      val sentRep = round(lit(1.0) -
-        size(array_distinct(sents)).cast("double") / size(sents), 6)
+      // A document with no non-empty sentence would divide by zero: Spark
+      // yields NULL, DuckDB's IEEE float mode yields NaN — pin both engines
+      // to 0.0 ("no repetition") for the degenerate case.
+      val sentRep = when(size(sents) > 0, round(lit(1.0) -
+        size(array_distinct(sents)).cast("double") / size(sents), 6))
+        .otherwise(lit(0.0))
       t(s, d, "documents")
         .select($"doc_id", wordRep.as("word_rep"), sentRep.as("sent_rep"))
         .withColumn("keep",
@@ -99,8 +103,9 @@ object TextPipeline extends QueryModule {
         SELECT doc_id,
           round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
             AS word_rep,
-          round(1.0 - CAST(len(list_distinct(sn)) AS DOUBLE) / len(sn), 6)
-            AS sent_rep
+          CASE WHEN len(sn) > 0
+               THEN round(1.0 - CAST(len(list_distinct(sn)) AS DOUBLE) / len(sn), 6)
+               ELSE 0.0 END AS sent_rep
         FROM (SELECT doc_id, string_split(lower(text), ' ') AS w,
                 list_filter(string_split_regex(text, '\. '), x -> len(x) > 0)
                   AS sn
@@ -173,6 +178,31 @@ object TextPipeline extends QueryModule {
       SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
       FROM bg GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20"""))
 
+  /** Global top-20 word trigrams via the custom `NGramGenerator` UDTF
+    * (graft.functions.NGramGenerator) — the generator streams one output
+    * row per n-gram through `GenerateExec` instead of materializing a
+    * per-document n-gram array and exploding it (q151's idiom). The
+    * oracle rebuilds the same trigrams declaratively, so this
+    * hash-verifies a custom `Generator` expression end-to-end. */
+  val qTrigramGenerator: QueryDef = QueryDef(
+    "q166_trigram_generator",
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.NGramGenerator.ngrams
+      t(s, d, "documents")
+        .select(ngrams(terms($"text"), 3).as("ngram"))
+        .groupBy($"ngram").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"ngram".asc)
+        .limit(20)
+    },
+    Some(s"""
+      WITH toks AS (SELECT $termsSql AS t FROM documents),
+      tg AS (SELECT UNNEST(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS ngram
+             FROM toks)
+      SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tg GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 20"""))
+
   override def defs: Seq[QueryDef] =
-    Seq(qTfIdf, qRepetitionPrune, qPiiRedact, qBigramTopK)
+    Seq(qTfIdf, qRepetitionPrune, qPiiRedact, qBigramTopK, qTrigramGenerator)
 }

@@ -118,6 +118,52 @@ object TypedOps extends QueryModule {
       WHERE length(word) > 5
       GROUP BY word ORDER BY n DESC, word LIMIT 10"""))
 
+  /** Typed `cogroup` (reference `CoGroupExec`,
+    * `sql/core/.../execution/objects.scala:66` — both inputs hash-shuffled
+    * on the key, then a single per-key merge function over the two sorted
+    * iterators): per-order custom reconciliation of the order row against
+    * its lineitems. Exactness note: prices are recovered to their true
+    * decimal (`setScale(6)` of the nearest double) and summed as
+    * `BigDecimal`, so the merge result is independent of iterator order —
+    * the property that makes an imperative cogroup hash-matchable against
+    * a SQL join+group oracle. */
+  val qCogroup: QueryDef = QueryDef(
+    "q167_typed_cogroup",
+    (s, d) => {
+      import s.implicits._
+      val orders = Tables.df(s, d, "orders")
+        .filter($"o_orderkey" < 2000)
+        .select($"o_orderkey".cast("long"), $"o_totalprice".cast("double"))
+        .as[(Long, Double)]
+      val items = Tables.df(s, d, "lineitem")
+        .filter($"l_orderkey" < 2000)
+        .select($"l_orderkey".cast("long"), $"l_extendedprice".cast("double"))
+        .as[(Long, Double)]
+      orders.groupByKey(_._1).cogroup(items.groupByKey(_._1)) {
+        (key, os, ls) =>
+          val o = os.toList
+          if (o.isEmpty) Iterator.empty // lineitems with no order row
+          else {
+            var n = 0L
+            var rev = BigDecimal(0)
+            ls.foreach { l =>
+              n += 1
+              rev += BigDecimal(l._2).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            }
+            Iterator((key, o.head._2, n, rev.toDouble))
+          }
+      }.toDF("o_orderkey", "o_totalprice", "n_items", "revenue")
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_totalprice,
+             CAST(COUNT(l_orderkey) AS BIGINT) AS n_items,
+             COALESCE(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+                           AS DOUBLE), 0.0) AS revenue
+      FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE o_orderkey < 2000
+      GROUP BY o_orderkey, o_totalprice ORDER BY o_orderkey"""))
+
   override def defs: Seq[QueryDef] = Seq(
-    qMapGroups, qAggregator, qUdf, qMapPartitions, qFlatMap)
+    qMapGroups, qAggregator, qUdf, qMapPartitions, qFlatMap, qCogroup)
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 import graft.{QueryDef, QueryModule, Tables}
 
@@ -130,5 +130,49 @@ object StreamingOps extends QueryModule {
       WHERE epoch(wstart) + 3600 > epoch(ts) AND epoch(wstart) <= epoch(ts)
       GROUP BY wstart ORDER BY wstart"""))
 
-  override def defs: Seq[QueryDef] = Seq(qHourly, qDedup, qStateful, qSliding)
+  /** File sink with checkpointed exactly-once semantics (reference
+    * `sql/core/.../execution/streaming/FileStreamSink.scala`: the sink's
+    * transaction log records committed batch ids, so a restarted query
+    * neither re-writes nor double-counts). The query runs TWICE against
+    * the same checkpoint — the second AvailableNow run replays the offset
+    * log, finds nothing new, and commits nothing — and the oracle then
+    * checks the read-back equals exactly ONE copy of the batch answer.
+    * That read path also exercises the sink's `_spark_metadata` log (the
+    * batch reader lists committed files through it, not the directory). */
+  val qFileSink: QueryDef = QueryDef(
+    "q165_stream_file_sink",
+    (s, d) => {
+      import s.implicits._
+      val base = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"),
+        s"graft_filesink_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      base.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(base, true)
+      val out = new org.apache.hadoop.fs.Path(base, "data").toString
+      val ckpt = new org.apache.hadoop.fs.Path(base, "ckpt").toString
+      def runOnce(): Unit = {
+        val q = eventStream(s, d)
+          .select($"event_type", $"value")
+          .writeStream.format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runOnce()
+      runOnce() // restart from checkpoint: no new data, no duplicates
+      s.read.parquet(out)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(18,6)")).cast("double").as("total_value"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  override def defs: Seq[QueryDef] =
+    Seq(qHourly, qDedup, qStateful, qSliding, qFileSink)
 }
