@@ -12,9 +12,12 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Headline set: scan-agg, joins, windows, explode, dedup (exact +
-    * MinHash/SimHash LSH), similarity (brute force + LSH), text stats,
-    * and the compute kernel — the shapes BASELINE.md grades. */
+  /** Headline set: scan-agg, joins (incl. the 5-way TPC-H shapes),
+    * windows, explode, dedup (exact + MinHash/SimHash LSH), similarity
+    * (brute force + LSH), text stats, temporal joins, streaming, and the
+    * compute kernel — the shapes BASELINE.md grades. The heavy multi-join
+    * and temporal plans are here so a planner regression surfaces in the
+    * BENCH totals (the way q123/q127 did in round 3). */
   val headline: Seq[String] = Seq(
     "q01_pricing_summary", "q03_shipping_priority", "q05_local_supplier_volume",
     "q06_forecast_revenue", "q13_cust_order_distribution", "q22_multi_distinct",
@@ -22,8 +25,10 @@ object Bench {
     "q60_dedup_exact", "q61_dedup_fingerprint", "q63_dedup_minhash_lsh",
     "q64_dedup_simhash", "q66_sim_bruteforce_topk", "q67_sim_lsh_topk",
     "q69_sim_custom_topk", "q70_text_token_stats", "q71_text_token_count",
-    "q97_compute_pi", "q120_nation_trade_volume", "q123_returned_items",
-    "q127_small_quantity_orders", "q131_sessionize", "q132_funnel")
+    "q90_stream_hourly_counts", "q97_compute_pi", "q120_nation_trade_volume",
+    "q121_market_share", "q122_product_profit", "q123_returned_items",
+    "q127_small_quantity_orders", "q131_sessionize", "q132_funnel",
+    "q140_asof_join", "q141_range_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -38,12 +43,17 @@ object Bench {
 
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
-      }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+      val dt = (System.nanoTime() - t0) / 1e9
+      graft.api.Graft.releaseCaches() // untimed: drop per-query pinned caches
+      if (ok) dt else -1.0
     }
 
     runOnce(headline.head) // warmup (codegen + parquet footer caches)

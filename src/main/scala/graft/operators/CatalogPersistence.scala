@@ -29,6 +29,14 @@ object CatalogPersistence extends QueryModule {
     (s, d) => {
       val db = "graft_db_" + d.replaceAll("[^A-Za-z0-9]", "_")
       s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+      // The warehouse layout outlives the in-memory catalog (that IS the
+      // persistence being demonstrated): a previous application's table
+      // directory is invisible to this JVM's DROP DATABASE, so clear the
+      // on-disk location too before re-creating.
+      val dbPath = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), s"$db.db")
+      dbPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(dbPath, true)
       s.sql(s"CREATE DATABASE $db")
       Tables.df(s, d, "nation").createOrReplaceTempView("graft_nation_src")
       s.sql(s"""CREATE TABLE $db.nation_t USING parquet AS

@@ -53,7 +53,15 @@ object IterativeGraph extends QueryModule {
       // the damping constants, exactly like a config value would.
       val n = nodes.count()
       var ranks = nodes.withColumn("rank", lit(1.0 / n))
-      for (_ <- 1 to iters) {
+      // Lineage truncation: each iteration nests the previous plan, so an
+      // unbounded loop would grow the plan (and analysis/codegen time)
+      // linearly and re-derive every prior iteration on any recompute.
+      // localCheckpoint materializes the ranks and cuts the lineage every
+      // few iterations — the template any caller scaling `iters` needs
+      // (cf. GraphX Pregel's periodic checkpointing,
+      // `graphx/.../Pregel.scala:40`). Values are unchanged.
+      val checkpointEvery = 3
+      for (i <- 1 to iters) {
         val contribs = edges.join(deg, "src")
           .join(ranks, $"src" === $"id")
           .select($"dst", ($"rank" / $"deg").as("c"))
@@ -62,6 +70,8 @@ object IterativeGraph extends QueryModule {
             $"id" === $"dst", "left")
           .select($"id",
             (lit(0.15 / n) + lit(0.85) * coalesce($"sc", lit(0.0))).as("rank"))
+        if (i % checkpointEvery == 0 && i < iters)
+          ranks = ranks.localCheckpoint()
       }
       ranks.orderBy($"id")
     },
