@@ -53,4 +53,16 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 >= 1000L && p._2 >= 1000L),
       "50-doc boilerplate clique must be excluded by the bucket cap")
   }
+
+  test("bucket cap plans as hash-aggregate + anti-join, not a window sort") {
+    import spark.implicits._
+    val docs = (0 until 10).map(i =>
+      (i.toLong, (0 until 30).map(w => s"w${(w + i) % 17}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val plan = graft.api.Graft.minHashCandidates(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "cap must not force a per-partition sort of the banded triples")
+    assert(plan.contains("HashAggregate"), plan.take(400))
+  }
 }
