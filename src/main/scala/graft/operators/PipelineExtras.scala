@@ -75,5 +75,102 @@ object PipelineExtras extends QueryModule {
              ${dsumSql("o_totalprice")} AS volume
       FROM orders GROUP BY 1 ORDER BY 1"""))
 
-  override def defs: Seq[QueryDef] = Seq(qVectorCentroid, qHashSplit)
+  /** Deterministic weighted corpus mixing: per-language keep rates
+    * applied via an md5-nibble of the row key (en 16/16, de 8/16,
+    * fr/es 4/16, zh 2/16) — the "mix web:books:code at 5:2:1" step of a
+    * training-data recipe, with zero RNG state. Pure map-side filter; the
+    * same rows are kept on any engine, any cluster size, any run (what
+    * `sample()` cannot promise — cf. q106's rows-only check). */
+  val qCorpusMix: QueryDef = QueryDef(
+    "q168_corpus_mix",
+    (s, d) => {
+      import s.implicits._
+      val nib = substring(md5($"doc_id".cast("string")), 1, 1)
+      val keep = when($"lang" === "en", lit(true))
+        .when($"lang" === "de", nib < "8")
+        .when($"lang" === "fr" || $"lang" === "es", nib < "4")
+        .otherwise(nib < "2")
+      t(s, d, "documents").filter(keep)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split($"text", " "))).cast("long").as("tokens"))
+        .orderBy($"lang")
+    },
+    Some("""
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      FROM documents
+      WHERE CASE WHEN lang = 'en' THEN TRUE
+                 WHEN lang = 'de'
+                   THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+                 WHEN lang IN ('fr', 'es')
+                   THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+                 ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2' END
+      GROUP BY lang ORDER BY lang"""))
+
+  /** Sequence packing: assign documents to fixed-token-budget training
+    * sequences (512 tokens) by running token count, keyed per language —
+    * the batching step before tokenized examples hit a trainer. The
+    * running sum is one window pass over (lang, doc_id) order; at 100 TB
+    * the partition key IS the pack shard (per-lang here; per
+    * (shard, lang) in production — same code with one more key), so no
+    * global sort ever happens. */
+  val qSequencePack: QueryDef = QueryDef(
+    "q169_sequence_pack",
+    (s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      t(s, d, "documents")
+        .select($"doc_id", $"lang", size(split($"text", " ")).as("tok"))
+        .withColumn("prior", coalesce(sum($"tok").over(w), lit(0)))
+        .withColumn("seq_id", expr("prior div 512"))
+        .groupBy($"lang", $"seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum($"tok").cast("long").as("seq_tokens"))
+        .orderBy($"lang", $"seq_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS tok
+                 FROM documents),
+      p AS (SELECT lang, tok,
+              COALESCE(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+            FROM d)
+      SELECT lang, CAST(prior // 512 AS BIGINT) AS seq_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(tok) AS BIGINT) AS seq_tokens
+      FROM p GROUP BY lang, seq_id ORDER BY lang, seq_id"""))
+
+  /** Context-window chunking: overlapping 50-token windows at stride 40
+    * (10-token overlap) — the long-document split for embedding/context
+    * pipelines. Chunks are emitted map-side (transform + posexplode over
+    * the token array); chunk content is verified by md5 so the oracle
+    * hash-checks every chunk's exact text without shipping it. */
+  val qDocChunking: QueryDef = QueryDef(
+    "q170_doc_chunking",
+    (s, d) => {
+      import s.implicits._
+      val words = split($"text", " ")
+      val stride = 40
+      val win = 50
+      t(s, d, "documents")
+        .select($"doc_id", posexplode(transform(
+          sequence(lit(0), ((size(words) - 1) / stride).cast("int")),
+          i => slice(words, i * stride + 1, lit(win)))))
+        .select($"doc_id", $"pos".cast("int").as("chunk_id"),
+          size($"col").cast("long").as("chunk_tokens"),
+          md5(concat_ws(" ", $"col")).as("chunk_md5"))
+        .orderBy($"doc_id", $"chunk_id")
+    },
+    Some("""
+      SELECT doc_id, CAST(g.i AS INT) AS chunk_id,
+             CAST(len(w[g.i*40+1 : g.i*40+50]) AS BIGINT) AS chunk_tokens,
+             md5(array_to_string(w[g.i*40+1 : g.i*40+50], ' ')) AS chunk_md5
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           UNNEST(generate_series(0, (len(w)-1)//40)) AS g(i)
+      ORDER BY doc_id, chunk_id"""))
+
+  override def defs: Seq[QueryDef] =
+    Seq(qVectorCentroid, qHashSplit, qCorpusMix, qSequencePack, qDocChunking)
 }
