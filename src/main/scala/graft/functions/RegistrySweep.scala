@@ -61,5 +61,67 @@ object RegistrySweep extends QueryModule {
       SELECT k, v FROM (VALUES ('a', 1), ('b', 2), ('c', 3), ('d', 4)) t(k, v)
       ORDER BY k"""))
 
-  override def defs: Seq[QueryDef] = Seq(qSweep, qStack)
+  /** Second long-tail pass, DuckDB-expressible this time: string
+    * formatting/picking (`substring_index`, `initcap`, `format_string`,
+    * `elt`), `json_tuple` (the multi-field JSON generator,
+    * `jsonExpressions.scala:341`), and `nanvl`. Runs over customer so
+    * the functions execute per-row through codegen, not constant-folded. */
+  val qSweep2: QueryDef = QueryDef(
+    "q171_registry_sweep2",
+    (s, d) => {
+      graft.Tables.registerAll(s, d)
+      s.sql("""
+        SELECT c_custkey,
+          substring_index(c_name, '#', 1)                   AS name_head,
+          initcap(lower(c_mktsegment))                      AS seg_cap,
+          format_string('%s|%05d', c_mktsegment, c_custkey) AS tagged,
+          elt(2, c_mktsegment, c_name)                      AS second_arg,
+          nanvl(CAST('NaN' AS DOUBLE), c_acctbal)           AS no_nan,
+          jt.seg                                            AS json_seg
+        FROM (SELECT *, to_json(named_struct('seg', c_mktsegment, 'k', c_custkey)) AS j
+              FROM customer) c
+        LATERAL VIEW json_tuple(c.j, 'seg') jt AS seg
+        WHERE c_custkey <= 200
+        ORDER BY c_custkey""")
+    },
+    Some("""
+      SELECT c_custkey,
+        string_split(c_name, '#')[1] AS name_head,
+        upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2))
+          AS seg_cap,
+        printf('%s|%05d', c_mktsegment, c_custkey) AS tagged,
+        c_name AS second_arg,
+        c_acctbal AS no_nan,
+        c_mktsegment AS json_seg
+      FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey"""))
+
+  /** Partition-introspection trio reduced to engine-independent
+    * invariants so it still oracle-checks exactly: distinct
+    * `monotonically_increasing_id` count equals the row count (ids are
+    * unique across partitions by construction —
+    * `MonotonicallyIncreasingID.scala`), every row's `input_file_name`
+    * points at the scanned parquet file (`InputFileName.scala`), and
+    * `reflect` calls a JVM static (`CallMethodViaReflection`,
+    * `misc.scala`). */
+  val qSweep3: QueryDef = QueryDef(
+    "q172_partition_introspection",
+    (s, d) => {
+      graft.Tables.registerAll(s, d)
+      s.sql("""
+        SELECT
+          COUNT(DISTINCT mid)                           AS n_ids,
+          CAST(SUM(CASE WHEN fn LIKE '%lineitem%' THEN 1
+                        ELSE 0 END) AS BIGINT)          AS n_from_file,
+          MAX(refl)                                     AS refl_abs
+        FROM (SELECT monotonically_increasing_id()      AS mid,
+                     input_file_name()                  AS fn,
+                     reflect('java.lang.Math', 'abs', -7) AS refl
+              FROM lineitem)""")
+    },
+    Some("""
+      SELECT COUNT(*) AS n_ids, CAST(COUNT(*) AS BIGINT) AS n_from_file,
+             '7' AS refl_abs
+      FROM lineitem"""))
+
+  override def defs: Seq[QueryDef] = Seq(qSweep, qStack, qSweep2, qSweep3)
 }
