@@ -173,6 +173,47 @@ object StreamingOps extends QueryModule {
         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** flatMapGroupsWithState — the many-rows-per-group sibling of q92's
+    * mapGroupsWithState (the full replacement surface for the reference's
+    * DStream `updateStateByKey`, `PairDStreamFunctions.scala:397`): state
+    * carries (count, exact-decimal sum) per user and each batch emits the
+    * updated totals. Decimal state keeps the emitted sum independent of
+    * row order within and across batches, so the streaming result
+    * hash-matches the batch oracle. */
+  val qFlatMapGroups: QueryDef = QueryDef(
+    "q173_stream_flatmapgroups",
+    (s, d) => {
+      import s.implicits._
+      val updated = eventStream(s, d)
+        .select($"user_id", $"value").as[(Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(
+          OutputMode.Update, GroupStateTimeout.NoTimeout) {
+          (user: Long, rows: Iterator[(Long, Double)],
+              state: GroupState[(Long, BigDecimal)]) =>
+            var (n, sum) = state.getOption.getOrElse((0L, BigDecimal(0)))
+            rows.foreach { r =>
+              n += 1
+              sum += BigDecimal(r._2).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            }
+            state.update((n, sum))
+            Iterator((user, n, sum.toDouble))
+        }
+        .toDF("user_id", "n_events", "sum_value")
+      // One row per (user, batch) lands in the sink; the final state per
+      // user is the row with the largest n_events.
+      runToTable(s, updated, OutputMode.Update, "graft_stream_fmg")
+        .groupBy($"user_id")
+        .agg(max(struct($"n_events", $"sum_value")).as("m"))
+        .select($"user_id", $"m.n_events".as("n_events"),
+          $"m.sum_value".as("sum_value"))
+        .orderBy($"user_id")
+    },
+    Some("""
+      SELECT user_id, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
   override def defs: Seq[QueryDef] =
-    Seq(qHourly, qDedup, qStateful, qSliding, qFileSink)
+    Seq(qHourly, qDedup, qStateful, qSliding, qFileSink, qFlatMapGroups)
 }
