@@ -25,6 +25,24 @@ object MicroBench {
       require(n > 0); (System.nanoTime() - t0) / 1e9
     }
 
+    // Shuffle bytes written per run — locally a shuffle is a memcpy, so
+    // wall-clock hides exchange-volume wins; bytes are what a network
+    // shuffle pays for at cluster scale.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffleBytes.addAndGet(
+            s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
+    def shuffled(f: => Long): (Double, Long) = {
+      shuffleBytes.set(0L)
+      val dt = time(f)
+      Thread.sleep(500) // listener bus drains asynchronously
+      (dt, shuffleBytes.get())
+    }
+
     // --- cosine: expression vs UDF over 2M 64-dim pairs -----------------
     val dim = 64
     val vecs = spark.range(0, 2_000_000, 1, 16)
@@ -52,23 +70,50 @@ object MicroBench {
     }
     vecs.unpersist()
 
-    // --- top-k: custom operator vs window over 8M rows, 100k keys -------
+    // --- top-k: custom operator vs window over 8M rows, 1k keys ---------
+    // Both plans prune the exchange to ≤ 16·3·1k records: the custom
+    // operator via its partial heaps, the window via Spark 4's own
+    // WindowGroupLimit rewrite of `row_number() <= k` (SPARK-37099, absent
+    // in the reference's 2.1). The bytes metrics below pin that parity —
+    // a regression in either path's pre-exchange pruning shows up here.
     val rows = spark.range(0, 8_000_000, 1, 16)
-      .select(pmod($"id", lit(100_000)).as("k"),
+      .select(pmod($"id", lit(1_000)).as("k"),
         pmod($"id" * 2654435761L, lit(1_000_003)).as("v"))
       .cache()
     rows.count()
 
-    val viaTopK = time {
+    val (viaTopK, topKBytes) = shuffled {
       TopK.perKey(rows, Seq("k"), Seq(TopK.desc("v")), 3).count()
     }
     val w = Window.partitionBy($"k").orderBy($"v".desc)
-    val viaWindow = time {
+    val (viaWindow, windowBytes) = shuffled {
       rows.withColumn("rn", row_number().over(w)).filter($"rn" <= 3).count()
     }
     rows.unpersist()
 
-    println(s"""{"metric":"microbench","unit":"sec","cosine_expr":$viaExpr,"cosine_udf":$viaUdf,"topk_custom":$viaTopK,"topk_window":$viaWindow}""")
+    // --- ngrams: streaming Generator vs materialize-array-then-explode --
+    // 200k docs × 200 tokens; the generator streams 198 trigram rows per
+    // doc through GenerateExec while the declarative idiom first builds a
+    // 198-element array per row.
+    val docs = spark.range(0, 200_000, 1, 16)
+      .select($"id", transform(sequence(lit(0), lit(199)),
+        i => concat(lit("w"), pmod($"id" + i, lit(4093)))).as("words"))
+      .cache()
+    docs.count()
+
+    val viaGen = time {
+      docs.select(graft.functions.NGramGenerator.ngrams($"words", 3).as("g"))
+        .filter(length($"g") > 100).count() + 1
+    }
+    val viaExplode = time {
+      docs.select(explode(transform(sequence(lit(1), size($"words") - 2),
+        i => concat_ws(" ", element_at($"words", i),
+          element_at($"words", i + 1), element_at($"words", i + 2)))).as("g"))
+        .filter(length($"g") > 100).count() + 1
+    }
+    docs.unpersist()
+
+    println(s"""{"metric":"microbench","unit":"sec","cosine_expr":$viaExpr,"cosine_udf":$viaUdf,"topk_custom":$viaTopK,"topk_window":$viaWindow,"topk_custom_shuffle_bytes":$topKBytes,"topk_window_shuffle_bytes":$windowBytes,"ngram_generator":$viaGen,"ngram_explode":$viaExplode}""")
     spark.stop()
   }
 }
