@@ -305,7 +305,159 @@ object TpchStyle extends QueryModule {
         AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Q2-style min-cost supplier: per-part supplier ranking where the
+    * winning row is selected by a correlated scalar MIN subquery
+    * (Catalyst decorrelates to an aggregate + join on the part key). */
+  val q2MinCost: QueryDef = QueryDef(
+    "q174_min_cost_supplier",
+    (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        WITH cost AS (
+          SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS minp
+          FROM lineitem GROUP BY l_partkey, l_suppkey)
+        SELECT p_partkey, s_name, minp
+        FROM part JOIN cost ON l_partkey = p_partkey
+          JOIN supplier ON l_suppkey = s_suppkey
+        WHERE p_size < 10 AND minp = (
+          SELECT MIN(c2.minp) FROM cost c2 WHERE c2.l_partkey = p_partkey)
+        ORDER BY p_partkey, s_name""")
+    },
+    Some("""
+      WITH cost AS (
+        SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS minp
+        FROM lineitem GROUP BY l_partkey, l_suppkey)
+      SELECT p_partkey, s_name, minp
+      FROM part JOIN cost ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+      WHERE p_size < 10 AND minp = (
+        SELECT MIN(c2.minp) FROM cost c2 WHERE c2.l_partkey = p_partkey)
+      ORDER BY p_partkey, s_name"""))
+
+  /** Q15-style top supplier: revenue view + scalar MAX subquery selecting
+    * the argmax row(s) — the view/subquery composition shape. */
+  val q15TopSupplier: QueryDef = QueryDef(
+    "q175_top_supplier",
+    (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(s"""
+        CREATE OR REPLACE TEMPORARY VIEW graft_revenue0 AS
+        SELECT l_suppkey AS supplier_no, ${dsumSql(rev)} AS total_revenue
+        FROM lineitem WHERE year(l_shipdate) = 1997
+        GROUP BY l_suppkey""")
+      s.sql("""
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN graft_revenue0 ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM graft_revenue0)
+        ORDER BY s_suppkey""")
+    },
+    Some(s"""
+      WITH revenue0 AS (
+        SELECT l_suppkey AS supplier_no, ${dsumSql(rev)} AS total_revenue
+        FROM lineitem WHERE year(l_shipdate) = 1997
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_revenue
+      FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+      WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+      ORDER BY s_suppkey"""))
+
+  /** Q16-style supplier counts: COUNT(DISTINCT) per part attribute with a
+    * NOT IN exclusion subquery (null-aware anti join). */
+  val q16SupplierCnt: QueryDef = QueryDef(
+    "q176_supplier_part_counts",
+    (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM part JOIN lineitem ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 7, 10, 13)
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        GROUP BY p_brand, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_size""")
+    },
+    Some("""
+      SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      FROM part JOIN lineitem ON l_partkey = p_partkey
+      WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 7, 10, 13)
+        AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      GROUP BY p_brand, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_size"""))
+
+  /** Q20-style: IN over a grouped subquery whose HAVING holds a
+    * correlated scalar aggregate against the group key — the doubly
+    * nested decorrelation shape. Quantities are integral doubles, so the
+    * sums compare exactly. */
+  val q20Promotion: QueryDef = QueryDef(
+    "q177_heavy_shippers",
+    (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT s_name FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey
+          FROM lineitem l1 JOIN part ON l_partkey = p_partkey
+          WHERE p_size < 10
+          GROUP BY l_suppkey, l_partkey
+          HAVING SUM(l_quantity) > (
+            SELECT 0.15 * SUM(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = l1.l_partkey))
+        ORDER BY s_name""")
+    },
+    Some("""
+      SELECT s_name FROM supplier
+      WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem l1 JOIN part ON l_partkey = p_partkey
+        WHERE p_size < 10
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(l_quantity) > (
+          SELECT 0.15 * SUM(l2.l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = l1.l_partkey))
+      ORDER BY s_name"""))
+
+  /** Q21-style sole-fault supplier: EXISTS another supplier on the order
+    * + NOT EXISTS another at-fault supplier (returnflag proxies the
+    * late-receipt predicate — this dataset carries no receipt dates).
+    * Two correlated self-joins of the fact table, the hardest
+    * decorrelation in the TPC-H suite. */
+  val q21Waiting: QueryDef = QueryDef(
+    "q178_sole_fault_supplier",
+    (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+          JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+        GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""")
+    },
+    Some("""
+      SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+      WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+      GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"""))
+
   override def defs: Seq[QueryDef] = Seq(
     q7Volume, q8Share, q9Profit, q10Returns, q11Stock, q12Bands,
-    q14Promo, q17SmallQty, q18Large, q19Disjunct, q22Idle)
+    q14Promo, q17SmallQty, q18Large, q19Disjunct, q22Idle,
+    q2MinCost, q15TopSupplier, q16SupplierCnt, q20Promotion, q21Waiting)
 }
