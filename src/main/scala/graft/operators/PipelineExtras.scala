@@ -171,6 +171,46 @@ object PipelineExtras extends QueryModule {
            UNNEST(generate_series(0, (len(w)-1)//40)) AS g(i)
       ORDER BY doc_id, chunk_id"""))
 
+  /** Symmetric int8 embedding quantization (the storage/ANN-recall trade
+    * every 10¹⁰-vector corpus makes): per-vector scale = max|x|/127,
+    * q_i = round(x_i/scale). Emitted as per-vector scalars (dims, scale,
+    * integer checksum of the codes, max reconstruction error) so the
+    * whole codebook is hash-verified without array columns. Pure
+    * map-side — quantization adds no shuffle at any scale. */
+  val qQuantize: QueryDef = QueryDef(
+    "q179_embedding_quantize",
+    (s, d) => {
+      import s.implicits._
+      val x = $"embedding"
+      val absmax = array_max(transform(x, v => abs(v.cast("double"))))
+      val scale = absmax / 127.0
+      val q = transform(x, v => round(v.cast("double") / scale).cast("int"))
+      val err = array_max(zip_with(x, q,
+        (v, c) => abs(v.cast("double") - c * scale)))
+      t(s, d, "embeddings").filter($"vec_id" < 200)
+        .select($"vec_id", size(x).as("dims"),
+          round(scale, 9).as("scale"),
+          aggregate(q, lit(0L), (acc, c) => acc + c).as("code_sum"),
+          round(err, 9).as("max_err"))
+        .orderBy($"vec_id")
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+                 FROM embeddings WHERE vec_id < 200),
+      s AS (SELECT vec_id, x,
+              list_max(list_transform(x, v -> abs(v))) / 127.0 AS scale
+            FROM e),
+      q AS (SELECT vec_id, x, scale,
+              list_transform(x, v -> CAST(round(v / scale) AS INT)) AS c
+            FROM s)
+      SELECT vec_id, CAST(len(x) AS INT) AS dims,
+             round(scale, 9) AS scale,
+             CAST(list_sum(c) AS BIGINT) AS code_sum,
+             round(list_max(list_transform(list_zip(x, c),
+               p -> abs(p[1] - p[2] * scale))), 9) AS max_err -- unnamed-struct numeric index
+      FROM q ORDER BY vec_id"""))
+
   override def defs: Seq[QueryDef] =
-    Seq(qVectorCentroid, qHashSplit, qCorpusMix, qSequencePack, qDocChunking)
+    Seq(qVectorCentroid, qHashSplit, qCorpusMix, qSequencePack,
+      qDocChunking, qQuantize)
 }

@@ -151,8 +151,34 @@ object SqlSurface extends QueryModule {
       FROM orders WHERE o_totalprice > 450000.0 OR o_totalprice < 50000.0
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** DISTRIBUTE BY / SORT BY / CLUSTER BY / TABLESAMPLE — the Hive-SQL
+    * physical-layout clauses (reference parser `SqlBase.g4`
+    * queryOrganization; RepartitionByExpression in
+    * `basicLogicalOperators.scala:776`). They steer partitioning, never
+    * values, so wrapping them in an aggregate keeps the query
+    * DuckDB-exact while the parse + RepartitionByExpression + local-sort
+    * plan path is exercised for real. TABLESAMPLE (100 PERCENT) is the
+    * deterministic member of the sampling grammar (RNG fractions stay in
+    * q106's rows-only check). */
+  val qDistributeSort: QueryDef = q(
+    "q180_distribute_cluster_by",
+    """WITH ds AS (SELECT l_orderkey, l_quantity
+                   FROM lineitem TABLESAMPLE (100 PERCENT)
+                   DISTRIBUTE BY l_orderkey SORT BY l_orderkey, l_quantity),
+            cs AS (SELECT l_orderkey, l_quantity
+                   FROM lineitem CLUSTER BY l_orderkey)
+       SELECT (SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) FROM ds)
+                AS qty_distribute,
+              (SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) FROM cs)
+                AS qty_cluster,
+              (SELECT COUNT(*) FROM ds) AS n""",
+    """SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_distribute,
+              CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_cluster,
+              COUNT(*) AS n
+       FROM lineitem""")
+
   override def defs: Seq[QueryDef] = Seq(
     qScalarSubquery, qInSubquery, qNotInSubquery, qExistsCorrelated,
     qCte, qViewDdl, qLateralExplode, qPosExplode, qValues, qRange,
-    qCtasInsert)
+    qCtasInsert, qDistributeSort)
 }
