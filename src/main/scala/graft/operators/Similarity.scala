@@ -149,6 +149,53 @@ object Similarity extends QueryModule {
     },
     None)
 
+  /** IVF assignment hash-verified: with fixed seed centroids (the first
+    * 8 corpus vectors — kmeans++-style seeding picks real points too) the
+    * nearest-centroid assignment is plain relational algebra, so DuckDB
+    * can replay it exactly — converting the assign half of q68 from
+    * rows-only to oracle-checked. Shape: corpus × broadcast(8 centroids)
+    * → per-vector argmax by (sim, -cell) via one window over 8·N rows —
+    * map-side fan-out, one shuffle on vec_id. Ties break to the lower
+    * cell id on both engines. */
+  val qIvfAssignExact: QueryDef = QueryDef(
+    "q181_ivf_assign_exact",
+    (s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "embeddings")
+      val cents = corpus.filter($"vec_id" < 8)
+        .select($"vec_id".as("cell"), $"embedding".as("centroid"))
+      val scored = corpus.filter($"vec_id" >= 8)
+        .crossJoin(broadcast(cents))
+        .select($"vec_id", $"cell",
+          round(cosine($"embedding", $"centroid"), 6).as("sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"vec_id").orderBy($"sim".desc, $"cell".asc)
+      scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .groupBy($"cell")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(graft.functions.Exact.dsum($"sim", 9) / count(lit(1)), 6)
+            .as("avg_sim"))
+        .orderBy($"cell")
+    },
+    Some("""
+      WITH cents AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS c
+                     FROM embeddings WHERE vec_id < 8),
+      scored AS (
+        SELECT e.vec_id, cents.cell,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            cents.c), 6) AS sim
+        FROM embeddings e CROSS JOIN cents WHERE e.vec_id >= 8),
+      best AS (
+        SELECT vec_id, cell, sim,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell ASC) AS rn
+        FROM scored)
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             round(CAST(SUM(CAST(sim AS DECIMAL(18,9))) AS DOUBLE)
+                   / COUNT(*), 6) AS avg_sim
+      FROM best WHERE rn = 1 GROUP BY cell ORDER BY cell"""))
+
   override def defs: Seq[QueryDef] =
-    Seq(qBruteForceTopK, qLshTopK, qIvfCells, qCustomTopK, qMultiProbeTopK)
+    Seq(qBruteForceTopK, qLshTopK, qIvfCells, qCustomTopK, qMultiProbeTopK,
+      qIvfAssignExact)
 }
