@@ -229,7 +229,81 @@ object Dedup extends QueryModule {
              CAST(MIN(reach) AS BIGINT) AS canonical_id
       FROM walk GROUP BY node ORDER BY doc_id"""))
 
+  /** End-to-end corpus-prep pipeline, hash-verified as ONE query: quality
+    * gate (length + word-repetition) → canonical-fingerprint dedup (keep
+    * min id per md5) → exact-Jaccard near-dup pairs → connected-component
+    * clustering (GraphX) → drop non-canonical members → per-lang corpus
+    * stats. This is the "switch your prep job to this library" demo: every
+    * stage is the oracle-checked operator it reuses (q72/q61/q62/q162),
+    * composed lazily so Catalyst plans the whole chain. At 100 TB the one
+    * swap is the pair stage: exact Jaccard (bounded here) → q63's
+    * MinHash-LSH candidates, same downstream. */
+  val qCorpusPipeline: QueryDef = QueryDef(
+    "q182_corpus_pipeline_e2e",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val words = split(lower($"text"), " ")
+      val quality = t(s, d, "documents")
+        .withColumn("tok", size(split($"text", " ")))
+        .filter($"tok" >= 10 && (lit(1.0) -
+          size(array_distinct(words)).cast(DoubleType) / size(words)) <= 0.7)
+      val keep1 = quality
+        .withColumn("f", md5(regexp_replace(lower(trim($"text")), " +", " ")))
+        .withColumn("_m", min($"doc_id").over(Window.partitionBy($"f")))
+        .filter($"doc_id" === $"_m").drop("_m", "f")
+      val shingled = keep1.select($"doc_id", $"lang",
+        array_distinct(transform(sequence(lit(1), size(words) - 2),
+          i => concat_ws(" ", element_at(words, i),
+            element_at(words, i + 1), element_at(words, i + 2)))).as("sh"))
+      val a = shingled.select($"doc_id".as("doc_a"), $"lang", $"sh".as("sh_a"))
+      val b = shingled.select($"doc_id".as("doc_b"), $"lang", $"sh".as("sh_b"))
+      val pairs = a.join(b, Seq("lang")).filter($"doc_a" < $"doc_b")
+        .filter(size(array_intersect($"sh_a", $"sh_b")).cast(DoubleType) /
+          size(array_union($"sh_a", $"sh_b")) >= 0.15)
+        .select($"doc_a", $"doc_b")
+      val dropped = graft.api.Graft.dedupClusters(pairs)
+        .filter($"doc_id" =!= $"canonical_id").select($"doc_id")
+      keep1.join(dropped, Seq("doc_id"), "left_anti")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"tok").cast("long").as("tokens"))
+        .orderBy($"lang")
+    },
+    Some("""
+      WITH RECURSIVE quality AS (
+        SELECT doc_id, lang, text, len(string_split(text, ' ')) AS tok
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 10
+          AND 1.0 - CAST(len(list_distinct(string_split(lower(text), ' ')))
+                AS DOUBLE) / len(string_split(lower(text), ' ')) <= 0.7),
+      keep1 AS (
+        SELECT doc_id, lang, text, tok FROM (
+          SELECT *, min(doc_id) OVER (PARTITION BY
+            md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))) AS m
+          FROM quality) WHERE doc_id = m),
+      sh AS (SELECT doc_id, lang,
+               list_distinct(list_transform(generate_series(1, len(w) - 2),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS w
+                   FROM keep1)),
+      pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) >= 0.15),
+      edges AS (SELECT da AS x, db AS y FROM pairs
+                UNION SELECT db, da FROM pairs),
+      walk AS (SELECT x AS node, x AS reach FROM edges
+               UNION
+               SELECT w2.node, e.y FROM walk w2 JOIN edges e ON w2.reach = e.x)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(tok) AS BIGINT) AS tokens
+      FROM keep1
+      WHERE doc_id NOT IN (
+        SELECT node FROM walk GROUP BY node HAVING MIN(reach) <> node)
+      GROUP BY lang ORDER BY lang"""))
+
   override def defs: Seq[QueryDef] = Seq(
     qExact, qFingerprint, qNgramJaccard, qMinHashLsh, qSimHash,
-    qEmbeddingCosine, qDedupClusters, qDedupClustersExact)
+    qEmbeddingCosine, qDedupClusters, qDedupClustersExact, qCorpusPipeline)
 }
