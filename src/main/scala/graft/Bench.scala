@@ -28,7 +28,8 @@ object Bench {
     "q90_stream_hourly_counts", "q97_compute_pi", "q120_nation_trade_volume",
     "q121_market_share", "q122_product_profit", "q123_returned_items",
     "q127_small_quantity_orders", "q131_sessionize", "q132_funnel",
-    "q140_asof_join", "q141_range_join")
+    "q140_asof_join", "q141_range_join", "q166_trigram_generator",
+    "q182_corpus_pipeline_e2e")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

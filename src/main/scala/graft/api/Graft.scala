@@ -28,7 +28,14 @@ object Graft {
   private val pinned =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
 
-  private def pin(df: DataFrame): DataFrame = { pinned.add(df); df }
+  private[graft] def pin(df: DataFrame): DataFrame = { pinned.add(df); df }
+
+  /** Persist an intermediate a pipeline reuses across job boundaries
+    * (e.g. a deduped corpus consumed by both a GraphX stage and a final
+    * aggregate) and register it for `releaseCaches()`. MEMORY_AND_DISK:
+    * spills, never recomputes. */
+  def pinCache(df: DataFrame): DataFrame =
+    pin(df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Unpersist every intermediate cached by Graft operators since the last
     * release. Call after materializing (writing/collecting) the returned
