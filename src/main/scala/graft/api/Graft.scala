@@ -156,6 +156,41 @@ object Graft {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Exact Jaccard near-duplicate pairs over the WHOLE corpus via an
+    * inverted shingle index (the exact set-similarity join): explode
+    * shingle sets, self-join on the shingle, count shared shingles per
+    * pair, |∪| = |A|+|B|-|∩|. Only pairs that share at least one shingle
+    * are ever generated, so cost tracks Σ_g df(g)² over shingles — near
+    * linear for natural text — instead of the O(n²·|sh|) all-pairs
+    * intersect. Result is EXACT (Jaccard > 0 requires a shared shingle;
+    * thresholds are positive). `groupCol` optionally restricts pairs to
+    * equal values (e.g. language). Boilerplate-heavy corpora put the
+    * pressure on hot shingles (df in the millions): pre-drop such docs
+    * with the fingerprint pass, or move to `minHashCandidates` — same
+    * output contract. */
+  def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleSize: Int = 3,
+      groupCol: Option[String] = None): DataFrame = {
+    require(threshold > 0.0, "threshold must be positive (exactness bound)")
+    val sets = shingleSets(df, idCol, textCol, shingleSize)
+    val withGroup = groupCol match {
+      case Some(g) => sets.join(
+        df.select(col(idCol).as("doc_id"), col(g).as("_grp")), "doc_id")
+      case None => sets.withColumn("_grp", lit(0))
+    }
+    val ex = withGroup.select(col("doc_id"), col("_grp"),
+      size(col("shingles")).as("_n"), explode(col("shingles")).as("_g"))
+    ex.as("x").join(ex.as("y"), Seq("_grp", "_g"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x._n").as("_na"), col("y._n").as("_nb"))
+      .agg(count(lit(1)).as("_inter"))
+      .withColumn("jaccard", col("_inter").cast(DoubleType) /
+        (col("_na") + col("_nb") - col("_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** Exact n-gram Jaccard for a candidate pair set (the verify stage after
     * LSH): join shingle sets back and compute |∩|/|∪|. */
   def shingleSets(df: DataFrame, idCol: String, textCol: String,

@@ -256,28 +256,14 @@ object Dedup extends QueryModule {
         .withColumn("f", md5(regexp_replace(lower(trim($"text")), " +", " ")))
         .withColumn("_m", min($"doc_id").over(Window.partitionBy($"f")))
         .filter($"doc_id" === $"_m").drop("_m", "f"))
-      val shingled = keep1.select($"doc_id", $"lang",
-        array_distinct(transform(sequence(lit(1), size(words) - 2),
-          i => concat_ws(" ", element_at(words, i),
-            element_at(words, i + 1), element_at(words, i + 2)))).as("sh"))
-      // Exact-Jaccard pairs via an inverted shingle index (the exact
-      // set-similarity join): explode shingles, self-join on the shingle,
-      // count shared shingles per pair, |∪| = |A|+|B|-|∩|. Only pairs
-      // that SHARE a shingle are ever generated — near-linear in corpus
-      // size for rare shingles, vs the all-pairs array-intersect
-      // formulation that is O(n²·|sh|) per language (measured 40×+
-      // slower at sf0.1). Identical result: Jaccard > 0 requires a
-      // shared shingle, so no qualifying pair is missed.
-      val ex = shingled.select($"doc_id", $"lang", size($"sh").as("n"),
-        explode($"sh").as("g"))
-      val pairs = ex.as("x").join(ex.as("y"), Seq("lang", "g"))
-        .filter($"x.doc_id" < $"y.doc_id")
-        .groupBy($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
-          $"x.n".as("na"), $"y.n".as("nb"))
-        .agg(count(lit(1)).as("inter"))
-        .filter($"inter".cast(DoubleType) /
-          ($"na" + $"nb" - $"inter") >= 0.15)
-        .select($"doc_a", $"doc_b")
+      // Exact-Jaccard pairs via the inverted shingle index — see
+      // Graft.exactJaccardPairs: only pairs sharing a shingle are
+      // generated (near-linear for natural text), vs the all-pairs
+      // array-intersect formulation that is O(n²·|sh|) per language
+      // (measured 5.5× slower end-to-end at sf0.1). Identical result.
+      val pairs = graft.api.Graft.exactJaccardPairs(
+        keep1, "doc_id", "text", threshold = 0.15,
+        groupCol = Some("lang"))
       val dropped = graft.api.Graft.dedupClusters(pairs)
         .filter($"doc_id" =!= $"canonical_id").select($"doc_id")
       keep1.join(dropped, Seq("doc_id"), "left_anti")

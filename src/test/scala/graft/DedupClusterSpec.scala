@@ -54,6 +54,27 @@ class DedupClusterSpec extends AnyFunSuite {
       "50-doc boilerplate clique must be excluded by the bucket cap")
   }
 
+  test("exactJaccardPairs equals the all-pairs formulation") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables.df(spark, "/root/testdata/sf0.001", "documents")
+    val viaIndex = graft.api.Graft.exactJaccardPairs(
+        docs, "doc_id", "text", threshold = 0.05, groupCol = Some("lang"))
+      .select($"doc_a", $"doc_b", round($"jaccard", 9).as("j"))
+    val sh = graft.api.Graft.shingleSets(docs, "doc_id", "text")
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+    val viaAllPairs = sh.as("a").join(sh.as("b"), "lang")
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        round(size(array_intersect($"a.shingles", $"b.shingles"))
+          .cast("double") /
+          size(array_union($"a.shingles", $"b.shingles")), 9).as("j"))
+      .filter($"j" >= 0.05)
+    assert(viaIndex.exceptAll(viaAllPairs).isEmpty &&
+      viaAllPairs.exceptAll(viaIndex).isEmpty)
+    assert(viaIndex.count() > 0, "threshold must select real pairs")
+  }
+
   test("bucket cap plans as hash-aggregate + anti-join, not a window sort") {
     import spark.implicits._
     val docs = (0 until 10).map(i =>
