@@ -41,6 +41,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    ext.injectOptimizerRule(_ => graft.functions.NGramSimplification)
 
     ext.injectFunction(fn("cosine",
       "cosine(a, b) - cosine similarity of two float/double arrays") {

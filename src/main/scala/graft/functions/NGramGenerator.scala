@@ -73,3 +73,30 @@ object NGramGenerator {
   def ngrams(words: Column, n: Int): Column =
     ColumnBridge.column(NGramGenerator(ColumnBridge.expression(words), n))
 }
+
+/** Optimizer rule (the reference's `Rule[LogicalPlan]` seam,
+  * `sql/catalyst/.../rules/Rule.scala`; registered through
+  * `GraftExtensions.injectOptimizerRule` or
+  * `spark.experimental.extraOptimizations`): `ngrams(words, 1)` emits
+  * each element unchanged, which is exactly `explode(words)` — and
+  * Spark's built-in `Explode` supports whole-stage codegen in
+  * `GenerateExec` while the custom generator is CodegenFallback. The
+  * rewrite fires only when the element nullability matches (our schema
+  * declares non-null; `Explode` inherits the array's containsNull), so
+  * it can never loosen the output contract. */
+object NGramSimplification
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.Explode
+  import org.apache.spark.sql.catalyst.plans.logical.{Generate, LogicalPlan}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case g @ Generate(NGramGenerator(child, 1), _, _, _, _, _)
+        if {
+          val e = Explode(child).elementSchema.head
+          val n = g.generator.elementSchema.head
+          e.dataType == n.dataType && e.nullable == n.nullable
+        } =>
+      g.copy(generator = Explode(child))
+  }
+}

@@ -39,6 +39,31 @@ class NGramGeneratorSpec extends AnyFunSuite {
     assert(df.select(ngrams($"words", 4).as("g")).count() == 0)
   }
 
+  test("NGramSimplification rewrites ngrams(words, 1) to codegen explode") {
+    import spark.implicits._
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.functions.NGramSimplification
+    try {
+      // split() output declares containsNull=false → rewrite fires.
+      val df = spark.range(1)
+        .select(ngrams(split(lit("a b c"), " "), 1).as("g"))
+      assert(df.queryExecution.optimizedPlan.toString.contains("explode"),
+        df.queryExecution.optimizedPlan.toString)
+      assert(df.as[String].collect().sorted.toSeq == Seq("a", "b", "c"))
+      // n >= 2 must be left alone
+      val df2 = spark.range(1)
+        .select(ngrams(split(lit("a b"), " "), 2).as("g"))
+      assert(df2.queryExecution.optimizedPlan.toString.contains("ngrams"))
+      assert(df2.as[String].collect().toSeq == Seq("a b"))
+      // containsNull=true input (Scala-encoded array): the nullability
+      // guard must block the rewrite — it would loosen the contract.
+      val df3 = Seq(Seq("a", "b")).toDF("words")
+        .select(ngrams($"words", 1).as("g"))
+      assert(df3.queryExecution.optimizedPlan.toString.contains("ngrams"))
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("plans through Generate (not a UDF or array materialization)") {
     import spark.implicits._
     val df = Tables.df(spark, dir, "documents")
