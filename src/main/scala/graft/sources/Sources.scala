@@ -110,5 +110,28 @@ object Sources extends QueryModule {
       FROM orders WHERE o_orderstatus = 'F'
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
-  override def defs: Seq[QueryDef] = Seq(qCsv, qJson, qOrc, qText, qPartitioned)
+  /** Custom DataSource V2 scan (graft.sources.SynthSource): the id-range
+    * predicate is pushed INTO the source (each split narrows its
+    * generation range — SynthSourceSpec pins the plan) and the oracle
+    * replays the deterministic generator in DuckDB, hash-checking a
+    * custom connector end-to-end. */
+  val qSynthSource: QueryDef = QueryDef(
+    "q183_dsv2_synth_source",
+    (s, _) => {
+      import s.implicits._
+      s.read.format("graft-synth")
+        .option("rows", 100000).option("partitions", 8).load()
+        .filter($"id" >= 1000 && $"id" < 60000)
+        .groupBy($"grp")
+        .agg(count(lit(1)).as("n"), min($"val").as("min_md5"))
+        .orderBy($"grp")
+    },
+    Some("""
+      SELECT CAST(i % 100 AS BIGINT) AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+             MIN(md5(CAST(i AS VARCHAR))) AS min_md5
+      FROM generate_series(1000, 59999) t(i)
+      GROUP BY 1 ORDER BY 1"""))
+
+  override def defs: Seq[QueryDef] =
+    Seq(qCsv, qJson, qOrc, qText, qPartitioned, qSynthSource)
 }
