@@ -36,7 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def fn(name: String, usage: String)(
       builder: Seq[Expression] => Expression) =
     (new FunctionIdentifier(name),
-      new ExpressionInfo("graft.GraftExtensions", null, name, usage, ""),
+      new ExpressionInfo("graft.GraftExtensions", "", name, usage, "", "", "", "", "", "", "built-in"),
       builder)
 
   override def apply(ext: SparkSessionExtensions): Unit = {

@@ -301,8 +301,8 @@ object Graft {
     val rightPayloadCols = right.columns.filterNot(keyCols.contains)
     val clash = left.columns.toSet.intersect(rightPayloadCols.toSet)
     require(clash.isEmpty, s"column name collision: $clash — rename first")
-    val lPay = struct(left.columns.map(col): _*)
-    val rPay = struct(rightPayloadCols.map(col): _*)
+    val lPay = struct(left.columns.toIndexedSeq.map(col): _*)
+    val rPay = struct(rightPayloadCols.toIndexedSeq.map(col): _*)
     val lPayType = left.select(lPay).schema.head.dataType
     val rPayType = right.select(rPay).schema.head.dataType
     val l2 = left.select(keyCols.map(col) ++ Seq(col(leftTimeCol).as("_t"),
@@ -317,7 +317,7 @@ object Graft {
     l2.unionByName(r2)
       .withColumn("_m", last(col("_rpay"), ignoreNulls = true).over(w))
       .filter(col("_src") === 1 && col("_m").isNotNull)
-      .select(left.columns.map(c => col(s"_lpay.$c").as(c)) ++
+      .select(left.columns.toIndexedSeq.map(c => col(s"_lpay.$c").as(c)) ++
         rightPayloadCols.map(c => col(s"_m.$c").as(c)): _*)
   }
 
