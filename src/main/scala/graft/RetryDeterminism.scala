@@ -57,6 +57,21 @@ object RetryDeterminism {
       val retried = totals(faulty = true)
       println(s"RETRY_OK clean=[$clean] retried=[$retried] " +
         s"equal=${clean == retried}")
+
+      // ManifestSink retry-success path: the injected first-attempt
+      // failure aborts that task's staged file; the retried attempt
+      // commits, and the published manifest must still cover every row.
+      val sinkDir = java.nio.file.Files
+        .createTempDirectory("graft_manifest_retry").toString
+      spark.range(0, 1000, 1, 4).select($"id")
+        .write.mode("append").format("graft-manifest")
+        .option("path", sinkDir).option("failPartition", 2).save()
+      val manifest = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(sinkDir, "_MANIFEST")), "UTF-8").split("\n")
+      val tmps = new java.io.File(sinkDir).listFiles()
+        .count(_.getName.endsWith(".tmp"))
+      println(s"SINK_OK files=${manifest.length} " +
+        s"rows=${manifest.map(_.split(",")(1).toLong).sum} tmps=$tmps")
     } finally spark.stop()
   }
 }

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ManifestSink (custom DSv2 write path) commit-protocol contract:
+  * successful jobs publish an atomic _MANIFEST over renamed task files;
+  * failed jobs leave NO visible output — no manifest, no staged temp
+  * files (task-level abort deletes its own .tmp, job-level abort sweeps
+  * the rest). The retry-success path (task fails once, retried attempt
+  * commits, manifest complete) runs under local[4,2] in
+  * RetryDeterminismSpec's subprocess. */
+class ManifestSinkSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.local(4)
+
+  private def tmpDir() =
+    java.nio.file.Files.createTempDirectory("graft_manifest").toString
+
+  test("commit publishes a manifest matching the files and row counts") {
+    import spark.implicits._
+    val path = tmpDir()
+    spark.range(0, 1000, 1, 4)
+      .select($"id", ($"id" % 7).as("m"))
+      .write.mode("append").format("graft-manifest").option("path", path).save()
+    val dir = new java.io.File(path)
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      dir.toPath.resolve("_MANIFEST")), "UTF-8").split("\n")
+    assert(manifest.length == 4)
+    val listed = manifest.map(_.split(",")(0)).toSet
+    val onDisk = dir.listFiles().map(_.getName)
+      .filter(_.startsWith("part-")).toSet
+    assert(listed == onDisk, s"manifest $listed vs disk $onDisk")
+    assert(!onDisk.exists(_.endsWith(".tmp")))
+    assert(manifest.map(_.split(",")(1).toLong).sum == 1000)
+    // Row content round-trips through the CSV payload.
+    val back = spark.read.option("inferSchema", true)
+      .csv(dir.listFiles().filter(_.getName.startsWith("part-"))
+        .map(_.getAbsolutePath): _*)
+    assert(back.count() == 1000)
+  }
+
+  test("failed job leaves no visible output (abort path)") {
+    import spark.implicits._
+    val path = tmpDir()
+    val ex = intercept[Exception] {
+      spark.range(0, 1000, 1, 4)
+        .select($"id")
+        .write.mode("append").format("graft-manifest")
+        .option("path", path).option("failPartition", 2).save()
+    }
+    assert(ex.getMessage != null)
+    val names = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+    assert(!names.contains("_MANIFEST"), names.mkString(","))
+    assert(!names.exists(_.endsWith(".tmp")), names.mkString(","))
+  }
+}

@@ -30,5 +30,8 @@ class RetryDeterminismSpec extends AnyFunSuite {
     assert(code == 0, s"retry JVM failed:\n$out")
     assert(out.toString.contains("equal=true"), out.toString)
     assert(out.toString.contains("rows=97"), out.toString)
+    // ManifestSink under retry: complete manifest, no staged leftovers.
+    assert(out.toString.contains("SINK_OK files=4 rows=1000 tmps=0"),
+      out.toString)
   }
 }
