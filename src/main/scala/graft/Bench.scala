@@ -42,7 +42,7 @@ object Bench {
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runOnce(name: String): Double = {
+    def runOnce(name: String): Double = graft.api.Graft.withCacheScope {
       val t0 = System.nanoTime()
       val ok =
         try {
@@ -53,9 +53,8 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
       val dt = (System.nanoTime() - t0) / 1e9
-      graft.api.Graft.releaseCaches() // untimed: drop per-query pinned caches
       if (ok) dt else -1.0
-    }
+    } // scope close (untimed) drops the query's pinned caches
 
     runOnce(headline.head) // warmup (codegen + parquet footer caches)
     val results = headline.map(n => n -> runOnce(n))

@@ -22,24 +22,55 @@ object Graft {
   // Operators that persist an intermediate (minHashCandidates' signature
   // relation) register it here; disk-backed blocks are NOT LRU-evicted, so
   // without an explicit release every call would leak cached blocks for
-  // the application's lifetime. Callers release after materializing the
-  // returned DataFrame (the result no longer references the intermediate
-  // once its own computation is done): `Graft.releaseCaches()`.
+  // the application's lifetime.
+  //
+  // Pins are scoped: inside `withCacheScope { ... }` they attach to that
+  // scope (thread-local) and are dropped when the scope closes, so
+  // concurrent queries on a shared session (parallel spec suites, a
+  // multi-tenant driver) can never unpersist each other's in-use
+  // intermediates. Pins made outside any scope fall back to a global
+  // queue drained by `releaseCaches()` — which, by the same token, only
+  // touches unscoped pins.
   private val pinned =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+  private val activeScope =
+    new ThreadLocal[java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]
 
-  private[graft] def pin(df: DataFrame): DataFrame = { pinned.add(df); df }
+  private[graft] def pin(df: DataFrame): DataFrame = {
+    val scope = activeScope.get()
+    (if (scope != null) scope else pinned).add(df)
+    df
+  }
 
   /** Persist an intermediate a pipeline reuses across job boundaries
     * (e.g. a deduped corpus consumed by both a GraphX stage and a final
-    * aggregate) and register it for `releaseCaches()`. MEMORY_AND_DISK:
-    * spills, never recomputes. */
+    * aggregate) and register it with the enclosing cache scope (or the
+    * global queue if none). MEMORY_AND_DISK: spills, never recomputes. */
   def pinCache(df: DataFrame): DataFrame =
     pin(df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  /** Unpersist every intermediate cached by Graft operators since the last
-    * release. Call after materializing (writing/collecting) the returned
-    * DataFrames — unpersisting earlier would just silently recompute. */
+  /** Run `body` — construction AND materialization (write/collect) of any
+    * Graft-built DataFrames — then unpersist only the intermediates pinned
+    * within it. The per-call alternative to the global `releaseCaches()`,
+    * safe under concurrency. */
+  def withCacheScope[T](body: => T): T = {
+    val prev = activeScope.get()
+    val scope = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+    activeScope.set(scope)
+    try body finally {
+      activeScope.set(prev)
+      var df = scope.poll()
+      while (df != null) { df.unpersist(blocking = false); df = scope.poll() }
+    }
+  }
+
+  /** Unpersist every intermediate cached by Graft operators OUTSIDE any
+    * `withCacheScope` since the last release. Call after materializing
+    * (writing/collecting) the returned DataFrames — unpersisting earlier
+    * would just silently recompute. Single-tenant sessions only: this
+    * drains a process-global queue, so concurrent unscoped callers would
+    * release each other's pins (they lose the cache win, not
+    * correctness — blocks recompute). Prefer `withCacheScope`. */
   def releaseCaches(): Unit = {
     var df = pinned.poll()
     while (df != null) { df.unpersist(blocking = false); df = pinned.poll() }

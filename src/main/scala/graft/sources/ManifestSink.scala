@@ -13,19 +13,27 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (reference: `FileFormatWriter` + `HadoopMapReduceCommitProtocol` —
   * task writers stage output, the DRIVER publishes atomically):
   *
-  *   - each task's `DataWriter` streams rows to `part-<task>-<attempt>.tmp`
-  *     and only its `commit()` reports the file; `abort()` deletes it, so
+  *   - each job stages under its own namespace `.staging-<queryId>/` so
+  *     two concurrent writes to the same path never touch each other's
+  *     in-flight files (each abort sweeps only its own staging dir);
+  *   - each task's `DataWriter` streams rows to a staged part file and
+  *     only its `commit()` reports the file; `abort()` deletes it, so
   *     failed/retried/speculated attempts leave nothing visible;
   *   - `BatchWrite.commit(messages)` — driver-side, runs once, after every
-  *     task committed — renames the staged files and writes `_MANIFEST`
-  *     (file → row count); readers that trust only manifest-listed files
-  *     get atomic all-or-nothing visibility (the `_spark_metadata` idea);
-  *   - `BatchWrite.abort` removes any staged leftovers.
+  *     task committed — moves the staged files up and then publishes
+  *     `_MANIFEST` (file → row count) via write-temp + ATOMIC_MOVE.
+  *     The manifest is the single atomic publish point: a driver crash
+  *     mid-commit can leave part files visible to directory listing, so
+  *     READERS MUST TRUST ONLY `_MANIFEST`-LISTED FILES (the
+  *     `_spark_metadata` idea); the spec reads through the manifest.
+  *   - `BatchWrite.abort` removes this job's staging namespace only.
   *
-  * Rows serialize as CSV of the row's fields (toString — the payload is
-  * not the point; the commit choreography is). `failPartition` injects a
-  * first-attempt task failure for ManifestSinkSpec's abort/atomicity
-  * proofs. Usage: `df.write.format("graft-manifest").option("path", p)`.
+  * Local-filesystem sink by design (java.io; the commit choreography is
+  * the point, not a Hadoop FS abstraction — the production analogue is
+  * `FileFormatWriter` over `FileSystem`). Rows serialize as CSV of the
+  * row's fields. `failPartition` injects a first-attempt task failure for
+  * ManifestSinkSpec's abort/atomicity proofs.
+  * Usage: `df.write.format("graft-manifest").option("path", p)`.
   */
 class ManifestSink extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -45,54 +53,73 @@ private[sources] class ManifestTable(schema0: StructType)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val path = Option(info.options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-manifest sink requires .option(\"path\", <local directory>)"))
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new ManifestBatchWrite(
-          info.options.get("path"),
+          path, info.queryId(),
           Option(info.options.get("failPartition")).map(_.toInt).getOrElse(-1),
           info.schema())
       }
     }
+  }
 }
 
 private[sources] case class FileCommitted(name: String, rows: Long)
   extends WriterCommitMessage
 
-private[sources] class ManifestBatchWrite(path: String, failPartition: Int,
-    schema: StructType) extends BatchWrite {
+private[sources] class ManifestBatchWrite(path: String, queryId: String,
+    failPartition: Int, schema: StructType) extends BatchWrite {
+
+  // Per-job staging namespace: concurrent writes (or an overlapping retry
+  // of another job) can never see or delete each other's in-flight files.
+  private val stagingName = s".staging-$queryId"
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestWriterFactory(path, failPartition, schema)
+    new ManifestWriterFactory(path, stagingName, failPartition, schema)
 
   // Driver-side, exactly once, only after EVERY task committed: publish.
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new java.io.File(path)
+    val staging = new java.io.File(dir, stagingName)
     val entries = messages.map { case FileCommitted(tmp, rows) =>
       val fin = tmp.stripSuffix(".tmp")
-      val ok = new java.io.File(dir, tmp).renameTo(new java.io.File(dir, fin))
+      val ok = new java.io.File(staging, tmp)
+        .renameTo(new java.io.File(dir, fin))
       require(ok, s"staged file $tmp vanished before commit")
       s"$fin,$rows"
     }
-    java.nio.file.Files.write(dir.toPath.resolve("_MANIFEST"),
+    // Publish point: manifest lands atomically (temp + ATOMIC_MOVE), so a
+    // reader either sees the complete file list or the previous manifest.
+    val tmpManifest = staging.toPath.resolve("_MANIFEST.inprogress")
+    java.nio.file.Files.write(tmpManifest,
       entries.sorted.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmpManifest, dir.toPath.resolve("_MANIFEST"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    deleteStaging(staging)
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val dir = new java.io.File(path)
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".tmp")).foreach(_.delete())
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    deleteStaging(new java.io.File(new java.io.File(path), stagingName))
+
+  private def deleteStaging(staging: java.io.File): Unit = {
+    Option(staging.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+    staging.delete()
   }
 }
 
-private[sources] class ManifestWriterFactory(path: String, failPartition: Int,
-    schema: StructType) extends DataWriterFactory {
+private[sources] class ManifestWriterFactory(path: String, stagingName: String,
+    failPartition: Int, schema: StructType) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] = new DataWriter[InternalRow] {
     private val name = f"part-$partitionId%05d-$taskId.tmp"
-    private val file = new java.io.File(path, name)
+    private val file = new java.io.File(new java.io.File(path, stagingName), name)
     file.getParentFile.mkdirs()
     private val out = new java.io.PrintWriter(file, "UTF-8")
     private var rows = 0L

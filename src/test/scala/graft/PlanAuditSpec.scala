@@ -24,32 +24,55 @@ class PlanAuditSpec extends AnyFunSuite {
     "q66_sim_bruteforce_topk", // corpus × broadcast queries, guarded
     "q69_sim_custom_topk",     // same scoring shape as q66, custom top-k cut
     "q181_ivf_assign_exact",   // corpus × 8 broadcast centroids by design
-    "q97_compute_pi",          // range × 1-row constant
-    "q129_theta_join",         // non-equi theta join demo (BNLJ by design)
-    "q154_rdd_zip_cartesian"   // RDD cartesian primitive demo
+    "q97_compute_pi"           // range × 1-row constant
   )
 
-  /** Queries whose construction runs jobs/side effects (streaming,
-    * writes, multi-session DDL) — planned end-to-end by their own
-    * oracle runs instead. */
-  private def skips(n: String): Boolean =
-    n.startsWith("q9") && n.contains("stream") ||
-      Seq("stream", "sink", "write", "overwrite", "upsert", "catalog",
-        "cache", "jdbc", "source", "bucket", "insert", "ctas", "view",
-        "ddl", "pagerank", "kmeans", "cluster", "rdd", "describe")
-        .exists(n.contains)
+  /** Queries whose CONSTRUCTION runs jobs/side effects (streaming drives a
+    * query to completion, sources/sinks write files, DDL mutates catalogs,
+    * GraphX/ML/RDD paths run actions eagerly) — each planned end-to-end by
+    * its own oracle run instead. EXPLICIT name set, not substrings: a new
+    * side-effecting query must be added here consciously, and a pure-batch
+    * query can never be exempted by an unlucky name. Every name is
+    * asserted to exist so renames can't leave stale exemptions. */
+  private val skips = Set(
+    // streaming (construction runs the stream to completion)
+    "q90_stream_hourly_counts", "q91_stream_dedup_users",
+    "q92_stream_stateful_counts", "q135_stream_sliding_window",
+    "q152_stream_stream_join", "q158_stream_foreachbatch_upsert",
+    "q165_stream_file_sink", "q173_stream_flatmapgroups",
+    // write-then-read roundtrips / sinks / DDL
+    "q85_source_csv_roundtrip", "q86_source_json_roundtrip",
+    "q87_source_orc_roundtrip", "q88_source_text_roundtrip",
+    "q89_source_partitioned_pruning", "q102_bucketed_join",
+    "q112_jdbc_partitioned_roundtrip", "q137_ctas_insert",
+    "q153_ddl_catalog_sweep", "q159_dynamic_partition_overwrite",
+    "q163_persistent_catalog",
+    // eager actions at construction (GraphX/ML/RDD/stat collect/cache)
+    "q95_graph_pagerank", "q96_ml_kmeans", "q100_cache_scan",
+    "q105_rdd_primitives", "q134_dedup_clusters", "q142_pagerank_exact",
+    "q143_cc_fingerprint_exact", "q146_triangle_count",
+    "q147_aggregate_messages", "q154_rdd_extras", "q162_dedup_clusters_exact",
+    "q164_countmin_sketch", "q172_partition_introspection",
+    "q182_corpus_pipeline_e2e")
 
   test("no unintended cartesian or nested-loop join in any query plan") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+    val names = SparkEntry.queries.keySet
+    val stale = (skips ++ intentional).diff(names)
+    assert(stale.isEmpty, s"skip/intentional entries match no query: $stale")
+
+    val audited = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => intentional(n) || skips(n) }
-      .flatMap { case (name, fn) =>
-        try {
-          val plan = fn(spark, dir).queryExecution.executedPlan.toString
-          val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
-            .filter(plan.contains)
-          if (bad.nonEmpty) Some(s"$name: ${bad.mkString(",")}") else None
-        } catch { case _: Throwable => None } // side-effecting query: skip
-      }
+    info(s"audited ${audited.size}/${names.size} query plans; " +
+      s"skipped (side-effecting construction): ${skips.toSeq.sorted.mkString(", ")}; " +
+      s"intentional cartesian/BNLJ: ${intentional.toSeq.sorted.mkString(", ")}")
+
+    // No catch-all: a query that fails to PLAN fails the audit loudly.
+    val offenders = audited.flatMap { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+        .filter(plan.contains)
+      if (bad.nonEmpty) Some(s"$name: ${bad.mkString(",")}") else None
+    }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 }
