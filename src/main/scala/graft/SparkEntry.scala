@@ -24,7 +24,8 @@ object SparkEntry {
     graft.operators.Temporal, graft.operators.IterativeGraph,
     graft.operators.PipelineExtras, graft.operators.GraphExtras,
     graft.operators.TextPipeline, graft.operators.SurfaceExtras,
-    graft.operators.ScalePatterns, graft.operators.CatalogPersistence)
+    graft.operators.ScalePatterns, graft.operators.CatalogPersistence,
+    graft.operators.CorpusIngest)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
