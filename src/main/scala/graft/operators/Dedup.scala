@@ -159,7 +159,9 @@ object Dedup extends QueryModule {
   /** Full near-dup pipeline end product: LSH candidates → connected
     * components → canonical id per cluster (keep-one dedup). Deterministic
     * (seeded hashing + min-id canonicalization) but iterative → rows-only;
-    * DedupClusterSpec pins the invariants. */
+    * DedupClusterSpec pins the invariants. Runs the GraphX CC formulation
+    * (the §2.11 surface); the DataFrame-native twin is oracle-proven by
+    * q143/q162/q182 and the two are equal by DedupClustersSpec. */
   val qDedupClusters: QueryDef = QueryDef(
     "q134_dedup_clusters",
     (s, d) => {
@@ -167,7 +169,7 @@ object Dedup extends QueryModule {
       val candidates = graft.api.Graft.minHashCandidates(
         t(s, d, "documents"), "doc_id", "text",
         numHashes = 64, bands = 16, threshold = 0.2)
-      graft.api.Graft.dedupClusters(candidates)
+      graft.api.Graft.dedupClustersGraphX(candidates)
         .groupBy($"canonical_id")
         .agg(count(lit(1)).as("cluster_size"))
         .orderBy($"canonical_id")
@@ -175,8 +177,8 @@ object Dedup extends QueryModule {
     None)
 
   /** Connected-components clustering over an ORACLE-CHECKABLE pair set:
-    * the exact-Jaccard pairs from q62 feed the same GraphX Pregel CC that
-    * q134 uses on LSH candidates, and DuckDB reproduces the components
+    * the exact-Jaccard pairs from q62 feed the same CC operator the
+    * pipeline uses, and DuckDB reproduces the components
     * with a recursive transitive-closure CTE (min reachable id = the
     * component's canonical id, which is exactly what GraphX
     * `connectedComponents` assigns — reference `graphx/.../GraphOps
@@ -232,7 +234,7 @@ object Dedup extends QueryModule {
   /** End-to-end corpus-prep pipeline, hash-verified as ONE query: quality
     * gate (length + word-repetition) → canonical-fingerprint dedup (keep
     * min id per md5) → exact-Jaccard near-dup pairs → connected-component
-    * clustering (GraphX) → drop non-canonical members → per-lang corpus
+    * clustering → drop non-canonical members → per-lang corpus
     * stats. This is the "switch your prep job to this library" demo: every
     * stage is the oracle-checked operator it reuses (q72/q61/q62/q162),
     * composed lazily so Catalyst plans the whole chain. At 100 TB the one
@@ -249,7 +251,7 @@ object Dedup extends QueryModule {
         .filter($"tok" >= 10 && (lit(1.0) -
           size(array_distinct(words)).cast(DoubleType) / size(words)) <= 0.7)
       // The deduped corpus feeds two consumers across a job boundary (the
-      // shingle-pair stage consumed by GraphX, and the final aggregate) —
+      // shingle-pair stage consumed by the CC loop, and the final agg) —
       // persist it so the scan + regex + window run once. Released by the
       // caller via Graft.releaseCaches() after materialization.
       val keep1 = graft.api.Graft.pinCache(quality

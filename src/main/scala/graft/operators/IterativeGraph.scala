@@ -107,7 +107,8 @@ object IterativeGraph extends QueryModule {
       s"$prelude,$steps SELECT id, rank FROM r$iters ORDER BY id"
     })
 
-  /** Connected components (GraphX Pregel label propagation) over
+  /** Connected components (DataFrame min-label propagation with pointer
+    * jumping — `Graft.dedupClusters`) over
     * prefix-fingerprint duplicate pairs (md5 of the first 40 normalized
     * chars — the kind of cheap blocking key a boilerplate-dedup pass
     * uses). Because a document has exactly one fingerprint, the pair

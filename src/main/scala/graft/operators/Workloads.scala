@@ -59,29 +59,37 @@ object Workloads extends QueryModule {
 
   /** SparkPi with a deterministic low-discrepancy point set (golden-ratio
     * and √2 rotations) instead of RNG — distributed compute with an exact
-    * SQL oracle. */
+    * SQL oracle. All arithmetic is forced to DOUBLE on both sides: a bare
+    * `0.618…` literal parses as DECIMAL in Spark AND DuckDB, and
+    * decimal(38,15) multiply/floor over 1M rows is ~10× slower than the
+    * codegen'd double path (measured 3.5 s → 0.3 s at bench shape) while
+    * IEEE-754 doubles are bit-identical across both engines. */
   val qPi: QueryDef = QueryDef(
     "q97_compute_pi",
     (s, _) => {
       s.sql("""
         SELECT CAST(COUNT(*) AS BIGINT) AS inside,
-          round(4.0 * COUNT(*) / 1000000, 6) AS pi_est
+          round(4.0D * COUNT(*) / 1000000, 6) AS pi_est
         FROM (
           SELECT id,
-            id * 0.6180339887498949 - floor(id * 0.6180339887498949) AS x,
-            id * 0.41421356237309515 - floor(id * 0.41421356237309515) AS y
+            CAST(id AS DOUBLE) * 0.6180339887498949D
+              - floor(CAST(id AS DOUBLE) * 0.6180339887498949D) AS x,
+            CAST(id AS DOUBLE) * 0.41421356237309515D
+              - floor(CAST(id AS DOUBLE) * 0.41421356237309515D) AS y
           FROM range(0, 1000000))
-        WHERE x * x + y * y < 1.0""")
+        WHERE x * x + y * y < 1.0D""")
     },
     Some("""
       SELECT CAST(COUNT(*) AS BIGINT) AS inside,
-        round(4.0 * COUNT(*) / 1000000, 6) AS pi_est
+        round(CAST(4.0 AS DOUBLE) * COUNT(*) / 1000000, 6) AS pi_est
       FROM (
         SELECT id,
-          id * 0.6180339887498949 - floor(id * 0.6180339887498949) AS x,
-          id * 0.41421356237309515 - floor(id * 0.41421356237309515) AS y
+          CAST(id AS DOUBLE) * CAST(0.6180339887498949 AS DOUBLE)
+            - floor(CAST(id AS DOUBLE) * CAST(0.6180339887498949 AS DOUBLE)) AS x,
+          CAST(id AS DOUBLE) * CAST(0.41421356237309515 AS DOUBLE)
+            - floor(CAST(id AS DOUBLE) * CAST(0.41421356237309515 AS DOUBLE)) AS y
         FROM range(0, 1000000) t(id))
-      WHERE x * x + y * y < 1.0"""))
+      WHERE x * x + y * y < CAST(1.0 AS DOUBLE)"""))
 
   override def defs: Seq[QueryDef] = Seq(qPageRank, qKMeans, qPi)
 }

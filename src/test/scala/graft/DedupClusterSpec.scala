@@ -75,6 +75,27 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(viaIndex.count() > 0, "threshold must select real pairs")
   }
 
+  test("DataFrame CC equals GraphX connectedComponents on an adversarial graph") {
+    import spark.implicits._
+    // Chains (deep diameter — exercises pointer jumping), a clique, a star,
+    // isolated pairs, and duplicate/reversed candidate rows.
+    val chain = (0 until 40).map(i => (i.toLong, i + 1L))            // 0..40
+    val clique = for (a <- 100 to 110; b <- (a + 1) to 110)
+      yield (a.toLong, b.toLong)
+    val star = (1 to 15).map(i => (200L, 200L + i))
+    val dupes = Seq((0L, 1L), (1L, 0L), (300L, 301L), (300L, 301L))
+    val pairs = (chain ++ clique ++ star ++ dupes).toDF("doc_a", "doc_b")
+
+    val df = graft.api.Graft.dedupClusters(pairs)
+    val gx = graft.api.Graft.dedupClustersGraphX(pairs)
+    assert(df.exceptAll(gx).isEmpty && gx.exceptAll(df).isEmpty,
+      "DataFrame CC and GraphX CC must assign identical (doc_id, canonical_id)")
+    val labels = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0 to 40).forall(i => labels(i.toLong) == 0L), "chain collapses to 0")
+    assert((100 to 110).forall(i => labels(i.toLong) == 100L))
+    assert((200 to 215).forall(i => labels(i.toLong) == 200L))
+  }
+
   test("bucket cap plans as hash-aggregate + anti-join, not a window sort") {
     import spark.implicits._
     val docs = (0 until 10).map(i =>
