@@ -7,8 +7,12 @@ import org.apache.spark.sql.SparkSession
   *
   * Queries execute through the `noop` sink so the FULL physical plan runs
   * (a bare `.count()` lets Catalyst prune every column and skip the
-  * project/compute work being measured). One untimed warmup amortizes JVM/
-  * codegen compilation, as Spark's own `benchmark/` suites do.
+  * project/compute work being measured). Each query gets its own untimed
+  * warmup run (codegen compile + parquet footer caches), then the MEDIAN
+  * of 3 timed runs is reported — a single timed run is swamped by JIT/GC/
+  * co-located-load noise on sub-2 s queries (round-6 BENCH showed phantom
+  * 3× regressions that vanished on an idle rerun). Spark's own
+  * `benchmark/` suites use the same warmup+multi-run discipline.
   */
 object Bench {
 
@@ -56,8 +60,15 @@ object Bench {
       if (ok) dt else -1.0
     } // scope close (untimed) drops the query's pinned caches
 
-    runOnce(headline.head) // warmup (codegen + parquet footer caches)
-    val results = headline.map(n => n -> runOnce(n))
+    /** Per-query warmup, then median of 3 timed runs (first failure wins
+      * so a broken query reports -1, not a median over garbage). */
+    def measure(name: String): Double = {
+      if (runOnce(name) < 0) return -1.0 // warmup (untimed)
+      val times = Seq.fill(3)(runOnce(name))
+      if (times.exists(_ < 0)) -1.0 else times.sorted.apply(1)
+    }
+
+    val results = headline.map(n => n -> measure(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

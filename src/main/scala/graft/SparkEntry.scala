@@ -25,7 +25,7 @@ object SparkEntry {
     graft.operators.PipelineExtras, graft.operators.GraphExtras,
     graft.operators.TextPipeline, graft.operators.SurfaceExtras,
     graft.operators.ScalePatterns, graft.operators.CatalogPersistence,
-    graft.operators.CorpusIngest)
+    graft.operators.CorpusIngest, graft.operators.ModernSql)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
