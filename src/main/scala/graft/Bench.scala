@@ -33,7 +33,7 @@ object Bench {
     "q121_market_share", "q122_product_profit", "q123_returned_items",
     "q127_small_quantity_orders", "q131_sessionize", "q132_funnel",
     "q140_asof_join", "q141_range_join", "q166_trigram_generator",
-    "q182_corpus_pipeline_e2e")
+    "q182_corpus_pipeline_e2e", "q193_skew_join_plain", "q194_skew_join_salted")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

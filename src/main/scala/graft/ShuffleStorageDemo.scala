@@ -1,0 +1,136 @@
+package graft
+
+import java.io.File
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerExecutorAdded, SparkListenerStageSubmitted}
+import org.apache.spark.sql.SparkSession
+
+/** Proof harness for the shared-directory shuffle
+  * (org.apache.spark.shuffle.graft.SharedDirShuffleManager — the
+  * SplitServe HDFS-shuffle analogue, reference
+  * `core/.../shuffle/HDFSShuffleBlockResolver.scala:38`). Run in its own
+  * JVM (the shuffle manager is fixed at SparkContext creation, and spec
+  * suites share a session): `ShuffleStorageDemo <mode> <sharedRoot>`.
+  *
+  * mode=local (local[4]): proves
+  *  1. shuffle-heavy jobs (RDD reduceByKey map-side combine, sortByKey
+  *     ordered read, DataFrame join+agg through the Unsafe writer path)
+  *     produce correct results under the manager;
+  *  2. map output lands ONLY under the shared root — zero shuffle files
+  *     in the executor-local block-manager dirs (storage is redirected,
+  *     not copied);
+  *  3. a second job over the same shuffle skips the map stage entirely
+  *     (reads served from the shared root).
+  *
+  * mode=cluster (local-cluster[2,1,1024] — real executor JVMs): after the
+  * shuffle completes, one executor is killed; the re-run job must skip
+  * the map stage (no recompute — DAGScheduler kept the dead executor's
+  * map outputs because SharedDirDriverComponents.supportsReliableStorage)
+  * and reduce from the shared root, which no longer has a live owner.
+  * This is SplitServe's release-the-Lambda-keep-its-shuffle property.
+  */
+object ShuffleStorageDemo {
+
+  def main(args: Array[String]): Unit = {
+    val mode = args(0)
+    val root = args(1)
+    val master =
+      if (mode == "cluster") "local-cluster[2,1,1024]" else "local[4]"
+    val builder = SparkSession.builder()
+      .master(master)
+      .appName("graft-shared-shuffle")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.shuffle.manager",
+        "org.apache.spark.shuffle.graft.SharedDirShuffleManager")
+      .config("spark.shuffle.sort.io.plugin.class",
+        "org.apache.spark.shuffle.graft.SharedDirShuffleDataIO")
+      .config("spark.shuffle.graft.root", root)
+      // dedicated local dirs so the leak scan below sees ONLY this app's
+      // block-manager directories
+      .config("spark.local.dir", s"$root-localdirs")
+    if (mode == "cluster") {
+      // real executor JVMs need the build on their classpath
+      builder.config("spark.executor.extraClassPath",
+        System.getProperty("java.class.path"))
+    }
+    val spark = builder.getOrCreate()
+    val sc = spark.sparkContext
+    sc.setLogLevel("WARN")
+
+    val stageSubmits = new java.util.concurrent.atomic.AtomicInteger
+    val executors = TrieMap[String, Boolean]()
+    sc.addSparkListener(new SparkListener {
+      override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
+        stageSubmits.incrementAndGet()
+      override def onExecutorAdded(e: SparkListenerExecutorAdded): Unit =
+        executors.put(e.executorId, true)
+    })
+
+    try {
+      // --- workload: RDD combine + sort + SQL join/agg -------------------
+      val pairs = sc.parallelize(1 to 200000, 8).map(i => (i % 1000, i.toLong))
+      val combined = pairs.reduceByKey(_ + _) // map-side combine path
+      val r1 = combined.collect().sortBy(_._1)
+      val checksum1 = r1.map { case (k, v) => k * 31L + v }.sum
+      val sorted = pairs.sortByKey(ascending = false) // keyOrdering path
+      val firstKey = sorted.first()._1
+      import spark.implicits._
+      val df = spark.range(0, 50000).select(($"id" % 500).as("k"), $"id".as("v"))
+      val dim = spark.range(0, 500).select($"id".as("k"), ($"id" * 2).as("w"))
+      val sqlSum = df.hint("merge").join(dim, "k")
+        .groupBy($"k").agg(org.apache.spark.sql.functions.sum($"v" + $"w").as("s"))
+        .agg(org.apache.spark.sql.functions.sum($"s")).head.getLong(0)
+      println(s"PHASE1_OK checksum=$checksum1 firstKey=$firstKey sqlSum=$sqlSum")
+
+      // --- storage redirect proof ---------------------------------------
+      val sharedFiles = Option(new File(root).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("shuffle_"))
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+      val localLeaks = {
+        def walk(f: File): Iterator[File] =
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty).iterator.flatMap(walk)
+          else Iterator(f)
+        walk(new File(s"$root-localdirs"))
+          .count(f => f.getName.startsWith("shuffle_") &&
+            (f.getName.endsWith(".data") || f.getName.endsWith(".index")))
+      }
+      println(s"STORAGE_OK sharedFiles=${sharedFiles.length} localLeaks=$localLeaks")
+
+      if (mode == "cluster") {
+        // --- executor loss: kill one, keep its shuffle --------------------
+        var waited = 0
+        while (executors.size < 2 && waited < 60000) {
+          Thread.sleep(200); waited += 200
+        }
+        val victim = executors.keys.head
+        sc.killExecutors(Seq(victim))
+        Thread.sleep(3000) // let the loss propagate to the DAGScheduler
+        println(s"KILLED executor=$victim of ${executors.size}")
+      }
+
+      // --- re-run: map stage must be skipped ----------------------------
+      // A collect over the already-shuffled RDD submits exactly ONE stage
+      // (the result stage) when the map output survived; a recompute
+      // would submit two. The async listener bus is drained by polling
+      // (cf. MicroBench) before reading the counter.
+      def drained(): Int = {
+        var prev = -1; var stable = 0; var waited = 0
+        while (stable < 3 && waited < 10000) {
+          Thread.sleep(50); waited += 50
+          val cur = stageSubmits.get()
+          if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        }
+        stageSubmits.get()
+      }
+      val before = drained()
+      val r2 = combined.collect().sortBy(_._1)
+      val checksum2 = r2.map { case (k, v) => k * 31L + v }.sum
+      val resubmitted = drained() - before
+      println(s"PHASE2_OK checksum=$checksum2 stagesSubmitted=$resubmitted")
+    } finally spark.stop()
+  }
+}

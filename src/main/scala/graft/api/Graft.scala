@@ -308,6 +308,15 @@ object Graft {
     * cluster (no routing tables, no per-iteration RDD cache churn). */
   def dedupClusters(candidates: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b"): DataFrame = {
+    // Label every job this loop submits ("graft CC …") so the Spark UI
+    // attributes iteration cost per round and DedupClusterSpec can pin
+    // the 2-jobs-per-round contract with a listener.
+    val sc = candidates.sparkSession.sparkContext
+    def labeled[T](desc: String)(body: => T): T = {
+      val prev = sc.getLocalProperty("spark.job.description")
+      sc.setJobDescription(desc)
+      try body finally sc.setJobDescription(prev)
+    }
     val pairs = candidates
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
@@ -315,42 +324,61 @@ object Graft {
     // self-union — a union would run the upstream candidate join twice)
     // and dedupe: generators can emit a pair through several buckets;
     // distinct bounds every per-round join's fanout.
-    val edges = pairs
-      .select(explode(array(
-        struct(col("a"), col("b")),
-        struct(col("b").as("a"), col("a").as("b")))).as("e"))
-      .select(col("e.a").as("a"), col("e.b").as("b"))
-      .distinct().localCheckpoint()
+    val edges = labeled("graft CC init") {
+      pairs
+        .select(explode(array(
+          struct(col("a"), col("b")),
+          struct(col("b").as("a"), col("a").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .distinct().localCheckpoint()
+    }
     // Round 0 folds the first propagation into label init:
     // label(v) = min(v, min neighbor).
-    var lab = edges.groupBy(col("a").as("doc_id"))
-      .agg(least(min(col("b")), col("a")).as("lab"))
-      .localCheckpoint()
+    var lab = labeled("graft CC init") {
+      edges.groupBy(col("a").as("doc_id"))
+        .agg(least(min(col("b")), col("a")).as("lab"))
+        .localCheckpoint()
+    }
+    // Each round is exactly TWO jobs: (1) localCheckpoint of the
+    // neighbor-min step — materialized once because the pointer-jump
+    // self-join below reads it on both sides (unmaterialized, the
+    // edges⋈labels join would run twice per round); (2) one count over
+    // the pointer-jump output that simultaneously populates `next`'s
+    // cache and answers convergence (labels only ever decrease, so
+    // zero rows with lab != old label == fixpoint — no third
+    // compare-join job). The old label rides along as `olab`, costing
+    // 8 bytes/row instead of a join.
     var converged = false
     var guard = 0
+    var prevRound: DataFrame = null
     while (!converged && guard < 64) {
       guard += 1
-      // (a) neighbor min: labels flow along edges.
-      val viaEdges = edges
-        .join(lab.withColumnRenamed("doc_id", "b"), "b")
-        .groupBy(col("a").as("doc_id")).agg(min(col("lab")).as("nlab"))
-      val stepped = lab.join(viaEdges, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
-      // (b) pointer jump: follow my label's own label (labels are vertex
-      // ids, and every vertex of the symmetric edge set has a label row).
-      val next = stepped
-        .join(stepped.select(col("doc_id").as("lab"),
-          col("lab").as("jlab")), Seq("lab"), "left")
-        .select(col("doc_id"),
-          least(col("lab"), coalesce(col("jlab"), col("lab"))).as("lab"))
-        .localCheckpoint()
-      converged = next.as("n")
-        .join(lab.as("o"), col("n.doc_id") === col("o.doc_id"))
-        .filter(col("n.lab") =!= col("o.lab")).isEmpty
-      lab = next
+      labeled(s"graft CC round $guard") {
+        // (a) neighbor min: labels flow along edges.
+        val viaEdges = edges
+          .join(lab.withColumnRenamed("doc_id", "b"), "b")
+          .groupBy(col("a").as("doc_id")).agg(min(col("lab")).as("nlab"))
+        val stepped = lab.join(viaEdges, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("lab").as("olab"),
+            least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+          .localCheckpoint() // job 1
+        // (b) pointer jump: follow my label's own label (labels are vertex
+        // ids, and every vertex of the symmetric edge set has a label row).
+        val next = stepped
+          .join(stepped.select(col("doc_id").as("lab"),
+            col("lab").as("jlab")), Seq("lab"), "left")
+          .select(col("doc_id"), col("olab"),
+            least(col("lab"), coalesce(col("jlab"), col("lab"))).as("lab"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        converged = next.filter(col("lab") =!= col("olab")).count() == 0L // job 2
+        if (prevRound != null) prevRound.unpersist(blocking = false)
+        prevRound = next
+        lab = next.select(col("doc_id"), col("lab"))
+      }
     }
-    lab.select(col("doc_id"), col("lab").as("canonical_id"))
+    val out = lab.select(col("doc_id"), col("lab").as("canonical_id"))
+    if (prevRound != null) pin(prevRound) // scope/global release, post-use
+    out
   }
 
   /** GraphX formulation of [[dedupClusters]] — identical output contract

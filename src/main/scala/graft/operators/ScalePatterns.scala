@@ -119,6 +119,81 @@ object ScalePatterns extends QueryModule {
              CAST(SUM(len(o_orderpriority)) AS BIGINT) AS wsum
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  // ---- skew stress pair: identical answer, opposite execution shape ----
+  // A deliberately hot-keyed join: the fact is lineitem replicated ×8
+  // (~4.8M rows at sf0.1) with every third orderkey collapsed onto key 0,
+  // so ONE key holds ~1/3 of the fact (≫10⁴ rows) while a 10k-row dim
+  // joins the rest uniformly. q193 runs it as a plain sort-merge join
+  // with AQE's skew splitting DISABLED — the straggler-partition shape —
+  // and q194 as the salted join (hot rows spread over 32 reducers).
+  // Both rows land in BENCH so the skew-handling claim has recorded
+  // numbers; both hash-match the same DuckDB oracle because the salt
+  // never changes the result. The join is materialized inside run()
+  // (localCheckpoint) so the conf toggle is in force during execution.
+
+  private def skewFact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    t(s, d, "lineitem")
+      .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+      .withColumn("_r", explode(sequence(lit(0), lit(7))))
+      .select(
+        when($"l_orderkey" % 3 === 0, 0L)
+          .otherwise(pmod($"l_orderkey" * 31 + $"_r", lit(10000L))).as("k"),
+        $"l_orderkey", $"l_quantity", $"l_returnflag")
+  }
+
+  private def skewDim(s: SparkSession): DataFrame = {
+    import s.implicits._
+    s.range(0, 10000).select($"id".as("k"),
+      pmod($"id", lit(97)).as("w"))
+  }
+
+  private val skewOracle = s"""
+    WITH r AS (SELECT unnest(generate_series(0, 7)) AS _r),
+    fact AS (
+      SELECT CASE WHEN l_orderkey % 3 = 0 THEN 0
+                  ELSE (l_orderkey * 31 + _r) % 10000 END AS k,
+             l_quantity, l_returnflag
+      FROM lineitem CROSS JOIN r),
+    dim AS (SELECT i AS k, i % 97 AS w
+            FROM (SELECT unnest(generate_series(0, 9999)) AS i))
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           ${dsumSql("l_quantity * w")} AS wsum
+    FROM fact JOIN dim USING (k)
+    GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  private def skewAgg(joined: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    joined.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity") * col("w")).as("wsum"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qSkewPlain: QueryDef = QueryDef(
+    "q193_skew_join_plain",
+    (s, d) => {
+      val prev = s.conf.get("spark.sql.adaptive.skewJoin.enabled", "true")
+      s.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      try skewAgg(skewFact(s, d).hint("merge").join(skewDim(s), "k"))
+        .localCheckpoint()
+      finally s.conf.set("spark.sql.adaptive.skewJoin.enabled", prev)
+    },
+    Some(skewOracle))
+
+  val qSkewSalted: QueryDef = QueryDef(
+    "q194_skew_join_salted",
+    (s, d) => {
+      val prev = s.conf.get("spark.sql.adaptive.skewJoin.enabled", "true")
+      s.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      try skewAgg(graft.api.Graft.saltedJoin(
+          skewFact(s, d).hint("merge"), skewDim(s),
+          bigKey = "k", smallKey = "k",
+          saltCol = "l_orderkey", saltFactor = 32))
+        .localCheckpoint()
+      finally s.conf.set("spark.sql.adaptive.skewJoin.enabled", prev)
+    },
+    Some(skewOracle))
+
   /** foreachBatch + Trigger.AvailableNow: the incremental-upsert sink
     * shape (MERGE INTO a serving store per micro-batch, then stop when
     * caught up). The serving store is a parquet table partitioned by the
@@ -189,5 +264,5 @@ object ScalePatterns extends QueryModule {
 
   override def defs: Seq[QueryDef] =
     Seq(qBloomPrune, qForeachBatchUpsert, qDynamicOverwrite, qSaltedJoin,
-      qCountMin)
+      qCountMin, qSkewPlain, qSkewSalted)
 }

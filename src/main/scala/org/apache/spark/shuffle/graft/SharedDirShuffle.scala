@@ -1,0 +1,306 @@
+package org.apache.spark.shuffle.graft
+
+import java.io.{BufferedOutputStream, DataInputStream, DataOutputStream, File, FileInputStream, FileOutputStream, IOException, InputStream, OutputStream}
+import java.nio.file.{Files, StandardCopyOption}
+import java.util.{Collections, Optional}
+
+import org.apache.spark.{Aggregator, InterruptibleIterator, SparkConf, SparkEnv, TaskContext}
+import org.apache.spark.shuffle._
+import org.apache.spark.shuffle.api._
+import org.apache.spark.shuffle.api.metadata.MapOutputCommitMessage
+import org.apache.spark.shuffle.sort.SortShuffleManager
+import org.apache.spark.storage.ShuffleBlockId
+import org.apache.spark.util.collection.ExternalSorter
+
+/** Disaggregated shuffle storage: map output lives in a SHARED directory
+  * root (`spark.shuffle.graft.root`) instead of executor-local disk, and
+  * reducers read it back from that root directly — never from the
+  * writing executor's block manager. This is the faithful modernization
+  * of the reference's HDFS shuffle layer (SplitServe's core delta:
+  * `core/.../shuffle/HDFSShuffleBlockResolver.scala:38`,
+  * `storage/HDFSBlockObjectWriter.scala:30`, gated by
+  * `spark.shuffle.hdfs.enabled`) — there, Lambda executors cannot serve
+  * blocks peer-to-peer, so map output must survive in shared storage and
+  * outlive the executor that wrote it. Here the "shared filesystem" is
+  * any mounted path (NFS/FUSE-over-object-store at cluster scale; a temp
+  * dir in tests); the storage contract is identical.
+  *
+  * Because `SharedDirDriverComponents.supportsReliableStorage()` is true,
+  * the DAGScheduler does NOT invalidate a lost executor's map outputs
+  * (`DAGScheduler.handleExecutorLost` consults exactly this flag), so a
+  * completed shuffle is never recomputed when executors are released —
+  * SplitServe's no-recompute-on-Lambda-release property.
+  *
+  * Wiring (both confs, plus the root):
+  *   spark.shuffle.manager=org.apache.spark.shuffle.graft.SharedDirShuffleManager
+  *   spark.shuffle.sort.io.plugin.class=org.apache.spark.shuffle.graft.SharedDirShuffleDataIO
+  *   spark.shuffle.graft.root=/mnt/shared/shuffle
+  *
+  * Layout: `<root>/shuffle_<shuffleId>/<mapTaskId>.data` + `.index`
+  * (index = numPartitions+1 cumulative offsets, same format as Spark's
+  * IndexShuffleBlockResolver). `mapTaskId` is the task ATTEMPT id —
+  * unique per attempt — so concurrent speculative attempts never collide
+  * on a file name; the driver's MapStatus commits exactly one attempt and
+  * readers resolve files by that committed id. Writes land in `.tmp`
+  * names and are atomically renamed (data before index) at commit.
+  *
+  * The package placement (`org.apache.spark.shuffle.graft`) follows the
+  * convention of external shuffle managers (Celeborn, Uber RSS): the
+  * ShuffleManager SPI hands out `private[spark]` types (BaseShuffleHandle,
+  * MapOutputTracker block listings), so implementations live inside the
+  * `org.apache.spark` namespace.
+  */
+final class SharedDirShuffleDataIO(conf: SparkConf) extends ShuffleDataIO {
+  override def driver(): ShuffleDriverComponents =
+    new SharedDirDriverComponents
+  override def executor(): ShuffleExecutorComponents =
+    new SharedDirExecutorComponents(conf)
+}
+
+final class SharedDirDriverComponents extends ShuffleDriverComponents {
+  override def initializeApplication(): java.util.Map[String, String] =
+    Collections.emptyMap()
+  // The root may be shared by other applications — lifecycle belongs to
+  // the operator (cluster-scale deployments point the root at an
+  // app-scoped path).
+  override def cleanupApplication(): Unit = ()
+  /** Map output survives the executor that wrote it — the whole point. */
+  override def supportsReliableStorage(): Boolean = true
+}
+
+object SharedDirShuffle {
+  val RootConfKey = "spark.shuffle.graft.root"
+  def root(conf: SparkConf): File = {
+    val r = conf.getOption(RootConfKey).getOrElse(throw new IOException(
+      s"$RootConfKey must point at a directory shared by all executors"))
+    new File(r)
+  }
+  def shuffleDir(root: File, shuffleId: Int): File =
+    new File(root, s"shuffle_$shuffleId")
+  def dataFile(root: File, shuffleId: Int, mapId: Long): File =
+    new File(shuffleDir(root, shuffleId), s"$mapId.data")
+  def indexFile(root: File, shuffleId: Int, mapId: Long): File =
+    new File(shuffleDir(root, shuffleId), s"$mapId.index")
+}
+
+final class SharedDirExecutorComponents(conf: SparkConf)
+    extends ShuffleExecutorComponents {
+  private var root: File = _
+
+  override def initializeExecutor(appId: String, execId: String,
+      extraConfigs: java.util.Map[String, String]): Unit = {
+    root = SharedDirShuffle.root(conf)
+    if (!root.isDirectory && !root.mkdirs() && !root.isDirectory)
+      throw new IOException(s"cannot create shared shuffle root $root")
+  }
+
+  override def createMapOutputWriter(shuffleId: Int, mapTaskId: Long,
+      numPartitions: Int): ShuffleMapOutputWriter =
+    new SharedDirMapOutputWriter(root, shuffleId, mapTaskId, numPartitions)
+
+  // No single-spill fast path: the generic writer covers every path.
+  override def createSingleFileMapOutputWriter(shuffleId: Int,
+      mapId: Long): Optional[SingleSpillShuffleMapOutputWriter] =
+    Optional.empty()
+}
+
+/** One map task's output: all reduce partitions appended to a single
+  * shared-dir data file (written once, sequentially — object-store
+  * friendly), offsets recorded in the companion index file at commit. */
+final class SharedDirMapOutputWriter(root: File, shuffleId: Int,
+    mapId: Long, numPartitions: Int) extends ShuffleMapOutputWriter {
+
+  private val dir = SharedDirShuffle.shuffleDir(root, shuffleId)
+  if (!dir.isDirectory && !dir.mkdirs() && !dir.isDirectory)
+    throw new IOException(s"cannot create $dir")
+  private val tmpData = new File(dir, s"$mapId.data.tmp")
+  private val tmpIndex = new File(dir, s"$mapId.index.tmp")
+  private val lengths = new Array[Long](numPartitions)
+  private var out: OutputStream = _
+  private var lastPartition = -1
+
+  private def ensureOut(): OutputStream = {
+    if (out == null)
+      out = new BufferedOutputStream(new FileOutputStream(tmpData), 32 * 1024)
+    out
+  }
+
+  override def getPartitionWriter(reducePartitionId: Int): ShufflePartitionWriter = {
+    require(reducePartitionId > lastPartition,
+      s"partitions must be opened in order: $reducePartitionId after $lastPartition")
+    lastPartition = reducePartitionId
+    new ShufflePartitionWriter {
+      private var written = 0L
+      override def openStream(): OutputStream = new OutputStream {
+        private val o = ensureOut()
+        override def write(b: Int): Unit = { o.write(b); written += 1 }
+        override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+          o.write(b, off, len); written += len
+        }
+        override def flush(): Unit = o.flush()
+        override def close(): Unit = { // partition end, not file end
+          o.flush()
+          lengths(reducePartitionId) = written
+        }
+      }
+      override def getNumBytesWritten: Long = written
+    }
+  }
+
+  override def commitAllPartitions(checksums: Array[Long]): MapOutputCommitMessage = {
+    if (out != null) { out.flush(); out.close() } else tmpData.createNewFile()
+    val idx = new DataOutputStream(
+      new BufferedOutputStream(new FileOutputStream(tmpIndex)))
+    try {
+      var offset = 0L
+      idx.writeLong(offset)
+      lengths.foreach { l => offset += l; idx.writeLong(offset) }
+    } finally idx.close()
+    // Atomic publish, data before index: a reader only trusts files it
+    // can resolve through a fully-renamed index.
+    Files.move(tmpData.toPath,
+      SharedDirShuffle.dataFile(root, shuffleId, mapId).toPath,
+      StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmpIndex.toPath,
+      SharedDirShuffle.indexFile(root, shuffleId, mapId).toPath,
+      StandardCopyOption.ATOMIC_MOVE)
+    MapOutputCommitMessage.of(lengths)
+  }
+
+  override def abort(error: Throwable): Unit = {
+    if (out != null) out.close()
+    tmpData.delete(); tmpIndex.delete()
+  }
+}
+
+/** Delegates registration/writing to the stock SortShuffleManager (whose
+  * writers stream bytes through the SharedDirShuffleDataIO plugin above)
+  * and replaces the READ path: blocks are opened straight from the shared
+  * root by (shuffleId, mapId, reduceId) — the committed block list still
+  * comes from the MapOutputTracker, but the writing executor's location
+  * in it is ignored, exactly as the reference's HDFS reader ignores the
+  * (possibly released) Lambda that produced a block. */
+final class SharedDirShuffleManager(conf: SparkConf, isDriver: Boolean)
+    extends ShuffleManager {
+  def this(conf: SparkConf) = this(conf, false)
+
+  private val delegate = new SortShuffleManager(conf)
+  private lazy val root = SharedDirShuffle.root(conf)
+
+  override def registerShuffle[K, V, C](shuffleId: Int,
+      dependency: org.apache.spark.ShuffleDependency[K, V, C]): ShuffleHandle =
+    delegate.registerShuffle(shuffleId, dependency)
+
+  override def getWriter[K, V](handle: ShuffleHandle, mapId: Long,
+      context: TaskContext,
+      metrics: ShuffleWriteMetricsReporter): ShuffleWriter[K, V] =
+    delegate.getWriter(handle, mapId, context, metrics)
+
+  override def getReader[K, C](handle: ShuffleHandle,
+      startMapIndex: Int, endMapIndex: Int,
+      startPartition: Int, endPartition: Int, context: TaskContext,
+      metrics: ShuffleReadMetricsReporter): ShuffleReader[K, C] =
+    new SharedDirShuffleReader(root,
+      handle.asInstanceOf[BaseShuffleHandle[K, _, C]],
+      startMapIndex, endMapIndex, startPartition, endPartition,
+      context, metrics)
+
+  override def unregisterShuffle(shuffleId: Int): Boolean = {
+    delegate.unregisterShuffle(shuffleId)
+    val d = SharedDirShuffle.shuffleDir(root, shuffleId)
+    if (d.isDirectory) d.listFiles().foreach(_.delete())
+    d.delete()
+    true
+  }
+
+  override def shuffleBlockResolver: ShuffleBlockResolver =
+    delegate.shuffleBlockResolver
+
+  override def stop(): Unit = delegate.stop()
+}
+
+/** Reduce-side reader over shared-dir block files. Mirrors
+  * BlockStoreShuffleReader's record semantics (wrapStream decompression,
+  * aggregator combine, keyOrdering spill-sort) minus the network fetch:
+  * every block is a (seek, bounded read) against the shared root. */
+final class SharedDirShuffleReader[K, C](root: File,
+    handle: BaseShuffleHandle[K, _, C],
+    startMapIndex: Int, endMapIndex: Int,
+    startPartition: Int, endPartition: Int,
+    context: TaskContext,
+    readMetrics: ShuffleReadMetricsReporter) extends ShuffleReader[K, C] {
+
+  private val dep = handle.dependency
+
+  private def segment(shuffleId: Int, mapId: Long,
+      reduceId: Int): InputStream = {
+    val idx = new DataInputStream(new FileInputStream(
+      SharedDirShuffle.indexFile(root, shuffleId, mapId)))
+    val (start, end) =
+      try {
+        var skipped = 0L
+        val toSkip = reduceId.toLong * 8
+        while (skipped < toSkip) skipped += idx.skip(toSkip - skipped)
+        (idx.readLong(), idx.readLong())
+      } finally idx.close()
+    val in = new FileInputStream(
+      SharedDirShuffle.dataFile(root, shuffleId, mapId))
+    var skipped = 0L
+    while (skipped < start) skipped += in.skip(start - skipped)
+    val limit = end - start
+    readMetrics.incLocalBlocksFetched(1)
+    readMetrics.incLocalBytesRead(limit)
+    new InputStream { // bounded view of [start, end)
+      private var remaining = limit
+      override def read(): Int =
+        if (remaining <= 0) -1
+        else { val b = in.read(); if (b >= 0) remaining -= 1; b }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        if (remaining <= 0) return -1
+        val n = in.read(b, off, math.min(len, remaining).toInt)
+        if (n > 0) remaining -= n
+        n
+      }
+      override def close(): Unit = in.close()
+    }
+  }
+
+  override def read(): Iterator[Product2[K, C]] = {
+    val env = SparkEnv.get
+    val blocks = env.mapOutputTracker.getMapSizesByExecutorId(
+      handle.shuffleId, startMapIndex, endMapIndex,
+      startPartition, endPartition)
+    val recordIter: Iterator[(Any, Any)] = blocks
+      .flatMap(_._2) // the writer's BlockManagerId is irrelevant here
+      .filter { case (_, size, _) => size > 0 }
+      .flatMap { case (blockId, _, _) =>
+        val sb = blockId.asInstanceOf[ShuffleBlockId]
+        val wrapped = env.serializerManager.wrapStream(
+          sb, segment(sb.shuffleId, sb.mapId, sb.reduceId))
+        dep.serializer.newInstance().deserializeStream(wrapped)
+          .asKeyValueIterator
+      }
+      .map { r => readMetrics.incRecordsRead(1); r }
+    val iter = new InterruptibleIterator[(Any, Any)](context, recordIter)
+
+    val aggregated: Iterator[Product2[K, C]] =
+      if (dep.aggregator.isDefined) {
+        val agg = dep.aggregator.get.asInstanceOf[Aggregator[K, Any, C]]
+        if (dep.mapSideCombine)
+          agg.combineCombinersByKey(
+            iter.asInstanceOf[Iterator[(K, C)]], context)
+        else
+          agg.combineValuesByKey(
+            iter.asInstanceOf[Iterator[(K, Any)]], context)
+      } else iter.asInstanceOf[Iterator[Product2[K, C]]]
+
+    dep.keyOrdering match {
+      case Some(ord) =>
+        val sorter = new ExternalSorter[K, C, C](context,
+          aggregator = None, partitioner = None, ordering = Some(ord),
+          serializer = dep.serializer)
+        sorter.insertAllAndUpdateMetrics(aggregated)
+      case None => aggregated
+    }
+  }
+}

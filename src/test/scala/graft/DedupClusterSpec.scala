@@ -96,6 +96,50 @@ class DedupClusterSpec extends AnyFunSuite {
     assert((200 to 215).forall(i => labels(i.toLong) == 200L))
   }
 
+  test("CC loop submits exactly 2 jobs per round (AQE off)") {
+    import spark.implicits._
+    val perDesc = new java.util.concurrent.ConcurrentHashMap[String, Integer]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val d = js.properties.getProperty("spark.job.description")
+        if (d != null && d.startsWith("graft CC"))
+          perDesc.merge(d, 1, (a, b) => a + b)
+      }
+    }
+    // AQE splits one action into a job per query stage, and each broadcast
+    // join's build side runs as its own job — both would make the count
+    // config-dependent. With AQE off and broadcasts off (sort-merge joins
+    // only), actions == jobs and the 2-jobs-per-round contract (checkpoint
+    // of the neighbor-min step + the convergence count that doubles as the
+    // cache-materializing action) is directly observable.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val chain = (0 until 48).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
+      graft.api.Graft.dedupClusters(chain) // loop materializes internally
+      // async listener bus: poll until counts are stable (cf. MicroBench)
+      var prev = -1; var stable = 0; var waited = 0
+      while (stable < 3 && waited < 10000) {
+        Thread.sleep(50); waited += 50
+        val cur = perDesc.values.toString.hashCode
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (32L << 20).toString)
+    }
+    import scala.jdk.CollectionConverters._
+    val rounds = perDesc.asScala.filter(_._1.startsWith("graft CC round"))
+    assert(rounds.nonEmpty, s"no labeled CC rounds observed: $perDesc")
+    assert(rounds.values.forall(_ == 2),
+      s"every round must submit exactly 2 jobs: $rounds")
+    assert(perDesc.asScala.getOrElse("graft CC init", 0: Integer) == 2,
+      s"init = edges checkpoint + label-init checkpoint: $perDesc")
+  }
+
   test("bucket cap plans as hash-aggregate + anti-join, not a window sort") {
     import spark.implicits._
     val docs = (0 until 10).map(i =>

@@ -36,13 +36,14 @@ class HiveMetastoreSpec extends AnyFunSuite {
     (code, out.toString)
   }
 
-  test("metastore table and permanent Hive UDF survive a JVM restart") {
+  test("metastore table and permanent Hive UDF/UDTF/UDAF survive a JVM restart") {
     val base = java.nio.file.Files.createTempDirectory("graft_hive").toString
     val (c1, o1) = runJvm("create", base)
     assert(c1 == 0, s"create JVM failed:\n$o1")
-    assert(o1.contains("CREATE_OK udf=1,2,3"), o1)
+    assert(o1.contains("CREATE_OK udf=1,2,3 udtf=10,20,30 udaf=2.0"), o1)
     val (c2, o2) = runJvm("check", base)
     assert(c2 == 0, s"check JVM failed:\n$o2")
-    assert(o2.contains("CHECK_OK rows=1a,2b,3c udf=7"), o2)
+    assert(o2.contains("CHECK_OK rows=1a,2b,3c udf=7 " +
+      "udtf=1x,1y,2x,2y,3x,3y udaf=2.0"), o2)
   }
 }
