@@ -8,11 +8,14 @@ import org.apache.spark.sql.SparkSession
   * Queries execute through the `noop` sink so the FULL physical plan runs
   * (a bare `.count()` lets Catalyst prune every column and skip the
   * project/compute work being measured). Each query gets its own untimed
-  * warmup run (codegen compile + parquet footer caches), then the MEDIAN
-  * of 3 timed runs is reported — a single timed run is swamped by JIT/GC/
+  * warmup run (codegen compile + parquet footer caches), then the MIN of
+  * 3 timed runs is reported — a single timed run is swamped by JIT/GC/
   * co-located-load noise on sub-2 s queries (round-6 BENCH showed phantom
-  * 3× regressions that vanished on an idle rerun). Spark's own
-  * `benchmark/` suites use the same warmup+multi-run discipline.
+  * 3× regressions that vanished on an idle rerun), and because timing
+  * noise is strictly additive the minimum is the stablest estimator of
+  * the true plan cost (median-of-3 still let one 0.6 s query wobble 3×
+  * when two of three runs caught a GC pause). Spark's own `benchmark/`
+  * suites use the same warmup+multi-run discipline.
   */
 object Bench {
 
@@ -60,12 +63,12 @@ object Bench {
       if (ok) dt else -1.0
     } // scope close (untimed) drops the query's pinned caches
 
-    /** Per-query warmup, then median of 3 timed runs (first failure wins
-      * so a broken query reports -1, not a median over garbage). */
+    /** Per-query warmup, then min of 3 timed runs (any failure reports
+      * -1, not a statistic over garbage). */
     def measure(name: String): Double = {
       if (runOnce(name) < 0) return -1.0 // warmup (untimed)
       val times = Seq.fill(3)(runOnce(name))
-      if (times.exists(_ < 0)) -1.0 else times.sorted.apply(1)
+      if (times.exists(_ < 0)) -1.0 else times.min
     }
 
     val results = headline.map(n => n -> measure(n))

@@ -171,6 +171,38 @@ object ModernSql extends QueryModule {
              COALESCE(total, 0.0) AS total
       FROM spine LEFT JOIN m ON spine.mth = m.mth ORDER BY month"""))
 
+  /** Named-parameter SQL (`spark.sql(text, args)`) — the injection-safe
+    * programmatic entry point (parameters bind as literals in the parsed
+    * plan, so pushdown sees constants, not strings). Oracle = the same
+    * query with the literals inlined. */
+  val qParameterizedSql: QueryDef = QueryDef(
+    "q195_parameterized_sql",
+    (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT o_orderpriority, COUNT(*) AS n
+           FROM orders WHERE o_totalprice > :cutoff AND o_orderstatus = :status
+           GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        Map("cutoff" -> 300000.0, "status" -> "F"))
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n
+      FROM orders WHERE o_totalprice > 300000.0 AND o_orderstatus = 'F'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** Lateral column alias: later select-list items reference earlier
+    * aliases in the same SELECT (analyzer rewrite, no subquery needed) —
+    * identical feature in DuckDB, so the SQL is shared verbatim. */
+  val qLateralAlias: QueryDef = same(
+    "q196_lateral_column_alias",
+    """SELECT l_returnflag,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)))
+           AS DOUBLE) AS revenue,
+         revenue / COUNT(*) AS avg_revenue,
+         avg_revenue * 0.1 AS fee
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+
   override def defs: Seq[QueryDef] = Seq(
-    qUnpivot, qSqlUdfs, qGroupByAll, qVariant, qMonthSpine)
+    qUnpivot, qSqlUdfs, qGroupByAll, qVariant, qMonthSpine,
+    qParameterizedSql, qLateralAlias)
 }
