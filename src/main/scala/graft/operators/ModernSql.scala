@@ -202,7 +202,40 @@ object ModernSql extends QueryModule {
          avg_revenue * 0.1 AS fee
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
 
+  /** `df.observe` — named accumulator metrics collected DURING a pass
+    * over the data with zero extra jobs (AccumulatorV2 under a
+    * CollectMetrics node; the monitoring surface streaming/batch
+    * pipelines attach SLO counters to). The query materializes one
+    * filtered pass (localCheckpoint), reads the observed metrics, and
+    * returns them as the result — so the DuckDB oracle independently
+    * recomputes what the accumulators must have seen. */
+  val qObserve: QueryDef = QueryDef(
+    "q197_observe_metrics",
+    (s, d) => {
+      import org.apache.spark.sql.Observation
+      val obs = Observation("graft_obs")
+      Tables.df(s, d, "orders")
+        .filter(col("o_totalprice") > 100000.0)
+        .observe(obs,
+          count(lit(1)).as("n_big"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double")
+            .as("sum_big"),
+          max(col("o_orderpriority")).as("max_prio"))
+        .localCheckpoint() // one real pass; metrics land in the observation
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_big").asInstanceOf[Long],
+        m("sum_big").asInstanceOf[Double],
+        m("max_prio").asInstanceOf[String]))
+        .toDF("n_big", "sum_big", "max_prio")
+    },
+    Some("""
+      SELECT COUNT(*) AS n_big,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_big,
+        MAX(o_orderpriority) AS max_prio
+      FROM orders WHERE o_totalprice > 100000.0"""))
+
   override def defs: Seq[QueryDef] = Seq(
     qUnpivot, qSqlUdfs, qGroupByAll, qVariant, qMonthSpine,
-    qParameterizedSql, qLateralAlias)
+    qParameterizedSql, qLateralAlias, qObserve)
 }

@@ -32,20 +32,29 @@ object PipelineExtras extends QueryModule {
     "q144_vector_centroid",
     (s, d) => {
       import s.implicits._
+      // double→decimal goes THROUGH A STRING in both engines: Spark's
+      // direct cast rounds the shortest round-trip representation while
+      // DuckDB's rounds the exact binary expansion, and on a boundary
+      // element (seen at sf0.1, ~1 in 10⁶) the two disagree by 1 ulp of
+      // the target scale. The shortest representation of a given double
+      // is unique, so string→decimal rounds identically everywhere.
+      val eDec = $"col".cast("double").cast("string").cast("decimal(18,12)")
       t(s, d, "embeddings")
         .select($"label", posexplode($"embedding"))
-        .select($"label", ($"pos" + 1).as("pos"), $"col".cast("double").as("e"))
+        .select($"label", ($"pos" + 1).as("pos"), eDec.as("e"))
         .groupBy($"label", $"pos")
-        .agg((dsum($"e", 9) / count(lit(1))).as("mu"),
+        .agg((sum($"e").cast("double") / count(lit(1))).as("mu"),
           count(lit(1)).as("n_vecs"))
         .orderBy($"label", $"pos")
     },
     Some("""
-      WITH ex AS (SELECT label, s.pos, CAST(embedding[s.pos] AS DOUBLE) AS e
+      WITH ex AS (SELECT label, s.pos,
+                    CAST(CAST(CAST(embedding[s.pos] AS DOUBLE) AS VARCHAR)
+                      AS DECIMAL(18,12)) AS e
                   FROM embeddings,
                        UNNEST(generate_series(1, len(embedding))) AS s(pos))
       SELECT label, CAST(pos AS INTEGER) AS pos,
-             CAST(SUM(CAST(e AS DECIMAL(18,9))) AS DOUBLE)/COUNT(*) AS mu,
+             CAST(SUM(e) AS DOUBLE)/COUNT(*) AS mu,
              CAST(COUNT(*) AS BIGINT) AS n_vecs
       FROM ex GROUP BY label, pos ORDER BY label, pos"""))
 

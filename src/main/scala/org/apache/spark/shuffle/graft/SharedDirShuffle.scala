@@ -208,7 +208,9 @@ final class SharedDirShuffleManager(conf: SparkConf, isDriver: Boolean)
   override def unregisterShuffle(shuffleId: Int): Boolean = {
     delegate.unregisterShuffle(shuffleId)
     val d = SharedDirShuffle.shuffleDir(root, shuffleId)
-    if (d.isDirectory) d.listFiles().foreach(_.delete())
+    // driver and executors may race on the same shared dir: listFiles is
+    // null if another process already removed it
+    Option(d.listFiles()).foreach(_.foreach(_.delete()))
     d.delete()
     true
   }

@@ -57,7 +57,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // skew bench pair: materialized at construction (localCheckpoint)
     // so the AQE-skew conf toggle is in force during execution; the
     // returned plan is a checkpoint scan, so auditing it is vacuous
-    "q193_skew_join_plain", "q194_skew_join_salted")
+    "q193_skew_join_plain", "q194_skew_join_salted",
+    // observe(): one real pass at construction; result is a local relation
+    "q197_observe_metrics")
 
   test("no unintended cartesian or nested-loop join in any query plan") {
     val names = SparkEntry.queries.keySet
