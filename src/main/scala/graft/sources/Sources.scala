@@ -132,6 +132,53 @@ object Sources extends QueryModule {
       FROM generate_series(1000, 59999) t(i)
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Parquet schema evolution: a v1 batch (2 columns) and a later v2
+    * batch (3 columns — a field was added) land in the same dataset dir;
+    * `mergeSchema` reconciles the footers at read time, v1 rows surface
+    * NULL for the added column, and the same widened shape is shown on
+    * the compute path via `unionByName(allowMissingColumns)`. The
+    * 100 TB reality this covers: datasets are written over months by
+    * evolving jobs, and re-writing history to add a column is not an
+    * option. (Footer merging is a driver-side listing cost — for huge
+    * datasets pin the merged schema explicitly; the read path is
+    * identical.) */
+  val qSchemaEvolution: QueryDef = QueryDef(
+    "q198_schema_evolution",
+    (s, d) => {
+      import s.implicits._
+      val dir = tmp(d, "evolve")
+      val v1 = Tables.df(s, d, "orders")
+        .filter($"o_totalprice" <= 200000.0)
+        .select($"o_orderkey", $"o_orderpriority")
+      val v2 = Tables.df(s, d, "orders")
+        .filter($"o_totalprice" > 200000.0)
+        .select($"o_orderkey", $"o_orderpriority",
+          $"o_totalprice".as("price_v2"))
+      v1.write.mode(SaveMode.Overwrite).parquet(dir)
+      v2.write.mode(SaveMode.Append).parquet(dir)
+      val merged = s.read.option("mergeSchema", "true").parquet(dir)
+      val viaUnion = v1.unionByName(v2, allowMissingColumns = true)
+      merged.select($"o_orderkey", $"o_orderpriority", $"price_v2")
+        .unionByName(viaUnion)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          count($"price_v2").as("n_v2"),
+          sum($"price_v2".cast("decimal(18,6)")).cast("double").as("sum_v2"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""
+      WITH widened AS (
+        SELECT o_orderkey, o_orderpriority,
+               CASE WHEN o_totalprice > 200000.0 THEN o_totalprice END
+                 AS price_v2
+        FROM orders),
+      doubled AS (SELECT * FROM widened UNION ALL SELECT * FROM widened)
+      SELECT o_orderpriority, COUNT(*) AS n,
+             COUNT(price_v2) AS n_v2,
+             CAST(SUM(CAST(price_v2 AS DECIMAL(18,6))) AS DOUBLE) AS sum_v2
+      FROM doubled GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   override def defs: Seq[QueryDef] =
-    Seq(qCsv, qJson, qOrc, qText, qPartitioned, qSynthSource)
+    Seq(qCsv, qJson, qOrc, qText, qPartitioned, qSynthSource,
+      qSchemaEvolution)
 }

@@ -46,7 +46,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q89_source_partitioned_pruning", "q102_bucketed_join",
     "q112_jdbc_partitioned_roundtrip", "q137_ctas_insert",
     "q153_ddl_catalog_sweep", "q159_dynamic_partition_overwrite",
-    "q163_persistent_catalog",
+    "q163_persistent_catalog", "q198_schema_evolution",
     // eager actions at construction (GraphX/ML/RDD/stat collect/cache)
     "q95_graph_pagerank", "q96_ml_kmeans", "q100_cache_scan",
     "q105_rdd_primitives", "q134_dedup_clusters", "q142_pagerank_exact",
