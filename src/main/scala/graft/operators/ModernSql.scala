@@ -235,7 +235,50 @@ object ModernSql extends QueryModule {
         MAX(o_orderpriority) AS max_prio
       FROM orders WHERE o_totalprice > 100000.0"""))
 
+  /** WITH RECURSIVE (Spark 4's UnionLoop execution — each step joins the
+    * previous iteration against the tiny monthly aggregate): a running
+    * month-over-month balance carried as EXACT decimal through ~80
+    * iterations, so the result hash-matches DuckDB's recursion bit for
+    * bit. The recursion depth is calendar-bounded (months, not rows) —
+    * safely under spark.sql.cteRecursionLevelLimit at any data scale.
+    * q192 is the idiomatic spine form; this is the SQL-standard one. */
+  val qRecursiveCte: QueryDef = QueryDef(
+    "q199_recursive_cte",
+    (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        WITH RECURSIVE monthly AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mth,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                   AS DECIMAL(20,6)) AS total
+          FROM orders GROUP BY 1),
+        cum AS (
+          SELECT mth, total AS running FROM monthly
+          WHERE mth = (SELECT MIN(mth) FROM monthly)
+          UNION ALL
+          SELECT m.mth, CAST(c.running + m.total AS DECIMAL(20,6))
+          FROM cum c JOIN monthly m ON m.mth = add_months(c.mth, 1))
+        SELECT date_format(mth, 'yyyy-MM') AS month,
+               CAST(running AS DOUBLE) AS running
+        FROM cum ORDER BY month""")
+    },
+    Some("""
+      WITH RECURSIVE monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mth,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                 AS DECIMAL(20,6)) AS total
+        FROM orders GROUP BY 1),
+      cum AS (
+        SELECT mth, total AS running FROM monthly
+        WHERE mth = (SELECT MIN(mth) FROM monthly)
+        UNION ALL
+        SELECT m.mth, CAST(c.running + m.total AS DECIMAL(20,6))
+        FROM cum c JOIN monthly m
+          ON m.mth = CAST(c.mth + INTERVAL 1 MONTH AS DATE))
+      SELECT strftime(mth, '%Y-%m') AS month, CAST(running AS DOUBLE) AS running
+      FROM cum ORDER BY month"""))
+
   override def defs: Seq[QueryDef] = Seq(
     qUnpivot, qSqlUdfs, qGroupByAll, qVariant, qMonthSpine,
-    qParameterizedSql, qLateralAlias, qObserve)
+    qParameterizedSql, qLateralAlias, qObserve, qRecursiveCte)
 }
