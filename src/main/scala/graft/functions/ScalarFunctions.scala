@@ -309,7 +309,44 @@ object ScalarFunctions extends QueryModule {
           AS utc_to_tokyo
       FROM orders WHERE o_orderkey < 30 ORDER BY o_orderkey"""))
 
+  /** Higher-order MAP functions (the map siblings of q136's array HOFs):
+    * a per-status map of priority→count built with map_from_entries,
+    * rewritten with transform_values, differenced with map_zip_with,
+    * pruned with map_filter, then exploded back to rows — so the
+    * map-typed intermediates (which DuckDB's comparer cannot hash) leave
+    * the query as plain sorted rows the oracle reproduces relationally.
+    * Map columns never shuffle here: everything after the first groupBy
+    * is map-side expression work. */
+  val qMapFunctions: QueryDef = QueryDef(
+    "q200_map_functions",
+    (s, d) => {
+      import s.implicits._
+      val perPrio = t(s, d, "orders")
+        .groupBy($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      val m = perPrio.groupBy($"o_orderstatus")
+        .agg(map_from_entries(
+          collect_list(struct($"o_orderpriority", $"n"))).as("m1"))
+        .withColumn("m2", transform_values($"m1", (_, v) => v * lit(2L)))
+        .withColumn("mdiff", map_zip_with($"m2", $"m1", (_, a, b) => a - b))
+      m.select($"o_orderstatus", $"mdiff", size($"m1").as("n_prios"),
+          explode(map_filter($"m2", (_, v) => v >= lit(20L))))
+        .select($"o_orderstatus", $"key".as("prio"), $"value".as("n2"),
+          element_at($"mdiff", $"key").as("n"), $"n_prios")
+        .orderBy($"o_orderstatus", $"prio")
+    },
+    Some("""
+      WITH pn AS (SELECT o_orderstatus, o_orderpriority AS prio, COUNT(*) AS n
+                  FROM orders GROUP BY 1, 2),
+      tot AS (SELECT o_orderstatus, CAST(COUNT(*) AS INTEGER) AS n_prios
+              FROM pn GROUP BY 1)
+      SELECT pn.o_orderstatus, prio, CAST(n * 2 AS BIGINT) AS n2,
+             CAST(n AS BIGINT) AS n, n_prios
+      FROM pn JOIN tot USING (o_orderstatus)
+      WHERE n * 2 >= 20
+      ORDER BY o_orderstatus, prio"""))
+
   override def defs: Seq[QueryDef] = Seq(
     qString, qRegex, qDate, qMath, qConditional, qJson, qJsonStruct,
-    qHash, qCollection, qHigherOrder, qTimezone)
+    qHash, qCollection, qHigherOrder, qTimezone, qMapFunctions)
 }
