@@ -100,6 +100,45 @@ object ShuffleStorageDemo {
       }
       println(s"STORAGE_OK sharedFiles=${sharedFiles.length} localLeaks=$localLeaks")
 
+      if (mode == "local") {
+        // --- AQE skew-split reads: map-subrange getReader calls -----------
+        // A skew-split AQEShuffleRead asks the reader for a SUBRANGE of
+        // map outputs per reduce partition (startMapIndex/endMapIndex) —
+        // the one read shape the main workload doesn't hit. Force a split
+        // with tight thresholds and cross-check against the broadcast
+        // formulation of the same join (no shuffle read at all).
+        val restore = Seq(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+          .map(k => k -> spark.conf.getOption(k)).toMap
+        spark.conf.set(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+        try {
+          val skewL = spark.range(0, 400000)
+            .select(org.apache.spark.sql.functions.when($"id" % 2 === 0, 0L)
+              .otherwise($"id" % 97).as("k"), $"id".as("v"))
+          val skewR = spark.range(0, 97)
+            .select($"id".as("k"), ($"id" * 3).as("w"))
+          val smjDf = skewL.hint("merge").join(skewR, "k")
+            .agg(org.apache.spark.sql.functions.sum($"v" * $"w").as("s"))
+          // collect(), not head(): head() spawns a separate limited
+          // execution, leaving THIS queryExecution's adaptive plan
+          // unexecuted (so it would never show the runtime skew rewrite)
+          val viaSmj = smjDf.collect()(0).getLong(0)
+          val skewSplit = smjDf.queryExecution.executedPlan.toString
+            .contains("skew=true")
+          val viaBcast = skewL
+            .join(org.apache.spark.sql.functions.broadcast(skewR), "k")
+            .agg(org.apache.spark.sql.functions.sum($"v" * $"w")).head.getLong(0)
+          println(s"SKEWREAD_OK equal=${viaSmj == viaBcast} skewSplit=$skewSplit")
+        } finally restore.foreach { case (k, v) =>
+          v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+        }
+      }
+
       if (mode == "cluster") {
         // --- executor loss: kill one, keep its shuffle --------------------
         var waited = 0

@@ -59,6 +59,9 @@ class SharedDirShuffleSpec extends AnyFunSuite {
     assert(storage.exists(s =>
       s.split("sharedFiles=")(1).split(" ")(0).toInt > 0),
       s"no shuffle files in the shared root: $storage\n$out")
+    if (mode == "local")
+      // AQE skew-split forced → reader served map-subrange requests
+      assert(out.contains("SKEWREAD_OK equal=true skewSplit=true"), out)
     if (mode == "cluster")
       assert(out.contains("KILLED executor="), out)
     // 1 stage == result stage only: the map stage was NOT recomputed
