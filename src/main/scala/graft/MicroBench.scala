@@ -39,16 +39,7 @@ object MicroBench {
     def shuffled(f: => Long): (Double, Long) = {
       shuffleBytes.set(0L)
       val dt = time(f)
-      // The listener bus is async: poll until the counter is stable for
-      // 3 consecutive reads (deterministic drain — a fixed sleep can
-      // undercount on a loaded machine), bounded at 10 s.
-      var prev = -1L; var stable = 0; var waited = 0
-      while (stable < 3 && waited < 10000) {
-        Thread.sleep(50); waited += 50
-        val cur = shuffleBytes.get()
-        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
-      }
-      (dt, shuffleBytes.get())
+      (dt, Drain.untilStable(shuffleBytes.get()))
     }
 
     // --- cosine: expression vs UDF over 2M 64-dim pairs -----------------

@@ -82,7 +82,7 @@ object ShuffleStorageDemo {
       val dim = spark.range(0, 500).select($"id".as("k"), ($"id" * 2).as("w"))
       val sqlSum = df.hint("merge").join(dim, "k")
         .groupBy($"k").agg(org.apache.spark.sql.functions.sum($"v" + $"w").as("s"))
-        .agg(org.apache.spark.sql.functions.sum($"s")).head.getLong(0)
+        .agg(org.apache.spark.sql.functions.sum($"s")).head().getLong(0)
       println(s"PHASE1_OK checksum=$checksum1 firstKey=$firstKey sqlSum=$sqlSum")
 
       // --- storage redirect proof ---------------------------------------
@@ -132,7 +132,7 @@ object ShuffleStorageDemo {
             .contains("skew=true")
           val viaBcast = skewL
             .join(org.apache.spark.sql.functions.broadcast(skewR), "k")
-            .agg(org.apache.spark.sql.functions.sum($"v" * $"w")).head.getLong(0)
+            .agg(org.apache.spark.sql.functions.sum($"v" * $"w")).head().getLong(0)
           println(s"SKEWREAD_OK equal=${viaSmj == viaBcast} skewSplit=$skewSplit")
         } finally restore.foreach { case (k, v) =>
           v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
@@ -155,20 +155,11 @@ object ShuffleStorageDemo {
       // A collect over the already-shuffled RDD submits exactly ONE stage
       // (the result stage) when the map output survived; a recompute
       // would submit two. The async listener bus is drained by polling
-      // (cf. MicroBench) before reading the counter.
-      def drained(): Int = {
-        var prev = -1; var stable = 0; var waited = 0
-        while (stable < 3 && waited < 10000) {
-          Thread.sleep(50); waited += 50
-          val cur = stageSubmits.get()
-          if (cur == prev) stable += 1 else { stable = 0; prev = cur }
-        }
-        stageSubmits.get()
-      }
-      val before = drained()
+      // before reading the counter.
+      val before = Drain.untilStable(stageSubmits.get().toLong)
       val r2 = combined.collect().sortBy(_._1)
       val checksum2 = r2.map { case (k, v) => k * 31L + v }.sum
-      val resubmitted = drained() - before
+      val resubmitted = Drain.untilStable(stageSubmits.get().toLong) - before
       println(s"PHASE2_OK checksum=$checksum2 stagesSubmitted=$resubmitted")
     } finally spark.stop()
   }

@@ -42,6 +42,17 @@ object Graft {
     df
   }
 
+  /** Pin only when a cache scope is active. For persisted intermediates
+    * that back a RETURNED DataFrame: inside Verify/Bench scopes the close
+    * unpersists deterministically, while a scope-less library caller gets
+    * ContextCleaner GC-cleanup instead of an ever-growing global queue
+    * holding strong references (which would block that cleanup). */
+  private[graft] def pinIfScoped(df: DataFrame): DataFrame = {
+    val scope = activeScope.get()
+    if (scope != null) scope.add(df)
+    df
+  }
+
   /** Persist an intermediate a pipeline reuses across job boundaries
     * (e.g. a deduped corpus consumed by both a GraphX stage and a final
     * aggregate) and register it with the enclosing cache scope (or the
@@ -377,7 +388,9 @@ object Graft {
       }
     }
     val out = lab.select(col("doc_id"), col("lab").as("canonical_id"))
-    if (prevRound != null) pin(prevRound) // scope/global release, post-use
+    // Scoped callers (Verify/Bench) release the final round's cache at
+    // scope close; scope-less callers rely on ContextCleaner GC cleanup.
+    if (prevRound != null) pinIfScoped(prevRound)
     out
   }
 

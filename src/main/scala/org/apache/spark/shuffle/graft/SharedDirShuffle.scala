@@ -184,6 +184,19 @@ final class SharedDirShuffleManager(conf: SparkConf, isDriver: Boolean)
     extends ShuffleManager {
   def this(conf: SparkConf) = this(conf, false)
 
+  // Fail fast on a half-wired deployment: the manager's read path only
+  // works against files the companion DataIO plugin wrote. Without this
+  // check, a missing plugin conf surfaces as FileNotFoundException deep
+  // inside the first reduce task instead of at startup.
+  {
+    val plugin = conf.get("spark.shuffle.sort.io.plugin.class", "")
+    require(plugin == classOf[SharedDirShuffleDataIO].getName,
+      s"${getClass.getName} requires spark.shuffle.sort.io.plugin.class=" +
+        s"${classOf[SharedDirShuffleDataIO].getName} (found '$plugin') — " +
+        "reads resolve only blocks that plugin wrote to the shared root")
+    SharedDirShuffle.root(conf) // throws with a clear message if unset
+  }
+
   private val delegate = new SortShuffleManager(conf)
   private lazy val root = SharedDirShuffle.root(conf)
 
@@ -234,6 +247,18 @@ final class SharedDirShuffleReader[K, C](root: File,
 
   private val dep = handle.dependency
 
+  // The segment currently being consumed. Normal exhaustion closes it via
+  // the deserializer's EOF handling; early termination (limit/take, task
+  // failure) would otherwise leak the FD for the executor's lifetime, so
+  // the task-completion hook closes whatever is still open — the same
+  // cleanup contract BlockStoreShuffleReader gets from
+  // ShuffleBlockFetcherIterator's task-completion listener.
+  @volatile private var openSegment: InputStream = _
+  context.addTaskCompletionListener[Unit] { _ =>
+    val s = openSegment
+    if (s != null) try s.close() catch { case _: IOException => }
+  }
+
   private def segment(shuffleId: Int, mapId: Long,
       reduceId: Int): InputStream = {
     val idx = new DataInputStream(new FileInputStream(
@@ -252,7 +277,7 @@ final class SharedDirShuffleReader[K, C](root: File,
     val limit = end - start
     readMetrics.incLocalBlocksFetched(1)
     readMetrics.incLocalBytesRead(limit)
-    new InputStream { // bounded view of [start, end)
+    val bounded = new InputStream { // bounded view of [start, end)
       private var remaining = limit
       override def read(): Int =
         if (remaining <= 0) -1
@@ -265,6 +290,8 @@ final class SharedDirShuffleReader[K, C](root: File,
       }
       override def close(): Unit = in.close()
     }
+    openSegment = bounded
+    bounded
   }
 
   override def read(): Iterator[Product2[K, C]] = {

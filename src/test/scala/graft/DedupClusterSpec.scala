@@ -113,23 +113,21 @@ class DedupClusterSpec extends AnyFunSuite {
     // only), actions == jobs and the 2-jobs-per-round contract (checkpoint
     // of the neighbor-min step + the convergence count that doubles as the
     // cache-materializing action) is directly observable.
+    val touched = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = touched.map(k => k -> spark.conf.getOption(k))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.sparkContext.addSparkListener(listener)
     try {
       val chain = (0 until 48).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
       graft.api.Graft.dedupClusters(chain) // loop materializes internally
-      // async listener bus: poll until counts are stable (cf. MicroBench)
-      var prev = -1; var stable = 0; var waited = 0
-      while (stable < 3 && waited < 10000) {
-        Thread.sleep(50); waited += 50
-        val cur = perDesc.values.toString.hashCode
-        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
-      }
+      Drain.untilStable(perDesc.values.toString.hashCode.toLong)
     } finally {
       spark.sparkContext.removeSparkListener(listener)
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (32L << 20).toString)
+      saved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      }
     }
     import scala.jdk.CollectionConverters._
     val rounds = perDesc.asScala.filter(_._1.startsWith("graft CC round"))

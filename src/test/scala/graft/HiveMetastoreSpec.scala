@@ -1,7 +1,5 @@
 package graft
 
-import scala.sys.process._
-
 import org.scalatest.funsuite.AnyFunSuite
 
 /** True restart durability for the Hive-metastore path: runs
@@ -13,28 +11,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * non-Hive SparkSession untouched (one SparkContext per JVM). */
 class HiveMetastoreSpec extends AnyFunSuite {
 
-  private val addOpens = Seq(
-    "java.base/java.lang", "java.base/java.lang.invoke",
-    "java.base/java.lang.reflect", "java.base/java.io",
-    "java.base/java.net", "java.base/java.nio",
-    "java.base/java.util", "java.base/java.util.concurrent",
-    "java.base/java.util.concurrent.atomic",
-    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-    "java.base/sun.security.action", "java.base/sun.util.calendar",
-  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-
-  private def runJvm(mode: String, base: String): (Int, String) = {
-    val cmd = Seq("java") ++ addOpens ++ Seq(
-      "-Xmx2g",
-      "-Dspark.ui.enabled=false",
-      "-Dspark.sql.session.timeZone=UTC",
-      s"-Dderby.stream.error.file=$base/derby.log",
-      "-cp", System.getProperty("java.class.path"),
-      "graft.HiveCatalogRoundTrip", mode, base)
-    val out = new StringBuilder
-    val code = cmd ! ProcessLogger(l => out.append(l).append('\n'), _ => ())
-    (code, out.toString)
-  }
+  private def runJvm(mode: String, base: String): (Int, String) =
+    TestJvm.run("graft.HiveCatalogRoundTrip", Seq(mode, base),
+      sysProps = Seq("spark.sql.session.timeZone" -> "UTC",
+        "derby.stream.error.file" -> s"$base/derby.log"))
 
   test("metastore table and permanent Hive UDF/UDTF/UDAF survive a JVM restart") {
     val base = java.nio.file.Files.createTempDirectory("graft_hive").toString

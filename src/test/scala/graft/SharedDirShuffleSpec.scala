@@ -1,7 +1,5 @@
 package graft
 
-import scala.sys.process._
-
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Disaggregated-shuffle proof (SplitServe's core delta, reference
@@ -20,31 +18,12 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class SharedDirShuffleSpec extends AnyFunSuite {
 
-  private val addOpens = Seq(
-    "java.base/java.lang", "java.base/java.lang.invoke",
-    "java.base/java.lang.reflect", "java.base/java.io",
-    "java.base/java.net", "java.base/java.nio",
-    "java.base/java.util", "java.base/java.util.concurrent",
-    "java.base/java.util.concurrent.atomic",
-    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-    "java.base/sun.security.action", "java.base/sun.util.calendar",
-  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-
-  private def runJvm(mode: String, root: String): (Int, String) = {
-    val cmd = Seq("java") ++ addOpens ++ Seq(
-      "-Xmx2g",
-      "-Dspark.ui.enabled=false",
-      "-cp", System.getProperty("java.class.path"),
-      "graft.ShuffleStorageDemo", mode, root)
-    val out = new StringBuilder
+  private def runJvm(mode: String, root: String): (Int, String) =
     // local-cluster executor launch resolves its command through
     // SPARK_HOME's release layout; SPARK_SCALA_VERSION skips the
     // source-tree probe ("Cannot find any build directories").
-    val env = Seq("SPARK_HOME" -> "/opt/spark", "SPARK_SCALA_VERSION" -> "2.13")
-    val code = Process(cmd, None, env: _*) !
-      ProcessLogger(l => out.append(l).append('\n'), _ => ())
-    (code, out.toString)
-  }
+    TestJvm.run("graft.ShuffleStorageDemo", Seq(mode, root),
+      env = Seq("SPARK_HOME" -> "/opt/spark", "SPARK_SCALA_VERSION" -> "2.13"))
 
   private def check(mode: String): Unit = {
     val root = java.nio.file.Files
