@@ -149,6 +149,14 @@ object ShuffleStorageDemo {
         sc.killExecutors(Seq(victim))
         Thread.sleep(3000) // let the loss propagate to the DAGScheduler
         println(s"KILLED executor=$victim of ${executors.size}")
+        // A FRESH SQL shuffle on the post-loss topology: map output
+        // written and read back entirely through the shared root by
+        // whatever executors remain (plus any replacement the worker
+        // spawns) — the steady-state SplitServe serving shape.
+        val sqlSum2 = df.hint("merge").join(dim, "k")
+          .groupBy($"k").agg(org.apache.spark.sql.functions.sum($"v" + $"w").as("s"))
+          .agg(org.apache.spark.sql.functions.sum($"s")).head().getLong(0)
+        println(s"POSTKILL_SQL_OK equal=${sqlSum2 == sqlSum}")
       }
 
       // --- re-run: map stage must be skipped ----------------------------

@@ -41,8 +41,11 @@ class SharedDirShuffleSpec extends AnyFunSuite {
     if (mode == "local")
       // AQE skew-split forced → reader served map-subrange requests
       assert(out.contains("SKEWREAD_OK equal=true skewSplit=true"), out)
-    if (mode == "cluster")
+    if (mode == "cluster") {
       assert(out.contains("KILLED executor="), out)
+      // a fresh SQL shuffle on the post-loss topology still round-trips
+      assert(out.contains("POSTKILL_SQL_OK equal=true"), out)
+    }
     // 1 stage == result stage only: the map stage was NOT recomputed
     assert(out.contains(
       "PHASE2_OK checksum=20015584500 stagesSubmitted=1"), out)
