@@ -107,16 +107,10 @@ object ShuffleStorageDemo {
         // the one read shape the main workload doesn't hit. Force a split
         // with tight thresholds and cross-check against the broadcast
         // formulation of the same join (no shuffle read at all).
-        val restore = Seq(
-          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-          "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
-          "spark.sql.adaptive.advisoryPartitionSizeInBytes")
-          .map(k => k -> spark.conf.getOption(k)).toMap
-        spark.conf.set(
-          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
-        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
-        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
-        try {
+        Confs.withValues(spark,
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768") {
           val skewL = spark.range(0, 400000)
             .select(org.apache.spark.sql.functions.when($"id" % 2 === 0, 0L)
               .otherwise($"id" % 97).as("k"), $"id".as("v"))
@@ -134,8 +128,6 @@ object ShuffleStorageDemo {
             .join(org.apache.spark.sql.functions.broadcast(skewR), "k")
             .agg(org.apache.spark.sql.functions.sum($"v" * $"w")).head().getLong(0)
           println(s"SKEWREAD_OK equal=${viaSmj == viaBcast} skewSplit=$skewSplit")
-        } finally restore.foreach { case (k, v) =>
-          v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
         }
       }
 

@@ -42,16 +42,6 @@ object Graft {
     df
   }
 
-  /** Pin only when a cache scope is active. For persisted intermediates
-    * that back a RETURNED DataFrame: inside Verify/Bench scopes the close
-    * unpersists deterministically, while a scope-less library caller gets
-    * ContextCleaner GC-cleanup instead of an ever-growing global queue
-    * holding strong references (which would block that cleanup). */
-  private[graft] def pinIfScoped(df: DataFrame): DataFrame = {
-    val scope = activeScope.get()
-    if (scope != null) scope.add(df)
-    df
-  }
 
   /** Persist an intermediate a pipeline reuses across job boundaries
     * (e.g. a deduped corpus consumed by both a GraphX stage and a final
@@ -388,9 +378,13 @@ object Graft {
       }
     }
     val out = lab.select(col("doc_id"), col("lab").as("canonical_id"))
-    // Scoped callers (Verify/Bench) release the final round's cache at
-    // scope close; scope-less callers rely on ContextCleaner GC cleanup.
-    if (prevRound != null) pinIfScoped(prevRound)
+    // The final round's persist backs the returned DataFrame. Dataset
+    // caches live in the session's CacheManager (a strong reference the
+    // ContextCleaner can never GC), so the pin is mandatory: scoped
+    // callers (Verify/Bench) release it at scope close, scope-less
+    // callers via releaseCaches() — the same contract as
+    // minHashCandidates' pinned signature relation.
+    if (prevRound != null) pin(prevRound)
     out
   }
 

@@ -171,26 +171,22 @@ object ScalePatterns extends QueryModule {
 
   val qSkewPlain: QueryDef = QueryDef(
     "q193_skew_join_plain",
-    (s, d) => {
-      val prev = s.conf.get("spark.sql.adaptive.skewJoin.enabled", "true")
-      s.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-      try skewAgg(skewFact(s, d).hint("merge").join(skewDim(s), "k"))
+    (s, d) => graft.Confs.withValues(s,
+      "spark.sql.adaptive.skewJoin.enabled" -> "false") {
+      skewAgg(skewFact(s, d).hint("merge").join(skewDim(s), "k"))
         .localCheckpoint()
-      finally s.conf.set("spark.sql.adaptive.skewJoin.enabled", prev)
     },
     Some(skewOracle))
 
   val qSkewSalted: QueryDef = QueryDef(
     "q194_skew_join_salted",
-    (s, d) => {
-      val prev = s.conf.get("spark.sql.adaptive.skewJoin.enabled", "true")
-      s.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-      try skewAgg(graft.api.Graft.saltedJoin(
+    (s, d) => graft.Confs.withValues(s,
+      "spark.sql.adaptive.skewJoin.enabled" -> "false") {
+      skewAgg(graft.api.Graft.saltedJoin(
           skewFact(s, d).hint("merge"), skewDim(s),
           bigKey = "k", smallKey = "k",
           saltCol = "l_orderkey", saltFactor = 32))
         .localCheckpoint()
-      finally s.conf.set("spark.sql.adaptive.skewJoin.enabled", prev)
     },
     Some(skewOracle))
 

@@ -113,22 +113,14 @@ class DedupClusterSpec extends AnyFunSuite {
     // only), actions == jobs and the 2-jobs-per-round contract (checkpoint
     // of the neighbor-min step + the convergence count that doubles as the
     // cache-materializing action) is directly observable.
-    val touched = Seq("spark.sql.adaptive.enabled",
-      "spark.sql.autoBroadcastJoinThreshold")
-    val saved = touched.map(k => k -> spark.conf.getOption(k))
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.sparkContext.addSparkListener(listener)
-    try {
+    try Confs.withValues(spark,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val chain = (0 until 48).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
       graft.api.Graft.dedupClusters(chain) // loop materializes internally
       Drain.untilStable(perDesc.values.toString.hashCode.toLong)
-    } finally {
-      spark.sparkContext.removeSparkListener(listener)
-      saved.foreach { case (k, v) =>
-        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
-      }
-    }
+    } finally spark.sparkContext.removeSparkListener(listener)
     import scala.jdk.CollectionConverters._
     val rounds = perDesc.asScala.filter(_._1.startsWith("graft CC round"))
     assert(rounds.nonEmpty, s"no labeled CC rounds observed: $perDesc")
