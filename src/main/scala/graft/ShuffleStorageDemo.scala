@@ -30,6 +30,15 @@ import org.apache.spark.sql.SparkSession
   * map outputs because SharedDirDriverComponents.supportsReliableStorage)
   * and reduce from the shared root, which no longer has a live owner.
   * This is SplitServe's release-the-Lambda-keep-its-shuffle property.
+  *
+  * mode=fetchfail (local[4]): after the shuffle completes, one committed
+  * map DATA file is deleted from the shared root (simulating external
+  * cleanup / storage loss). The next job over that shuffle must RECOVER,
+  * not abort: the reader surfaces the missing file as
+  * FetchFailedException with the tracker-listed address, the DAGScheduler
+  * unregisters exactly that map output, resubmits the map stage for it,
+  * and the job completes with the correct result — vanilla Spark's fetch
+  * recovery contract, over shared storage.
   */
 object ShuffleStorageDemo {
 
@@ -86,7 +95,9 @@ object ShuffleStorageDemo {
       println(s"PHASE1_OK checksum=$checksum1 firstKey=$firstKey sqlSum=$sqlSum")
 
       // --- storage redirect proof ---------------------------------------
+      // layout is <root>/<appId>/shuffle_<id>/...
       val sharedFiles = Option(new File(root).listFiles()).getOrElse(Array.empty)
+        .flatMap(a => Option(a.listFiles()).getOrElse(Array.empty))
         .filter(_.getName.startsWith("shuffle_"))
         .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
       val localLeaks = {
@@ -161,6 +172,33 @@ object ShuffleStorageDemo {
       val checksum2 = r2.map { case (k, v) => k * 31L + v }.sum
       val resubmitted = Drain.untilStable(stageSubmits.get().toLong) - before
       println(s"PHASE2_OK checksum=$checksum2 stagesSubmitted=$resubmitted")
+
+      if (mode == "fetchfail") {
+        // --- storage loss: delete one committed map output ----------------
+        // Remove one of the 8 map data files of COMBINED's own shuffle
+        // (resolved by id — sortByKey and the SQL jobs made others).
+        val shuffleId = combined.dependencies.head
+          .asInstanceOf[org.apache.spark.ShuffleDependency[_, _, _]].shuffleId
+        val dir8 = Option(new File(root).listFiles())
+          .getOrElse(Array.empty)
+          .flatMap(a => Option(a.listFiles()).getOrElse(Array.empty))
+          .find(_.getName == s"shuffle_$shuffleId").get
+        val victim = dir8.listFiles().filter(_.getName.endsWith(".data")).head
+        require(victim.delete(), s"could not delete $victim")
+        println(s"DELETED ${victim.getName} from ${dir8.getName}")
+        // Recovery: FetchFailedException → unregister that map output →
+        // map-stage resubmit (≥2 extra stage submissions: failed result
+        // attempt, map regen, result retry) → correct result, and the
+        // shuffle dir is back to 8 data files (the regenerated map
+        // commits under its new task attempt id).
+        val b2 = Drain.untilStable(stageSubmits.get().toLong)
+        val r3 = combined.collect().sortBy(_._1)
+        val checksum3 = r3.map { case (k, v) => k * 31L + v }.sum
+        val resub2 = Drain.untilStable(stageSubmits.get().toLong) - b2
+        val dataFiles = dir8.listFiles().count(_.getName.endsWith(".data"))
+        println(s"FETCHFAIL_OK checksum=$checksum3 stagesResubmitted=$resub2 " +
+          s"dataFiles=$dataFiles")
+      }
     } finally spark.stop()
   }
 }

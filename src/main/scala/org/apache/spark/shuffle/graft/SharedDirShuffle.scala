@@ -1,6 +1,6 @@
 package org.apache.spark.shuffle.graft
 
-import java.io.{BufferedOutputStream, DataInputStream, DataOutputStream, File, FileInputStream, FileOutputStream, IOException, InputStream, OutputStream}
+import java.io.{BufferedOutputStream, DataOutputStream, File, FileInputStream, FileOutputStream, IOException, InputStream, OutputStream, RandomAccessFile}
 import java.nio.file.{Files, StandardCopyOption}
 import java.util.{Collections, Optional}
 
@@ -9,7 +9,7 @@ import org.apache.spark.shuffle._
 import org.apache.spark.shuffle.api._
 import org.apache.spark.shuffle.api.metadata.MapOutputCommitMessage
 import org.apache.spark.shuffle.sort.SortShuffleManager
-import org.apache.spark.storage.ShuffleBlockId
+import org.apache.spark.storage.{BlockManagerId, ShuffleBlockId}
 import org.apache.spark.util.collection.ExternalSorter
 
 /** Disaggregated shuffle storage: map output lives in a SHARED directory
@@ -29,20 +29,44 @@ import org.apache.spark.util.collection.ExternalSorter
   * the DAGScheduler does NOT invalidate a lost executor's map outputs
   * (`DAGScheduler.handleExecutorLost` consults exactly this flag), so a
   * completed shuffle is never recomputed when executors are released —
-  * SplitServe's no-recompute-on-Lambda-release property.
+  * SplitServe's no-recompute-on-Lambda-release property. The same flag
+  * legalizes dynamic allocation WITHOUT an external shuffle service
+  * (`ExecutorAllocationManager.validateSettings`), which is how the
+  * elastic half of SplitServe runs on stock Spark (ElasticExecutorDemo).
   *
   * Wiring (both confs, plus the root):
   *   spark.shuffle.manager=org.apache.spark.shuffle.graft.SharedDirShuffleManager
   *   spark.shuffle.sort.io.plugin.class=org.apache.spark.shuffle.graft.SharedDirShuffleDataIO
   *   spark.shuffle.graft.root=/mnt/shared/shuffle
   *
-  * Layout: `<root>/shuffle_<shuffleId>/<mapTaskId>.data` + `.index`
-  * (index = numPartitions+1 cumulative offsets, same format as Spark's
-  * IndexShuffleBlockResolver). `mapTaskId` is the task ATTEMPT id —
-  * unique per attempt — so concurrent speculative attempts never collide
-  * on a file name; the driver's MapStatus commits exactly one attempt and
-  * readers resolve files by that committed id. Writes land in `.tmp`
-  * names and are atomically renamed (data before index) at commit.
+  * Layout: `<root>/<appId>/shuffle_<shuffleId>/<mapTaskId>.data` +
+  * `.index` (index = numPartitions+1 cumulative offsets, same format as
+  * Spark's IndexShuffleBlockResolver) + `.checksum` (one long per reduce
+  * partition, present iff `spark.shuffle.checksum.enabled`; algorithm is
+  * whatever `spark.shuffle.checksum.algorithm` selects — persisted for
+  * offline corruption audits, not re-verified inline on read).
+  * `mapTaskId` is the task ATTEMPT id — unique per attempt — so
+  * concurrent speculative attempts never collide on a file name; the
+  * driver's MapStatus commits exactly one attempt and readers resolve
+  * files by that committed id. Writes land in `.tmp` names and are
+  * atomically renamed (data, then checksum, then index) at commit.
+  *
+  * The `<appId>` level keeps MULTIPLE applications safe on one shared
+  * root: `unregisterShuffle` and `cleanupApplication` only ever touch the
+  * calling app's subtree, so two apps both using shuffle 0 neither
+  * collide nor cross-delete. The id is read lazily from `spark.app.id`
+  * (executors additionally receive it as `initializeExecutor`'s appId
+  * parameter) — lazily because the ShuffleManager is constructed before
+  * the scheduler assigns the id, but every shuffle file operation
+  * happens well after.
+  *
+  * Failure semantics on the read side: a missing or unreadable
+  * shared-root file surfaces as `FetchFailedException` carrying the
+  * block's tracker-listed BlockManagerId — the DAGScheduler then
+  * unregisters that map output and regenerates it, the same recovery
+  * contract as vanilla Spark's network fetch path (and the reference's
+  * HDFS reader). Without the wrapping, an NFS hiccup or external cleanup
+  * would abort the job after task retries instead of recomputing one map.
   *
   * The package placement (`org.apache.spark.shuffle.graft`) follows the
   * convention of external shuffle managers (Celeborn, Uber RSS): the
@@ -52,18 +76,25 @@ import org.apache.spark.util.collection.ExternalSorter
   */
 final class SharedDirShuffleDataIO(conf: SparkConf) extends ShuffleDataIO {
   override def driver(): ShuffleDriverComponents =
-    new SharedDirDriverComponents
+    new SharedDirDriverComponents(conf)
   override def executor(): ShuffleExecutorComponents =
     new SharedDirExecutorComponents(conf)
 }
 
-final class SharedDirDriverComponents extends ShuffleDriverComponents {
+final class SharedDirDriverComponents(conf: SparkConf)
+    extends ShuffleDriverComponents {
   override def initializeApplication(): java.util.Map[String, String] =
     Collections.emptyMap()
-  // The root may be shared by other applications — lifecycle belongs to
-  // the operator (cluster-scale deployments point the root at an
-  // app-scoped path).
-  override def cleanupApplication(): Unit = ()
+  /** Remove THIS app's subtree only — other applications sharing the
+    * root are untouchable by construction (their files live under their
+    * own appId dir). */
+  override def cleanupApplication(): Unit = {
+    def nuke(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(nuke))
+      f.delete()
+    }
+    nuke(SharedDirShuffle.appRoot(conf))
+  }
   /** Map output survives the executor that wrote it — the whole point. */
   override def supportsReliableStorage(): Boolean = true
 }
@@ -75,28 +106,39 @@ object SharedDirShuffle {
       s"$RootConfKey must point at a directory shared by all executors"))
     new File(r)
   }
-  def shuffleDir(root: File, shuffleId: Int): File =
-    new File(root, s"shuffle_$shuffleId")
-  def dataFile(root: File, shuffleId: Int, mapId: Long): File =
-    new File(shuffleDir(root, shuffleId), s"$mapId.data")
-  def indexFile(root: File, shuffleId: Int, mapId: Long): File =
-    new File(shuffleDir(root, shuffleId), s"$mapId.index")
+  /** This application's namespace under the shared root. Lazily resolved:
+    * spark.app.id is assigned by the scheduler after the ShuffleManager
+    * is constructed, but before any shuffle file is written or read. */
+  def appRoot(conf: SparkConf): File = {
+    val appId = conf.getOption("spark.app.id").getOrElse(throw new IOException(
+      "spark.app.id unset — shuffle file access before scheduler init?"))
+    new File(root(conf), appId.replaceAll("[^A-Za-z0-9._-]", "_"))
+  }
+  def shuffleDir(appRoot: File, shuffleId: Int): File =
+    new File(appRoot, s"shuffle_$shuffleId")
+  def dataFile(appRoot: File, shuffleId: Int, mapId: Long): File =
+    new File(shuffleDir(appRoot, shuffleId), s"$mapId.data")
+  def indexFile(appRoot: File, shuffleId: Int, mapId: Long): File =
+    new File(shuffleDir(appRoot, shuffleId), s"$mapId.index")
+  def checksumFile(appRoot: File, shuffleId: Int, mapId: Long): File =
+    new File(shuffleDir(appRoot, shuffleId), s"$mapId.checksum")
 }
 
 final class SharedDirExecutorComponents(conf: SparkConf)
     extends ShuffleExecutorComponents {
-  private var root: File = _
+  private var appRoot: File = _
 
   override def initializeExecutor(appId: String, execId: String,
       extraConfigs: java.util.Map[String, String]): Unit = {
-    root = SharedDirShuffle.root(conf)
-    if (!root.isDirectory && !root.mkdirs() && !root.isDirectory)
-      throw new IOException(s"cannot create shared shuffle root $root")
+    appRoot = new File(SharedDirShuffle.root(conf),
+      appId.replaceAll("[^A-Za-z0-9._-]", "_"))
+    if (!appRoot.isDirectory && !appRoot.mkdirs() && !appRoot.isDirectory)
+      throw new IOException(s"cannot create shared shuffle app dir $appRoot")
   }
 
   override def createMapOutputWriter(shuffleId: Int, mapTaskId: Long,
       numPartitions: Int): ShuffleMapOutputWriter =
-    new SharedDirMapOutputWriter(root, shuffleId, mapTaskId, numPartitions)
+    new SharedDirMapOutputWriter(appRoot, shuffleId, mapTaskId, numPartitions)
 
   // No single-spill fast path: the generic writer covers every path.
   override def createSingleFileMapOutputWriter(shuffleId: Int,
@@ -107,14 +149,15 @@ final class SharedDirExecutorComponents(conf: SparkConf)
 /** One map task's output: all reduce partitions appended to a single
   * shared-dir data file (written once, sequentially — object-store
   * friendly), offsets recorded in the companion index file at commit. */
-final class SharedDirMapOutputWriter(root: File, shuffleId: Int,
+final class SharedDirMapOutputWriter(appRoot: File, shuffleId: Int,
     mapId: Long, numPartitions: Int) extends ShuffleMapOutputWriter {
 
-  private val dir = SharedDirShuffle.shuffleDir(root, shuffleId)
+  private val dir = SharedDirShuffle.shuffleDir(appRoot, shuffleId)
   if (!dir.isDirectory && !dir.mkdirs() && !dir.isDirectory)
     throw new IOException(s"cannot create $dir")
   private val tmpData = new File(dir, s"$mapId.data.tmp")
   private val tmpIndex = new File(dir, s"$mapId.index.tmp")
+  private val tmpChecksum = new File(dir, s"$mapId.checksum.tmp")
   private val lengths = new Array[Long](numPartitions)
   private var out: OutputStream = _
   private var lastPartition = -1
@@ -156,20 +199,32 @@ final class SharedDirMapOutputWriter(root: File, shuffleId: Int,
       idx.writeLong(offset)
       lengths.foreach { l => offset += l; idx.writeLong(offset) }
     } finally idx.close()
-    // Atomic publish, data before index: a reader only trusts files it
-    // can resolve through a fully-renamed index.
+    // spark.shuffle.checksum.enabled hands one checksum per partition;
+    // persist them next to the index so shared-storage corruption is
+    // auditable (same information LocalDiskShuffleMapOutputWriter keeps).
+    if (checksums.nonEmpty) {
+      val ck = new DataOutputStream(
+        new BufferedOutputStream(new FileOutputStream(tmpChecksum)))
+      try checksums.foreach(ck.writeLong) finally ck.close()
+    }
+    // Atomic publish, data (and checksums) before index: a reader only
+    // trusts files it can resolve through a fully-renamed index.
     Files.move(tmpData.toPath,
-      SharedDirShuffle.dataFile(root, shuffleId, mapId).toPath,
+      SharedDirShuffle.dataFile(appRoot, shuffleId, mapId).toPath,
       StandardCopyOption.ATOMIC_MOVE)
+    if (checksums.nonEmpty)
+      Files.move(tmpChecksum.toPath,
+        SharedDirShuffle.checksumFile(appRoot, shuffleId, mapId).toPath,
+        StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmpIndex.toPath,
-      SharedDirShuffle.indexFile(root, shuffleId, mapId).toPath,
+      SharedDirShuffle.indexFile(appRoot, shuffleId, mapId).toPath,
       StandardCopyOption.ATOMIC_MOVE)
     MapOutputCommitMessage.of(lengths)
   }
 
   override def abort(error: Throwable): Unit = {
     if (out != null) out.close()
-    tmpData.delete(); tmpIndex.delete()
+    tmpData.delete(); tmpIndex.delete(); tmpChecksum.delete()
   }
 }
 
@@ -198,7 +253,8 @@ final class SharedDirShuffleManager(conf: SparkConf, isDriver: Boolean)
   }
 
   private val delegate = new SortShuffleManager(conf)
-  private lazy val root = SharedDirShuffle.root(conf)
+  // lazy: spark.app.id is assigned after manager construction
+  private lazy val appRoot = SharedDirShuffle.appRoot(conf)
 
   override def registerShuffle[K, V, C](shuffleId: Int,
       dependency: org.apache.spark.ShuffleDependency[K, V, C]): ShuffleHandle =
@@ -213,14 +269,15 @@ final class SharedDirShuffleManager(conf: SparkConf, isDriver: Boolean)
       startMapIndex: Int, endMapIndex: Int,
       startPartition: Int, endPartition: Int, context: TaskContext,
       metrics: ShuffleReadMetricsReporter): ShuffleReader[K, C] =
-    new SharedDirShuffleReader(root,
+    new SharedDirShuffleReader(appRoot,
       handle.asInstanceOf[BaseShuffleHandle[K, _, C]],
       startMapIndex, endMapIndex, startPartition, endPartition,
       context, metrics)
 
   override def unregisterShuffle(shuffleId: Int): Boolean = {
     delegate.unregisterShuffle(shuffleId)
-    val d = SharedDirShuffle.shuffleDir(root, shuffleId)
+    // scoped to THIS app's namespace — never another app's shuffle 0
+    val d = SharedDirShuffle.shuffleDir(appRoot, shuffleId)
     // driver and executors may race on the same shared dir: listFiles is
     // null if another process already removed it
     Option(d.listFiles()).foreach(_.foreach(_.delete()))
@@ -237,8 +294,11 @@ final class SharedDirShuffleManager(conf: SparkConf, isDriver: Boolean)
 /** Reduce-side reader over shared-dir block files. Mirrors
   * BlockStoreShuffleReader's record semantics (wrapStream decompression,
   * aggregator combine, keyOrdering spill-sort) minus the network fetch:
-  * every block is a (seek, bounded read) against the shared root. */
-final class SharedDirShuffleReader[K, C](root: File,
+  * every block is a (seek, bounded read) against the shared root.
+  * Shared-root traffic is remote storage, not executor-local disk, so it
+  * reports through the REMOTE read metrics. I/O failures become
+  * FetchFailedException so the DAGScheduler regenerates the map output. */
+final class SharedDirShuffleReader[K, C](appRoot: File,
     handle: BaseShuffleHandle[K, _, C],
     startMapIndex: Int, endMapIndex: Int,
     startPartition: Int, endPartition: Int,
@@ -259,33 +319,65 @@ final class SharedDirShuffleReader[K, C](root: File,
     if (s != null) try s.close() catch { case _: IOException => }
   }
 
-  private def segment(shuffleId: Int, mapId: Long,
-      reduceId: Int): InputStream = {
-    val idx = new DataInputStream(new FileInputStream(
-      SharedDirShuffle.indexFile(root, shuffleId, mapId)))
+  /** A lost/truncated shared-root file is a fetch failure, not a task
+    * error: rethrown as FetchFailedException (with the tracker-listed
+    * writer address) the scheduler unregisters exactly this map output
+    * and resubmits its map task — vanilla Spark's recovery contract. */
+  private def fetchFailed(address: BlockManagerId, sb: ShuffleBlockId,
+      mapIndex: Int, e: IOException): Nothing =
+    throw new FetchFailedException(address, sb.shuffleId, sb.mapId,
+      mapIndex, sb.reduceId, s"shared-root read failed for $sb", e)
+
+  private def segment(address: BlockManagerId, sb: ShuffleBlockId,
+      mapIndex: Int): InputStream = {
     val (start, end) =
       try {
+        // single seek straight to the two offsets — no skip loop, and no
+        // O(numPartitions) read: on NFS/object-store mounts the index
+        // lookup cost per (map, reduce) pair is one open + one seek
+        val raf = new RandomAccessFile(
+          SharedDirShuffle.indexFile(appRoot, sb.shuffleId, sb.mapId), "r")
+        try {
+          raf.seek(sb.reduceId.toLong * 8)
+          (raf.readLong(), raf.readLong())
+        } finally raf.close()
+      } catch { case e: IOException => fetchFailed(address, sb, mapIndex, e) }
+    val in =
+      try {
+        val f = new FileInputStream(
+          SharedDirShuffle.dataFile(appRoot, sb.shuffleId, sb.mapId))
         var skipped = 0L
-        val toSkip = reduceId.toLong * 8
-        while (skipped < toSkip) skipped += idx.skip(toSkip - skipped)
-        (idx.readLong(), idx.readLong())
-      } finally idx.close()
-    val in = new FileInputStream(
-      SharedDirShuffle.dataFile(root, shuffleId, mapId))
-    var skipped = 0L
-    while (skipped < start) skipped += in.skip(start - skipped)
+        while (skipped < start) {
+          val n = f.skip(start - skipped)
+          if (n <= 0) throw new IOException(s"truncated data file for $sb")
+          skipped += n
+        }
+        f
+      } catch { case e: IOException => fetchFailed(address, sb, mapIndex, e) }
     val limit = end - start
-    readMetrics.incLocalBlocksFetched(1)
-    readMetrics.incLocalBytesRead(limit)
+    readMetrics.incRemoteBlocksFetched(1)
+    readMetrics.incRemoteBytesRead(limit)
     val bounded = new InputStream { // bounded view of [start, end)
       private var remaining = limit
       override def read(): Int =
         if (remaining <= 0) -1
-        else { val b = in.read(); if (b >= 0) remaining -= 1; b }
+        else {
+          val b = try in.read()
+            catch { case e: IOException => fetchFailed(address, sb, mapIndex, e) }
+          if (b >= 0) remaining -= 1
+          else if (remaining > 0)
+            fetchFailed(address, sb, mapIndex,
+              new IOException(s"data file truncated $remaining bytes early for $sb"))
+          b
+        }
       override def read(b: Array[Byte], off: Int, len: Int): Int = {
         if (remaining <= 0) return -1
-        val n = in.read(b, off, math.min(len, remaining).toInt)
+        val n = try in.read(b, off, math.min(len, remaining).toInt)
+          catch { case e: IOException => fetchFailed(address, sb, mapIndex, e) }
         if (n > 0) remaining -= n
+        else if (n < 0)
+          fetchFailed(address, sb, mapIndex,
+            new IOException(s"data file truncated $remaining bytes early for $sb"))
         n
       }
       override def close(): Unit = in.close()
@@ -300,12 +392,14 @@ final class SharedDirShuffleReader[K, C](root: File,
       handle.shuffleId, startMapIndex, endMapIndex,
       startPartition, endPartition)
     val recordIter: Iterator[(Any, Any)] = blocks
-      .flatMap(_._2) // the writer's BlockManagerId is irrelevant here
-      .filter { case (_, size, _) => size > 0 }
-      .flatMap { case (blockId, _, _) =>
+      // the writer's BlockManagerId is kept ONLY to attribute fetch
+      // failures; bytes are never requested from it
+      .flatMap { case (address, seq) => seq.iterator.map(b => (address, b)) }
+      .filter { case (_, (_, size, _)) => size > 0 }
+      .flatMap { case (address, (blockId, _, mapIndex)) =>
         val sb = blockId.asInstanceOf[ShuffleBlockId]
         val wrapped = env.serializerManager.wrapStream(
-          sb, segment(sb.shuffleId, sb.mapId, sb.reduceId))
+          sb, segment(address, sb, mapIndex))
         dep.serializer.newInstance().deserializeStream(wrapped)
           .asKeyValueIterator
       }

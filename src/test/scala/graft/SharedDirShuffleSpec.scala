@@ -59,4 +59,27 @@ class SharedDirShuffleSpec extends AnyFunSuite {
     "(local-cluster)") {
     check("cluster")
   }
+
+  test("lost shared-root file → FetchFailedException → map regenerated, " +
+    "job recovers") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_shuffle_fetchfail").toString + "/root"
+    val (code, out) = runJvm("fetchfail", root)
+    assert(code == 0, s"fetchfail JVM failed:\n$out")
+    assert(out.contains("DELETED"), out)
+    val line = out.linesIterator.find(_.startsWith("FETCHFAIL_OK"))
+    // correct result after recovery…
+    assert(line.exists(_.contains("checksum=20015584500")), s"$line\n$out")
+    // …via a real map-stage resubmission (failed result attempt + map
+    // regen + result retry), not a silent reread
+    assert(line.exists(l =>
+      l.split("stagesResubmitted=")(1).split(" ")(0).toInt >= 2),
+      s"no map recompute happened: $line\n$out")
+    // the regenerated map output landed back in the shared root (the
+    // resubmitted stage may legally recommit any subset of maps under
+    // fresh attempt ids, so the dir holds ≥ 8 data files — the committed
+    // 8 the checksum proves readable, plus superseded old attempts)
+    assert(line.exists(l =>
+      l.split("dataFiles=")(1).trim.toInt >= 8), s"$line\n$out")
+  }
 }
