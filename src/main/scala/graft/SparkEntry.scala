@@ -25,7 +25,8 @@ object SparkEntry {
     graft.operators.PipelineExtras, graft.operators.GraphExtras,
     graft.operators.TextPipeline, graft.operators.SurfaceExtras,
     graft.operators.ScalePatterns, graft.operators.CatalogPersistence,
-    graft.operators.CorpusIngest, graft.operators.ModernSql)
+    graft.operators.CorpusIngest, graft.operators.ModernSql,
+    graft.operators.TpcdsShapes)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
