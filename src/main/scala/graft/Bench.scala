@@ -1,5 +1,9 @@
 package graft
 
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs the headline query set on
@@ -7,24 +11,38 @@ import org.apache.spark.sql.SparkSession
   *
   * Queries execute through the `noop` sink so the FULL physical plan runs
   * (a bare `.count()` lets Catalyst prune every column and skip the
-  * project/compute work being measured). Each query gets its own untimed
-  * warmup run (codegen compile + parquet footer caches), then the MIN of
-  * 3 timed runs is reported — a single timed run is swamped by JIT/GC/
-  * co-located-load noise on sub-2 s queries (round-6 BENCH showed phantom
-  * 3× regressions that vanished on an idle rerun), and because timing
-  * noise is strictly additive the minimum is the stablest estimator of
-  * the true plan cost (median-of-3 still let one 0.6 s query wobble 3×
-  * when two of three runs caught a GC pause). Spark's own `benchmark/`
-  * suites use the same warmup+multi-run discipline.
+  * project/compute work being measured). Methodology, hardened over
+  * rounds 6-8 against co-located machine load:
+  *
+  *   - per-query untimed warmup (codegen compile + parquet footer caches),
+  *     then MIN of 3 timed runs — timing noise is strictly additive, so
+  *     the minimum is the stablest estimator of true plan cost;
+  *   - the 3 timed passes run ROUND-ROBIN across the whole query set
+  *     (pass 1 over all queries, then pass 2, then pass 3) instead of
+  *     back-to-back per query: a multi-minute load spike now pollutes at
+  *     most one pass of each query instead of all three runs of whichever
+  *     queries it overlaps (round-7 BENCH recorded 8.1 s for a 1.4 s
+  *     query exactly that way);
+  *   - a fixed calibration sentinel (q97, pure compute) is timed at
+  *     start/middle/end with system load averages; if the sentinel drifts
+  *     >1.5× the run is flagged `"contaminated": true` in the JSON so a
+  *     dirty run is *recorded as dirty* instead of silently skewing
+  *     round-over-round comparisons;
+  *   - the skew stress pair (q193 plain / q194 salted) additionally
+  *     records per-stage straggler metrics (max vs median task duration
+  *     and shuffle-read records in the heaviest stage) via a listener —
+  *     the 1000-executor skew argument rests on the straggler profile,
+  *     not on sf0.1 wall time.
   */
 object Bench {
 
-  /** Headline set: scan-agg, joins (incl. the 5-way TPC-H shapes),
-    * windows, explode, dedup (exact + MinHash/SimHash LSH), similarity
-    * (brute force + LSH), text stats, temporal joins, streaming, and the
-    * compute kernel — the shapes BASELINE.md grades. The heavy multi-join
-    * and temporal plans are here so a planner regression surfaces in the
-    * BENCH totals (the way q123/q127 did in round 3). */
+  /** Headline set: scan-agg, joins (incl. the 5-way TPC-H shapes and the
+    * paper's TPC-DS Q5/Q16/Q94/Q95 quartet), windows, explode, dedup
+    * (exact + MinHash/SimHash LSH), similarity (brute force + LSH), text
+    * stats, temporal joins, streaming, and the compute kernel — the
+    * shapes BASELINE.md grades. The heavy multi-join and temporal plans
+    * are here so a planner regression surfaces in the BENCH totals (the
+    * way q123/q127 did in round 3). */
   val headline: Seq[String] = Seq(
     "q01_pricing_summary", "q03_shipping_priority", "q05_local_supplier_volume",
     "q06_forecast_revenue", "q13_cust_order_distribution", "q22_multi_distinct",
@@ -36,7 +54,47 @@ object Bench {
     "q121_market_share", "q122_product_profit", "q123_returned_items",
     "q127_small_quantity_orders", "q131_sessionize", "q132_funnel",
     "q140_asof_join", "q141_range_join", "q166_trigram_generator",
-    "q182_corpus_pipeline_e2e", "q193_skew_join_plain", "q194_skew_join_salted")
+    "q182_corpus_pipeline_e2e", "q193_skew_join_plain", "q194_skew_join_salted",
+    "q201_tpcds_q16_shipping", "q202_tpcds_q94_shipping",
+    "q203_tpcds_q95_multi_supplier", "q204_tpcds_q5_channel_rollup")
+
+  private val sentinelName = "q97_compute_pi"
+  private val stragglerQueries =
+    Seq("q193_skew_join_plain", "q194_skew_join_salted")
+
+  /** Per-task (duration, shuffle-read records) grouped by stage; events
+    * arrive sequentially on the listener-bus thread. */
+  private final class StageTaskStats extends SparkListener {
+    val byStage = TrieMap[Int, ArrayBuffer[(Long, Long)]]()
+    val taskCount = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+      if (t.taskInfo != null && t.taskMetrics != null) {
+        byStage.getOrElseUpdate(t.stageId, ArrayBuffer()) +=
+          ((t.taskInfo.duration, t.taskMetrics.shuffleReadMetrics.recordsRead))
+        taskCount.incrementAndGet()
+      }
+
+    /** The straggler profile of the heaviest stage (the one holding the
+      * longest single task): max vs median task duration, max vs median
+      * shuffle-read records. A skewed plain join shows max ≫ median; a
+      * salted one is flat. */
+    def summaryJson: String = {
+      val stages = byStage.values.filter(_.nonEmpty)
+      if (stages.isEmpty) return """{"tasks":0}"""
+      // the skew lives in the shuffle-READ (join) stage; scan/map stages
+      // with zero shuffle-read records are not the profile being recorded
+      val withReads = stages.filter(_.exists(_._2 > 0))
+      val hot = (if (withReads.nonEmpty) withReads else stages)
+        .maxBy(_.map(_._1).max)
+      def median(xs: Seq[Long]): Long = xs.sorted.apply(xs.size / 2)
+      val durs = hot.map(_._1).toSeq
+      val recs = hot.map(_._2).toSeq
+      s"""{"tasks":${hot.size},"max_task_sec":${durs.max / 1e3},""" +
+        s""""median_task_sec":${median(durs) / 1e3},""" +
+        s""""max_read_records":${recs.max},""" +
+        s""""median_read_records":${median(recs)}}"""
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -63,19 +121,65 @@ object Bench {
       if (ok) dt else -1.0
     } // scope close (untimed) drops the query's pinned caches
 
-    /** Per-query warmup, then min of 3 timed runs (any failure reports
-      * -1, not a statistic over garbage). */
-    def measure(name: String): Double = {
-      if (runOnce(name) < 0) return -1.0 // warmup (untimed)
-      val times = Seq.fill(3)(runOnce(name))
-      if (times.exists(_ < 0)) -1.0 else times.min
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+
+    // --- warmup pass (untimed) -------------------------------------------
+    val warmed = headline.map(n => n -> (runOnce(n) >= 0)).toMap
+
+    // --- 3 timed passes, round-robin, calibration at start/middle/end ----
+    val cal = ArrayBuffer[Double]()
+    val loads = ArrayBuffer[Double]()
+    def calibrate(): Unit = {
+      cal += (if (warmed(sentinelName)) runOnce(sentinelName) else -1.0)
+      loads += loadAvg
+    }
+    val timings = TrieMap[String, ArrayBuffer[Double]]()
+    calibrate()
+    for (pass <- 1 to 3) {
+      headline.foreach { n =>
+        timings.getOrElseUpdate(n, ArrayBuffer()) +=
+          (if (warmed(n)) runOnce(n) else -1.0)
+      }
+      if (pass == 2) calibrate()
+    }
+    calibrate()
+
+    /** Min of the 3 interleaved runs (any failure reports -1, not a
+      * statistic over garbage). */
+    val results = headline.map { n =>
+      val ts = timings(n).toSeq
+      n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
 
-    val results = headline.map(n => n -> measure(n))
+    // --- straggler instrumentation for the skew pair ----------------------
+    val stragglers = stragglerQueries
+      .filter(n => SparkEntry.queries.contains(n) && warmed.getOrElse(n, false))
+      .map { n =>
+        val stats = new StageTaskStats
+        spark.sparkContext.addSparkListener(stats)
+        runOnce(n)
+        Drain.untilStable(stats.taskCount.get())
+        spark.sparkContext.removeSparkListener(stats)
+        n -> stats.summaryJson
+      }
+
+    val calOk = cal.filter(_ >= 0)
+    val drift = if (calOk.size >= 2) calOk.max / math.max(calOk.min, 1e-3) else -1.0
+    val contaminated = drift > 1.5
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val calJson = cal.mkString("[", ",", "]")
+    val loadJson = loads.mkString("[", ",", "]")
+    val stragglerJson = stragglers
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""calibration":$calJson,"calibration_drift":$drift,""" +
+      s""""contaminated":$contaminated,"load_avg":$loadJson,""" +
+      s""""stragglers":$stragglerJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
