@@ -39,6 +39,22 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(back.count() == 1000)
   }
 
+  test("missing or empty path option fails with a clear error") {
+    import spark.implicits._
+    val df = spark.range(0, 4).select($"id")
+    val noPath = intercept[Exception] {
+      df.write.mode("append").format("graft-manifest").save()
+    }
+    assert(noPath.getMessage.contains("requires .option(\"path\""),
+      noPath.getMessage)
+    val emptyPath = intercept[Exception] {
+      df.write.mode("append").format("graft-manifest")
+        .option("path", "  ").save()
+    }
+    assert(emptyPath.getMessage.contains("path option is empty"),
+      emptyPath.getMessage)
+  }
+
   test("failed job leaves no visible output (abort path)") {
     import spark.implicits._
     val path = tmpDir()
