@@ -26,15 +26,13 @@ class RocksDbStateStoreSpec extends AnyFunSuite {
 
   /** Run a streaming QueryDef start-to-finish under the given provider
     * (the conf is read at stream start, which happens inside run()). */
-  private def resultUnder(q: QueryDef, provider: Option[String]): Seq[Row] = {
-    val prev = spark.conf.getOption(key)
-    provider.foreach(spark.conf.set(key, _))
-    try q.run(spark, sfDir).collect().toSeq
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+  private def resultUnder(q: QueryDef, provider: Option[String]): Seq[Row] =
+    provider match {
+      case Some(p) => Confs.withValues(spark, key -> p) {
+        q.run(spark, sfDir).collect().toSeq
+      }
+      case None => q.run(spark, sfDir).collect().toSeq
     }
-  }
 
   for (q <- Seq(StreamingOps.qStateful, StreamingOps.qFlatMapGroups))
     test(s"${q.name}: RocksDB state store result == default provider") {
