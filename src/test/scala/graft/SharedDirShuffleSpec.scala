@@ -60,6 +60,57 @@ class SharedDirShuffleSpec extends AnyFunSuite {
     check("cluster")
   }
 
+  // Speculative execution itself cannot fire on one machine
+  // (TaskSetManager.hasAttemptOnHost forbids a twin attempt on the
+  // original's host, and every local/local-cluster executor shares
+  // localhost), so the layout-level claim is proven directly: two
+  // concurrent attempts of the SAME map partition — exactly what racing
+  // speculative tasks produce — write and commit attempt-scoped files
+  // that never touch each other, and each index resolves only its own
+  // data. Also covers the .checksum persistence path.
+  test("concurrent attempts of one map partition commit attempt-scoped " +
+    "files — no collision") {
+    import org.apache.spark.shuffle.graft.{SharedDirMapOutputWriter, SharedDirShuffle}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_attempts").toFile
+    val Seq(w1, w2) = Seq(101L, 202L).map(attempt =>
+      new SharedDirMapOutputWriter(root, 7, attempt, 4))
+    for (p <- 0 until 4) { // interleaved, as two racing tasks would
+      for ((w, fill, times) <- Seq((w1, 1, 1), (w2, 2, 2))) {
+        val s = w.getPartitionWriter(p).openStream()
+        s.write(Array.fill(times * (p + 1))(fill.toByte)); s.close()
+      }
+    }
+    w1.commitAllPartitions(Array(11L, 22L, 33L, 44L))
+    w2.commitAllPartitions(Array.empty)
+    def bytes(f: java.io.File): Array[Byte] =
+      java.nio.file.Files.readAllBytes(f.toPath)
+    // each attempt's data file holds exactly its own writes
+    val d1 = bytes(SharedDirShuffle.dataFile(root, 7, 101L))
+    val d2 = bytes(SharedDirShuffle.dataFile(root, 7, 202L))
+    assert(d1.length == 10 && d1.forall(_ == 1), d1.toSeq)
+    assert(d2.length == 20 && d2.forall(_ == 2), d2.toSeq)
+    // each index resolves its own offsets (cumulative, numPartitions+1)
+    def offsets(f: java.io.File): Seq[Long] = {
+      val in = new java.io.DataInputStream(new java.io.FileInputStream(f))
+      try Seq.fill(5)(in.readLong()) finally in.close()
+    }
+    assert(offsets(SharedDirShuffle.indexFile(root, 7, 101L)) ==
+      Seq(0L, 1L, 3L, 6L, 10L))
+    assert(offsets(SharedDirShuffle.indexFile(root, 7, 202L)) ==
+      Seq(0L, 2L, 6L, 12L, 20L))
+    // checksums persisted for the attempt that supplied them, only
+    val ck = new java.io.DataInputStream(new java.io.FileInputStream(
+      SharedDirShuffle.checksumFile(root, 7, 101L)))
+    try assert(Seq.fill(4)(ck.readLong()) == Seq(11L, 22L, 33L, 44L))
+    finally ck.close()
+    assert(!SharedDirShuffle.checksumFile(root, 7, 202L).exists())
+    // no temp files survive either commit
+    val leftover = SharedDirShuffle.shuffleDir(root, 7).listFiles()
+      .map(_.getName).filter(_.endsWith(".tmp"))
+    assert(leftover.isEmpty, leftover.toSeq)
+  }
+
   test("lost shared-root file → FetchFailedException → map regenerated, " +
     "job recovers") {
     val root = java.nio.file.Files
