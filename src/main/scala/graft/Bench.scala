@@ -56,7 +56,8 @@ object Bench {
     "q140_asof_join", "q141_range_join", "q166_trigram_generator",
     "q182_corpus_pipeline_e2e", "q193_skew_join_plain", "q194_skew_join_salted",
     "q201_tpcds_q16_shipping", "q202_tpcds_q94_shipping",
-    "q203_tpcds_q95_multi_supplier", "q204_tpcds_q5_channel_rollup")
+    "q203_tpcds_q95_multi_supplier", "q204_tpcds_q5_channel_rollup",
+    "q205_tpcds_q95_cte_materialized")
 
   private val sentinelName = "q97_compute_pi"
   private val stragglerQueries =

@@ -118,6 +118,43 @@ object TpcdsShapes extends QueryModule {
     GROUP BY ROLLUP (channel, n_name)
     ORDER BY channel NULLS FIRST, n_name NULLS FIRST""")
 
+  /** Q95 again, with the CTE MATERIALIZED: stock Spark inlines the
+    * multi-supplier set into both IN-subqueries, so the heavy
+    * lineitem⋈lineitem distinct runs twice (q203's plan has zero
+    * ReusedExchange nodes — the two consumers canonicalize differently).
+    * Here the derived set is computed once (localCheckpoint truncates it
+    * to a cached (long)-key table, the size of the order-key domain) and
+    * both gates become semi joins against it. Same rows, same oracle as
+    * q203 — the q193/q194 anti-pattern-vs-fix pattern applied to CTE
+    * recompute; BENCH records both. */
+  val q95Materialized: QueryDef = QueryDef(
+    "q205_tpcds_q95_cte_materialized",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val li = Tables.df(s, d, "lineitem")
+      val multi = li.as("l1")
+        .join(li.as("l2"),
+          $"l1.l_orderkey" === $"l2.l_orderkey" &&
+            $"l1.l_suppkey" =!= $"l2.l_suppkey")
+        .select($"l1.l_orderkey".as("mkey")).distinct()
+        .localCheckpoint() // the one computation of the heavy self-join
+      val returnedMulti = li.filter($"l_returnflag" === "R")
+        .join(multi, $"l_orderkey" === $"mkey", "left_semi")
+        .select($"l_orderkey".as("rkey")).distinct()
+      li.join(Tables.df(s, d, "orders"), $"l_orderkey" === $"o_orderkey")
+        .filter($"o_orderdate" >= lit("1998-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1998-04-01").cast("timestamp"))
+        .join(multi, $"l_orderkey" === $"mkey", "left_semi")
+        .join(returnedMulti, $"l_orderkey" === $"rkey", "left_semi")
+        .agg(countDistinct($"l_orderkey").as("order_count"),
+          graft.functions.Exact.dsum(
+            $"l_extendedprice" * (lit(1.0) - $"l_discount"))
+            .as("total_revenue"))
+    },
+    q95MultiSupplier.oracle) // identical result set by construction
+
   override def defs: Seq[QueryDef] =
-    Seq(q16Shipping, q94Shipping, q95MultiSupplier, q5ChannelRollup)
+    Seq(q16Shipping, q94Shipping, q95MultiSupplier, q5ChannelRollup,
+      q95Materialized)
 }
