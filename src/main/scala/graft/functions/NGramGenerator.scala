@@ -49,15 +49,23 @@ case class NGramGenerator(child: Expression, n: Int)
     if (arr == null || arr.numElements() < n) Iterator.empty
     else {
       val len = arr.numElements()
+      // One reusable slot buffer (separators pre-set) and one reusable
+      // output row for the whole document: GenerateExec projects each
+      // emitted row into its own unsafe buffer before anything retains
+      // it (same single-row-reuse contract explode's iterator relies
+      // on), so per-ngram allocation is just the concat result.
+      val parts = new Array[UTF8String](2 * n - 1)
+      var k = 1
+      while (k < parts.length) { parts(k) = sep; k += 2 }
+      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
       (0 to len - n).iterator.map { i =>
-        val parts = new Array[UTF8String](2 * n - 1)
         var j = 0
         while (j < n) {
-          if (j > 0) parts(2 * j - 1) = sep
           parts(2 * j) = arr.getUTF8String(i + j)
           j += 1
         }
-        InternalRow(UTF8String.concat(parts: _*))
+        row.update(0, UTF8String.concat(parts: _*))
+        row
       }
     }
   }
