@@ -173,6 +173,33 @@ object ShuffleStorageDemo {
       val resubmitted = Drain.untilStable(stageSubmits.get().toLong) - before
       println(s"PHASE2_OK checksum=$checksum2 stagesSubmitted=$resubmitted")
 
+      if (mode == "local") {
+        // --- checksum audit: clean pass, then detect a flipped byte ------
+        // spark.shuffle.checksum.enabled is on by default, so every
+        // committed map output has a .checksum companion; the audit
+        // recomputes each segment and must (a) pass clean, (b) name
+        // exactly the segment a single flipped byte lands in.
+        import org.apache.spark.shuffle.graft.SharedDirShuffleAudit
+        val appDir = new File(root).listFiles().head
+        val (segs, bad) = SharedDirShuffleAudit.verify(appDir)
+        val victim = appDir.listFiles()
+          .filter(_.getName.startsWith("shuffle_"))
+          .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+          .filter(f => f.getName.endsWith(".data") && f.length() > 0)
+          .maxBy(_.length())
+        val raf = new java.io.RandomAccessFile(victim, "rw")
+        try {
+          raf.seek(victim.length() / 2)
+          val b = raf.read()
+          raf.seek(victim.length() / 2)
+          raf.write(b ^ 0xFF)
+        } finally raf.close()
+        val (_, badAfter) = SharedDirShuffleAudit.verify(appDir)
+        println(s"AUDIT_OK segments=$segs corruptBefore=${bad.size} " +
+          s"corruptAfter=${badAfter.size} " +
+          s"named=${badAfter.exists(_.contains(victim.getName))}")
+      }
+
       if (mode == "fetchfail") {
         // --- storage loss: delete one committed map output ----------------
         // Remove one of the 8 map data files of COMBINED's own shuffle

@@ -124,6 +124,70 @@ object SharedDirShuffle {
     new File(shuffleDir(appRoot, shuffleId), s"$mapId.checksum")
 }
 
+/** Offline integrity audit over the persisted per-partition checksums:
+  * recomputes each committed data segment's checksum (the writer chain
+  * checksums the raw bytes as they land in the file, so a segment's
+  * checksum is recomputable from `[offset_i, offset_i+1)`) and compares
+  * with the `.checksum` longs. This is what makes shared-storage
+  * corruption AUDITABLE without a job: run it against an app dir after
+  * an NFS incident, get the exact (map, partition) segments to
+  * invalidate. Algorithm must match `spark.shuffle.checksum.algorithm`
+  * (ADLER32 default, CRC32/CRC32C accepted). */
+object SharedDirShuffleAudit {
+  def verify(appDir: File,
+      algorithm: String = "ADLER32"): (Int, Seq[String]) = {
+    def longsOf(f: File): Array[Long] = {
+      val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(new FileInputStream(f)))
+      try Iterator.continually(
+        try Some(in.readLong()) catch { case _: java.io.EOFException => None })
+        .takeWhile(_.isDefined).flatten.toArray
+      finally in.close()
+    }
+    def checksum(): java.util.zip.Checksum = algorithm.toUpperCase match {
+      case "ADLER32" => new java.util.zip.Adler32
+      case "CRC32"   => new java.util.zip.CRC32
+      case "CRC32C"  => new java.util.zip.CRC32C
+      case a => throw new IllegalArgumentException(s"unknown algorithm $a")
+    }
+    var segments = 0
+    val corrupt = scala.collection.mutable.ArrayBuffer[String]()
+    val shuffleDirs = Option(appDir.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("shuffle_"))
+    for {
+      d <- shuffleDirs
+      ck <- Option(d.listFiles()).getOrElse(Array.empty)
+      if ck.getName.endsWith(".checksum")
+    } {
+      val mapId = ck.getName.stripSuffix(".checksum")
+      val index = new File(d, s"$mapId.index")
+      val data = new File(d, s"$mapId.data")
+      if (index.isFile && data.isFile) { // committed outputs only
+        val offsets = longsOf(index)
+        val expected = longsOf(ck)
+        val in = new java.io.BufferedInputStream(new FileInputStream(data))
+        try {
+          val buf = new Array[Byte](64 * 1024)
+          for (i <- expected.indices) {
+            val c = checksum()
+            var remaining = offsets(i + 1) - offsets(i)
+            while (remaining > 0) {
+              val n = in.read(buf, 0, math.min(buf.length, remaining).toInt)
+              if (n < 0) throw new IOException(s"$data truncated at seg $i")
+              c.update(buf, 0, n)
+              remaining -= n
+            }
+            segments += 1
+            if (c.getValue != expected(i))
+              corrupt += s"${d.getName}/$mapId.data[$i]"
+          }
+        } finally in.close()
+      }
+    }
+    (segments, corrupt.toSeq)
+  }
+}
+
 final class SharedDirExecutorComponents(conf: SparkConf)
     extends ShuffleExecutorComponents {
   private var appRoot: File = _

@@ -38,9 +38,16 @@ class SharedDirShuffleSpec extends AnyFunSuite {
     assert(storage.exists(s =>
       s.split("sharedFiles=")(1).split(" ")(0).toInt > 0),
       s"no shuffle files in the shared root: $storage\n$out")
-    if (mode == "local")
+    if (mode == "local") {
       // AQE skew-split forced → reader served map-subrange requests
       assert(out.contains("SKEWREAD_OK equal=true skewSplit=true"), out)
+      // checksum audit: clean before, one flipped byte detected after,
+      // and the corrupt segment is named
+      val audit = out.linesIterator.find(_.startsWith("AUDIT_OK"))
+      assert(audit.exists(a => a.contains("corruptBefore=0") &&
+        a.contains("corruptAfter=1") && a.contains("named=true") &&
+        a.split("segments=")(1).split(" ")(0).toInt > 0), s"$audit\n$out")
+    }
     if (mode == "cluster") {
       assert(out.contains("KILLED executor="), out)
       // a fresh SQL shuffle on the post-loss topology still round-trips
