@@ -71,11 +71,18 @@ object ShuffleStorageDemo {
 
     val stageSubmits = new java.util.concurrent.atomic.AtomicInteger
     val executors = TrieMap[String, Boolean]()
+    val remoteBytes = new java.util.concurrent.atomic.AtomicLong
+    val localBytes = new java.util.concurrent.atomic.AtomicLong
     sc.addSparkListener(new SparkListener {
       override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
         stageSubmits.incrementAndGet()
       override def onExecutorAdded(e: SparkListenerExecutorAdded): Unit =
         executors.put(e.executorId, true)
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) {
+          remoteBytes.addAndGet(t.taskMetrics.shuffleReadMetrics.remoteBytesRead)
+          localBytes.addAndGet(t.taskMetrics.shuffleReadMetrics.localBytesRead)
+        }
     })
 
     try {
@@ -110,6 +117,12 @@ object ShuffleStorageDemo {
             (f.getName.endsWith(".data") || f.getName.endsWith(".index")))
       }
       println(s"STORAGE_OK sharedFiles=${sharedFiles.length} localLeaks=$localLeaks")
+
+      // shared-root traffic is remote storage, not executor-local disk —
+      // the telemetry must say so (listener sums across phase-1 tasks)
+      Drain.untilStable(remoteBytes.get() + localBytes.get())
+      println(s"READMETRICS_OK remoteBytes=${remoteBytes.get()} " +
+        s"localBytes=${localBytes.get()}")
 
       if (mode == "local") {
         // --- AQE skew-split reads: map-subrange getReader calls -----------

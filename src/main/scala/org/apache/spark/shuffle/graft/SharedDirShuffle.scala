@@ -381,6 +381,11 @@ final class SharedDirShuffleReader[K, C](appRoot: File,
   context.addTaskCompletionListener[Unit] { _ =>
     val s = openSegment
     if (s != null) try s.close() catch { case _: IOException => }
+    // temp shuffle-read metrics only reach TaskMetrics when a reader
+    // merges them (BlockStoreShuffleReader does it in its completion
+    // iterator; the only other caller is the 10 s heartbeat) — without
+    // this, every sub-heartbeat task reports ZERO shuffle read
+    context.taskMetrics().mergeShuffleReadMetrics()
   }
 
   /** A lost/truncated shared-root file is a fetch failure, not a task

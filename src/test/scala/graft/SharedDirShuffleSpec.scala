@@ -38,6 +38,12 @@ class SharedDirShuffleSpec extends AnyFunSuite {
     assert(storage.exists(s =>
       s.split("sharedFiles=")(1).split(" ")(0).toInt > 0),
       s"no shuffle files in the shared root: $storage\n$out")
+    // shuffle-read telemetry attributes shared-root traffic as REMOTE
+    // storage (the ADVICE-flagged misattribution), never local disk
+    val metrics = out.linesIterator.find(_.startsWith("READMETRICS_OK"))
+    assert(metrics.exists(m =>
+      m.split("remoteBytes=")(1).split(" ")(0).toLong > 0 &&
+        m.split("localBytes=")(1).trim.toLong == 0), s"$metrics\n$out")
     if (mode == "local") {
       // AQE skew-split forced → reader served map-subrange requests
       assert(out.contains("SKEWREAD_OK equal=true skewSplit=true"), out)
