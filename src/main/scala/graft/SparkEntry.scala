@@ -26,7 +26,8 @@ object SparkEntry {
     graft.operators.TextPipeline, graft.operators.SurfaceExtras,
     graft.operators.ScalePatterns, graft.operators.CatalogPersistence,
     graft.operators.CorpusIngest, graft.operators.ModernSql,
-    graft.operators.TpcdsShapes, graft.operators.Spark4Sql)
+    graft.operators.TpcdsShapes, graft.operators.Spark4Sql,
+    graft.streaming.TransformWithStateOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

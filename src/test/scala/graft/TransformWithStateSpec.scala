@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.TransformWithStateOps.{PerTypeCountProcessor, UserTotalsProcessor}
+
+/** transformWithState semantics beyond q212's oracle row: named state
+  * variables persist ACROSS micro-batches (the property that separates
+  * stateful processing from per-batch aggregation), and MapState gives
+  * per-sub-key state without packing maps into one value blob. Both run
+  * under the RocksDB provider, which transformWithState requires. */
+class TransformWithStateSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local(4)
+
+  private val providerConf =
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  test("ValueState carries counts and exact sums across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    Confs.withValues(spark, providerConf) {
+      val input = MemoryStream[(Long, java.math.BigDecimal)]
+      val out = input.toDS()
+        .groupByKey(_._1)
+        .transformWithState(new UserTotalsProcessor, TimeMode.None(), OutputMode.Update)
+        .toDF("user_id", "n", "total")
+      val q = out.writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("tws_batches").start()
+      try {
+        def dec(s: String) = new java.math.BigDecimal(s)
+        input.addData((1L, dec("1.10")), (1L, dec("2.20")), (2L, dec("5.00")))
+        q.processAllAvailable()
+        input.addData((1L, dec("3.30")), (3L, dec("7.00")))
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val rows = spark.table("tws_batches")
+        .groupBy($"user_id")
+        .agg(max($"n").as("n"), expr("max_by(total, n)").as("total"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getDecimal(2).stripTrailingZeros.toPlainString))
+        .toMap
+      // user 1 spans both batches: state resumed, not reset.
+      assert(rows(1L) == (3L, "6.6"))
+      assert(rows(2L) == (1L, "5"))
+      assert(rows(3L) == (1L, "7"))
+      // batch 1 emitted the intermediate (2, 3.30) row for user 1 —
+      // proof the result above really accumulated across two batches.
+      val interim = spark.table("tws_batches")
+        .filter($"user_id" === 1L && $"n" === 2L).collect()
+      assert(interim.length == 1)
+      assert(interim.head.getDecimal(2).stripTrailingZeros.toPlainString == "3.3")
+    }
+  }
+
+  test("MapState keeps independent per-sub-key counts under one grouping key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    Confs.withValues(spark, providerConf) {
+      val input = MemoryStream[(Long, String)]
+      val out = input.toDS()
+        .groupByKey(_._1)
+        .transformWithState(new PerTypeCountProcessor, TimeMode.None(), OutputMode.Update)
+        .toDF("user_id", "etype", "n")
+      val q = out.writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("tws_map").start()
+      try {
+        input.addData((1L, "click"), (1L, "view"), (1L, "click"), (2L, "view"))
+        q.processAllAvailable()
+        input.addData((1L, "click"), (2L, "view"), (2L, "buy"))
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val finalCounts = spark.table("tws_map")
+        .groupBy($"user_id", $"etype").agg(max($"n").as("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(finalCounts == Map(
+        (1L, "click") -> 3L, (1L, "view") -> 1L,
+        (2L, "view") -> 2L, (2L, "buy") -> 1L))
+    }
+  }
+}
