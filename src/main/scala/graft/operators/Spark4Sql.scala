@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.{QueryDef, QueryModule, Tables}
 import graft.functions.Exact.dsumSql
 
-/** Spark-4-only SQL surface (SURVEY §2.14 continuation): the entry points
+/** Spark-4-era SQL surface (SURVEY §2.14 continuation): the entry points
   * a user migrating off the reference meets first in a current Spark,
   * each proven equivalent to its classic formulation by a DuckDB oracle.
   *
@@ -39,7 +39,23 @@ import graft.functions.Exact.dsumSql
   *    stored files carry materialized values (no read-side patching; a
   *    default change never rewrites data, it only affects later inserts).
   *
-  * All six are DuckDB-oracle-checked; money/score sums go through the
+  * Plus the error-handling / ordered-aggregation long tail the same
+  * migration hits (q213–q215):
+  *
+  *  - `try_divide`/`try_cast`/`try_add`/`try_element_at` — NULL-on-error
+  *    evaluation (the engine-level form of defensive parsing; the
+  *    reference's CSV/JSON readers do this per-field in the parser).
+  *    DuckDB's TRY_CAST / CASE-guards reproduce each semantics exactly.
+  *  - `listagg(...) WITHIN GROUP (ORDER BY ...)` — ordered string
+  *    aggregation (SQL:2016); the explicit ORDER BY makes the
+  *    concatenation deterministic, so it oracle-matches DuckDB's
+  *    string_agg ORDER BY form bit for bit.
+  *  - `IGNORE NULLS` window fill (`last_value ... IGNORE NULLS` over a
+  *    running frame) — forward-fill, the time-series/feature-pipeline
+  *    staple. One window shuffle by partition key; the fill itself is a
+  *    per-partition linear pass.
+  *
+  * All are DuckDB-oracle-checked; money/score sums go through the
   * exact-decimal route so results are bit-identical across engines.
   */
 object Spark4Sql extends QueryModule {
@@ -215,7 +231,90 @@ object Spark4Sql extends QueryModule {
         CAST(SUM(CAST(score AS DECIMAL(5,2))) AS DOUBLE) AS score_sum
       FROM t GROUP BY status ORDER BY status"""))
 
+  /** The try_* family, each arm counting its non-error results: /0,
+    * unparseable string, overflowing add, out-of-bounds element. Counts
+    * are integers ⇒ deterministic; the oracle re-derives each arm with
+    * TRY_CAST or an explicit CASE guard. */
+  val qTryFunctions: QueryDef = QueryDef(
+    "q213_try_functions",
+    (s, d) => run(s, d, """
+      SELECT l_returnflag,
+        COUNT(try_divide(l_extendedprice, l_linenumber - 4)) AS n_div_ok,
+        COUNT(try_cast(l_linestatus AS INT)) AS n_status_num,
+        COUNT(try_cast(CASE WHEN l_linenumber <= 3 THEN CAST(l_linenumber AS STRING)
+                       ELSE concat('x', l_linenumber) END AS INT)) AS n_cast_ok,
+        COUNT(try_add(l_linenumber, 9223372036854775806L)) AS n_add_ok,
+        COUNT(try_element_at(array(1, 2, 3), l_linenumber)) AS n_elem_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    Some("""
+      SELECT l_returnflag,
+        CAST(COUNT(CASE WHEN l_linenumber <> 4 THEN 1 END) AS BIGINT) AS n_div_ok,
+        CAST(COUNT(TRY_CAST(l_linestatus AS INT)) AS BIGINT) AS n_status_num,
+        CAST(COUNT(TRY_CAST(CASE WHEN l_linenumber <= 3 THEN CAST(l_linenumber AS VARCHAR)
+                   ELSE concat('x', CAST(l_linenumber AS VARCHAR)) END AS INT))
+          AS BIGINT) AS n_cast_ok,
+        CAST(COUNT(CASE WHEN l_linenumber = 1 THEN 1 END) AS BIGINT) AS n_add_ok,
+        CAST(COUNT(list_extract([1,2,3], l_linenumber)) AS BIGINT) AS n_elem_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Ordered string aggregation: the per-region nation roster. The
+    * WITHIN GROUP ordering pins element order, so the concatenated
+    * string is deterministic at any parallelism (partial aggregates
+    * carry the values, the final sort happens once per group). */
+  val qListAgg: QueryDef = QueryDef(
+    "q214_listagg",
+    (s, d) => run(s, d, """
+      SELECT r_name,
+        listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+        COUNT(*) AS n
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name"""),
+    Some("""
+      SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name"""))
+
+  /** IGNORE NULLS forward-fill: every third order carries a price
+    * observation; last_value IGNORE NULLS over a running frame fills the
+    * gaps per customer. The summary row (counts + exact-decimal sum of
+    * the filled series) pins every filled cell without emitting 1.5 M
+    * rows at sf0.1. Spark spells it `last_value(x) IGNORE NULLS`,
+    * DuckDB `last_value(x IGNORE NULLS)` — same SQL:2011 semantics. */
+  val qIgnoreNullsFill: QueryDef = QueryDef(
+    "q215_ignore_nulls_ffill",
+    (s, d) => run(s, d, """
+      WITH src AS (
+        SELECT o_custkey, o_orderkey,
+          CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END AS px
+        FROM orders),
+      filled AS (
+        SELECT px,
+          last_value(px) IGNORE NULLS OVER (
+            PARTITION BY o_custkey ORDER BY o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS px_filled
+        FROM src)
+      SELECT COUNT(*) AS n_rows, COUNT(px) AS n_obs, COUNT(px_filled) AS n_filled,
+        CAST(SUM(CAST(px_filled AS DECIMAL(18,6))) AS DOUBLE) AS total_filled
+      FROM filled"""),
+    Some("""
+      WITH src AS (
+        SELECT o_custkey, o_orderkey,
+          CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END AS px
+        FROM orders),
+      filled AS (
+        SELECT px,
+          last_value(px IGNORE NULLS) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS px_filled
+        FROM src)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(COUNT(px) AS BIGINT) AS n_obs,
+        CAST(COUNT(px_filled) AS BIGINT) AS n_filled,
+        CAST(SUM(CAST(px_filled AS DECIMAL(18,6))) AS DOUBLE) AS total_filled
+      FROM filled"""))
+
   override def defs: Seq[QueryDef] = Seq(
     qPipeSyntax, qCollatedGroup, qSqlScripting, qExecuteImmediate,
-    qApproxTopK, qDefaultColumns)
+    qApproxTopK, qDefaultColumns, qTryFunctions, qListAgg, qIgnoreNullsFill)
 }
