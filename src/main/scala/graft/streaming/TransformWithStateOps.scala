@@ -4,8 +4,8 @@ import java.math.{BigDecimal => JBigDecimal}
 
 import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor,
-  TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, MapState,
+  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 import graft.{Confs, QueryDef, QueryModule}
 
@@ -73,6 +73,39 @@ object TransformWithStateOps extends QueryModule {
         touched += t
       }
       touched.iterator.map(t => (key, t, counts.getValue(t)))
+    }
+  }
+
+  /** Gap-based sessionization with EVENT-TIME TIMERS: event times
+    * accumulate in a ListState; each batch re-arms one timer at
+    * max(event time)+gap, and when the watermark passes it,
+    * `handleExpiredTimer` emits the closed session (count + duration)
+    * and clears the key's state. This is the custom form of q139's
+    * built-in session_window — the shape to reach for when session
+    * close needs side outputs or non-time close conditions. State per
+    * key is one list + one timer; both vanish at session close, so
+    * steady-state store size tracks OPEN sessions only. Used by
+    * TransformWithStateSpec. */
+  class SessionGapProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, (Long, java.sql.Timestamp), (Long, Long, Long)] {
+    @transient private var times: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      times = getHandle.getListState[Long]("times", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+      rows.foreach(r => times.appendValue(r._2.getTime))
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(times.get().max + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long)] = {
+      val ts = times.get().toList
+      times.clear()
+      Iterator.single((key, ts.size.toLong, ts.max - ts.min))
     }
   }
 

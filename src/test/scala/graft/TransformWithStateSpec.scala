@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.TransformWithStateOps.{PerTypeCountProcessor, UserTotalsProcessor}
+import graft.streaming.TransformWithStateOps.{PerTypeCountProcessor, SessionGapProcessor, UserTotalsProcessor}
 
 /** transformWithState semantics beyond q212's oracle row: named state
   * variables persist ACROSS micro-batches (the property that separates
@@ -83,6 +83,41 @@ class TransformWithStateSpec extends AnyFunSuite {
       assert(finalCounts == Map(
         (1L, "click") -> 3L, (1L, "view") -> 1L,
         (2L, "view") -> 2L, (2L, "buy") -> 1L))
+    }
+  }
+
+  test("event-time timer closes a gap session when the watermark passes it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Confs.withValues(spark, providerConf) {
+      val input = MemoryStream[(Long, java.sql.Timestamp)]
+      val out = input.toDS().toDF("user", "ts")
+        .withWatermark("ts", "10 seconds")
+        .as[(Long, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .transformWithState(new SessionGapProcessor(60000L),
+          TimeMode.EventTime(), OutputMode.Append)
+        .toDF("user", "n", "dur_ms")
+      val q = out.writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("tws_session").start()
+      try {
+        // user 1's session: two events 5 s apart.
+        input.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:00:05")))
+        q.processAllAvailable()
+        assert(spark.table("tws_session").isEmpty, "session still open")
+        // user 2 five minutes later pushes the watermark far past user 1's
+        // gap timeout; the watermark update lands next batch, so a third
+        // batch lets the timer fire.
+        input.addData((2L, ts("2024-01-01 10:05:00")))
+        q.processAllAvailable()
+        input.addData((2L, ts("2024-01-01 10:05:01")))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("tws_session").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // user 1 closed with both events; user 2's session is still open.
+      assert(rows.toSeq == Seq((1L, 2L, 5000L)))
     }
   }
 }
