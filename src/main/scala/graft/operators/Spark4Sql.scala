@@ -54,6 +54,8 @@ import graft.functions.Exact.dsumSql
   *    running frame) — forward-fill, the time-series/feature-pipeline
   *    staple. One window shuffle by partition key; the fill itself is a
   *    per-partition linear pass.
+  *  - Named `WINDOW` clause (q216) and the approx_top_k accumulate/
+  *    combine/estimate sketch algebra (q217).
   *
   * All are DuckDB-oracle-checked; money/score sums go through the
   * exact-decimal route so results are bit-identical across engines.
@@ -314,7 +316,51 @@ object Spark4Sql extends QueryModule {
         CAST(SUM(CAST(px_filled AS DECIMAL(18,6))) AS DOUBLE) AS total_filled
       FROM filled"""))
 
+  private val windowClauseSql = """
+      SELECT * FROM (
+        SELECT o_orderpriority, o_orderkey,
+          CAST(rank() OVER w AS INT) AS rk,
+          lead(o_orderkey) OVER w AS nxt_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC, o_orderkey))
+      WHERE rk <= 3 ORDER BY o_orderpriority, rk"""
+
+  /** Named WINDOW clause (SQL:2003): one frame definition shared by
+    * several window functions — and, crucially, ONE Window exec / one
+    * sort for all of them (same dedup Catalyst applies to repeated
+    * inline frames, but spelled once). o_orderkey tiebreaks the ordering
+    * so rank and lead are deterministic. Spark and DuckDB run the
+    * IDENTICAL text. */
+  val qWindowClause: QueryDef = QueryDef(
+    "q216_window_clause",
+    (s, d) => run(s, d, windowClauseSql),
+    Some(windowClauseSql))
+
+  /** Sketch ALGEBRA: approx_top_k_accumulate builds per-shard sketches,
+    * approx_top_k_combine merges them, approx_top_k_estimate reads the
+    * merged result — the persistable-partial-aggregate pattern for
+    * incremental corpus stats (store shard sketches, merge on demand,
+    * never rescan). Same exact-regime argument as q210, so the merged
+    * estimate hash-matches the true group-by. */
+  val qTopKSketchAlgebra: QueryDef = QueryDef(
+    "q217_topk_sketch_algebra",
+    (s, d) => run(s, d, """
+      WITH parts AS (
+        SELECT o_orderkey % 4 AS shard,
+               approx_top_k_accumulate(o_orderpriority, 10) AS sk
+        FROM orders GROUP BY o_orderkey % 4),
+      merged AS (SELECT approx_top_k_combine(sk) AS sk FROM parts)
+      SELECT t.item AS priority, t.count AS n
+      FROM (SELECT explode(approx_top_k_estimate(sk, 5)) AS t FROM merged)
+      ORDER BY n DESC, priority"""),
+    Some("""
+      SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_orderpriority
+      ORDER BY n DESC, priority"""))
+
   override def defs: Seq[QueryDef] = Seq(
     qPipeSyntax, qCollatedGroup, qSqlScripting, qExecuteImmediate,
-    qApproxTopK, qDefaultColumns, qTryFunctions, qListAgg, qIgnoreNullsFill)
+    qApproxTopK, qDefaultColumns, qTryFunctions, qListAgg, qIgnoreNullsFill,
+    qWindowClause, qTopKSketchAlgebra)
 }
