@@ -5,7 +5,8 @@ import java.math.{BigDecimal => JBigDecimal}
 import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, MapState,
-  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+  OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, TimeMode,
+  TimerValues, TTLConfig, ValueState}
 
 import graft.{Confs, QueryDef, QueryModule}
 
@@ -73,6 +74,41 @@ object TransformWithStateOps extends QueryModule {
         touched += t
       }
       touched.iterator.map(t => (key, t, counts.getValue(t)))
+    }
+  }
+
+  /** UserTotalsProcessor with BATCH-BOOTSTRAPPED state
+    * (StatefulProcessorWithInitialState): the migration path for moving a
+    * standing aggregate into a stream — seed each key's state from a
+    * batch Dataset (a parquet snapshot of historical totals), then
+    * resume counting increments. handleInitialState runs once per seeded
+    * key before any input rows; keys absent from the seed start cold.
+    * Used by TransformWithStateSpec. */
+  class BootstrappedTotalsProcessor
+      extends StatefulProcessorWithInitialState[
+        Long, (Long, JBigDecimal), (Long, Long, JBigDecimal), (Long, JBigDecimal)] {
+    @transient private var nState: ValueState[Long] = _
+    @transient private var sumState: ValueState[JBigDecimal] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      nState = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+      sumState = getHandle.getValueState[JBigDecimal]("sum", Encoders.DECIMAL, TTLConfig.NONE)
+    }
+
+    override def handleInitialState(key: Long, initialState: (Long, JBigDecimal),
+        timerValues: TimerValues): Unit = {
+      nState.update(initialState._1)
+      sumState.update(initialState._2)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, JBigDecimal)],
+        timerValues: TimerValues): Iterator[(Long, Long, JBigDecimal)] = {
+      var n = if (nState.exists()) nState.get() else 0L
+      var total = if (sumState.exists()) sumState.get() else JBigDecimal.ZERO
+      rows.foreach { r => n += 1; total = total.add(r._2) }
+      nState.update(n)
+      sumState.update(total)
+      Iterator.single((key, n, total))
     }
   }
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.TransformWithStateOps.{PerTypeCountProcessor, SessionGapProcessor, UserTotalsProcessor}
+import graft.streaming.TransformWithStateOps.{BootstrappedTotalsProcessor, PerTypeCountProcessor, SessionGapProcessor, UserTotalsProcessor}
 
 /** transformWithState semantics beyond q212's oracle row: named state
   * variables persist ACROSS micro-batches (the property that separates
@@ -118,6 +118,37 @@ class TransformWithStateSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       // user 1 closed with both events; user 2's session is still open.
       assert(rows.toSeq == Seq((1L, 2L, 5000L)))
+    }
+  }
+
+  test("initial state seeds keys from a batch Dataset; unseeded keys start cold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def dec(s: String) = new java.math.BigDecimal(s)
+    Confs.withValues(spark, providerConf) {
+      // The historical snapshot a migration would read from parquet.
+      val seed = Seq((1L, (2L, dec("10.00"))), (5L, (7L, dec("70.00"))))
+        .toDS().groupByKey(_._1).mapValues(_._2)
+      val input = MemoryStream[(Long, java.math.BigDecimal)]
+      val out = input.toDS()
+        .groupByKey(_._1)
+        .transformWithState(new BootstrappedTotalsProcessor,
+          TimeMode.None(), OutputMode.Update, seed)
+        .toDF("user_id", "n", "total")
+      val q = out.writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("tws_boot").start()
+      try {
+        input.addData((1L, dec("5.00")), (9L, dec("1.00")))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("tws_boot").collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getDecimal(2).stripTrailingZeros.toPlainString)).toMap
+      // user 1 resumed from the seeded (2, 10.00); user 9 started cold.
+      assert(rows(1L) == (3L, "15"))
+      assert(rows(9L) == (1L, "1"))
+      // user 5 was seeded but saw no input ⇒ no emission this batch.
+      assert(!rows.contains(5L))
     }
   }
 }
