@@ -39,16 +39,34 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * serialize as CSV of the row's fields. `failPartition` injects a
   * first-attempt task failure for ManifestSinkSpec's abort/atomicity
   * proofs. Usage: `df.write.format("graft-manifest").option("path", p)`.
+  *
+  * Since round 8 every commit is additionally an immutable VERSIONED
+  * snapshot (`_MANIFEST.v<N>` + `_SCHEMA.v<N>`): append merges the prior
+  * snapshot, `mode("overwrite")` truncates, and ManifestSource.scala
+  * provides the batch READ path plus a TableCatalog with `VERSION AS
+  * OF`/`TIMESTAMP AS OF` SQL over those snapshots.
   */
 class ManifestSink extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = "graft-manifest"
   override def supportsExternalMetadata(): Boolean = true
+  // Read path: the schema was published at commit time (`_SCHEMA[.vN]`),
+  // so "inference" is a lookup, never a data scan. Write path to a fresh
+  // directory: nothing there yet — empty schema, the writer's df schema
+  // arrives via getTable.
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    new StructType()
+    Option(options.get("path")).map { p =>
+      val dir = new Path(p)
+      val fs = dir.getFileSystem(
+        SparkSession.active.sessionState.newHadoopConf())
+      if (fs.exists(new Path(dir, "_SCHEMA")))
+        ManifestFiles.schemaFor(fs, dir,
+          Option(options.get("versionAsOf")).map(_.toInt))
+      else new StructType()
+    }.getOrElse(new StructType())
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new ManifestTable(schema)
+    new ManifestTable(schema, properties)
 }
 
 /** Hadoop Configuration is not java-serializable; ship it to the task
@@ -67,13 +85,26 @@ private[sources] class SerializableHadoopConf(
   }
 }
 
-private[sources] class ManifestTable(schema0: StructType)
-    extends Table with SupportsWrite {
+private[sources] class ManifestTable(schema0: StructType,
+    properties: JMap[String, String])
+    extends Table with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
   override def name(): String = "graft_manifest_sink"
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_WRITE,
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.BATCH_READ,
       TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder = {
+    def opt(k: String): Option[String] =
+      Option(options.get(k)).orElse(Option(properties.get(k)))
+    val p = opt("path").getOrElse(throw new IllegalArgumentException(
+      "graft-manifest read requires .option(\"path\", <directory URI>)"))
+    new ManifestScanBuilder(p, opt("versionAsOf").map(_.toInt), schema0,
+      new SerializableHadoopConf(
+        SparkSession.active.sessionState.newHadoopConf()))
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val raw = Option(info.options.get("path")).getOrElse(
       throw new IllegalArgumentException(
@@ -86,12 +117,14 @@ private[sources] class ManifestTable(schema0: StructType)
         throw new IllegalArgumentException(
           s"graft-manifest sink: malformed path '$raw': ${e.getMessage}", e)
       }
-    new WriteBuilder {
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var truncateRequested = false
+      override def truncate(): WriteBuilder = { truncateRequested = true; this }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new ManifestBatchWrite(
           path.toString, info.queryId(),
           Option(info.options.get("failPartition")).map(_.toInt).getOrElse(-1),
-          info.schema(),
+          info.schema(), truncateRequested,
           new SerializableHadoopConf(
             SparkSession.active.sessionState.newHadoopConf()))
       }
@@ -103,7 +136,7 @@ private[sources] case class FileCommitted(name: String, rows: Long)
   extends WriterCommitMessage
 
 private[sources] class ManifestBatchWrite(path: String, queryId: String,
-    failPartition: Int, schema: StructType,
+    failPartition: Int, schema: StructType, truncate: Boolean,
     conf: SerializableHadoopConf) extends BatchWrite {
 
   // Per-job staging namespace: concurrent writes (or an overlapping retry
@@ -115,22 +148,58 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
     new ManifestWriterFactory(path, stagingName, failPartition, schema, conf)
 
   // Driver-side, exactly once, only after EVERY task committed: publish.
+  // Each commit is a VERSION: append merges the previous snapshot's
+  // entries, truncate (mode("overwrite")) starts from empty. The
+  // snapshot lands twice — `_MANIFEST.v<N>` (immutable history, claimed
+  // by create-exclusive so concurrent committers serialize on version
+  // numbers) and `_MANIFEST` (the latest pointer, temp + atomic
+  // overwrite-rename as before) — plus `_SCHEMA[.v<N>]` (StructType
+  // JSON) so the read path needs no inference. Readers of "latest" see
+  // either the old or the new complete snapshot, never a mix; version
+  // readers see immutable files.
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.value)
     val staging = new Path(dir, stagingName)
-    val entries = messages.map { case FileCommitted(tmp, rows) =>
+    val fresh = messages.map { case FileCommitted(tmp, rows) =>
       val fin = tmp.stripSuffix(".tmp")
       val ok = fs.rename(new Path(staging, tmp), new Path(dir, fin))
       require(ok, s"staged file $tmp vanished before commit")
       s"$fin,$rows"
     }
-    // Publish point: manifest lands atomically (temp + overwrite rename),
-    // so a reader either sees the complete file list or the previous one.
+    val previous =
+      if (truncate) Array.empty[String]
+      else ManifestFiles.readManifest(fs, new Path(dir, "_MANIFEST"))
+    val entries = (previous ++ fresh).sorted.mkString("\n").getBytes("UTF-8")
+
+    // Claim the next version number with create-exclusive (overwrite =
+    // false): if another job commits concurrently, the loser's create
+    // fails and it retries with the next number.
+    var version = ManifestFiles.latestVersion(fs, dir) + 1
+    var claimed = false
+    while (!claimed) {
+      try {
+        val out = fs.create(new Path(dir, s"_MANIFEST.v$version"), false)
+        try out.write(entries) finally out.close()
+        claimed = true
+      } catch {
+        case _: java.io.IOException if fs.exists(new Path(dir, s"_MANIFEST.v$version")) =>
+          version += 1
+      }
+    }
+    val schemaBytes = schema.json.getBytes("UTF-8")
+    val vSchema = fs.create(new Path(dir, s"_SCHEMA.v$version"), true)
+    try vSchema.write(schemaBytes) finally vSchema.close()
+
+    // Latest pointers: temp + atomic overwrite rename.
+    val tmpSchema = new Path(staging, "_SCHEMA.inprogress")
+    val outS = fs.create(tmpSchema, true)
+    try outS.write(schemaBytes) finally outS.close()
+    FileContext.getFileContext(dir.toUri, conf.value).rename(
+      tmpSchema, new Path(dir, "_SCHEMA"), Options.Rename.OVERWRITE)
     val tmpManifest = new Path(staging, "_MANIFEST.inprogress")
     val out = fs.create(tmpManifest, true)
-    try out.write(entries.sorted.mkString("\n").getBytes("UTF-8"))
-    finally out.close()
+    try out.write(entries) finally out.close()
     FileContext.getFileContext(dir.toUri, conf.value).rename(
       tmpManifest, new Path(dir, "_MANIFEST"), Options.Rename.OVERWRITE)
     fs.delete(staging, true)

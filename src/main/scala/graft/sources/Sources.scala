@@ -178,7 +178,46 @@ object Sources extends QueryModule {
              CAST(SUM(CAST(price_v2 AS DECIMAL(18,6))) AS DOUBLE) AS sum_v2
       FROM doubled GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** Manifest-table time travel end to end (write half ManifestSink.scala,
+    * read half + catalog ManifestSource.scala): commit a snapshot of the
+    * big orders, append the mid-tier ones, then aggregate BOTH versions —
+    * v1 through `versionAsOf`, latest through `_MANIFEST` — in one
+    * result row. Snapshot isolation is the property under test: the
+    * append must not change what version 1 reads. The oracle recomputes
+    * both filters straight from the orders table. */
+  val qManifestTimeTravel: QueryDef = QueryDef(
+    "q218_manifest_time_travel",
+    (s, d) => {
+      import s.implicits._
+      val path = tmp(d, "manifest_tt")
+      val dir = new org.apache.hadoop.fs.Path(path)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      val src = Tables.df(s, d, "orders")
+        .select($"o_orderkey", $"o_totalprice")
+      src.filter($"o_totalprice" > 450000.0)
+        .write.mode("append").format("graft-manifest").option("path", path).save()
+      src.filter($"o_totalprice" > 400000.0 && $"o_totalprice" <= 450000.0)
+        .write.mode("append").format("graft-manifest").option("path", path).save()
+      def agg(df: org.apache.spark.sql.DataFrame, n: String, t: String) =
+        df.agg(count(lit(1)).as(n),
+          sum($"o_totalprice".cast("decimal(18,6)")).cast("double").as(t))
+      val v1 = s.read.format("graft-manifest").option("path", path)
+        .option("versionAsOf", "1").load()
+      val latest = s.read.format("graft-manifest").option("path", path).load()
+      agg(v1, "n_v1", "total_v1").crossJoin(agg(latest, "n_latest", "total_latest"))
+    },
+    Some("""
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+         WHERE o_totalprice > 450000.0) AS n_v1,
+        (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+         FROM orders WHERE o_totalprice > 450000.0) AS total_v1,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+         WHERE o_totalprice > 400000.0) AS n_latest,
+        (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+         FROM orders WHERE o_totalprice > 400000.0) AS total_latest"""))
+
   override def defs: Seq[QueryDef] =
     Seq(qCsv, qJson, qOrc, qText, qPartitioned, qSynthSource,
-      qSchemaEvolution)
+      qSchemaEvolution, qManifestTimeTravel)
 }

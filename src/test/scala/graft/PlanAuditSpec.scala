@@ -47,6 +47,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q112_jdbc_partitioned_roundtrip", "q137_ctas_insert",
     "q153_ddl_catalog_sweep", "q159_dynamic_partition_overwrite",
     "q163_persistent_catalog", "q198_schema_evolution",
+    // manifest time travel: two sink commits at construction; the result
+    // is a 1-row × 1-row summary join
+    "q218_manifest_time_travel",
     // eager actions at construction (GraphX/ML/RDD/stat collect/cache)
     "q95_graph_pagerank", "q96_ml_kmeans", "q100_cache_scan",
     "q105_rdd_primitives", "q134_dedup_clusters", "q142_pagerank_exact",
