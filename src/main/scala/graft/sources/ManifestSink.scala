@@ -106,9 +106,14 @@ private[sources] class ManifestTable(schema0: StructType,
         SparkSession.active.sessionState.newHadoopConf()))
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    val raw = Option(info.options.get("path")).getOrElse(
-      throw new IllegalArgumentException(
-        "graft-manifest sink requires .option(\"path\", <directory URI>)"))
+    // Same options→properties fallback as the scan builder: a table
+    // resolved through GraftManifestCatalog carries its path in table
+    // properties (SQL `INSERT INTO <cat>.<table>` passes no write
+    // options), while `df.write.format(...)` passes it as an option.
+    val raw = Option(info.options.get("path"))
+      .orElse(Option(properties.get("path"))).getOrElse(
+        throw new IllegalArgumentException(
+          "graft-manifest sink requires .option(\"path\", <directory URI>)"))
     if (raw.trim.isEmpty) throw new IllegalArgumentException(
       "graft-manifest sink: path option is empty — pass a directory URI")
     val path =
@@ -121,12 +126,31 @@ private[sources] class ManifestTable(schema0: StructType,
       private var truncateRequested = false
       override def truncate(): WriteBuilder = { truncateRequested = true; this }
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new ManifestBatchWrite(
-          path.toString, info.queryId(),
-          Option(info.options.get("failPartition")).map(_.toInt).getOrElse(-1),
-          info.schema(), truncateRequested,
-          new SerializableHadoopConf(
-            SparkSession.active.sessionState.newHadoopConf()))
+        override def toBatch: BatchWrite = {
+          // ACCEPT_ANY_SCHEMA means Spark hands us the INPUT's column
+          // names verbatim (a SQL `INSERT ... VALUES` arrives as
+          // col1/col2/...), so publishing info.schema() would clobber the
+          // table's real column names. Positional INSERT semantics: when
+          // the table already has a schema and the incoming types line up
+          // positionally, the TABLE's schema is what the commit publishes;
+          // mismatched appends are rejected before any task runs
+          // (truncate may legitimately rewrite the schema).
+          val incoming = info.schema()
+          val typesAlign = schema0.length == incoming.length &&
+            schema0.fields.map(_.dataType).sameElements(
+              incoming.fields.map(_.dataType))
+          if (schema0.nonEmpty && !truncateRequested && !typesAlign)
+            throw new IllegalArgumentException(
+              s"graft-manifest append schema mismatch: table has " +
+                s"${schema0.simpleString}, write provides ${incoming.simpleString}")
+          val published = if (schema0.nonEmpty && typesAlign) schema0 else incoming
+          new ManifestBatchWrite(
+            path.toString, info.queryId(),
+            Option(info.options.get("failPartition")).map(_.toInt).getOrElse(-1),
+            published, truncateRequested,
+            new SerializableHadoopConf(
+              SparkSession.active.sessionState.newHadoopConf()))
+        }
       }
     }
   }

@@ -80,6 +80,37 @@ class ManifestTimeTravelSpec extends AnyFunSuite {
     }
   }
 
+  test("INSERT INTO / OVERWRITE resolve the path from catalog table properties") {
+    val root = java.nio.file.Files.createTempDirectory("graft_tt").toString
+    write(s"$root/ins", "append", 0 until 3) // v1: 3 rows
+    // Distinct catalog name: CatalogManager caches instances by name, so
+    // re-registering graft_tt here would silently keep test 2's root.
+    Confs.withValues(spark,
+      "spark.sql.catalog.graft_ttw" -> "graft.sources.GraftManifestCatalog",
+      "spark.sql.catalog.graft_ttw.root" -> root) {
+      // SQL writes carry no write options — the path must come from the
+      // table properties the catalog attached at loadTable time.
+      spark.sql("INSERT INTO graft_ttw.ins VALUES (7L, 14L, 'row-7')")
+      assert(spark.sql("SELECT count(*) AS n FROM graft_ttw.ins")
+        .head().getLong(0) == 4)
+      assert(spark.sql("SELECT tag FROM graft_ttw.ins WHERE id = 7")
+        .head().getString(0) == "row-7")
+      // Each INSERT is a commit: the pre-insert snapshot stays readable.
+      assert(spark.sql("SELECT count(*) AS n FROM graft_ttw.ins VERSION AS OF 1")
+        .head().getLong(0) == 3)
+      spark.sql("INSERT OVERWRITE graft_ttw.ins VALUES (9L, 18L, 'row-9')")
+      assert(spark.sql("SELECT count(*) AS n FROM graft_ttw.ins")
+        .head().getLong(0) == 1)
+      assert(spark.sql("SELECT count(*) AS n FROM graft_ttw.ins VERSION AS OF 2")
+        .head().getLong(0) == 4)
+      // A positionally type-mismatched append is rejected at plan time
+      // (ACCEPT_ANY_SCHEMA disables Spark's own resolution check).
+      val ex = intercept[Exception](
+        spark.sql("INSERT INTO graft_ttw.ins VALUES (1L, 'oops', 2L)"))
+      assert(ex.getMessage.contains("schema mismatch"), ex.getMessage)
+    }
+  }
+
   test("read plans only manifest-listed files, ignoring stray part files") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_tt").toString + "/t3"
