@@ -86,14 +86,54 @@ private[sources] class SerializableHadoopConf(
 }
 
 private[sources] class ManifestTable(schema0: StructType,
-    properties: JMap[String, String])
+    properties: JMap[String, String],
+    // Catalog-resolved tables always carry the published `_SCHEMA`, so
+    // they use Spark's strict output resolution — required for row-level
+    // command alignment (ACCEPT_ANY_SCHEMA sets skipSchemaResolution,
+    // which leaves UpdateTable/MergeIntoTable unaligned and unrewritable).
+    // Path-based writes keep ACCEPT_ANY_SCHEMA: a fresh directory infers
+    // an empty schema that strict resolution would refuse to write to.
+    strictSchema: Boolean = false)
     extends Table with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsRead {
+    with org.apache.spark.sql.connector.catalog.SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = "graft_manifest_sink"
   override def schema(): StructType = schema0
-  override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.BATCH_READ,
-      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
+
+  // `_file` = the manifest entry name a row came from. It is both a
+  // user-queryable metadata column (SELECT _file, ...) and the group
+  // identity for copy-on-write row-level plans.
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+    })
+
+  // DELETE FROM / UPDATE / MERGE INTO, group-based COPY_ON_WRITE (the
+  // same DSv2 seam Iceberg plugs): Spark plans a ReplaceData — scan the
+  // affected files through the operation's scan (runtime-group-filtered
+  // on `_file`, so untouched files never rescan or rewrite), recompute
+  // their surviving rows, and commit replaces exactly those files with
+  // the rewrite. Each operation is one new snapshot; the pre-image stays
+  // reachable via time travel.
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo):
+      org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-manifest row-level operations need the table resolved " +
+          "through GraftManifestCatalog (no path property present)"))
+    () => new ManifestRowLevelOperation(info.command(), path, schema0)
+  }
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = java.util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.BATCH_READ, TableCapability.TRUNCATE)
+    if (!strictSchema) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    caps
+  }
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder = {
@@ -127,33 +167,76 @@ private[sources] class ManifestTable(schema0: StructType,
       override def truncate(): WriteBuilder = { truncateRequested = true; this }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = {
-          // ACCEPT_ANY_SCHEMA means Spark hands us the INPUT's column
-          // names verbatim (a SQL `INSERT ... VALUES` arrives as
-          // col1/col2/...), so publishing info.schema() would clobber the
-          // table's real column names. Positional INSERT semantics: when
-          // the table already has a schema and the incoming types line up
-          // positionally, the TABLE's schema is what the commit publishes;
-          // mismatched appends are rejected before any task runs
-          // (truncate may legitimately rewrite the schema).
+          // The authoritative previous schema is the published `_SCHEMA`
+          // on disk (schema0 is the DataFrame's own schema on path-based
+          // writes — supportsExternalMetadata). Appends must align with
+          // it positionally (ACCEPT_ANY_SCHEMA paths hand us the INPUT's
+          // column names verbatim — a SQL `INSERT ... VALUES` arrives as
+          // col1/col2/... — so the commit republishes the names already
+          // on disk); truncate may legitimately rewrite the schema.
           val incoming = info.schema()
-          val typesAlign = schema0.length == incoming.length &&
-            schema0.fields.map(_.dataType).sameElements(
-              incoming.fields.map(_.dataType))
-          if (schema0.nonEmpty && !truncateRequested && !typesAlign)
-            throw new IllegalArgumentException(
+          val hconf = new SerializableHadoopConf(
+            SparkSession.active.sessionState.newHadoopConf())
+          val fs = path.getFileSystem(hconf.value)
+          val existing =
+            if (!truncateRequested && fs.exists(new Path(path, "_SCHEMA")))
+              Some(ManifestFiles.schemaFor(fs, path, None))
+            else None
+          existing.foreach { e =>
+            val aligned = e.length == incoming.length &&
+              e.fields.map(_.dataType).sameElements(
+                incoming.fields.map(_.dataType))
+            if (!aligned) throw new IllegalArgumentException(
               s"graft-manifest append schema mismatch: table has " +
-                s"${schema0.simpleString}, write provides ${incoming.simpleString}")
-          val published = if (schema0.nonEmpty && typesAlign) schema0 else incoming
+                s"${e.simpleString}, write provides ${incoming.simpleString}")
+          }
           new ManifestBatchWrite(
             path.toString, info.queryId(),
             Option(info.options.get("failPartition")).map(_.toInt).getOrElse(-1),
-            published, truncateRequested,
-            new SerializableHadoopConf(
-              SparkSession.active.sessionState.newHadoopConf()))
+            existing.getOrElse(incoming), truncateRequested, hconf)
         }
       }
     }
   }
+}
+
+/** One row-level operation instance spans its scan AND its write (the
+  * `GroupBasedRowLevelOperation` contract): the scan records which
+  * manifest entries it finally planned (post group filter) on the
+  * driver, and the replacing write's commit drops exactly those entries
+  * from the previous snapshot. Fresh Hadoop conf is resolved lazily so
+  * the operation builder stays cheap at analysis time. */
+private[sources] class ManifestRowLevelOperation(
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    path: String, tableSchema: StructType)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  @volatile private var scanned: Array[String] = Array.empty
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def description(): String = s"graft-manifest COPY_ON_WRITE $cmd $path"
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder =
+    new ManifestScanBuilder(path, None, tableSchema,
+      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
+      onPlanned = names => scanned = names)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new ManifestBatchWrite(
+          path, info.queryId(), -1,
+          // Replacement rows carry the table's columns; keep its names.
+          if (tableSchema.nonEmpty) tableSchema else info.schema(),
+          truncate = false,
+          new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
+          dropFromPrevious = () => scanned.toSet)
+      }
+    }
+
+  override def requiredMetadataAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
 }
 
 private[sources] case class FileCommitted(name: String, rows: Long)
@@ -161,7 +244,13 @@ private[sources] case class FileCommitted(name: String, rows: Long)
 
 private[sources] class ManifestBatchWrite(path: String, queryId: String,
     failPartition: Int, schema: StructType, truncate: Boolean,
-    conf: SerializableHadoopConf) extends BatchWrite {
+    conf: SerializableHadoopConf,
+    // Row-level COPY_ON_WRITE: entries the operation's scan planned are
+    // dropped from the previous snapshot and replaced by this commit's
+    // fresh files (evaluated at commit time, after the scan executed).
+    // Old versions keep referencing the dropped files — time travel
+    // still reads the pre-image.
+    dropFromPrevious: () => Set[String] = () => Set.empty) extends BatchWrite {
 
   // Per-job staging namespace: concurrent writes (or an overlapping retry
   // of another job) can never see or delete each other's in-flight files.
@@ -191,9 +280,11 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
       require(ok, s"staged file $tmp vanished before commit")
       s"$fin,$rows"
     }
+    val drop = dropFromPrevious()
     val previous =
       if (truncate) Array.empty[String]
       else ManifestFiles.readManifest(fs, new Path(dir, "_MANIFEST"))
+        .filterNot(line => drop.contains(line.substring(0, line.lastIndexOf(','))))
     val entries = (previous ++ fresh).sorted.mkString("\n").getBytes("UTF-8")
 
     // Claim the next version number with create-exclusive (overwrite =

@@ -98,7 +98,8 @@ object ManifestFiles {
 }
 
 private[sources] class ManifestScanBuilder(path: String, version: Option[Int],
-    fullSchema: StructType, conf: SerializableHadoopConf)
+    fullSchema: StructType, conf: SerializableHadoopConf,
+    onPlanned: Array[String] => Unit = _ => ())
     extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var required: StructType = fullSchema
@@ -106,18 +107,48 @@ private[sources] class ManifestScanBuilder(path: String, version: Option[Int],
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new Scan with Batch {
+  override def build(): Scan = new Scan with Batch
+      with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+    // Runtime group filter (row-level COPY_ON_WRITE plans): Spark's
+    // group-filtering subquery collects the `_file` values containing
+    // matches and hands them back here, so only affected files are
+    // scanned — and therefore only affected files get rewritten.
+    @volatile private var allowedFiles: Option[Set[String]] = None
+
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def description(): String =
       s"graft-manifest $path${version.map(v => s" v$v").getOrElse("")}"
 
+    override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
+
+    override def filter(
+        predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+      def refsFile(e: org.apache.spark.sql.connector.expressions.Expression): Boolean = e match {
+        case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+          r.fieldNames.sameElements(Array("_file"))
+        case other => other.children.exists(refsFile)
+      }
+      def literals(e: org.apache.spark.sql.connector.expressions.Expression): Seq[String] = e match {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          Seq(String.valueOf(l.value))
+        case other => other.children.toSeq.flatMap(literals)
+      }
+      predicates.filter(refsFile).foreach { p =>
+        val vals = literals(p).toSet
+        allowedFiles = Some(allowedFiles.fold(vals)(_ intersect vals))
+      }
+    }
+
     override def planInputPartitions(): Array[InputPartition] = {
       val dir = new Path(path)
       val fs = dir.getFileSystem(conf.value)
-      ManifestFiles.entries(fs, dir, version).map { case (name, _) =>
-        ManifestInputPartition(new Path(dir, name).toString)
-      }.toArray
+      val listed = ManifestFiles.entries(fs, dir, version).map(_._1)
+      val names = allowedFiles.fold(listed)(ok => listed.filter(ok))
+      onPlanned(names)
+      names.map(n =>
+        ManifestInputPartition(new Path(dir, n).toString, n)).toArray
     }
 
     override def createReaderFactory(): PartitionReaderFactory =
@@ -125,7 +156,7 @@ private[sources] class ManifestScanBuilder(path: String, version: Option[Int],
   }
 }
 
-private[sources] case class ManifestInputPartition(file: String)
+private[sources] case class ManifestInputPartition(file: String, name: String)
   extends InputPartition
 
 private[sources] class ManifestReaderFactory(fullSchema: StructType,
@@ -133,14 +164,19 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val file = new Path(p.asInstanceOf[ManifestInputPartition].file)
+    val part = p.asInstanceOf[ManifestInputPartition]
+    val file = new Path(part.file)
     val fs = file.getFileSystem(conf.value)
     val reader = new java.io.BufferedReader(
       new java.io.InputStreamReader(fs.open(file), "UTF-8"))
     // CSV column i of each line ↔ fullSchema(i); parse only required.
+    // Index -1 = the `_file` metadata column (this partition's manifest
+    // entry name — the group identity row-level COW plans join on).
     val picks: Array[(Int, DataType)] = required.fields.map { f =>
-      (fullSchema.fieldIndex(f.name), f.dataType)
+      if (f.name == "_file") (-1, StringType)
+      else (fullSchema.fieldIndex(f.name), f.dataType)
     }
+    val fileName = UTF8String.fromString(part.name)
     new PartitionReader[InternalRow] {
       private var line: String = _
       override def next(): Boolean = { line = reader.readLine(); line != null }
@@ -150,7 +186,7 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
         var i = 0
         while (i < picks.length) {
           val (src, dt) = picks(i)
-          out.update(i, parse(cols(src), dt))
+          out.update(i, if (src == -1) fileName else parse(cols(src), dt))
           i += 1
         }
         out
@@ -225,7 +261,8 @@ class GraftManifestCatalog extends TableCatalog {
     val props = new java.util.HashMap[String, String]()
     props.put("path", dir.toString)
     version.foreach(v => props.put("versionAsOf", v.toString))
-    new ManifestTable(ManifestFiles.schemaFor(f, dir, version), props)
+    new ManifestTable(ManifestFiles.schemaFor(f, dir, version), props,
+      strictSchema = true)
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None)

@@ -217,7 +217,63 @@ object Sources extends QueryModule {
         (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
          FROM orders WHERE o_totalprice > 400000.0) AS total_latest"""))
 
+  /** Row-level operations on the manifest table format (DSv2
+    * `SupportsRowLevelOperations`, group-based COPY_ON_WRITE — the seam
+    * Iceberg plugs; ManifestSink.scala:`ManifestRowLevelOperation`):
+    * seed an accounts table from customer, `DELETE` the negative
+    * balances, then `MERGE` an updated-balance feed — matched rows
+    * update, unmatched insert. The oracle recomputes the same final
+    * state relationally (anti-join for survivors + left join for the
+    * upsert). Scale shape: the runtime group filter on `_file` means
+    * only files containing matches rewrite; each command is one new
+    * snapshot, so the pre-image stays time-travel-readable. */
+  val qManifestMerge: QueryDef = QueryDef(
+    "q219_manifest_merge_upsert",
+    (s, d) => {
+      import s.implicits._
+      val cat = "graft_mrl_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val root = tmp(d, "manifest_rl")
+      val dir = new org.apache.hadoop.fs.Path(root)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val cust = Tables.df(s, d, "customer")
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+      cust.filter($"c_custkey" % 7 === 0)
+        .write.mode("append").format("graft-manifest")
+        .option("path", s"$root/accounts").save()
+      s.sql(s"DELETE FROM $cat.accounts WHERE c_acctbal < 0")
+      cust.filter($"c_custkey" % 5 === 0)
+        .withColumn("c_acctbal", $"c_acctbal" + lit(1000.0))
+        .createOrReplaceTempView("q219_src")
+      s.sql(s"""
+        MERGE INTO $cat.accounts AS t USING q219_src AS s
+        ON t.c_custkey = s.c_custkey
+        WHEN MATCHED THEN UPDATE SET c_acctbal = s.c_acctbal
+        WHEN NOT MATCHED THEN
+          INSERT (c_custkey, c_name, c_acctbal)
+          VALUES (s.c_custkey, s.c_name, s.c_acctbal)""")
+      s.sql(s"SELECT c_custkey, c_name, c_acctbal FROM $cat.accounts " +
+        "ORDER BY c_custkey")
+    },
+    Some("""
+      WITH survivors AS (
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        WHERE c_custkey % 7 = 0 AND NOT (c_acctbal < 0)),
+      feed AS (
+        SELECT c_custkey, c_name, c_acctbal + 1000.0 AS c_acctbal
+        FROM customer WHERE c_custkey % 5 = 0)
+      SELECT t.c_custkey, t.c_name,
+             CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+                  ELSE t.c_acctbal END AS c_acctbal
+      FROM survivors t LEFT JOIN feed s ON t.c_custkey = s.c_custkey
+      UNION ALL
+      SELECT s.c_custkey, s.c_name, s.c_acctbal
+      FROM feed s
+      WHERE s.c_custkey NOT IN (SELECT c_custkey FROM survivors)
+      ORDER BY c_custkey"""))
+
   override def defs: Seq[QueryDef] =
     Seq(qCsv, qJson, qOrc, qText, qPartitioned, qSynthSource,
-      qSchemaEvolution, qManifestTimeTravel)
+      qSchemaEvolution, qManifestTimeTravel, qManifestMerge)
 }

@@ -103,11 +103,18 @@ class ManifestTimeTravelSpec extends AnyFunSuite {
         .head().getLong(0) == 1)
       assert(spark.sql("SELECT count(*) AS n FROM graft_ttw.ins VERSION AS OF 2")
         .head().getLong(0) == 4)
-      // A positionally type-mismatched append is rejected at plan time
-      // (ACCEPT_ANY_SCHEMA disables Spark's own resolution check).
+      // Catalog tables resolve strictly: a type-mismatched INSERT is
+      // Spark's own analysis error. Path-based appends run under
+      // ACCEPT_ANY_SCHEMA, so the sink's positional guard catches the
+      // same mistake at plan time instead.
       val ex = intercept[Exception](
         spark.sql("INSERT INTO graft_ttw.ins VALUES (1L, 'oops', 2L)"))
-      assert(ex.getMessage.contains("schema mismatch"), ex.getMessage)
+      assert(ex.getMessage.contains("CANNOT_SAFELY_CAST"), ex.getMessage)
+      import spark.implicits._
+      val ex2 = intercept[IllegalArgumentException](
+        Seq((1L, "oops")).toDF("id", "tag").write.mode("append")
+          .format("graft-manifest").option("path", s"$root/ins").save())
+      assert(ex2.getMessage.contains("schema mismatch"), ex2.getMessage)
     }
   }
 
