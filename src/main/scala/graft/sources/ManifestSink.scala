@@ -130,7 +130,8 @@ private[sources] class ManifestTable(schema0: StructType,
   }
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = java.util.EnumSet.of(TableCapability.BATCH_WRITE,
-      TableCapability.BATCH_READ, TableCapability.TRUNCATE)
+      TableCapability.BATCH_READ, TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ)
     if (!strictSchema) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
     caps
   }

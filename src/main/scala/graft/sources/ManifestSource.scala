@@ -46,7 +46,7 @@ object ManifestFiles {
       text.split("\n").filter(_.nonEmpty)
     }
 
-  private def versionsOf(fs: FileSystem, dir: Path): Seq[Int] =
+  def versions(fs: FileSystem, dir: Path): Seq[Int] =
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq
       .map(_.getPath.getName)
@@ -54,12 +54,12 @@ object ManifestFiles {
       .flatMap(n => n.stripPrefix("_MANIFEST.v").toIntOption)
 
   def latestVersion(fs: FileSystem, dir: Path): Int =
-    (0 +: versionsOf(fs, dir)).max
+    (0 +: versions(fs, dir)).max
 
   /** Latest version whose snapshot file existed at `tsMicros` (commit
     * time = the version file's modification time). */
   def versionAt(fs: FileSystem, dir: Path, tsMicros: Long): Option[Int] =
-    versionsOf(fs, dir)
+    versions(fs, dir)
       .filter(v => fs.getFileStatus(new Path(dir, s"_MANIFEST.v$v"))
         .getModificationTime * 1000L <= tsMicros)
       .maxOption
@@ -69,7 +69,7 @@ object ManifestFiles {
       case Some(v) =>
         val p = new Path(dir, s"_MANIFEST.v$v")
         require(fs.exists(p), s"no version $v at $dir " +
-          s"(have: ${versionsOf(fs, dir).sorted.mkString(",")})")
+          s"(have: ${versions(fs, dir).sorted.mkString(",")})")
         p
       case None => new Path(dir, "_MANIFEST")
     }
@@ -83,7 +83,7 @@ object ManifestFiles {
     version.foreach { v =>
       require(fs.exists(new Path(dir, s"_MANIFEST.v$v")),
         s"no version $v at $dir " +
-          s"(have: ${versionsOf(fs, dir).sorted.mkString(",")})")
+          s"(have: ${versions(fs, dir).sorted.mkString(",")})")
     }
     val p = version.map(v => new Path(dir, s"_SCHEMA.v$v"))
       .getOrElse(new Path(dir, "_SCHEMA"))
@@ -153,7 +153,64 @@ private[sources] class ManifestScanBuilder(path: String, version: Option[Int],
 
     override def createReaderFactory(): PartitionReaderFactory =
       new ManifestReaderFactory(fullSchema, required, conf)
+
+    override def toMicroBatchStream(checkpointLocation: String):
+        org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      new ManifestMicroBatchStream(path, fullSchema, required, conf)
   }
+}
+
+/** Streaming read of the manifest table (the Delta streaming-source
+  * pattern): an OFFSET IS A SNAPSHOT VERSION. Each micro-batch covers
+  * the manifest entries added between two versions — set difference by
+  * name, so a batch reads exactly the files new commits published,
+  * never rescanning history. Restarts resume from the engine-persisted
+  * version offset. Non-append history (a COPY_ON_WRITE delete/update/
+  * merge or an overwrite unlisted files between the offsets) fails the
+  * batch explicitly rather than silently re-emitting rewritten rows —
+  * the same contract Delta's streaming source defaults to. */
+private[sources] case class ManifestOffset(version: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json: String = version.toString
+}
+
+private[sources] class ManifestMicroBatchStream(path: String,
+    fullSchema: StructType, required: StructType, conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def dir = new Path(path)
+  private def fs = dir.getFileSystem(conf.value)
+
+  private def names(v: Int): Set[String] =
+    if (v <= 0) Set.empty
+    else ManifestFiles.entries(fs, dir, Some(v)).map(_._1).toSet
+
+  override def initialOffset(): Offset = ManifestOffset(0)
+  override def latestOffset(): Offset =
+    ManifestOffset(ManifestFiles.latestVersion(fs, dir))
+  override def deserializeOffset(json: String): Offset =
+    ManifestOffset(json.trim.toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ManifestOffset].version
+    val e = end.asInstanceOf[ManifestOffset].version
+    val before = names(s)
+    val after = names(e)
+    val removed = before -- after
+    if (removed.nonEmpty) throw new IllegalStateException(
+      s"graft-manifest stream at $path: versions $s..$e are not pure " +
+        s"appends (${removed.size} entries unlisted, e.g. ${removed.head}); " +
+        "streaming reads require append-only history")
+    (after -- before).toArray.sorted.map(n =>
+      ManifestInputPartition(new Path(dir, n).toString, n): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ManifestReaderFactory(fullSchema, required, conf)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] case class ManifestInputPartition(file: String, name: String)
@@ -221,8 +278,29 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
   * latest snapshot, `VERSION AS OF n` / `TIMESTAMP AS OF ts` pin one —
   * by implementing the time-travel `loadTable` overloads. Writes go
   * through the sink (`format("graft-manifest")`); createTable is
-  * therefore rejected with a pointer, dropTable removes the directory. */
-class GraftManifestCatalog extends TableCatalog {
+  * therefore rejected with a pointer, dropTable removes the directory.
+  *
+  * Also a [[org.apache.spark.sql.connector.catalog.ProcedureCatalog]]
+  * (the `CALL cat.system.proc(...)` seam, Iceberg's maintenance
+  * convention) with the table-format lifecycle operations:
+  *
+  *   - `CALL cat.system.compact('t', target_files)` — read the latest
+  *     snapshot, coalesce into `target_files` files, commit as ONE new
+  *     snapshot (copy-on-write: a lazy self-read is safe because commit
+  *     publishes at job end and data files are never mutated). Small
+  *     files are the #1 operational failure of manifest-style tables at
+  *     scale — every streaming append adds files forever.
+  *   - `CALL cat.system.vacuum('t', retain_versions)` — drop snapshot
+  *     files older than the newest `retain_versions` versions, then
+  *     delete data files no remaining version references. This is the
+  *     ONLY place the format ever deletes data; time travel to vacuumed
+  *     versions (and streaming restarts from offsets older than the
+  *     horizon) intentionally fail afterwards.
+  *   - `CALL cat.system.snapshots('t')` — version history (version,
+  *     file/row counts, commit time) as a result set: DESCRIBE HISTORY.
+  */
+class GraftManifestCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: Path = _
@@ -297,4 +375,130 @@ class GraftManifestCatalog extends TableCatalog {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("rename not supported")
+
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType, TimestampType}
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    ManifestProcedures.names.map(n => Identifier.of(Array("system"), n))
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")) &&
+      ManifestProcedures.names.contains(ident.name),
+      s"unknown procedure $ident — have: " +
+        ManifestProcedures.names.map(n => s"$catalogName.system.$n").mkString(", "))
+    val dirFor = (t: String) => tableDir(Identifier.of(Array.empty, t))
+    ident.name match {
+      case "compact" => ManifestProcedures.compact(dirFor)
+      case "vacuum" => ManifestProcedures.vacuum(dirFor)
+      case "snapshots" => ManifestProcedures.snapshots(dirFor)
+    }
+  }
+}
+
+/** The maintenance procedures themselves. Each is an UnboundProcedure
+  * whose `call` runs driver-side metadata work (vacuum/snapshots — file
+  * listings scale with file count, not data) or a Spark job (compact)
+  * and returns a one-scan result set via [[LocalScan]]. */
+private[sources] object ManifestProcedures {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType, TimestampType}
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  val names: Array[String] = Array("compact", "vacuum", "snapshots")
+
+  private def param(n: String, dt: org.apache.spark.sql.types.DataType) =
+    ProcedureParameter.in(n, dt).build()
+  private def paramDefault(n: String, dt: org.apache.spark.sql.types.DataType,
+      default: String) =
+    ProcedureParameter.in(n, dt).defaultValue(default).build()
+
+  private def result(schema: StructType, row: Array[Any]): java.util.Iterator[Scan] =
+    java.util.List.of[Scan](new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+        Array(new GenericInternalRow(row))
+    }).iterator()
+
+  private def proc(procName: String, params: Array[ProcedureParameter])(
+      body: org.apache.spark.sql.catalyst.InternalRow => java.util.Iterator[Scan]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = s"graft-manifest $procName"
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = procName
+        override def description(): String = s"graft-manifest $procName"
+        override def parameters(): Array[ProcedureParameter] = params
+        override def isDeterministic: Boolean = false
+        override def call(input: org.apache.spark.sql.catalyst.InternalRow): java.util.Iterator[Scan] =
+          body(input)
+      }
+    }
+
+  def compact(dirFor: String => Path): UnboundProcedure =
+    proc("compact", Array(param("table", StringType),
+        paramDefault("target_files", IntegerType, "1"))) { input =>
+      val spark = SparkSession.active
+      val dir = dirFor(input.getUTF8String(0).toString)
+      val target = input.getInt(1)
+      require(target >= 1, s"target_files must be >= 1, got $target")
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      val before = ManifestFiles.entries(fs, dir, None).length
+      spark.read.format("graft-manifest").option("path", dir.toString).load()
+        .coalesce(target)
+        .write.mode("overwrite").format("graft-manifest")
+        .option("path", dir.toString).save()
+      val after = ManifestFiles.entries(fs, dir, None).length
+      result(new StructType().add("version", IntegerType)
+          .add("files_before", IntegerType).add("files_after", IntegerType),
+        Array(ManifestFiles.latestVersion(fs, dir), before, after))
+    }
+
+  def vacuum(dirFor: String => Path): UnboundProcedure =
+    proc("vacuum", Array(param("table", StringType),
+        paramDefault("retain_versions", IntegerType, "1"))) { input =>
+      val spark = SparkSession.active
+      val dir = dirFor(input.getUTF8String(0).toString)
+      val retain = input.getInt(1)
+      require(retain >= 1, s"retain_versions must be >= 1, got $retain")
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      val versions = ManifestFiles.versions(fs, dir).sorted
+      val (dropped, kept) = versions.splitAt(math.max(0, versions.length - retain))
+      val referenced = kept.flatMap(v =>
+        ManifestFiles.entries(fs, dir, Some(v)).map(_._1)).toSet
+      dropped.foreach { v =>
+        fs.delete(new Path(dir, s"_MANIFEST.v$v"), false)
+        fs.delete(new Path(dir, s"_SCHEMA.v$v"), false)
+      }
+      val removed = fs.listStatus(dir).count { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+          !referenced.contains(n) && fs.delete(st.getPath, false)
+      }
+      result(new StructType().add("versions_dropped", IntegerType)
+          .add("data_files_deleted", IntegerType),
+        Array(dropped.length, removed))
+    }
+
+  def snapshots(dirFor: String => Path): UnboundProcedure =
+    proc("snapshots", Array(param("table", StringType))) { input =>
+      val spark = SparkSession.active
+      val dir = dirFor(input.getUTF8String(0).toString)
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      val schema = new StructType().add("version", IntegerType)
+        .add("files", IntegerType).add("rows", LongType)
+        .add("committed_at", TimestampType)
+      val history = ManifestFiles.versions(fs, dir).sorted.map { v =>
+        val es = ManifestFiles.entries(fs, dir, Some(v))
+        new GenericInternalRow(Array[Any](v, es.length, es.map(_._2).sum,
+          fs.getFileStatus(new Path(dir, s"_MANIFEST.v$v"))
+            .getModificationTime * 1000L)): org.apache.spark.sql.catalyst.InternalRow
+      }.toArray
+      java.util.List.of[Scan](new LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = history
+      }).iterator()
+    }
 }

@@ -273,7 +273,54 @@ object Sources extends QueryModule {
       WHERE s.c_custkey NOT IN (SELECT c_custkey FROM survivors)
       ORDER BY c_custkey"""))
 
+  /** Streaming read of the manifest table (ManifestMicroBatchStream —
+    * an offset is a snapshot version, each micro-batch reads exactly the
+    * files the new commits listed): three append commits tail into a
+    * memory sink, aggregated per commit-tier; the oracle recomputes the
+    * same tiers straight from orders. Restart/offset semantics are
+    * spec-pinned (ManifestTimeTravelSpec); this query pins end-to-end
+    * row fidelity through the streaming path. */
+  val qManifestStream: QueryDef = QueryDef(
+    "q220_manifest_stream_tail",
+    (s, d) => {
+      import s.implicits._
+      val root = tmp(d, "manifest_stream")
+      val dir = new org.apache.hadoop.fs.Path(root)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      val src = Tables.df(s, d, "orders")
+        .select($"o_orderkey", $"o_totalprice")
+      def commit(lo: Double, hi: Double): Unit =
+        src.filter($"o_totalprice" > lo && $"o_totalprice" <= hi)
+          .write.mode("append").format("graft-manifest")
+          .option("path", root).save()
+      commit(450000.0, 1e9)
+      commit(400000.0, 450000.0)
+      commit(350000.0, 400000.0)
+      val q = s.readStream.format("graft-manifest").option("path", root)
+        .load()
+        .withColumn("tier",
+          when($"o_totalprice" > 450000.0, lit("hi"))
+            .when($"o_totalprice" > 400000.0, lit("mid"))
+            .otherwise(lit("lo")))
+        .writeStream.outputMode("append")
+        .format("memory").queryName("graft_manifest_tail").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_manifest_tail")
+        .groupBy($"tier")
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast("decimal(18,6)")).cast("double").as("total"))
+        .orderBy($"tier")
+    },
+    Some("""
+      SELECT CASE WHEN o_totalprice > 450000.0 THEN 'hi'
+                  WHEN o_totalprice > 400000.0 THEN 'mid'
+                  ELSE 'lo' END AS tier,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM orders WHERE o_totalprice > 350000.0
+      GROUP BY 1 ORDER BY 1"""))
+
   override def defs: Seq[QueryDef] =
     Seq(qCsv, qJson, qOrc, qText, qPartitioned, qSynthSource,
-      qSchemaEvolution, qManifestTimeTravel, qManifestMerge)
+      qSchemaEvolution, qManifestTimeTravel, qManifestMerge, qManifestStream)
 }

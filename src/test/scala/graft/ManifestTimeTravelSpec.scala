@@ -118,6 +118,46 @@ class ManifestTimeTravelSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming read tails versions incrementally across restarts") {
+    val root = java.nio.file.Files.createTempDirectory("graft_tt").toString + "/s1"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tt_ck").toString
+    write(root, "append", 0 until 3)   // v1
+    write(root, "append", 10 until 12) // v2
+
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-manifest").option("path", root)
+        .load()
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => got.add(r.getLong(0))); ()
+        }
+        .start()
+      q.awaitTermination(60000)
+      q.stop()
+    }
+    // First run: everything up to v2. An offset is a version, so the
+    // engine checkpoints "version 2".
+    runOnce()
+    assert(got.toArray.map(_.asInstanceOf[Long]).sorted.toSeq ==
+      Seq(0L, 1L, 2L, 10L, 11L))
+    // Second run from the same checkpoint: only v3's NEW file is read.
+    got.clear()
+    write(root, "append", 20 until 24) // v3
+    runOnce()
+    assert(got.toArray.map(_.asInstanceOf[Long]).sorted.toSeq ==
+      Seq(20L, 21L, 22L, 23L))
+    // Non-append history (overwrite unlists files): the next batch must
+    // fail loudly, not silently re-emit rewritten rows.
+    got.clear()
+    write(root, "overwrite", 90 until 92) // v4 truncates
+    val ex = intercept[Exception](runOnce())
+    assert(ex.getMessage.contains("not pure appends"),
+      ex.getMessage)
+  }
+
   test("read plans only manifest-listed files, ignoring stray part files") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_tt").toString + "/t3"
