@@ -3,7 +3,7 @@ package graft.sources
 import java.util.{Map => JMap}
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
@@ -286,38 +286,7 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
       if (truncate) Array.empty[String]
       else ManifestFiles.readManifest(fs, new Path(dir, "_MANIFEST"))
         .filterNot(line => drop.contains(line.substring(0, line.lastIndexOf(','))))
-    val entries = (previous ++ fresh).sorted.mkString("\n").getBytes("UTF-8")
-
-    // Claim the next version number with create-exclusive (overwrite =
-    // false): if another job commits concurrently, the loser's create
-    // fails and it retries with the next number.
-    var version = ManifestFiles.latestVersion(fs, dir) + 1
-    var claimed = false
-    while (!claimed) {
-      try {
-        val out = fs.create(new Path(dir, s"_MANIFEST.v$version"), false)
-        try out.write(entries) finally out.close()
-        claimed = true
-      } catch {
-        case _: java.io.IOException if fs.exists(new Path(dir, s"_MANIFEST.v$version")) =>
-          version += 1
-      }
-    }
-    val schemaBytes = schema.json.getBytes("UTF-8")
-    val vSchema = fs.create(new Path(dir, s"_SCHEMA.v$version"), true)
-    try vSchema.write(schemaBytes) finally vSchema.close()
-
-    // Latest pointers: temp + atomic overwrite rename.
-    val tmpSchema = new Path(staging, "_SCHEMA.inprogress")
-    val outS = fs.create(tmpSchema, true)
-    try outS.write(schemaBytes) finally outS.close()
-    FileContext.getFileContext(dir.toUri, conf.value).rename(
-      tmpSchema, new Path(dir, "_SCHEMA"), Options.Rename.OVERWRITE)
-    val tmpManifest = new Path(staging, "_MANIFEST.inprogress")
-    val out = fs.create(tmpManifest, true)
-    try out.write(entries) finally out.close()
-    FileContext.getFileContext(dir.toUri, conf.value).rename(
-      tmpManifest, new Path(dir, "_MANIFEST"), Options.Rename.OVERWRITE)
+    ManifestFiles.publishSnapshot(fs, conf.value, dir, previous ++ fresh, schema)
     fs.delete(staging, true)
   }
 

@@ -79,6 +79,44 @@ object ManifestFiles {
     }
   }
 
+  /** Publish one snapshot: claim the next immutable version number with
+    * create-exclusive (concurrent committers serialize by retrying), land
+    * `_MANIFEST.v<N>`/`_SCHEMA.v<N>`, then swing the latest pointers via
+    * temp + atomic overwrite-rename. Shared by data commits
+    * (ManifestBatchWrite) and metadata-only commits (ALTER TABLE).
+    * Returns the claimed version. */
+  def publishSnapshot(fs: FileSystem, conf: org.apache.hadoop.conf.Configuration,
+      dir: Path, entryLines: Array[String], schema: StructType): Int = {
+    val entries = entryLines.sorted.mkString("\n").getBytes("UTF-8")
+    var version = latestVersion(fs, dir) + 1
+    var claimed = false
+    while (!claimed) {
+      try {
+        val out = fs.create(new Path(dir, s"_MANIFEST.v$version"), false)
+        try out.write(entries) finally out.close()
+        claimed = true
+      } catch {
+        case _: java.io.IOException if fs.exists(new Path(dir, s"_MANIFEST.v$version")) =>
+          version += 1
+      }
+    }
+    val schemaBytes = schema.json.getBytes("UTF-8")
+    val vSchema = fs.create(new Path(dir, s"_SCHEMA.v$version"), true)
+    try vSchema.write(schemaBytes) finally vSchema.close()
+
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
+    def swing(tmpName: String, bytes: Array[Byte], target: String): Unit = {
+      val tmp = new Path(dir, tmpName)
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      fc.rename(tmp, new Path(dir, target),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+    swing(s"._publish-$version-schema", schemaBytes, "_SCHEMA")
+    swing(s"._publish-$version-manifest", entries, "_MANIFEST")
+    version
+  }
+
   def schemaFor(fs: FileSystem, dir: Path, version: Option[Int]): StructType = {
     version.foreach { v =>
       require(fs.exists(new Path(dir, s"_MANIFEST.v$v")),
@@ -243,7 +281,12 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
         var i = 0
         while (i < picks.length) {
           val (src, dt) = picks(i)
-          out.update(i, if (src == -1) fileName else parse(cols(src), dt))
+          // src beyond the row's arity = a column added by ALTER TABLE
+          // after this file was written — old rows surface NULL.
+          out.update(i,
+            if (src == -1) fileName
+            else if (src >= cols.length) null
+            else parse(cols(src), dt))
           i += 1
         }
         out
@@ -255,7 +298,10 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
   /** The sink joins String.valueOf(field) with ','. Only the LAST field
     * could legally contain commas in our payloads (we refuse string
     * fields elsewhere at parse if the shape is off), so split at most
-    * n-1 times. */
+    * n-1 times. Caveat after ALTER TABLE ADD COLUMN: `n` is the CURRENT
+    * arity, so a pre-evolution file whose last string field contained
+    * commas would over-split — comma-bearing last fields and schema
+    * evolution don't mix (documented limitation of the CSV payload). */
   private def splitCsv(line: String, n: Int): Array[String] =
     line.split(",", n)
 
@@ -364,8 +410,50 @@ class GraftManifestCatalog extends TableCatalog
       "graft-manifest tables are created by writing with " +
         s"""df.write.format("graft-manifest").option("path", "<root>/<table>")""")
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft-manifest tables are immutable snapshots")
+  /** Schema evolution as a METADATA-ONLY commit: `ALTER TABLE ... ADD
+    * COLUMN` (appended, nullable — old files read NULL for it via the
+    * reader's positional null-fill) and `RENAME COLUMN` (rows are
+    * positional, so a rename touches no data) publish a new snapshot
+    * with the same entries and the evolved schema. No data rewrite at
+    * any scale; the pre-image schema stays version-pinned. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    val f = fs
+    if (!f.exists(new Path(dir, "_MANIFEST")))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Seq(catalogName, ident.name))
+    var schema = ManifestFiles.schemaFor(f, dir, None)
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "graft-manifest: nested columns are not supported")
+        require(a.position == null,
+          "graft-manifest: added columns always append at the end " +
+            "(rows are positional CSV)")
+        require(a.isNullable,
+          "graft-manifest: added columns must be nullable — existing " +
+            "rows surface NULL for them")
+        val name = a.fieldNames()(0)
+        require(!schema.fieldNames.contains(name), s"column $name exists")
+        schema = schema.add(name, a.dataType, nullable = true)
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "graft-manifest: nested columns are not supported")
+        val from = r.fieldNames()(0)
+        require(schema.fieldNames.contains(from), s"no column $from")
+        require(!schema.fieldNames.contains(r.newName),
+          s"column ${r.newName} exists")
+        schema = StructType(schema.fields.map(fd =>
+          if (fd.name == from) fd.copy(name = r.newName) else fd))
+      case other => throw new UnsupportedOperationException(
+        "graft-manifest supports ADD COLUMN (appended, nullable) and " +
+          s"RENAME COLUMN only, got $other")
+    }
+    val entries = ManifestFiles.readManifest(f, new Path(dir, "_MANIFEST"))
+    ManifestFiles.publishSnapshot(f,
+      SparkSession.active.sessionState.newHadoopConf(), dir, entries, schema)
+    load(ident, None)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

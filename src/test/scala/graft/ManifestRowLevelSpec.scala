@@ -142,6 +142,39 @@ class ManifestRowLevelSpec extends AnyFunSuite {
     }
   }
 
+  test("ALTER TABLE evolves the schema as a metadata-only commit") {
+    withCatalog("graft_rl6") { root =>
+      seed(s"$root/t")
+      val filesBefore = entries(s"$root/t")
+
+      spark.sql("ALTER TABLE graft_rl6.t ADD COLUMN score BIGINT")
+      spark.sql("ALTER TABLE graft_rl6.t RENAME COLUMN tag TO label")
+
+      // Metadata-only: versions advanced, not one data file touched.
+      assert(entries(s"$root/t") == filesBefore)
+      // Old rows surface NULL for the added column; the rename is free.
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM graft_rl6.t WHERE score IS NULL")
+        .head().getLong(0) == 100)
+      assert(spark.sql("SELECT label FROM graft_rl6.t WHERE id = 7")
+        .head().getString(0) == "v-7")
+      // New writes carry the widened arity; mixed files read together.
+      spark.sql("INSERT INTO graft_rl6.t VALUES (200L, 0L, 'v-200', 9L)")
+      assert(spark.sql(
+        "SELECT count(*) AS n, sum(score) AS s FROM graft_rl6.t")
+        .head().getLong(0) == 101)
+      assert(spark.sql("SELECT sum(score) AS s FROM graft_rl6.t")
+        .head().getLong(0) == 9)
+      // The pre-evolution schema stays version-pinned (v2 = seed data).
+      assert(spark.sql("SELECT * FROM graft_rl6.t VERSION AS OF 2")
+        .schema.fieldNames.toSeq == Seq("id", "grp", "tag"))
+      // Unsupported shapes fail clearly.
+      val ex = intercept[Exception](
+        spark.sql("ALTER TABLE graft_rl6.t DROP COLUMN grp"))
+      assert(ex.getMessage.contains("ADD COLUMN"), ex.getMessage)
+    }
+  }
+
   test("_file metadata column is selectable and stable across files") {
     withCatalog("graft_rl5") { root =>
       seed(s"$root/t")
