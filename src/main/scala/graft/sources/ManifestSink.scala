@@ -262,15 +262,14 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
     new ManifestWriterFactory(path, stagingName, failPartition, schema, conf)
 
   // Driver-side, exactly once, only after EVERY task committed: publish.
-  // Each commit is a VERSION: append merges the previous snapshot's
-  // entries, truncate (mode("overwrite")) starts from empty. The
-  // snapshot lands twice — `_MANIFEST.v<N>` (immutable history, claimed
-  // by create-exclusive so concurrent committers serialize on version
-  // numbers) and `_MANIFEST` (the latest pointer, temp + atomic
-  // overwrite-rename as before) — plus `_SCHEMA[.v<N>]` (StructType
-  // JSON) so the read path needs no inference. Readers of "latest" see
-  // either the old or the new complete snapshot, never a mix; version
-  // readers see immutable files.
+  // Each commit is a VERSION: append merges the predecessor snapshot's
+  // entries, truncate (mode("overwrite")) starts from empty. Versioning
+  // and concurrency live in ManifestFiles.publishSnapshot — optimistic
+  // rebase: the claim loop re-reads the predecessor on every retry, so
+  // concurrent committers merge rather than overwrite each other (no
+  // lost updates; spec: ManifestConcurrencySpec). Readers of "latest"
+  // see either the old or the new complete snapshot, never a mix;
+  // version readers see immutable files.
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.value)
@@ -282,11 +281,16 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
       s"$fin,$rows"
     }
     val drop = dropFromPrevious()
-    val previous =
-      if (truncate) Array.empty[String]
-      else ManifestFiles.readManifest(fs, new Path(dir, "_MANIFEST"))
-        .filterNot(line => drop.contains(line.substring(0, line.lastIndexOf(','))))
-    ManifestFiles.publishSnapshot(fs, conf.value, dir, previous ++ fresh, schema)
+    // The base snapshot is supplied by publishSnapshot's claim loop (the
+    // immediate predecessor version, re-read on every retry), so a
+    // concurrent committer's files are never lost from the merge.
+    ManifestFiles.publishSnapshot(fs, conf.value, dir, previous => {
+      val base =
+        if (truncate) Array.empty[String]
+        else previous.filterNot(line =>
+          drop.contains(line.substring(0, line.lastIndexOf(','))))
+      base ++ fresh
+    }, schema)
     fs.delete(staging, true)
   }
 

@@ -56,6 +56,16 @@ object ManifestFiles {
   def latestVersion(fs: FileSystem, dir: Path): Int =
     (0 +: versions(fs, dir)).max
 
+  /** Newest version whose `_SCHEMA.v<N>` has also landed — the claim
+    * (`_MANIFEST.v<N>`) precedes the schema by an instant, so readers
+    * resolving "latest" skip an incomplete tip instead of blocking.
+    * Version files, not the `_MANIFEST`/`_SCHEMA` pointers, are the
+    * source of truth: under concurrent commits the pointers can lag or
+    * even regress briefly (last swing wins); version files cannot. */
+  def latestComplete(fs: FileSystem, dir: Path): Int =
+    (0 +: versions(fs, dir).filter(v =>
+      fs.exists(new Path(dir, s"_SCHEMA.v$v")))).max
+
   /** Latest version whose snapshot file existed at `tsMicros` (commit
     * time = the version file's modification time). */
   def versionAt(fs: FileSystem, dir: Path, tsMicros: Long): Option[Int] =
@@ -71,7 +81,10 @@ object ManifestFiles {
         require(fs.exists(p), s"no version $v at $dir " +
           s"(have: ${versions(fs, dir).sorted.mkString(",")})")
         p
-      case None => new Path(dir, "_MANIFEST")
+      case None =>
+        val v = latestComplete(fs, dir)
+        if (v > 0) new Path(dir, s"_MANIFEST.v$v")
+        else new Path(dir, "_MANIFEST")
     }
     readManifest(fs, manifest).map { line =>
       val i = line.lastIndexOf(',')
@@ -79,42 +92,92 @@ object ManifestFiles {
     }
   }
 
-  /** Publish one snapshot: claim the next immutable version number with
-    * create-exclusive (concurrent committers serialize by retrying), land
-    * `_MANIFEST.v<N>`/`_SCHEMA.v<N>`, then swing the latest pointers via
-    * temp + atomic overwrite-rename. Shared by data commits
-    * (ManifestBatchWrite) and metadata-only commits (ALTER TABLE).
-    * Returns the claimed version. */
+  /** Publish one snapshot with OPTIMISTIC CONCURRENCY (the Delta/Iceberg
+    * commit protocol): claim version N by rename-without-overwrite of a
+    * fully-written temp file (atomic putIfAbsent on HDFS-semantics
+    * filesystems; on a raw local FS the existence check narrows the race
+    * to microseconds), and — crucially — REBUILD the snapshot from the
+    * just-lost winner's entries on every retry, so a concurrent
+    * committer's files are never dropped from the merged snapshot (no
+    * lost updates). `buildEntries` receives the predecessor snapshot's
+    * lines and returns this commit's full entry list. `_SCHEMA.v<N>`
+    * lands after the claim; the latest pointers swing last via atomic
+    * overwrite-rename (they are a convenience — version files are the
+    * source of truth, see latestVersion). Returns the claimed version. */
   def publishSnapshot(fs: FileSystem, conf: org.apache.hadoop.conf.Configuration,
-      dir: Path, entryLines: Array[String], schema: StructType): Int = {
-    val entries = entryLines.sorted.mkString("\n").getBytes("UTF-8")
-    var version = latestVersion(fs, dir) + 1
-    var claimed = false
-    while (!claimed) {
-      try {
-        val out = fs.create(new Path(dir, s"_MANIFEST.v$version"), false)
-        try out.write(entries) finally out.close()
-        claimed = true
-      } catch {
-        case _: java.io.IOException if fs.exists(new Path(dir, s"_MANIFEST.v$version")) =>
-          version += 1
-      }
-    }
-    val schemaBytes = schema.json.getBytes("UTF-8")
-    val vSchema = fs.create(new Path(dir, s"_SCHEMA.v$version"), true)
-    try vSchema.write(schemaBytes) finally vSchema.close()
-
+      dir: Path, buildEntries: Array[String] => Array[String],
+      schema: StructType): Int = {
+    if (!fs.exists(dir)) fs.mkdirs(dir)
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
-    def swing(tmpName: String, bytes: Array[Byte], target: String): Unit = {
+    // Temp names carry a committer-unique token: two committers racing
+    // for the same version number must stage to DIFFERENT temp files.
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    // The CLAIM must go through FileSystem.rename, not FileContext: it
+    // refuses an existing destination natively (atomic putIfAbsent on
+    // HDFS semantics) AND ChecksumFileSystem moves the data+crc sidecar
+    // pair coherently — FileContext's pair-unaware rename let a losing
+    // claimer clobber the winner's .crc, corrupting the version file
+    // for every reader. Pointer swings still use FileContext's
+    // overwrite-rename; pointers are an existence probe only (version
+    // files are the read path), so their last-swing-wins race is benign.
+    def land(tmpName: String, bytes: Array[Byte], target: String,
+        overwrite: Boolean): Boolean = {
       val tmp = new Path(dir, tmpName)
       val out = fs.create(tmp, true)
       try out.write(bytes) finally out.close()
-      fc.rename(tmp, new Path(dir, target),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      if (overwrite) {
+        // Best-effort: FileContext's OVERWRITE is delete-then-rename
+        // internally, so concurrent swingers can race each other into a
+        // spurious already-exists. Losing the swing is fine — some
+        // committer's complete snapshot is the pointer either way.
+        try {
+          fc.rename(tmp, new Path(dir, target),
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        } catch {
+          case _: java.io.IOException => fs.delete(tmp, false)
+        }
+        true
+      } else {
+        val ok =
+          try fs.rename(tmp, new Path(dir, target))
+          catch { case _: java.io.IOException => false }
+        if (!ok) fs.delete(tmp, false)
+        ok
+      }
     }
-    swing(s"._publish-$version-schema", schemaBytes, "_SCHEMA")
-    swing(s"._publish-$version-manifest", entries, "_MANIFEST")
-    version
+
+    // POSIX rename overwrites silently, so on a LOCAL filesystem the
+    // exists-check + rename pair is not atomic across threads — a raw
+    // race let two claimers both "succeed" with one snapshot silently
+    // replaced. Same-process committers (local mode, one driver JVM)
+    // therefore serialize on a lock keyed by the table directory —
+    // Delta's LocalLogStore makes the same tradeoff. On HDFS-semantics
+    // filesystems rename refuses an existing destination server-side,
+    // so CROSS-process committers are safe where it matters (shared
+    // production storage); cross-process writers on one raw local disk
+    // remain a documented out-of-scope race.
+    val lock = (dir.toUri.toString + "#graft-manifest-claim").intern()
+    lock.synchronized {
+      var version = latestVersion(fs, dir) + 1
+      var entries: Array[Byte] = null
+      var claimed = false
+      while (!claimed) {
+        val previous =
+          if (version <= 1) Array.empty[String]
+          else readManifest(fs, new Path(dir, s"_MANIFEST.v${version - 1}"))
+        entries = buildEntries(previous).sorted.mkString("\n").getBytes("UTF-8")
+        claimed = !fs.exists(new Path(dir, s"_MANIFEST.v$version")) &&
+          land(s"._claim-$token-$version", entries, s"_MANIFEST.v$version",
+            overwrite = false)
+        if (!claimed) version += 1
+      }
+      val schemaBytes = schema.json.getBytes("UTF-8")
+      land(s"._publish-$token-vschema", schemaBytes, s"_SCHEMA.v$version",
+        overwrite = true)
+      land(s"._publish-$token-lschema", schemaBytes, "_SCHEMA", overwrite = true)
+      land(s"._publish-$token-lmanifest", entries, "_MANIFEST", overwrite = true)
+      version
+    }
   }
 
   def schemaFor(fs: FileSystem, dir: Path, version: Option[Int]): StructType = {
@@ -123,8 +186,10 @@ object ManifestFiles {
         s"no version $v at $dir " +
           s"(have: ${versions(fs, dir).sorted.mkString(",")})")
     }
-    val p = version.map(v => new Path(dir, s"_SCHEMA.v$v"))
-      .getOrElse(new Path(dir, "_SCHEMA"))
+    val p = version.map(v => new Path(dir, s"_SCHEMA.v$v")).getOrElse {
+      val v = latestComplete(fs, dir)
+      if (v > 0) new Path(dir, s"_SCHEMA.v$v") else new Path(dir, "_SCHEMA")
+    }
     require(fs.exists(p), s"graft-manifest: no schema file at $p — " +
       "was this directory written by the graft-manifest sink?")
     val in = fs.open(p)
@@ -449,9 +514,9 @@ class GraftManifestCatalog extends TableCatalog
         "graft-manifest supports ADD COLUMN (appended, nullable) and " +
           s"RENAME COLUMN only, got $other")
     }
-    val entries = ManifestFiles.readManifest(f, new Path(dir, "_MANIFEST"))
     ManifestFiles.publishSnapshot(f,
-      SparkSession.active.sessionState.newHadoopConf(), dir, entries, schema)
+      SparkSession.active.sessionState.newHadoopConf(), dir,
+      previous => previous, schema)
     load(ident, None)
   }
 
@@ -564,6 +629,14 @@ private[sources] object ManifestProcedures {
         val n = st.getPath.getName
         st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
           !referenced.contains(n) && fs.delete(st.getPath, false)
+      }
+      // Crashed committers leave orphan temp files (`._claim-*` /
+      // `._publish-*`); racing a LIVE commit is harmless — its claim
+      // retry stages a fresh temp. Not counted as data files.
+      fs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isFile && (n.startsWith("._claim-") || n.startsWith("._publish-")))
+          fs.delete(st.getPath, false)
       }
       result(new StructType().add("versions_dropped", IntegerType)
           .add("data_files_deleted", IntegerType),
