@@ -23,13 +23,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     only its `commit()` reports the file; `abort()` deletes it, so
   *     failed/retried/speculated attempts leave nothing visible;
   *   - `BatchWrite.commit(messages)` — driver-side, runs once, after every
-  *     task committed — moves the staged files up and then publishes
-  *     `_MANIFEST` (file → row count) via write-temp + overwrite rename
-  *     (`FileContext.rename(OVERWRITE)`, atomic on HDFS-semantics
-  *     filesystems). The manifest is the single atomic publish point: a
-  *     driver crash mid-commit can leave part files visible to directory
-  *     listing, so READERS MUST TRUST ONLY `_MANIFEST`-LISTED FILES (the
-  *     `_spark_metadata` idea); the spec reads through the manifest.
+  *     task committed — moves the staged files up and then publishes the
+  *     snapshot through `ManifestFiles.publishSnapshot` (atomic version
+  *     claim + rebase-on-conflict; the version file is the single atomic
+  *     publish point). A driver crash mid-commit can leave part files
+  *     visible to directory listing, so READERS MUST TRUST ONLY
+  *     MANIFEST-LISTED FILES (the `_spark_metadata` idea); the spec
+  *     reads through the manifest.
   *   - `BatchWrite.abort` removes this job's staging namespace only.
   *
   * All I/O goes through the Hadoop `FileSystem` API resolved from the

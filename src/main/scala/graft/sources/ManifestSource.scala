@@ -17,10 +17,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * write half), plus a [[TableCatalog]] that makes the format reachable
   * from SQL with genuine time travel:
   *
-  *   - every commit is an immutable snapshot `_MANIFEST.v<N>`; reads
-  *     resolve "latest" through the atomically-published `_MANIFEST`
-  *     pointer, or pin a version via `.option("versionAsOf", n)` /
-  *     SQL `VERSION AS OF n` / `TIMESTAMP AS OF t` through the catalog
+  *   - every commit is an immutable snapshot `_MANIFEST.v<N>` claimed
+  *     by atomic putIfAbsent with rebase-on-conflict (publishSnapshot);
+  *     reads resolve "latest" from the newest COMPLETE version file
+  *     (latestComplete — the `_MANIFEST`/`_SCHEMA` pointers are
+  *     best-effort probes), or pin a version via
+  *     `.option("versionAsOf", n)` / SQL `VERSION AS OF n` /
+  *     `TIMESTAMP AS OF t` through the catalog
   *     (`TableCatalog.loadTable(ident, version)` — the same seam
   *     Delta/Iceberg plug; reference has no table-format concept, its
   *     tables are directories, `sql/core/.../datasources/DataSource
