@@ -50,6 +50,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // manifest time travel: two sink commits at construction; the result
     // is a 1-row × 1-row summary join
     "q218_manifest_time_travel",
+    // manifest row-level ops: seed commit + DELETE + MERGE run at
+    // construction; the returned plan is a bare snapshot scan
+    "q219_manifest_merge_upsert",
+    // manifest streaming tail: three commits + a stream driven to
+    // completion at construction; result reads a memory sink
+    "q220_manifest_stream_tail",
     // eager actions at construction (GraphX/ML/RDD/stat collect/cache)
     "q95_graph_pagerank", "q96_ml_kmeans", "q100_cache_scan",
     "q105_rdd_primitives", "q134_dedup_clusters", "q142_pagerank_exact",
