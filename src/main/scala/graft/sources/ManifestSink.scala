@@ -131,7 +131,7 @@ private[sources] class ManifestTable(schema0: StructType,
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = java.util.EnumSet.of(TableCapability.BATCH_WRITE,
       TableCapability.BATCH_READ, TableCapability.TRUNCATE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
     if (!strictSchema) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
     caps
   }
@@ -195,6 +195,30 @@ private[sources] class ManifestTable(schema0: StructType,
             path.toString, info.queryId(),
             Option(info.options.get("failPartition")).map(_.toInt).getOrElse(-1),
             existing.getOrElse(incoming), truncateRequested, hconf)
+        }
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          if (truncateRequested) throw new UnsupportedOperationException(
+            "graft-manifest streaming sink supports append output mode " +
+              "only (Complete-mode truncation would also discard the " +
+              "exactly-once #txn markers)")
+          val incoming = info.schema()
+          val hconf = new SerializableHadoopConf(
+            SparkSession.active.sessionState.newHadoopConf())
+          val fs = path.getFileSystem(hconf.value)
+          val existing =
+            if (fs.exists(new Path(path, "_SCHEMA")))
+              Some(ManifestFiles.schemaFor(fs, path, None))
+            else None
+          existing.foreach { e =>
+            val aligned = e.length == incoming.length &&
+              e.fields.map(_.dataType).sameElements(
+                incoming.fields.map(_.dataType))
+            if (!aligned) throw new IllegalArgumentException(
+              s"graft-manifest append schema mismatch: table has " +
+                s"${e.simpleString}, write provides ${incoming.simpleString}")
+          }
+          new ManifestStreamingWrite(path.toString, info.queryId(),
+            existing.getOrElse(incoming), hconf)
         }
       }
     }
@@ -301,31 +325,108 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
   }
 }
 
+/** Task-side staged CSV writer, shared by the batch and streaming
+  * factories — only the staged file NAME differs (streaming prefixes
+  * the epoch so retried epochs never collide with committed files). */
+private[sources] object ManifestWriters {
+  def create(path: String, stagingName: String, name: String,
+      schema: StructType, conf: SerializableHadoopConf,
+      injectFailure: Boolean): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val file = new Path(new Path(path, stagingName), name)
+      private val fs: FileSystem = file.getFileSystem(conf.value)
+      private val out = new java.io.PrintWriter(fs.create(file, true))
+      private var rows = 0L
+      private val attempt = org.apache.spark.TaskContext.get().attemptNumber()
+
+      override def write(r: InternalRow): Unit = {
+        if (injectFailure && attempt == 0 && rows == 2)
+          throw new RuntimeException("injected write failure")
+        out.println(schema.indices.map(i =>
+          String.valueOf(r.get(i, schema(i).dataType))).mkString(","))
+        rows += 1
+      }
+      override def commit(): WriterCommitMessage = {
+        out.close()
+        FileCommitted(name, rows)
+      }
+      override def abort(): Unit = { out.close(); fs.delete(file, false) }
+      override def close(): Unit = out.close()
+    }
+}
+
+private[sources] class ManifestStreamWriterFactory(path: String,
+    stagingName: String, schema: StructType, conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    ManifestWriters.create(path, stagingName,
+      f"part-e$epochId-$partitionId%05d-$taskId.tmp", schema, conf,
+      injectFailure = false)
+}
+
 private[sources] class ManifestWriterFactory(path: String, stagingName: String,
     failPartition: Int, schema: StructType,
     conf: SerializableHadoopConf) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int,
-      taskId: Long): DataWriter[InternalRow] = new DataWriter[InternalRow] {
-    private val name = f"part-$partitionId%05d-$taskId.tmp"
-    private val file = new Path(new Path(path, stagingName), name)
-    private val fs: FileSystem = file.getFileSystem(conf.value)
-    private val out = new java.io.PrintWriter(fs.create(file, true))
-    private var rows = 0L
-    private val attempt = org.apache.spark.TaskContext.get().attemptNumber()
+      taskId: Long): DataWriter[InternalRow] =
+    ManifestWriters.create(path, stagingName,
+      f"part-$partitionId%05d-$taskId.tmp", schema, conf,
+      injectFailure = partitionId == failPartition)
+}
 
-    override def write(r: InternalRow): Unit = {
-      if (partitionId == failPartition && attempt == 0 && rows == 2)
-        throw new RuntimeException("injected write failure")
-      out.println(schema.indices.map(i =>
-        String.valueOf(r.get(i, schema(i).dataType))).mkString(","))
-      rows += 1
+/** STREAMING write half: each epoch is one snapshot commit with
+  * EXACTLY-ONCE dedup via a `#txn,<queryId>,<epoch>` marker line that
+  * rides the atomically-claimed version file (Delta's SetTransaction
+  * idea — there is no crash window between "data visible" and "epoch
+  * recorded", they are the same file). A replayed epoch (restart from
+  * an older checkpoint state, task-level retry storm) sees its marker
+  * in the predecessor snapshot and cleans up its staged files instead
+  * of double-committing. Append output mode only. */
+private[sources] class ManifestStreamingWrite(path: String, queryId: String,
+    schema: StructType, conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private val stagingName = s".staging-$queryId"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new ManifestStreamWriterFactory(path, stagingName, schema, conf)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf.value)
+    val staging = new Path(dir, stagingName)
+    val already = ManifestFiles.committedEpoch(
+      ManifestFiles.latestLines(fs, dir), queryId).exists(_ >= epochId)
+    if (already) {
+      messages.foreach { case FileCommitted(tmp, _) =>
+        fs.delete(new Path(staging, tmp), false)
+      }
+      return
     }
-    override def commit(): WriterCommitMessage = {
-      out.close()
-      FileCommitted(name, rows)
+    val fresh = messages.map { case FileCommitted(tmp, rows) =>
+      val fin = tmp.stripSuffix(".tmp")
+      val ok = fs.rename(new Path(staging, tmp), new Path(dir, fin))
+      require(ok, s"staged file $tmp vanished before commit")
+      s"$fin,$rows"
     }
-    override def abort(): Unit = { out.close(); fs.delete(file, false) }
-    override def close(): Unit = out.close()
+    ManifestFiles.publishSnapshot(fs, conf.value, dir, previous =>
+      previous.filterNot(_.startsWith(s"#txn,$queryId,")) ++ fresh :+
+        s"#txn,$queryId,$epochId", schema)
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf.value)
+    val staging = new Path(dir, stagingName)
+    if (fs.exists(staging)) fs.listStatus(staging).foreach { st =>
+      if (st.getPath.getName.startsWith(s"part-e$epochId-"))
+        fs.delete(st.getPath, false)
+    }
   }
 }

@@ -89,11 +89,29 @@ object ManifestFiles {
         if (v > 0) new Path(dir, s"_MANIFEST.v$v")
         else new Path(dir, "_MANIFEST")
     }
-    readManifest(fs, manifest).map { line =>
+    // `#`-prefixed lines are snapshot metadata (e.g. `#txn,<query>,<epoch>`
+    // streaming transaction markers), not file entries.
+    readManifest(fs, manifest).filterNot(_.startsWith("#")).map { line =>
       val i = line.lastIndexOf(',')
       (line.substring(0, i), line.substring(i + 1).toLong)
     }
   }
+
+  /** Raw lines of the newest complete snapshot (file entries AND
+    * `#`-metadata lines) — what a commit's rebase starts from. */
+  def latestLines(fs: FileSystem, dir: Path): Array[String] = {
+    val v = latestComplete(fs, dir)
+    if (v <= 0) Array.empty
+    else readManifest(fs, new Path(dir, s"_MANIFEST.v$v"))
+  }
+
+  /** Highest epoch a streaming query has committed into this table, read
+    * from the snapshot's `#txn` markers (the Delta SetTransaction idea:
+    * the marker rides the atomically-claimed version file, so epoch
+    * dedup survives any crash point). */
+  def committedEpoch(lines: Array[String], queryId: String): Option[Long] =
+    lines.filter(_.startsWith(s"#txn,$queryId,"))
+      .flatMap(_.split(",", 3).lift(2)).flatMap(_.toLongOption).maxOption
 
   /** Publish one snapshot with OPTIMISTIC CONCURRENCY (the Delta/Iceberg
     * commit protocol): claim version N by rename-without-overwrite of a
