@@ -142,9 +142,15 @@ private[sources] class ManifestTable(schema0: StructType,
       Option(options.get(k)).orElse(Option(properties.get(k)))
     val p = opt("path").getOrElse(throw new IllegalArgumentException(
       "graft-manifest read requires .option(\"path\", <directory URI>)"))
+    val changes = opt("changesFrom").map(_.toInt).map { from =>
+      require(opt("versionAsOf").isEmpty,
+        "graft-manifest: changesFrom and versionAsOf are mutually exclusive")
+      (from, opt("changesTo").map(_.toInt))
+    }
     new ManifestScanBuilder(p, opt("versionAsOf").map(_.toInt), schema0,
       new SerializableHadoopConf(
-        SparkSession.active.sessionState.newHadoopConf()))
+        SparkSession.active.sessionState.newHadoopConf()),
+      changes = changes)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // Same options→properties fallback as the scan builder: a table

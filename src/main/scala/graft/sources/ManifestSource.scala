@@ -201,6 +201,24 @@ object ManifestFiles {
     }
   }
 
+  /** Entries ADDED between two snapshot versions (the incremental-read
+    * set difference, shared by the streaming source and the batch
+    * `changesFrom`/`changesTo` options). Fails loudly when the range is
+    * not pure appends — a COW rewrite inside the range would otherwise
+    * surface rewritten rows as if they were new data. */
+  def addedBetween(fs: FileSystem, dir: Path, from: Int, to: Int): Array[String] = {
+    def names(v: Int): Set[String] =
+      if (v <= 0) Set.empty else entries(fs, dir, Some(v)).map(_._1).toSet
+    val before = names(from)
+    val after = names(to)
+    val removed = before -- after
+    if (removed.nonEmpty) throw new IllegalStateException(
+      s"graft-manifest at $dir: versions $from..$to are not pure " +
+        s"appends (${removed.size} entries unlisted, e.g. ${removed.head}); " +
+        "incremental reads require append-only history")
+    (after -- before).toArray.sorted
+  }
+
   def schemaFor(fs: FileSystem, dir: Path, version: Option[Int]): StructType = {
     version.foreach { v =>
       require(fs.exists(new Path(dir, s"_MANIFEST.v$v")),
@@ -223,7 +241,11 @@ object ManifestFiles {
 
 private[sources] class ManifestScanBuilder(path: String, version: Option[Int],
     fullSchema: StructType, conf: SerializableHadoopConf,
-    onPlanned: Array[String] => Unit = _ => ())
+    onPlanned: Array[String] => Unit = _ => (),
+    // Batch incremental read (`changesFrom` → exclusive, `changesTo` →
+    // inclusive, default latest): the rows commits ADDED in the version
+    // range — the backfill twin of the streaming source.
+    changes: Option[(Int, Option[Int])] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var required: StructType = fullSchema
@@ -268,7 +290,12 @@ private[sources] class ManifestScanBuilder(path: String, version: Option[Int],
     override def planInputPartitions(): Array[InputPartition] = {
       val dir = new Path(path)
       val fs = dir.getFileSystem(conf.value)
-      val listed = ManifestFiles.entries(fs, dir, version).map(_._1)
+      val listed = changes match {
+        case Some((from, to)) =>
+          ManifestFiles.addedBetween(fs, dir, from,
+            to.getOrElse(ManifestFiles.latestComplete(fs, dir)))
+        case None => ManifestFiles.entries(fs, dir, version).map(_._1)
+      }
       val names = allowedFiles.fold(listed)(ok => listed.filter(ok))
       onPlanned(names)
       names.map(n =>
@@ -306,10 +333,6 @@ private[sources] class ManifestMicroBatchStream(path: String,
   private def dir = new Path(path)
   private def fs = dir.getFileSystem(conf.value)
 
-  private def names(v: Int): Set[String] =
-    if (v <= 0) Set.empty
-    else ManifestFiles.entries(fs, dir, Some(v)).map(_._1).toSet
-
   override def initialOffset(): Offset = ManifestOffset(0)
   override def latestOffset(): Offset =
     ManifestOffset(ManifestFiles.latestVersion(fs, dir))
@@ -319,14 +342,7 @@ private[sources] class ManifestMicroBatchStream(path: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[ManifestOffset].version
     val e = end.asInstanceOf[ManifestOffset].version
-    val before = names(s)
-    val after = names(e)
-    val removed = before -- after
-    if (removed.nonEmpty) throw new IllegalStateException(
-      s"graft-manifest stream at $path: versions $s..$e are not pure " +
-        s"appends (${removed.size} entries unlisted, e.g. ${removed.head}); " +
-        "streaming reads require append-only history")
-    (after -- before).toArray.sorted.map(n =>
+    ManifestFiles.addedBetween(fs, dir, s, e).map(n =>
       ManifestInputPartition(new Path(dir, n).toString, n): InputPartition)
   }
 

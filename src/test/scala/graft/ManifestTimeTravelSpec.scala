@@ -158,6 +158,32 @@ class ManifestTimeTravelSpec extends AnyFunSuite {
       ex.getMessage)
   }
 
+  test("changesFrom/changesTo read only the rows a version range added") {
+    val root = java.nio.file.Files.createTempDirectory("graft_tt").toString + "/c1"
+    write(root, "append", 0 until 3)    // v1
+    write(root, "append", 10 until 14)  // v2
+    write(root, "append", 20 until 22)  // v3
+    def changes(from: Int, to: Option[Int]) = {
+      val r = spark.read.format("graft-manifest").option("path", root)
+        .option("changesFrom", from.toString)
+      to.fold(r)(t => r.option("changesTo", t.toString)).load()
+        .collect().map(_.getLong(0)).sorted.toSeq
+    }
+    assert(changes(1, Some(2)) == (10L until 14L))
+    assert(changes(1, None) == ((10L until 14L) ++ (20L until 22L)))
+    assert(changes(0, Some(1)) == (0L until 3L))
+    assert(changes(3, None) == Seq.empty)
+    // Non-append history in the range fails loudly.
+    write(root, "overwrite", 90 until 92) // v4
+    val ex = intercept[Exception](changes(3, None))
+    assert(ex.getMessage.contains("not pure appends"), ex.getMessage)
+    // And the guard composes: changesFrom + versionAsOf is an error.
+    val ex2 = intercept[Exception](
+      spark.read.format("graft-manifest").option("path", root)
+        .option("changesFrom", "1").option("versionAsOf", "2").load().collect())
+    assert(ex2.getMessage.contains("mutually exclusive"), ex2.getMessage)
+  }
+
   test("read plans only manifest-listed files, ignoring stray part files") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_tt").toString + "/t3"
