@@ -24,21 +24,40 @@ object Tables {
     if (name == "events") eventsDf(spark, dir) else
       spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects (SPARK-40819). Read nanos as long (legacy conf) and
-    * truncate to microseconds — the same truncation DuckDB applies — so the
-    * engine-visible schema is a proper TimestampType column. */
+  /** Normalize `events.ts` across testdata generations so every consumer
+    * (batch, streaming, tests) sees one engine-visible type: session-tz
+    * `TimestampType`, microsecond precision.
+    *
+    *   - `LongType`: raw nanos from the legacy `nanosAsLong` read of older
+    *     TIMESTAMP(NANOS) files (Spark's vectorized reader rejects nanos,
+    *     SPARK-40819). Truncate to micros with floor semantics: `div`
+    *     alone truncates toward zero, which rounds pre-1970 timestamps UP;
+    *     subtracting the (always non-negative) pmod remainder first makes
+    *     the division exact for any epoch sign — matching DuckDB's
+    *     nanos→micros cast.
+    *   - `TimestampNTZType`: current testdata writes plain `timestamp[us]`
+    *     (no UTC adjustment), which Spark reads as TIMESTAMP_NTZ. Cast to
+    *     TimestampType — value-identical under the engine's pinned UTC
+    *     session zone, and what DuckDB sees as naive micros.
+    *   - already `TimestampType`: pass through.
+    *
+    * Works on batch and streaming frames alike (pure column expressions). */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts",
+          timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
+
   private def eventsDf(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    // Harmless on current micros files; lets older nanos files load as long.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    // `div` = integral division: nanos (~1.7e18) exceed 2^53, so a double
-    // round-trip would drop up to ~128 ns before truncation. `div` alone
-    // truncates toward zero, which rounds pre-1970 timestamps UP; subtract
-    // the (always non-negative) pmod remainder first so the division is
-    // exact — i.e. floor semantics, matching DuckDB's nanos→micros cast —
-    // for any epoch sign.
-    raw.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+    normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 

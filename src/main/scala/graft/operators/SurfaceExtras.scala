@@ -30,9 +30,9 @@ object SurfaceExtras extends QueryModule {
       import s.implicits._
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = s.read.parquet(s"$d/events.parquet").schema
-      def stream() = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
-        .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+      def stream() = Tables.normalizeEventTs(
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(d))
       val purchases = stream().filter($"event_type" === "purchase")
         .select($"event_id".as("purchase_id"), $"user_id", $"ts".as("p_ts"))
         .withWatermark("p_ts", "2 hours")

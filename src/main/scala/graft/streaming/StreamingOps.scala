@@ -26,15 +26,15 @@ import graft.{QueryDef, QueryModule, Tables}
   */
 object StreamingOps extends QueryModule {
 
-  /** events replayed as a stream: same nanos→micros normalization as the
-    * batch reader (Tables.eventsDf). */
+  /** events replayed as a stream: same ts normalization as the batch
+    * reader (Tables.normalizeEventTs). */
   private def eventStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batchSchema = s.read.parquet(s"$d/events.parquet").schema
-    s.readStream.schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+    Tables.normalizeEventTs(
+      s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d))
   }
 
   private def runToTable(s: SparkSession, df: DataFrame, mode: OutputMode,
