@@ -27,7 +27,7 @@ object SparkEntry {
     graft.operators.ScalePatterns, graft.operators.CatalogPersistence,
     graft.operators.CorpusIngest, graft.operators.ModernSql,
     graft.operators.TpcdsShapes, graft.operators.Spark4Sql,
-    graft.streaming.TransformWithStateOps)
+    graft.streaming.TransformWithStateOps, graft.functions.V2FunctionOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
