@@ -132,6 +132,35 @@ object Sources extends QueryModule {
       FROM generate_series(1000, 59999) t(i)
       GROUP BY 1 ORDER BY 1"""))
 
+  /** The same connector through its VECTORIZED read path
+    * (`option("columnar", true)` → `supportColumnarReads` →
+    * `ColumnarBatch`es of `OnHeapColumnVector`s, SynthSource.scala): the
+    * planner inserts one codegen'd `ColumnarToRow` transition instead of
+    * allocating an `InternalRow` per source row, which is how Spark's own
+    * parquet scan feeds whole-stage codegen. Identical rows to q183's
+    * oracle shape by construction; SynthSourceSpec pins that the plan
+    * actually reports a columnar scan and that pushdown still narrows the
+    * generation range in columnar mode. */
+  val qSynthColumnar: QueryDef = QueryDef(
+    "q222_dsv2_columnar_scan",
+    (s, _) => {
+      import s.implicits._
+      s.read.format("graft-synth")
+        .option("rows", 100000).option("partitions", 8)
+        .option("columnar", true).load()
+        .filter($"id" >= 500 && $"id" < 80000)
+        .groupBy($"grp")
+        .agg(count(lit(1)).as("n"), min($"val").as("min_md5"),
+          max($"val").as("max_md5"))
+        .orderBy($"grp")
+    },
+    Some("""
+      SELECT CAST(i % 100 AS BIGINT) AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+             MIN(md5(CAST(i AS VARCHAR))) AS min_md5,
+             MAX(md5(CAST(i AS VARCHAR))) AS max_md5
+      FROM generate_series(500, 79999) t(i)
+      GROUP BY 1 ORDER BY 1"""))
+
   /** Parquet schema evolution: a v1 batch (2 columns) and a later v2
     * batch (3 columns — a field was added) land in the same dataset dir;
     * `mergeSchema` reconciles the footers at read time, v1 rows surface
@@ -321,6 +350,6 @@ object Sources extends QueryModule {
       GROUP BY 1 ORDER BY 1"""))
 
   override def defs: Seq[QueryDef] =
-    Seq(qCsv, qJson, qOrc, qText, qPartitioned, qSynthSource,
+    Seq(qCsv, qJson, qOrc, qText, qPartitioned, qSynthSource, qSynthColumnar,
       qSchemaEvolution, qManifestTimeTravel, qManifestMerge, qManifestStream)
 }

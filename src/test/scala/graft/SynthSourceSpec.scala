@@ -47,4 +47,47 @@ class SynthSourceSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("graft-synth [0, 1000)"), plan.take(600))
   }
+
+  private def loadColumnar() = spark.read.format("graft-synth")
+    .option("rows", 10000).option("partitions", 4)
+    .option("columnar", true).load()
+
+  test("columnar mode reports a columnar scan and inserts ColumnarToRow") {
+    import spark.implicits._
+    val df = loadColumnar().filter($"id" < 9000)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), plan.take(800))
+    assert(plan.contains("columnar"), plan.take(800))
+    val rowPlan = load().queryExecution.executedPlan.toString
+    assert(!rowPlan.contains("ColumnarToRow"), rowPlan.take(800))
+  }
+
+  test("columnar and row paths return identical data, pushdown intact") {
+    import spark.implicits._
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.filter($"id" >= 123 && $"id" < 8765).groupBy($"grp")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.min($"val").as("m"))
+        .orderBy($"grp").collect().toSeq
+    assert(agg(loadColumnar()) == agg(load()))
+    // the pushed range still narrows the columnar generator
+    val plan = loadColumnar().filter($"id" >= 123 && $"id" < 8765)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft-synth [123, 8765)"), plan.take(800))
+  }
+
+  test("columnar batches are bounded (capacity 4096) and cover every row " +
+    "exactly once across partition boundaries") {
+    import spark.implicits._
+    // 10000 rows / 4 partitions = 2500 per split < capacity: one batch
+    // per split; then force multi-batch splits with partitions=1
+    val one = spark.read.format("graft-synth")
+      .option("rows", 10000).option("partitions", 1)
+      .option("columnar", true).load()
+    assert(one.count() == 10000)
+    assert(one.select($"id").distinct().count() == 10000)
+    assert(one.agg(org.apache.spark.sql.functions.sum($"id")).head.getLong(0)
+      == (0L until 10000L).sum)
+  }
 }
