@@ -219,7 +219,47 @@ object PipelineExtras extends QueryModule {
                p -> abs(p[1] - p[2] * scale))), 9) AS max_err -- unnamed-struct numeric index
       FROM q ORDER BY vec_id"""))
 
+  /** Deterministic per-epoch corpus reshuffle: training runs want a
+    * DIFFERENT global document order every epoch, reproducible across
+    * reruns, engines, and cluster sizes — which rules out RNG shuffles
+    * (partition-seeded, like `sample()`) and rules in a seeded hash
+    * permutation: order by `md5(epoch || ':' || doc_id)`. The key is
+    * uniform, so at 100 TB the epoch order is materialized shard-by-shard
+    * with `repartitionByRange(k).sortWithinPartitions(k)` — balanced
+    * range partitions, one shuffle, no global coordination
+    * (EpochShuffleSpec pins balance, per-shard sortedness, and that
+    * epochs decorrelate). The query form surfaces the head of each
+    * epoch's permutation (window per epoch — the small-k introspection
+    * shape, not the materialization path) so DuckDB replays the exact
+    * permutation prefix. */
+  val qEpochShuffle: QueryDef = QueryDef(
+    "q223_epoch_shuffle",
+    (s, d) => {
+      import s.implicits._
+      val epochs = s.range(0, 2).select($"id".cast("int").as("epoch"))
+      val keyed = t(s, d, "documents").select($"doc_id")
+        .crossJoin(broadcast(epochs))
+        .withColumn("k", md5(concat($"epoch".cast("string"), lit(":"),
+          $"doc_id".cast("string"))))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"epoch").orderBy($"k")
+      keyed.withColumn("pos", row_number().over(w))
+        .filter($"pos" <= 10)
+        .select($"epoch", $"pos", $"doc_id")
+        .orderBy($"epoch", $"pos")
+    },
+    Some("""
+      SELECT epoch, CAST(pos AS INT) AS pos, doc_id FROM (
+        SELECT epoch, doc_id,
+               row_number() OVER (PARTITION BY epoch
+                 ORDER BY md5(epoch || ':' || doc_id)) AS pos
+        FROM documents
+        CROSS JOIN (SELECT CAST(0 AS INT) AS epoch
+                    UNION ALL SELECT CAST(1 AS INT)) e)
+      WHERE pos <= 10
+      ORDER BY epoch, pos"""))
+
   override def defs: Seq[QueryDef] =
     Seq(qVectorCentroid, qHashSplit, qCorpusMix, qSequencePack,
-      qDocChunking, qQuantize)
+      qDocChunking, qQuantize, qEpochShuffle)
 }

@@ -24,7 +24,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q66_sim_bruteforce_topk", // corpus × broadcast queries, guarded
     "q69_sim_custom_topk",     // same scoring shape as q66, custom top-k cut
     "q181_ivf_assign_exact",   // corpus × 8 broadcast centroids by design
-    "q97_compute_pi"           // range × 1-row constant
+    "q97_compute_pi",          // range × 1-row constant
+    "q223_epoch_shuffle"       // corpus × 2 broadcast epoch rows (fan-out
+                               // bounded by the epoch count, never data²)
   )
 
   /** Queries whose CONSTRUCTION runs jobs/side effects (streaming drives a
