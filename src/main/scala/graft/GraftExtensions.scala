@@ -42,6 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectOptimizerRule(_ => graft.functions.NGramSimplification)
+    // DEDUP TABLE statement: parser seam + the analyzer rule that
+    // desugars its unresolved node (DedupStatement.scala).
+    ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
+    ext.injectResolutionRule(_ => graft.plans.ResolveDedupTable)
 
     ext.injectFunction(fn("cosine",
       "cosine(a, b) - cosine similarity of two float/double arrays") {

@@ -18,8 +18,12 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  /** Apply engine defaults onto any builder (shared by tests/mains). */
+  /** Apply engine defaults onto any builder (shared by tests/mains).
+    * The extensions conf makes the engine's seams (TopKPerKey strategy,
+    * SQL kernels, DEDUP TABLE parser + its resolution rule) part of the
+    * DEFAULT deployment — the same single conf a cluster would set. */
   def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.ansi.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")

@@ -307,7 +307,34 @@ object Dedup extends QueryModule {
         SELECT node FROM walk GROUP BY node HAVING MIN(reach) <> node)
       GROUP BY lang ORDER BY lang"""))
 
+  /** The `DEDUP TABLE` SQL statement end to end (parser seam,
+    * plans/DedupStatement.scala): KEEP MIN o_orderkey keeps each
+    * customer's FIRST order — deterministic because o_orderkey is
+    * globally unique (the KEEP column must make (BY, KEEP) unique;
+    * lineitem's l_linenumber does NOT qualify in this testdata) — and
+    * the statement desugars to the already-audited one-shuffle
+    * window-rank shape. The session parser is installed via
+    * spark.sql.extensions (GraftSession/Verify), the way a cluster
+    * deploys it. */
+  val qDedupStatement: QueryDef = QueryDef(
+    "q224_dedup_sql_statement",
+    (s, d) => {
+      import s.implicits._
+      Tables.registerAll(s, d)
+      s.sql("DEDUP TABLE orders BY (o_custkey) KEEP MIN o_orderkey")
+        .select($"o_custkey", $"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        .orderBy($"o_custkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderkey) AS rn
+        FROM orders) t
+      WHERE rn = 1
+      ORDER BY o_custkey"""))
+
   override def defs: Seq[QueryDef] = Seq(
     qExact, qFingerprint, qNgramJaccard, qMinHashLsh, qSimHash,
-    qEmbeddingCosine, qDedupClusters, qDedupClustersExact, qCorpusPipeline)
+    qEmbeddingCosine, qDedupClusters, qDedupClustersExact, qCorpusPipeline,
+    qDedupStatement)
 }
