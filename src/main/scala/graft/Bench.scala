@@ -57,7 +57,9 @@ object Bench {
     "q182_corpus_pipeline_e2e", "q193_skew_join_plain", "q194_skew_join_salted",
     "q201_tpcds_q16_shipping", "q202_tpcds_q94_shipping",
     "q203_tpcds_q95_multi_supplier", "q204_tpcds_q5_channel_rollup",
-    "q205_tpcds_q95_cte_materialized")
+    "q205_tpcds_q95_cte_materialized", "q221_v2_function_catalog",
+    "q222_dsv2_columnar_scan", "q223_epoch_shuffle",
+    "q224_dedup_sql_statement")
 
   private val sentinelName = "q97_compute_pi"
   private val stragglerQueries =
