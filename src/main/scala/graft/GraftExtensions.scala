@@ -46,6 +46,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // desugars its unresolved node (DedupStatement.scala).
     ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
     ext.injectResolutionRule(_ => graft.plans.ResolveDedupTable)
+    // Columnar kernel: hamming64 projections over columnar children run
+    // batch-at-a-time (ColumnarKernel.scala).
+    ext.injectColumnar(_ => graft.plans.GraftColumnarRule)
 
     ext.injectFunction(fn("cosine",
       "cosine(a, b) - cosine similarity of two float/double arrays") {
