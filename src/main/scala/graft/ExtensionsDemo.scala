@@ -33,7 +33,22 @@ object ExtensionsDemo {
         .collect().head.getSeq[String](0).mkString(",")
       val hasStrategy = spark.sessionState.planner.strategies
         .exists(_.getClass.getName.contains("TopKStrategy"))
-      println(s"EXT_OK cos=$cos ngrams=$grams hamming=$ham topk=$topk strategy=$hasStrategy")
+      // parser seam: the DEDUP TABLE statement parses and desugars
+      spark.sql("SELECT * FROM VALUES (1L, 2), (1L, 1), (2L, 5) AS t(k, v)")
+        .createOrReplaceTempView("ext_demo")
+      val dedup = spark.sql("DEDUP TABLE ext_demo BY (k) KEEP MIN v")
+        .collect().map(r => s"${r.getLong(0)}:${r.getInt(1)}")
+        .sorted.mkString(",")
+      // columnar seam: hamming over the columnar source runs the kernel
+      val colPlan = spark.read.format("graft-synth")
+        .option("rows", 100).option("columnar", true).load()
+        .selectExpr("hamming64(id, grp) AS h")
+      val kernel = colPlan.queryExecution.executedPlan
+        .exists(_.getClass.getName.contains("ColumnarHammingProjectExec"))
+      val kernelSum = colPlan.agg(org.apache.spark.sql.functions.sum("h"))
+        .collect().head.getLong(0)
+      println(s"EXT_OK cos=$cos ngrams=$grams hamming=$ham topk=$topk " +
+        s"strategy=$hasStrategy dedup=$dedup kernel=$kernel ksum=$kernelSum")
     } finally spark.stop()
   }
 }

@@ -32,7 +32,8 @@ class ExtensionsSpec extends AnyFunSuite {
     val code = cmd ! ProcessLogger(l => out.append(l).append('\n'), _ => ())
     assert(code == 0, s"demo JVM failed:\n$out")
     assert(out.toString.contains(
-      "EXT_OK cos=1.0 ngrams=a b|b c|c d hamming=3 topk=z,e strategy=true"),
+      "EXT_OK cos=1.0 ngrams=a b|b c|c d hamming=3 topk=z,e strategy=true " +
+        "dedup=1:1,2:5 kernel=true ksum=0"),
       out.toString)
   }
 }
