@@ -144,6 +144,60 @@ object CorpusIngest extends QueryModule {
       WHERE s.doc_id % 50 <> 0
       GROUP BY s.doc_id HAVING COUNT(*) >= 3 ORDER BY doc_id"""))
 
+  /** Token-budget rebalancing: cap the corpus at 40% of its size while
+    * equalizing source shares — each source gets budget/k chars, so its
+    * acceptance rate is min(1, (0.4·total/k)/chars_s): over-represented
+    * sources are downsampled hard, small sources keep everything. The
+    * accept decision is the md5-threshold trick (uniform u(doc) ∈ [0,1)
+    * from the id's hash prefix), so membership is DETERMINISTIC — two
+    * engines, two runs, two cluster sizes pick the same documents, which
+    * is what makes the sampled corpus reproducible and auditable.
+    * Dataflow: one small per-source aggregate, rates broadcast back, one
+    * map-side filter — the corpus itself shuffles only for the final
+    * per-source stats. Both engines compute the rate with the identical
+    * double-arithmetic shape, so the boundary comparison agrees bitwise. */
+  val qTokenBudget: QueryDef = QueryDef(
+    "q225_token_budget_sample",
+    (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").select($"doc_id", $"source", $"n_chars")
+      val per = docs.groupBy($"source").agg(sum($"n_chars").as("chars_s"))
+      val tot = per.agg(sum($"chars_s").cast("double").as("t"),
+        count(lit(1)).cast("double").as("k"))
+      val rated = per.crossJoin(broadcast(tot))
+        .withColumn("rate", least(lit(1.0),
+          lit(0.4) * $"t" / $"k" / $"chars_s".cast("double")))
+        .select($"source", $"rate")
+      docs.join(broadcast(rated), "source")
+        .withColumn("u",
+          expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) " +
+            "as bigint) / 4294967296.0"))
+        .filter($"u" < $"rate")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("kept_docs"),
+          sum($"n_chars").as("kept_chars"))
+        .orderBy($"source")
+    },
+    Some("""
+      WITH per AS (
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars_s
+        FROM documents GROUP BY source),
+      tot AS (
+        SELECT CAST(SUM(chars_s) AS DOUBLE) AS t,
+               CAST(COUNT(*) AS DOUBLE) AS k FROM per),
+      rated AS (
+        SELECT source,
+               LEAST(1.0, 0.4 * t / k / CAST(chars_s AS DOUBLE)) AS rate
+        FROM per, tot)
+      SELECT d.source, CAST(COUNT(*) AS BIGINT) AS kept_docs,
+             CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
+      FROM documents d JOIN rated r ON d.source = r.source
+      WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                 AS BIGINT) / 4294967296.0 < r.rate
+      GROUP BY d.source
+      ORDER BY d.source"""))
+
   override def defs: Seq[QueryDef] =
-    Seq(qIncrementalDedup, qBoilerplate, qDomainCap, qDecontaminate)
+    Seq(qIncrementalDedup, qBoilerplate, qDomainCap, qDecontaminate,
+      qTokenBudget)
 }

@@ -25,8 +25,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q69_sim_custom_topk",     // same scoring shape as q66, custom top-k cut
     "q181_ivf_assign_exact",   // corpus × 8 broadcast centroids by design
     "q97_compute_pi",          // range × 1-row constant
-    "q223_epoch_shuffle"       // corpus × 2 broadcast epoch rows (fan-out
+    "q223_epoch_shuffle",      // corpus × 2 broadcast epoch rows (fan-out
                                // bounded by the epoch count, never data²)
+    "q225_token_budget_sample" // per-source rows × ONE broadcast totals row
   )
 
   /** Queries whose CONSTRUCTION runs jobs/side effects (streaming drives a
