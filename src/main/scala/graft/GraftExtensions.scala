@@ -49,6 +49,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Columnar kernel: hamming64 projections over columnar children run
     // batch-at-a-time (ColumnarKernel.scala).
     ext.injectColumnar(_ => graft.plans.GraftColumnarRule)
+    // Opt-in plan guardrails (SET spark.graft.guard=true): reject
+    // unbounded cartesians / unpartitioned windows at analysis
+    // (Guardrails.scala).
+    ext.injectCheckRule(s => new graft.plans.GraftGuardrails(s))
 
     ext.injectFunction(fn("cosine",
       "cosine(a, b) - cosine similarity of two float/double arrays") {
