@@ -6,10 +6,10 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
 import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
-import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.ColumnarBatch
@@ -96,19 +96,57 @@ private[sources] class SynthScanBuilder(rows: Long, partitions: Int,
 private[sources] case class SynthPartition(start: Long, end: Long)
   extends InputPartition
 
-private[sources] class SynthScan(lo: Long, hi: Long, partitions: Int,
-    required: StructType, columnar: Boolean) extends Scan with Batch {
+/** Explicit surviving-id split produced by a runtime In-filter. */
+private[sources] case class SynthIdsPartition(ids: Array[Long])
+  extends InputPartition
+
+/** Runtime (join-driven) filtering in addition to the static pushdown:
+  * `SupportsRuntimeFiltering` lets Spark hand this scan the build side's
+  * key set AFTER the join's other side has executed (the DSv2 analogue
+  * of dynamic partition pruning, SPARK-35779 — the seam Iceberg uses).
+  * An `In(id, ...)` runtime filter collapses the generation ranges to
+  * exactly the surviving ids, so a fact-scan joined to a filtered dim
+  * generates |dim| rows instead of |fact| — at 100 TB this is the
+  * difference between scanning the table and scanning the join's
+  * matches. Observable in the scan's output-rows metric (spec). */
+private[sources] class SynthScan(private var lo: Long, private var hi: Long,
+    partitions: Int, required: StructType, columnar: Boolean)
+    extends Scan with Batch with SupportsRuntimeFiltering {
+  /** ids surviving a runtime In-filter; None = no runtime filter. */
+  private var keep: Option[Array[Long]] = None
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-synth [$lo, $hi) cols=${required.fieldNames.mkString(",")}" +
       (if (columnar) " columnar" else "")
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(1L, hi - lo)
-    val per = math.max(1L, (n + partitions - 1) / partitions)
-    (lo until hi by per).map(s =>
-      SynthPartition(s, math.min(hi, s + per))).toArray[InputPartition]
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("id"))
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("id", vs) =>
+      val ids = vs.collect { case v: java.lang.Long => v.longValue() }
+        .filter(v => v >= lo && v < hi).sorted
+      keep = Some(keep.fold(ids)(prev => prev.intersect(ids)))
+    case EqualTo("id", v: java.lang.Long) =>
+      keep = Some(keep.fold(Array(v.longValue()))(_.filter(_ == v.longValue()))
+        .filter(x => x >= lo && x < hi))
+    case _ => // unsupported runtime filter: keep the static range
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = keep match {
+    case Some(ids) =>
+      // one split per partition over the surviving ids, each a run of
+      // single-id ranges; empty filter ⇒ empty scan
+      if (ids.isEmpty) Array.empty
+      else ids.grouped(math.max(1, (ids.length + partitions - 1) / partitions))
+        .map(g => SynthIdsPartition(g)).toArray[InputPartition]
+    case None =>
+      val n = math.max(1L, hi - lo)
+      val per = math.max(1L, (n + partitions - 1) / partitions)
+      (lo until hi by per).map(s =>
+        SynthPartition(s, math.min(hi, s + per))).toArray[InputPartition]
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -129,36 +167,46 @@ private[sources] class SynthReaderFactory(cols: Array[String],
 
   override def supportColumnarReads(p: InputPartition): Boolean = columnar
 
+  /** Uniform id accessor over both split kinds: (index → id, count). */
+  private def slice(p: InputPartition): (Long => Long, Long) = p match {
+    case SynthPartition(s, e) => ((i: Long) => s + i, e - s)
+    case SynthIdsPartition(ids) => ((i: Long) => ids(i.toInt), ids.length.toLong)
+    case other => throw new IllegalArgumentException(other.toString)
+  }
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val sp = p.asInstanceOf[SynthPartition]
+    val (idAt, count) = slice(p)
     new PartitionReader[InternalRow] {
-      private var i = sp.start - 1
-      override def next(): Boolean = { i += 1; i < sp.end }
-      override def get(): InternalRow = InternalRow.fromSeq(cols.toSeq.map {
-        case "id" => i
-        case "grp" => i % 100
-        case "val" => UTF8String.fromString(SynthSource.md5Hex(i.toString))
-      })
+      private var i = -1L
+      override def next(): Boolean = { i += 1; i < count }
+      override def get(): InternalRow = {
+        val id = idAt(i)
+        InternalRow.fromSeq(cols.toSeq.map {
+          case "id" => id
+          case "grp" => id % 100
+          case "val" => UTF8String.fromString(SynthSource.md5Hex(id.toString))
+        })
+      }
       override def close(): Unit = ()
     }
   }
 
   override def createColumnarReader(
       p: InputPartition): PartitionReader[ColumnarBatch] = {
-    val sp = p.asInstanceOf[SynthPartition]
+    val (idAt, count) = slice(p)
     val schema = StructType(cols.map(c => SynthSource.schema(c)))
     new PartitionReader[ColumnarBatch] {
       private val capacity = 4096
-      private var cur = sp.start
+      private var cur = 0L
       private var batch: ColumnarBatch = _
 
       override def next(): Boolean = {
-        if (cur >= sp.end) return false
-        val n = math.min(capacity.toLong, sp.end - cur).toInt
+        if (cur >= count) return false
+        val n = math.min(capacity.toLong, count - cur).toInt
         val vectors = OnHeapColumnVector.allocateColumns(n, schema)
         var j = 0
         while (j < n) {
-          val id = cur + j
+          val id = idAt(cur + j)
           var k = 0
           while (k < cols.length) {
             cols(k) match {
