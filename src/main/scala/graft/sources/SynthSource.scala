@@ -7,7 +7,7 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -111,7 +111,8 @@ private[sources] case class SynthIdsPartition(ids: Array[Long])
   * matches. Observable in the scan's output-rows metric (spec). */
 private[sources] class SynthScan(private var lo: Long, private var hi: Long,
     partitions: Int, required: StructType, columnar: Boolean)
-    extends Scan with Batch with SupportsRuntimeFiltering {
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
   /** ids surviving a runtime In-filter; None = no runtime filter. */
   private var keep: Option[Array[Long]] = None
 
@@ -120,6 +121,24 @@ private[sources] class SynthScan(private var lo: Long, private var hi: Long,
   override def description(): String =
     s"graft-synth [$lo, $hi) cols=${required.fieldNames.mkString(",")}" +
       (if (columnar) " columnar" else "")
+
+  /** Post-pushdown stats (`SupportsReportStatistics`): without these a
+    * DSv2 relation costs at `spark.sql.defaultSizeInBytes` (huge), so
+    * Catalyst would never broadcast it — a small synthetic dim would
+    * shuffle a sort-merge join it should broadcast. Row width = 8 (id) +
+    * 8 (grp) + 32 (md5 hex) per REQUIRED column, so column pruning also
+    * shrinks the estimate. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = math.max(0L, hi - lo)
+    private val width = required.fieldNames.map {
+      case "id" | "grp" => 8L
+      case "val" => 32L
+    }.sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows * math.max(1L, width))
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows)
+  }
 
   override def filterAttributes(): Array[NamedReference] =
     Array(Expressions.column("id"))

@@ -77,6 +77,23 @@ class SynthSourceSpec extends AnyFunSuite {
     assert(plan.contains("graft-synth [123, 8765)"), plan.take(800))
   }
 
+  test("scan reports post-pushdown statistics; a small synth dim gets " +
+    "broadcast without a hint") {
+    import spark.implicits._
+    // pruned + filtered: 150 rows × (8+8) bytes — far under the threshold
+    val small = load().filter($"id" >= 100 && $"id" < 250).select($"id", $"grp")
+    val stats = small.queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.forall(_.toLong == 150L) &&
+      stats.sizeInBytes.toLong <= 150L * 48,
+      s"stats not reported: $stats")
+    val fact = spark.range(100000).select($"id", ($"id" % 7).as("x"))
+    val joined = fact.join(small, "id")
+    assert(joined.count() == 150)
+    assert(joined.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      joined.queryExecution.executedPlan.toString.take(800))
+  }
+
   test("columnar batches are bounded (capacity 4096) and cover every row " +
     "exactly once across partition boundaries") {
     import spark.implicits._
