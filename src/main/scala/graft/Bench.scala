@@ -179,10 +179,22 @@ object Bench {
     val loadJson = loads.mkString("[", ",", "]")
     val stragglerJson = stragglers
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""calibration":$calJson,"calibration_drift":$drift,""" +
-      s""""contaminated":$contaminated,"load_avg":$loadJson,""" +
-      s""""stragglers":$stragglerJson,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""calibration":$calJson,"calibration_drift":$drift,""" +
+        s""""contaminated":$contaminated,"load_avg":$loadJson,""" +
+        s""""stragglers":$stragglerJson,"sf":"$sfDir"}"""
+    // The canonical artifact goes to a FILE: sbt log prefixes and tail-capture
+    // limits have repeatedly mangled the stdout line (every recorded
+    // BENCH_r*.json through r09 had "parsed": null, r09 truncated mid-number).
+    // stdout still carries the same line for the driver's legacy capture path.
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+    if (outPath.getParent != null) java.nio.file.Files.createDirectories(outPath.getParent)
+    java.nio.file.Files.write(outPath,
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
+    System.err.println(s"[bench] wrote ${outPath.toAbsolutePath}")
     spark.stop()
   }
 }

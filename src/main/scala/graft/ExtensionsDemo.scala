@@ -44,7 +44,7 @@ object ExtensionsDemo {
         .option("rows", 100).option("columnar", true).load()
         .selectExpr("hamming64(id, grp) AS h")
       val kernel = colPlan.queryExecution.executedPlan
-        .exists(_.getClass.getName.contains("ColumnarHammingProjectExec"))
+        .exists(_.getClass.getName.contains("ColumnarKernelProjectExec"))
       val kernelSum = colPlan.agg(org.apache.spark.sql.functions.sum("h"))
         .collect().head.getLong(0)
       println(s"EXT_OK cos=$cos ngrams=$grams hamming=$ham topk=$topk " +

@@ -53,6 +53,10 @@ object MicroBench {
       .cache()
     vecs.count() // materialize once so both variants read the same cache
 
+    // row path measured with the columnar kernel gated OFF — otherwise
+    // the injectColumnar rule would claim this projection over the
+    // columnar cache scan and both numbers would measure the kernel
+    spark.conf.set("spark.graft.columnar.enabled", "false")
     val viaExpr = time {
       vecs.select(cosine($"a", $"b").as("c")).filter($"c" > 2.0).count() + 1
     }
@@ -66,6 +70,16 @@ object MicroBench {
     })
     val viaUdf = time {
       vecs.select(cosUdf($"a", $"b").as("c")).filter($"c" > 2.0).count() + 1
+    }
+
+    // --- cosine: the round-10 batch kernel (injectColumnar) over the
+    // SAME cached data — ColumnarKernelProjectExec scores batches of
+    // array<float> vectors with zero row materialization below the
+    // single ColumnarToRow transition; ColumnarKernelSpec pins
+    // bit-equality, this pins it is not slower than the row path.
+    spark.conf.set("spark.graft.columnar.enabled", "true")
+    val viaKernel = time {
+      vecs.select(cosine($"a", $"b").as("c")).filter($"c" > 2.0).count() + 1
     }
     vecs.unpersist()
 
@@ -112,7 +126,7 @@ object MicroBench {
     }
     docs.unpersist()
 
-    println(s"""{"metric":"microbench","unit":"sec","cosine_expr":$viaExpr,"cosine_udf":$viaUdf,"topk_custom":$viaTopK,"topk_window":$viaWindow,"topk_custom_shuffle_bytes":$topKBytes,"topk_window_shuffle_bytes":$windowBytes,"ngram_generator":$viaGen,"ngram_explode":$viaExplode}""")
+    println(s"""{"metric":"microbench","unit":"sec","cosine_expr":$viaExpr,"cosine_udf":$viaUdf,"cosine_kernel":$viaKernel,"topk_custom":$viaTopK,"topk_window":$viaWindow,"topk_custom_shuffle_bytes":$topKBytes,"topk_window_shuffle_bytes":$windowBytes,"ngram_generator":$viaGen,"ngram_explode":$viaExplode}""")
     spark.stop()
   }
 }

@@ -68,6 +68,7 @@ object RetryDeterminism {
         .option("path", sinkDir).option("failPartition", 2).save()
       val manifest = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(sinkDir, "_MANIFEST")), "UTF-8").split("\n")
+        .filterNot(_.startsWith("#")) // `#stats`/`#txn` metadata lines
       val tmps = new java.io.File(sinkDir).listFiles()
         .count(_.getName.endsWith(".tmp"))
       println(s"SINK_OK files=${manifest.length} " +

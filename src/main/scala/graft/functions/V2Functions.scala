@@ -119,7 +119,12 @@ private[functions] final class Hamming64 extends ScalarFunction[Integer] {
   override def canonicalName(): String = "graft.fn.hamming64"
   override def inputTypes(): Array[DataType] = Array(LongType, LongType)
   override def resultType(): DataType = IntegerType
-  override def isResultNullable: Boolean = false
+  // Inputs may be nullable columns (parquet longs usually are): a NULL
+  // argument yields NULL through the analyzer's null-safe Invoke wrapper,
+  // so the result contract must be nullable too — declaring false here
+  // would let downstream codegen elide null checks over a value that can
+  // in fact be null.
+  override def isResultNullable: Boolean = true
 
   /** MAGIC_METHOD_NAME path: resolved reflectively by the analyzer and
     * bound as `Invoke` over primitive longs (no row boxing). */

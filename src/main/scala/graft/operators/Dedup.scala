@@ -123,6 +123,13 @@ object Dedup extends QueryModule {
 
   /** SimHash near-dup: 64-bit fingerprints, 4×16-bit band join, popcount
     * verify at Hamming ≤ 16. */
+  /** Oracle-checked since round 10: the whole SimHash pipeline — FNV-1a
+    * word hashes, per-bit majority vote, 4×16-bit band keys, band join,
+    * popcount verify — is plain modular/bit arithmetic, so DuckDB can
+    * replay it exactly with HUGEINT math (`xor`/`<<`/`bit_count`,
+    * FNV's multiply mod 2^64 via HUGEINT % 2^64, bytes via `ord` — the
+    * documents corpus is pure ASCII so code point = byte). A drift in
+    * ANY stage (hashing, banding, verify threshold) fails the hash. */
   val qSimHash: QueryDef = QueryDef(
     "q64_dedup_simhash",
     (s, d) => {
@@ -131,7 +138,38 @@ object Dedup extends QueryModule {
         t(s, d, "documents"), "doc_id", "text", maxHamming = 16)
         .orderBy($"doc_a", $"doc_b")
     },
-    None)
+    Some("""
+      WITH words AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents),
+      wh AS (
+        SELECT doc_id, list_reduce(
+          list_prepend(CAST('14695981039346656037' AS HUGEINT),
+            list_transform(range(1, length(w) + 1),
+              i -> CAST(ord(substr(w, i, 1)) AS HUGEINT))),
+          (h, b) -> (xor(h, b) * 1099511628211) %
+            CAST('18446744073709551616' AS HUGEINT)) AS h
+        FROM words),
+      bitvotes AS (
+        SELECT doc_id, j,
+          SUM(CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END) AS v
+        FROM wh, range(0, 64) t(j)
+        GROUP BY doc_id, j),
+      fp AS (
+        SELECT doc_id,
+          SUM(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << j
+                   ELSE CAST(0 AS HUGEINT) END) AS fp
+        FROM bitvotes GROUP BY doc_id),
+      banded AS (
+        SELECT doc_id, fp, b AS band, (fp >> (b * 16)) % 65536 AS key
+        FROM fp, range(0, 4) t(b)),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          bit_count(xor(a.fp, b.fp)) AS hamming
+        FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+        WHERE a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+      FROM pairs WHERE hamming <= 16 ORDER BY doc_a, doc_b"""))
 
   /** Embedding near-dup: cosine over a bounded id window (oracle-checked);
     * the scale path is the LSH-bucketed variant in Similarity. */
@@ -333,8 +371,51 @@ object Dedup extends QueryModule {
       WHERE rn = 1
       ORDER BY o_custkey"""))
 
+  /** The round-10 `DEDUP TABLE` extensions end to end: `KEEP MAX`
+    * (keep each customer's LATEST order) and the `INTO` write-back form
+    * landing in a GOVERNED graft-manifest catalog table as one atomic
+    * snapshot commit (plans/DedupStatement.scala desugars INTO to
+    * Spark's own InsertIntoStatement, so any catalog works). The target
+    * is pre-seeded with a deterministic slice, the statement appends the
+    * deduped set, and the oracle recomputes seed ∪ keep-max relationally.
+    * Scale shape: the dedup itself stays the one-shuffle window rank; the
+    * write is the manifest sink's normal two-phase commit. */
+  val qDedupWriteback: QueryDef = QueryDef(
+    "q227_dedup_writeback",
+    (s, d) => {
+      import s.implicits._
+      Tables.registerAll(s, d)
+      val root = java.nio.file.Paths.get("target", "graft-io",
+        d.replaceAll("[^A-Za-z0-9.]", "_"), "dedup_into").toString
+      val dir = new org.apache.hadoop.fs.Path(root)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      val cat = "graft_q227"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val src = t(s, d, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderstatus")
+      src.filter($"o_orderkey" % 1000 === 0)
+        .write.mode("append").format("graft-manifest")
+        .option("path", s"$root/kept").save()
+      src.createOrReplaceTempView("q227_src")
+      s.sql(s"DEDUP TABLE q227_src BY (o_custkey) KEEP MAX o_orderkey INTO $cat.kept;")
+      s.table(s"$cat.kept")
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+    Some("""
+      WITH src AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders),
+      seed AS (SELECT * FROM src WHERE o_orderkey % 1000 = 0),
+      keep AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM (
+          SELECT *, row_number() OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderkey DESC) AS rn
+          FROM src) t WHERE rn = 1)
+      SELECT * FROM seed UNION ALL SELECT * FROM keep
+      ORDER BY o_custkey, o_orderkey"""))
+
   override def defs: Seq[QueryDef] = Seq(
     qExact, qFingerprint, qNgramJaccard, qMinHashLsh, qSimHash,
     qEmbeddingCosine, qDedupClusters, qDedupClustersExact, qCorpusPipeline,
-    qDedupStatement)
+    qDedupStatement, qDedupWriteback)
 }

@@ -46,6 +46,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * provides the batch READ path plus a TableCatalog with `VERSION AS
   * OF`/`TIMESTAMP AS OF` SQL over those snapshots.
   */
+private[sources] object ManifestSink {
+  /** The data-file name a snapshot line refers to: a data entry's name
+    * prefix, a `#stats` line's second field, none for other metadata
+    * (`#txn` markers never match a dropped file). Lets COPY_ON_WRITE
+    * commits drop a rewritten file's STATS line together with its entry. */
+  def entryName(line: String): Option[String] =
+    if (line.startsWith("#stats,")) line.split(",", 4).lift(1)
+    else if (line.startsWith("#")) None
+    else Some(line.substring(0, line.lastIndexOf(',')))
+}
+
 class ManifestSink extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = "graft-manifest"
@@ -249,9 +260,12 @@ private[sources] class ManifestRowLevelOperation(
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder =
+    // statsSkip OFF: the commit drops exactly the planned files, and the
+    // pushed predicate here is the SURVIVOR condition — stats-skipping a
+    // fully-deleted file would keep it alive (see ManifestScanBuilder).
     new ManifestScanBuilder(path, None, tableSchema,
       new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
-      onPlanned = names => scanned = names)
+      onPlanned = names => scanned = names, statsSkip = false)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -270,7 +284,8 @@ private[sources] class ManifestRowLevelOperation(
     Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
 }
 
-private[sources] case class FileCommitted(name: String, rows: Long)
+private[sources] case class FileCommitted(name: String, rows: Long,
+    bytes: Long = -1L, stats: Seq[(Int, ManifestFiles.ColStats)] = Nil)
   extends WriterCommitMessage
 
 private[sources] class ManifestBatchWrite(path: String, queryId: String,
@@ -304,11 +319,11 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.value)
     val staging = new Path(dir, stagingName)
-    val fresh = messages.map { case FileCommitted(tmp, rows) =>
+    val fresh = messages.flatMap { case FileCommitted(tmp, rows, bytes, stats) =>
       val fin = tmp.stripSuffix(".tmp")
       val ok = fs.rename(new Path(staging, tmp), new Path(dir, fin))
       require(ok, s"staged file $tmp vanished before commit")
-      s"$fin,$rows"
+      Seq(s"$fin,$rows", ManifestFiles.statsLine(fin, bytes, stats))
     }
     val drop = dropFromPrevious()
     // The base snapshot is supplied by publishSnapshot's claim loop (the
@@ -317,8 +332,7 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
     ManifestFiles.publishSnapshot(fs, conf.value, dir, previous => {
       val base =
         if (truncate) Array.empty[String]
-        else previous.filterNot(line =>
-          drop.contains(line.substring(0, line.lastIndexOf(','))))
+        else previous.filterNot(line => ManifestSink.entryName(line).exists(drop))
       base ++ fresh
     }, schema)
     fs.delete(staging, true)
@@ -345,16 +359,61 @@ private[sources] object ManifestWriters {
       private var rows = 0L
       private val attempt = org.apache.spark.TaskContext.get().attemptNumber()
 
+      // Per-column stats tracked AS ROWS STREAM THROUGH (no second pass):
+      // min/max in the column's canonical comparison domain + null count.
+      // `statsTypes(i) = None` for a type ManifestSkip can't order (none
+      // exist in the format today) — such columns record nulls only.
+      private val nulls = new Array[Long](schema.length)
+      private val mins = new Array[Any](schema.length)
+      private val maxs = new Array[Any](schema.length)
+      private val rawMins = new Array[String](schema.length)
+      private val rawMaxs = new Array[String](schema.length)
+
       override def write(r: InternalRow): Unit = {
         if (injectFailure && attempt == 0 && rows == 2)
           throw new RuntimeException("injected write failure")
-        out.println(schema.indices.map(i =>
-          String.valueOf(r.get(i, schema(i).dataType))).mkString(","))
+        val fields = schema.indices.map { i =>
+          val dt = schema(i).dataType
+          if (r.isNullAt(i)) { nulls(i) += 1; String.valueOf(null: Any) }
+          else {
+            val v = r.get(i, dt)
+            val s = String.valueOf(v)
+            ManifestSkip.normalize(dt, v).foreach { nv =>
+              // UTF8String from an UnsafeRow points into a REUSED buffer —
+              // normalize returns it as-is, so clone before retaining.
+              val kept = nv match {
+                case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
+                case other => other
+              }
+              if (mins(i) == null || ordered(kept, mins(i)) < 0) {
+                mins(i) = kept; rawMins(i) = s
+              }
+              if (maxs(i) == null || ordered(kept, maxs(i)) > 0) {
+                maxs(i) = kept; rawMaxs(i) = s
+              }
+            }
+            s
+          }
+        }
+        out.println(fields.mkString(","))
         rows += 1
       }
+
+      private def ordered(a: Any, b: Any): Int = (a, b) match {
+        case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+        case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+        case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+        case (x: org.apache.spark.unsafe.types.UTF8String,
+            y: org.apache.spark.unsafe.types.UTF8String) => x.compareTo(y)
+        case _ => 0
+      }
+
       override def commit(): WriterCommitMessage = {
         out.close()
-        FileCommitted(name, rows)
+        val bytes = fs.getFileStatus(file).getLen
+        val stats = schema.indices.map(i => i -> ManifestFiles.ColStats(
+          nulls(i), Option(rawMins(i)), Option(rawMaxs(i))))
+        FileCommitted(name, rows, bytes, stats)
       }
       override def abort(): Unit = { out.close(); fs.delete(file, false) }
       override def close(): Unit = out.close()
@@ -409,16 +468,16 @@ private[sources] class ManifestStreamingWrite(path: String, queryId: String,
     val already = ManifestFiles.committedEpoch(
       ManifestFiles.latestLines(fs, dir), queryId).exists(_ >= epochId)
     if (already) {
-      messages.foreach { case FileCommitted(tmp, _) =>
+      messages.foreach { case FileCommitted(tmp, _, _, _) =>
         fs.delete(new Path(staging, tmp), false)
       }
       return
     }
-    val fresh = messages.map { case FileCommitted(tmp, rows) =>
+    val fresh = messages.flatMap { case FileCommitted(tmp, rows, bytes, stats) =>
       val fin = tmp.stripSuffix(".tmp")
       val ok = fs.rename(new Path(staging, tmp), new Path(dir, fin))
       require(ok, s"staged file $tmp vanished before commit")
-      s"$fin,$rows"
+      Seq(s"$fin,$rows", ManifestFiles.statsLine(fin, bytes, stats))
     }
     ManifestFiles.publishSnapshot(fs, conf.value, dir, previous =>
       previous.filterNot(_.startsWith(s"#txn,$queryId,")) ++ fresh :+

@@ -77,8 +77,8 @@ object ManifestFiles {
         .getModificationTime * 1000L <= tsMicros)
       .maxOption
 
-  def entries(fs: FileSystem, dir: Path, version: Option[Int]): Array[(String, Long)] = {
-    val manifest = version match {
+  private def manifestPath(fs: FileSystem, dir: Path, version: Option[Int]): Path =
+    version match {
       case Some(v) =>
         val p = new Path(dir, s"_MANIFEST.v$v")
         require(fs.exists(p), s"no version $v at $dir " +
@@ -89,12 +89,66 @@ object ManifestFiles {
         if (v > 0) new Path(dir, s"_MANIFEST.v$v")
         else new Path(dir, "_MANIFEST")
     }
-    // `#`-prefixed lines are snapshot metadata (e.g. `#txn,<query>,<epoch>`
-    // streaming transaction markers), not file entries.
-    readManifest(fs, manifest).filterNot(_.startsWith("#")).map { line =>
-      val i = line.lastIndexOf(',')
-      (line.substring(0, i), line.substring(i + 1).toLong)
-    }
+
+  def entries(fs: FileSystem, dir: Path, version: Option[Int]): Array[(String, Long)] =
+    // `#`-prefixed lines are snapshot metadata (`#txn,<query>,<epoch>`
+    // streaming transaction markers, `#stats,<file>,...` per-file column
+    // stats), not file entries.
+    readManifest(fs, manifestPath(fs, dir, version))
+      .filterNot(_.startsWith("#")).map { line =>
+        val i = line.lastIndexOf(',')
+        (line.substring(0, i), line.substring(i + 1).toLong)
+      }
+
+  /** Per-file column statistics for one snapshot: min/max/null-count per
+    * column POSITION plus the exact file size in bytes, encoded as
+    * `#stats,<file>,<bytes>,<i>=<nulls>:<minB64>:<maxB64>;...` metadata
+    * lines riding the atomically-claimed version file. This is the seam
+    * the reference gets from parquet footer min/max + partition pruning
+    * (`sql/core/.../SparkOptimizer.scala:33-37`,
+    * `.../parquet/ParquetFileFormat.scala:51`) lifted to the FILE level —
+    * Iceberg-class manifest stats: a pushed predicate can prove a file
+    * irrelevant before it is ever opened. Keys are positional (rows are
+    * positional CSV), so RENAME COLUMN keeps stats valid; a column added
+    * by ALTER TABLE has no stats in pre-evolution files (never skipped);
+    * values are Base64 of the data CSV's own `String.valueOf` encoding,
+    * so no comma/colon escaping issues arise. Files committed before
+    * this feature simply have no `#stats` line and are never skipped. */
+  def statsFor(fs: FileSystem, dir: Path, version: Option[Int]): Map[String, FileStats] =
+    readManifest(fs, manifestPath(fs, dir, version))
+      .filter(_.startsWith("#stats,")).flatMap(parseStatsLine).toMap
+
+  final case class ColStats(nulls: Long, min: Option[String], max: Option[String])
+  final case class FileStats(bytes: Long, cols: Map[Int, ColStats])
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+
+  def statsLine(name: String, bytes: Long,
+      cols: Seq[(Int, ColStats)]): String = {
+    val payload = cols.map { case (i, c) =>
+      s"$i=${c.nulls}:${c.min.fold("")(b64)}:${c.max.fold("")(b64)}"
+    }.mkString(";")
+    s"#stats,$name,$bytes,$payload"
+  }
+
+  def parseStatsLine(line: String): Option[(String, FileStats)] = {
+    val parts = line.split(",", 4)
+    if (parts.length < 4) return None
+    val cols = parts(3).split(";").filter(_.nonEmpty).flatMap { c =>
+      val eq = c.indexOf('=')
+      if (eq < 0) None
+      else {
+        val fields = c.substring(eq + 1).split(":", -1)
+        if (fields.length != 3) None
+        else Some(c.substring(0, eq).toInt -> ColStats(fields(0).toLong,
+          Some(fields(1)).filter(_.nonEmpty).map(unb64),
+          Some(fields(2)).filter(_.nonEmpty).map(unb64)))
+      }
+    }.toMap
+    parts(2).toLongOption.map(bytes => parts(1) -> FileStats(bytes, cols))
   }
 
   /** Raw lines of the newest complete snapshot (file entries AND
@@ -239,76 +293,381 @@ object ManifestFiles {
   }
 }
 
+/** The manifest payload's value codec, shared by the row reader and the
+  * stats evaluator: column i of each CSV line ↔ schema(i), values encoded
+  * with `String.valueOf`. */
+private[sources] object ManifestCsv {
+  def parse(s: String, dt: DataType): Any = dt match {
+    case LongType => s.toLong
+    case IntegerType => s.toInt
+    case ShortType => s.toShort
+    case ByteType => s.toByte
+    case DoubleType => s.toDouble
+    case FloatType => s.toFloat
+    case BooleanType => s.toBoolean
+    case StringType => UTF8String.fromString(s)
+    case other => throw new UnsupportedOperationException(
+      s"graft-manifest read supports primitive column types, got $other")
+  }
+}
+
+/** Min/max file pruning: decides whether a pushed filter PROVES a data
+  * file can contain no matching row, from the `#stats` line the commit
+  * recorded. Strictly conservative — any value that fails to coerce, any
+  * unknown filter node, any column without stats ⇒ the file is read.
+  * Values compare in canonical domains (integrals as Long, floats as
+  * Double with NaN-greatest, strings as UTF8String binary order — the
+  * same ordering the writer used to track min/max), so a skip decision
+  * is exact, never approximate. */
+private[sources] object ManifestSkip {
+  import org.apache.spark.sql.sources._
+
+  /** Normalize a value (external filter value OR a parsed stored stat)
+    * into the column's canonical comparison domain. */
+  def normalize(dt: DataType, v: Any): Option[Any] = (dt, v) match {
+    case (_, null) => None
+    case (LongType | IntegerType | ShortType | ByteType, n: java.lang.Number)
+        if !n.isInstanceOf[java.lang.Double] && !n.isInstanceOf[java.lang.Float] =>
+      Some(n.longValue())
+    case (DoubleType | FloatType, n: java.lang.Number) => Some(n.doubleValue())
+    case (BooleanType, b: java.lang.Boolean) => Some(b.booleanValue())
+    case (StringType, s: String) => Some(UTF8String.fromString(s))
+    case (StringType, s: UTF8String) => Some(s)
+    case _ => None
+  }
+
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+    case (x: UTF8String, y: UTF8String) => x.compareTo(y)
+    case _ => 0 // mixed domains never reach here via normalize
+  }
+
+  /** (canonical min, canonical max, null count) for a column — None when
+    * the file carries no stats for it (pre-stats commit, post-evolution
+    * column). min/max inner-None = the file is ALL NULL on the column. */
+  private def fieldIndex(schema: StructType, col: String): Option[Int] =
+    schema.fieldNames.indexOf(col) match {
+      case -1 => None
+      case i => Some(i)
+    }
+
+  private def bounds(schema: StructType, st: ManifestFiles.FileStats,
+      col: String): Option[(Option[Any], Option[Any], Long)] =
+    fieldIndex(schema, col).flatMap { i =>
+      st.cols.get(i).map { c =>
+        val dt = schema(i).dataType
+        def conv(s: Option[String]) =
+          s.flatMap(x => normalize(dt, ManifestCsv.parse(x, dt)))
+        (conv(c.min), conv(c.max), c.nulls)
+      }
+    }
+
+  /** True iff `filter` proves no row of the file can match. `rows` is the
+    * file's manifest row count (for IsNotNull on an all-null file). */
+  def canSkip(filter: Filter, schema: StructType,
+      stats: Option[ManifestFiles.FileStats], rows: Option[Long]): Boolean = {
+    val st = stats.getOrElse(return false)
+
+    def colDt(c: String): Option[DataType] =
+      fieldIndex(schema, c).map(schema(_).dataType)
+
+    // Comparison semantics: NULL never satisfies a comparison, so a file
+    // that is all-null on the column skips for any value predicate.
+    def valuePred(c: String, v: Any)(
+        noMatch: (Any, Any, Any) => Boolean): Boolean =
+      bounds(schema, st, c).exists {
+        case (None, _, _) => true // all-null file: no comparison matches
+        case (Some(mn), Some(mx), _) =>
+          colDt(c).flatMap(dt => normalize(dt, v))
+            .exists(nv => noMatch(nv, mn, mx))
+        case _ => false
+      }
+
+    filter match {
+      case And(l, r) => canSkip(l, schema, stats, rows) || canSkip(r, schema, stats, rows)
+      case Or(l, r) => canSkip(l, schema, stats, rows) && canSkip(r, schema, stats, rows)
+      case EqualTo(c, v) =>
+        valuePred(c, v)((nv, mn, mx) => cmp(nv, mn) < 0 || cmp(nv, mx) > 0)
+      case EqualNullSafe(c, null) =>
+        bounds(schema, st, c).exists { case (_, _, nulls) => nulls == 0L }
+      case EqualNullSafe(c, v) =>
+        valuePred(c, v)((nv, mn, mx) => cmp(nv, mn) < 0 || cmp(nv, mx) > 0)
+      case GreaterThan(c, v) => valuePred(c, v)((nv, _, mx) => cmp(mx, nv) <= 0)
+      case GreaterThanOrEqual(c, v) => valuePred(c, v)((nv, _, mx) => cmp(mx, nv) < 0)
+      case LessThan(c, v) => valuePred(c, v)((nv, mn, _) => cmp(mn, nv) >= 0)
+      case LessThanOrEqual(c, v) => valuePred(c, v)((nv, mn, _) => cmp(mn, nv) > 0)
+      case In(c, vs) =>
+        bounds(schema, st, c).exists {
+          case (None, _, _) => true
+          case (Some(mn), Some(mx), _) =>
+            // ALL-or-nothing coercion: one uncoercible value ⇒ no skip
+            // (dropping it from the set would wrongly prove non-overlap).
+            val dt = colDt(c)
+            val nvs = vs.toSeq.map(v => dt.flatMap(normalize(_, v)))
+            nvs.nonEmpty && nvs.forall(_.isDefined) &&
+              nvs.flatten.forall(nv => cmp(nv, mn) < 0 || cmp(nv, mx) > 0)
+          case _ => false
+        }
+      case IsNull(c) =>
+        bounds(schema, st, c).exists { case (_, _, nulls) => nulls == 0L }
+      case IsNotNull(c) =>
+        bounds(schema, st, c).exists { case (_, _, nulls) =>
+          rows.exists(r => nulls == r)
+        }
+      case StringStartsWith(c, p) =>
+        // strings with prefix p all sort >= p: max < p proves no match
+        valuePred(c, p)((nv, _, mx) => cmp(mx, nv) < 0)
+      case _ => false
+    }
+  }
+}
+
 private[sources] class ManifestScanBuilder(path: String, version: Option[Int],
     fullSchema: StructType, conf: SerializableHadoopConf,
     onPlanned: Array[String] => Unit = _ => (),
     // Batch incremental read (`changesFrom` → exclusive, `changesTo` →
     // inclusive, default latest): the rows commits ADDED in the version
     // range — the backfill twin of the streaming source.
-    changes: Option[(Int, Option[Int])] = None)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    changes: Option[(Int, Option[Int])] = None,
+    // Stats-based file skipping MUST be off for row-level COPY_ON_WRITE
+    // scans: their pushed predicate is the SURVIVOR condition, and the
+    // commit drops exactly the files the scan planned — skipping a
+    // fully-deleted file (zero survivors ⇒ provably row-free under the
+    // survivor filter) would exclude it from planning, so the commit
+    // would never drop it and the DELETE would silently no-op for that
+    // file. Only Spark's own `_file` group filter (whose semantics is
+    // "files AFFECTED") may prune a row-level scan.
+    statsSkip: Boolean = true)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
 
   private var required: StructType = fullSchema
+  private val accepted =
+    scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.sources.Filter]
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new Scan with Batch
-      with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
-    // Runtime group filter (row-level COPY_ON_WRITE plans): Spark's
-    // group-filtering subquery collects the `_file` values containing
-    // matches and hands them back here, so only affected files are
-    // scanned — and therefore only affected files get rewritten.
-    @volatile private var allowedFiles: Option[Set[String]] = None
-
-    override def readSchema(): StructType = required
-    override def toBatch: Batch = this
-    override def description(): String =
-      s"graft-manifest $path${version.map(v => s" v$v").getOrElse("")}"
-
-    override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-      Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
-
-    override def filter(
-        predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
-      def refsFile(e: org.apache.spark.sql.connector.expressions.Expression): Boolean = e match {
-        case r: org.apache.spark.sql.connector.expressions.NamedReference =>
-          r.fieldNames.sameElements(Array("_file"))
-        case other => other.children.exists(refsFile)
-      }
-      def literals(e: org.apache.spark.sql.connector.expressions.Expression): Seq[String] = e match {
-        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
-          Seq(String.valueOf(l.value))
-        case other => other.children.toSeq.flatMap(literals)
-      }
-      predicates.filter(refsFile).foreach { p =>
-        val vals = literals(p).toSet
-        allowedFiles = Some(allowedFiles.fold(vals)(_ intersect vals))
-      }
+  /** Accept every filter that only references data columns — used for
+    * stats-based FILE skipping (ManifestSkip), never for row filtering.
+    * ALL filters are returned as residual: Spark re-evaluates them row
+    * by row, so skipping is free to be conservative. */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter]):
+      Array[org.apache.spark.sql.sources.Filter] = {
+    if (statsSkip) filters.foreach { f =>
+      val refs = f.references
+      if (refs.nonEmpty && refs.forall(fullSchema.fieldNames.contains)) accepted += f
     }
-
-    override def planInputPartitions(): Array[InputPartition] = {
-      val dir = new Path(path)
-      val fs = dir.getFileSystem(conf.value)
-      val listed = changes match {
-        case Some((from, to)) =>
-          ManifestFiles.addedBetween(fs, dir, from,
-            to.getOrElse(ManifestFiles.latestComplete(fs, dir)))
-        case None => ManifestFiles.entries(fs, dir, version).map(_._1)
-      }
-      val names = allowedFiles.fold(listed)(ok => listed.filter(ok))
-      onPlanned(names)
-      names.map(n =>
-        ManifestInputPartition(new Path(dir, n).toString, n)).toArray
-    }
-
-    override def createReaderFactory(): PartitionReaderFactory =
-      new ManifestReaderFactory(fullSchema, required, conf)
-
-    override def toMicroBatchStream(checkpointLocation: String):
-        org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-      new ManifestMicroBatchStream(path, fullSchema, required, conf)
+    filters
   }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    accepted.toArray
+
+  override def build(): Scan = new ManifestScan(path, version, fullSchema,
+    required, conf, onPlanned, changes, accepted.toArray,
+    runtimeKeyPrune = statsSkip)
+}
+
+/** The batch scan: plans one InputPartition per SURVIVING manifest entry.
+  * A file survives when (a) no pushed filter proves it row-free via its
+  * `#stats` min/max (static skipping — decided once, BEFORE
+  * `estimateStatistics`, so pruning shrinks the reported size and a
+  * pruned-small table becomes broadcastable), (b) the runtime `_file`
+  * group filter keeps it (COPY_ON_WRITE plans), and (c) no runtime
+  * join-key In-set (DPP seam, `SupportsRuntimeV2Filtering` on the data
+  * columns) proves its [min,max] disjoint from the build side's keys —
+  * the manifest analogue of Iceberg's runtime file pruning. Exact
+  * post-pruning `sizeInBytes`/`numRows` come from the manifest's own
+  * byte/row counts (`SupportsReportStatistics` — without it a DSv2
+  * relation costs at defaultSizeInBytes and never broadcasts). Skipping
+  * is observable: `filesListed`/`filesSkipped`/`filesPlanned` driver
+  * metrics land on the BatchScanExec node (spec: ManifestSkippingSpec
+  * asserts skipped files are never opened — planning IS the only place
+  * file reads originate). */
+private[sources] class ManifestScan(path: String, version: Option[Int],
+    fullSchema: StructType, required: StructType, conf: SerializableHadoopConf,
+    onPlanned: Array[String] => Unit, changes: Option[(Int, Option[Int])],
+    skipFilters: Array[org.apache.spark.sql.sources.Filter],
+    // false on row-level COPY_ON_WRITE scans: a MERGE with NOT MATCHED BY
+    // SOURCE clauses must rewrite files with no build-side key overlap,
+    // so join-key pruning there could drop files that still need rewriting
+    runtimeKeyPrune: Boolean = true)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  // Runtime group filter (row-level COPY_ON_WRITE plans): Spark's
+  // group-filtering subquery collects the `_file` values containing
+  // matches and hands them back here, so only affected files are
+  // scanned — and therefore only affected files get rewritten.
+  @volatile private var allowedFiles: Option[Set[String]] = None
+  // Runtime join-key In-sets per data column (DPP): a file whose stats
+  // range excludes every key can't contribute a join match.
+  @volatile private var runtimeKeys: List[(String, Array[Any])] = Nil
+  @volatile private var filesListed = 0L
+  @volatile private var filesSkipped = 0L
+  @volatile private var filesPlanned = 0L
+
+  private def dir = new Path(path)
+
+  /** Static plan, shared by estimateStatistics and planInputPartitions:
+    * (surviving entry names in manifest order, rows per entry, stats per
+    * entry). Resolved once per scan — a scan is single-version by
+    * construction (snapshot isolation), so caching is correct. */
+  private lazy val staticPlan: (Array[String], Map[String, Long],
+      Map[String, ManifestFiles.FileStats]) = {
+    val fs = dir.getFileSystem(conf.value)
+    val statsVersion = changes match {
+      case Some((_, to)) =>
+        Some(to.getOrElse(ManifestFiles.latestComplete(fs, dir)))
+      case None => version
+    }
+    val rows = ManifestFiles.entries(fs, dir, statsVersion).toMap
+    val stats = ManifestFiles.statsFor(fs, dir, statsVersion)
+    val listed = changes match {
+      case Some((from, to)) =>
+        ManifestFiles.addedBetween(fs, dir, from,
+          to.getOrElse(ManifestFiles.latestComplete(fs, dir)))
+      case None => ManifestFiles.entries(fs, dir, version).map(_._1)
+    }
+    val kept = listed.filterNot(n => skipFilters.exists(f =>
+      ManifestSkip.canSkip(f, fullSchema, stats.get(n), rows.get(n))))
+    filesListed = listed.length
+    filesSkipped = (listed.length - kept.length).toLong
+    (kept, rows, stats)
+  }
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-manifest $path${version.map(v => s" v$v").getOrElse("")}" +
+      (if (skipFilters.nonEmpty)
+        s" skipFilters=[${skipFilters.mkString(", ")}]" else "")
+
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val (kept, rows, stats) = staticPlan
+    val fs = dir.getFileSystem(conf.value)
+    val bytes = kept.map { n =>
+      stats.get(n).map(_.bytes).getOrElse {
+        // pre-stats snapshot: one getFileStatus per file, exact not guessed
+        try fs.getFileStatus(new Path(dir, n)).getLen
+        catch { case _: java.io.IOException => 0L }
+      }
+    }.sum
+    val nRows = kept.flatMap(rows.get).sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, bytes))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(nRows)
+    }
+  }
+
+  /** Runtime-filterable attributes: `_file` (group filter) and the data
+    * columns — join keys prune files through their stats ranges. Two
+    * constraints shape the list: (a) only attributes in the scan's
+    * OUTPUT may be advertised — `PartitionPruning.getFilterableTableScan`
+    * resolves these against the relation's output and THROWS on a miss,
+    * so listing the `_file` metadata column when it isn't projected
+    * would fail every join over the table; (b) a row-level COPY_ON_WRITE
+    * scan must advertise ONLY `_file` —
+    * `RowLevelOperationRuntimeGroupFiltering` keys its group filter on
+    * ALL advertised attributes, and a multi-column struct-IN group
+    * filter fails to translate, silently disabling group pruning (every
+    * file would rewrite on every DELETE). */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    (if (runtimeKeyPrune) required.fieldNames
+     else required.fieldNames.filter(_ == "_file"))
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    def refsFile(e: org.apache.spark.sql.connector.expressions.Expression): Boolean = e match {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+        r.fieldNames.sameElements(Array("_file"))
+      case other => other.children.exists(refsFile)
+    }
+    def literals(e: org.apache.spark.sql.connector.expressions.Expression): Seq[Any] = e match {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] => Seq(l.value)
+      case other => other.children.toSeq.flatMap(literals)
+    }
+    def singleRef(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = {
+      val refs = e.references.flatMap(r =>
+        if (r.fieldNames.length == 1) Some(r.fieldNames()(0)) else None)
+      if (refs.length == 1) Some(refs(0)) else None
+    }
+    predicates.foreach { p =>
+      if (refsFile(p)) {
+        val vals = literals(p).map(String.valueOf(_: Any)).toSet
+        allowedFiles = Some(allowedFiles.fold(vals)(_ intersect vals))
+      } else if (runtimeKeyPrune && (p.name == "IN" || p.name == "=")) {
+        singleRef(p).filter(fullSchema.fieldNames.contains).foreach { col =>
+          runtimeKeys ::= (col, literals(p).toArray)
+        }
+      }
+      // anything else: unused — the static plan already covers correctness
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (kept, rows, stats) = staticPlan
+    val afterGroup = allowedFiles.fold(kept)(ok => kept.filter(ok))
+    // Runtime key sets: drop a file only when its stats PROVE every key
+    // misses (all-or-nothing value coercion inside canSkip's In).
+    val names = afterGroup.filter { n =>
+      runtimeKeys.forall { case (col, vals) =>
+        !ManifestSkip.canSkip(org.apache.spark.sql.sources.In(col, vals),
+          fullSchema, stats.get(n), rows.get(n))
+      }
+    }
+    filesSkipped += (afterGroup.length - names.length).toLong
+    filesPlanned = names.length
+    onPlanned(names)
+    names.map(n =>
+      ManifestInputPartition(new Path(dir, n).toString, n)).toArray
+  }
+
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new FilesListedMetric, new FilesSkippedMetric, new FilesPlannedMetric)
+
+  override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(driverMetric("filesListed", filesListed),
+      driverMetric("filesSkipped", filesSkipped),
+      driverMetric("filesPlanned", filesPlanned))
+
+  private def driverMetric(n: String, v: Long) =
+    new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+      override def name(): String = n
+      override def value(): Long = v
+    }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ManifestReaderFactory(fullSchema, required, conf)
+
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ManifestMicroBatchStream(path, fullSchema, required, conf)
+}
+
+// Concrete zero-arg classes: the SQL UI listener re-instantiates custom
+// metrics by reflection (SQLAppStatusListener), so a parameterized class
+// would log a SparkException per query.
+private[sources] class FilesListedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "filesListed"
+  override def description(): String = "manifest files listed"
+}
+private[sources] class FilesSkippedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "filesSkipped"
+  override def description(): String = "manifest files skipped by stats"
+}
+private[sources] class FilesPlannedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "filesPlanned"
+  override def description(): String = "manifest files read"
 }
 
 /** Streaming read of the manifest table (the Delta streaming-source
@@ -407,18 +766,7 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
   private def splitCsv(line: String, n: Int): Array[String] =
     line.split(",", n)
 
-  private def parse(s: String, dt: DataType): Any = dt match {
-    case LongType => s.toLong
-    case IntegerType => s.toInt
-    case ShortType => s.toShort
-    case ByteType => s.toByte
-    case DoubleType => s.toDouble
-    case FloatType => s.toFloat
-    case BooleanType => s.toBoolean
-    case StringType => UTF8String.fromString(s)
-    case other => throw new UnsupportedOperationException(
-      s"graft-manifest read supports primitive column types, got $other")
-  }
+  private def parse(s: String, dt: DataType): Any = ManifestCsv.parse(s, dt)
 }
 
 /** `TableCatalog` over a root directory of manifest tables. Provides the

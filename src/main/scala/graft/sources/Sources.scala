@@ -349,7 +349,50 @@ object Sources extends QueryModule {
       FROM orders WHERE o_totalprice > 350000.0
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Manifest-format DATA SKIPPING end to end (round 10 — per-file column
+    * min/max stats in the snapshot, `ManifestFiles.statsFor` +
+    * `ManifestSkip`): orders land range-partitioned by date into a
+    * manifest table (the layout time-keyed appends produce), and a
+    * one-year range query opens ONLY the files whose stats overlap —
+    * `.explain` shows the pushed skip filters, the scan's
+    * filesListed/filesSkipped/filesPlanned driver metrics prove skipped
+    * files were never opened (ManifestSkippingSpec), and the oracle
+    * recomputes the aggregate straight from orders so a wrongly-skipped
+    * file fails the hash. At 100 TB this is the single biggest pruning
+    * lever a manifest format has: a time-range query over years of
+    * appends reads days, not history — the reference's
+    * `PruneFileSourcePartitions` + parquet footer min/max
+    * (`sql/core/.../SparkOptimizer.scala:33-37`) lifted to file level. */
+  val qManifestSkipping: QueryDef = QueryDef(
+    "q226_manifest_data_skipping",
+    (s, d) => {
+      import s.implicits._
+      val path = tmp(d, "manifest_skip")
+      val dir = new org.apache.hadoop.fs.Path(path)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      Tables.df(s, d, "orders")
+        .select($"o_orderkey", $"o_totalprice",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("o_odate"))
+        .repartitionByRange(8, $"o_odate")
+        .write.mode("append").format("graft-manifest").option("path", path).save()
+      s.read.format("graft-manifest").option("path", path).load()
+        .filter($"o_odate" >= "1995-01-01" && $"o_odate" < "1996-01-01")
+        .groupBy(substring($"o_odate", 1, 7).as("month"))
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast("decimal(18,6)")).cast("double").as("total"))
+        .orderBy($"month")
+    },
+    Some("""
+      SELECT substr(strftime(o_orderdate, '%Y-%m-%d'), 1, 7) AS month,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM orders
+      WHERE strftime(o_orderdate, '%Y-%m-%d') >= '1995-01-01'
+        AND strftime(o_orderdate, '%Y-%m-%d') < '1996-01-01'
+      GROUP BY 1 ORDER BY 1"""))
+
   override def defs: Seq[QueryDef] =
     Seq(qCsv, qJson, qOrc, qText, qPartitioned, qSynthSource, qSynthColumnar,
-      qSchemaEvolution, qManifestTimeTravel, qManifestMerge, qManifestStream)
+      qSchemaEvolution, qManifestTimeTravel, qManifestMerge, qManifestStream,
+      qManifestSkipping)
 }

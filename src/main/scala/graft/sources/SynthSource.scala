@@ -145,9 +145,15 @@ private[sources] class SynthScan(private var lo: Long, private var hi: Long,
 
   override def filter(filters: Array[Filter]): Unit = filters.foreach {
     case In("id", vs) =>
-      val ids = vs.collect { case v: java.lang.Long => v.longValue() }
-        .filter(v => v >= lo && v < hi).sorted
-      keep = Some(keep.fold(ids)(prev => prev.intersect(ids)))
+      // All-or-nothing coercion: dropping only the values that fail to
+      // coerce would silently EXCLUDE those ids from generation (missing
+      // rows) — if any value isn't a Long, ignore the whole runtime
+      // filter and keep the static range (always safe, merely unpruned).
+      if (vs.forall(_.isInstanceOf[java.lang.Long])) {
+        val ids = vs.map(_.asInstanceOf[java.lang.Long].longValue())
+          .filter(v => v >= lo && v < hi).sorted
+        keep = Some(keep.fold(ids)(prev => prev.intersect(ids)))
+      }
     case EqualTo("id", v: java.lang.Long) =>
       keep = Some(keep.fold(Array(v.longValue()))(_.filter(_ == v.longValue()))
         .filter(x => x >= lo && x < hi))

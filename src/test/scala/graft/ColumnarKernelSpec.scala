@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.plans.ColumnarHammingProjectExec
+import graft.plans.ColumnarKernelProjectExec
 
 /** The injectColumnar seam (plans/ColumnarKernel.scala): a hamming64
   * projection over the columnar synth source executes as a batch kernel
@@ -24,7 +24,7 @@ class ColumnarKernelSpec extends AnyFunSuite {
 
   test("hamming projection over a columnar child becomes the batch kernel") {
     val plan = project(columnar = true).queryExecution.executedPlan
-    val kernels = plan.collect { case k: ColumnarHammingProjectExec => k }
+    val kernels = plan.collect { case k: ColumnarKernelProjectExec => k }
     assert(kernels.nonEmpty, plan.toString)
     // the transition sits ABOVE the kernel: no row project below it
     assert(plan.toString.contains("ColumnarToRow"), plan.toString)
@@ -46,11 +46,11 @@ class ColumnarKernelSpec extends AnyFunSuite {
     val plan = synth(columnar = true)
       .select(col("id"), expr("id + grp").as("s"))
       .queryExecution.executedPlan
-    assert(plan.collect { case k: ColumnarHammingProjectExec => k }.isEmpty,
+    assert(plan.collect { case k: ColumnarKernelProjectExec => k }.isEmpty,
       plan.toString)
     // a row child (columnar off) is never claimed either
     val rowPlan = project(columnar = false).queryExecution.executedPlan
-    assert(rowPlan.collect { case k: ColumnarHammingProjectExec => k }.isEmpty,
+    assert(rowPlan.collect { case k: ColumnarKernelProjectExec => k }.isEmpty,
       rowPlan.toString)
   }
 
@@ -63,5 +63,95 @@ class ColumnarKernelSpec extends AnyFunSuite {
       .groupBy(($"hd" % 2).as("parity")).count()
       .orderBy($"parity").collect().map(r => (r.getInt(0), r.getLong(1)))
     assert(agg.toSeq == expected.toSeq)
+  }
+
+  // ---- round 10: the cosine (ANN scoring) kernel over array<float> ----
+
+  import graft.functions.VectorExpressions.cosine
+  import graft.plans.ColumnarKernelProjectExec
+
+  private val embPath = "/root/testdata/sf0.001/embeddings.parquet"
+
+  private def queryVec(dim: Int): Array[Float] =
+    Array.tabulate(dim)(i => math.sin(i + 1).toFloat)
+
+  /** The ANN brute-force scoring shape: every corpus vector against one
+    * literal query vector. */
+  private def scored() = {
+    import spark.implicits._
+    val emb = spark.read.parquet(embPath)
+    val dim = emb.select(org.apache.spark.sql.functions.size($"embedding"))
+      .head.getInt(0)
+    emb.select($"vec_id",
+      cosine($"embedding", org.apache.spark.sql.functions.typedlit(queryVec(dim)))
+        .as("sim"))
+  }
+
+  test("cosine-vs-literal-query over the vectorized parquet scan becomes " +
+    "the batch kernel and is bit-identical to the row path") {
+    spark.conf.set("spark.sql.parquet.enableVectorizedReader", "true")
+    spark.conf.set("spark.sql.parquet.enableNestedColumnVectorizedReader", "true")
+    try {
+      val kernelPlan = scored().queryExecution.executedPlan
+      assert(kernelPlan.collect { case k: ColumnarKernelProjectExec => k }.nonEmpty,
+        kernelPlan.toString)
+      val viaKernel = scored().collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1)
+      // row path: same projection, same Kernels.cosineF, via codegen over
+      // the non-vectorized reader
+      spark.conf.set("spark.sql.parquet.enableVectorizedReader", "false")
+      val rowPlan = scored().queryExecution.executedPlan
+      assert(rowPlan.collect { case k: ColumnarKernelProjectExec => k }.isEmpty,
+        rowPlan.toString)
+      val viaRows = scored().collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1)
+      assert(viaKernel.length == viaRows.length && viaKernel.length > 0)
+      viaKernel.zip(viaRows).foreach { case ((ka, kv), (ra, rv)) =>
+        assert(ka == ra)
+        assert(java.lang.Double.doubleToRawLongBits(kv) ==
+          java.lang.Double.doubleToRawLongBits(rv),
+          s"vec $ka: kernel=$kv row=$rv (not bit-equal)")
+      }
+    } finally {
+      spark.conf.set("spark.sql.parquet.enableVectorizedReader", "true")
+    }
+  }
+
+  test("pairwise cosine over two array columns is claimed and bit-equal") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cospair").toString
+    spark.read.parquet(embPath)
+      .select($"vec_id", $"embedding".as("emb_a"),
+        org.apache.spark.sql.functions.reverse($"embedding").as("emb_b"))
+      .write.mode("overwrite").parquet(dir)
+    def pairScore() = spark.read.parquet(dir)
+      .select($"vec_id", cosine($"emb_a", $"emb_b").as("sim"))
+    spark.conf.set("spark.sql.parquet.enableVectorizedReader", "true")
+    try {
+      val plan = pairScore().queryExecution.executedPlan
+      assert(plan.collect { case k: ColumnarKernelProjectExec => k }.nonEmpty,
+        plan.toString)
+      val viaKernel = pairScore().collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1)
+      spark.conf.set("spark.sql.parquet.enableVectorizedReader", "false")
+      val viaRows = pairScore().collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1)
+      assert(viaKernel.length == viaRows.length && viaKernel.length > 0)
+      viaKernel.zip(viaRows).foreach { case ((ka, kv), (ra, rv)) =>
+        assert(ka == ra && java.lang.Double.doubleToRawLongBits(kv) ==
+          java.lang.Double.doubleToRawLongBits(rv))
+      }
+    } finally {
+      spark.conf.set("spark.sql.parquet.enableVectorizedReader", "true")
+    }
+  }
+
+  test("the kill-switch conf keeps the stock plan") {
+    spark.conf.set("spark.graft.columnar.enabled", "false")
+    try {
+      val plan = scored().queryExecution.executedPlan
+      assert(plan.collect { case k: ColumnarKernelProjectExec => k }.isEmpty,
+        plan.toString)
+    } finally spark.conf.set("spark.graft.columnar.enabled", "true")
   }
 }

@@ -27,6 +27,37 @@ class DedupStatementSpec extends AnyFunSuite {
     assert(got == Seq((1L, 1, "a"), (2L, 5, "y"), (3L, 9, "z")))
   }
 
+  test("KEEP MAX keeps the maximal row per key; trailing semicolon is " +
+    "tolerated") {
+    seed()
+    val got = spark.sql("DEDUP TABLE dedup_in BY (k) KEEP MAX v ;")
+      .orderBy(col("k")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(got == Seq((1L, 3, "c"), (2L, 7, "x"), (3L, 9, "z")))
+  }
+
+  test("INTO writes back: deduped rows land in the target table " +
+    "(manifest catalog) as one snapshot commit") {
+    import spark.implicits._
+    seed()
+    val root = java.nio.file.Files.createTempDirectory("graft_dedup_into").toString
+    val cat = "graft_dedupcat"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // target must exist (INTO appends): seed an empty-compatible table
+    Seq((0L, 0, "seed")).toDF("k", "v", "tag")
+      .write.mode("append").format("graft-manifest")
+      .option("path", s"$root/out").save()
+    spark.sql(s"DEDUP TABLE dedup_in BY (k) KEEP MAX v INTO $cat.out;")
+    val got = spark.table(s"$cat.out").orderBy(col("k")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(got == Seq((0L, 0, "seed"), (1L, 3, "c"), (2L, 7, "x"), (3L, 9, "z")))
+    // the write-back was ONE snapshot commit on top of the seed
+    val dir = new org.apache.hadoop.fs.Path(s"$root/out")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(graft.sources.ManifestFiles.latestVersion(fs, dir) == 2)
+  }
+
   test("without KEEP the statement is the distinct BY projection") {
     seed()
     val got = spark.sql("DEDUP TABLE dedup_in BY (k)")
@@ -52,6 +83,13 @@ class DedupStatementSpec extends AnyFunSuite {
     // malformed DEDUP falls through to Spark's own syntax error
     val e = intercept[Exception](spark.sql("DEDUP TABLE dedup_in"))
     assert(e.getMessage.toUpperCase.contains("SYNTAX"), e.getMessage)
+    // unknown KEEP kind and dangling INTO also delegate verbatim
+    val eKind = intercept[Exception](
+      spark.sql("DEDUP TABLE dedup_in BY (k) KEEP MEDIAN v"))
+    assert(eKind.getMessage.toUpperCase.contains("SYNTAX"), eKind.getMessage)
+    val eInto = intercept[Exception](
+      spark.sql("DEDUP TABLE dedup_in BY (k) KEEP MIN v INTO"))
+    assert(eInto.getMessage.toUpperCase.contains("SYNTAX"), eInto.getMessage)
     // unknown relation fails in analysis, not parsing
     val e2 = intercept[Exception](
       spark.sql("DEDUP TABLE nope_not_here BY (k)").collect())

@@ -23,8 +23,9 @@ class ManifestSinkSpec extends AnyFunSuite {
       .select($"id", ($"id" % 7).as("m"))
       .write.mode("append").format("graft-manifest").option("path", path).save()
     val dir = new java.io.File(path)
-    val manifest = new String(java.nio.file.Files.readAllBytes(
+    val lines = new String(java.nio.file.Files.readAllBytes(
       dir.toPath.resolve("_MANIFEST")), "UTF-8").split("\n")
+    val manifest = lines.filterNot(_.startsWith("#"))
     assert(manifest.length == 4)
     val listed = manifest.map(_.split(",")(0)).toSet
     val onDisk = dir.listFiles().map(_.getName)
@@ -32,6 +33,15 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(listed == onDisk, s"manifest $listed vs disk $onDisk")
     assert(!onDisk.exists(_.endsWith(".tmp")))
     assert(manifest.map(_.split(",")(1).toLong).sum == 1000)
+    // every data file also carries a `#stats` line with its exact size
+    // and per-column min/max (round-10 data-skipping metadata)
+    val stats = lines.filter(_.startsWith("#stats,"))
+      .flatMap(graft.sources.ManifestFiles.parseStatsLine).toMap
+    assert(stats.keySet == onDisk)
+    assert(stats.values.forall(_.bytes > 0))
+    val mins = stats.values.flatMap(_.cols(0).min).map(_.toLong)
+    val maxs = stats.values.flatMap(_.cols(0).max).map(_.toLong)
+    assert(mins.min == 0L && maxs.max == 999L)
     // Row content round-trips through the CSV payload.
     val back = spark.read.option("inferSchema", true)
       .csv(dir.listFiles().filter(_.getName.startsWith("part-"))
