@@ -28,8 +28,11 @@ object TestJvm {
       sysProps.map { case (k, v) => s"-D$k=$v" } ++
       Seq("-cp", System.getProperty("java.class.path"), mainClass) ++ args
     val out = new StringBuilder
-    val code = Process(cmd, None, env: _*) !
-      ProcessLogger(l => out.append(l).append('\n'), _ => ())
+    // stderr is captured too (prefixed) — a subprocess crash is otherwise
+    // undiagnosable from the spec's failure message
+    val code = Process(cmd, None, env: _*) ! ProcessLogger(
+      l => out.synchronized { out.append(l).append('\n') },
+      l => out.synchronized { out.append("[stderr] ").append(l).append('\n') })
     (code, out.toString)
   }
 }
