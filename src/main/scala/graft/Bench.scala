@@ -59,7 +59,8 @@ object Bench {
     "q203_tpcds_q95_multi_supplier", "q204_tpcds_q5_channel_rollup",
     "q205_tpcds_q95_cte_materialized", "q221_v2_function_catalog",
     "q222_dsv2_columnar_scan", "q223_epoch_shuffle",
-    "q224_dedup_sql_statement", "q225_token_budget_sample")
+    "q224_dedup_sql_statement", "q225_token_budget_sample",
+    "q226_manifest_data_skipping", "q227_dedup_writeback")
 
   private val sentinelName = "q97_compute_pi"
   private val stragglerQueries =

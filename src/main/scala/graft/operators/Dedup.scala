@@ -107,9 +107,97 @@ object Dedup extends QueryModule {
           / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.03
       ORDER BY doc_a, doc_b"""))
 
+  // ---- DuckDB replay of the engine's seeded hashing (q63/q64 oracles) --
+  // The MinHash/SimHash pipelines are deterministic modular/bit arithmetic
+  // (FNV-1a, splitmix64 — Kernels.scala), so DuckDB can replay them
+  // EXACTLY with HUGEINT math. The only subtlety is the 64×64→low-64
+  // multiply: splitmix64's constants are ~2^63, so a direct HUGEINT
+  // product of two 64-bit values overflows int128 — `duckMulMod64` splits
+  // the left operand at 32 bits to stay under 2^97. The SQL is generated
+  // by these helpers (one CTE stage per mixer step so nothing is
+  // recomputed exponentially).
+  private val duckM = "CAST('18446744073709551616' AS HUGEINT)"
+
+  private def duckMulMod64(a: String, c: String): String =
+    s"((($a) % 4294967296) * $c + (((($a) // 4294967296) * $c) % 4294967296)" +
+      s" * 4294967296) % $duckM"
+
+  /** splitmix64 (Kernels.mix64) as chained CTE stages: reads column `in`
+    * of CTE `src`, emits CTE `tag_out` with column `out`, carrying the
+    * `keep` columns through. */
+  private def duckMix64(tag: String, src: String, keep: String,
+      in: String, out: String): String = s"""
+    ${tag}_a AS (SELECT $keep, (($in) + 11400714819323198485) % $duckM AS za FROM $src),
+    ${tag}_b AS (SELECT $keep, ${duckMulMod64("xor(za, za >> 30)", "13787848793156543929")} AS zb FROM ${tag}_a),
+    ${tag}_out AS (SELECT $keep, xor(zc, zc >> 31) AS $out FROM (
+      SELECT $keep, ${duckMulMod64("xor(zb, zb >> 27)", "10723151780598845931")} AS zc FROM ${tag}_b) q)"""
+
+  /** The shared CTE chain replaying `minHashCandidates(64, 16, 0.2)` in
+    * DuckDB, ending at CTE `agree(doc_a, doc_b, est_jaccard)` — the q63
+    * oracle selects from it directly, the q134 oracle appends the
+    * recursive transitive closure. */
+  private val duckMinHashChain: String = s"""
+      docs AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+        WHERE len(string_split(lower(text), ' ')) >= 3),
+      wh AS (
+        SELECT doc_id, list_transform(ws, w ->
+          list_reduce(
+            list_prepend(CAST('14695981039346656037' AS HUGEINT),
+              list_transform(range(1, length(w) + 1),
+                ch -> CAST(ord(substr(w, ch, 1)) AS HUGEINT))),
+            (h, b) -> (xor(h, b) * 1099511628211) % $duckM)) AS hs
+        FROM docs),
+      sh_in AS (SELECT doc_id, unnest(range(1, len(hs) - 1)) AS i, hs FROM wh),
+      sh0 AS (
+        SELECT doc_id, xor(CAST('14695981039346656037' AS HUGEINT), hs[i]) AS x0,
+               hs[i + 1] AS w1, hs[i + 2] AS w2
+        FROM sh_in),
+      ${duckMix64("m1", "sh0", "doc_id, w1, w2", "x0", "y1")},
+      s1 AS (SELECT doc_id, xor(y1, w1) AS x1, w2 FROM m1_out),
+      ${duckMix64("m2", "s1", "doc_id, w2", "x1", "y2")},
+      s2 AS (SELECT doc_id, xor(y2, w2) AS x2 FROM m2_out),
+      ${duckMix64("m3", "s2", "doc_id", "x2", "shv")},
+      shingles AS (SELECT DISTINCT doc_id, shv FROM m3_out),
+      perm0 AS (SELECT p, CAST(42 + p AS HUGEINT) AS pin
+                FROM (SELECT unnest(range(0, 64)) AS p) t),
+      ${duckMix64("pm", "perm0", "p", "pin", "permv")},
+      pv0 AS (SELECT sgl.doc_id, pm.p, xor(sgl.shv, pm.permv) AS vin
+              FROM shingles sgl CROSS JOIN pm_out pm),
+      ${duckMix64("pv", "pv0", "doc_id, p", "vin", "v")},
+      sigv AS (
+        SELECT doc_id, p, CAST(min(
+          CASE WHEN v >= 9223372036854775808 THEN v - $duckM ELSE v END)
+          AS BIGINT) AS sv
+        FROM pv_out GROUP BY doc_id, p),
+      sig AS (SELECT doc_id, list(sv ORDER BY p) AS sg FROM sigv GROUP BY doc_id),
+      banded AS (
+        SELECT doc_id, bd, array_to_string(sg[bd * 4 + 1 : bd * 4 + 4], ',') AS bkey
+        FROM sig, (SELECT unnest(range(0, 16)) AS bd) bands),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b ON a.bd = b.bd AND a.bkey = b.bkey
+        WHERE a.doc_id < b.doc_id),
+      agree AS (
+        SELECT p.doc_a, p.doc_b,
+          CAST(len(list_filter(range(1, 65), ix -> sa.sg[ix] = sb.sg[ix]))
+            AS DOUBLE) / 64 AS est_jaccard
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.doc_a
+        JOIN sig sb ON sb.doc_id = p.doc_b)"""
+
   /** MinHash + banded LSH near-dup candidates (custom codegen'd
     * expressions; deterministic seeded hashing). 64 hashes, 16 bands of 4
-    * ⇒ catches pairs above ~0.5 estimated Jaccard with high probability. */
+    * ⇒ catches pairs above ~0.5 estimated Jaccard with high probability.
+    *
+    * Oracle-checked since round 10: DuckDB replays the ENTIRE pipeline —
+    * FNV-1a word hashes, 3-word shingle hashes (3 chained mix64 steps),
+    * 64 permutation minima under SIGNED Long order, 16×4 band slices,
+    * bucket join, signature-agreement verify at ≥ 0.2. Two deliberate
+    * simplifications, both no-ops on this data: the oracle buckets on
+    * slice EQUALITY where Spark buckets on `hash(slice)` (differs only on
+    * a Murmur3 collision between unequal slices), and the
+    * maxBucketSize=10000 cap is unreachable with ≤ 10k docs. */
   val qMinHashLsh: QueryDef = QueryDef(
     "q63_dedup_minhash_lsh",
     (s, d) => {
@@ -119,7 +207,10 @@ object Dedup extends QueryModule {
         numHashes = 64, bands = 16, threshold = 0.2)
         .orderBy($"doc_a", $"doc_b")
     },
-    None)
+    Some(s"""
+      WITH $duckMinHashChain
+      SELECT doc_a, doc_b, est_jaccard FROM agree
+      WHERE est_jaccard >= 0.2 ORDER BY doc_a, doc_b"""))
 
   /** SimHash near-dup: 64-bit fingerprints, 4×16-bit band join, popcount
     * verify at Hamming ≤ 16. */
@@ -212,7 +303,23 @@ object Dedup extends QueryModule {
         .agg(count(lit(1)).as("cluster_size"))
         .orderBy($"canonical_id")
     },
-    None)
+    // Oracle-checked since round 10: the q63 chain replays the LSH
+    // candidates, the q162 recursive-CTE pattern replays GraphX CC
+    // (canonical id = min reachable id), so the WHOLE banded near-dup
+    // clustering pipeline is hash-matched end to end.
+    Some(s"""
+      WITH RECURSIVE $duckMinHashChain,
+      cands AS (SELECT doc_a, doc_b FROM agree WHERE est_jaccard >= 0.2),
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM cands
+                UNION SELECT doc_b, doc_a FROM cands),
+      walk AS (
+        SELECT a AS node, a AS reach FROM edges
+        UNION
+        SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+      comp AS (SELECT node, MIN(reach) AS canonical_id FROM walk GROUP BY node)
+      SELECT CAST(canonical_id AS BIGINT) AS canonical_id,
+             CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY canonical_id ORDER BY canonical_id"""))
 
   /** Connected-components clustering over an ORACLE-CHECKABLE pair set:
     * the exact-Jaccard pairs from q62 feed the same CC operator the
