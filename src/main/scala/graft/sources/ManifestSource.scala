@@ -975,18 +975,38 @@ private[sources] object ManifestProcedures {
       }
     }
 
+  /** `compact(table, target_files, sort_by)`: fold the live snapshot into
+    * `target_files` files; with `sort_by` set, CLUSTER by that column
+    * (range-repartition + sort within partitions) so the rewritten files
+    * carry DISJOINT `#stats` ranges — the operation that makes data
+    * skipping effective on a table whose appends interleaved the key
+    * (Iceberg's rewrite-with-sort-order / z-order-lite). A time-keyed
+    * table compacted on its time column turns every later range query
+    * into a near-minimal file read; ManifestSkippingSpec proves the
+    * before/after filesPlanned difference. */
   def compact(dirFor: String => Path): UnboundProcedure =
     proc("compact", Array(param("table", StringType),
-        paramDefault("target_files", IntegerType, "1"))) { input =>
+        paramDefault("target_files", IntegerType, "1"),
+        paramDefault("sort_by", StringType, "''"))) { input =>
       val spark = SparkSession.active
       val dir = dirFor(input.getUTF8String(0).toString)
       val target = input.getInt(1)
       require(target >= 1, s"target_files must be >= 1, got $target")
+      val sortBy = if (input.numFields > 2 && !input.isNullAt(2))
+        input.getUTF8String(2).toString else ""
       val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
       val before = ManifestFiles.entries(fs, dir, None).length
-      spark.read.format("graft-manifest").option("path", dir.toString).load()
-        .coalesce(target)
-        .write.mode("overwrite").format("graft-manifest")
+      val live = spark.read.format("graft-manifest")
+        .option("path", dir.toString).load()
+      val arranged =
+        if (sortBy.isEmpty) live.coalesce(target)
+        else {
+          require(live.columns.contains(sortBy),
+            s"sort_by column '$sortBy' not in ${live.columns.mkString(",")}")
+          live.repartitionByRange(target, org.apache.spark.sql.functions.col(sortBy))
+            .sortWithinPartitions(sortBy)
+        }
+      arranged.write.mode("overwrite").format("graft-manifest")
         .option("path", dir.toString).save()
       val after = ManifestFiles.entries(fs, dir, None).length
       result(new StructType().add("version", IntegerType)

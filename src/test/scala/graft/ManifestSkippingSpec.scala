@@ -227,6 +227,37 @@ class ManifestSkippingSpec extends AnyFunSuite {
     assert(metric(q, "filesPlanned") == 0L && metric(q, "filesListed") > 0L)
   }
 
+  test("compact with sort_by clusters the table so skipping becomes " +
+    "effective on interleaved appends") {
+    import spark.implicits._
+    val root = tmpDir()
+    val cat = "graft_skipsort"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // interleaved appends: every file spans the whole key range, so
+    // nothing can skip regardless of stats
+    (0 until 4).foreach { shard =>
+      spark.range(100000).filter($"id" % 4 === shard)
+        .select($"id".as("k"), ($"id" % 7).as("m")).coalesce(1)
+        .write.mode("append").format("graft-manifest")
+        .option("path", s"$root/t").save()
+    }
+    def q() = spark.read.format("graft-manifest").option("path", s"$root/t")
+      .load().filter($"k" >= 90000L)
+    val before = q()
+    assert(before.collect().length == 10000)
+    assert(metric(before, "filesSkipped") == 0L,
+      "interleaved files all overlap the predicate — nothing should skip")
+    // cluster on k: the rewrite carries fresh per-file stats with
+    // DISJOINT ranges
+    spark.sql(s"CALL $cat.system.compact('t', 4, 'k')").collect()
+    val after = q()
+    assert(after.collect().length == 10000)
+    assert(metric(after, "filesListed") == 4L)
+    assert(metric(after, "filesSkipped") >= 2L,
+      "post-compaction range files should mostly skip")
+  }
+
   test("row-level scans never stats-skip: deleting an ENTIRE file's rows " +
     "still drops the file (the survivor-filter hazard)") {
     import spark.implicits._
