@@ -107,30 +107,13 @@ object Dedup extends QueryModule {
           / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.03
       ORDER BY doc_a, doc_b"""))
 
-  // ---- DuckDB replay of the engine's seeded hashing (q63/q64 oracles) --
-  // The MinHash/SimHash pipelines are deterministic modular/bit arithmetic
-  // (FNV-1a, splitmix64 — Kernels.scala), so DuckDB can replay them
-  // EXACTLY with HUGEINT math. The only subtlety is the 64×64→low-64
-  // multiply: splitmix64's constants are ~2^63, so a direct HUGEINT
-  // product of two 64-bit values overflows int128 — `duckMulMod64` splits
-  // the left operand at 32 bits to stay under 2^97. The SQL is generated
-  // by these helpers (one CTE stage per mixer step so nothing is
-  // recomputed exponentially).
-  private val duckM = "CAST('18446744073709551616' AS HUGEINT)"
-
-  private def duckMulMod64(a: String, c: String): String =
-    s"((($a) % 4294967296) * $c + (((($a) // 4294967296) * $c) % 4294967296)" +
-      s" * 4294967296) % $duckM"
-
-  /** splitmix64 (Kernels.mix64) as chained CTE stages: reads column `in`
-    * of CTE `src`, emits CTE `tag_out` with column `out`, carrying the
-    * `keep` columns through. */
+  // DuckDB replay of the engine's seeded hashing (q63/q64/q134 oracles):
+  // deterministic modular/bit arithmetic — see graft.DuckSql for the
+  // HUGEINT mixers and the int128-overflow note.
+  private val duckM = graft.DuckSql.M
   private def duckMix64(tag: String, src: String, keep: String,
-      in: String, out: String): String = s"""
-    ${tag}_a AS (SELECT $keep, (($in) + 11400714819323198485) % $duckM AS za FROM $src),
-    ${tag}_b AS (SELECT $keep, ${duckMulMod64("xor(za, za >> 30)", "13787848793156543929")} AS zb FROM ${tag}_a),
-    ${tag}_out AS (SELECT $keep, xor(zc, zc >> 31) AS $out FROM (
-      SELECT $keep, ${duckMulMod64("xor(zb, zb >> 27)", "10723151780598845931")} AS zc FROM ${tag}_b) q)"""
+      in: String, out: String): String =
+    graft.DuckSql.mix64(tag, src, keep, in, out)
 
   /** The shared CTE chain replaying `minHashCandidates(64, 16, 0.2)` in
     * DuckDB, ending at CTE `agree(doc_a, doc_b, est_jaccard)` — the q63

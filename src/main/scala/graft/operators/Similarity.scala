@@ -58,11 +58,71 @@ object Similarity extends QueryModule {
         WHERE q.vec_id < 10)
       WHERE rk <= 3 ORDER BY query_id, rk"""))
 
+  /** The shared CTE chain replaying `lshBucketF(planes = 4, seed = 7)` in
+    * DuckDB, ending at CTE `buckets(vec_id, bucket)`. Exactness argument
+    * (see DuckSql scaladoc): plane components `2·((mix64(…) >>> 11)·2^-53)−1`
+    * are exact doubles, float→double widening is exact, and the dot
+    * product folds in index order via `list_reduce`, so every IEEE
+    * rounding — and therefore every SIGN, and therefore every bucket —
+    * is bit-identical to the JVM kernel. */
+  private val duckLshBuckets: String = s"""
+      dims AS (SELECT max(len(embedding)) AS dim FROM embeddings),
+      pi AS (SELECT p, i, CAST(7 + p * 1000003 + i AS HUGEINT) AS rin
+             FROM (SELECT unnest(range(0, 4)) AS p) pa,
+                  (SELECT unnest(range(0, (SELECT dim FROM dims))) AS i) pb),
+      ${graft.DuckSql.mix64("px", "pi", "p, i", "rin", "r")},
+      plane AS (SELECT p,
+          list(2.0 * (CAST(r >> 11 AS DOUBLE) * 1.1102230246251565e-16) - 1.0
+               ORDER BY i) AS cs
+        FROM px_out GROUP BY p),
+      dots AS (
+        SELECT e.vec_id, pl.p,
+          list_reduce(list_transform(range(1, len(e.embedding) + 1),
+            ix -> CAST(e.embedding[ix] AS DOUBLE) * pl.cs[ix]),
+            (a, b) -> a + b) AS dot
+        FROM embeddings e CROSS JOIN plane pl),
+      buckets AS (
+        SELECT vec_id,
+          CAST(SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
+        FROM dots GROUP BY vec_id)"""
+
+  /** The bucket-join + cosine + top-3 tail shared by the q67 and q156
+    * oracles; `probelist` is the per-query probe-bucket list. */
+  private def duckLshTail(probelist: String): String = s"""
+      corpus AS (SELECT e.vec_id AS neighbor_id, e.embedding AS vec, b.bucket
+                 FROM embeddings e JOIN buckets b ON b.vec_id = e.vec_id),
+      queries AS (
+        SELECT e.vec_id AS query_id, e.embedding AS q_vec,
+               unnest($probelist) AS bucket
+        FROM embeddings e
+        JOIN (SELECT vec_id, bucket AS bucket0 FROM buckets) b
+          ON b.vec_id = e.vec_id
+        WHERE e.vec_id < 10),
+      scored AS (
+        SELECT q.query_id, c.neighbor_id,
+          round(list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
+                                       CAST(c.vec AS DOUBLE[])), 6) AS sim
+        FROM corpus c JOIN queries q ON c.bucket = q.bucket
+        WHERE c.neighbor_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, sim,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY sim DESC, neighbor_id) AS rk
+        FROM scored)
+      SELECT query_id, neighbor_id, sim FROM ranked WHERE rk <= 3
+      ORDER BY query_id, sim DESC, neighbor_id"""
+
   /** ANN scale path: random-hyperplane LSH buckets (custom expression).
     * Corpus is hashed once (map-side); each query joins only its bucket —
     * the join key is the bucket id, so the shuffle moves each corpus row
-    * once regardless of query count. Deterministic but not SQL-expressible
-    * → rows-only; the spec checks recall vs q66. */
+    * once regardless of query count.
+    *
+    * Oracle-checked since round 10: the hyperplane components and
+    * dot-product signs are EXACT doubles on both engines (see
+    * duckLshBuckets), so DuckDB replays the whole bucket→join→cosine→
+    * top-k pipeline and hash-matches it — the ANN scale path is no
+    * longer rows-only. The spec additionally checks recall vs the q66
+    * brute-force truth. */
   val qLshTopK: QueryDef = QueryDef(
     "q67_sim_lsh_topk",
     (s, d) => {
@@ -75,7 +135,9 @@ object Similarity extends QueryModule {
         k = 3, planes = 4, seed = 7L)
         .orderBy($"query_id", $"sim".desc, $"neighbor_id")
     },
-    None)
+    Some(s"""
+      WITH $duckLshBuckets,
+      ${duckLshTail("[bucket0]")}"""))
 
   /** IVF-style coarse quantization: centroids = per-LSH-cell mean vector
     * (computed with a distributed array aggregate — posexplode + avg, no
@@ -133,8 +195,9 @@ object Similarity extends QueryModule {
   /** Multi-probe variant of q67: same planes/seed, but each query also
     * probes every Hamming-1 neighbor bucket — one corpus scan and one
     * shuffle, recall of ~2^probes hash tables (spec asserts recall ≥ the
-    * single-probe run against the q66 brute-force truth). Deterministic
-    * but not SQL-expressible → rows-only. */
+    * single-probe run against the q66 brute-force truth). Oracle-checked
+    * since round 10 (same exact-double replay as q67; the probe set is
+    * bucket0 plus its four Hamming-1 neighbors). */
   val qMultiProbeTopK: QueryDef = QueryDef(
     "q156_sim_multiprobe_topk",
     (s, d) => {
@@ -147,7 +210,10 @@ object Similarity extends QueryModule {
         k = 3, planes = 4, seed = 7L, probes = 4)
         .orderBy($"query_id", $"sim".desc, $"neighbor_id")
     },
-    None)
+    Some(s"""
+      WITH $duckLshBuckets,
+      ${duckLshTail("[bucket0, xor(bucket0, 1), xor(bucket0, 2), " +
+        "xor(bucket0, 4), xor(bucket0, 8)]")}"""))
 
   /** IVF assignment hash-verified: with fixed seed centroids (the first
     * 8 corpus vectors — kmeans++-style seeding picks real points too) the
