@@ -62,8 +62,12 @@ object Multimodal extends QueryModule {
       FROM documents"""))
 
   /** Partition-batched decode: Dataset[Media] → mapPartitions → features.
-    * Deterministic (stub codec), not SQL-expressible → rows-only check;
-    * the spec pins exact values for known payloads. */
+    * Oracle-checked since round 10: the stub codec is plain byte
+    * arithmetic over ASCII payloads, so DuckDB replays it exactly — byte
+    * sums via `ord` folds, and Scala's `math.round(x·1000)/1000` as
+    * `floor(x·1000 + 0.5)/1000` (identical IEEE sequence, so identical
+    * doubles). The spec additionally pins exact values for known
+    * payloads. */
   val qDecode: QueryDef = QueryDef(
     "q94_multimodal_decode_stub",
     (s, d) => {
@@ -81,12 +85,27 @@ object Multimodal extends QueryModule {
         .agg(count(lit(1)).as("n"), max($"mean_byte").as("max_mean"))
         .orderBy($"width")
     },
-    None)
+    Some("""
+      WITH m AS (
+        SELECT doc_id, octet_length(encode(text)) AS len,
+          list_reduce(list_prepend(0, list_transform(range(1, length(text) + 1),
+            i -> ord(substr(text, i, 1)))), (a, b) -> a + b) AS s
+        FROM documents)
+      SELECT 'image/fake' AS kind,
+        CAST(CASE WHEN len = 0 THEN 0 ELSE 64 + (len % 512) END AS INT) AS width,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        MAX(CASE WHEN len = 0 THEN 0.0
+            ELSE floor((CAST(s AS DOUBLE) / len) * 1000.0 + 0.5) / 1000.0
+            END) AS max_mean
+      FROM m GROUP BY 2 ORDER BY width"""))
 
   /** Frame sampling: treat the payload as fixed-stride frames and keep
     * every Nth — the video-pipeline shape (stride/offset arithmetic is
     * real; frame decode remains the stub). Emits (media_id, frame_no,
-    * frame_checksum) rows — one explode, no payload shuffle before it. */
+    * frame_checksum) rows — one explode, no payload shuffle before it.
+    * Oracle-checked since round 10: the aggregate surface is pure
+    * stride arithmetic over the payload length (sampled-frame count and
+    * last frame index), which DuckDB reproduces directly. */
   val qFrameSample: QueryDef = QueryDef(
     "q95b_multimodal_frame_sample",
     (s, d) => {
@@ -109,7 +128,13 @@ object Multimodal extends QueryModule {
           max($"frame_no").as("last_frame"))
         .orderBy($"media_id")
     },
-    None)
+    Some("""
+      WITH f AS (SELECT doc_id, octet_length(encode(text)) // 32 AS nf
+                 FROM documents)
+      SELECT doc_id AS media_id,
+        CAST((nf + 3) // 4 AS BIGINT) AS n_sampled,
+        CAST(((nf - 1) // 4) * 4 AS INT) AS last_frame
+      FROM f WHERE nf > 0 ORDER BY media_id"""))
 
   override def defs: Seq[QueryDef] = Seq(qMeta, qDecode, qFrameSample)
 }
