@@ -128,8 +128,14 @@ object ManifestFiles {
 
   def statsLine(name: String, bytes: Long,
       cols: Seq[(Int, ColStats)]): String = {
+    // ABSENT min/max (all-null column) encodes as `-` (not in the Base64
+    // alphabet), NOT as an empty field: Base64("") is also "", and
+    // conflating the two would make a file whose string minimum is the
+    // EMPTY STRING look all-null — provably row-free under any
+    // comparison — and silently skip rows matching `s = ''`
+    // (caught by ManifestSkipPropertySpec's round-trip fuzz).
     val payload = cols.map { case (i, c) =>
-      s"$i=${c.nulls}:${c.min.fold("")(b64)}:${c.max.fold("")(b64)}"
+      s"$i=${c.nulls}:${c.min.fold("-")(b64)}:${c.max.fold("-")(b64)}"
     }.mkString(";")
     s"#stats,$name,$bytes,$payload"
   }
@@ -137,6 +143,8 @@ object ManifestFiles {
   def parseStatsLine(line: String): Option[(String, FileStats)] = {
     val parts = line.split(",", 4)
     if (parts.length < 4) return None
+    def field(s: String): Option[String] =
+      if (s == "-") None else Some(unb64(s))
     val cols = parts(3).split(";").filter(_.nonEmpty).flatMap { c =>
       val eq = c.indexOf('=')
       if (eq < 0) None
@@ -144,8 +152,7 @@ object ManifestFiles {
         val fields = c.substring(eq + 1).split(":", -1)
         if (fields.length != 3) None
         else Some(c.substring(0, eq).toInt -> ColStats(fields(0).toLong,
-          Some(fields(1)).filter(_.nonEmpty).map(unb64),
-          Some(fields(2)).filter(_.nonEmpty).map(unb64)))
+          field(fields(1)), field(fields(2))))
       }
     }.toMap
     parts(2).toLongOption.map(bytes => parts(1) -> FileStats(bytes, cols))
