@@ -227,6 +227,25 @@ class ManifestSkippingSpec extends AnyFunSuite {
     assert(metric(q, "filesPlanned") == 0L && metric(q, "filesListed") > 0L)
   }
 
+  test("RENAME COLUMN keeps stats valid: skipping still works under the " +
+    "new name (stats are positional)") {
+    import spark.implicits._
+    val root = tmpDir()
+    val cat = "graft_skiprename"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.range(10000).select($"id".as("k"), ($"id" % 5).as("m"))
+      .repartitionByRange(4, $"k")
+      .write.mode("append").format("graft-manifest")
+      .option("path", s"$root/t").save()
+    spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN k TO key_renamed")
+    val q = spark.read.format("graft-manifest").option("path", s"$root/t")
+      .load().filter($"key_renamed" >= 9000L)
+    assert(q.collect().length == 1000)
+    assert(metric(q, "filesSkipped") >= 2L,
+      "positional stats must keep pruning after a rename")
+  }
+
   test("compact with sort_by clusters the table so skipping becomes " +
     "effective on interleaved appends") {
     import spark.implicits._
