@@ -207,6 +207,71 @@ object Sources extends QueryModule {
              CAST(SUM(CAST(price_v2 AS DECIMAL(18,6))) AS DOUBLE) AS sum_v2
       FROM doubled GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** XML round-trip through Spark 4's built-in XML source (merged from
+    * spark-xml in 4.0; `execution/datasources/xml/XmlDataSource`):
+    * documents become `<doc>` elements under one root document per task
+    * file, read back with `rowTag` + schema inference, and the free-text
+    * payload is hash-checked per language (min/max md5 — entity escaping
+    * must survive the round-trip; StateReaderSpec pins `<`/`&`/quote
+    * escaping explicitly). Scale: the XML reader is a `FileFormat` like
+    * CSV/JSON — splittable at file granularity, inference sampled,
+    * columns pushdown-prunable. */
+  val qXml: QueryDef = QueryDef(
+    "q228_source_xml_roundtrip",
+    (s, d) => {
+      import s.implicits._
+      val path = tmp(d, "docs_xml")
+      Tables.df(s, d, "documents")
+        .select($"doc_id", $"lang", $"text")
+        .write.mode(SaveMode.Overwrite)
+        .format("xml").option("rootTag", "docs").option("rowTag", "doc")
+        .save(path)
+      s.read.format("xml").option("rowTag", "doc").load(path)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n"),
+          sum(length($"text")).cast("long").as("chars"),
+          min(md5($"text")).as("min_md5"), max(md5($"text")).as("max_md5"))
+        .orderBy($"lang")
+    },
+    Some("""
+      SELECT lang, COUNT(*) AS n,
+             CAST(SUM(length(text)) AS BIGINT) AS chars,
+             MIN(md5(text)) AS min_md5, MAX(md5(text)) AS max_md5
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
+  /** Whole-file ingestion via the `binaryFile` source (`execution/
+    * datasources/binaryfile/BinaryFileFormat`) — the path multimodal /
+    * raw-corpus ingestion starts from: each task file written by the text
+    * sink is read back as ONE (path, modificationTime, length, content)
+    * row, the payload split back into lines, and the line multiset
+    * hash-checked against the documents table (order inside files is
+    * carrier-dependent, so the aggregate is order-independent min/max
+    * md5 + totals). Scale: content is one cell per FILE — the source
+    * caps at `spark.sql.sources.binaryFile.maxLength`; real corpora keep
+    * payload files at shard size (here 4 shards) and never shuffle the
+    * bytes, exactly like operators/Multimodal.scala's payload rules. */
+  val qBinaryFile: QueryDef = QueryDef(
+    "q229_source_binaryfile",
+    (s, d) => {
+      import s.implicits._
+      val path = tmp(d, "docs_bin")
+      Tables.df(s, d, "documents").select($"text")
+        .filter(length($"text") > 0)
+        .repartition(4)
+        .write.mode(SaveMode.Overwrite).text(path)
+      s.read.format("binaryFile").option("pathGlobFilter", "*.txt").load(path)
+        .select(explode(split(decode($"content", "UTF-8"), "\n")).as("line"))
+        .filter(length($"line") > 0)
+        .agg(count(lit(1)).as("n_lines"),
+          sum(length($"line")).cast("long").as("total_chars"),
+          min(md5($"line")).as("min_md5"), max(md5($"line")).as("max_md5"))
+    },
+    Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+             MIN(md5(text)) AS min_md5, MAX(md5(text)) AS max_md5
+      FROM documents WHERE text <> ''"""))
+
   /** Manifest-table time travel end to end (write half ManifestSink.scala,
     * read half + catalog ManifestSource.scala): commit a snapshot of the
     * big orders, append the mid-tier ones, then aggregate BOTH versions —
@@ -394,5 +459,5 @@ object Sources extends QueryModule {
   override def defs: Seq[QueryDef] =
     Seq(qCsv, qJson, qOrc, qText, qPartitioned, qSynthSource, qSynthColumnar,
       qSchemaEvolution, qManifestTimeTravel, qManifestMerge, qManifestStream,
-      qManifestSkipping)
+      qManifestSkipping, qXml, qBinaryFile)
 }

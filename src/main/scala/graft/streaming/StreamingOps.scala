@@ -214,6 +214,46 @@ object StreamingOps extends QueryModule {
              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  /** State-store READER (Spark 4's `statestore` batch source,
+    * `execution/datasources/v2/state/StateDataSource`): a streaming
+    * per-user count runs against a checkpoint, then the operator's state
+    * is read BACK as a DataFrame straight from the checkpoint files — no
+    * re-run of the stream — and hash-checked against the batch answer.
+    * This is the state-debugging/repair/migration surface a production
+    * streaming user needs (inspect a live pipeline's state, bootstrap a
+    * replacement query from it via transformWithState initial state,
+    * audit skew across `partition_id`). Scale: the reader plans one
+    * split per state-store partition, so a 200-partition stateful job
+    * reads as 200 parallel tasks; no stream replay, no shuffle. */
+  val qStateStoreRead: QueryDef = QueryDef(
+    "q230_statestore_reader",
+    (s, d) => {
+      import s.implicits._
+      val base = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"),
+        s"graft_statestore_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      base.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(base, true)
+      val ckpt = new org.apache.hadoop.fs.Path(base, "ckpt").toString
+      val agg = eventStream(s, d)
+        .groupBy($"user_id").agg(count(lit(1)).as("n_events"))
+      val q = agg.writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("graft_statestore_sink")
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      // The aggregation state lives in operator 0's default store; `key`
+      // is the grouping struct, `value` the agg buffer (single count).
+      s.read.format("statestore").option("path", ckpt).load()
+        .select($"key.user_id", $"value.*")
+        .toDF("user_id", "n_events")
+        .orderBy($"user_id")
+    },
+    Some("""
+      SELECT user_id, COUNT(*) AS n_events
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
   override def defs: Seq[QueryDef] =
-    Seq(qHourly, qDedup, qStateful, qSliding, qFileSink, qFlatMapGroups)
+    Seq(qHourly, qDedup, qStateful, qSliding, qFileSink, qFlatMapGroups,
+      qStateStoreRead)
 }
