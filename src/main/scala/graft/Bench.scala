@@ -60,7 +60,9 @@ object Bench {
     "q205_tpcds_q95_cte_materialized", "q221_v2_function_catalog",
     "q222_dsv2_columnar_scan", "q223_epoch_shuffle",
     "q224_dedup_sql_statement", "q225_token_budget_sample",
-    "q226_manifest_data_skipping", "q227_dedup_writeback")
+    "q226_manifest_data_skipping", "q227_dedup_writeback",
+    "q228_source_xml_roundtrip", "q229_source_binaryfile",
+    "q230_statestore_reader", "q231_zorder_box_query")
 
   private val sentinelName = "q97_compute_pi"
   private val stragglerQueries =

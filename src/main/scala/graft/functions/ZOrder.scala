@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) clustering value for multi-dimensional data skipping.
+  *
+  * A single-column sort gives a compacted table disjoint per-file stats on
+  * ONE column; predicates on any other column still open every file. The
+  * z-value interleaves the bits of several columns' equi-depth bucket
+  * indexes, so sorting by it tiles the key space into hyper-rectangles:
+  * every file's min/max box is tight in EVERY clustering dimension and a
+  * selective predicate on any one of them skips most files (the
+  * rewrite-with-z-order Iceberg/Delta ship for the same reason; the 2.1
+  * reference has no analogue — its pruning stops at directory partitions,
+  * `sql/core/.../PruneFileSourcePartitions`).
+  *
+  * Scale shape: bucket boundaries come from ONE `approxQuantile` pass
+  * (Greenwald-Khanna sketch, merged map-side — no sort, no shuffle of the
+  * data), bucketing + interleaving are pure per-row expressions (codegen,
+  * no UDF), and the only data movement is the range-repartition the
+  * rewrite was going to do anyway. Equi-DEPTH buckets (not equi-width)
+  * keep skewed columns from collapsing into one giant bucket: every
+  * bucket holds ~1/256 of the rows whatever the value distribution.
+  */
+object ZOrder {
+
+  /** Buckets per column: 256 = 8 bits — with k columns interleaved the
+    * z-value spans 8k bits, granular enough to range-split thousands of
+    * files while the boundary sketch stays tiny (255 doubles/column). */
+  val Buckets = 256
+
+  /** One-pass equi-depth boundaries for each column (numeric/temporal —
+    * `approxQuantile` requirement; relative error 1e-3 keeps bucket
+    * populations within ~0.1% of ideal at any scale). */
+  def boundaries(df: DataFrame, cols: Seq[String]): Map[String, Array[Double]] = {
+    val probs = (1 until Buckets).map(_.toDouble / Buckets).toArray
+    cols.zip(df.stat.approxQuantile(cols.toArray, probs, 1e-3)).toMap
+  }
+
+  /** Equi-depth bucket index of `c` given its sorted boundaries: the
+    * count of boundaries ≤ value, folded over the boundary array with a
+    * higher-order `aggregate` (codegen'd; no UDF, no join). NULLs land in
+    * bucket 0 — they cluster together at the z-curve's origin. */
+  def bucket(c: Column, bounds: Array[Double]): Column = {
+    val arr = array(bounds.map(lit(_)).toIndexedSeq: _*)
+    aggregate(arr, lit(0),
+      (acc, b) => acc + when(c.cast("double") >= b, 1).otherwise(0))
+  }
+
+  /** Interleave the low 8 bits of each bucket column into one long:
+    * bit `b` of column `i` lands at position `b*k + i`. */
+  def interleave(buckets: Seq[Column]): Column = {
+    val k = buckets.length
+    var acc: Column = lit(0L)
+    for (b <- 0 until 8; i <- 0 until k) {
+      val bit = shiftright(buckets(i), b).bitwiseAND(lit(1)).cast("long")
+      acc = acc.bitwiseOR(shiftleft(bit, b * k + i))
+    }
+    acc
+  }
+
+  /** The z-value column for `cols` of `df` (runs the boundary pass). */
+  def zvalue(df: DataFrame, cols: Seq[String]): Column = {
+    require(cols.length >= 2, "z-order needs at least 2 columns")
+    val bs = boundaries(df, cols)
+    interleave(cols.map(c => bucket(col(c), bs(c))))
+  }
+}

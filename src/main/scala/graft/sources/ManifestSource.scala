@@ -987,10 +987,16 @@ private[sources] object ManifestProcedures {
     * (range-repartition + sort within partitions) so the rewritten files
     * carry DISJOINT `#stats` ranges — the operation that makes data
     * skipping effective on a table whose appends interleaved the key
-    * (Iceberg's rewrite-with-sort-order / z-order-lite). A time-keyed
-    * table compacted on its time column turns every later range query
-    * into a near-minimal file read; ManifestSkippingSpec proves the
-    * before/after filesPlanned difference. */
+    * (Iceberg's rewrite-with-sort-order). A time-keyed table compacted on
+    * its time column turns every later range query into a near-minimal
+    * file read; ManifestSkippingSpec proves the before/after filesPlanned
+    * difference.
+    *
+    * `sort_by` with a comma-separated list of numeric columns Z-ORDERS
+    * instead (graft.functions.ZOrder): files tile the multi-column key
+    * space, so a selective predicate on ANY of the listed columns skips —
+    * the linear sort only ever serves its first column.
+    * ManifestZOrderSpec proves both-column skipping + exactness. */
   def compact(dirFor: String => Path): UnboundProcedure =
     proc("compact", Array(param("table", StringType),
         paramDefault("target_files", IntegerType, "1"),
@@ -1005,14 +1011,21 @@ private[sources] object ManifestProcedures {
       val before = ManifestFiles.entries(fs, dir, None).length
       val live = spark.read.format("graft-manifest")
         .option("path", dir.toString).load()
-      val arranged =
-        if (sortBy.isEmpty) live.coalesce(target)
-        else {
-          require(live.columns.contains(sortBy),
-            s"sort_by column '$sortBy' not in ${live.columns.mkString(",")}")
-          live.repartitionByRange(target, org.apache.spark.sql.functions.col(sortBy))
-            .sortWithinPartitions(sortBy)
-        }
+      val sortCols = sortBy.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      sortCols.foreach(c => require(live.columns.contains(c),
+        s"sort_by column '$c' not in ${live.columns.mkString(",")}"))
+      import org.apache.spark.sql.functions.col
+      val arranged = sortCols match {
+        case Seq() => live.coalesce(target)
+        case Seq(one) =>
+          live.repartitionByRange(target, col(one)).sortWithinPartitions(one)
+        case many =>
+          val zc = "__graft_z"
+          live.withColumn(zc, graft.functions.ZOrder.zvalue(live, many))
+            .repartitionByRange(target, col(zc))
+            .sortWithinPartitions(zc)
+            .drop(zc) // projection keeps the per-partition order
+      }
       arranged.write.mode("overwrite").format("graft-manifest")
         .option("path", dir.toString).save()
       val after = ManifestFiles.entries(fs, dir, None).length

@@ -207,6 +207,50 @@ object Sources extends QueryModule {
              CAST(SUM(CAST(price_v2 AS DECIMAL(18,6))) AS DOUBLE) AS sum_v2
       FROM doubled GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** Z-ORDER compaction end to end (round 10; graft.functions.ZOrder +
+    * the manifest `compact` procedure's multi-column `sort_by`): orders
+    * land interleaved (hash-shuffled — the layout unordered ingestion
+    * produces, where NO single-column predicate can skip), the table is
+    * rewritten on the z-curve of (o_custkey, o_totalprice), and a 2-d box
+    * query aggregates — the oracle recomputes the box straight from
+    * orders, so a row lost or duplicated by the rewrite, a mis-bucketed
+    * z-value, or a wrongly-skipped file all fail the hash.
+    * ManifestZOrderSpec proves the skipping itself (filesSkipped metrics
+    * on BOTH dimensions). At 100 TB this is how a table queried by two
+    * independent keys avoids reading everything for either. */
+  val qZOrder: QueryDef = QueryDef(
+    "q231_zorder_box_query",
+    (s, d) => {
+      import s.implicits._
+      val root = tmp(d, "manifest_zorder")
+      val dir = new org.apache.hadoop.fs.Path(root)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      val cat = "graft_zo_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      Tables.df(s, d, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .orderBy(md5($"o_orderkey".cast("string"))) // interleave both keys
+        .repartition(8)
+        .write.mode("append").format("graft-manifest")
+        .option("path", s"$root/orders_z").save()
+      s.sql(s"CALL $cat.system.compact('orders_z', 16, " +
+        "'o_custkey,o_totalprice')").collect()
+      s.read.format("graft-manifest").option("path", s"$root/orders_z").load()
+        .filter($"o_custkey" >= 500 && $"o_custkey" < 1000 &&
+          $"o_totalprice" >= 100000.0 && $"o_totalprice" < 200000.0)
+        .agg(count(lit(1)).as("n"),
+          sum($"o_orderkey").as("key_sum"),
+          sum($"o_totalprice".cast("decimal(18,6)")).cast("double").as("total"))
+    },
+    Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM orders
+      WHERE o_custkey >= 500 AND o_custkey < 1000
+        AND o_totalprice >= 100000.0 AND o_totalprice < 200000.0"""))
+
   /** XML round-trip through Spark 4's built-in XML source (merged from
     * spark-xml in 4.0; `execution/datasources/xml/XmlDataSource`):
     * documents become `<doc>` elements under one root document per task
@@ -459,5 +503,5 @@ object Sources extends QueryModule {
   override def defs: Seq[QueryDef] =
     Seq(qCsv, qJson, qOrc, qText, qPartitioned, qSynthSource, qSynthColumnar,
       qSchemaEvolution, qManifestTimeTravel, qManifestMerge, qManifestStream,
-      qManifestSkipping, qXml, qBinaryFile)
+      qManifestSkipping, qXml, qBinaryFile, qZOrder)
 }
