@@ -207,6 +207,42 @@ object Sources extends QueryModule {
              CAST(SUM(CAST(price_v2 AS DECIMAL(18,6))) AS DOUBLE) AS sum_v2
       FROM doubled GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** Storage-partitioned join through the connector (round 10;
+    * `SupportsReportPartitioning` + `HasPartitionKey`, SPARK-37377 — the
+    * DSv2 seam Iceberg bucket tables plug): both synth scans report
+    * `KeyGroupedPartitioning(identity(grp))` with one split per group, so
+    * the per-grp aggregates AND the join between them plan ZERO shuffle
+    * exchanges (SynthSpjSpec pins the exchange-free plan against a
+    * forced non-broadcast join). At 100 TB: two tables bucket-laid on the
+    * join key exchange NOTHING — the scan's layout replaces the shuffle.
+    * The oracle replays both deterministic generators in DuckDB. */
+  val qSpjJoin: QueryDef = QueryDef(
+    "q232_spj_colocated_join",
+    (s, _) => {
+      import s.implicits._
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      def synth(rows: Int) = s.read.format("graft-synth")
+        .option("rows", rows).option("partitions", 4)
+        .option("clustered", true).load()
+      val a = synth(50000).groupBy($"grp")
+        .agg(count(lit(1)).as("n_a"), sum($"id").as("sum_a"))
+      val b = synth(20000).groupBy($"grp")
+        .agg(count(lit(1)).as("n_b"), min($"val").as("min_md5_b"))
+      a.join(b, "grp").orderBy($"grp")
+        .select($"grp", $"n_a", $"sum_a", $"n_b", $"min_md5_b")
+    },
+    Some("""
+      WITH a AS (
+        SELECT i % 100 AS grp, CAST(COUNT(*) AS BIGINT) AS n_a,
+               CAST(SUM(i) AS BIGINT) AS sum_a
+        FROM generate_series(0, 49999) t(i) GROUP BY 1),
+      b AS (
+        SELECT i % 100 AS grp, CAST(COUNT(*) AS BIGINT) AS n_b,
+               MIN(md5(CAST(i AS VARCHAR))) AS min_md5_b
+        FROM generate_series(0, 19999) t(i) GROUP BY 1)
+      SELECT a.grp, n_a, sum_a, n_b, min_md5_b
+      FROM a JOIN b ON a.grp = b.grp ORDER BY a.grp"""))
+
   /** Z-ORDER compaction end to end (round 10; graft.functions.ZOrder +
     * the manifest `compact` procedure's multi-column `sort_by`): orders
     * land interleaved (hash-shuffled — the layout unordered ingestion
@@ -503,5 +539,5 @@ object Sources extends QueryModule {
   override def defs: Seq[QueryDef] =
     Seq(qCsv, qJson, qOrc, qText, qPartitioned, qSynthSource, qSynthColumnar,
       qSchemaEvolution, qManifestTimeTravel, qManifestMerge, qManifestStream,
-      qManifestSkipping, qXml, qBinaryFile, qZOrder)
+      qManifestSkipping, qXml, qBinaryFile, qZOrder, qSpjJoin)
 }

@@ -5,9 +5,11 @@ import java.util.{Map => JMap}
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -42,7 +44,8 @@ class SynthSource extends TableProvider
     new SynthTable(
       properties.getOrDefault("rows", "1000").toLong,
       properties.getOrDefault("partitions", "4").toInt,
-      properties.getOrDefault("columnar", "false").toBoolean)
+      properties.getOrDefault("columnar", "false").toBoolean,
+      properties.getOrDefault("clustered", "false").toBoolean)
 }
 
 object SynthSource {
@@ -57,17 +60,18 @@ object SynthSource {
 }
 
 private[sources] class SynthTable(rows: Long, partitions: Int,
-    columnar: Boolean) extends Table with SupportsRead {
+    columnar: Boolean, clustered: Boolean) extends Table with SupportsRead {
   override def name(): String = s"graft_synth($rows)"
   override def schema(): StructType = SynthSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SynthScanBuilder(rows, partitions, columnar)
+    new SynthScanBuilder(rows, partitions, columnar, clustered)
 }
 
 private[sources] class SynthScanBuilder(rows: Long, partitions: Int,
-    columnar: Boolean) extends ScanBuilder with SupportsPushDownRequiredColumns
+    columnar: Boolean, clustered: Boolean = false) extends ScanBuilder
+    with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
 
   private var required: StructType = SynthSource.schema
@@ -90,7 +94,7 @@ private[sources] class SynthScanBuilder(rows: Long, partitions: Int,
   override def pushedFilters(): Array[Filter] = pushed.toArray
 
   override def build(): Scan =
-    new SynthScan(lo, hi, partitions, required, columnar)
+    new SynthScan(lo, hi, partitions, required, columnar, clustered)
 }
 
 private[sources] case class SynthPartition(start: Long, end: Long)
@@ -99,6 +103,19 @@ private[sources] case class SynthPartition(start: Long, end: Long)
 /** Explicit surviving-id split produced by a runtime In-filter. */
 private[sources] case class SynthIdsPartition(ids: Array[Long])
   extends InputPartition
+
+/** One grp residue class (id ≡ grp mod 100 within [lo, hi)) — the
+  * key-grouped split shape behind storage-partitioned joins. */
+private[sources] case class SynthGrpPartition(grp: Long, lo: Long, hi: Long)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](grp))
+}
+
+private[sources] object SynthScan {
+  /** grp = id % 100 — the fixed key-group count of the synthetic table. */
+  val Groups = 100
+}
 
 /** Runtime (join-driven) filtering in addition to the static pushdown:
   * `SupportsRuntimeFiltering` lets Spark hand this scan the build side's
@@ -110,9 +127,10 @@ private[sources] case class SynthIdsPartition(ids: Array[Long])
   * difference between scanning the table and scanning the join's
   * matches. Observable in the scan's output-rows metric (spec). */
 private[sources] class SynthScan(private var lo: Long, private var hi: Long,
-    partitions: Int, required: StructType, columnar: Boolean)
+    partitions: Int, required: StructType, columnar: Boolean,
+    clustered: Boolean = false)
     extends Scan with Batch with SupportsRuntimeFiltering
-    with SupportsReportStatistics {
+    with SupportsReportStatistics with SupportsReportPartitioning {
   /** ids surviving a runtime In-filter; None = no runtime filter. */
   private var keep: Option[Array[Long]] = None
 
@@ -140,8 +158,15 @@ private[sources] class SynthScan(private var lo: Long, private var hi: Long,
       java.util.OptionalLong.of(rows)
   }
 
+  // Runtime filtering rewrites splits into id-run groups, which would
+  // lose the one-split-per-grp shape the reported partitioning promises —
+  // a clustered scan advertises no runtime-filterable attributes. Nor
+  // does a scan whose output pruned `id` away: Spark resolves the
+  // advertised attribute against the scan OUTPUT, and an unresolvable
+  // one fails analysis (caught by SynthSpjSpec's pruned-grp aggregate).
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column("id"))
+    if (clustered || !required.fieldNames.contains("id")) Array.empty
+    else Array(Expressions.column("id"))
 
   override def filter(filters: Array[Filter]): Unit = filters.foreach {
     case In("id", vs) =>
@@ -160,7 +185,29 @@ private[sources] class SynthScan(private var lo: Long, private var hi: Long,
     case _ => // unsupported runtime filter: keep the static range
   }
 
-  override def planInputPartitions(): Array[InputPartition] = keep match {
+  /** Storage-partitioned-join seam (`SupportsReportPartitioning`,
+    * SPARK-37377 — the DSv2 contract Iceberg's bucket tables use): with
+    * `option("clustered", true)` the scan plans ONE split per `grp`
+    * value, each carrying its key via `HasPartitionKey`, and reports
+    * `KeyGroupedPartitioning(identity(grp))`. Two such tables joined or
+    * aggregated on `grp` (with `spark.sql.sources.v2.bucketing.enabled`)
+    * plan ZERO shuffles — at 100 TB the co-located join this buys is the
+    * difference between exchanging the fact table and exchanging nothing
+    * (SynthSpjSpec pins the exchange-free plan; q232 hash-checks it).
+    * Reported only while `grp` survives column pruning — Spark resolves
+    * the partitioning against the scan's OUTPUT. */
+  override def outputPartitioning(): Partitioning =
+    if (clustered && required.fieldNames.contains("grp"))
+      new KeyGroupedPartitioning(
+        Array(Expressions.identity("grp")), SynthScan.Groups)
+    else new UnknownPartitioning(planInputPartitions().length)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    if (clustered) (0L until SynthScan.Groups.toLong)
+      .map(g => SynthGrpPartition(g, lo, hi)).toArray[InputPartition]
+    else planRangePartitions()
+
+  private def planRangePartitions(): Array[InputPartition] = keep match {
     case Some(ids) =>
       // one split per partition over the surviving ids, each a run of
       // single-id ranges; empty filter ⇒ empty scan
@@ -196,6 +243,11 @@ private[sources] class SynthReaderFactory(cols: Array[String],
   private def slice(p: InputPartition): (Long => Long, Long) = p match {
     case SynthPartition(s, e) => ((i: Long) => s + i, e - s)
     case SynthIdsPartition(ids) => ((i: Long) => ids(i.toInt), ids.length.toLong)
+    case SynthGrpPartition(g, lo, hi) =>
+      // first id ≥ lo with id % 100 == g, then stride 100 up to hi
+      val first = lo + ((g - lo % 100 + 100) % 100)
+      val count = if (first >= hi) 0L else (hi - first + 99) / 100
+      ((i: Long) => first + 100 * i, count)
     case other => throw new IllegalArgumentException(other.toString)
   }
 

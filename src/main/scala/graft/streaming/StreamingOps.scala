@@ -253,7 +253,31 @@ object StreamingOps extends QueryModule {
       SELECT user_id, COUNT(*) AS n_events
       FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  /** `dropDuplicatesWithinWatermark` (SPARK-42931): dedup whose state
+    * EXPIRES — unlike q91's `dropDuplicates`, whose per-key state lives
+    * forever, this keeps a key only `withWatermark` long after its last
+    * sighting, which is the only dedup a 24/7 stream can afford (state is
+    * bounded by the delay window, not by lifetime key cardinality). The
+    * whole events file replays inside one micro-batch here, so every
+    * duplicate is inside the window and the result equals batch
+    * DISTINCT — the stream/batch consistency the API contracts. */
+  val qDedupWatermark: QueryDef = QueryDef(
+    "q233_stream_dedup_watermark",
+    (s, d) => {
+      import s.implicits._
+      val deduped = eventStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id")
+        .select($"user_id")
+      runToTable(s, deduped, OutputMode.Append, "graft_stream_dedup_wm")
+        .groupBy($"user_id").agg(count(lit(1)).as("n_emitted"))
+        .orderBy($"user_id")
+    },
+    Some("""
+      SELECT DISTINCT user_id, CAST(1 AS BIGINT) AS n_emitted
+      FROM events ORDER BY user_id"""))
+
   override def defs: Seq[QueryDef] =
     Seq(qHourly, qDedup, qStateful, qSliding, qFileSink, qFlatMapGroups,
-      qStateStoreRead)
+      qStateStoreRead, qDedupWatermark)
 }

@@ -99,6 +99,61 @@ class StateReaderSpec extends AnyFunSuite {
     assert(stateAt(None) == Map("a" -> 8L))
   }
 
+  test("statestore reads a transformWithState named ValueState by name") {
+    import spark.implicits._
+    val base = freshBase("graft_statereader_tws")
+    val ckpt = new Path(base, "ckpt").toString
+    val in = new Path(base, "in").toString
+    base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .mkdirs(new Path(in))
+    (Seq.fill(3)("a") ++ Seq.fill(5)("b")).toDF("k")
+      .coalesce(1).write.mode("append").parquet(in)
+
+    class CountProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, org.apache.spark.sql.Row, (String, Long)] {
+      @transient private var n: org.apache.spark.sql.streaming.ValueState[Long] = _
+      override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+          timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+        n = getHandle.getValueState[Long]("n",
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.streaming.TTLConfig.NONE)
+      override def handleInputRows(key: String,
+          rows: Iterator[org.apache.spark.sql.Row],
+          timerValues: org.apache.spark.sql.streaming.TimerValues)
+          : Iterator[(String, Long)] = {
+        val total = (if (n.exists()) n.get() else 0L) + rows.size
+        n.update(total)
+        Iterator.single((key, total))
+      }
+    }
+
+    Confs.withValues(spark,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      val q = spark.readStream.schema("k STRING").parquet(in)
+        .groupByKey(_.getString(0))
+        .transformWithState(new CountProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF("k", "n")
+        .writeStream.outputMode("update")
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) =>
+          { df.count(); () })
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+
+      // The named state variable is addressed directly — the reader
+      // surface that makes TWS state debuggable/migratable per variable.
+      val state = spark.read.format("statestore")
+        .option("path", ckpt).option("stateVarName", "n").load()
+      val rows = state.selectExpr("key.value AS k", "value.value AS n")
+        .as[(String, Long)].collect().toMap
+      assert(rows == Map("a" -> 3L, "b" -> 5L), s"got $rows")
+    }
+  }
+
   test("xml round-trip preserves entity-escaped characters") {
     import spark.implicits._
     val base = freshBase("graft_xml_escape")
