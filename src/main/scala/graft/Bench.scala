@@ -63,7 +63,8 @@ object Bench {
     "q226_manifest_data_skipping", "q227_dedup_writeback",
     "q228_source_xml_roundtrip", "q229_source_binaryfile",
     "q230_statestore_reader", "q231_zorder_box_query",
-    "q232_spj_colocated_join", "q233_stream_dedup_watermark")
+    "q232_spj_colocated_join", "q233_stream_dedup_watermark",
+    "q234_bucketed_manifest_join")
 
   private val sentinelName = "q97_compute_pi"
   private val stragglerQueries =

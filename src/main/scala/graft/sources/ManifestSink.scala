@@ -183,7 +183,50 @@ private[sources] class ManifestTable(schema0: StructType,
     new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
       private var truncateRequested = false
       override def truncate(): WriteBuilder = { truncateRequested = true; this }
-      override def build(): Write = new Write {
+      override def build(): Write = new Write
+          with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+        // Bucketed layout (`option("bucketBy", col)` + `option("buckets", n)`):
+        // demand a clustered-by-col distribution with EXACTLY n partitions
+        // through DSv2's write-distribution seam — Spark inserts the
+        // hash-repartition itself (partitionId = pmod(murmur3(col), n)), so
+        // every task file holds one bucket and the commit records it for
+        // the storage-partitioned-join read side. Zero extra shuffles: the
+        // repartition IS the bucketing.
+        private val bucketSpec: Option[(String, Int)] = {
+          val col = Option(info.options.get("bucketBy"))
+          val n = Option(info.options.get("buckets")).map(_.toInt)
+          (col, n) match {
+            case (Some(c), Some(k)) =>
+              require(k >= 1, s"buckets must be >= 1, got $k")
+              val f = info.schema().fields.find(_.name == c).getOrElse(
+                throw new IllegalArgumentException(
+                  s"bucketBy column '$c' not in ${info.schema().fieldNames.mkString(",")}"))
+              require(f.dataType == org.apache.spark.sql.types.LongType,
+                s"bucketBy supports BIGINT columns (got ${f.dataType.sql}): " +
+                  "the recorded layout must equal Spark's own " +
+                  "HashPartitioning of the column")
+              Some((c, k))
+            case (None, None) => None
+            case _ => throw new IllegalArgumentException(
+              "bucketBy and buckets must be set together")
+          }
+        }
+        override def requiredDistribution():
+            org.apache.spark.sql.connector.distributions.Distribution =
+          bucketSpec match {
+            case Some((c, _)) =>
+              org.apache.spark.sql.connector.distributions.Distributions
+                .clustered(Array(
+                  org.apache.spark.sql.connector.expressions.Expressions.identity(c)))
+            case None =>
+              org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+          }
+        override def requiredNumPartitions(): Int =
+          bucketSpec.map(_._2).getOrElse(0)
+        override def requiredOrdering():
+            Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          Array.empty
+
         override def toBatch: BatchWrite = {
           // The authoritative previous schema is the published `_SCHEMA`
           // on disk (schema0 is the DataFrame's own schema on path-based
@@ -208,10 +251,16 @@ private[sources] class ManifestTable(schema0: StructType,
               s"graft-manifest append schema mismatch: table has " +
                 s"${e.simpleString}, write provides ${incoming.simpleString}")
           }
+          val finalSchema = existing.getOrElse(incoming)
           new ManifestBatchWrite(
             path.toString, info.queryId(),
             Option(info.options.get("failPartition")).map(_.toInt).getOrElse(-1),
-            existing.getOrElse(incoming), truncateRequested, hconf)
+            finalSchema, truncateRequested, hconf,
+            bucketSpec = bucketSpec.map { case (c, n) =>
+              // resolve against the INCOMING names (the write's own), but
+              // record the POSITION so renames keep the layout valid
+              (incoming.fieldIndex(c), n)
+            })
         }
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
           if (truncateRequested) throw new UnsupportedOperationException(
@@ -285,7 +334,8 @@ private[sources] class ManifestRowLevelOperation(
 }
 
 private[sources] case class FileCommitted(name: String, rows: Long,
-    bytes: Long = -1L, stats: Seq[(Int, ManifestFiles.ColStats)] = Nil)
+    bytes: Long = -1L, stats: Seq[(Int, ManifestFiles.ColStats)] = Nil,
+    bucket: Int = -1)
   extends WriterCommitMessage
 
 private[sources] class ManifestBatchWrite(path: String, queryId: String,
@@ -296,7 +346,10 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
     // fresh files (evaluated at commit time, after the scan executed).
     // Old versions keep referencing the dropped files — time travel
     // still reads the pre-image.
-    dropFromPrevious: () => Set[String] = () => Set.empty) extends BatchWrite {
+    dropFromPrevious: () => Set[String] = () => Set.empty,
+    // (colPos, n) when this write was bucket-clustered — each commit
+    // message's partitionId IS the file's bucket id.
+    bucketSpec: Option[(Int, Int)] = None) extends BatchWrite {
 
   // Per-job staging namespace: concurrent writes (or an overlapping retry
   // of another job) can never see or delete each other's in-flight files.
@@ -304,7 +357,8 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestWriterFactory(path, stagingName, failPartition, schema, conf)
+    new ManifestWriterFactory(path, stagingName, failPartition, schema, conf,
+      recordBucket = bucketSpec.isDefined)
 
   // Driver-side, exactly once, only after EVERY task committed: publish.
   // Each commit is a VERSION: append merges the predecessor snapshot's
@@ -319,11 +373,14 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.value)
     val staging = new Path(dir, stagingName)
-    val fresh = messages.flatMap { case FileCommitted(tmp, rows, bytes, stats) =>
-      val fin = tmp.stripSuffix(".tmp")
-      val ok = fs.rename(new Path(staging, tmp), new Path(dir, fin))
-      require(ok, s"staged file $tmp vanished before commit")
-      Seq(s"$fin,$rows", ManifestFiles.statsLine(fin, bytes, stats))
+    val fresh = messages.flatMap {
+      case FileCommitted(tmp, rows, bytes, stats, bucket) =>
+        val fin = tmp.stripSuffix(".tmp")
+        val ok = fs.rename(new Path(staging, tmp), new Path(dir, fin))
+        require(ok, s"staged file $tmp vanished before commit")
+        Seq(s"$fin,$rows", ManifestFiles.statsLine(fin, bytes, stats)) ++
+          bucketSpec.map { case (pos, n) =>
+            ManifestFiles.bucketLine(fin, pos, n, bucket) }
     }
     val drop = dropFromPrevious()
     // The base snapshot is supplied by publishSnapshot's claim loop (the
@@ -351,7 +408,7 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
 private[sources] object ManifestWriters {
   def create(path: String, stagingName: String, name: String,
       schema: StructType, conf: SerializableHadoopConf,
-      injectFailure: Boolean): DataWriter[InternalRow] =
+      injectFailure: Boolean, bucket: Int = -1): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val file = new Path(new Path(path, stagingName), name)
       private val fs: FileSystem = file.getFileSystem(conf.value)
@@ -413,7 +470,7 @@ private[sources] object ManifestWriters {
         val bytes = fs.getFileStatus(file).getLen
         val stats = schema.indices.map(i => i -> ManifestFiles.ColStats(
           nulls(i), Option(rawMins(i)), Option(rawMaxs(i))))
-        FileCommitted(name, rows, bytes, stats)
+        FileCommitted(name, rows, bytes, stats, bucket)
       }
       override def abort(): Unit = { out.close(); fs.delete(file, false) }
       override def close(): Unit = out.close()
@@ -432,13 +489,17 @@ private[sources] class ManifestStreamWriterFactory(path: String,
 
 private[sources] class ManifestWriterFactory(path: String, stagingName: String,
     failPartition: Int, schema: StructType,
-    conf: SerializableHadoopConf) extends DataWriterFactory {
+    conf: SerializableHadoopConf,
+    // bucketed write: the task's partitionId IS its bucket id (the
+    // required distribution pinned partitioning to pmod(murmur3(col), n))
+    recordBucket: Boolean = false) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     ManifestWriters.create(path, stagingName,
       f"part-$partitionId%05d-$taskId.tmp", schema, conf,
-      injectFailure = partitionId == failPartition)
+      injectFailure = partitionId == failPartition,
+      bucket = if (recordBucket) partitionId else -1)
 }
 
 /** STREAMING write half: each epoch is one snapshot commit with
@@ -468,16 +529,17 @@ private[sources] class ManifestStreamingWrite(path: String, queryId: String,
     val already = ManifestFiles.committedEpoch(
       ManifestFiles.latestLines(fs, dir), queryId).exists(_ >= epochId)
     if (already) {
-      messages.foreach { case FileCommitted(tmp, _, _, _) =>
+      messages.foreach { case FileCommitted(tmp, _, _, _, _) =>
         fs.delete(new Path(staging, tmp), false)
       }
       return
     }
-    val fresh = messages.flatMap { case FileCommitted(tmp, rows, bytes, stats) =>
-      val fin = tmp.stripSuffix(".tmp")
-      val ok = fs.rename(new Path(staging, tmp), new Path(dir, fin))
-      require(ok, s"staged file $tmp vanished before commit")
-      Seq(s"$fin,$rows", ManifestFiles.statsLine(fin, bytes, stats))
+    val fresh = messages.flatMap {
+      case FileCommitted(tmp, rows, bytes, stats, _) =>
+        val fin = tmp.stripSuffix(".tmp")
+        val ok = fs.rename(new Path(staging, tmp), new Path(dir, fin))
+        require(ok, s"staged file $tmp vanished before commit")
+        Seq(s"$fin,$rows", ManifestFiles.statsLine(fin, bytes, stats))
     }
     ManifestFiles.publishSnapshot(fs, conf.value, dir, previous =>
       previous.filterNot(_.startsWith(s"#txn,$queryId,")) ++ fresh :+

@@ -140,6 +140,31 @@ object ManifestFiles {
     s"#stats,$name,$bytes,$payload"
   }
 
+  /** Bucket-layout metadata: `#bucket,<file>,<colPos>,<n>,<id>` records
+    * that every row of `<file>` satisfies
+    * `pmod(murmur3(col at colPos), n) == id` — written by bucketed
+    * appends (`option("bucketBy", col).option("buckets", n)`), the
+    * layout contract behind storage-partitioned joins. Position-keyed
+    * like `#stats`, so RENAME COLUMN keeps it valid; any write without
+    * matching bucket options simply adds entries with NO bucket line,
+    * and the snapshot stops reporting a bucketed layout (never wrong,
+    * merely unclustered again). */
+  def bucketLine(name: String, colPos: Int, n: Int, id: Int): String =
+    s"#bucket,$name,$colPos,$n,$id"
+
+  /** file → (colPos, n, bucketId) for one snapshot. */
+  def bucketsFor(fs: FileSystem, dir: Path,
+      version: Option[Int]): Map[String, (Int, Int, Int)] =
+    readManifest(fs, manifestPath(fs, dir, version))
+      .filter(_.startsWith("#bucket,")).flatMap { line =>
+        line.split(",", 5) match {
+          case Array(_, name, pos, n, id) =>
+            (for { p <- pos.toIntOption; nn <- n.toIntOption;
+                   i <- id.toIntOption } yield name -> (p, nn, i))
+          case _ => None
+        }
+      }.toMap
+
   def parseStatsLine(line: String): Option[(String, FileStats)] = {
     val parts = line.split(",", 4)
     if (parts.length < 4) return None
@@ -503,7 +528,8 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
     runtimeKeyPrune: Boolean = true)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   // Runtime group filter (row-level COPY_ON_WRITE plans): Spark's
   // group-filtering subquery collects the `_file` values containing
@@ -618,6 +644,63 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
     }
   }
 
+  /** Bucketed layout of THIS snapshot's surviving files: Some((colName,
+    * n)) iff every planned file carries a `#bucket` line agreeing on
+    * (colPos, n) and the column survives pruning — the invariant that
+    * makes one-split-per-bucket planning sound. Any non-bucketed append
+    * (or a compaction rewrite) breaks the invariant and the scan simply
+    * stops reporting a layout. */
+  private lazy val bucketLayout: Option[(String, Int)] = {
+    val (kept, _, _) = staticPlan
+    // runtimeKeyPrune == false marks a row-level COPY_ON_WRITE scan:
+    // reporting a layout there serves nothing (the replacing write has
+    // its own distribution) and must not interact with group filtering.
+    if (kept.isEmpty || changes.nonEmpty || !runtimeKeyPrune) None
+    else {
+      val fs = dir.getFileSystem(conf.value)
+      val specs = ManifestFiles.bucketsFor(fs, dir, version)
+      val perFile = kept.map(specs.get)
+      if (perFile.exists(_.isEmpty)) None
+      else {
+        val headSpec = perFile.head.map { case (pos, n, _) => (pos, n) }
+        if (!perFile.forall(_.map(t => (t._1, t._2)) == headSpec)) None
+        else headSpec.flatMap { case (pos, n) =>
+          if (pos < fullSchema.length &&
+              required.fieldNames.contains(fullSchema(pos).name))
+            Some((fullSchema(pos).name, n))
+          else None
+        }
+      }
+    }
+  }
+
+  /** Storage-partitioned-join seam on the real table format
+    * (`SupportsReportPartitioning`, the contract Iceberg bucket tables
+    * plug): a bucketed snapshot reports
+    * `KeyGroupedPartitioning(bucket(n, col), n)` and plans ONE split per
+    * bucket (all of that bucket's files), each carrying its bucket id
+    * via `HasPartitionKey`. Two such tables joined on their bucket
+    * columns (catalog-resolved reads + v2.bucketing enabled) exchange
+    * NOTHING — the write-time layout replaces the join shuffle. The
+    * `bucket` V2 function itself lives in GraftManifestCatalog
+    * (FunctionCatalog), replicating Spark's own
+    * `pmod(murmur3(col), n)` so a bucketing-aware shuffle of an
+    * unbucketed side lands on the identical layout. */
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    bucketLayout match {
+      case Some((col, n)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .bucket(n, col)), n)
+      case None =>
+        // staticPlan, NOT planInputPartitions(): the planner asks for the
+        // partitioning before runtime filters exist, and planning here
+        // would double-count the skip metrics / fire onPlanned twice
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+          staticPlan._1.length)
+    }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val (kept, rows, stats) = staticPlan
     val afterGroup = allowedFiles.fold(kept)(ok => kept.filter(ok))
@@ -632,8 +715,21 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
     filesSkipped += (afterGroup.length - names.length).toLong
     filesPlanned = names.length
     onPlanned(names)
-    names.map(n =>
-      ManifestInputPartition(new Path(dir, n).toString, n)).toArray
+    bucketLayout match {
+      case Some((_, n)) =>
+        val fs = dir.getFileSystem(conf.value)
+        val specs = ManifestFiles.bucketsFor(fs, dir, version)
+        val byBucket = names.groupBy(f => specs(f)._3)
+        // all n splits, aligned 0..n-1 on both join sides (a bucket with
+        // no surviving files is an EMPTY split, not a missing one)
+        (0 until n).map { b =>
+          ManifestBucketPartition(b, byBucket.getOrElse(b, Array.empty)
+            .map(f => (new Path(dir, f).toString, f))): InputPartition
+        }.toArray
+      case None =>
+        names.map(n =>
+          ManifestInputPartition(new Path(dir, n).toString, n)).toArray
+    }
   }
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
@@ -722,12 +818,46 @@ private[sources] class ManifestMicroBatchStream(path: String,
 private[sources] case class ManifestInputPartition(file: String, name: String)
   extends InputPartition
 
+/** One bucket of a bucketed snapshot: every file whose rows satisfy
+  * `pmod(murmur3(col), n) == bucket`. */
+private[sources] case class ManifestBucketPartition(bucket: Int,
+    files: Array[(String, String)])
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
+
 private[sources] class ManifestReaderFactory(fullSchema: StructType,
     required: StructType, conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
 
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val part = p.asInstanceOf[ManifestInputPartition]
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case bp: ManifestBucketPartition =>
+        // one split = one bucket = that bucket's files, read in sequence
+        new PartitionReader[InternalRow] {
+          private val files = bp.files.iterator
+          private var cur: PartitionReader[InternalRow] = _
+          override def next(): Boolean = {
+            while (cur == null || !cur.next()) {
+              if (cur != null) cur.close()
+              cur = null
+              if (!files.hasNext) return false
+              val (f, n) = files.next()
+              cur = createReader(ManifestInputPartition(f, n))
+            }
+            true
+          }
+          override def get(): InternalRow = cur.get()
+          override def close(): Unit = if (cur != null) cur.close()
+        }
+      case single: ManifestInputPartition => createFileReader(single)
+      case other => throw new IllegalArgumentException(other.toString)
+    }
+
+  private def createFileReader(
+      part: ManifestInputPartition): PartitionReader[InternalRow] = {
     val file = new Path(part.file)
     val fs = file.getFileSystem(conf.value)
     val reader = new java.io.BufferedReader(
@@ -803,7 +933,8 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
   *     file/row counts, commit time) as a result set: DESCRIBE HISTORY.
   */
 class GraftManifestCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var root: Path = _
@@ -921,6 +1052,25 @@ class GraftManifestCatalog extends TableCatalog
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("rename not supported")
 
+  // ---- FunctionCatalog: the `bucket` transform the scans report -------
+  // Spark resolves a scan's KeyGroupedPartitioning(bucket(n, col)) by
+  // loading `bucket` from the TABLE's catalog (V2ExpressionUtils) — no
+  // resolvable function, no storage-partitioned join. The bound function
+  // replicates Spark's own HashPartitioning of a BIGINT column
+  // (pmod(murmur3(v, seed=42), n)), which is exactly how the bucketed
+  // WRITE assigned files (partitionId of the clustered distribution), so
+  // a bucketing-aware shuffle of an unbucketed join side lands on the
+  // identical layout.
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty, "bucket"))
+
+  override def loadFunction(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
+    require(ident.name == "bucket",
+      s"catalog $catalogName provides function 'bucket' only, got $ident")
+    GraftBucketFunction
+  }
+
   import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
   import org.apache.spark.sql.types.{IntegerType, LongType, StringType, TimestampType}
 
@@ -937,6 +1087,44 @@ class GraftManifestCatalog extends TableCatalog
       case "compact" => ManifestProcedures.compact(dirFor)
       case "vacuum" => ManifestProcedures.vacuum(dirFor)
       case "snapshots" => ManifestProcedures.snapshots(dirFor)
+    }
+  }
+}
+
+/** `bucket(n, col)` as a DSv2 bound function: Spark's Murmur3 long hash
+  * mod n — the SAME function `HashPartitioning(col, n)` computes a
+  * partition id with, so the write layout, the scan's reported
+  * partitioning, and any engine-side re-bucketing of a join's other
+  * side all agree bit for bit. */
+private[sources] object GraftBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+  import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StructType}
+
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, col): pmod(murmur3(col), n) — graft-manifest bucket layout"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 2 &&
+      inputType(0).dataType == IntegerType &&
+      inputType(1).dataType == LongType,
+      s"bucket expects (INT n, BIGINT col), got ${inputType.simpleString}")
+    new ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = "graft.bucket"
+      override def isResultNullable: Boolean = false
+      override def produceResult(input: InternalRow): Integer = {
+        val n = input.getInt(0)
+        // null col hashes to the seed itself, matching Murmur3Hash.eval
+        val h = if (input.isNullAt(1)) 42
+          else org.apache.spark.unsafe.hash.Murmur3_x86_32
+            .hashLong(input.getLong(1), 42)
+        val m = h % n
+        if (m < 0) m + n else m
+      }
     }
   }
 }

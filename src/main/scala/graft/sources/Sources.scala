@@ -243,6 +243,53 @@ object Sources extends QueryModule {
       SELECT a.grp, n_a, sum_a, n_b, min_md5_b
       FROM a JOIN b ON a.grp = b.grp ORDER BY a.grp"""))
 
+  /** BUCKETED manifest tables → storage-partitioned join on the real
+    * table format (round 10; ManifestSink `bucketBy`/`buckets` through
+    * DSv2 `RequiresDistributionAndOrdering`, `#bucket` manifest lines,
+    * one `HasPartitionKey` split per bucket, the catalog's V2 `bucket`
+    * function): orders and customer land bucket-clustered on the
+    * customer key, and the per-customer order rollup joined to customer
+    * runs with ZERO shuffle exchanges (ManifestBucketedJoinSpec pins the
+    * plan). The oracle recomputes the rollup from the raw tables — a
+    * row landing in the wrong bucket would double- or zero-count and
+    * fail the hash. At 100 TB: the nightly fact/dim co-location that
+    * turns every downstream key-join into a local merge. */
+  val qBucketedJoin: QueryDef = QueryDef(
+    "q234_bucketed_manifest_join",
+    (s, d) => {
+      import s.implicits._
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val root = tmp(d, "manifest_bucketed")
+      val dir = new org.apache.hadoop.fs.Path(root)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      val cat = "graft_bk_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      Tables.df(s, d, "orders")
+        .select($"o_custkey", $"o_totalprice")
+        .write.mode("append").format("graft-manifest")
+        .option("path", s"$root/orders_b")
+        .option("bucketBy", "o_custkey").option("buckets", 8).save()
+      Tables.df(s, d, "customer")
+        .select($"c_custkey", $"c_mktsegment")
+        .write.mode("append").format("graft-manifest")
+        .option("path", s"$root/customer_b")
+        .option("bucketBy", "c_custkey").option("buckets", 8).save()
+      s.sql(s"""
+        SELECT c.c_mktsegment AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 AS total
+        FROM $cat.orders_b o JOIN $cat.customer_b c
+          ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment ORDER BY segment""")
+    },
+    Some("""
+      SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY segment"""))
+
   /** Z-ORDER compaction end to end (round 10; graft.functions.ZOrder +
     * the manifest `compact` procedure's multi-column `sort_by`): orders
     * land interleaved (hash-shuffled — the layout unordered ingestion
@@ -539,5 +586,5 @@ object Sources extends QueryModule {
   override def defs: Seq[QueryDef] =
     Seq(qCsv, qJson, qOrc, qText, qPartitioned, qSynthSource, qSynthColumnar,
       qSchemaEvolution, qManifestTimeTravel, qManifestMerge, qManifestStream,
-      qManifestSkipping, qXml, qBinaryFile, qZOrder, qSpjJoin)
+      qManifestSkipping, qXml, qBinaryFile, qZOrder, qSpjJoin, qBucketedJoin)
 }
