@@ -211,6 +211,20 @@ private[sources] class ManifestTable(schema0: StructType,
               "bucketBy and buckets must be set together")
           }
         }
+        // `option("sortedBy", col)` — sorted buckets: demand an
+        // in-partition sort through the same write seam, so every bucket
+        // file lands sorted and a bucketed+sorted join needs neither
+        // exchange NOR sort. Only meaningful with bucketBy.
+        private val sortedBy: Option[String] = {
+          val c = Option(info.options.get("sortedBy"))
+          c.foreach { col =>
+            require(bucketSpec.isDefined,
+              "sortedBy requires bucketBy/buckets (sorted buckets)")
+            require(info.schema().fieldNames.contains(col),
+              s"sortedBy column '$col' not in ${info.schema().fieldNames.mkString(",")}")
+          }
+          c
+        }
         override def requiredDistribution():
             org.apache.spark.sql.connector.distributions.Distribution =
           bucketSpec match {
@@ -225,7 +239,11 @@ private[sources] class ManifestTable(schema0: StructType,
           bucketSpec.map(_._2).getOrElse(0)
         override def requiredOrdering():
             Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-          Array.empty
+          sortedBy.map(c => Array(
+            org.apache.spark.sql.connector.expressions.Expressions.sort(
+              org.apache.spark.sql.connector.expressions.Expressions.column(c),
+              org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)))
+            .getOrElse(Array.empty)
 
         override def toBatch: BatchWrite = {
           // The authoritative previous schema is the published `_SCHEMA`
@@ -260,7 +278,8 @@ private[sources] class ManifestTable(schema0: StructType,
               // resolve against the INCOMING names (the write's own), but
               // record the POSITION so renames keep the layout valid
               (incoming.fieldIndex(c), n)
-            })
+            },
+            sortPos = sortedBy.map(incoming.fieldIndex))
         }
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
           if (truncateRequested) throw new UnsupportedOperationException(
@@ -335,7 +354,7 @@ private[sources] class ManifestRowLevelOperation(
 
 private[sources] case class FileCommitted(name: String, rows: Long,
     bytes: Long = -1L, stats: Seq[(Int, ManifestFiles.ColStats)] = Nil,
-    bucket: Int = -1)
+    bucket: Int = -1, sortedOk: Boolean = false)
   extends WriterCommitMessage
 
 private[sources] class ManifestBatchWrite(path: String, queryId: String,
@@ -349,7 +368,12 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
     dropFromPrevious: () => Set[String] = () => Set.empty,
     // (colPos, n) when this write was bucket-clustered — each commit
     // message's partitionId IS the file's bucket id.
-    bucketSpec: Option[(Int, Int)] = None) extends BatchWrite {
+    bucketSpec: Option[(Int, Int)] = None,
+    // column position the write demanded an in-partition sort on; the
+    // task writer VERIFIES monotonicity as rows stream and only then
+    // marks the file `#sorted` (trust but verify — a planner change that
+    // dropped the sort would degrade ordering, never corrupt it)
+    sortPos: Option[Int] = None) extends BatchWrite {
 
   // Per-job staging namespace: concurrent writes (or an overlapping retry
   // of another job) can never see or delete each other's in-flight files.
@@ -358,7 +382,7 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new ManifestWriterFactory(path, stagingName, failPartition, schema, conf,
-      recordBucket = bucketSpec.isDefined)
+      recordBucket = bucketSpec.isDefined, sortPos = sortPos)
 
   // Driver-side, exactly once, only after EVERY task committed: publish.
   // Each commit is a VERSION: append merges the predecessor snapshot's
@@ -374,13 +398,15 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
     val fs = dir.getFileSystem(conf.value)
     val staging = new Path(dir, stagingName)
     val fresh = messages.flatMap {
-      case FileCommitted(tmp, rows, bytes, stats, bucket) =>
+      case FileCommitted(tmp, rows, bytes, stats, bucket, sortedOk) =>
         val fin = tmp.stripSuffix(".tmp")
         val ok = fs.rename(new Path(staging, tmp), new Path(dir, fin))
         require(ok, s"staged file $tmp vanished before commit")
         Seq(s"$fin,$rows", ManifestFiles.statsLine(fin, bytes, stats)) ++
           bucketSpec.map { case (pos, n) =>
-            ManifestFiles.bucketLine(fin, pos, n, bucket) }
+            ManifestFiles.bucketLine(fin, pos, n, bucket) } ++
+          (sortPos.filter(_ => sortedOk).map(p =>
+            ManifestFiles.sortedLine(fin, p)))
     }
     val drop = dropFromPrevious()
     // The base snapshot is supplied by publishSnapshot's claim loop (the
@@ -408,7 +434,8 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
 private[sources] object ManifestWriters {
   def create(path: String, stagingName: String, name: String,
       schema: StructType, conf: SerializableHadoopConf,
-      injectFailure: Boolean, bucket: Int = -1): DataWriter[InternalRow] =
+      injectFailure: Boolean, bucket: Int = -1,
+      sortPos: Option[Int] = None): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val file = new Path(new Path(path, stagingName), name)
       private val fs: FileSystem = file.getFileSystem(conf.value)
@@ -425,6 +452,12 @@ private[sources] object ManifestWriters {
       private val maxs = new Array[Any](schema.length)
       private val rawMins = new Array[String](schema.length)
       private val rawMaxs = new Array[String](schema.length)
+      // sortedBy verification: rows must arrive non-decreasing in the
+      // sort column (nulls first, matching ASC NULLS FIRST) for the file
+      // to earn its `#sorted` mark
+      private var sortedOk = sortPos.isDefined
+      private var prevSortKey: Any = _
+      private var seenNonNullSortKey = false
 
       override def write(r: InternalRow): Unit = {
         if (injectFailure && attempt == 0 && rows == 2)
@@ -452,6 +485,28 @@ private[sources] object ManifestWriters {
             s
           }
         }
+        sortPos.foreach { p =>
+          if (sortedOk) {
+            if (r.isNullAt(p)) {
+              // ASC NULLS FIRST: a null after any non-null breaks order
+              if (seenNonNullSortKey) sortedOk = false
+            } else {
+              val v = ManifestSkip.normalize(schema(p).dataType,
+                r.get(p, schema(p).dataType)) match {
+                case Some(u: org.apache.spark.unsafe.types.UTF8String) => u.clone()
+                case Some(other) => other
+                case None => null
+              }
+              if (v == null) sortedOk = false // unorderable type
+              else {
+                if (seenNonNullSortKey && ordered(prevSortKey, v) > 0)
+                  sortedOk = false
+                prevSortKey = v
+                seenNonNullSortKey = true
+              }
+            }
+          }
+        }
         out.println(fields.mkString(","))
         rows += 1
       }
@@ -470,7 +525,7 @@ private[sources] object ManifestWriters {
         val bytes = fs.getFileStatus(file).getLen
         val stats = schema.indices.map(i => i -> ManifestFiles.ColStats(
           nulls(i), Option(rawMins(i)), Option(rawMaxs(i))))
-        FileCommitted(name, rows, bytes, stats, bucket)
+        FileCommitted(name, rows, bytes, stats, bucket, sortedOk)
       }
       override def abort(): Unit = { out.close(); fs.delete(file, false) }
       override def close(): Unit = out.close()
@@ -492,14 +547,16 @@ private[sources] class ManifestWriterFactory(path: String, stagingName: String,
     conf: SerializableHadoopConf,
     // bucketed write: the task's partitionId IS its bucket id (the
     // required distribution pinned partitioning to pmod(murmur3(col), n))
-    recordBucket: Boolean = false) extends DataWriterFactory {
+    recordBucket: Boolean = false,
+    sortPos: Option[Int] = None) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     ManifestWriters.create(path, stagingName,
       f"part-$partitionId%05d-$taskId.tmp", schema, conf,
       injectFailure = partitionId == failPartition,
-      bucket = if (recordBucket) partitionId else -1)
+      bucket = if (recordBucket) partitionId else -1,
+      sortPos = sortPos)
 }
 
 /** STREAMING write half: each epoch is one snapshot commit with
@@ -529,13 +586,13 @@ private[sources] class ManifestStreamingWrite(path: String, queryId: String,
     val already = ManifestFiles.committedEpoch(
       ManifestFiles.latestLines(fs, dir), queryId).exists(_ >= epochId)
     if (already) {
-      messages.foreach { case FileCommitted(tmp, _, _, _, _) =>
+      messages.foreach { case FileCommitted(tmp, _, _, _, _, _) =>
         fs.delete(new Path(staging, tmp), false)
       }
       return
     }
     val fresh = messages.flatMap {
-      case FileCommitted(tmp, rows, bytes, stats, _) =>
+      case FileCommitted(tmp, rows, bytes, stats, _, _) =>
         val fin = tmp.stripSuffix(".tmp")
         val ok = fs.rename(new Path(staging, tmp), new Path(dir, fin))
         require(ok, s"staged file $tmp vanished before commit")

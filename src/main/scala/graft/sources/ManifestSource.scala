@@ -152,6 +152,23 @@ object ManifestFiles {
   def bucketLine(name: String, colPos: Int, n: Int, id: Int): String =
     s"#bucket,$name,$colPos,$n,$id"
 
+  /** Verified per-file sort marker: `#sorted,<file>,<colPos>` — the
+    * writer CHECKED rows streamed non-decreasing (ASC NULLS FIRST) in
+    * that column. Position-keyed like `#stats`/`#bucket`. */
+  def sortedLine(name: String, colPos: Int): String =
+    s"#sorted,$name,$colPos"
+
+  /** file → sorted colPos for one snapshot. */
+  def sortedFor(fs: FileSystem, dir: Path,
+      version: Option[Int]): Map[String, Int] =
+    readManifest(fs, manifestPath(fs, dir, version))
+      .filter(_.startsWith("#sorted,")).flatMap { line =>
+        line.split(",", 3) match {
+          case Array(_, name, pos) => pos.toIntOption.map(name -> _)
+          case _ => None
+        }
+      }.toMap
+
   /** file → (colPos, n, bucketId) for one snapshot. */
   def bucketsFor(fs: FileSystem, dir: Path,
       version: Option[Int]): Map[String, (Int, Int, Int)] =
@@ -529,7 +546,8 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   // Runtime group filter (row-level COPY_ON_WRITE plans): Spark's
   // group-filtering subquery collects the `_file` values containing
@@ -673,6 +691,43 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
       }
     }
   }
+
+  /** Verified sort order of this snapshot, reportable ONLY when each
+    * planned split reads at most one file (concatenating two sorted
+    * files is not sorted): with a bucket layout that means ≤1 file per
+    * bucket. A bucketed+sorted pair of tables then joins with neither
+    * exchange nor sort (`spark.sql.sources.v2.bucketing.sorting.enabled`;
+    * the SMJ consumes the scans directly — ManifestSortedJoinSpec). */
+  private lazy val sortOrder: Option[String] = {
+    val (kept, _, _) = staticPlan
+    if (kept.isEmpty || !runtimeKeyPrune || changes.nonEmpty) None
+    else {
+      val fs = dir.getFileSystem(conf.value)
+      val sorted = ManifestFiles.sortedFor(fs, dir, version)
+      val positions = kept.map(sorted.get)
+      if (positions.exists(_.isEmpty) || positions.distinct.length != 1) None
+      else positions.head.flatMap { pos =>
+        val onePerSplit = bucketLayout match {
+          case Some(_) =>
+            val specs = ManifestFiles.bucketsFor(fs, dir, version)
+            kept.groupBy(f => specs(f)._3).values.forall(_.length <= 1)
+          case None => true // one split per file by construction
+        }
+        if (onePerSplit && pos < fullSchema.length &&
+            required.fieldNames.contains(fullSchema(pos).name))
+          Some(fullSchema(pos).name)
+        else None
+      }
+    }
+  }
+
+  override def outputOrdering():
+      Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    sortOrder.map(c => Array(
+      org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions.column(c),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)))
+      .getOrElse(Array.empty)
 
   /** Storage-partitioned-join seam on the real table format
     * (`SupportsReportPartitioning`, the contract Iceberg bucket tables

@@ -243,7 +243,7 @@ object Sources extends QueryModule {
       SELECT a.grp, n_a, sum_a, n_b, min_md5_b
       FROM a JOIN b ON a.grp = b.grp ORDER BY a.grp"""))
 
-  /** BUCKETED manifest tables → storage-partitioned join on the real
+  /** BUCKETED+SORTED manifest tables → storage-partitioned join on the real
     * table format (round 10; ManifestSink `bucketBy`/`buckets` through
     * DSv2 `RequiresDistributionAndOrdering`, `#bucket` manifest lines,
     * one `HasPartitionKey` split per bucket, the catalog's V2 `bucket`
@@ -269,12 +269,14 @@ object Sources extends QueryModule {
         .select($"o_custkey", $"o_totalprice")
         .write.mode("append").format("graft-manifest")
         .option("path", s"$root/orders_b")
-        .option("bucketBy", "o_custkey").option("buckets", 8).save()
+        .option("bucketBy", "o_custkey").option("buckets", 8)
+        .option("sortedBy", "o_custkey").save()
       Tables.df(s, d, "customer")
         .select($"c_custkey", $"c_mktsegment")
         .write.mode("append").format("graft-manifest")
         .option("path", s"$root/customer_b")
-        .option("bucketBy", "c_custkey").option("buckets", 8).save()
+        .option("bucketBy", "c_custkey").option("buckets", 8)
+        .option("sortedBy", "c_custkey").save()
       s.sql(s"""
         SELECT c.c_mktsegment AS segment,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
