@@ -668,6 +668,15 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
     * makes one-split-per-bucket planning sound. Any non-bucketed append
     * (or a compaction rewrite) breaks the invariant and the scan simply
     * stops reporting a layout. */
+  /** One consistent read of the snapshot's `#bucket` lines, shared by
+    * layout detection, split planning, and ordering — re-reading per use
+    * could observe a DIFFERENT latest snapshot under concurrent commits
+    * and disagree with staticPlan's file list. */
+  private lazy val bucketIds: Map[String, (Int, Int, Int)] = {
+    val fs = dir.getFileSystem(conf.value)
+    ManifestFiles.bucketsFor(fs, dir, version)
+  }
+
   private lazy val bucketLayout: Option[(String, Int)] = {
     val (kept, _, _) = staticPlan
     // runtimeKeyPrune == false marks a row-level COPY_ON_WRITE scan:
@@ -675,9 +684,7 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
     // its own distribution) and must not interact with group filtering.
     if (kept.isEmpty || changes.nonEmpty || !runtimeKeyPrune) None
     else {
-      val fs = dir.getFileSystem(conf.value)
-      val specs = ManifestFiles.bucketsFor(fs, dir, version)
-      val perFile = kept.map(specs.get)
+      val perFile = kept.map(bucketIds.get)
       if (perFile.exists(_.isEmpty)) None
       else {
         val headSpec = perFile.head.map { case (pos, n, _) => (pos, n) }
@@ -709,8 +716,7 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
       else positions.head.flatMap { pos =>
         val onePerSplit = bucketLayout match {
           case Some(_) =>
-            val specs = ManifestFiles.bucketsFor(fs, dir, version)
-            kept.groupBy(f => specs(f)._3).values.forall(_.length <= 1)
+            kept.groupBy(f => bucketIds(f)._3).values.forall(_.length <= 1)
           case None => true // one split per file by construction
         }
         if (onePerSplit && pos < fullSchema.length &&
@@ -772,9 +778,7 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
     onPlanned(names)
     bucketLayout match {
       case Some((_, n)) =>
-        val fs = dir.getFileSystem(conf.value)
-        val specs = ManifestFiles.bucketsFor(fs, dir, version)
-        val byBucket = names.groupBy(f => specs(f)._3)
+        val byBucket = names.groupBy(f => bucketIds(f)._3)
         // all n splits, aligned 0..n-1 on both join sides (a bucket with
         // no surviving files is an EMPTY split, not a missing one)
         (0 until n).map { b =>
@@ -1165,21 +1169,33 @@ private[sources] object GraftBucketFunction
       inputType(0).dataType == IntegerType &&
       inputType(1).dataType == LongType,
       s"bucket expects (INT n, BIGINT col), got ${inputType.simpleString}")
-    new ScalarFunction[Integer] {
-      override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
-      override def resultType(): DataType = IntegerType
-      override def name(): String = "bucket"
-      override def canonicalName(): String = "graft.bucket"
-      override def isResultNullable: Boolean = false
-      override def produceResult(input: InternalRow): Integer = {
-        val n = input.getInt(0)
-        // null col hashes to the seed itself, matching Murmur3Hash.eval
-        val h = if (input.isNullAt(1)) 42
-          else org.apache.spark.unsafe.hash.Murmur3_x86_32
-            .hashLong(input.getLong(1), 42)
-        val m = h % n
-        if (m < 0) m + n else m
-      }
+    new BoundBucket
+  }
+
+  /** Named (not anonymous) class: scalac compiles a non-override method
+    * of an anonymous class as PRIVATE, and Spark's magic-method lookup
+    * (`Invoke.findMethod`) then can't see `invoke` — it must be a public
+    * method on a public class. */
+  final class BoundBucket extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = "graft.bucket"
+    override def isResultNullable: Boolean = false
+    // MAGIC_METHOD path: Spark binds this statically via Invoke (no
+    // per-row InternalRow boxing) — the hot path when
+    // v2.bucketing.shuffle re-buckets a whole join side.
+    def invoke(n: Int, v: Long): Int = {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(v, 42)
+      val m = h % n
+      if (m < 0) m + n else m
+    }
+    override def produceResult(input: InternalRow): Integer = {
+      val n = input.getInt(0)
+      // null col hashes to the seed itself, matching Murmur3Hash.eval
+      if (input.isNullAt(1)) {
+        val m = 42 % n; if (m < 0) m + n else m
+      } else invoke(n, input.getLong(1))
     }
   }
 }

@@ -200,7 +200,10 @@ private[sources] class SynthScan(private var lo: Long, private var hi: Long,
     if (clustered && required.fieldNames.contains("grp"))
       new KeyGroupedPartitioning(
         Array(Expressions.identity("grp")), SynthScan.Groups)
-    else new UnknownPartitioning(planInputPartitions().length)
+    // static split count, NOT planInputPartitions(): the planner asks
+    // for the partitioning before runtime filters arrive, and planning
+    // here would build the split array twice
+    else new UnknownPartitioning(partitions)
 
   override def planInputPartitions(): Array[InputPartition] =
     if (clustered) (0L until SynthScan.Groups.toLong)
