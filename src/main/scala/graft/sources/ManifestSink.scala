@@ -53,6 +53,8 @@ private[sources] object ManifestSink {
     * commits drop a rewritten file's STATS line together with its entry. */
   def entryName(line: String): Option[String] =
     if (line.startsWith("#stats,")) line.split(",", 4).lift(1)
+    else if (line.startsWith("#bucket,") || line.startsWith("#sorted,"))
+      line.split(",", 3).lift(1) // drop layout marks with their entry
     else if (line.startsWith("#")) None
     else Some(line.substring(0, line.lastIndexOf(',')))
 }
@@ -193,8 +195,13 @@ private[sources] class ManifestTable(schema0: StructType,
         // the storage-partitioned-join read side. Zero extra shuffles: the
         // repartition IS the bucketing.
         private val bucketSpec: Option[(String, Int)] = {
-          val col = Option(info.options.get("bucketBy"))
-          val n = Option(info.options.get("buckets")).map(_.toInt)
+          // option first (ad-hoc bucketed write), then the DDL-declared
+          // layout a catalog-created table carries in its properties —
+          // `INSERT INTO cat.t` clusters automatically
+          def fromEither(k: String) = Option(info.options.get(k))
+            .orElse(Option(properties.get(k)))
+          val col = fromEither("bucketBy")
+          val n = fromEither("buckets").map(_.toInt)
           (col, n) match {
             case (Some(c), Some(k)) =>
               require(k >= 1, s"buckets must be >= 1, got $k")
@@ -217,6 +224,7 @@ private[sources] class ManifestTable(schema0: StructType,
         // exchange NOR sort. Only meaningful with bucketBy.
         private val sortedBy: Option[String] = {
           val c = Option(info.options.get("sortedBy"))
+            .orElse(Option(properties.get("sortedBy")))
           c.foreach { col =>
             require(bucketSpec.isDefined,
               "sortedBy requires bucketBy/buckets (sorted buckets)")
@@ -279,7 +287,16 @@ private[sources] class ManifestTable(schema0: StructType,
               // record the POSITION so renames keep the layout valid
               (incoming.fieldIndex(c), n)
             },
-            sortPos = sortedBy.map(incoming.fieldIndex))
+            sortPos = sortedBy.map(incoming.fieldIndex),
+            // a DDL-declared layout (from table properties) must survive
+            // INSERT OVERWRITE — re-emit its #tableconf line on truncate
+            confLines =
+              if (Option(properties.get("bucketBy")).isDefined)
+                bucketSpec.map { case (c, n) =>
+                  ManifestFiles.tableConfLine(incoming.fieldIndex(c), n,
+                    sortedBy.map(incoming.fieldIndex))
+                }.toArray
+              else Array.empty)
         }
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
           if (truncateRequested) throw new UnsupportedOperationException(
@@ -373,7 +390,10 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
     // task writer VERIFIES monotonicity as rows stream and only then
     // marks the file `#sorted` (trust but verify — a planner change that
     // dropped the sort would degrade ordering, never corrupt it)
-    sortPos: Option[Int] = None) extends BatchWrite {
+    sortPos: Option[Int] = None,
+    // DDL `#tableconf` lines to guarantee in the committed snapshot
+    // (appends inherit them from the predecessor; truncate must re-emit)
+    confLines: Array[String] = Array.empty) extends BatchWrite {
 
   // Per-job staging namespace: concurrent writes (or an overlapping retry
   // of another job) can never see or delete each other's in-flight files.
@@ -416,7 +436,8 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
       val base =
         if (truncate) Array.empty[String]
         else previous.filterNot(line => ManifestSink.entryName(line).exists(drop))
-      base ++ fresh
+      val conf0 = confLines.filterNot(base.contains)
+      conf0 ++ base ++ fresh
     }, schema)
     fs.delete(staging, true)
   }

@@ -152,6 +152,29 @@ object ManifestFiles {
   def bucketLine(name: String, colPos: Int, n: Int, id: Int): String =
     s"#bucket,$name,$colPos,$n,$id"
 
+  /** DDL-declared layout: `#tableconf,bucket,<colPos>,<n>[,<sortPos>]`
+    * — written by `CREATE TABLE … PARTITIONED BY (bucket(n, col))`
+    * through the catalog and re-emitted across truncates, so every
+    * `INSERT INTO` clusters without the writer passing options.
+    * Position-keyed like every other metadata line. */
+  def tableConfLine(colPos: Int, n: Int, sortPos: Option[Int]): String =
+    s"#tableconf,bucket,$colPos,$n" + sortPos.fold("")("," + _)
+
+  /** (bucket colPos, n, sort colPos) declared by DDL, if any. */
+  def tableConf(fs: FileSystem, dir: Path,
+      version: Option[Int]): Option[(Int, Int, Option[Int])] =
+    readManifest(fs, manifestPath(fs, dir, version))
+      .find(_.startsWith("#tableconf,bucket,")).flatMap { line =>
+        line.split(",") match {
+          case Array(_, _, pos, n) =>
+            for (p <- pos.toIntOption; nn <- n.toIntOption) yield (p, nn, None)
+          case Array(_, _, pos, n, sp) =>
+            for (p <- pos.toIntOption; nn <- n.toIntOption)
+              yield (p, nn, sp.toIntOption)
+          case _ => None
+        }
+      }
+
   /** Verified per-file sort marker: `#sorted,<file>,<colPos>` — the
     * writer CHECKED rows streamed non-decreasing (ASC NULLS FIRST) in
     * that column. Position-keyed like `#stats`/`#bucket`. */
@@ -1032,8 +1055,17 @@ class GraftManifestCatalog extends TableCatalog
     val props = new java.util.HashMap[String, String]()
     props.put("path", dir.toString)
     version.foreach(v => props.put("versionAsOf", v.toString))
-    new ManifestTable(ManifestFiles.schemaFor(f, dir, version), props,
-      strictSchema = true)
+    val schema = ManifestFiles.schemaFor(f, dir, version)
+    // DDL-declared layout rides into the write path as properties
+    ManifestFiles.tableConf(f, dir, version).foreach { case (pos, n, sp) =>
+      if (pos < schema.length) {
+        props.put("bucketBy", schema(pos).name)
+        props.put("buckets", n.toString)
+        sp.filter(_ < schema.length)
+          .foreach(p => props.put("sortedBy", schema(p).name))
+      }
+    }
+    new ManifestTable(schema, props, strictSchema = true)
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
@@ -1051,11 +1083,50 @@ class GraftManifestCatalog extends TableCatalog
     load(ident, Some(v))
   }
 
+  /** DDL table creation — `CREATE TABLE cat.t (…) [PARTITIONED BY
+    * (bucket(n, col))]` and CTAS resolve here: an EMPTY version-1
+    * snapshot publishes the schema, and a bucket transform persists as a
+    * `#tableconf` line so every later `INSERT INTO` auto-clusters into
+    * the storage-partitioned-join layout (ManifestDdlSpec). Identity or
+    * other transforms are rejected explicitly — the format's layouts are
+    * bucket (+ sorted via the write option). */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: JMap[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft-manifest tables are created by writing with " +
-        s"""df.write.format("graft-manifest").option("path", "<root>/<table>")""")
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    val dir = tableDir(ident)
+    val f = fs
+    if (f.exists(new Path(dir, "_MANIFEST")))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Array(catalogName, ident.name))
+    val bucket = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name == "bucket" =>
+        val n = t.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value.toString.toInt
+        }
+        val col = t.references.headOption
+          .map(_.fieldNames.mkString("."))
+        (n, col) match {
+          case (Some(nn), Some(c)) =>
+            require(schema.fieldNames.contains(c),
+              s"bucket column '$c' not in ${schema.fieldNames.mkString(",")}")
+            require(schema(c).dataType == LongType,
+              s"bucket supports BIGINT columns, got ${schema(c).dataType.sql}")
+            Some((schema.fieldIndex(c), nn))
+          case _ => throw new IllegalArgumentException(
+            s"malformed bucket transform: $t")
+        }
+      case other => throw new UnsupportedOperationException(
+        "graft-manifest supports PARTITIONED BY (bucket(n, col)) only, " +
+          s"got ${other.mkString(", ")}")
+    }
+    ManifestFiles.publishSnapshot(f,
+      SparkSession.active.sessionState.newHadoopConf(), dir,
+      _ => bucket.map { case (pos, n) =>
+        ManifestFiles.tableConfLine(pos, n, None) }.toArray,
+      schema)
+    load(ident, None)
+  }
 
   /** Schema evolution as a METADATA-ONLY commit: `ALTER TABLE ... ADD
     * COLUMN` (appended, nullable — old files read NULL for it via the
