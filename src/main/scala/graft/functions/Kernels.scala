@@ -25,7 +25,12 @@ object Kernels {
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
-      val a = x.getFloat(i).toDouble; val b = y.getFloat(i).toDouble
+      // NULL elements are DEFINED as 0.0: UnsafeArrayData happens to
+      // zero-fill null slots, but ColumnarArray over a reused vector
+      // reads stale bytes — the explicit check gives row and columnar
+      // paths identical, deterministic semantics.
+      val a = if (x.isNullAt(i)) 0.0 else x.getFloat(i).toDouble
+      val b = if (y.isNullAt(i)) 0.0 else y.getFloat(i).toDouble
       dot += a * b; nx += a * a; ny += b * b; i += 1
     }
     if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
@@ -37,7 +42,8 @@ object Kernels {
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
-      val a = x.getDouble(i); val b = y.getDouble(i)
+      val a = if (x.isNullAt(i)) 0.0 else x.getDouble(i)
+      val b = if (y.isNullAt(i)) 0.0 else y.getDouble(i)
       dot += a * b; nx += a * a; ny += b * b; i += 1
     }
     if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))

@@ -63,6 +63,9 @@ object ZOrder {
   /** The z-value column for `cols` of `df` (runs the boundary pass). */
   def zvalue(df: DataFrame, cols: Seq[String]): Column = {
     require(cols.length >= 2, "z-order needs at least 2 columns")
+    // 8 bits × k columns must fit one long: shiftleft silently wraps the
+    // amount mod 64, which would alias different columns' bit positions
+    require(cols.length <= 8, s"z-order supports at most 8 columns, got ${cols.length}")
     val bs = boundaries(df, cols)
     interleave(cols.map(c => bucket(col(c), bs(c))))
   }

@@ -47,6 +47,10 @@ object GraftColumnarRule extends ColumnarRule {
 private object ProjectToColumnarKernel extends Rule[SparkPlan] {
   private def isFloatArray(e: org.apache.spark.sql.catalyst.expressions.Expression) =
     e.dataType match {
+      // containsNull arrays are claimable because Kernels.cosineF treats
+      // NULL elements as 0.0 explicitly (isNullAt per element) — without
+      // that check a reused OnHeapColumnVector's null slot would read
+      // stale bytes and scores would depend on batch order.
       case ArrayType(FloatType, _) => true
       case _ => false
     }

@@ -433,8 +433,10 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
     // immediate predecessor version, re-read on every retry), so a
     // concurrent committer's files are never lost from the merge.
     ManifestFiles.publishSnapshot(fs, conf.value, dir, previous => {
+      // DDL intent (#tableconf) persists until DROP TABLE: truncation
+      // replaces the DATA, not the declared layout.
       val base =
-        if (truncate) Array.empty[String]
+        if (truncate) previous.filter(_.startsWith("#tableconf,"))
         else previous.filterNot(line => ManifestSink.entryName(line).exists(drop))
       val conf0 = confLines.filterNot(base.contains)
       conf0 ++ base ++ fresh
@@ -532,14 +534,9 @@ private[sources] object ManifestWriters {
         rows += 1
       }
 
-      private def ordered(a: Any, b: Any): Int = (a, b) match {
-        case (x: Long, y: Long) => java.lang.Long.compare(x, y)
-        case (x: Double, y: Double) => java.lang.Double.compare(x, y)
-        case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
-        case (x: org.apache.spark.unsafe.types.UTF8String,
-            y: org.apache.spark.unsafe.types.UTF8String) => x.compareTo(y)
-        case _ => 0
-      }
+      // the ONE canonical comparator — shared with the skip evaluator so
+      // recorded min/max and evaluated bounds can never order differently
+      private def ordered(a: Any, b: Any): Int = ManifestSkip.cmp(a, b)
 
       override def commit(): WriterCommitMessage = {
         out.close()

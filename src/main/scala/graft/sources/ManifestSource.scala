@@ -90,15 +90,22 @@ object ManifestFiles {
         else new Path(dir, "_MANIFEST")
     }
 
-  def entries(fs: FileSystem, dir: Path, version: Option[Int]): Array[(String, Long)] =
+  /** Raw lines of ONE snapshot (the consistency unit — every parser
+    * below can run off a single read of these). */
+  def linesOf(fs: FileSystem, dir: Path, version: Option[Int]): Array[String] =
+    readManifest(fs, manifestPath(fs, dir, version))
+
+  def entriesFromLines(lines: Array[String]): Array[(String, Long)] =
     // `#`-prefixed lines are snapshot metadata (`#txn,<query>,<epoch>`
     // streaming transaction markers, `#stats,<file>,...` per-file column
     // stats), not file entries.
-    readManifest(fs, manifestPath(fs, dir, version))
-      .filterNot(_.startsWith("#")).map { line =>
-        val i = line.lastIndexOf(',')
-        (line.substring(0, i), line.substring(i + 1).toLong)
-      }
+    lines.filterNot(_.startsWith("#")).map { line =>
+      val i = line.lastIndexOf(',')
+      (line.substring(0, i), line.substring(i + 1).toLong)
+    }
+
+  def entries(fs: FileSystem, dir: Path, version: Option[Int]): Array[(String, Long)] =
+    entriesFromLines(linesOf(fs, dir, version))
 
   /** Per-file column statistics for one snapshot: min/max/null-count per
     * column POSITION plus the exact file size in bytes, encoded as
@@ -114,9 +121,11 @@ object ManifestFiles {
     * values are Base64 of the data CSV's own `String.valueOf` encoding,
     * so no comma/colon escaping issues arise. Files committed before
     * this feature simply have no `#stats` line and are never skipped. */
+  def statsFromLines(lines: Array[String]): Map[String, FileStats] =
+    lines.filter(_.startsWith("#stats,")).flatMap(parseStatsLine).toMap
+
   def statsFor(fs: FileSystem, dir: Path, version: Option[Int]): Map[String, FileStats] =
-    readManifest(fs, manifestPath(fs, dir, version))
-      .filter(_.startsWith("#stats,")).flatMap(parseStatsLine).toMap
+    statsFromLines(linesOf(fs, dir, version))
 
   final case class ColStats(nulls: Long, min: Option[String], max: Option[String])
   final case class FileStats(bytes: Long, cols: Map[Int, ColStats])
@@ -182,21 +191,21 @@ object ManifestFiles {
     s"#sorted,$name,$colPos"
 
   /** file → sorted colPos for one snapshot. */
+  def sortedFromLines(lines: Array[String]): Map[String, Int] =
+    lines.filter(_.startsWith("#sorted,")).flatMap { line =>
+      line.split(",", 3) match {
+        case Array(_, name, pos) => pos.toIntOption.map(name -> _)
+        case _ => None
+      }
+    }.toMap
+
   def sortedFor(fs: FileSystem, dir: Path,
       version: Option[Int]): Map[String, Int] =
-    readManifest(fs, manifestPath(fs, dir, version))
-      .filter(_.startsWith("#sorted,")).flatMap { line =>
-        line.split(",", 3) match {
-          case Array(_, name, pos) => pos.toIntOption.map(name -> _)
-          case _ => None
-        }
-      }.toMap
+    sortedFromLines(linesOf(fs, dir, version))
 
   /** file → (colPos, n, bucketId) for one snapshot. */
-  def bucketsFor(fs: FileSystem, dir: Path,
-      version: Option[Int]): Map[String, (Int, Int, Int)] =
-    readManifest(fs, manifestPath(fs, dir, version))
-      .filter(_.startsWith("#bucket,")).flatMap { line =>
+  def bucketsFromLines(lines: Array[String]): Map[String, (Int, Int, Int)] =
+    lines.filter(_.startsWith("#bucket,")).flatMap { line =>
         line.split(",", 5) match {
           case Array(_, name, pos, n, id) =>
             (for { p <- pos.toIntOption; nn <- n.toIntOption;
@@ -204,6 +213,10 @@ object ManifestFiles {
           case _ => None
         }
       }.toMap
+
+  def bucketsFor(fs: FileSystem, dir: Path,
+      version: Option[Int]): Map[String, (Int, Int, Int)] =
+    bucketsFromLines(linesOf(fs, dir, version))
 
   def parseStatsLine(line: String): Option[(String, FileStats)] = {
     val parts = line.split(",", 4)
@@ -216,8 +229,12 @@ object ManifestFiles {
       else {
         val fields = c.substring(eq + 1).split(":", -1)
         if (fields.length != 3) None
-        else Some(c.substring(0, eq).toInt -> ColStats(fields(0).toLong,
-          field(fields(1)), field(fields(2))))
+        else for { // malformed numeric/Base64 ⇒ drop the column's stats
+          idx <- c.substring(0, eq).toIntOption
+          nulls <- fields(0).toLongOption
+          mn <- scala.util.Try(field(fields(1))).toOption
+          mx <- scala.util.Try(field(fields(2))).toOption
+        } yield idx -> ColStats(nulls, mn, mx)
       }
     }.toMap
     parts(2).toLongOption.map(bytes => parts(1) -> FileStats(bytes, cols))
@@ -401,14 +418,23 @@ private[sources] object ManifestSkip {
     case (LongType | IntegerType | ShortType | ByteType, n: java.lang.Number)
         if !n.isInstanceOf[java.lang.Double] && !n.isInstanceOf[java.lang.Float] =>
       Some(n.longValue())
-    case (DoubleType | FloatType, n: java.lang.Number) => Some(n.doubleValue())
+    case (DoubleType | FloatType, n: java.lang.Number) =>
+      // Spark's row filters compare -0.0 == 0.0; Double.compare does not.
+      // Normalizing the sign keeps stored min/max and evaluated bounds in
+      // the SAME total order as the engine's equality (a file holding
+      // only -0.0 must not be skipped for `d = 0.0`).
+      val d = n.doubleValue()
+      Some(if (d == 0.0d) 0.0d else d)
     case (BooleanType, b: java.lang.Boolean) => Some(b.booleanValue())
     case (StringType, s: String) => Some(UTF8String.fromString(s))
     case (StringType, s: UTF8String) => Some(s)
     case _ => None
   }
 
-  private def cmp(a: Any, b: Any): Int = (a, b) match {
+  /** Canonical-domain comparator — the SINGLE ordering both the writer's
+    * streamed min/max tracking and the skip evaluator use (two copies
+    * drifting apart is exactly how unsound skips are born). */
+  private[sources] def cmp(a: Any, b: Any): Int = (a, b) match {
     case (x: Long, y: Long) => java.lang.Long.compare(x, y)
     case (x: Double, y: Double) => java.lang.Double.compare(x, y)
     case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
@@ -590,21 +616,36 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
     * (surviving entry names in manifest order, rows per entry, stats per
     * entry). Resolved once per scan — a scan is single-version by
     * construction (snapshot isolation), so caching is correct. */
-  private lazy val staticPlan: (Array[String], Map[String, Long],
-      Map[String, ManifestFiles.FileStats]) = {
+  /** THE snapshot this scan reads, resolved exactly once: "latest" pins
+    * to a concrete version here, and every parser below (entries, stats,
+    * buckets, sorted) runs off this ONE read — so a commit landing
+    * mid-planning can never make the file list, the skip stats, and the
+    * layout metadata disagree (and a large manifest is parsed once, not
+    * five times). */
+  private lazy val snapshotLines: Array[String] = {
     val fs = dir.getFileSystem(conf.value)
-    val statsVersion = changes match {
+    val pinned = changes match {
       case Some((_, to)) =>
         Some(to.getOrElse(ManifestFiles.latestComplete(fs, dir)))
-      case None => version
+      case None => version.orElse {
+        val v = ManifestFiles.latestComplete(fs, dir)
+        if (v > 0) Some(v) else None
+      }
     }
-    val rows = ManifestFiles.entries(fs, dir, statsVersion).toMap
-    val stats = ManifestFiles.statsFor(fs, dir, statsVersion)
+    ManifestFiles.linesOf(fs, dir, pinned)
+  }
+
+  private lazy val staticPlan: (Array[String], Map[String, Long],
+      Map[String, ManifestFiles.FileStats]) = {
+    val allEntries = ManifestFiles.entriesFromLines(snapshotLines)
+    val rows = allEntries.toMap
+    val stats = ManifestFiles.statsFromLines(snapshotLines)
     val listed = changes match {
       case Some((from, to)) =>
+        val fs = dir.getFileSystem(conf.value)
         ManifestFiles.addedBetween(fs, dir, from,
           to.getOrElse(ManifestFiles.latestComplete(fs, dir)))
-      case None => ManifestFiles.entries(fs, dir, version).map(_._1)
+      case None => allEntries.map(_._1)
     }
     val kept = listed.filterNot(n => skipFilters.exists(f =>
       ManifestSkip.canSkip(f, fullSchema, stats.get(n), rows.get(n))))
@@ -667,17 +708,31 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
       case l: org.apache.spark.sql.connector.expressions.Literal[_] => Seq(l.value)
       case other => other.children.toSeq.flatMap(literals)
     }
-    def singleRef(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = {
-      val refs = e.references.flatMap(r =>
-        if (r.fieldNames.length == 1) Some(r.fieldNames()(0)) else None)
-      if (refs.length == 1) Some(refs(0)) else None
+    // The predicate must be over the BARE column — Spark pushes the
+    // translated join-key EXPRESSION (abs(k), k+1, casts, …), and
+    // evaluating In(k, keys) when the real predicate is In(abs(k), keys)
+    // would skip files whose rows DO match (silently lost join rows).
+    // Every direct child must therefore be either a single-name column
+    // reference or a literal, with exactly one reference among them.
+    def bareColumn(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = {
+      val kids = e.children.toSeq
+      val refs = kids.collect {
+        case r: org.apache.spark.sql.connector.expressions.NamedReference
+          if r.fieldNames.length == 1 => r.fieldNames()(0)
+      }
+      val allFlat = kids.forall {
+        case _: org.apache.spark.sql.connector.expressions.NamedReference => true
+        case _: org.apache.spark.sql.connector.expressions.Literal[_] => true
+        case _ => false
+      }
+      if (allFlat && refs.length == 1) Some(refs.head) else None
     }
     predicates.foreach { p =>
       if (refsFile(p)) {
         val vals = literals(p).map(String.valueOf(_: Any)).toSet
         allowedFiles = Some(allowedFiles.fold(vals)(_ intersect vals))
       } else if (runtimeKeyPrune && (p.name == "IN" || p.name == "=")) {
-        singleRef(p).filter(fullSchema.fieldNames.contains).foreach { col =>
+        bareColumn(p).filter(fullSchema.fieldNames.contains).foreach { col =>
           runtimeKeys ::= (col, literals(p).toArray)
         }
       }
@@ -695,10 +750,8 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
     * layout detection, split planning, and ordering — re-reading per use
     * could observe a DIFFERENT latest snapshot under concurrent commits
     * and disagree with staticPlan's file list. */
-  private lazy val bucketIds: Map[String, (Int, Int, Int)] = {
-    val fs = dir.getFileSystem(conf.value)
-    ManifestFiles.bucketsFor(fs, dir, version)
-  }
+  private lazy val bucketIds: Map[String, (Int, Int, Int)] =
+    ManifestFiles.bucketsFromLines(snapshotLines)
 
   private lazy val bucketLayout: Option[(String, Int)] = {
     val (kept, _, _) = staticPlan
@@ -732,8 +785,7 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
     val (kept, _, _) = staticPlan
     if (kept.isEmpty || !runtimeKeyPrune || changes.nonEmpty) None
     else {
-      val fs = dir.getFileSystem(conf.value)
-      val sorted = ManifestFiles.sortedFor(fs, dir, version)
+      val sorted = ManifestFiles.sortedFromLines(snapshotLines)
       val positions = kept.map(sorted.get)
       if (positions.exists(_.isEmpty) || positions.distinct.length != 1) None
       else positions.head.flatMap { pos =>
@@ -1345,19 +1397,41 @@ private[sources] object ManifestProcedures {
       sortCols.foreach(c => require(live.columns.contains(c),
         s"sort_by column '$c' not in ${live.columns.mkString(",")}"))
       import org.apache.spark.sql.functions.col
-      val arranged = sortCols match {
-        case Seq() => live.coalesce(target)
-        case Seq(one) =>
-          live.repartitionByRange(target, col(one)).sortWithinPartitions(one)
-        case many =>
-          val zc = "__graft_z"
-          live.withColumn(zc, graft.functions.ZOrder.zvalue(live, many))
-            .repartitionByRange(target, col(zc))
-            .sortWithinPartitions(zc)
-            .drop(zc) // projection keeps the per-partition order
+      // A DDL-declared bucket layout governs the rewrite: compact folds
+      // small files WITHIN the layout (rewrite carries the bucket/sort
+      // options, so the rewritten files keep their #bucket/#sorted marks
+      // and later INSERT INTOs keep clustering). sort_by would fight the
+      // layout — reject it loudly instead of silently unclustering.
+      val ddl = ManifestFiles.tableConf(fs, dir, None)
+      val schemaNow = ManifestFiles.schemaFor(fs, dir, None)
+      ddl match {
+        case Some((pos, n, sp)) =>
+          require(sortCols.isEmpty,
+            "compact(sort_by) conflicts with this table's declared " +
+              s"bucket layout (bucket($n, ${schemaNow(pos).name})); " +
+              "the layout already governs file organization")
+          live.write.mode("overwrite").format("graft-manifest")
+            .option("path", dir.toString)
+            .option("bucketBy", schemaNow(pos).name)
+            .option("buckets", n.toString)
+            .options(sp.map(p => Map("sortedBy" -> schemaNow(p).name))
+              .getOrElse(Map.empty))
+            .save()
+        case None =>
+          val arranged = sortCols match {
+            case Seq() => live.coalesce(target)
+            case Seq(one) =>
+              live.repartitionByRange(target, col(one)).sortWithinPartitions(one)
+            case many =>
+              val zc = "__graft_z"
+              live.withColumn(zc, graft.functions.ZOrder.zvalue(live, many))
+                .repartitionByRange(target, col(zc))
+                .sortWithinPartitions(zc)
+                .drop(zc) // projection keeps the per-partition order
+          }
+          arranged.write.mode("overwrite").format("graft-manifest")
+            .option("path", dir.toString).save()
       }
-      arranged.write.mode("overwrite").format("graft-manifest")
-        .option("path", dir.toString).save()
       val after = ManifestFiles.entries(fs, dir, None).length
       result(new StructType().add("version", IntegerType)
           .add("files_before", IntegerType).add("files_after", IntegerType),

@@ -32,6 +32,21 @@ class KernelsSpec extends AnyFunSuite {
     assert(Kernels.cosineF(floats(0f, 0f), y) == 0.0)
   }
 
+  test("cosineF defines NULL elements as 0.0 — identical on any ArrayData " +
+    "backing (a reused column vector's null slot must not leak stale bytes)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val withNull = new GenericArrayData(Array[Any](1.0f, null, 3.0f))
+    val zeroed = floats(1f, 0f, 3f)
+    val y = floats(4f, 5f, 6f)
+    assert(Kernels.cosineF(withNull, y) == Kernels.cosineF(zeroed, y))
+    assert(Kernels.cosineD(
+      new GenericArrayData(Array[Any](1.0d, null, 3.0d)),
+      new GenericArrayData(Array[Any](4.0d, 5.0d, 6.0d))) ==
+      Kernels.cosineD(
+        new GenericArrayData(Array[Any](1.0d, 0.0d, 3.0d)),
+        new GenericArrayData(Array[Any](4.0d, 5.0d, 6.0d))))
+  }
+
   test("minhash signature estimates jaccard within tolerance") {
     // two 60-word docs sharing ~80% of their shingles
     val base = (0 until 60).map(i => s"w$i")

@@ -97,6 +97,32 @@ class ManifestDdlSpec extends AnyFunSuite {
       "spark.sql.autoBroadcastJoinThreshold", (32L << 20).toString)
   }
 
+  test("compact folds files WITHIN a DDL-declared layout: the conf line " +
+    "and clustering survive, sort_by is rejected") {
+    val cat = freshCat()
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, id % 7 FROM range(400)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id + 400, id % 7 FROM range(400)")
+    val err = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.compact('t', 2, 'v')").collect()
+    }
+    assert(err.getMessage.contains("bucket layout"), err.getMessage)
+    val res = spark.sql(s"CALL $cat.system.compact('t', 2)").collect()(0)
+    assert(res.getInt(2) == 4, s"compacted to the bucket count, got $res")
+    // layout survived the rewrite: INSERT still clusters, join still SPJ
+    spark.sql(s"INSERT INTO $cat.t SELECT id + 800, id % 7 FROM range(100)")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = spark.sql(s"SELECT a.k, COUNT(*) AS n " +
+        s"FROM $cat.t a JOIN $cat.t b ON a.k = b.k GROUP BY a.k")
+      assert(shuffles(q) == 0,
+        s"layout must survive compact:\n${q.queryExecution.executedPlan}")
+      assert(q.collect().length == 900)
+    } finally spark.conf.set(
+      "spark.sql.autoBroadcastJoinThreshold", (32L << 20).toString)
+  }
+
   test("unsupported DDL shapes fail loudly; duplicate CREATE fails; " +
     "plain CREATE TABLE without partitioning works") {
     val cat = freshCat()

@@ -199,6 +199,71 @@ class ManifestSkippingSpec extends AnyFunSuite {
     assert(metric(joined, "filesSkipped") >= 6L)
   }
 
+  test("runtime pruning refuses EXPRESSION join keys: abs(key) = id " +
+    "must not evaluate In(key, …) and silently drop matches") {
+    import spark.implicits._
+    val path = tmpDir()
+    // every key NEGATIVE: file stats are [-1000, -1]
+    spark.range(1000).select((-$"id" - 1).as("key"), ($"id" % 7).as("m"))
+      .repartitionByRange(4, $"key")
+      .write.mode("append").format("graft-manifest").option("path", path).save()
+    val fact = spark.read.format("graft-manifest").option("path", path).load()
+    val dim = spark.range(1000)
+      .select($"id", ($"id" / 125).cast("long").as("tag"))
+    // join key is an EXPRESSION of the column — a naive runtime filter
+    // would test In(key, {875..999}) against [-1000,-1] and skip every
+    // file, losing all 125 matches
+    val joined = fact.join(dim.filter($"tag" === 7L),
+      abs(fact("key")) - 1 === dim("id"))
+    assert(joined.count() == 125L,
+      "expression-keyed join lost rows to unsound runtime skipping")
+  }
+
+  test("-0.0 and 0.0 are the same value to skipping, as they are to " +
+    "Spark's row filters") {
+    import spark.implicits._
+    val path = tmpDir()
+    // one file whose only d value is -0.0
+    Seq(-0.0d).toDF("d").coalesce(1)
+      .write.mode("append").format("graft-manifest").option("path", path).save()
+    val t = spark.read.format("graft-manifest").option("path", path).load()
+    assert(t.filter($"d" === 0.0d).count() == 1L,
+      "file holding -0.0 was skipped for d = 0.0")
+    assert(t.filter($"d" >= 0.0d).count() == 1L)
+    val q = t.filter($"d" === 0.0d).agg(count(lit(1)))
+    q.collect()
+    assert(metric(q, "filesSkipped") == 0L)
+  }
+
+  test("a malformed #stats line degrades to no-skipping for that file, " +
+    "not an unreadable table") {
+    import spark.implicits._
+    val path = tmpDir()
+    spark.range(100).select($"id".as("key"))
+      .coalesce(1)
+      .write.mode("append").format("graft-manifest").option("path", path).save()
+    // corrupt the stats payload in the newest snapshot (simulates a
+    // hand-edited or torn metadata line)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = graft.sources.ManifestFiles.latestVersion(fs, dir)
+    val mf = new org.apache.hadoop.fs.Path(dir, s"_MANIFEST.v$v")
+    val lines = graft.sources.ManifestFiles.readManifest(fs, mf).map { l =>
+      if (l.startsWith("#stats,")) {
+        val parts = l.split(",", 4)
+        s"#stats,${parts(1)},${parts(2)},x=notanumber:@@@:@@@"
+      } else l
+    }
+    val out = fs.create(mf, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val t = spark.read.format("graft-manifest").option("path", path).load()
+    assert(t.count() == 100L) // table still reads
+    val q = t.filter($"key" >= 1000L).agg(count(lit(1)))
+    assert(q.collect()(0).getLong(0) == 0L)
+    assert(metric(q, "filesSkipped") == 0L, "no stats ⇒ no skipping, no error")
+  }
+
   test("stats survive COPY_ON_WRITE and stay consistent: rewritten files " +
     "get fresh stats, dropped files lose theirs") {
     import spark.implicits._
