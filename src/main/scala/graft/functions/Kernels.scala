@@ -20,18 +20,28 @@ object Kernels {
   // ---------------------------------------------------------------- vectors
 
   /** Cosine similarity over float vectors, accumulated in double. */
+  /** NULL elements are DEFINED as 0.0 on every backing. UnsafeArrayData
+    * ZEROES null slots at write time (UnsafeArrayWriter.setNull), so the
+    * hot codegen'd row path keeps its check-free loop; other backings
+    * (ColumnarArray over a REUSED vector — whose null slots hold stale
+    * bytes — GenericArrayData) pay one isNullAt per element to get the
+    * identical, deterministic result. */
   def cosineF(x: ArrayData, y: ArrayData): Double = {
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
-    while (i < n) {
-      // NULL elements are DEFINED as 0.0: UnsafeArrayData happens to
-      // zero-fill null slots, but ColumnarArray over a reused vector
-      // reads stale bytes — the explicit check gives row and columnar
-      // paths identical, deterministic semantics.
-      val a = if (x.isNullAt(i)) 0.0 else x.getFloat(i).toDouble
-      val b = if (y.isNullAt(i)) 0.0 else y.getFloat(i).toDouble
-      dot += a * b; nx += a * a; ny += b * b; i += 1
+    if (x.isInstanceOf[org.apache.spark.sql.catalyst.expressions.UnsafeArrayData] &&
+        y.isInstanceOf[org.apache.spark.sql.catalyst.expressions.UnsafeArrayData]) {
+      while (i < n) {
+        val a = x.getFloat(i).toDouble; val b = y.getFloat(i).toDouble
+        dot += a * b; nx += a * a; ny += b * b; i += 1
+      }
+    } else {
+      while (i < n) {
+        val a = if (x.isNullAt(i)) 0.0 else x.getFloat(i).toDouble
+        val b = if (y.isNullAt(i)) 0.0 else y.getFloat(i).toDouble
+        dot += a * b; nx += a * a; ny += b * b; i += 1
+      }
     }
     if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
