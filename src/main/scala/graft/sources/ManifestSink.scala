@@ -487,10 +487,14 @@ private[sources] object ManifestWriters {
           throw new RuntimeException("injected write failure")
         val fields = schema.indices.map { i =>
           val dt = schema(i).dataType
-          if (r.isNullAt(i)) { nulls(i) += 1; String.valueOf(null: Any) }
+          // NULL encodes as `\N` (never a legal numeric/boolean token; a
+          // real STRING that looks like the marker gains one backslash,
+          // stripped symmetrically at read — ManifestCsv.encode/parse).
+          if (r.isNullAt(i)) { nulls(i) += 1; ManifestCsv.NullToken }
           else {
             val v = r.get(i, dt)
-            val s = String.valueOf(v)
+            val s0 = String.valueOf(v)
+            val s = ManifestCsv.encode(s0, dt)
             ManifestSkip.normalize(dt, v).foreach { nv =>
               // UTF8String from an UnsafeRow points into a REUSED buffer —
               // normalize returns it as-is, so clone before retaining.
@@ -499,10 +503,10 @@ private[sources] object ManifestWriters {
                 case other => other
               }
               if (mins(i) == null || ordered(kept, mins(i)) < 0) {
-                mins(i) = kept; rawMins(i) = s
+                mins(i) = kept; rawMins(i) = s0
               }
               if (maxs(i) == null || ordered(kept, maxs(i)) > 0) {
-                maxs(i) = kept; rawMaxs(i) = s
+                maxs(i) = kept; rawMaxs(i) = s0
               }
             }
             s

@@ -386,18 +386,39 @@ object ManifestFiles {
   * stats evaluator: column i of each CSV line ↔ schema(i), values encoded
   * with `String.valueOf`. */
 private[sources] object ManifestCsv {
-  def parse(s: String, dt: DataType): Any = dt match {
-    case LongType => s.toLong
-    case IntegerType => s.toInt
-    case ShortType => s.toShort
-    case ByteType => s.toByte
-    case DoubleType => s.toDouble
-    case FloatType => s.toFloat
-    case BooleanType => s.toBoolean
-    case StringType => UTF8String.fromString(s)
-    case other => throw new UnsupportedOperationException(
-      s"graft-manifest read supports primitive column types, got $other")
+  /** NULL storage token. Unambiguous: no numeric/boolean parses as it,
+    * and a real string of the colliding shape (`\…\N`) is escaped by
+    * one extra backslash at write and stripped here. */
+  val NullToken = "\\N"
+  private val collides = "\\\\+N".r
+
+  /** Storage encoding of a NON-null field (strings escape the marker
+    * shape; every other type is its String.valueOf verbatim). */
+  def encode(s: String, dt: DataType): String = dt match {
+    case StringType if collides.matches(s) => "\\" + s
+    case _ => s
   }
+
+  def parse(s: String, dt: DataType): Any =
+    if (s == NullToken) null
+    else dt match {
+      case StringType =>
+        if (collides.matches(s)) UTF8String.fromString(s.substring(1))
+        else UTF8String.fromString(s)
+      // Legacy tolerance: pre-fix commits stored nulls as "null", which
+      // made numeric columns UNREADABLE (toLong threw) — decode it as
+      // null; the token can never be real data for these types.
+      case _ if s == "null" => null
+      case LongType => s.toLong
+      case IntegerType => s.toInt
+      case ShortType => s.toShort
+      case ByteType => s.toByte
+      case DoubleType => s.toDouble
+      case FloatType => s.toFloat
+      case BooleanType => s.toBoolean
+      case other => throw new UnsupportedOperationException(
+        s"graft-manifest read supports primitive column types, got $other")
+    }
 }
 
 /** Min/max file pruning: decides whether a pushed filter PROVES a data
