@@ -163,7 +163,8 @@ private[sources] class ManifestTable(schema0: StructType,
     new ManifestScanBuilder(p, opt("versionAsOf").map(_.toInt), schema0,
       new SerializableHadoopConf(
         SparkSession.active.sessionState.newHadoopConf()),
-      changes = changes)
+      changes = changes,
+      columnar = opt("columnar").exists(_.toBoolean))
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // Same options→properties fallback as the scan builder: a table

@@ -550,6 +550,9 @@ private[sources] class ManifestScanBuilder(path: String, version: Option[Int],
     // inclusive, default latest): the rows commits ADDED in the version
     // range — the backfill twin of the streaming source.
     changes: Option[(Int, Option[Int])] = None,
+    // Vectorized read requested (`option("columnar", true)`) — honored
+    // for plain snapshot scans (bucket splits and streaming stay row).
+    columnar: Boolean = false,
     // Stats-based file skipping MUST be off for row-level COPY_ON_WRITE
     // scans: their pushed predicate is the SURVIVOR condition, and the
     // commit drops exactly the files the scan planned — skipping a
@@ -586,7 +589,7 @@ private[sources] class ManifestScanBuilder(path: String, version: Option[Int],
 
   override def build(): Scan = new ManifestScan(path, version, fullSchema,
     required, conf, onPlanned, changes, accepted.toArray,
-    runtimeKeyPrune = statsSkip)
+    runtimeKeyPrune = statsSkip, columnar = columnar)
 }
 
 /** The batch scan: plans one InputPartition per SURVIVING manifest entry.
@@ -612,7 +615,8 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
     // false on row-level COPY_ON_WRITE scans: a MERGE with NOT MATCHED BY
     // SOURCE clauses must rewrite files with no build-side key overlap,
     // so join-key pruning there could drop files that still need rewriting
-    runtimeKeyPrune: Boolean = true)
+    runtimeKeyPrune: Boolean = true,
+    columnar: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -902,7 +906,10 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestReaderFactory(fullSchema, required, conf)
+    // batches only when every split is a plain file split — a bucket
+    // split concatenates files and Spark requires a uniform reader kind
+    new ManifestReaderFactory(fullSchema, required, conf,
+      columnar = columnar && bucketLayout.isEmpty)
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -984,8 +991,19 @@ private[sources] case class ManifestBucketPartition(bucket: Int,
 }
 
 private[sources] class ManifestReaderFactory(fullSchema: StructType,
-    required: StructType, conf: SerializableHadoopConf)
+    required: StructType, conf: SerializableHadoopConf,
+    columnar: Boolean = false)
     extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    columnar && p.isInstanceOf[ManifestInputPartition] &&
+      required.fields.forall(f => ManifestColumnarReader.supports(f.dataType))
+
+  override def createColumnarReader(p: InputPartition):
+      PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val part = p.asInstanceOf[ManifestInputPartition]
+    new ManifestColumnarReader(part, fullSchema, required, conf)
+  }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
@@ -1059,6 +1077,88 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
     line.split(",", n)
 
   private def parse(s: String, dt: DataType): Any = ManifestCsv.parse(s, dt)
+}
+
+/** Vectorized read of one manifest file (the DSv2 columnar contract on
+  * the real table format, mirroring sources/SynthSource.scala's path):
+  * CSV lines are parsed straight into `OnHeapColumnVector`s in
+  * 4096-row batches, so the scan feeds whole-stage codegen through ONE
+  * `ColumnarToRow` transition instead of allocating a GenericInternalRow
+  * per row. Null tokens, the `_file` metadata column, and positional
+  * null-fill for post-evolution columns behave exactly as the row
+  * reader. */
+private[sources] object ManifestColumnarReader {
+  def supports(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | DoubleType |
+         FloatType | BooleanType | StringType => true
+    case _ => false
+  }
+}
+
+private[sources] class ManifestColumnarReader(part: ManifestInputPartition,
+    fullSchema: StructType, required: StructType,
+    conf: SerializableHadoopConf)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  private val capacity = 4096
+  private val file = new Path(part.file)
+  private val reader = {
+    val fs = file.getFileSystem(conf.value)
+    new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(file), "UTF-8"))
+  }
+  private val picks: Array[(Int, DataType)] = required.fields.map { f =>
+    if (f.name == "_file") (-1, StringType)
+    else (fullSchema.fieldIndex(f.name), f.dataType)
+  }
+  private val fileNameBytes = part.name.getBytes("UTF-8")
+  private var batch: ColumnarBatch = _
+
+  override def next(): Boolean = {
+    val vectors = OnHeapColumnVector.allocateColumns(capacity, required)
+    var n = 0
+    var line: String = null
+    while (n < capacity && { line = reader.readLine(); line != null }) {
+      val cols = line.split(",", fullSchema.length)
+      var i = 0
+      while (i < picks.length) {
+        val (src, dt) = picks(i)
+        val v = vectors(i)
+        if (src == -1) v.putByteArray(n, fileNameBytes)
+        else if (src >= cols.length) v.putNull(n) // post-evolution column
+        else ManifestCsv.parse(cols(src), dt) match {
+          case null => v.putNull(n)
+          case x: java.lang.Long => v.putLong(n, x)
+          case x: java.lang.Integer => v.putInt(n, x)
+          case x: java.lang.Short => v.putShort(n, x)
+          case x: java.lang.Byte => v.putByte(n, x)
+          case x: java.lang.Double => v.putDouble(n, x)
+          case x: java.lang.Float => v.putFloat(n, x)
+          case x: java.lang.Boolean => v.putBoolean(n, x)
+          case x: UTF8String => v.putByteArray(n, x.getBytes)
+          case other => throw new IllegalStateException(other.toString)
+        }
+        i += 1
+      }
+      n += 1
+    }
+    if (batch != null) batch.close()
+    batch = null
+    if (n == 0) { vectors.foreach(_.close()); false }
+    else {
+      batch = new ColumnarBatch(vectors.toArray[
+        org.apache.spark.sql.vectorized.ColumnVector], n)
+      true
+    }
+  }
+
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = {
+    if (batch != null) batch.close()
+    reader.close()
+  }
 }
 
 /** `TableCatalog` over a root directory of manifest tables. Provides the
