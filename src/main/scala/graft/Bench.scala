@@ -115,19 +115,21 @@ object Bench {
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runOnce(name: String): Double = graft.api.Graft.withCacheScope {
-      val t0 = System.nanoTime()
-      val ok =
-        try {
-          SparkEntry.queries(name)(spark, sfDir)
-            .write.format("noop").mode("overwrite").save()
-          true
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-        }
-      val dt = (System.nanoTime() - t0) / 1e9
-      if (ok) dt else -1.0
-    } // scope close (untimed) drops the query's pinned caches
+    def runOnce(name: String): Double = GraftSession.withConfScope(spark) {
+      graft.api.Graft.withCacheScope {
+        val t0 = System.nanoTime()
+        val ok =
+          try {
+            SparkEntry.queries(name)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
+            true
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (ok) dt else -1.0
+      } // scope close (untimed) drops the query's pinned caches + confs
+    }
 
     def loadAvg: Double =
       java.lang.management.ManagementFactory
@@ -199,6 +201,9 @@ object Bench {
     java.nio.file.Files.write(outPath,
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
+    // Single greppable marker so the driver can locate the canonical file
+    // instead of parsing the (historically truncated) stdout JSON tail.
+    println(s"BENCH_JSON=${outPath.toAbsolutePath}")
     System.err.println(s"[bench] wrote ${outPath.toAbsolutePath}")
     spark.stop()
   }

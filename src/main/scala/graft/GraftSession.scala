@@ -34,6 +34,30 @@ object GraftSession {
     .config("spark.sql.ui.explainMode", "formatted")
     .config("spark.ui.enabled", "false")
 
+  /** Run `body` with the session's runtime conf SNAPSHOTTED and restored
+    * afterwards: queries that legitimately set session confs while they
+    * run (catalog registrations, `spark.sql.sources.v2.bucketing.enabled`
+    * for storage-partitioned joins) no longer leak them into the next
+    * query of a shared Verify/Bench session. Scopes the whole
+    * construct+execute span — the confs matter at physical-planning
+    * time, so restoring at construction would defeat them. Keys that
+    * refuse to restore (static confs) were never settable at runtime
+    * and are left alone. */
+  def withConfScope[T](spark: SparkSession)(body: => T): T = {
+    val before = spark.conf.getAll
+    try body
+    finally {
+      val after = spark.conf.getAll
+      (after.keySet -- before.keySet).foreach { k =>
+        try spark.conf.unset(k) catch { case _: Exception => }
+      }
+      before.foreach { case (k, v) =>
+        if (!after.get(k).contains(v))
+          try spark.conf.set(k, v) catch { case _: Exception => }
+      }
+    }
+  }
+
   /** Local session for tests and ad-hoc runs. */
   def local(cores: Int = 4, shufflePartitions: Int = -1): SparkSession = {
     val sp = if (shufflePartitions > 0) shufflePartitions else cores

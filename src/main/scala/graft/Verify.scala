@@ -23,11 +23,16 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => nameFilter(kv._1)).foreach { case (name, fn) =>
-      api.Graft.withCacheScope { // scope close drops per-query pinned caches
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      // conf scope: a query that sets session confs (SPJ toggles, catalog
+      // registrations) runs with them, then the session is restored so
+      // queries stay independent in this shared session
+      GraftSession.withConfScope(spark) {
+        api.Graft.withCacheScope { // scope close drops per-query pinned caches
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
         }
       }
     }

@@ -407,7 +407,11 @@ private[sources] object ManifestCsv {
         else UTF8String.fromString(s)
       // Legacy tolerance: pre-fix commits stored nulls as "null", which
       // made numeric columns UNREADABLE (toLong threw) — decode it as
-      // null; the token can never be real data for these types.
+      // null; the token can never be real data for these types. STRING
+      // columns get no such branch by design: a legacy string null reads
+      // back as the literal "null" (indistinguishable from real data —
+      // that snapshot's #stats null counts disagree with the decoded
+      // rows), an accepted limitation of pre-fix snapshots.
       case _ if s == "null" => null
       case LongType => s.toLong
       case IntegerType => s.toInt
@@ -472,14 +476,42 @@ private[sources] object ManifestSkip {
       case i => Some(i)
     }
 
+  /** Stored stats values are RAW (`String.valueOf` at write — the sink
+    * records `s0`, not the row codec's escaped form), so decoding here
+    * must NOT run `ManifestCsv.parse`: a string column whose true
+    * min/max is the literal `\N` would decode to null and make the file
+    * look all-null — provably row-free under any value predicate — and
+    * silently skip rows. Strings read back verbatim; numerics parse
+    * tolerantly, and a bound that fails to decode poisons the column's
+    * stats entirely (no skip) instead of masquerading as absent. */
+  private def parseStat(s: String, dt: DataType): Option[Any] = dt match {
+    case StringType => Some(UTF8String.fromString(s))
+    case LongType => s.toLongOption
+    case IntegerType => s.toIntOption
+    case ShortType => s.toShortOption
+    case ByteType => s.toByteOption
+    case DoubleType => s.toDoubleOption
+    case FloatType => s.toFloatOption
+    case BooleanType => s.toBooleanOption
+    case _ => None
+  }
+
   private def bounds(schema: StructType, st: ManifestFiles.FileStats,
       col: String): Option[(Option[Any], Option[Any], Long)] =
     fieldIndex(schema, col).flatMap { i =>
-      st.cols.get(i).map { c =>
+      st.cols.get(i).flatMap { c =>
         val dt = schema(i).dataType
-        def conv(s: Option[String]) =
-          s.flatMap(x => normalize(dt, ManifestCsv.parse(x, dt)))
-        (conv(c.min), conv(c.max), c.nulls)
+        // Outer None = this bound is UNDECODABLE (stats unusable, never
+        // skip); inner None = the bound was recorded ABSENT (all-null
+        // column). Conflating the two is how lost rows happen.
+        def conv(s: Option[String]): Option[Option[Any]] = s match {
+          case None => Some(None)
+          case Some(x) => parseStat(x, dt).flatMap(normalize(dt, _)) match {
+            case some @ Some(_) => Some(some)
+            case None => None
+          }
+        }
+        for { mn <- conv(c.min); mx <- conv(c.max) } yield (mn, mx, c.nulls)
       }
     }
 
@@ -790,6 +822,12 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
       else {
         val headSpec = perFile.head.map { case (pos, n, _) => (pos, n) }
         if (!perFile.forall(_.map(t => (t._1, t._2)) == headSpec)) None
+        // A bucket id outside [0, n) (a corrupt or hand-edited #bucket
+        // line) must degrade to per-file splits, not vanish: bucketed
+        // planning emits exactly splits 0..n-1, so an out-of-range file
+        // would silently drop from every scan.
+        else if (perFile.exists(_.exists { case (_, n, id) =>
+          id < 0 || id >= n })) None
         else headSpec.flatMap { case (pos, n) =>
           if (pos < fullSchema.length &&
               required.fieldNames.contains(fullSchema(pos).name))

@@ -61,6 +61,27 @@ class ManifestNullSpec extends AnyFunSuite {
     assert(agg.getDouble(1) == (0 until 100 by 2).sum.toDouble)
   }
 
+  test("stats bounds shaped like the NULL token never skip their file") {
+    import spark.implicits._
+    val path = tmp()
+    // File A's string min/max is literally \N, file B's is \\N — the
+    // stored stats are RAW values, and decoding them through the row
+    // codec would turn A's bounds into null (file looks all-null ⇒
+    // skipped for ANY value predicate) and strip one backslash from
+    // B's (shrunken max). Both lose rows silently.
+    Seq((1L, "\\N"), (2L, "\\N")).toDF("k", "s").coalesce(1)
+      .write.mode("append").format("graft-manifest").option("path", path).save()
+    Seq((3L, "\\\\N"), (4L, "\\\\N")).toDF("k", "s").coalesce(1)
+      .write.mode("append").format("graft-manifest").option("path", path).save()
+    val t = spark.read.format("graft-manifest").option("path", path).load()
+    assert(t.filter($"s" === "\\N").select("k").as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L))
+    assert(t.filter($"s" === "\\\\N").select("k").as[Long].collect().sorted
+      .toSeq == Seq(3L, 4L))
+    assert(t.filter($"s".isNotNull).count() == 4L)
+    assert(t.filter($"s" >= "\\").count() == 4L)
+  }
+
   test("COPY_ON_WRITE over null rows: DELETE WHERE col IS NULL") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_nullcow").toString
