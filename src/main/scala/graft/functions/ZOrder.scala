@@ -30,12 +30,36 @@ object ZOrder {
     * files while the boundary sketch stays tiny (255 doubles/column). */
   val Buckets = 256
 
-  /** One-pass equi-depth boundaries for each column (numeric/temporal —
-    * `approxQuantile` requirement; relative error 1e-3 keeps bucket
-    * populations within ~0.1% of ideal at any scale). */
+  /** Numeric sort key of a clustering column. Numerics/temporals cast to
+    * double; STRINGS map to their first 8 UTF-8 bytes read as an
+    * unsigned big-endian integer (zero-padded, so "b" > "ab" holds) —
+    * an ORDER-PRESERVING proxy: byte-prefix order is UTF8String binary
+    * order, unsigned-to-double conversion is monotone, and the whole
+    * chain is codegen'd expressions (encode → substring → hex → conv),
+    * no UDF. Strings sharing an 8-byte prefix collapse into one proxy
+    * value — they simply share a bucket, which only costs skipping
+    * granularity, never correctness (the files' own string min/max
+    * stats stay exact up to truncation). */
+  private[graft] def sortKey(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        conv(hex(substring(
+          concat(encode(col(c), "UTF-8"), lit(Array.fill[Byte](8)(0))),
+          1, 8)), 16, 10).cast("double")
+      case _ => col(c).cast("double")
+    }
+
+  /** One-pass equi-depth boundaries for each column via `approxQuantile`
+    * over the numeric sort keys (relative error 1e-3 keeps bucket
+    * populations within ~0.1% of ideal at any scale). String columns
+    * quantile over their order-preserving byte-prefix proxy. */
   def boundaries(df: DataFrame, cols: Seq[String]): Map[String, Array[Double]] = {
     val probs = (1 until Buckets).map(_.toDouble / Buckets).toArray
-    cols.zip(df.stat.approxQuantile(cols.toArray, probs, 1e-3)).toMap
+    val keyed = cols.indices.map(i => s"__graft_zk$i")
+    val df2 = cols.zip(keyed).foldLeft(df) { case (d, (c, k)) =>
+      d.withColumn(k, sortKey(df, c))
+    }
+    cols.zip(df2.stat.approxQuantile(keyed.toArray, probs, 1e-3)).toMap
   }
 
   /** Equi-depth bucket index of `c` given its sorted boundaries: the
@@ -67,6 +91,6 @@ object ZOrder {
     // amount mod 64, which would alias different columns' bit positions
     require(cols.length <= 8, s"z-order supports at most 8 columns, got ${cols.length}")
     val bs = boundaries(df, cols)
-    interleave(cols.map(c => bucket(col(c), bs(c))))
+    interleave(cols.map(c => bucket(sortKey(df, c), bs(c))))
   }
 }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Custom DataSource V2 WRITE path with the two-phase commit protocol
@@ -35,10 +35,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * All I/O goes through the Hadoop `FileSystem` API resolved from the
   * session's Hadoop configuration (serialized to executors the way
   * FileFormatWriter ships its job conf), so any `fs.*` scheme works —
-  * local paths in tests, HDFS/object stores in production. Rows
-  * serialize as CSV of the row's fields. `failPartition` injects a
-  * first-attempt task failure for ManifestSinkSpec's abort/atomicity
-  * proofs. Usage: `df.write.format("graft-manifest").option("path", p)`.
+  * local paths in tests, HDFS/object stores in production. Rows land as
+  * PARQUET by default (round 11 — Spark's own ParquetWriteSupport /
+  * VectorizedParquetRecordReader, see ManifestParquet.scala);
+  * `option("format", "csv")` keeps the legacy line payload, and format
+  * is a per-file property so mixed-history tables read fine.
+  * `failPartition` injects a first-attempt task failure for
+  * ManifestSinkSpec's abort/atomicity proofs. Usage:
+  * `df.write.format("graft-manifest").option("path", p)`.
   *
   * Since round 8 every commit is additionally an immutable VERSIONED
   * snapshot (`_MANIFEST.v<N>` + `_SCHEMA.v<N>`): append merges the prior
@@ -164,7 +168,7 @@ private[sources] class ManifestTable(schema0: StructType,
       new SerializableHadoopConf(
         SparkSession.active.sessionState.newHadoopConf()),
       changes = changes,
-      columnar = opt("columnar").exists(_.toBoolean))
+      columnar = opt("columnar").map(_.toBoolean))
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // Same options→properties fallback as the scan builder: a table
@@ -183,6 +187,12 @@ private[sources] class ManifestTable(schema0: StructType,
         throw new IllegalArgumentException(
           s"graft-manifest sink: malformed path '$raw': ${e.getMessage}", e)
       }
+    // payload format: write option, then table property, default parquet
+    // (validated eagerly — a typo'd format must fail at plan time, not in
+    // a task); the extension on each committed file is what readers key on
+    val format = Option(info.options.get("format"))
+      .orElse(Option(properties.get("format"))).getOrElse("parquet")
+    ManifestWriters.ext(format)
     new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
       private var truncateRequested = false
       override def truncate(): WriteBuilder = { truncateRequested = true; this }
@@ -284,20 +294,25 @@ private[sources] class ManifestTable(schema0: StructType,
             Option(info.options.get("failPartition")).map(_.toInt).getOrElse(-1),
             finalSchema, truncateRequested, hconf,
             bucketSpec = bucketSpec.map { case (c, n) =>
-              // resolve against the INCOMING names (the write's own), but
-              // record the POSITION so renames keep the layout valid
-              (incoming.fieldIndex(c), n)
+              // record the PHYSICAL position so renames/drops keep the
+              // layout valid (name resolves in the write's own schema)
+              (ManifestFiles.physPos(finalSchema, incoming.fieldIndex(c)), n)
             },
+            // row INDEX for the writer's sort check; the commit converts
+            // it to the physical position when marking #sorted
             sortPos = sortedBy.map(incoming.fieldIndex),
             // a DDL-declared layout (from table properties) must survive
             // INSERT OVERWRITE — re-emit its #tableconf line on truncate
             confLines =
               if (Option(properties.get("bucketBy")).isDefined)
                 bucketSpec.map { case (c, n) =>
-                  ManifestFiles.tableConfLine(incoming.fieldIndex(c), n,
-                    sortedBy.map(incoming.fieldIndex))
+                  ManifestFiles.tableConfLine(
+                    ManifestFiles.physPos(finalSchema, incoming.fieldIndex(c)),
+                    n, sortedBy.map(c2 => ManifestFiles.physPos(finalSchema,
+                      incoming.fieldIndex(c2))))
                 }.toArray
-              else Array.empty)
+              else Array.empty,
+            format = format)
         }
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
           if (truncateRequested) throw new UnsupportedOperationException(
@@ -321,7 +336,7 @@ private[sources] class ManifestTable(schema0: StructType,
                 s"${e.simpleString}, write provides ${incoming.simpleString}")
           }
           new ManifestStreamingWrite(path.toString, info.queryId(),
-            existing.getOrElse(incoming), hconf)
+            existing.getOrElse(incoming), hconf, format)
         }
       }
     }
@@ -394,7 +409,10 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
     sortPos: Option[Int] = None,
     // DDL `#tableconf` lines to guarantee in the committed snapshot
     // (appends inherit them from the predecessor; truncate must re-emit)
-    confLines: Array[String] = Array.empty) extends BatchWrite {
+    confLines: Array[String] = Array.empty,
+    // payload format of THIS commit's files ("parquet" default / "csv");
+    // a per-file property, so mixed-format history reads fine
+    format: String = "parquet") extends BatchWrite {
 
   // Per-job staging namespace: concurrent writes (or an overlapping retry
   // of another job) can never see or delete each other's in-flight files.
@@ -403,7 +421,7 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new ManifestWriterFactory(path, stagingName, failPartition, schema, conf,
-      recordBucket = bucketSpec.isDefined, sortPos = sortPos)
+      recordBucket = bucketSpec.isDefined, sortPos = sortPos, format = format)
 
   // Driver-side, exactly once, only after EVERY task committed: publish.
   // Each commit is a VERSION: append merges the predecessor snapshot's
@@ -427,7 +445,7 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
           bucketSpec.map { case (pos, n) =>
             ManifestFiles.bucketLine(fin, pos, n, bucket) } ++
           (sortPos.filter(_ => sortedOk).map(p =>
-            ManifestFiles.sortedLine(fin, p)))
+            ManifestFiles.sortedLine(fin, ManifestFiles.physPos(schema, p))))
     }
     val drop = dropFromPrevious()
     // The base snapshot is supplied by publishSnapshot's claim loop (the
@@ -452,10 +470,24 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
   }
 }
 
-/** Task-side staged CSV writer, shared by the batch and streaming
+/** Task-side staged data-file writer, shared by the batch and streaming
   * factories — only the staged file NAME differs (streaming prefixes
-  * the epoch so retried epochs never collide with committed files). */
+  * the epoch so retried epochs never collide with committed files).
+  * Payload format is per file: `parquet` (the default — real columnar
+  * storage through Spark's ParquetWriteSupport, see ManifestParquet) or
+  * the legacy `csv` lines. Stats/sort tracking is format-independent:
+  * min/max/null counts stream through the SAME canonical comparator the
+  * skip evaluator uses, whatever lands on disk. */
 private[sources] object ManifestWriters {
+  /** Staged-file extension for a format ("" = CSV lines; the final name
+    * keeps it, which is how readers pick the per-file decoder). */
+  def ext(format: String): String = format match {
+    case "parquet" => ".parquet"
+    case "csv" => ""
+    case other => throw new IllegalArgumentException(
+      s"graft-manifest format must be 'parquet' or 'csv', got '$other'")
+  }
+
   def create(path: String, stagingName: String, name: String,
       schema: StructType, conf: SerializableHadoopConf,
       injectFailure: Boolean, bucket: Int = -1,
@@ -463,14 +495,23 @@ private[sources] object ManifestWriters {
     new DataWriter[InternalRow] {
       private val file = new Path(new Path(path, stagingName), name)
       private val fs: FileSystem = file.getFileSystem(conf.value)
-      private val out = new java.io.PrintWriter(fs.create(file, true))
+      private val parquet = ManifestParquet.isParquet(name.stripSuffix(".tmp"))
+      private val csvOut =
+        if (parquet) null else new java.io.PrintWriter(fs.create(file, true))
+      private val pqOut =
+        if (parquet) ManifestParquet.createWriter(file, schema, conf.value)
+        else null
+      private var closed = false
+      private val csvArity =
+        schema.indices.map(ManifestFiles.physPos(schema, _))
+          .foldLeft(-1)(math.max) + 1
       private var rows = 0L
       private val attempt = org.apache.spark.TaskContext.get().attemptNumber()
 
       // Per-column stats tracked AS ROWS STREAM THROUGH (no second pass):
       // min/max in the column's canonical comparison domain + null count.
-      // `statsTypes(i) = None` for a type ManifestSkip can't order (none
-      // exist in the format today) — such columns record nulls only.
+      // Stats raw values are ALWAYS `String.valueOf` of the field (the
+      // `#stats` codec), independent of the payload format.
       private val nulls = new Array[Long](schema.length)
       private val mins = new Array[Any](schema.length)
       private val maxs = new Array[Any](schema.length)
@@ -483,35 +524,63 @@ private[sources] object ManifestWriters {
       private var prevSortKey: Any = _
       private var seenNonNullSortKey = false
 
+      /** Track column i's stats for value `v`; returns the raw stat
+        * string (computed lazily for parquet — only CSV needs it per
+        * row, stats only on a min/max update). */
+      private def trackStats(i: Int, v: Any, dt: DataType,
+          needRaw: Boolean): String = {
+        val s0 = if (needRaw) String.valueOf(v) else null
+        ManifestSkip.normalize(dt, v).foreach { nv =>
+          // UTF8String from an UnsafeRow points into a REUSED buffer —
+          // normalize returns it as-is, so clone before retaining.
+          val kept = nv match {
+            case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
+            case other => other
+          }
+          if (mins(i) == null || ordered(kept, mins(i)) < 0) {
+            mins(i) = kept
+            rawMins(i) = if (s0 != null) s0 else String.valueOf(v)
+          }
+          if (maxs(i) == null || ordered(kept, maxs(i)) > 0) {
+            maxs(i) = kept
+            rawMaxs(i) = if (s0 != null) s0 else String.valueOf(v)
+          }
+        }
+        s0
+      }
+
       override def write(r: InternalRow): Unit = {
         if (injectFailure && attempt == 0 && rows == 2)
           throw new RuntimeException("injected write failure")
-        val fields = schema.indices.map { i =>
-          val dt = schema(i).dataType
-          // NULL encodes as `\N` (never a legal numeric/boolean token; a
-          // real STRING that looks like the marker gains one backslash,
-          // stripped symmetrically at read — ManifestCsv.encode/parse).
-          if (r.isNullAt(i)) { nulls(i) += 1; ManifestCsv.NullToken }
-          else {
-            val v = r.get(i, dt)
-            val s0 = String.valueOf(v)
-            val s = ManifestCsv.encode(s0, dt)
-            ManifestSkip.normalize(dt, v).foreach { nv =>
-              // UTF8String from an UnsafeRow points into a REUSED buffer —
-              // normalize returns it as-is, so clone before retaining.
-              val kept = nv match {
-                case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
-                case other => other
-              }
-              if (mins(i) == null || ordered(kept, mins(i)) < 0) {
-                mins(i) = kept; rawMins(i) = s0
-              }
-              if (maxs(i) == null || ordered(kept, maxs(i)) > 0) {
-                maxs(i) = kept; rawMaxs(i) = s0
-              }
-            }
-            s
+        if (parquet) {
+          var i = 0
+          while (i < schema.length) {
+            if (r.isNullAt(i)) nulls(i) += 1
+            else trackStats(i, r.get(i, schema(i).dataType),
+              schema(i).dataType, needRaw = false)
+            i += 1
           }
+          pqOut.write(r)
+        } else {
+          // One slot per PHYSICAL position (== schema index until a DROP
+          // diverges them; a dropped column's slot stays `\N` so old and
+          // new files agree on the layout). NULL encodes as `\N` (never
+          // a legal numeric/boolean token; a real STRING that looks like
+          // the marker gains one backslash, stripped symmetrically at
+          // read — ManifestCsv.encode/parse).
+          val slots = Array.fill(csvArity)(ManifestCsv.NullToken)
+          var i = 0
+          while (i < schema.length) {
+            val dt = schema(i).dataType
+            if (r.isNullAt(i)) nulls(i) += 1
+            else {
+              val v = r.get(i, dt)
+              slots(ManifestFiles.physPos(schema, i)) =
+                ManifestCsv.encode(trackStats(i, v, dt, needRaw = true), dt)
+            }
+            i += 1
+          }
+          csvOut.println(slots.mkString(","))
         }
         sortPos.foreach { p =>
           if (sortedOk) {
@@ -535,7 +604,6 @@ private[sources] object ManifestWriters {
             }
           }
         }
-        out.println(fields.mkString(","))
         rows += 1
       }
 
@@ -543,26 +611,45 @@ private[sources] object ManifestWriters {
       // recorded min/max and evaluated bounds can never order differently
       private def ordered(a: Any, b: Any): Int = ManifestSkip.cmp(a, b)
 
+      private def closeOut(): Unit = if (!closed) {
+        closed = true
+        if (parquet) pqOut.close() else csvOut.close()
+      }
+
       override def commit(): WriterCommitMessage = {
-        out.close()
+        closeOut()
         val bytes = fs.getFileStatus(file).getLen
-        val stats = schema.indices.map(i => i -> ManifestFiles.ColStats(
-          nulls(i), Option(rawMins(i)), Option(rawMaxs(i))))
+        val stats = schema.indices.map { i =>
+          // String bounds truncate (Iceberg's prefix / prefix+increment
+          // rule — ManifestFiles.truncLower/truncUpper) so the manifest
+          // scales with file count, not value size; numerics are exact.
+          val (mn, mx) =
+            if (schema(i).dataType == StringType)
+              (Option(rawMins(i)).map(ManifestFiles.truncLower),
+                Option(rawMaxs(i)).flatMap(ManifestFiles.truncUpper))
+            else (Option(rawMins(i)), Option(rawMaxs(i)))
+          ManifestFiles.physPos(schema, i) ->
+            ManifestFiles.ColStats(nulls(i), mn, mx)
+        }
         FileCommitted(name, rows, bytes, stats, bucket, sortedOk)
       }
-      override def abort(): Unit = { out.close(); fs.delete(file, false) }
-      override def close(): Unit = out.close()
+      override def abort(): Unit = {
+        try closeOut() catch { case _: Exception => }
+        fs.delete(file, false)
+      }
+      override def close(): Unit = closeOut()
     }
 }
 
 private[sources] class ManifestStreamWriterFactory(path: String,
-    stagingName: String, schema: StructType, conf: SerializableHadoopConf)
+    stagingName: String, schema: StructType, conf: SerializableHadoopConf,
+    format: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     ManifestWriters.create(path, stagingName,
-      f"part-e$epochId-$partitionId%05d-$taskId.tmp", schema, conf,
-      injectFailure = false)
+      f"part-e$epochId-$partitionId%05d-$taskId${ManifestWriters.ext(format)}.tmp",
+      schema, conf, injectFailure = false)
 }
 
 private[sources] class ManifestWriterFactory(path: String, stagingName: String,
@@ -571,12 +658,14 @@ private[sources] class ManifestWriterFactory(path: String, stagingName: String,
     // bucketed write: the task's partitionId IS its bucket id (the
     // required distribution pinned partitioning to pmod(murmur3(col), n))
     recordBucket: Boolean = false,
-    sortPos: Option[Int] = None) extends DataWriterFactory {
+    sortPos: Option[Int] = None,
+    format: String = "parquet") extends DataWriterFactory {
 
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     ManifestWriters.create(path, stagingName,
-      f"part-$partitionId%05d-$taskId.tmp", schema, conf,
+      f"part-$partitionId%05d-$taskId${ManifestWriters.ext(format)}.tmp",
+      schema, conf,
       injectFailure = partitionId == failPartition,
       bucket = if (recordBucket) partitionId else -1,
       sortPos = sortPos)
@@ -591,7 +680,8 @@ private[sources] class ManifestWriterFactory(path: String, stagingName: String,
   * in the predecessor snapshot and cleans up its staged files instead
   * of double-committing. Append output mode only. */
 private[sources] class ManifestStreamingWrite(path: String, queryId: String,
-    schema: StructType, conf: SerializableHadoopConf)
+    schema: StructType, conf: SerializableHadoopConf,
+    format: String = "parquet")
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
@@ -599,7 +689,7 @@ private[sources] class ManifestStreamingWrite(path: String, queryId: String,
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new ManifestStreamWriterFactory(path, stagingName, schema, conf)
+    new ManifestStreamWriterFactory(path, stagingName, schema, conf, format)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {

@@ -130,6 +130,76 @@ object ManifestFiles {
   final case class ColStats(nulls: Long, min: Option[String], max: Option[String])
   final case class FileStats(bytes: Long, cols: Map[Int, ColStats])
 
+  /** PHYSICAL storage position of schema field `i`: the `gpos` field
+    * metadata when present (stamped by schema evolution once positions
+    * and indices diverge — see DROP COLUMN), else the field's own index.
+    * Every position-keyed artifact (CSV slots, parquet `c<pos>` names,
+    * `#stats`/`#bucket`/`#sorted` keys) is keyed by THIS, so renames and
+    * drops never re-key old files' metadata. */
+  def physPos(schema: StructType, i: Int): Int =
+    if (schema(i).metadata.contains("gpos"))
+      schema(i).metadata.getLong("gpos").toInt
+    else i
+
+  /** Schema index of the field stored at physical position `pos`. */
+  def fieldAtPhys(schema: StructType, pos: Int): Option[Int] =
+    schema.indices.find(physPos(schema, _) == pos)
+
+  /** String stats bounds are TRUNCATED to this many code points
+    * (Iceberg's rule): a manifest over a long-text column must scale
+    * with file count, not value size — full bounds on a documents table
+    * would carry multi-KB Base64 per column per file per snapshot. */
+  val StatsTruncLen = 16
+
+  /** Truncated LOWER bound: the first [[StatsTruncLen]] code points. A
+    * code-point prefix is a byte prefix in UTF-8, so it never exceeds
+    * the true minimum in UTF8String binary order (verified below anyway
+    * — Java strings can hold unpaired surrogates whose UTF-8 encoding
+    * is replacement bytes, so trust is checked, not assumed). */
+  def truncLower(s: String): String = {
+    if (s.codePointCount(0, s.length) <= StatsTruncLen) return s
+    val t = s.substring(0, s.offsetByCodePoints(0, StatsTruncLen))
+    if (UTF8String.fromString(t).compareTo(UTF8String.fromString(s)) <= 0) t
+    else s // pathological encoding: keep the exact bound
+  }
+
+  /** Truncated UPPER bound: the first [[StatsTruncLen]] code points with
+    * the last incremented to the next valid code point (skipping the
+    * surrogate block; a maxed-out code point drops and the previous one
+    * increments). Every candidate is VERIFIED strictly greater than the
+    * true maximum in the canonical UTF8String order before use; if no
+    * position can absorb the increment the bound is recorded ABSENT,
+    * which only disables upper-bound skipping for the file (min stays —
+    * and a (min, absent-max) pair never matches the all-null pattern,
+    * ManifestSkip.bounds keeps the two distinct). */
+  def truncUpper(s: String): Option[String] = {
+    if (s.codePointCount(0, s.length) <= StatsTruncLen) return Some(s)
+    val full = UTF8String.fromString(s)
+    val cps = new Array[Int](StatsTruncLen)
+    var off = 0
+    var i = 0
+    while (i < StatsTruncLen) {
+      cps(i) = s.codePointAt(off)
+      off = s.offsetByCodePoints(off, 1)
+      i += 1
+    }
+    var k = StatsTruncLen - 1
+    while (k >= 0) {
+      val c = cps(k)
+      val next = if (c == 0xD7FF) 0xE000 else c + 1
+      if (next <= 0x10FFFF && (next < 0xD800 || next > 0xDFFF)) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < k) { sb.appendCodePoint(cps(j)); j += 1 }
+        sb.appendCodePoint(next)
+        val cand = sb.toString
+        if (UTF8String.fromString(cand).compareTo(full) > 0) return Some(cand)
+      }
+      k -= 1 // couldn't absorb here (max code point / unverifiable): carry
+    }
+    None
+  }
+
   private def b64(s: String): String =
     java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
   private def unb64(s: String): String =
@@ -168,6 +238,16 @@ object ManifestFiles {
     * Position-keyed like every other metadata line. */
   def tableConfLine(colPos: Int, n: Int, sortPos: Option[Int]): String =
     s"#tableconf,bucket,$colPos,$n" + sortPos.fold("")("," + _)
+
+  /** Retired physical positions: `#tableconf,dropped,<pos>` lines, one
+    * per DROP COLUMN, accumulated forever (truncate preserves #tableconf
+    * lines). A retired position is never reassigned — reusing it would
+    * alias the dropped column's bytes in old files into the new column. */
+  def droppedFromLines(lines: Array[String]): Set[Int] =
+    lines.filter(_.startsWith("#tableconf,dropped,"))
+      .flatMap(_.split(",", 3).lift(2)).flatMap(_.toIntOption).toSet
+
+  def droppedLine(pos: Int): String = s"#tableconf,dropped,$pos"
 
   /** (bucket colPos, n, sort colPos) declared by DDL, if any. */
   def tableConf(fs: FileSystem, dir: Path,
@@ -499,7 +579,7 @@ private[sources] object ManifestSkip {
   private def bounds(schema: StructType, st: ManifestFiles.FileStats,
       col: String): Option[(Option[Any], Option[Any], Long)] =
     fieldIndex(schema, col).flatMap { i =>
-      st.cols.get(i).flatMap { c =>
+      st.cols.get(ManifestFiles.physPos(schema, i)).flatMap { c =>
         val dt = schema(i).dataType
         // Outer None = this bound is UNDECODABLE (stats unusable, never
         // skip); inner None = the bound was recorded ABSENT (all-null
@@ -582,9 +662,11 @@ private[sources] class ManifestScanBuilder(path: String, version: Option[Int],
     // inclusive, default latest): the rows commits ADDED in the version
     // range — the backfill twin of the streaming source.
     changes: Option[(Int, Option[Int])] = None,
-    // Vectorized read requested (`option("columnar", true)`) — honored
-    // for plain snapshot scans (bucket splits and streaming stay row).
-    columnar: Boolean = false,
+    // Vectorized read preference: Some(true) forces batches (CSV files
+    // too), Some(false) forces row reads, None = auto (batches when the
+    // planned snapshot is all-parquet). Bucket splits and streaming stay
+    // row either way.
+    columnar: Option[Boolean] = None,
     // Stats-based file skipping MUST be off for row-level COPY_ON_WRITE
     // scans: their pushed predicate is the SURVIVOR condition, and the
     // commit drops exactly the files the scan planned — skipping a
@@ -622,6 +704,7 @@ private[sources] class ManifestScanBuilder(path: String, version: Option[Int],
   override def build(): Scan = new ManifestScan(path, version, fullSchema,
     required, conf, onPlanned, changes, accepted.toArray,
     runtimeKeyPrune = statsSkip, columnar = columnar)
+
 }
 
 /** The batch scan: plans one InputPartition per SURVIVING manifest entry.
@@ -648,7 +731,7 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
     // SOURCE clauses must rewrite files with no build-side key overlap,
     // so join-key pruning there could drop files that still need rewriting
     runtimeKeyPrune: Boolean = true,
-    columnar: Boolean = false)
+    columnar: Option[Boolean] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -829,10 +912,10 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
         else if (perFile.exists(_.exists { case (_, n, id) =>
           id < 0 || id >= n })) None
         else headSpec.flatMap { case (pos, n) =>
-          if (pos < fullSchema.length &&
-              required.fieldNames.contains(fullSchema(pos).name))
-            Some((fullSchema(pos).name, n))
-          else None
+          ManifestFiles.fieldAtPhys(fullSchema, pos)
+            .map(fullSchema(_).name)
+            .filter(required.fieldNames.contains)
+            .map((_, n))
         }
       }
     }
@@ -857,10 +940,10 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
             kept.groupBy(f => bucketIds(f)._3).values.forall(_.length <= 1)
           case None => true // one split per file by construction
         }
-        if (onePerSplit && pos < fullSchema.length &&
-            required.fieldNames.contains(fullSchema(pos).name))
-          Some(fullSchema(pos).name)
-        else None
+        if (!onePerSplit) None
+        else ManifestFiles.fieldAtPhys(fullSchema, pos)
+          .map(fullSchema(_).name)
+          .filter(required.fieldNames.contains)
       }
     }
   }
@@ -943,11 +1026,22 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
       override def value(): Long = v
     }
 
+  /** Columnar by DEFAULT when every planned file is parquet (the
+    * vectorized reader's batches feed codegen through one ColumnarToRow
+    * transition — asking for row reads would re-box what the reader
+    * already decoded vectorized); CSV payloads batch only on explicit
+    * `option("columnar", true)`. Runtime filters only shrink the planned
+    * set, so an all-parquet decision never flips mid-scan. */
+  private lazy val allParquet: Boolean = {
+    val (kept, _, _) = staticPlan
+    kept.nonEmpty && kept.forall(ManifestParquet.isParquet)
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     // batches only when every split is a plain file split — a bucket
     // split concatenates files and Spark requires a uniform reader kind
     new ManifestReaderFactory(fullSchema, required, conf,
-      columnar = columnar && bucketLayout.isEmpty)
+      columnar = columnar.getOrElse(allParquet) && bucketLayout.isEmpty)
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -1040,7 +1134,9 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
   override def createColumnarReader(p: InputPartition):
       PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val part = p.asInstanceOf[ManifestInputPartition]
-    new ManifestColumnarReader(part, fullSchema, required, conf)
+    if (ManifestParquet.isParquet(part.name))
+      ManifestParquet.columnarReader(part, fullSchema, required, conf)
+    else new ManifestColumnarReader(part, fullSchema, required, conf)
   }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -1069,23 +1165,36 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
 
   private def createFileReader(
       part: ManifestInputPartition): PartitionReader[InternalRow] = {
+    if (ManifestParquet.isParquet(part.name))
+      return ManifestParquet.rowReader(part, fullSchema, required, conf)
     val file = new Path(part.file)
     val fs = file.getFileSystem(conf.value)
     val reader = new java.io.BufferedReader(
       new java.io.InputStreamReader(fs.open(file), "UTF-8"))
-    // CSV column i of each line ↔ fullSchema(i); parse only required.
-    // Index -1 = the `_file` metadata column (this partition's manifest
-    // entry name — the group identity row-level COW plans join on).
+    // CSV slot = the field's PHYSICAL position (== its index until a
+    // DROP diverges them); parse only required. Index -1 = the `_file`
+    // metadata column (this partition's manifest entry name — the group
+    // identity row-level COW plans join on).
     val picks: Array[(Int, DataType)] = required.fields.map { f =>
       if (f.name == "_file") (-1, StringType)
-      else (fullSchema.fieldIndex(f.name), f.dataType)
+      else (ManifestFiles.physPos(fullSchema,
+        fullSchema.fieldIndex(f.name)), f.dataType)
     }
     val fileName = UTF8String.fromString(part.name)
+    // With a clean layout (no drops) the split limit is the arity, which
+    // tolerates commas in a LAST string field; once positions diverge the
+    // file may carry more physical slots than the schema has fields, so
+    // split fully (the comma-in-last-field caveat already excludes
+    // evolution — documented at splitCsv).
+    val splitLimit =
+      if (fullSchema.indices.forall(i => ManifestFiles.physPos(fullSchema, i) == i))
+        fullSchema.length
+      else -1
     new PartitionReader[InternalRow] {
       private var line: String = _
       override def next(): Boolean = { line = reader.readLine(); line != null }
       override def get(): InternalRow = {
-        val cols = splitCsv(line, fullSchema.length)
+        val cols = splitCsv(line, splitLimit)
         val out = new GenericInternalRow(picks.length)
         var i = 0
         while (i < picks.length) {
@@ -1149,8 +1258,13 @@ private[sources] class ManifestColumnarReader(part: ManifestInputPartition,
   }
   private val picks: Array[(Int, DataType)] = required.fields.map { f =>
     if (f.name == "_file") (-1, StringType)
-    else (fullSchema.fieldIndex(f.name), f.dataType)
+    else (ManifestFiles.physPos(fullSchema,
+      fullSchema.fieldIndex(f.name)), f.dataType)
   }
+  private val splitLimit =
+    if (fullSchema.indices.forall(i => ManifestFiles.physPos(fullSchema, i) == i))
+      fullSchema.length
+    else -1
   private val fileNameBytes = part.name.getBytes("UTF-8")
   private var batch: ColumnarBatch = _
 
@@ -1159,7 +1273,7 @@ private[sources] class ManifestColumnarReader(part: ManifestInputPartition,
     var n = 0
     var line: String = null
     while (n < capacity && { line = reader.readLine(); line != null }) {
-      val cols = line.split(",", fullSchema.length)
+      val cols = line.split(",", splitLimit)
       var i = 0
       while (i < picks.length) {
         val (src, dt) = picks(i)
@@ -1268,12 +1382,13 @@ class GraftManifestCatalog extends TableCatalog
     version.foreach(v => props.put("versionAsOf", v.toString))
     val schema = ManifestFiles.schemaFor(f, dir, version)
     // DDL-declared layout rides into the write path as properties
+    // (positions are PHYSICAL — resolve to the current field, if live)
     ManifestFiles.tableConf(f, dir, version).foreach { case (pos, n, sp) =>
-      if (pos < schema.length) {
-        props.put("bucketBy", schema(pos).name)
+      ManifestFiles.fieldAtPhys(schema, pos).foreach { idx =>
+        props.put("bucketBy", schema(idx).name)
         props.put("buckets", n.toString)
-        sp.filter(_ < schema.length)
-          .foreach(p => props.put("sortedBy", schema(p).name))
+        sp.flatMap(p => ManifestFiles.fieldAtPhys(schema, p))
+          .foreach(pi => props.put("sortedBy", schema(pi).name))
       }
     }
     new ManifestTable(schema, props, strictSchema = true)
@@ -1341,10 +1456,18 @@ class GraftManifestCatalog extends TableCatalog
 
   /** Schema evolution as a METADATA-ONLY commit: `ALTER TABLE ... ADD
     * COLUMN` (appended, nullable — old files read NULL for it via the
-    * reader's positional null-fill) and `RENAME COLUMN` (rows are
-    * positional, so a rename touches no data) publish a new snapshot
-    * with the same entries and the evolved schema. No data rewrite at
-    * any scale; the pre-image schema stays version-pinned. */
+    * reader's positional null-fill), `RENAME COLUMN` (rows are
+    * positional, so a rename touches no data), and `DROP COLUMN`
+    * (positional TOMBSTONE: the field's physical position is retired via
+    * a `#tableconf,dropped,<pos>` line and never reassigned — old files'
+    * bytes at that position are simply unprojected at read; new files
+    * leave the slot null). After a drop, surviving fields carry their
+    * physical position explicitly in `gpos` field metadata (the schema
+    * index no longer equals it), which every position-keyed reader and
+    * writer resolves through [[ManifestFiles.physPos]]. Time travel to a
+    * pre-drop version still sees the column — that version's `_SCHEMA`
+    * and file list are immutable. No data rewrite at any scale; the
+    * pre-image schema stays version-pinned. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     val f = fs
@@ -1352,19 +1475,34 @@ class GraftManifestCatalog extends TableCatalog
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         Seq(catalogName, ident.name))
     var schema = ManifestFiles.schemaFor(f, dir, None)
+    val priorLines = ManifestFiles.latestLines(f, dir)
+    var dropped = ManifestFiles.droppedFromLines(priorLines)
+    var newDropLines = List.empty[String]
+    def nextPos: Int =
+      (schema.indices.map(ManifestFiles.physPos(schema, _)) ++ dropped)
+        .foldLeft(-1)(math.max) + 1
+    def withGpos(fd: StructField, pos: Int): StructField =
+      fd.copy(metadata = new MetadataBuilder()
+        .withMetadata(fd.metadata).putLong("gpos", pos).build())
     changes.foreach {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           "graft-manifest: nested columns are not supported")
         require(a.position == null,
           "graft-manifest: added columns always append at the end " +
-            "(rows are positional CSV)")
+            "(rows are positional)")
         require(a.isNullable,
           "graft-manifest: added columns must be nullable — existing " +
             "rows surface NULL for them")
         val name = a.fieldNames()(0)
         require(!schema.fieldNames.contains(name), s"column $name exists")
-        schema = schema.add(name, a.dataType, nullable = true)
+        val pos = nextPos
+        val fd0 = StructField(name, a.dataType, nullable = true)
+        // a clean layout (pos == index, nothing retired) stays metadata-
+        // free; once positions diverge, every added field pins its gpos
+        schema = schema.add(
+          if (pos == schema.length && dropped.isEmpty) fd0
+          else withGpos(fd0, pos))
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
           "graft-manifest: nested columns are not supported")
@@ -1374,13 +1512,38 @@ class GraftManifestCatalog extends TableCatalog
           s"column ${r.newName} exists")
         schema = StructType(schema.fields.map(fd =>
           if (fd.name == from) fd.copy(name = r.newName) else fd))
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "graft-manifest: nested columns are not supported")
+        val name = d.fieldNames()(0)
+        if (!schema.fieldNames.contains(name)) {
+          if (!d.ifExists) throw new IllegalArgumentException(s"no column $name")
+        } else {
+          require(schema.length > 1,
+            "graft-manifest: cannot drop the last column")
+          val idx = schema.fieldIndex(name)
+          val pos = ManifestFiles.physPos(schema, idx)
+          // a DDL bucket/sort layout referencing the column blocks the drop
+          ManifestFiles.tableConf(f, dir, None).foreach { case (bp, _, sp) =>
+            require(bp != pos && !sp.contains(pos),
+              s"cannot drop '$name': the table's declared bucket/sort " +
+                "layout references it")
+          }
+          dropped += pos
+          newDropLines ::= ManifestFiles.droppedLine(pos)
+          // survivors pin their physical positions explicitly
+          schema = StructType(schema.fields.zipWithIndex
+            .filterNot(_._2 == idx)
+            .map { case (fd, i) => withGpos(fd, ManifestFiles.physPos(schema, i)) })
+        }
       case other => throw new UnsupportedOperationException(
-        "graft-manifest supports ADD COLUMN (appended, nullable) and " +
-          s"RENAME COLUMN only, got $other")
+        "graft-manifest supports ADD COLUMN (appended, nullable), " +
+          s"RENAME COLUMN, and DROP COLUMN only, got $other")
     }
+    val drops = newDropLines.reverse.toArray
     ManifestFiles.publishSnapshot(f,
       SparkSession.active.sessionState.newHadoopConf(), dir,
-      previous => previous, schema)
+      previous => previous ++ drops.filterNot(previous.contains), schema)
     load(ident, None)
   }
 
@@ -1565,15 +1728,21 @@ private[sources] object ManifestProcedures {
       val schemaNow = ManifestFiles.schemaFor(fs, dir, None)
       ddl match {
         case Some((pos, n, sp)) =>
+          // positions are physical — resolve to live fields (the drop
+          // path refuses to retire a layout column, so this resolves)
+          val bucketName = ManifestFiles.fieldAtPhys(schemaNow, pos)
+            .map(schemaNow(_).name).getOrElse(throw new IllegalStateException(
+              s"bucket layout references retired position $pos"))
           require(sortCols.isEmpty,
             "compact(sort_by) conflicts with this table's declared " +
-              s"bucket layout (bucket($n, ${schemaNow(pos).name})); " +
+              s"bucket layout (bucket($n, $bucketName)); " +
               "the layout already governs file organization")
           live.write.mode("overwrite").format("graft-manifest")
             .option("path", dir.toString)
-            .option("bucketBy", schemaNow(pos).name)
+            .option("bucketBy", bucketName)
             .option("buckets", n.toString)
-            .options(sp.map(p => Map("sortedBy" -> schemaNow(p).name))
+            .options(sp.flatMap(p => ManifestFiles.fieldAtPhys(schemaNow, p))
+              .map(p => Map("sortedBy" -> schemaNow(p).name))
               .getOrElse(Map.empty))
             .save()
         case None =>

@@ -585,8 +585,53 @@ object Sources extends QueryModule {
         AND strftime(o_orderdate, '%Y-%m-%d') < '1996-01-01'
       GROUP BY 1 ORDER BY 1"""))
 
+  /** PARQUET data layer of the manifest format, MIXED with CSV history
+    * (round 11; ManifestParquet.scala — Spark's own ParquetWriteSupport
+    * on write, VectorizedParquetRecordReader on read, the reference's
+    * scan stack `sql/core/.../parquet/ParquetFileFormat.scala:51` /
+    * `VectorizedParquetRecordReader.java:48` behind the manifest's
+    * snapshot isolation): one commit lands as legacy CSV lines, a second
+    * as parquet (the new default), and one scan reads BOTH — format is a
+    * per-file property keyed on the entry name, so a table's history
+    * never needs rewriting to adopt the new payload. The aggregate spans
+    * the format boundary; the oracle recomputes it from raw orders, so a
+    * row lost, doubled, or mis-typed on either side fails the hash. At
+    * 100 TB the parquet payload is what makes column pruning REAL I/O
+    * pruning (unread columns are never fetched) and hands scans
+    * dictionary/RLE-compressed pages instead of text to parse. */
+  val qManifestParquetMixed: QueryDef = QueryDef(
+    "q235_manifest_parquet_mixed",
+    (s, d) => {
+      import s.implicits._
+      val path = tmp(d, "manifest_pq")
+      val dir = new org.apache.hadoop.fs.Path(path)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      val src = Tables.df(s, d, "orders")
+        .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+      // history: a CSV-era commit …
+      src.filter($"o_orderkey" % 2 === 0)
+        .write.mode("append").format("graft-manifest")
+        .option("path", path).option("format", "csv").save()
+      // … then the parquet default takes over
+      src.filter($"o_orderkey" % 2 =!= 0)
+        .write.mode("append").format("graft-manifest")
+        .option("path", path).save()
+      s.read.format("graft-manifest").option("path", path).load()
+        .filter($"o_totalprice" > 150000.0)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast("decimal(18,6)")).cast("double").as("total"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM orders WHERE o_totalprice > 150000.0
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   override def defs: Seq[QueryDef] =
     Seq(qCsv, qJson, qOrc, qText, qPartitioned, qSynthSource, qSynthColumnar,
       qSchemaEvolution, qManifestTimeTravel, qManifestMerge, qManifestStream,
-      qManifestSkipping, qXml, qBinaryFile, qZOrder, qSpjJoin, qBucketedJoin)
+      qManifestSkipping, qXml, qBinaryFile, qZOrder, qSpjJoin, qBucketedJoin,
+      qManifestParquetMixed)
 }

@@ -168,10 +168,20 @@ class ManifestRowLevelSpec extends AnyFunSuite {
       // The pre-evolution schema stays version-pinned (v2 = seed data).
       assert(spark.sql("SELECT * FROM graft_rl6.t VERSION AS OF 2")
         .schema.fieldNames.toSeq == Seq("id", "grp", "tag"))
-      // Unsupported shapes fail clearly.
+      // DROP COLUMN works since round 11 (positional tombstone; deep
+      // coverage in ManifestDropColumnSpec) …
+      spark.sql("ALTER TABLE graft_rl6.t DROP COLUMN grp")
+      assert(spark.table("graft_rl6.t").schema.fieldNames.toSeq ==
+        Seq("id", "label", "score"))
+      assert(spark.sql("SELECT count(*) FROM graft_rl6.t WHERE label = 'v-7'")
+        .head().getLong(0) == 1L)
+      // … while genuinely unsupported shapes still fail clearly (type
+      // changes are refused — by Spark's own analysis for widening
+      // shapes, by the catalog's explicit rejection for the rest).
       val ex = intercept[Exception](
-        spark.sql("ALTER TABLE graft_rl6.t DROP COLUMN grp"))
-      assert(ex.getMessage.contains("ADD COLUMN"), ex.getMessage)
+        spark.sql("ALTER TABLE graft_rl6.t ALTER COLUMN id TYPE INT"))
+      assert(ex.getMessage.toLowerCase.contains("not supported"),
+        ex.getMessage)
     }
   }
 

@@ -19,9 +19,13 @@ class ManifestSinkSpec extends AnyFunSuite {
   test("commit publishes a manifest matching the files and row counts") {
     import spark.implicits._
     val path = tmpDir()
+    // format=csv pinned: the round-trip below re-reads the payload with
+    // Spark's CSV reader as an INDEPENDENT decoder (the parquet twin
+    // below does the same via stock spark.read.parquet)
     spark.range(0, 1000, 1, 4)
       .select($"id", ($"id" % 7).as("m"))
-      .write.mode("append").format("graft-manifest").option("path", path).save()
+      .write.mode("append").format("graft-manifest").option("path", path)
+      .option("format", "csv").save()
     val dir = new java.io.File(path)
     val lines = new String(java.nio.file.Files.readAllBytes(
       dir.toPath.resolve("_MANIFEST")), "UTF-8").split("\n")
@@ -47,6 +51,31 @@ class ManifestSinkSpec extends AnyFunSuite {
       .csv(dir.listFiles().filter(_.getName.startsWith("part-"))
         .map(_.getAbsolutePath): _*)
     assert(back.count() == 1000)
+  }
+
+  test("parquet payload (the default) round-trips through STOCK " +
+    "spark.read.parquet — an independent decoder") {
+    import spark.implicits._
+    val path = tmpDir()
+    spark.range(0, 1000, 1, 4)
+      .select($"id", ($"id" % 7).as("m"))
+      .write.mode("append").format("graft-manifest").option("path", path).save()
+    val dir = new java.io.File(path)
+    val files = dir.listFiles().map(_.getName)
+      .filter(_.startsWith("part-")).toSeq
+    assert(files.nonEmpty && files.forall(_.endsWith(".parquet")))
+    // positional storage names (c<pos>), so RENAME stays metadata-only
+    val back = spark.read.parquet(dir.listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getAbsolutePath): _*)
+    assert(back.columns.toSeq == Seq("c0", "c1"))
+    assert(back.count() == 1000)
+    assert(back.agg(org.apache.spark.sql.functions.sum($"c0")).as[Long]
+      .head() == (0L until 1000L).sum)
+    // and the manifest reader sees the same rows with the schema names
+    val t = spark.read.format("graft-manifest").option("path", path).load()
+    assert(t.columns.toSeq == Seq("id", "m"))
+    assert(t.agg(org.apache.spark.sql.functions.sum($"id")).as[Long]
+      .head() == (0L until 1000L).sum)
   }
 
   test("missing or empty path option fails with a clear error") {

@@ -39,7 +39,11 @@ class ManifestSkipPropertySpec extends AnyFunSuite {
     val ss0 = col[String](svals,
       (a, b) => UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0,
       identity)
-    val ss = ss0.copy(nulls = (rows.size - svals.size).toLong)
+    // the writer TRUNCATES string bounds (prefix / prefix+increment) —
+    // fuzz the truncated form, it is what production skips against
+    val ss = ManifestFiles.ColStats((rows.size - svals.size).toLong,
+      ss0.min.map(ManifestFiles.truncLower),
+      ss0.max.flatMap(ManifestFiles.truncUpper))
     ManifestFiles.FileStats(100L, Map(0 -> ks, 1 -> ds, 2 -> ss))
   }
 
@@ -80,8 +84,18 @@ class ManifestSkipPropertySpec extends AnyFunSuite {
     Gen.oneOf(Long.MinValue, Long.MaxValue, 0L, -1L))
   private val genDouble = Gen.oneOf(
     Gen.choose(-50.0, 50.0), Gen.oneOf(-1e300, 1e300, 0.0, -0.0, 1e-300))
+  // Long adversarial strings stress bound truncation: equal up to the
+  // 16-cp truncation point and diverging after; maxed-out code points
+  // exercise the increment's carry/give-up path; supplementary planes
+  // exercise surrogate-pair handling.
+  private val maxCp = new String(Character.toChars(0x10FFFF))
+  private val longStrs = Seq(
+    "x" * 16, "x" * 16 + "a", "x" * 16 + "b", "x" * 40,
+    "x" * 15 + maxCp + "tail", maxCp * 17, maxCp * 16 + "a",
+    "pre" + "\ud83d\ude00" * 10 + "suf", // astral emoji past the cut
+    "z" * 17, "z" * 16 + maxCp)
   private val genStr = Gen.oneOf(Gen.alphaNumStr.map(_.take(6)),
-    Gen.oneOf("", "a", "zz", "abc"))
+    Gen.oneOf("", "a", "zz", "abc"), Gen.oneOf(longStrs))
   private val genRow: Gen[Row] = for {
     k <- genLong; d <- genDouble
     s <- Gen.option(genStr)
@@ -149,6 +163,33 @@ class ManifestSkipPropertySpec extends AnyFunSuite {
     }
     // meta-assertion: the fuzz actually exercised the skip path
     assert(skips > 50, s"only $skips/$checked trials skipped — generator too weak")
+  }
+
+  test("truncated bounds bracket the true value; the manifest stays " +
+    "O(file-count) sized over long-text columns") {
+    // unit postconditions on the adversarial set + random long strings
+    val rnd = new scala.util.Random(42)
+    val samples = longStrs ++ (1 to 200).map(_ =>
+      rnd.alphanumeric.take(5 + rnd.nextInt(60)).mkString +
+        (if (rnd.nextBoolean()) maxCp else ""))
+    samples.foreach { s =>
+      val lo = ManifestFiles.truncLower(s)
+      assert(UTF8String.fromString(lo).compareTo(UTF8String.fromString(s)) <= 0)
+      assert(lo.codePointCount(0, lo.length) <=
+        math.max(ManifestFiles.StatsTruncLen, s.codePointCount(0, s.length)))
+      ManifestFiles.truncUpper(s).foreach { hi =>
+        assert(UTF8String.fromString(hi).compareTo(UTF8String.fromString(s)) >= 0,
+          s"upper bound $hi < value $s")
+        assert(hi.codePointCount(0, hi.length) <= ManifestFiles.StatsTruncLen + 1)
+      }
+    }
+    // a stats line over 10KB values is bounded: bounds carry <= 17 cps
+    val big = "lorem ipsum " * 1000
+    val line = ManifestFiles.statsLine("f", 1L, Seq(
+      0 -> ManifestFiles.ColStats(0L,
+        Some(ManifestFiles.truncLower(big)),
+        ManifestFiles.truncUpper(big))))
+    assert(line.length < 256, s"stats line not bounded: ${line.length}")
   }
 
   test("round-trip: writer-encoded stats parse back identically") {

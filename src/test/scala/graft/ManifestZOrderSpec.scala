@@ -105,6 +105,50 @@ class ManifestZOrderSpec extends AnyFunSuite {
       s"2-d box skipped only ${metric(qBox, "filesSkipped")} of 16")
   }
 
+  test("z-order over a STRING + numeric pair: skipping proven on both " +
+    "dimensions (byte-prefix proxy keeps string range order)") {
+    import spark.implicits._
+    val root = tmpDir()
+    val path = s"$root/sgrid"
+    // 20 distinct shipmode-like strings × 500 numerics, interleaved
+    spark.range(10000)
+      .select(concat(lit("MODE-"), lpad(($"id" % 20).cast("string"), 2, "0"))
+          .as("mode"),
+        ($"id" / 20).as("seq"), $"id".as("v"))
+      .orderBy(md5(concat_ws(",", $"mode", $"seq")))
+      .repartition(8)
+      .write.mode("append").format("graft-manifest").option("path", path).save()
+    def live() =
+      spark.read.format("graft-manifest").option("path", path).load()
+    val beforeAgg = live().filter($"mode" === "MODE-03")
+      .agg(count(lit(1)), sum($"v")).collect()(0)
+
+    val cat = register(path)
+    spark.sql(s"CALL $cat.system.compact('sgrid', 16, 'mode,seq')").collect()
+
+    // equality on the string dimension skips most files
+    val qs = live().filter($"mode" === "MODE-03").agg(sum($"v"))
+    qs.collect()
+    assert(metric(qs, "filesListed") == 16L)
+    assert(metric(qs, "filesSkipped") >= 8L,
+      s"string slice skipped only ${metric(qs, "filesSkipped")} of 16")
+    // a string RANGE predicate skips too (proxy preserves byte order) —
+    // threshold is looser than equality: repartitionByRange samples its
+    // boundaries, so z-segments straddle tile edges
+    val qr = live().filter($"mode" >= "MODE-18").agg(sum($"v"))
+    qr.collect()
+    assert(metric(qr, "filesSkipped") >= 6L,
+      s"string range skipped only ${metric(qr, "filesSkipped")} of 16")
+    // and the numeric dimension still skips
+    val qn = live().filter($"seq" < 50).agg(sum($"v"))
+    qn.collect()
+    assert(metric(qn, "filesSkipped") >= 8L,
+      s"numeric slice skipped only ${metric(qn, "filesSkipped")} of 16")
+    // rewrite is exact
+    assert(live().filter($"mode" === "MODE-03")
+      .agg(count(lit(1)), sum($"v")).collect()(0) == beforeAgg)
+  }
+
   test("z-order bucket/interleave helpers are order-preserving per " +
     "column and bounded") {
     import spark.implicits._
