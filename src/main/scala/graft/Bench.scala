@@ -64,7 +64,8 @@ object Bench {
     "q228_source_xml_roundtrip", "q229_source_binaryfile",
     "q230_statestore_reader", "q231_zorder_box_query",
     "q232_spj_colocated_join", "q233_stream_dedup_watermark",
-    "q234_bucketed_manifest_join", "q235_manifest_parquet_mixed")
+    "q234_bucketed_manifest_join", "q235_manifest_parquet_mixed",
+    "q236_manifest_evolution", "q237_manifest_typed_columns")
 
   private val sentinelName = "q97_compute_pi"
   private val stragglerQueries =

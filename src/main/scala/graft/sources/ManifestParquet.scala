@@ -89,7 +89,136 @@ private[sources] object ManifestParquet {
       .withCompressionCodec(
         org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
       .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
+      // honor the standard hadoop knob (tests shrink it to force multiple
+      // row groups; production default 128 MB)
+      .withRowGroupSize(conf.getLong(
+        org.apache.parquet.hadoop.ParquetOutputFormat.BLOCK_SIZE,
+        org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE))
       .build()
+  }
+
+  /** Pushed-filter → parquet `FilterPredicate` translation for ROW-GROUP
+    * skipping inside a file — the within-file complement of the
+    * manifest's file-level stats skipping (Spark's scan does the same
+    * via ParquetFilters; reference `ParquetFileFormat.scala:51`).
+    * Strictly conservative: only columns whose physical parquet type we
+    * wrote ourselves (ints/longs/strings/dates/timestamps — floats are
+    * excluded wholesale, NaN makes their stats treacherous), only predicate
+    * shapes whose parquet semantics exactly match SQL three-valued
+    * logic, and `Or`/`In` only when every branch translates. Spark
+    * re-evaluates every filter against the returned rows anyway, so the
+    * only hazard is skipping a group with matches — each translated
+    * shape is stats-sound by parquet's contract. */
+  def toParquetFilter(f: org.apache.spark.sql.sources.Filter,
+      fullSchema: StructType):
+      Option[org.apache.parquet.filter2.predicate.FilterPredicate] = {
+    import org.apache.parquet.filter2.predicate.FilterApi
+    import org.apache.parquet.io.api.Binary
+    import org.apache.spark.sql.{sources => sf}
+
+    def stored(c: String): Option[(String, DataType)] =
+      if (!fullSchema.fieldNames.contains(c)) None
+      else {
+        val i = fullSchema.fieldIndex(c)
+        Some((colName(physIdx(fullSchema, i)), fullSchema(i).dataType))
+      }
+    def cmp(c: String, v: Any,
+        onLong: (Operators2.LongCol, java.lang.Long) => org.apache.parquet.filter2.predicate.FilterPredicate,
+        onInt: (Operators2.IntCol, java.lang.Integer) => org.apache.parquet.filter2.predicate.FilterPredicate,
+        onBin: (Operators2.BinCol, Binary) => org.apache.parquet.filter2.predicate.FilterPredicate) =
+      stored(c).flatMap { case (n, dt) =>
+        (dt, v) match {
+          case (LongType, x: java.lang.Number) if integral(x) =>
+            Some(onLong(FilterApi.longColumn(n), x.longValue()))
+          case (IntegerType | ShortType | ByteType, x: java.lang.Number)
+              if integral(x) =>
+            Some(onInt(FilterApi.intColumn(n), x.intValue()))
+          case (StringType, s: String) =>
+            Some(onBin(FilterApi.binaryColumn(n), Binary.fromString(s)))
+          // temporal columns: exact internal-representation conversions
+          case (DateType, d: java.sql.Date) =>
+            Some(onInt(FilterApi.intColumn(n),
+              org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d)))
+          case (DateType, d: java.time.LocalDate) =>
+            Some(onInt(FilterApi.intColumn(n), d.toEpochDay.toInt))
+          case (TimestampType, t: java.sql.Timestamp) =>
+            Some(onLong(FilterApi.longColumn(n),
+              org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)))
+          case (TimestampType, i: java.time.Instant) =>
+            Some(onLong(FilterApi.longColumn(n),
+              org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i)))
+          case _ => None
+        }
+      }
+    def integral(x: java.lang.Number): Boolean =
+      !x.isInstanceOf[java.lang.Double] && !x.isInstanceOf[java.lang.Float]
+
+    f match {
+      case sf.And(l, r) =>
+        // And is sound one-sided: filtering groups by either conjunct
+        // alone keeps a superset of matching groups
+        (toParquetFilter(l, fullSchema), toParquetFilter(r, fullSchema)) match {
+          case (Some(a), Some(b)) => Some(FilterApi.and(a, b))
+          case (a, b) => a.orElse(b)
+        }
+      case sf.Or(l, r) =>
+        for {
+          a <- toParquetFilter(l, fullSchema)
+          b <- toParquetFilter(r, fullSchema)
+        } yield FilterApi.or(a, b)
+      case sf.EqualTo(c, v) if v != null =>
+        cmp(c, v, FilterApi.eq(_, _), FilterApi.eq(_, _), FilterApi.eq(_, _))
+      case sf.GreaterThan(c, v) if v != null =>
+        cmp(c, v, FilterApi.gt(_, _), FilterApi.gt(_, _), FilterApi.gt(_, _))
+      case sf.GreaterThanOrEqual(c, v) if v != null =>
+        cmp(c, v, FilterApi.gtEq(_, _), FilterApi.gtEq(_, _), FilterApi.gtEq(_, _))
+      case sf.LessThan(c, v) if v != null =>
+        cmp(c, v, FilterApi.lt(_, _), FilterApi.lt(_, _), FilterApi.lt(_, _))
+      case sf.LessThanOrEqual(c, v) if v != null =>
+        cmp(c, v, FilterApi.ltEq(_, _), FilterApi.ltEq(_, _), FilterApi.ltEq(_, _))
+      case sf.In(c, vs) if vs != null && vs.nonEmpty && vs.length <= 20 &&
+          vs.forall(_ != null) =>
+        val parts = vs.toSeq.map(v => cmp(c, v,
+          FilterApi.eq(_, _), FilterApi.eq(_, _), FilterApi.eq(_, _)))
+        if (parts.exists(_.isEmpty)) None
+        else Some(parts.flatten.reduce(FilterApi.or))
+      case sf.IsNull(c) =>
+        stored(c).flatMap { case (n, dt) => dt match {
+          case LongType | TimestampType =>
+            Some(FilterApi.eq(FilterApi.longColumn(n),
+              null.asInstanceOf[java.lang.Long]))
+          case IntegerType | ShortType | ByteType | DateType =>
+            Some(FilterApi.eq(FilterApi.intColumn(n),
+              null.asInstanceOf[java.lang.Integer]))
+          case StringType => Some(FilterApi.eq(FilterApi.binaryColumn(n),
+            null.asInstanceOf[Binary]))
+          case _ => None
+        }}
+      case sf.IsNotNull(c) =>
+        stored(c).flatMap { case (n, dt) => dt match {
+          case LongType | TimestampType =>
+            Some(FilterApi.notEq(FilterApi.longColumn(n),
+              null.asInstanceOf[java.lang.Long]))
+          case IntegerType | ShortType | ByteType | DateType =>
+            Some(FilterApi.notEq(FilterApi.intColumn(n),
+              null.asInstanceOf[java.lang.Integer]))
+          case StringType => Some(FilterApi.notEq(FilterApi.binaryColumn(n),
+            null.asInstanceOf[Binary]))
+          case _ => None
+        }}
+      case _ => None
+    }
+  }
+
+  // physPos lives in ManifestFiles; short alias to keep cmp readable
+  private def physIdx(schema: StructType, i: Int): Int =
+    ManifestFiles.physPos(schema, i)
+
+  /** Type aliases for the column kinds cmp dispatches over. */
+  private object Operators2 {
+    type LongCol = org.apache.parquet.filter2.predicate.Operators.LongColumn
+    type IntCol = org.apache.parquet.filter2.predicate.Operators.IntColumn
+    type BinCol = org.apache.parquet.filter2.predicate.Operators.BinaryColumn
   }
 
   /** Reader-side conf: requested schema (positional names) + the
@@ -116,33 +245,57 @@ private[sources] object ManifestParquet {
     * `_file` injected as a constant partition column, missing requested
     * columns null-filled by the reader itself. */
   def openVectorized(part: ManifestInputPartition, fullSchema: StructType,
-      required: StructType, base: Configuration,
-      capacity: Int): (VectorizedParquetRecordReader, Array[Int]) = {
+      required: StructType, base: Configuration, capacity: Int,
+      filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty):
+      (VectorizedParquetRecordReader, Array[Int]) = {
     val dataFields = required.fields.filter(_.name != "_file")
     val requested = StructType(dataFields.map(f =>
       StructField(
         colName(ManifestFiles.physPos(fullSchema, fullSchema.fieldIndex(f.name))),
         f.dataType, nullable = true)))
-    val conf = readerConf(base, requested)
-    val file = new Path(part.file)
-    val len = file.getFileSystem(conf).getFileStatus(file).getLen
-    // mapred.FileSplit (extends the mapreduce one) — the reader base
-    // class downcasts to it for its location-info path
-    val split = new org.apache.hadoop.mapred.FileSplit(
-      file, 0, len, Array.empty[String])
-    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
-      conf, new org.apache.hadoop.mapred.TaskAttemptID())
-    val reader = new VectorizedParquetRecordReader(
-      null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, capacity)
-    try {
-      reader.initialize(split, ctx)
-      // `_file` rides as a constant partition column (appended after the
-      // data columns — the same seam Spark uses for directory partitions)
-      if (required.fieldNames.contains("_file"))
-        reader.initBatch(
-          new StructType().add("_file", StringType, nullable = false),
-          new GenericInternalRow(Array[Any](UTF8String.fromString(part.name))))
-    } catch { case t: Throwable => reader.close(); throw t }
+    def confFor(withFilter: Boolean): Configuration = {
+      val conf = readerConf(base, requested)
+      if (withFilter) {
+        val preds = filters.flatMap(toParquetFilter(_, fullSchema))
+        if (preds.nonEmpty)
+          org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(
+            conf, preds.reduce(
+              org.apache.parquet.filter2.predicate.FilterApi.and))
+      }
+      conf
+    }
+    def open(conf: Configuration): (VectorizedParquetRecordReader, Long) = {
+      val file = new Path(part.file)
+      val len = file.getFileSystem(conf).getFileStatus(file).getLen
+      // mapred.FileSplit (extends the mapreduce one) — the reader base
+      // class downcasts to it for its location-info path
+      val split = new org.apache.hadoop.mapred.FileSplit(
+        file, 0, len, Array.empty[String])
+      val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+        conf, new org.apache.hadoop.mapred.TaskAttemptID())
+      val reader = new VectorizedParquetRecordReader(
+        null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, capacity)
+      try {
+        reader.initialize(split, ctx)
+        // `_file` rides as a constant partition column (appended after the
+        // data columns — the same seam Spark uses for directory partitions)
+        if (required.fieldNames.contains("_file"))
+          reader.initBatch(
+            new StructType().add("_file", StringType, nullable = false),
+            new GenericInternalRow(Array[Any](UTF8String.fromString(part.name))))
+      } catch { case t: Throwable => reader.close(); throw t }
+      (reader, len)
+    }
+    // Row-group pushdown can reference a column a PRE-EVOLUTION file does
+    // not have — parquet's predicate validator throws on the missing
+    // column rather than treating it as all-null, so fall back to an
+    // unfiltered read of that file (Spark re-filters rows anyway).
+    val reader =
+      try open(confFor(withFilter = true))._1
+      catch {
+        case _: IllegalArgumentException if filters.nonEmpty =>
+          open(confFor(withFilter = false))._1
+      }
     // Batch column j of the reader ↔ output position outMap.indexOf(j):
     // reader columns are the data fields in `required` order, then _file.
     var di = 0
@@ -153,9 +306,11 @@ private[sources] object ManifestParquet {
   }
 
   def rowReader(part: ManifestInputPartition, fullSchema: StructType,
-      required: StructType, conf: SerializableHadoopConf): PartitionReader[InternalRow] = {
+      required: StructType, conf: SerializableHadoopConf,
+      filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty):
+      PartitionReader[InternalRow] = {
     val (reader, outMap) = openVectorized(part, fullSchema, required,
-      conf.value, 4096)
+      conf.value, 4096, filters)
     val identity = outMap.sameElements(outMap.indices)
     val types = required.fields.map(_.dataType)
     new PartitionReader[InternalRow] {
@@ -179,9 +334,11 @@ private[sources] object ManifestParquet {
   }
 
   def columnarReader(part: ManifestInputPartition, fullSchema: StructType,
-      required: StructType, conf: SerializableHadoopConf): PartitionReader[ColumnarBatch] = {
+      required: StructType, conf: SerializableHadoopConf,
+      filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty):
+      PartitionReader[ColumnarBatch] = {
     val (reader, outMap) = openVectorized(part, fullSchema, required,
-      conf.value, 4096)
+      conf.value, 4096, filters)
     reader.enableReturningBatches()
     val identity = outMap.sameElements(outMap.indices)
     new PartitionReader[ColumnarBatch] {

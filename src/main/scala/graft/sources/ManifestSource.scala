@@ -500,6 +500,17 @@ private[sources] object ManifestCsv {
       case DoubleType => s.toDouble
       case FloatType => s.toFloat
       case BooleanType => s.toBoolean
+      // temporal/decimal (round 11): values store as their INTERNAL
+      // representation's String.valueOf — date = days-since-epoch int,
+      // timestamp (tz'd and NTZ) = epoch micros long, decimal = plain
+      // decimal string re-scaled to the column's declared type
+      case DateType => s.toInt
+      case TimestampType | TimestampNTZType => s.toLong
+      case d: DecimalType =>
+        val dec = org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(s))
+        if (dec.changePrecision(d.precision, d.scale)) dec
+        else throw new IllegalArgumentException(
+          s"stored decimal '$s' exceeds ${d.sql}")
       case other => throw new UnsupportedOperationException(
         s"graft-manifest read supports primitive column types, got $other")
     }
@@ -533,6 +544,27 @@ private[sources] object ManifestSkip {
     case (BooleanType, b: java.lang.Boolean) => Some(b.booleanValue())
     case (StringType, s: String) => Some(UTF8String.fromString(s))
     case (StringType, s: UTF8String) => Some(s)
+    // temporal columns canonicalize to Long (days / micros): internal
+    // values arrive as Int/Long, external filter values as the java
+    // types Spark's source filters carry (java.sql or java.time,
+    // depending on the session's java8 API setting)
+    case (DateType, n: java.lang.Integer) => Some(n.longValue())
+    case (DateType, d: java.sql.Date) =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong)
+    case (DateType, d: java.time.LocalDate) => Some(d.toEpochDay)
+    case (TimestampType | TimestampNTZType, n: java.lang.Long) =>
+      Some(n.longValue())
+    case (TimestampType, t: java.sql.Timestamp) =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case (TimestampType, i: java.time.Instant) =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+    case (TimestampNTZType, t: java.time.LocalDateTime) =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(t))
+    // decimals canonicalize to java.math.BigDecimal (scale-insensitive
+    // compareTo matches SQL decimal comparison)
+    case (_: DecimalType, d: Decimal) => Some(d.toJavaBigDecimal)
+    case (_: DecimalType, d: java.math.BigDecimal) => Some(d)
+    case (_: DecimalType, d: scala.math.BigDecimal) => Some(d.bigDecimal)
     case _ => None
   }
 
@@ -544,6 +576,7 @@ private[sources] object ManifestSkip {
     case (x: Double, y: Double) => java.lang.Double.compare(x, y)
     case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
     case (x: UTF8String, y: UTF8String) => x.compareTo(y)
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
     case _ => 0 // mixed domains never reach here via normalize
   }
 
@@ -573,6 +606,10 @@ private[sources] object ManifestSkip {
     case DoubleType => s.toDoubleOption
     case FloatType => s.toFloatOption
     case BooleanType => s.toBooleanOption
+    case DateType => s.toIntOption
+    case TimestampType | TimestampNTZType => s.toLongOption
+    case _: DecimalType =>
+      scala.util.Try(new java.math.BigDecimal(s)).toOption
     case _ => None
   }
 
@@ -1039,9 +1076,12 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
 
   override def createReaderFactory(): PartitionReaderFactory =
     // batches only when every split is a plain file split — a bucket
-    // split concatenates files and Spark requires a uniform reader kind
+    // split concatenates files and Spark requires a uniform reader kind;
+    // the pushed filters ride along for parquet ROW-GROUP skipping
+    // inside each surviving file
     new ManifestReaderFactory(fullSchema, required, conf,
-      columnar = columnar.getOrElse(allParquet) && bucketLayout.isEmpty)
+      columnar = columnar.getOrElse(allParquet) && bucketLayout.isEmpty,
+      filters = skipFilters, parquetOnly = allParquet)
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -1124,18 +1164,29 @@ private[sources] case class ManifestBucketPartition(bucket: Int,
 
 private[sources] class ManifestReaderFactory(fullSchema: StructType,
     required: StructType, conf: SerializableHadoopConf,
-    columnar: Boolean = false)
+    columnar: Boolean = false,
+    // pushed filters, used ONLY for parquet row-group skipping (file
+    // skipping already happened at plan time; Spark re-evaluates all of
+    // them as residual row filters)
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    // every planned file is parquet: the batching decision may use the
+    // wider parquet type set (decimals batch); a scan with any CSV file
+    // must gate on the CSV vector writer's set — and the answer must be
+    // UNIFORM across partitions (Spark refuses mixed reader kinds)
+    parquetOnly: Boolean = false)
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(p: InputPartition): Boolean =
     columnar && p.isInstanceOf[ManifestInputPartition] &&
-      required.fields.forall(f => ManifestColumnarReader.supports(f.dataType))
+      required.fields.forall(f =>
+        if (parquetOnly) ManifestColumnarReader.parquetSupports(f.dataType)
+        else ManifestColumnarReader.supports(f.dataType))
 
   override def createColumnarReader(p: InputPartition):
       PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val part = p.asInstanceOf[ManifestInputPartition]
     if (ManifestParquet.isParquet(part.name))
-      ManifestParquet.columnarReader(part, fullSchema, required, conf)
+      ManifestParquet.columnarReader(part, fullSchema, required, conf, filters)
     else new ManifestColumnarReader(part, fullSchema, required, conf)
   }
 
@@ -1166,7 +1217,7 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
   private def createFileReader(
       part: ManifestInputPartition): PartitionReader[InternalRow] = {
     if (ManifestParquet.isParquet(part.name))
-      return ManifestParquet.rowReader(part, fullSchema, required, conf)
+      return ManifestParquet.rowReader(part, fullSchema, required, conf, filters)
     val file = new Path(part.file)
     val fs = file.getFileSystem(conf.value)
     val reader = new java.io.BufferedReader(
@@ -1238,8 +1289,15 @@ private[sources] object ManifestColumnarReader {
   def supports(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | ShortType | ByteType | DoubleType |
          FloatType | BooleanType | StringType => true
+    case DateType | TimestampType | TimestampNTZType => true
     case _ => false
   }
+
+  /** Types the PARQUET vectorized path additionally batches (the CSV
+    * vector writer has no decimal case; a decimal column simply keeps
+    * CSV scans on the row path). */
+  def parquetSupports(dt: DataType): Boolean =
+    supports(dt) || dt.isInstanceOf[DecimalType]
 }
 
 private[sources] class ManifestColumnarReader(part: ManifestInputPartition,

@@ -629,9 +629,110 @@ object Sources extends QueryModule {
       FROM orders WHERE o_totalprice > 150000.0
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** Manifest schema evolution END TO END, hash-matched (round 11;
+    * GraftManifestCatalog.alterTable — ADD/RENAME since round 9, DROP
+    * COLUMN via positional tombstones new this round): seed orders
+    * WITH a long text column, then DROP it (its physical position
+    * retires via a `#tableconf,dropped` line; surviving fields pin
+    * `gpos` metadata), RENAME the price column, ADD a provenance
+    * column, and append a second slice under the evolved schema. The
+    * final aggregate reads pre- and post-evolution files together —
+    * old files' retired bytes unprojected, old rows null for the added
+    * column — and the oracle recomputes it relationally, so a
+    * mis-mapped physical slot (the classic drop-column corruption:
+    * column values shifting one position) fails the hash loudly. The
+    * dropped text column's bytes stay in the old files, provably
+    * unprojected. All metadata-only: zero data rewritten at any size. */
+  val qManifestEvolution: QueryDef = QueryDef(
+    "q236_manifest_evolution",
+    (s, d) => {
+      import s.implicits._
+      val root = tmp(d, "manifest_evo")
+      val dir = new org.apache.hadoop.fs.Path(root)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      val cat = "graft_evo_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val src = Tables.df(s, d, "orders")
+      src.filter($"o_orderkey" % 3 === 0)
+        .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+        .write.mode("append").format("graft-manifest")
+        .option("path", s"$root/t").save()
+      s.sql(s"ALTER TABLE $cat.t DROP COLUMN o_orderpriority")
+      s.sql(s"ALTER TABLE $cat.t RENAME COLUMN o_totalprice TO price")
+      s.sql(s"ALTER TABLE $cat.t ADD COLUMN src BIGINT")
+      src.filter($"o_orderkey" % 3 === 1)
+        .select($"o_orderkey", $"o_totalprice".as("price"), lit(2L).as("src"))
+        .write.mode("append").format("graft-manifest")
+        .option("path", s"$root/t").save()
+      s.sql(s"""
+        SELECT o_orderkey % 7 AS g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(src) AS BIGINT) AS n_src,
+               CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total,
+               SUM(src) AS src_sum
+        FROM $cat.t GROUP BY o_orderkey % 7 ORDER BY g""")
+    },
+    Some("""
+      WITH t AS (
+        SELECT o_orderkey, o_totalprice AS price, CAST(NULL AS BIGINT) AS src
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, 2 FROM orders WHERE o_orderkey % 3 = 1)
+      SELECT o_orderkey % 7 AS g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(src) AS BIGINT) AS n_src,
+             CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total,
+             CAST(SUM(src) AS BIGINT) AS src_sum
+      FROM t GROUP BY o_orderkey % 7 ORDER BY g"""))
+
+  /** TYPED manifest columns end to end (round 11 — DATE / TIMESTAMP /
+    * DECIMAL joined the format's type surface; before this it refused
+    * every non-primitive type, which no real table survives): orders
+    * land with a real DATE column, a DECIMAL(12,2) money column, and a
+    * derived TIMESTAMP, range-laid by date so the one-quarter predicate
+    * SKIPS files on the date column's stats (days-int canonical domain);
+    * the aggregate sums the decimal exactly and reads the timestamp
+    * back. The oracle recomputes everything from raw orders — a
+    * mis-coded day offset, a decimal rescale, or a dropped micros digit
+    * all fail the hash. Parquet payload stores all three natively
+    * (dictionary/RLE'd ints + fixed-len decimals); row-group pushdown
+    * applies to the date bounds inside surviving files. */
+  val qManifestTyped: QueryDef = QueryDef(
+    "q237_manifest_typed_columns",
+    (s, d) => {
+      import s.implicits._
+      val path = tmp(d, "manifest_typed")
+      val dir = new org.apache.hadoop.fs.Path(path)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      Tables.df(s, d, "orders")
+        .select($"o_orderkey", to_date($"o_orderdate").as("od"),
+          $"o_totalprice".cast("decimal(12,2)").as("price"),
+          $"o_orderdate".as("ts"))
+        .repartitionByRange(8, $"od")
+        .write.mode("append").format("graft-manifest").option("path", path).save()
+      s.read.format("graft-manifest").option("path", path).load()
+        .filter($"od" >= lit(java.sql.Date.valueOf("1996-01-01")) &&
+          $"od" < lit(java.sql.Date.valueOf("1996-04-01")))
+        .groupBy(date_format($"od", "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n"),
+          sum($"price").cast("double").as("total"),
+          max($"od").as("last_day"),
+          date_format(min($"ts"), "yyyy-MM-dd HH:mm").as("first_ts"))
+        .orderBy($"month")
+    },
+    Some("""
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+             MAX(CAST(o_orderdate AS DATE)) AS last_day,
+             strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M') AS first_ts
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+      GROUP BY 1 ORDER BY 1"""))
+
   override def defs: Seq[QueryDef] =
     Seq(qCsv, qJson, qOrc, qText, qPartitioned, qSynthSource, qSynthColumnar,
       qSchemaEvolution, qManifestTimeTravel, qManifestMerge, qManifestStream,
       qManifestSkipping, qXml, qBinaryFile, qZOrder, qSpjJoin, qBucketedJoin,
-      qManifestParquetMixed)
+      qManifestParquetMixed, qManifestEvolution, qManifestTyped)
 }

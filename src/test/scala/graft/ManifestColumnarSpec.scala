@@ -47,7 +47,10 @@ class ManifestColumnarSpec extends AnyFunSuite {
         when($"id" % 5 === 0, concat(lit("s"), $"id")).as("s"),
         ($"id" % 2 === 0).as("b"))
       .repartition(3)
-      .write.mode("append").format("graft-manifest").option("path", path).save()
+      // format=csv pinned: this spec exercises the LEGACY CSV columnar
+      // reader (ManifestParquetSpec covers the parquet twin)
+      .write.mode("append").format("graft-manifest").option("path", path)
+      .option("format", "csv").save()
     def read(columnar: Boolean) =
       spark.read.format("graft-manifest").option("path", path)
         .option("columnar", columnar).load()
@@ -65,7 +68,8 @@ class ManifestColumnarSpec extends AnyFunSuite {
     val path = tmp()
     spark.range(100000).select($"id".as("key"), ($"id" % 7).as("m"))
       .repartitionByRange(8, $"key")
-      .write.mode("append").format("graft-manifest").option("path", path).save()
+      .write.mode("append").format("graft-manifest").option("path", path)
+      .option("format", "csv").save()
     val q = spark.read.format("graft-manifest").option("path", path)
       .option("columnar", true).load()
       .filter($"key" >= 90000L)

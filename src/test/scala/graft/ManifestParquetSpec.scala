@@ -147,6 +147,72 @@ class ManifestParquetSpec extends AnyFunSuite {
         s"${scans.head.inputRDD.getNumPartitions}")
   }
 
+  test("row-group pushdown: a selective predicate reads fewer rows than " +
+    "the file holds; a predicate on a post-evolution column falls back " +
+    "cleanly on pre-evolution files") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val prev = Option(hconf.get("parquet.block.size"))
+    hconf.setLong("parquet.block.size", 64 * 1024) // force many row groups
+    try {
+      val path = tmp()
+      spark.range(0, 200000).select($"id".as("k"), ($"id" % 97).as("m"))
+        .sort($"k").coalesce(1)
+        .write.mode("append").format("graft-manifest").option("path", path).save()
+      assert(dataFiles(path).count(_.endsWith(".parquet")) == 1)
+      def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect()
+        val finalPlan = df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        def scans(p: SparkPlan): Seq[BatchScanExec] = p.collectWithSubqueries {
+          case b: BatchScanExec => Seq(b)
+          case q: QueryStageExec => scans(q.plan)
+        }.flatten
+        scans(finalPlan).flatMap(_.metrics.get("numOutputRows"))
+          .map(_.value).sum
+      }
+      val t = spark.read.format("graft-manifest").option("path", path).load()
+      val sel = t.filter($"k" >= 190000L)
+      assert(sel.count() == 10000L)
+      val produced = scanRows(sel.select($"k"))
+      // without row-group skipping the single surviving FILE yields all
+      // 200k rows to the residual filter; with it, only the tail groups
+      assert(produced < 100000L,
+        s"scan produced $produced rows — row groups not skipped")
+      assert(produced >= 10000L)
+      // soundness at the boundary
+      assert(t.filter($"k" === 189999L).count() == 1L)
+      assert(t.filter($"k" < 0L).count() == 0L)
+
+      // post-evolution column over pre-evolution files: the parquet
+      // predicate references a missing column — the reader retries
+      // unfiltered and Spark's residual filter does the work
+      val root = java.nio.file.Files.createTempDirectory("graft_pqrg").toString
+      val cat = "graft_rg_" + math.abs(root.hashCode).toString
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      spark.range(0, 100).select($"id".as("k"))
+        .write.mode("append").format("graft-manifest")
+        .option("path", s"$root/t").save()
+      spark.sql(s"ALTER TABLE $cat.t ADD COLUMN tag STRING")
+      spark.sql(s"INSERT INTO $cat.t VALUES (500, 'hit')")
+      assert(spark.sql(s"SELECT k FROM $cat.t WHERE tag = 'hit'")
+        .collect().map(_.getLong(0)).toSeq == Seq(500L))
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t WHERE tag IS NULL")
+        .head().getLong(0) == 100L)
+    } finally {
+      prev match {
+        case Some(v) => hconf.set("parquet.block.size", v)
+        case None => hconf.unset("parquet.block.size")
+      }
+    }
+  }
+
   test("empty projection (count(*)) over parquet payload") {
     import spark.implicits._
     val path = tmp()
