@@ -65,7 +65,8 @@ object Bench {
     "q230_statestore_reader", "q231_zorder_box_query",
     "q232_spj_colocated_join", "q233_stream_dedup_watermark",
     "q234_bucketed_manifest_join", "q235_manifest_parquet_mixed",
-    "q236_manifest_evolution", "q237_manifest_typed_columns")
+    "q236_manifest_evolution", "q237_manifest_typed_columns",
+    "q238_manifest_merge_on_read")
 
   private val sentinelName = "q97_compute_pi"
   private val stragglerQueries =

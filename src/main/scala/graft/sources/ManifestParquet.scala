@@ -248,7 +248,8 @@ private[sources] object ManifestParquet {
       required: StructType, base: Configuration, capacity: Int,
       filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty):
       (VectorizedParquetRecordReader, Array[Int]) = {
-    val dataFields = required.fields.filter(_.name != "_file")
+    val dataFields = required.fields
+      .filter(f => f.name != "_file" && f.name != "_pos")
     val requested = StructType(dataFields.map(f =>
       StructField(
         colName(ManifestFiles.physPos(fullSchema, fullSchema.fieldIndex(f.name))),
@@ -297,10 +298,13 @@ private[sources] object ManifestParquet {
           open(confFor(withFilter = false))._1
       }
     // Batch column j of the reader ↔ output position outMap.indexOf(j):
-    // reader columns are the data fields in `required` order, then _file.
+    // reader columns are the data fields in `required` order, then _file;
+    // -2 marks `_pos` (computed by the wrapping reader, no batch column).
     var di = 0
     val outMap = required.fields.map { f =>
-      if (f.name == "_file") dataFields.length else { val j = di; di += 1; j }
+      if (f.name == "_file") dataFields.length
+      else if (f.name == "_pos") -2
+      else { val j = di; di += 1; j }
     }
     (reader, outMap)
   }
@@ -309,12 +313,27 @@ private[sources] object ManifestParquet {
       required: StructType, conf: SerializableHadoopConf,
       filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty):
       PartitionReader[InternalRow] = {
+    // `_pos` and merge-on-read deletes need FILE-ABSOLUTE ordinals, so
+    // row-group skipping (which hides whole position ranges) must stay
+    // off for those reads
+    val needOrdinals =
+      required.fieldNames.contains("_pos") || part.deletes.nonEmpty
     val (reader, outMap) = openVectorized(part, fullSchema, required,
-      conf.value, 4096, filters)
+      conf.value, 4096, if (needOrdinals) Array.empty else filters)
     val identity = outMap.sameElements(outMap.indices)
     val types = required.fields.map(_.dataType)
     new PartitionReader[InternalRow] {
-      override def next(): Boolean = reader.nextKeyValue()
+      private var ordinal = -1L
+      private val dels = part.deletes
+      private var di = 0
+      override def next(): Boolean = {
+        while (reader.nextKeyValue()) {
+          ordinal += 1
+          while (di < dels.length && dels(di) < ordinal) di += 1
+          if (di >= dels.length || dels(di) != ordinal) return true
+        }
+        false
+      }
       override def get(): InternalRow = {
         val row = reader.getCurrentValue.asInstanceOf[InternalRow]
         if (identity) row
@@ -323,7 +342,9 @@ private[sources] object ManifestParquet {
           var i = 0
           while (i < outMap.length) {
             out.update(i,
-              if (row.isNullAt(outMap(i))) null else row.get(outMap(i), types(i)))
+              if (outMap(i) == -2) ordinal
+              else if (row.isNullAt(outMap(i))) null
+              else row.get(outMap(i), types(i)))
             i += 1
           }
           out

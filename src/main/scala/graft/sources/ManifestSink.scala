@@ -61,6 +61,29 @@ private[sources] object ManifestSink {
       line.split(",", 3).lift(1) // drop layout marks with their entry
     else if (line.startsWith("#")) None
     else Some(line.substring(0, line.lastIndexOf(',')))
+
+  /** Split a snapshot's entries by how the ANDed `filters` relate to
+    * each file's stats: (provably all-match, provably none-match,
+    * undecidable). Metadata-only DELETE requires the third set empty. */
+  def partitionByMatch(filters: Array[org.apache.spark.sql.sources.Filter],
+      schema: StructType, lines: Array[String]):
+      (Set[String], Set[String], Seq[String]) = {
+    val entries = ManifestFiles.entriesFromLines(lines)
+    val stats = ManifestFiles.statsFromLines(lines)
+    // DELETE's condition arrives as a conjunction
+    val all = scala.collection.mutable.Set.empty[String]
+    val none = scala.collection.mutable.Set.empty[String]
+    val mixed = scala.collection.mutable.ArrayBuffer.empty[String]
+    entries.foreach { case (n, rows) =>
+      val st = stats.get(n)
+      if (filters.nonEmpty && filters.forall(f =>
+          ManifestSkip.provesAllMatch(f, schema, st, Some(rows)))) all += n
+      else if (filters.exists(f =>
+          ManifestSkip.canSkip(f, schema, st, Some(rows)))) none += n
+      else mixed += n
+    }
+    (all.toSet, none.toSet, mixed.toSeq)
+  }
 }
 
 class ManifestSink extends TableProvider
@@ -114,20 +137,71 @@ private[sources] class ManifestTable(schema0: StructType,
     extends Table with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = "graft_manifest_sink"
   override def schema(): StructType = schema0
 
-  // `_file` = the manifest entry name a row came from. It is both a
-  // user-queryable metadata column (SELECT _file, ...) and the group
-  // identity for copy-on-write row-level plans.
+  // ---- METADATA-ONLY DELETE (SupportsDelete; Iceberg's partition-
+  // aligned delete generalized to stats-aligned): when every file either
+  // provably ALL-matches the predicate (ManifestSkip.provesAllMatch) or
+  // provably NONE-match (canSkip), the DELETE is a pure snapshot edit —
+  // drop the all-match entries, write nothing. Spark's
+  // OptimizeMetadataOnlyDeleteFromTable asks canDeleteWhere first and
+  // falls back to the row-level plan (COW or MOR) on false, so
+  // misaligned deletes keep exact row semantics automatically. At
+  // 100 TB this is how `DELETE WHERE day < retention` stays O(metadata).
+  private def tablePath: Option[String] = Option(properties.get("path"))
+
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    tablePath.exists { p =>
+      val dir = new Path(p)
+      val fs = dir.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+      val lines = ManifestFiles.latestLines(fs, dir)
+      ManifestSink.partitionByMatch(filters, schema0, lines)._3.isEmpty
+    }
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val p = tablePath.getOrElse(throw new IllegalArgumentException(
+      "graft-manifest metadata delete needs a table path"))
+    val dir = new Path(p)
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val fs = dir.getFileSystem(conf)
+    ManifestFiles.publishSnapshot(fs, conf, dir, previous => {
+      // Re-prove against the CLAIM-TIME predecessor: a commit that
+      // landed between canDeleteWhere and here may have broken the
+      // alignment — failing loudly beats deleting rows approximately.
+      val (drop, _, mixed) =
+        ManifestSink.partitionByMatch(filters, schema0, previous)
+      if (mixed.nonEmpty) throw new IllegalStateException(
+        s"graft-manifest metadata delete: concurrent commit broke " +
+          s"predicate/file alignment (e.g. ${mixed.head}); retry the DELETE")
+      previous.filterNot(line =>
+        ManifestSink.entryName(line).exists(drop.contains))
+    }, schema0)
+  }
+
+  // `_file` = the manifest entry name a row came from; `_pos` = the
+  // row's ordinal within that file. Both user-queryable metadata
+  // columns; together they are the group identity for copy-on-write
+  // plans (`_file`) and the ROW identity for merge-on-read delta plans
+  // (`_file`, `_pos`).
   override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = "_file"
-      override def dataType(): org.apache.spark.sql.types.DataType =
-        org.apache.spark.sql.types.StringType
-      override def isNullable: Boolean = false
-    })
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_file"
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.StringType
+        override def isNullable: Boolean = false
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_pos"
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false
+      })
 
   // DELETE FROM / UPDATE / MERGE INTO, group-based COPY_ON_WRITE (the
   // same DSv2 seam Iceberg plugs): Spark plans a ReplaceData — scan the
@@ -143,7 +217,13 @@ private[sources] class ManifestTable(schema0: StructType,
       throw new IllegalArgumentException(
         "graft-manifest row-level operations need the table resolved " +
           "through GraftManifestCatalog (no path property present)"))
-    () => new ManifestRowLevelOperation(info.command(), path, schema0)
+    // merge-on-read tables (`TBLPROPERTIES('delete.mode'='merge-on-read')`)
+    // take the DELTA path: positional delete files instead of rewriting
+    // whole data files (ManifestDelta.scala)
+    if (Option(properties.get("delete.mode")).contains("merge-on-read"))
+      () => new ManifestDeltaOperation(info.command(), path, schema0)
+    else
+      () => new ManifestRowLevelOperation(info.command(), path, schema0)
   }
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = java.util.EnumSet.of(TableCapability.BATCH_WRITE,

@@ -249,6 +249,18 @@ object ManifestFiles {
 
   def droppedLine(pos: Int): String = s"#tableconf,dropped,$pos"
 
+  /** `#tableconf,deletemode,merge-on-read` — row-level ops on this table
+    * write positional DELETE FILES (`#dels,<file>` lines referencing
+    * `(dataFile, ordinal)` pair lists) instead of rewriting data files. */
+  val MergeOnReadLine = "#tableconf,deletemode,merge-on-read"
+
+  def isMergeOnRead(lines: Array[String]): Boolean =
+    lines.contains(MergeOnReadLine)
+
+  /** Names of this snapshot's positional delete files. */
+  def deleteFilesFromLines(lines: Array[String]): Array[String] =
+    lines.filter(_.startsWith("#dels,")).map(_.split(",", 2)(1))
+
   /** (bucket colPos, n, sort colPos) declared by DDL, if any. */
   def tableConf(fs: FileSystem, dir: Path,
       version: Option[Int]): Option[(Int, Int, Option[Int])] =
@@ -430,14 +442,25 @@ object ManifestFiles {
     * not pure appends — a COW rewrite inside the range would otherwise
     * surface rewritten rows as if they were new data. */
   def addedBetween(fs: FileSystem, dir: Path, from: Int, to: Int): Array[String] = {
-    def names(v: Int): Set[String] =
-      if (v <= 0) Set.empty else entries(fs, dir, Some(v)).map(_._1).toSet
-    val before = names(from)
-    val after = names(to)
+    def linesAt(v: Int): Array[String] =
+      if (v <= 0) Array.empty else linesOf(fs, dir, Some(v))
+    val beforeLines = linesAt(from)
+    val afterLines = linesAt(to)
+    val before = entriesFromLines(beforeLines).map(_._1).toSet
+    val after = entriesFromLines(afterLines).map(_._1).toSet
     val removed = before -- after
     if (removed.nonEmpty) throw new IllegalStateException(
       s"graft-manifest at $dir: versions $from..$to are not pure " +
         s"appends (${removed.size} entries unlisted, e.g. ${removed.head}); " +
+        "incremental reads require append-only history")
+    // Merge-on-read deletes arriving inside the range are invisible to a
+    // file-level tail — failing loudly beats silently re-surfacing
+    // deleted rows downstream (the Delta streaming-source default).
+    val newDels = deleteFilesFromLines(afterLines).toSet --
+      deleteFilesFromLines(beforeLines).toSet
+    if (newDels.nonEmpty) throw new IllegalStateException(
+      s"graft-manifest at $dir: versions $from..$to apply merge-on-read " +
+        s"deletes (${newDels.size} delete files, e.g. ${newDels.head}); " +
         "incremental reads require append-only history")
     (after -- before).toArray.sorted
   }
@@ -687,6 +710,70 @@ private[sources] object ManifestSkip {
       case StringStartsWith(c, p) =>
         // strings with prefix p all sort >= p: max < p proves no match
         valuePred(c, p)((nv, _, mx) => cmp(mx, nv) < 0)
+      case AlwaysFalse() => true
+      case _ => false
+    }
+  }
+
+  /** DUAL of [[canSkip]]: true iff `filter` provably matches EVERY row
+    * of the file — the proof metadata-only DELETE rests on (a file whose
+    * rows all match is dropped from the snapshot; one that provably has
+    * no match is kept; anything in between falls back to a row-level
+    * plan). Sound under truncated string bounds: truncation only WIDENS
+    * [min,max], and every proof here is an interval-containment claim
+    * over that widened interval. Value predicates additionally require a
+    * null-free column (NULL never satisfies a comparison, so one null
+    * row breaks all-match). Strictly conservative like its twin. */
+  def provesAllMatch(filter: Filter, schema: StructType,
+      stats: Option[ManifestFiles.FileStats], rows: Option[Long]): Boolean = {
+    val st = stats.getOrElse(return false)
+    def colDt(c: String): Option[DataType] =
+      fieldIndex(schema, c).map(schema(_).dataType)
+    def withBounds(c: String, v: Any)(
+        prove: (Any, Any, Any) => Boolean): Boolean =
+      bounds(schema, st, c).exists {
+        case (Some(mn), Some(mx), 0L) =>
+          colDt(c).flatMap(dt => normalize(dt, v)).exists(nv => prove(nv, mn, mx))
+        case _ => false
+      }
+    filter match {
+      case And(l, r) => provesAllMatch(l, schema, stats, rows) &&
+        provesAllMatch(r, schema, stats, rows)
+      // sufficient, not complete: one branch covering every row is enough
+      case Or(l, r) => provesAllMatch(l, schema, stats, rows) ||
+        provesAllMatch(r, schema, stats, rows)
+      case EqualTo(c, v) =>
+        withBounds(c, v)((nv, mn, mx) => cmp(mn, nv) == 0 && cmp(mx, nv) == 0)
+      case EqualNullSafe(c, null) =>
+        bounds(schema, st, c).exists { case (_, _, nulls) =>
+          rows.exists(r => r > 0 && nulls == r) }
+      case EqualNullSafe(c, v) =>
+        withBounds(c, v)((nv, mn, mx) => cmp(mn, nv) == 0 && cmp(mx, nv) == 0)
+      case GreaterThan(c, v) => withBounds(c, v)((nv, mn, _) => cmp(mn, nv) > 0)
+      case GreaterThanOrEqual(c, v) =>
+        withBounds(c, v)((nv, mn, _) => cmp(mn, nv) >= 0)
+      case LessThan(c, v) => withBounds(c, v)((nv, _, mx) => cmp(mx, nv) < 0)
+      case LessThanOrEqual(c, v) =>
+        withBounds(c, v)((nv, _, mx) => cmp(mx, nv) <= 0)
+      case In(c, vs) if vs != null && vs.nonEmpty =>
+        // every row equals ONE value the set contains
+        vs.exists(v => v != null && provesAllMatch(EqualTo(c, v), schema, stats, rows))
+      case IsNull(c) =>
+        bounds(schema, st, c).exists { case (_, _, nulls) =>
+          rows.exists(r => r > 0 && nulls == r) }
+      case IsNotNull(c) =>
+        bounds(schema, st, c).exists { case (_, _, nulls) => nulls == 0L }
+      case StringStartsWith(c, p) =>
+        // both bounds start with p ⇒ every value in [min,max] does (a
+        // byte diverging from p inside the prefix window exits the
+        // interval on one side or the other)
+        bounds(schema, st, c).exists {
+          case (Some(mn: UTF8String), Some(mx: UTF8String), 0L) =>
+            val pb = UTF8String.fromString(p)
+            mn.startsWith(pb) && mx.startsWith(pb)
+          case _ => false
+        }
+      case AlwaysTrue() => true
       case _ => false
     }
   }
@@ -935,7 +1022,9 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
     // runtimeKeyPrune == false marks a row-level COPY_ON_WRITE scan:
     // reporting a layout there serves nothing (the replacing write has
     // its own distribution) and must not interact with group filtering.
-    if (kept.isEmpty || changes.nonEmpty || !runtimeKeyPrune) None
+    // A snapshot with merge-on-read deletes degrades to per-file splits:
+    // bucket splits cannot carry per-file delete vectors.
+    if (kept.isEmpty || changes.nonEmpty || !runtimeKeyPrune || hasDeletes) None
     else {
       val perFile = kept.map(bucketIds.get)
       if (perFile.exists(_.isEmpty)) None
@@ -1020,6 +1109,27 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
           staticPlan._1.length)
     }
 
+  /** file → sorted deleted ordinals, from this snapshot's `#dels` delete
+    * files (merge-on-read row-level ops). Metadata-scale driver I/O:
+    * delete files hold (file, pos) pairs, read once per scan. */
+  private lazy val deleteMap: Map[String, Array[Long]] = {
+    val dels = snapshotLines.filter(_.startsWith("#dels,"))
+      .map(_.split(",", 2)(1))
+    if (dels.isEmpty) Map.empty
+    else {
+      val fs = dir.getFileSystem(conf.value)
+      dels.flatMap { dn =>
+        ManifestFiles.readManifest(fs, new Path(dir, dn)).map { line =>
+          val i = line.lastIndexOf(',')
+          (line.substring(0, i), line.substring(i + 1).toLong)
+        }
+      }.groupBy(_._1).map { case (f, ps) =>
+        f -> ps.map(_._2).distinct.sorted.toArray
+      }
+    }
+  }
+  private[sources] def hasDeletes: Boolean = deleteMap.nonEmpty
+
   override def planInputPartitions(): Array[InputPartition] = {
     val (kept, rows, stats) = staticPlan
     val afterGroup = allowedFiles.fold(kept)(ok => kept.filter(ok))
@@ -1038,14 +1148,15 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
       case Some((_, n)) =>
         val byBucket = names.groupBy(f => bucketIds(f)._3)
         // all n splits, aligned 0..n-1 on both join sides (a bucket with
-        // no surviving files is an EMPTY split, not a missing one)
+        // no surviving files is an EMPTY split, not a missing one);
+        // per-file deletes ride through the inner single-file readers
         (0 until n).map { b =>
           ManifestBucketPartition(b, byBucket.getOrElse(b, Array.empty)
             .map(f => (new Path(dir, f).toString, f))): InputPartition
         }.toArray
       case None =>
-        names.map(n =>
-          ManifestInputPartition(new Path(dir, n).toString, n)).toArray
+        names.map(n => ManifestInputPartition(new Path(dir, n).toString, n,
+          deleteMap.getOrElse(n, Array.empty))).toArray
     }
   }
 
@@ -1080,7 +1191,10 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
     // the pushed filters ride along for parquet ROW-GROUP skipping
     // inside each surviving file
     new ManifestReaderFactory(fullSchema, required, conf,
-      columnar = columnar.getOrElse(allParquet) && bucketLayout.isEmpty,
+      // merge-on-read deletes force row reads (the batch paths carry no
+      // delete vectors) — scan-level, so the answer stays uniform
+      columnar = columnar.getOrElse(allParquet) && bucketLayout.isEmpty &&
+        !hasDeletes,
       filters = skipFilters, parquetOnly = allParquet)
 
   override def toMicroBatchStream(checkpointLocation: String):
@@ -1149,7 +1263,10 @@ private[sources] class ManifestMicroBatchStream(path: String,
   override def stop(): Unit = ()
 }
 
-private[sources] case class ManifestInputPartition(file: String, name: String)
+private[sources] case class ManifestInputPartition(file: String, name: String,
+    // sorted row ordinals DELETED from this file by merge-on-read delete
+    // files (empty for copy-on-write-only history)
+    deletes: Array[Long] = Array.empty)
   extends InputPartition
 
 /** One bucket of a bucketed snapshot: every file whose rows satisfy
@@ -1178,6 +1295,7 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
 
   override def supportColumnarReads(p: InputPartition): Boolean =
     columnar && p.isInstanceOf[ManifestInputPartition] &&
+      !required.fieldNames.contains("_pos") &&
       required.fields.forall(f =>
         if (parquetOnly) ManifestColumnarReader.parquetSupports(f.dataType)
         else ManifestColumnarReader.supports(f.dataType))
@@ -1203,6 +1321,9 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
               cur = null
               if (!files.hasNext) return false
               val (f, n) = files.next()
+              // bucket splits only plan when the snapshot has NO
+              // merge-on-read deletes (bucketLayout degrades), so the
+              // inner single-file partitions carry none
               cur = createReader(ManifestInputPartition(f, n))
             }
             true
@@ -1225,9 +1346,11 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
     // CSV slot = the field's PHYSICAL position (== its index until a
     // DROP diverges them); parse only required. Index -1 = the `_file`
     // metadata column (this partition's manifest entry name — the group
-    // identity row-level COW plans join on).
+    // identity row-level COW plans join on); -2 = `_pos` (the row's
+    // ordinal in its file — the row identity delta plans key on).
     val picks: Array[(Int, DataType)] = required.fields.map { f =>
       if (f.name == "_file") (-1, StringType)
+      else if (f.name == "_pos") (-2, LongType)
       else (ManifestFiles.physPos(fullSchema,
         fullSchema.fieldIndex(f.name)), f.dataType)
     }
@@ -1243,7 +1366,19 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
       else -1
     new PartitionReader[InternalRow] {
       private var line: String = _
-      override def next(): Boolean = { line = reader.readLine(); line != null }
+      private var ordinal = -1L
+      private val dels = part.deletes
+      private var di = 0
+      override def next(): Boolean = {
+        while ({ line = reader.readLine(); line != null }) {
+          ordinal += 1
+          // merge-on-read: rows whose ordinal a delete file lists are
+          // invisible (dels is sorted; di only moves forward)
+          while (di < dels.length && dels(di) < ordinal) di += 1
+          if (di >= dels.length || dels(di) != ordinal) return true
+        }
+        false
+      }
       override def get(): InternalRow = {
         val cols = splitCsv(line, splitLimit)
         val out = new GenericInternalRow(picks.length)
@@ -1254,6 +1389,7 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
           // after this file was written — old rows surface NULL.
           out.update(i,
             if (src == -1) fileName
+            else if (src == -2) ordinal
             else if (src >= cols.length) null
             else parse(cols(src), dt))
           i += 1
@@ -1439,6 +1575,12 @@ class GraftManifestCatalog extends TableCatalog
     props.put("path", dir.toString)
     version.foreach(v => props.put("versionAsOf", v.toString))
     val schema = ManifestFiles.schemaFor(f, dir, version)
+    if (ManifestFiles.isMergeOnRead(
+        ManifestFiles.linesOf(f, dir, version.orElse {
+          val v = ManifestFiles.latestComplete(f, dir)
+          if (v > 0) Some(v) else None
+        })))
+      props.put("delete.mode", "merge-on-read")
     // DDL-declared layout rides into the write path as properties
     // (positions are PHYSICAL — resolve to the current field, if live)
     ManifestFiles.tableConf(f, dir, version).foreach { case (pos, n, sp) =>
@@ -1504,10 +1646,16 @@ class GraftManifestCatalog extends TableCatalog
         "graft-manifest supports PARTITIONED BY (bucket(n, col)) only, " +
           s"got ${other.mkString(", ")}")
     }
+    val mor = Option(properties.get("delete.mode")) match {
+      case Some("merge-on-read") => Array(ManifestFiles.MergeOnReadLine)
+      case Some("copy-on-write") | None => Array.empty[String]
+      case Some(other) => throw new IllegalArgumentException(
+        s"delete.mode must be 'copy-on-write' or 'merge-on-read', got '$other'")
+    }
     ManifestFiles.publishSnapshot(f,
       SparkSession.active.sessionState.newHadoopConf(), dir,
       _ => bucket.map { case (pos, n) =>
-        ManifestFiles.tableConfLine(pos, n, None) }.toArray,
+        ManifestFiles.tableConfLine(pos, n, None) }.toArray ++ mor,
       schema)
     load(ident, None)
   }
@@ -1834,16 +1982,22 @@ private[sources] object ManifestProcedures {
       val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
       val versions = ManifestFiles.versions(fs, dir).sorted
       val (dropped, kept) = versions.splitAt(math.max(0, versions.length - retain))
-      val referenced = kept.flatMap(v =>
-        ManifestFiles.entries(fs, dir, Some(v)).map(_._1)).toSet
+      val referenced = kept.flatMap { v =>
+        val lines = ManifestFiles.linesOf(fs, dir, Some(v))
+        ManifestFiles.entriesFromLines(lines).map(_._1) ++
+          ManifestFiles.deleteFilesFromLines(lines) // MOR delete files live too
+      }.toSet
       dropped.foreach { v =>
         fs.delete(new Path(dir, s"_MANIFEST.v$v"), false)
         fs.delete(new Path(dir, s"_SCHEMA.v$v"), false)
       }
       val removed = fs.listStatus(dir).count { st =>
         val n = st.getPath.getName
-        st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+        val dead = st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
           !referenced.contains(n) && fs.delete(st.getPath, false)
+        // ChecksumFileSystem sidecars ride along with their data file
+        if (dead) fs.delete(new Path(dir, s".$n.crc"), false)
+        dead
       }
       // Crashed committers leave orphan temp files (`._claim-*` /
       // `._publish-*`); racing a LIVE commit is harmless — its claim

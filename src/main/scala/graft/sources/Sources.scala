@@ -730,9 +730,71 @@ object Sources extends QueryModule {
         AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
       GROUP BY 1 ORDER BY 1"""))
 
+  /** MERGE-ON-READ row-level ops end to end (round 11; ManifestDelta
+    * .scala — DSv2 `SupportsDelta`, positional delete files, row id =
+    * `(_file, _pos)`): the SAME delete-the-negatives + merge-a-feed
+    * pipeline as q219, on a `delete.mode=merge-on-read` table — so the
+    * oracle is the identical relational recompute, and a hash match
+    * proves MOR ≡ COW semantics while the storage story is inverted:
+    * the DELETE and the MERGE's update half write KB-scale delete files
+    * and fresh insert files, never rewriting seeded data (spec pins the
+    * untouched-files invariant; at 100 TB that is the difference
+    * between a metadata append and rewriting every hit file). Scans
+    * apply the delete vectors at plan time; `compact` materializes them
+    * when read amplification ever warrants it. */
+  val qManifestMergeOnRead: QueryDef = QueryDef(
+    "q238_manifest_merge_on_read",
+    (s, d) => {
+      import s.implicits._
+      val cat = "graft_mor_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val root = tmp(d, "manifest_mor")
+      val dir = new org.apache.hadoop.fs.Path(root)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"""CREATE TABLE $cat.accounts
+        (c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE)
+        TBLPROPERTIES('delete.mode'='merge-on-read')""")
+      val cust = Tables.df(s, d, "customer")
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+      cust.filter($"c_custkey" % 7 === 0)
+        .write.mode("append").format("graft-manifest")
+        .option("path", s"$root/accounts").save()
+      s.sql(s"DELETE FROM $cat.accounts WHERE c_acctbal < 0")
+      cust.filter($"c_custkey" % 5 === 0)
+        .withColumn("c_acctbal", $"c_acctbal" + lit(1000.0))
+        .createOrReplaceTempView("q238_src")
+      s.sql(s"""
+        MERGE INTO $cat.accounts AS t USING q238_src AS s
+        ON t.c_custkey = s.c_custkey
+        WHEN MATCHED THEN UPDATE SET c_acctbal = s.c_acctbal
+        WHEN NOT MATCHED THEN
+          INSERT (c_custkey, c_name, c_acctbal)
+          VALUES (s.c_custkey, s.c_name, s.c_acctbal)""")
+      s.sql(s"SELECT c_custkey, c_name, c_acctbal FROM $cat.accounts " +
+        "ORDER BY c_custkey")
+    },
+    Some("""
+      WITH survivors AS (
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        WHERE c_custkey % 7 = 0 AND NOT (c_acctbal < 0)),
+      feed AS (
+        SELECT c_custkey, c_name, c_acctbal + 1000.0 AS c_acctbal
+        FROM customer WHERE c_custkey % 5 = 0)
+      SELECT t.c_custkey, t.c_name,
+             CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+                  ELSE t.c_acctbal END AS c_acctbal
+      FROM survivors t LEFT JOIN feed s ON t.c_custkey = s.c_custkey
+      UNION ALL
+      SELECT s.c_custkey, s.c_name, s.c_acctbal
+      FROM feed s
+      WHERE s.c_custkey NOT IN (SELECT c_custkey FROM survivors)
+      ORDER BY c_custkey"""))
+
   override def defs: Seq[QueryDef] =
     Seq(qCsv, qJson, qOrc, qText, qPartitioned, qSynthSource, qSynthColumnar,
       qSchemaEvolution, qManifestTimeTravel, qManifestMerge, qManifestStream,
       qManifestSkipping, qXml, qBinaryFile, qZOrder, qSpjJoin, qBucketedJoin,
-      qManifestParquetMixed, qManifestEvolution, qManifestTyped)
+      qManifestParquetMixed, qManifestEvolution, qManifestTyped,
+      qManifestMergeOnRead)
 }
