@@ -59,10 +59,22 @@ object Kernels {
     if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
+  /** Dot product over float vectors — same null-element policy as
+    * [[cosineF]] (null contributes 0; UnsafeArrayData fast path skips
+    * the per-element check, its float slots are never null-marked). */
   def dotF(x: ArrayData, y: ArrayData): Double = {
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var i = 0
-    while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    if (x.isInstanceOf[org.apache.spark.sql.catalyst.expressions.UnsafeArrayData] &&
+        y.isInstanceOf[org.apache.spark.sql.catalyst.expressions.UnsafeArrayData]) {
+      while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    } else {
+      while (i < n) {
+        val a = if (x.isNullAt(i)) 0.0 else x.getFloat(i).toDouble
+        val b = if (y.isNullAt(i)) 0.0 else y.getFloat(i).toDouble
+        dot += a * b; i += 1
+      }
+    }
     dot
   }
 

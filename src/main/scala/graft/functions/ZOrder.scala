@@ -46,6 +46,14 @@ object ZOrder {
         conv(hex(substring(
           concat(encode(col(c), "UTF-8"), lit(Array.fill[Byte](8)(0))),
           1, 8)), 16, 10).cast("double")
+      // temporals: their internal representation (days / micros) — a
+      // direct cast to double is not a legal Spark cast for these
+      case org.apache.spark.sql.types.DateType =>
+        unix_date(col(c)).cast("double")
+      case org.apache.spark.sql.types.TimestampType =>
+        unix_micros(col(c)).cast("double")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(to_timestamp(col(c))).cast("double")
       case _ => col(c).cast("double")
     }
 

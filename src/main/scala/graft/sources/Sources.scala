@@ -791,10 +791,54 @@ object Sources extends QueryModule {
       WHERE s.c_custkey NOT IN (SELECT c_custkey FROM survivors)
       ORDER BY c_custkey"""))
 
+  /** METADATA-ONLY DELETE end to end (round 11; `SupportsDelete` +
+    * `ManifestSkip.provesAllMatch` — Iceberg's partition-aligned delete
+    * generalized to stats-aligned): orders land one-file-per-priority
+    * (each file's min == max on the delete column), so `DELETE WHERE
+    * o_orderpriority = '1-URGENT'` proves every file all-match or
+    * none-match and becomes a PURE SNAPSHOT EDIT — no scan, no write,
+    * no delete files (ManifestMetadataDeleteSpec pins the no-new-files
+    * invariant; misaligned predicates auto-fall-back to the row-level
+    * plan). The oracle recomputes the survivors from raw orders — an
+    * over- or under-dropped file fails the hash. At 100 TB this is the
+    * retention idiom: `DELETE WHERE day < cutoff` on a day-laid table
+    * is O(metadata), not O(data). */
+  val qMetadataDelete: QueryDef = QueryDef(
+    "q239_manifest_metadata_delete",
+    (s, d) => {
+      import s.implicits._
+      val root = tmp(d, "manifest_mdel")
+      val dir = new org.apache.hadoop.fs.Path(root)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      val cat = "graft_mdl_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val src = Tables.df(s, d, "orders")
+        .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+      val priorities = src.select($"o_orderpriority").distinct()
+        .as[String].collect().sorted
+      priorities.foreach { pr =>
+        src.filter($"o_orderpriority" === pr).coalesce(1)
+          .write.mode("append").format("graft-manifest")
+          .option("path", s"$root/t").save()
+      }
+      s.sql(s"DELETE FROM $cat.t WHERE o_orderpriority = '1-URGENT'")
+      s.sql(s"""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 AS total
+        FROM $cat.t GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    },
+    Some("""
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM orders WHERE o_orderpriority <> '1-URGENT'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   override def defs: Seq[QueryDef] =
     Seq(qCsv, qJson, qOrc, qText, qPartitioned, qSynthSource, qSynthColumnar,
       qSchemaEvolution, qManifestTimeTravel, qManifestMerge, qManifestStream,
       qManifestSkipping, qXml, qBinaryFile, qZOrder, qSpjJoin, qBucketedJoin,
       qManifestParquetMixed, qManifestEvolution, qManifestTyped,
-      qManifestMergeOnRead)
+      qManifestMergeOnRead, qMetadataDelete)
 }

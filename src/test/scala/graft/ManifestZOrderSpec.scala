@@ -149,6 +149,36 @@ class ManifestZOrderSpec extends AnyFunSuite {
       .agg(count(lit(1)), sum($"v")).collect()(0) == beforeAgg)
   }
 
+  test("z-order over a DATE + numeric pair: the retention layout " +
+    "(day, key) skips on both dimensions") {
+    import spark.implicits._
+    val root = tmpDir()
+    val path = s"$root/dgrid"
+    spark.range(10000)
+      .select(date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+          ($"id" % 100).cast("int")).as("day"),
+        ($"id" / 100).as("k"), $"id".as("v"))
+      .orderBy(md5(concat_ws(",", $"day", $"k")))
+      .repartition(8)
+      .write.mode("append").format("graft-manifest").option("path", path).save()
+    def live() =
+      spark.read.format("graft-manifest").option("path", path).load()
+    val cat = register(path)
+    spark.sql(s"CALL $cat.system.compact('dgrid', 16, 'day,k')").collect()
+    val qd = live().filter($"day" < java.sql.Date.valueOf("2024-01-11"))
+      .agg(sum($"v"))
+    qd.collect()
+    assert(metric(qd, "filesListed") == 16L)
+    assert(metric(qd, "filesSkipped") >= 8L,
+      s"date slice skipped only ${metric(qd, "filesSkipped")} of 16")
+    val qk = live().filter($"k" < 10).agg(sum($"v"))
+    qk.collect()
+    assert(metric(qk, "filesSkipped") >= 8L,
+      s"numeric slice skipped only ${metric(qk, "filesSkipped")} of 16")
+    // exactness
+    assert(live().agg(sum($"v")).head().getLong(0) == (0L until 10000L).sum)
+  }
+
   test("z-order bucket/interleave helpers are order-preserving per " +
     "column and bounded") {
     import spark.implicits._
