@@ -115,11 +115,12 @@ object ManifestFiles {
     * (`sql/core/.../SparkOptimizer.scala:33-37`,
     * `.../parquet/ParquetFileFormat.scala:51`) lifted to the FILE level —
     * Iceberg-class manifest stats: a pushed predicate can prove a file
-    * irrelevant before it is ever opened. Keys are positional (rows are
-    * positional CSV), so RENAME COLUMN keeps stats valid; a column added
-    * by ALTER TABLE has no stats in pre-evolution files (never skipped);
-    * values are Base64 of the data CSV's own `String.valueOf` encoding,
-    * so no comma/colon escaping issues arise. Files committed before
+    * irrelevant before it is ever opened. Keys are PHYSICAL positions
+    * (CSV slot / parquet `c<pos>` name), so RENAME COLUMN keeps stats
+    * valid; a column added by ALTER TABLE has no stats in pre-evolution
+    * files (never skipped); values are Base64 of the field's
+    * `String.valueOf` (whatever the payload format), so no comma/colon
+    * escaping issues arise. Files committed before
     * this feature simply have no `#stats` line and are never skipped. */
   def statsFromLines(lines: Array[String]): Map[String, FileStats] =
     lines.filter(_.startsWith("#stats,")).flatMap(parseStatsLine).toMap
@@ -1684,6 +1685,7 @@ class GraftManifestCatalog extends TableCatalog
     val priorLines = ManifestFiles.latestLines(f, dir)
     var dropped = ManifestFiles.droppedFromLines(priorLines)
     var newDropLines = List.empty[String]
+    var morFlip: Option[Boolean] = None
     def nextPos: Int =
       (schema.indices.map(ManifestFiles.physPos(schema, _)) ++ dropped)
         .foldLeft(-1)(math.max) + 1
@@ -1742,14 +1744,36 @@ class GraftManifestCatalog extends TableCatalog
             .filterNot(_._2 == idx)
             .map { case (fd, i) => withGpos(fd, ManifestFiles.physPos(schema, i)) })
         }
+      case sp: TableChange.SetProperty if sp.property == "delete.mode" =>
+        // switch row-level strategy in place: MOR adds the #tableconf
+        // line, COW removes it (existing delete files keep applying —
+        // only FUTURE ops change shape)
+        sp.value match {
+          case "merge-on-read" => morFlip = Some(true)
+          case "copy-on-write" => morFlip = Some(false)
+          case other => throw new IllegalArgumentException(
+            s"delete.mode must be 'copy-on-write' or 'merge-on-read', " +
+              s"got '$other'")
+        }
       case other => throw new UnsupportedOperationException(
         "graft-manifest supports ADD COLUMN (appended, nullable), " +
-          s"RENAME COLUMN, and DROP COLUMN only, got $other")
+          "RENAME COLUMN, DROP COLUMN, and SET " +
+          s"TBLPROPERTIES('delete.mode') only, got $other")
     }
     val drops = newDropLines.reverse.toArray
     ManifestFiles.publishSnapshot(f,
       SparkSession.active.sessionState.newHadoopConf(), dir,
-      previous => previous ++ drops.filterNot(previous.contains), schema)
+      previous => {
+        val base = morFlip match {
+          case Some(true) =>
+            previous.filterNot(_ == ManifestFiles.MergeOnReadLine) :+
+              ManifestFiles.MergeOnReadLine
+          case Some(false) =>
+            previous.filterNot(_ == ManifestFiles.MergeOnReadLine)
+          case None => previous
+        }
+        base ++ drops.filterNot(base.contains)
+      }, schema)
     load(ident, None)
   }
 

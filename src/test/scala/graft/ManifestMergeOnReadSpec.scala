@@ -138,6 +138,34 @@ class ManifestMergeOnReadSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 90L)
   }
 
+  test("ALTER TABLE SET TBLPROPERTIES flips the delete mode in place") {
+    import spark.implicits._
+    val (cat, root) = freshCat()
+    // start as plain COW (no property), upgrade to MOR
+    spark.range(0, 40).select($"id".as("k"), ($"id" % 4).as("m"),
+        lit("x").as("s"))
+      .coalesce(1).write.mode("append").format("graft-manifest")
+      .option("path", s"$root/t").save()
+    spark.sql(
+      s"ALTER TABLE $cat.t SET TBLPROPERTIES('delete.mode'='merge-on-read')")
+    val files = dataFiles(s"$root/t")
+    spark.sql(s"DELETE FROM $cat.t WHERE m = 1") // misaligned → delta path
+    assert(dataFiles(s"$root/t") == files,
+      "after the flip, deletes must be merge-on-read")
+    assert(delFiles(s"$root/t").nonEmpty)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 30L)
+    // and back to copy-on-write: the next delete rewrites
+    spark.sql(
+      s"ALTER TABLE $cat.t SET TBLPROPERTIES('delete.mode'='copy-on-write')")
+    spark.sql(s"DELETE FROM $cat.t WHERE m = 2")
+    assert(dataFiles(s"$root/t") != files,
+      "after flipping back, deletes rewrite data files again")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 20L)
+    // rows deleted under MOR stay deleted across the flip
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t WHERE m = 1")
+      .head().getLong(0) == 0L)
+  }
+
   test("incremental reads refuse a range containing merge-on-read " +
     "deletes; _pos is selectable") {
     val (cat, root) = freshCat()
