@@ -138,6 +138,30 @@ class ManifestMergeOnReadSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 90L)
   }
 
+  test("concurrent merge-on-read deletes both survive the optimistic " +
+    "rebase (no lost delete vectors)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val (cat, root) = freshCat()
+    morTable(cat)
+    // two committers race: publishSnapshot's claim loop rebases the
+    // loser onto the winner's snapshot, so BOTH #dels lines must land
+    val fs = Seq("m = 2", "m = 8").map { pred =>
+      Future(spark.sql(s"DELETE FROM $cat.t WHERE $pred"))
+    }
+    fs.foreach(Await.result(_, 120.seconds))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 80L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t WHERE m IN (2, 8)")
+      .head().getLong(0) == 0L)
+    val hfs = new org.apache.hadoop.fs.Path(s"$root/t")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lines = ManifestFiles.latestLines(hfs,
+      new org.apache.hadoop.fs.Path(s"$root/t"))
+    assert(ManifestFiles.deleteFilesFromLines(lines).length >= 2,
+      "both committers' delete files must be in the merged snapshot")
+  }
+
   test("ALTER TABLE SET TBLPROPERTIES flips the delete mode in place") {
     import spark.implicits._
     val (cat, root) = freshCat()
