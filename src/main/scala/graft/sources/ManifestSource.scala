@@ -1821,6 +1821,8 @@ class GraftManifestCatalog extends TableCatalog
       case "compact" => ManifestProcedures.compact(dirFor)
       case "vacuum" => ManifestProcedures.vacuum(dirFor)
       case "snapshots" => ManifestProcedures.snapshots(dirFor)
+      case "rewrite_position_deletes" =>
+        ManifestProcedures.rewritePositionDeletes(dirFor)
     }
   }
 }
@@ -1886,7 +1888,8 @@ private[sources] object ManifestProcedures {
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
   import org.apache.spark.unsafe.types.UTF8String
 
-  val names: Array[String] = Array("compact", "vacuum", "snapshots")
+  val names: Array[String] =
+    Array("compact", "vacuum", "snapshots", "rewrite_position_deletes")
 
   private def param(n: String, dt: org.apache.spark.sql.types.DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -1994,6 +1997,47 @@ private[sources] object ManifestProcedures {
       result(new StructType().add("version", IntegerType)
           .add("files_before", IntegerType).add("files_after", IntegerType),
         Array(ManifestFiles.latestVersion(fs, dir), before, after))
+    }
+
+  /** `rewrite_position_deletes(table)`: fold a snapshot's many small
+    * positional delete files (every DELETE/UPDATE task writes its own)
+    * into ONE, without touching any data file — the delete-side
+    * maintenance Iceberg ships for the same reason: a long-lived
+    * merge-on-read table otherwise pays one tiny file read per historic
+    * delete at every scan. Driver-side metadata work: delete files are
+    * (file, ordinal) pair lists, read once, deduped, rewritten sorted.
+    * The commit swaps the `#dels` lines atomically; old delete files
+    * age out via vacuum once no retained version references them. */
+  def rewritePositionDeletes(dirFor: String => Path): UnboundProcedure =
+    proc("rewrite_position_deletes", Array(param("table", StringType))) { input =>
+      val spark = SparkSession.active
+      val dir = dirFor(input.getUTF8String(0).toString)
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = dir.getFileSystem(conf)
+      var before = 0
+      var pairs = 0L
+      val merged = s"delete-merged-${java.util.UUID.randomUUID().toString.take(8)}.del"
+      ManifestFiles.publishSnapshot(fs, conf, dir, previous => {
+        val dels = ManifestFiles.deleteFilesFromLines(previous)
+        before = dels.length
+        if (dels.length <= 1) previous // nothing to fold; commit is a no-op version
+        else {
+          val all = dels.flatMap(dn =>
+            ManifestFiles.readManifest(fs, new Path(dir, dn)))
+            .distinct.sorted
+          pairs = all.length
+          val tmp = new Path(dir, s".$merged.tmp")
+          val out = fs.create(tmp, true)
+          try out.write((all.mkString("\n") + "\n").getBytes("UTF-8"))
+          finally out.close()
+          require(fs.rename(tmp, new Path(dir, merged)),
+            s"could not land merged delete file $merged")
+          previous.filterNot(_.startsWith("#dels,")) :+ s"#dels,$merged"
+        }
+      }, ManifestFiles.schemaFor(fs, dir, None))
+      result(new StructType().add("delete_files_before", IntegerType)
+          .add("delete_files_after", IntegerType).add("pairs", LongType),
+        Array(before, if (before <= 1) before else 1, pairs))
     }
 
   def vacuum(dirFor: String => Path): UnboundProcedure =

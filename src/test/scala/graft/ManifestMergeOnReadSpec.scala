@@ -126,6 +126,34 @@ class ManifestMergeOnReadSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*), sum(k) FROM $cat.t").head() == rowsAfter)
   }
 
+  test("rewrite_position_deletes folds many delete files into one " +
+    "without touching data; results unchanged; vacuum reclaims the rest") {
+    val (cat, root) = freshCat()
+    morTable(cat)
+    // three separate DELETEs → several per-task delete files
+    spark.sql(s"DELETE FROM $cat.t WHERE m = 1")
+    spark.sql(s"DELETE FROM $cat.t WHERE m = 4")
+    spark.sql(s"DELETE FROM $cat.t WHERE k >= 95")
+    val data = dataFiles(s"$root/t")
+    val delsBefore = delFiles(s"$root/t")
+    assert(delsBefore.size >= 3)
+    val expect = spark.sql(s"SELECT count(*), sum(k) FROM $cat.t").head()
+    val res = spark.sql(
+      s"CALL $cat.system.rewrite_position_deletes('t')").head()
+    assert(res.getInt(0) >= 3 && res.getInt(1) == 1, res.toString)
+    assert(dataFiles(s"$root/t") == data, "data files must be untouched")
+    val fs = new org.apache.hadoop.fs.Path(s"$root/t")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lines = ManifestFiles.latestLines(fs,
+      new org.apache.hadoop.fs.Path(s"$root/t"))
+    assert(ManifestFiles.deleteFilesFromLines(lines).length == 1)
+    assert(spark.sql(s"SELECT count(*), sum(k) FROM $cat.t").head() == expect)
+    // old delete files age out once no retained version references them
+    spark.sql(s"CALL $cat.system.vacuum('t', 1)").collect()
+    assert(delFiles(s"$root/t").size == 1)
+    assert(spark.sql(s"SELECT count(*), sum(k) FROM $cat.t").head() == expect)
+  }
+
   test("vacuum keeps delete files referenced by retained versions") {
     val (cat, root) = freshCat()
     morTable(cat)
