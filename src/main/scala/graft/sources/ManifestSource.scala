@@ -874,6 +874,8 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
   @volatile private var filesListed = 0L
   @volatile private var filesSkipped = 0L
   @volatile private var filesPlanned = 0L
+  @volatile private var deleteFilesApplied = 0L
+  @volatile private var deleteRowsApplied = 0L
 
   private def dir = new Path(path)
 
@@ -1144,6 +1146,10 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
     }
     filesSkipped += (afterGroup.length - names.length).toLong
     filesPlanned = names.length
+    if (deleteMap.nonEmpty) {
+      deleteFilesApplied = snapshotLines.count(_.startsWith("#dels,")).toLong
+      deleteRowsApplied = names.flatMap(deleteMap.get).map(_.length.toLong).sum
+    }
     onPlanned(names)
     bucketLayout match {
       case Some((_, n)) =>
@@ -1162,12 +1168,15 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
   }
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
-    Array(new FilesListedMetric, new FilesSkippedMetric, new FilesPlannedMetric)
+    Array(new FilesListedMetric, new FilesSkippedMetric, new FilesPlannedMetric,
+      new DeleteFilesAppliedMetric, new DeleteRowsAppliedMetric)
 
   override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     Array(driverMetric("filesListed", filesListed),
       driverMetric("filesSkipped", filesSkipped),
-      driverMetric("filesPlanned", filesPlanned))
+      driverMetric("filesPlanned", filesPlanned),
+      driverMetric("deleteFilesApplied", deleteFilesApplied),
+      driverMetric("deleteRowsApplied", deleteRowsApplied))
 
   private def driverMetric(n: String, v: Long) =
     new org.apache.spark.sql.connector.metric.CustomTaskMetric {
@@ -1220,6 +1229,16 @@ private[sources] class FilesPlannedMetric
     extends org.apache.spark.sql.connector.metric.CustomSumMetric {
   override def name(): String = "filesPlanned"
   override def description(): String = "manifest files read"
+}
+private[sources] class DeleteFilesAppliedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "deleteFilesApplied"
+  override def description(): String = "merge-on-read delete files applied"
+}
+private[sources] class DeleteRowsAppliedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "deleteRowsApplied"
+  override def description(): String = "merge-on-read row deletes applied"
 }
 
 /** Streaming read of the manifest table (the Delta streaming-source

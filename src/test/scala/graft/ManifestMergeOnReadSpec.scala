@@ -55,6 +55,24 @@ class ManifestMergeOnReadSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 90L)
     assert(spark.sql(s"SELECT count(*) FROM $cat.t WHERE m = 3")
       .head().getLong(0) == 0L)
+    // observable: the scan reports applied delete vectors (walk through
+    // AQE's stage wrappers to the final BatchScanExec)
+    val q = spark.sql(s"SELECT count(*) FROM $cat.t")
+    q.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val finalPlan = q.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def scansOf(p: SparkPlan): Seq[BatchScanExec] = p.collectWithSubqueries {
+      case b: BatchScanExec => Seq(b)
+      case st: QueryStageExec => scansOf(st.plan)
+    }.flatten
+    val applied = scansOf(finalPlan)
+      .flatMap(_.metrics.get("deleteRowsApplied")).map(_.value).sum
+    assert(applied == 10L, s"expected 10 applied row deletes, got $applied")
     val sums = spark.sql(s"SELECT sum(k) FROM $cat.t").head().getLong(0)
     assert(sums == (0L until 100L).filterNot(_ % 10 == 3).sum)
     // a second delete stacks (vectors merge at read)
