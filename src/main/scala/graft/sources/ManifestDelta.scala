@@ -39,7 +39,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * every DDL intent. Copy-on-write remains the default.
   */
 private[sources] class ManifestDeltaOperation(
-    cmd: RowLevelOperation.Command, path: String, tableSchema: StructType)
+    cmd: RowLevelOperation.Command, path: String, tableSchema: StructType,
+    // payload format of this table's data files ("parquet" default /
+    // "csv") — MOR insert files honor the same pinning any append does
+    tableFormat: String = "parquet")
     extends RowLevelOperation with SupportsDelta {
 
   override def command(): RowLevelOperation.Command = cmd
@@ -66,7 +69,9 @@ private[sources] class ManifestDeltaOperation(
           path, info.queryId(),
           if (tableSchema.nonEmpty) tableSchema else info.schema(),
           new SerializableHadoopConf(
-            SparkSession.active.sessionState.newHadoopConf()))
+            SparkSession.active.sessionState.newHadoopConf()),
+          // same precedence as any append: write option, then table pin
+          Option(info.options.get("format")).getOrElse(tableFormat))
       }
     }
 }
@@ -80,13 +85,14 @@ private[sources] case class DeltaCommitted(
   * lines. Nothing is ever dropped from the predecessor — that is the
   * whole point of merge-on-read. */
 private[sources] class ManifestDeltaBatchWrite(path: String, queryId: String,
-    schema: StructType, conf: SerializableHadoopConf) extends DeltaBatchWrite {
+    schema: StructType, conf: SerializableHadoopConf,
+    format: String = "parquet") extends DeltaBatchWrite {
 
   private val stagingName = s".staging-$queryId"
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DeltaWriterFactory =
-    new ManifestDeltaWriterFactory(path, stagingName, schema, conf)
+    new ManifestDeltaWriterFactory(path, stagingName, schema, conf, format)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
@@ -104,8 +110,29 @@ private[sources] class ManifestDeltaBatchWrite(path: String, queryId: String,
         Seq(s"$fin,$rows", ManifestFiles.statsLine(fin, bytes, stats))
       } ++ del.map(d => s"#dels,${land(d)}")
     }
-    ManifestFiles.publishSnapshot(fs, conf.value, dir,
-      previous => previous ++ fresh, schema)
+    // Data files the staged delete vectors point INTO (the Iceberg
+    // RowDelta validation): read once driver-side — delete files are
+    // KB-scale (file, ordinal) pair lists.
+    val referenced: Set[String] = fresh.filter(_.startsWith("#dels,"))
+      .map(_.split(",", 2)(1))
+      .flatMap(dn => ManifestFiles.readManifest(fs, new Path(dir, dn))
+        .map(l => l.substring(0, l.lastIndexOf(','))))
+      .toSet
+    ManifestFiles.publishSnapshot(fs, conf.value, dir, previous => {
+      // A concurrent compact / COPY_ON_WRITE rewrite landing between our
+      // MOR scan and this commit drops the files these ordinals index —
+      // appending the vectors anyway would silently no-op them and the
+      // deleted rows would resurface. Fail the commit (user retries
+      // against the rewritten snapshot) instead of losing the delete.
+      val live = ManifestFiles.entriesFromLines(previous).map(_._1).toSet
+      val gone = referenced -- live
+      if (gone.nonEmpty) throw new IllegalStateException(
+        s"graft-manifest at $path: merge-on-read commit references " +
+          s"${gone.size} data file(s) a concurrent commit rewrote or " +
+          s"removed (e.g. ${gone.head}); retry the operation against " +
+          "the current snapshot")
+      previous ++ fresh
+    }, schema)
     fs.delete(staging, true)
   }
 
@@ -117,7 +144,8 @@ private[sources] class ManifestDeltaBatchWrite(path: String, queryId: String,
 
 private[sources] class ManifestDeltaWriterFactory(path: String,
     stagingName: String, schema: StructType,
-    conf: SerializableHadoopConf) extends DeltaWriterFactory {
+    conf: SerializableHadoopConf,
+    format: String = "parquet") extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int,
       taskId: Long): DeltaWriter[InternalRow] =
@@ -129,7 +157,7 @@ private[sources] class ManifestDeltaWriterFactory(path: String,
       private var dataName: String = _
       private def data(): DataWriter[InternalRow] = {
         if (dataWriter == null) {
-          dataName = f"part-$partitionId%05d-$taskId.parquet.tmp"
+          dataName = f"part-$partitionId%05d-$taskId${ManifestWriters.ext(format)}.tmp"
           dataWriter = ManifestWriters.create(path, stagingName, dataName,
             schema, conf, injectFailure = false)
         }

@@ -221,9 +221,11 @@ private[sources] class ManifestTable(schema0: StructType,
     // take the DELTA path: positional delete files instead of rewriting
     // whole data files (ManifestDelta.scala)
     if (Option(properties.get("delete.mode")).contains("merge-on-read"))
-      () => new ManifestDeltaOperation(info.command(), path, schema0)
+      () => new ManifestDeltaOperation(info.command(), path, schema0,
+        Option(properties.get("format")).getOrElse("parquet"))
     else
-      () => new ManifestRowLevelOperation(info.command(), path, schema0)
+      () => new ManifestRowLevelOperation(info.command(), path, schema0,
+        Option(properties.get("format")).getOrElse("parquet"))
   }
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = java.util.EnumSet.of(TableCapability.BATCH_WRITE,
@@ -273,6 +275,18 @@ private[sources] class ManifestTable(schema0: StructType,
     val format = Option(info.options.get("format"))
       .orElse(Option(properties.get("format"))).getOrElse("parquet")
     ManifestWriters.ext(format)
+    // The CSV line payload carries primitives only; arrays / binary /
+    // nested types (round 12) are PARQUET-ONLY. Refuse at plan time —
+    // a task-side failure would leave staged garbage behind.
+    if (format == "csv")
+      info.schema().fields.find(f => !ManifestSkip.statsCapable(f.dataType))
+        .foreach { f =>
+          throw new UnsupportedOperationException(
+            s"graft-manifest csv payload cannot store column " +
+              s"'${f.name}' of type ${f.dataType.sql} — these are " +
+              "parquet-only types; drop the format=csv option/property " +
+              "(parquet is the default payload)")
+        }
     new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
       private var truncateRequested = false
       override def truncate(): WriteBuilder = { truncateRequested = true; this }
@@ -431,7 +445,10 @@ private[sources] class ManifestTable(schema0: StructType,
   * the operation builder stays cheap at analysis time. */
 private[sources] class ManifestRowLevelOperation(
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
-    path: String, tableSchema: StructType)
+    path: String, tableSchema: StructType,
+    // payload format of rewrite files — honors the table's pin the same
+    // way plain appends and the MOR delta path do
+    tableFormat: String = "parquet")
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
 
   @volatile private var scanned: Array[String] = Array.empty
@@ -457,7 +474,8 @@ private[sources] class ManifestRowLevelOperation(
           if (tableSchema.nonEmpty) tableSchema else info.schema(),
           truncate = false,
           new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
-          dropFromPrevious = () => scanned.toSet)
+          dropFromPrevious = () => scanned.toSet,
+          format = Option(info.options.get("format")).getOrElse(tableFormat))
       }
     }
 
@@ -699,7 +717,14 @@ private[sources] object ManifestWriters {
       override def commit(): WriterCommitMessage = {
         closeOut()
         val bytes = fs.getFileStatus(file).getLen
-        val stats = schema.indices.map { i =>
+        // Non-orderable columns (arrays / binary / structs — parquet
+        // payload only) get NO stats entry: bounds are meaningless and
+        // a (nulls, absent, absent) record would collide with the
+        // all-null pattern. Absent stats = never skipped, the format's
+        // standing conservative contract.
+        val stats = schema.indices
+          .filter(i => ManifestSkip.statsCapable(schema(i).dataType))
+          .map { i =>
           // String bounds truncate (Iceberg's prefix / prefix+increment
           // rule — ManifestFiles.truncLower/truncUpper) so the manifest
           // scales with file count, not value size; numerics are exact.

@@ -240,6 +240,17 @@ object ManifestFiles {
   def tableConfLine(colPos: Int, n: Int, sortPos: Option[Int]): String =
     s"#tableconf,bucket,$colPos,$n" + sortPos.fold("")("," + _)
 
+  /** Payload-format pin: `#tableconf,format,<parquet|csv>` — written by
+    * `CREATE TABLE … TBLPROPERTIES('format'='csv')`, re-surfaced as a
+    * table property at load so EVERY write path (INSERT INTO appends,
+    * COW rewrites, merge-on-read insert files) lands files in the pinned
+    * format without the writer passing options. Absent = parquet. */
+  def formatLine(f: String): String = s"#tableconf,format,$f"
+
+  def formatFromLines(lines: Array[String]): Option[String] =
+    lines.find(_.startsWith("#tableconf,format,"))
+      .map(_.stripPrefix("#tableconf,format,"))
+
   /** Retired physical positions: `#tableconf,dropped,<pos>` lines, one
     * per DROP COLUMN, accumulated forever (truncate preserves #tableconf
     * lines). A retired position is never reassigned — reusing it would
@@ -536,7 +547,8 @@ private[sources] object ManifestCsv {
         else throw new IllegalArgumentException(
           s"stored decimal '$s' exceeds ${d.sql}")
       case other => throw new UnsupportedOperationException(
-        s"graft-manifest read supports primitive column types, got $other")
+        s"graft-manifest csv payload supports primitive column types, " +
+          s"got $other — arrays/binary/nested types are parquet-only")
     }
 }
 
@@ -592,6 +604,20 @@ private[sources] object ManifestSkip {
     case _ => None
   }
 
+  /** Types with a recordable total order — the columns `#stats` carries
+    * bounds for. Non-capable columns (arrays, binary, structs — round
+    * 12's parquet-payload types) get NO ColStats entry at all: recording
+    * `(nulls, absent, absent)` for them would collide with the all-null
+    * pattern and let a value predicate "prove" a populated file empty.
+    * Absent column stats = the file is never skipped on that column. */
+  def statsCapable(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | DoubleType |
+         FloatType | BooleanType | StringType => true
+    case DateType | TimestampType | TimestampNTZType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
   /** Canonical-domain comparator — the SINGLE ordering both the writer's
     * streamed min/max tracking and the skip evaluator use (two copies
     * drifting apart is exactly how unsound skips are born). */
@@ -639,7 +665,11 @@ private[sources] object ManifestSkip {
 
   private def bounds(schema: StructType, st: ManifestFiles.FileStats,
       col: String): Option[(Option[Any], Option[Any], Long)] =
-    fieldIndex(schema, col).flatMap { i =>
+    fieldIndex(schema, col)
+      // belt and braces with the writer's own filter: a stats entry for
+      // a non-orderable column (whatever wrote it) proves nothing
+      .filter(i => statsCapable(schema(i).dataType))
+      .flatMap { i =>
       st.cols.get(ManifestFiles.physPos(schema, i)).flatMap { c =>
         val dt = schema(i).dataType
         // Outer None = this bound is UNDECODABLE (stats unusable, never
@@ -1205,7 +1235,9 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
       // delete vectors) — scan-level, so the answer stays uniform
       columnar = columnar.getOrElse(allParquet) && bucketLayout.isEmpty &&
         !hasDeletes,
-      filters = skipFilters, parquetOnly = allParquet)
+      filters = skipFilters, parquetOnly = allParquet,
+      maxPhysArity = ManifestReaderFactory.maxPhysArity(fullSchema,
+        ManifestFiles.droppedFromLines(snapshotLines)))
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -1277,7 +1309,9 @@ private[sources] class ManifestMicroBatchStream(path: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestReaderFactory(fullSchema, required, conf)
+    new ManifestReaderFactory(fullSchema, required, conf,
+      maxPhysArity = ManifestReaderFactory.maxPhysArity(fullSchema,
+        ManifestFiles.droppedFromLines(ManifestFiles.latestLines(fs, dir))))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -1299,6 +1333,18 @@ private[sources] case class ManifestBucketPartition(bucket: Int,
     new GenericInternalRow(Array[Any](bucket))
 }
 
+private[sources] object ManifestReaderFactory {
+  /** Largest physical slot count ANY file of this table can carry: the
+    * max physical position across live fields AND retired (dropped)
+    * positions, plus one. A CSV row splitting into MORE slots than this
+    * proves a comma-bearing string field was fragmented (only possible
+    * post-evolution, where the full split is in force) — readers fail
+    * loudly on such rows instead of silently truncating the value. */
+  def maxPhysArity(schema: StructType, dropped: Set[Int]): Int =
+    ((schema.indices.map(ManifestFiles.physPos(schema, _)) ++ dropped)
+      .maxOption.getOrElse(-1)) + 1
+}
+
 private[sources] class ManifestReaderFactory(fullSchema: StructType,
     required: StructType, conf: SerializableHadoopConf,
     columnar: Boolean = false,
@@ -1310,7 +1356,10 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
     // wider parquet type set (decimals batch); a scan with any CSV file
     // must gate on the CSV vector writer's set — and the answer must be
     // UNIFORM across partitions (Spark refuses mixed reader kinds)
-    parquetOnly: Boolean = false)
+    parquetOnly: Boolean = false,
+    // see ManifestReaderFactory.maxPhysArity; Int.MaxValue disables the
+    // over-split check (pre-evolution layouts never full-split anyway)
+    maxPhysArity: Int = Int.MaxValue)
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(p: InputPartition): Boolean =
@@ -1325,7 +1374,8 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
     val part = p.asInstanceOf[ManifestInputPartition]
     if (ManifestParquet.isParquet(part.name))
       ManifestParquet.columnarReader(part, fullSchema, required, conf, filters)
-    else new ManifestColumnarReader(part, fullSchema, required, conf)
+    else new ManifestColumnarReader(part, fullSchema, required, conf,
+      maxPhysArity)
   }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -1401,6 +1451,17 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
       }
       override def get(): InternalRow = {
         val cols = splitCsv(line, splitLimit)
+        // post-evolution full split: more slots than any schema version
+        // ever had = a comma-bearing last string field was fragmented;
+        // fail loudly rather than surface a silently-truncated value
+        if (splitLimit < 0 && cols.length > maxPhysArity)
+          throw new IllegalStateException(
+            s"graft-manifest: row ${ordinal} of ${part.name} splits into " +
+              s"${cols.length} slots but the table never had more than " +
+              s"$maxPhysArity physical columns — a comma inside its last " +
+              "string field cannot be decoded after schema evolution on " +
+              "the CSV payload; rewrite the table with the parquet " +
+              "payload (CALL system.compact) to recover")
         val out = new GenericInternalRow(picks.length)
         var i = 0
         while (i < picks.length) {
@@ -1450,15 +1511,22 @@ private[sources] object ManifestColumnarReader {
   }
 
   /** Types the PARQUET vectorized path additionally batches (the CSV
-    * vector writer has no decimal case; a decimal column simply keeps
-    * CSV scans on the row path). */
-  def parquetSupports(dt: DataType): Boolean =
-    supports(dt) || dt.isInstanceOf[DecimalType]
+    * vector writer has no decimal/array/binary case; such columns simply
+    * keep CSV scans on the row path). Arrays, binary, and structs
+    * (round 12) batch through the reader's own nested column vectors. */
+  def parquetSupports(dt: DataType): Boolean = dt match {
+    case BinaryType => true
+    case ArrayType(et, _) => parquetSupports(et)
+    case st: StructType => st.fields.forall(f => parquetSupports(f.dataType))
+    case MapType(k, v, _) => parquetSupports(k) && parquetSupports(v)
+    case _ => supports(dt) || dt.isInstanceOf[DecimalType]
+  }
 }
 
 private[sources] class ManifestColumnarReader(part: ManifestInputPartition,
     fullSchema: StructType, required: StructType,
-    conf: SerializableHadoopConf)
+    conf: SerializableHadoopConf,
+    maxPhysArity: Int = Int.MaxValue)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.ColumnarBatch
@@ -1488,6 +1556,15 @@ private[sources] class ManifestColumnarReader(part: ManifestInputPartition,
     var line: String = null
     while (n < capacity && { line = reader.readLine(); line != null }) {
       val cols = line.split(",", splitLimit)
+      // same over-split guard as the row reader (see createFileReader)
+      if (splitLimit < 0 && cols.length > maxPhysArity)
+        throw new IllegalStateException(
+          s"graft-manifest: a row of ${part.name} splits into " +
+            s"${cols.length} slots but the table never had more than " +
+            s"$maxPhysArity physical columns — a comma inside its last " +
+            "string field cannot be decoded after schema evolution on " +
+            "the CSV payload; rewrite the table with the parquet " +
+            "payload (CALL system.compact) to recover")
       var i = 0
       while (i < picks.length) {
         val (src, dt) = picks(i)
@@ -1595,12 +1672,13 @@ class GraftManifestCatalog extends TableCatalog
     props.put("path", dir.toString)
     version.foreach(v => props.put("versionAsOf", v.toString))
     val schema = ManifestFiles.schemaFor(f, dir, version)
-    if (ManifestFiles.isMergeOnRead(
-        ManifestFiles.linesOf(f, dir, version.orElse {
-          val v = ManifestFiles.latestComplete(f, dir)
-          if (v > 0) Some(v) else None
-        })))
+    val confLines = ManifestFiles.linesOf(f, dir, version.orElse {
+      val v = ManifestFiles.latestComplete(f, dir)
+      if (v > 0) Some(v) else None
+    })
+    if (ManifestFiles.isMergeOnRead(confLines))
       props.put("delete.mode", "merge-on-read")
+    ManifestFiles.formatFromLines(confLines).foreach(props.put("format", _))
     // DDL-declared layout rides into the write path as properties
     // (positions are PHYSICAL — resolve to the current field, if live)
     ManifestFiles.tableConf(f, dir, version).foreach { case (pos, n, sp) =>
@@ -1672,10 +1750,14 @@ class GraftManifestCatalog extends TableCatalog
       case Some(other) => throw new IllegalArgumentException(
         s"delete.mode must be 'copy-on-write' or 'merge-on-read', got '$other'")
     }
+    val fmt = Option(properties.get("format")).map { f =>
+      ManifestWriters.ext(f) // validates parquet|csv at DDL time
+      ManifestFiles.formatLine(f)
+    }.toArray
     ManifestFiles.publishSnapshot(f,
       SparkSession.active.sessionState.newHadoopConf(), dir,
       _ => bucket.map { case (pos, n) =>
-        ManifestFiles.tableConfLine(pos, n, None) }.toArray ++ mor,
+        ManifestFiles.tableConfLine(pos, n, None) }.toArray ++ mor ++ fmt,
       schema)
     load(ident, None)
   }
@@ -2035,7 +2117,6 @@ private[sources] object ManifestProcedures {
       val fs = dir.getFileSystem(conf)
       var before = 0
       var pairs = 0L
-      val merged = s"delete-merged-${java.util.UUID.randomUUID().toString.take(8)}.del"
       ManifestFiles.publishSnapshot(fs, conf, dir, previous => {
         val dels = ManifestFiles.deleteFilesFromLines(previous)
         before = dels.length
@@ -2045,6 +2126,12 @@ private[sources] object ManifestProcedures {
             ManifestFiles.readManifest(fs, new Path(dir, dn)))
             .distinct.sorted
           pairs = all.length
+          // fresh name PER REBASE ATTEMPT: the claim loop re-runs this
+          // closure on a lost race, and an HDFS-semantics rename refuses
+          // an existing destination — a fixed name would spuriously
+          // abort the retry (and a POSIX overwrite would race stale
+          // content). Losers' files are orphans; vacuum ages them out.
+          val merged = s"delete-merged-${java.util.UUID.randomUUID().toString.take(8)}.del"
           val tmp = new Path(dir, s".$merged.tmp")
           val out = fs.create(tmp, true)
           try out.write((all.mkString("\n") + "\n").getBytes("UTF-8"))
