@@ -66,7 +66,8 @@ object Bench {
     "q232_spj_colocated_join", "q233_stream_dedup_watermark",
     "q234_bucketed_manifest_join", "q235_manifest_parquet_mixed",
     "q236_manifest_evolution", "q237_manifest_typed_columns",
-    "q238_manifest_merge_on_read", "q239_manifest_metadata_delete")
+    "q238_manifest_merge_on_read", "q239_manifest_metadata_delete",
+    "q240_manifest_embeddings_ann")
 
   private val sentinelName = "q97_compute_pi"
   private val stragglerQueries =

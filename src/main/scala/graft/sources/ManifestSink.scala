@@ -125,6 +125,33 @@ private[sources] class SerializableHadoopConf(
   }
 }
 
+private[sources] object ManifestTable {
+  /** Can data of type `from` land in a column declared `to`? Exact type
+    * match with nullability TIGHTENING allowed at every nesting level
+    * (Spark's `equalsIgnoreCompatibleNullability`, re-stated here — the
+    * original is private[sql]). Needed because the optimizer strips a
+    * no-op loosening cast: an `array(col)` of non-null elements arrives
+    * as `array<t> (containsNull=false)` for an `ARRAY<t>` column, which
+    * is a perfectly safe write. The loose direction (nullable data into
+    * a non-null slot) stays refused. Nested struct field NAMES must
+    * match — the parquet payload stores them literally; top-level names
+    * are positional and not compared here. */
+  def writeCompatible(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (org.apache.spark.sql.types.ArrayType(f, fn),
+          org.apache.spark.sql.types.ArrayType(t, tn)) =>
+      (tn || !fn) && writeCompatible(f, t)
+    case (org.apache.spark.sql.types.MapType(fk, fv, fn),
+          org.apache.spark.sql.types.MapType(tk, tv, tn)) =>
+      (tn || !fn) && writeCompatible(fk, tk) && writeCompatible(fv, tv)
+    case (f: StructType, t: StructType) =>
+      f.length == t.length && f.fields.zip(t.fields).forall { case (ff, tf) =>
+        ff.name == tf.name && (tf.nullable || !ff.nullable) &&
+          writeCompatible(ff.dataType, tf.dataType)
+      }
+    case (f, t) => f == t
+  }
+}
+
 private[sources] class ManifestTable(schema0: StructType,
     properties: JMap[String, String],
     // Catalog-resolved tables always carry the published `_SCHEMA`, so
@@ -252,6 +279,16 @@ private[sources] class ManifestTable(schema0: StructType,
       changes = changes,
       columnar = opt("columnar").map(_.toBoolean))
   }
+  /** Per-field type diff for the append-mismatch error (simpleString
+    * hides nullability flags, which are part of dataType equality). */
+  private def mismatchDetail(e: StructType, incoming: StructType): String =
+    if (e.length != incoming.length) ""
+    else e.fields.zip(incoming.fields).zipWithIndex.collect {
+      case ((a, b), i) if !ManifestTable.writeCompatible(b.dataType, a.dataType) =>
+        s"field $i '${a.name}': table ${a.dataType.json} vs " +
+          s"write ${b.dataType.json}"
+    }.mkString(" (", "; ", ")")
+
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // Same options→properties fallback as the scan builder: a table
     // resolved through GraftManifestCatalog carries its path in table
@@ -376,11 +413,12 @@ private[sources] class ManifestTable(schema0: StructType,
             else None
           existing.foreach { e =>
             val aligned = e.length == incoming.length &&
-              e.fields.map(_.dataType).sameElements(
-                incoming.fields.map(_.dataType))
+              e.fields.zip(incoming.fields).forall { case (t, w) =>
+                ManifestTable.writeCompatible(w.dataType, t.dataType) }
             if (!aligned) throw new IllegalArgumentException(
               s"graft-manifest append schema mismatch: table has " +
-                s"${e.simpleString}, write provides ${incoming.simpleString}")
+                s"${e.simpleString}, write provides ${incoming.simpleString}" +
+                mismatchDetail(e, incoming))
           }
           val finalSchema = existing.getOrElse(incoming)
           new ManifestBatchWrite(
@@ -423,11 +461,12 @@ private[sources] class ManifestTable(schema0: StructType,
             else None
           existing.foreach { e =>
             val aligned = e.length == incoming.length &&
-              e.fields.map(_.dataType).sameElements(
-                incoming.fields.map(_.dataType))
+              e.fields.zip(incoming.fields).forall { case (t, w) =>
+                ManifestTable.writeCompatible(w.dataType, t.dataType) }
             if (!aligned) throw new IllegalArgumentException(
               s"graft-manifest append schema mismatch: table has " +
-                s"${e.simpleString}, write provides ${incoming.simpleString}")
+                s"${e.simpleString}, write provides ${incoming.simpleString}" +
+                mismatchDetail(e, incoming))
           }
           new ManifestStreamingWrite(path.toString, info.queryId(),
             existing.getOrElse(incoming), hconf, format)

@@ -835,10 +835,74 @@ object Sources extends QueryModule {
       FROM orders WHERE o_orderpriority <> '1-URGENT'
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** EMBEDDINGS IN THE GOVERNED FORMAT (round 12 — `ArrayType` joined
+    * the manifest's type surface; until now the flagship table format
+    * refused the engine's own north-star column): the embeddings corpus
+    * lands in a merge-on-read manifest table (`ARRAY<FLOAT>` stored
+    * natively by the parquet payload), a takedown-style `DELETE` purges
+    * a corpus slice as KB-scale positional delete files — zero vector
+    * data rewritten — and the brute-force cosine top-3 (the q66
+    * baseline) runs straight off the governed table, delete vectors
+    * applied at scan. The oracle recomputes neighbors from raw
+    * embeddings minus the purged slice, so a vector lost, doubled,
+    * resurrected-after-delete, or element-shifted by the array codec
+    * fails the hash. At 100 TB this is the retention story for
+    * embedding stores: snapshots, time travel, and row-level deletes on
+    * the vectors themselves, with the corpus scan still columnar
+    * parquet. Array/binary columns record NO stats bounds (no total
+    * order) — skipping on them is simply never attempted, while sibling
+    * primitive columns keep their bounds. */
+  val qManifestEmbeddings: QueryDef = QueryDef(
+    "q240_manifest_embeddings_ann",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.VectorExpressions._
+      val root = tmp(d, "manifest_emb")
+      val dir = new org.apache.hadoop.fs.Path(root)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      val cat = "graft_emb_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"""CREATE TABLE $cat.vectors
+        (vec_id BIGINT, embedding ARRAY<FLOAT>, label INT)
+        TBLPROPERTIES('delete.mode'='merge-on-read')""")
+      Tables.df(s, d, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<float>").as("embedding"),
+          $"label")
+        .repartition(4)
+        .write.mode("append").format("graft-manifest")
+        .option("path", s"$root/vectors").save()
+      // takedown: purge a corpus slice via positional delete files
+      s.sql(s"DELETE FROM $cat.vectors WHERE vec_id % 97 = 13")
+      val corpus = s.table(s"$cat.vectors")
+      val queries = corpus.filter($"vec_id" < 10)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+      val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"vec_id")
+      corpus.join(broadcast(queries), $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id",
+          round(cosine($"q_emb", $"embedding"), 6).as("sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .select($"query_id", $"vec_id", $"sim", $"rk")
+        .orderBy($"query_id", $"rk")
+    },
+    Some("""
+      WITH live AS (SELECT * FROM embeddings WHERE vec_id % 97 <> 13)
+      SELECT query_id, vec_id, sim, rk FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+          round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS sim,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                     c.vec_id) AS rk
+        FROM live q JOIN live c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10)
+      WHERE rk <= 3 ORDER BY query_id, rk"""))
+
   override def defs: Seq[QueryDef] =
     Seq(qCsv, qJson, qOrc, qText, qPartitioned, qSynthSource, qSynthColumnar,
       qSchemaEvolution, qManifestTimeTravel, qManifestMerge, qManifestStream,
       qManifestSkipping, qXml, qBinaryFile, qZOrder, qSpjJoin, qBucketedJoin,
       qManifestParquetMixed, qManifestEvolution, qManifestTyped,
-      qManifestMergeOnRead, qMetadataDelete)
+      qManifestMergeOnRead, qMetadataDelete, qManifestEmbeddings)
 }
