@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.types.{DataType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Custom DataSource V2 WRITE path with the two-phase commit protocol
@@ -360,6 +360,25 @@ private[sources] class ManifestTable(schema0: StructType,
               "bucketBy and buckets must be set together")
           }
         }
+        // Declared days/months/identity partition layout (from the
+        // `#tableconf,part` line on disk, so EVERY write route honors it
+        // — catalog INSERTs and path-based appends alike). The write
+        // demands a RANGE distribution + in-partition sort on the
+        // column: clustered rows let the task-side partition-splitting
+        // writer keep one open file at a time, and the file count stays
+        // ~one per partition value instead of tasks × values.
+        private val partLayout: Option[(Int, String)] =
+          try {
+            val fs = path.getFileSystem(
+              SparkSession.active.sessionState.newHadoopConf())
+            ManifestFiles.partConf(ManifestFiles.latestLines(fs, path))
+              .flatMap { case (pos, kind) =>
+                ManifestFiles.fieldAtPhys(
+                  ManifestFiles.schemaFor(fs, path, None), pos)
+                  .map(idx => (idx, kind))
+              }
+          } catch { case _: Exception => None }
+
         // `option("sortedBy", col)` — sorted buckets: demand an
         // in-partition sort through the same write seam, so every bucket
         // file lands sorted and a bucketed+sorted join needs neither
@@ -375,6 +394,12 @@ private[sources] class ManifestTable(schema0: StructType,
           }
           c
         }
+        private def partSortOrder(idx: Int) =
+          org.apache.spark.sql.connector.expressions.Expressions.sort(
+            org.apache.spark.sql.connector.expressions.Expressions.column(
+              info.schema().fields(idx).name),
+            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+
         override def requiredDistribution():
             org.apache.spark.sql.connector.distributions.Distribution =
           bucketSpec match {
@@ -382,8 +407,14 @@ private[sources] class ManifestTable(schema0: StructType,
               org.apache.spark.sql.connector.distributions.Distributions
                 .clustered(Array(
                   org.apache.spark.sql.connector.expressions.Expressions.identity(c)))
-            case None =>
-              org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+            case None => partLayout match {
+              case Some((idx, _)) =>
+                org.apache.spark.sql.connector.distributions.Distributions
+                  .ordered(Array(partSortOrder(idx)))
+              case None =>
+                org.apache.spark.sql.connector.distributions.Distributions
+                  .unspecified()
+            }
           }
         override def requiredNumPartitions(): Int =
           bucketSpec.map(_._2).getOrElse(0)
@@ -393,6 +424,8 @@ private[sources] class ManifestTable(schema0: StructType,
             org.apache.spark.sql.connector.expressions.Expressions.sort(
               org.apache.spark.sql.connector.expressions.Expressions.column(c),
               org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)))
+            .orElse(partLayout.map { case (idx, _) =>
+              Array(partSortOrder(idx)) })
             .getOrElse(Array.empty)
 
         override def toBatch: BatchWrite = {
@@ -527,6 +560,11 @@ private[sources] case class FileCommitted(name: String, rows: Long,
     bucket: Int = -1, sortedOk: Boolean = false)
   extends WriterCommitMessage
 
+/** A partition-split task's commit: one staged file per partition value
+  * the task saw (days/months/identity layouts). */
+private[sources] case class FilesCommitted(files: Seq[FileCommitted])
+  extends WriterCommitMessage
+
 private[sources] class ManifestBatchWrite(path: String, queryId: String,
     failPartition: Int, schema: StructType, truncate: Boolean,
     conf: SerializableHadoopConf,
@@ -556,9 +594,24 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
   private val stagingName = s".staging-$queryId"
 
   override def createBatchWriterFactory(
-      info: PhysicalWriteInfo): DataWriterFactory =
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    // Declared days/months/identity layout, re-read from disk HERE so
+    // every batch route splits files per partition value — plain
+    // appends, catalog INSERTs, COW rewrites, and compact all preserve
+    // the layout (streaming writes don't split; their files simply
+    // carry wider stats bounds, which only weakens skipping/alignment,
+    // never correctness).
+    val partSpec: Option[(Int, String)] =
+      try {
+        val fs = new Path(path).getFileSystem(conf.value)
+        ManifestFiles.partConf(ManifestFiles.latestLines(fs, new Path(path)))
+          .flatMap { case (pos, kind) =>
+            ManifestFiles.fieldAtPhys(schema, pos).map(idx => (idx, kind)) }
+      } catch { case _: Exception => None }
     new ManifestWriterFactory(path, stagingName, failPartition, schema, conf,
-      recordBucket = bucketSpec.isDefined, sortPos = sortPos, format = format)
+      recordBucket = bucketSpec.isDefined, sortPos = sortPos, format = format,
+      partSpec = partSpec)
+  }
 
   // Driver-side, exactly once, only after EVERY task committed: publish.
   // Each commit is a VERSION: append merges the predecessor snapshot's
@@ -573,7 +626,7 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.value)
     val staging = new Path(dir, stagingName)
-    val fresh = messages.flatMap {
+    def landOne(m: FileCommitted): Seq[String] = m match {
       case FileCommitted(tmp, rows, bytes, stats, bucket, sortedOk) =>
         val fin = tmp.stripSuffix(".tmp")
         val ok = fs.rename(new Path(staging, tmp), new Path(dir, fin))
@@ -583,6 +636,11 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
             ManifestFiles.bucketLine(fin, pos, n, bucket) } ++
           (sortPos.filter(_ => sortedOk).map(p =>
             ManifestFiles.sortedLine(fin, ManifestFiles.physPos(schema, p))))
+    }
+    val fresh = messages.flatMap {
+      case f: FileCommitted => landOne(f)
+      // partition-split tasks: one message, many files
+      case FilesCommitted(files) => files.flatMap(landOne)
     }
     val drop = dropFromPrevious()
     // The base snapshot is supplied by publishSnapshot's claim loop (the
@@ -803,16 +861,105 @@ private[sources] class ManifestWriterFactory(path: String, stagingName: String,
     // required distribution pinned partitioning to pmod(murmur3(col), n))
     recordBucket: Boolean = false,
     sortPos: Option[Int] = None,
-    format: String = "parquet") extends DataWriterFactory {
+    format: String = "parquet",
+    // (schema index, kind) of a declared days/months/identity layout:
+    // the task splits its rows into one staged file per partition value
+    partSpec: Option[(Int, String)] = None) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int,
-      taskId: Long): DataWriter[InternalRow] =
-    ManifestWriters.create(path, stagingName,
-      f"part-$partitionId%05d-$taskId${ManifestWriters.ext(format)}.tmp",
-      schema, conf,
-      injectFailure = partitionId == failPartition,
-      bucket = if (recordBucket) partitionId else -1,
-      sortPos = sortPos)
+      taskId: Long): DataWriter[InternalRow] = partSpec match {
+    case None =>
+      ManifestWriters.create(path, stagingName,
+        f"part-$partitionId%05d-$taskId${ManifestWriters.ext(format)}.tmp",
+        schema, conf,
+        injectFailure = partitionId == failPartition,
+        bucket = if (recordBucket) partitionId else -1,
+        sortPos = sortPos)
+    case Some((idx, kind)) =>
+      new PartitionSplitWriter(path, stagingName, schema, conf, format,
+        partitionId, taskId, idx, kind, schema(idx).dataType)
+  }
+}
+
+/** Partition-splitting task writer for days/months/identity layouts:
+  * routes each row to the staged file of its partition value, opening
+  * writers on demand. The write's required RANGE distribution +
+  * in-partition sort mean values arrive clustered, so in practice one
+  * file is open at a time and the per-task file count is the number of
+  * distinct values the task's range covers — at 100 TB a day-laid
+  * INSERT lands ~one file per day regardless of parallelism, which is
+  * exactly the layout `DELETE WHERE ts < cutoff` needs to stay
+  * metadata-only. Rows with a NULL partition value get their own file.
+  * Each inner writer is the standard staged writer (stats, format,
+  * abort semantics all shared); the task's commit message carries every
+  * file it produced. */
+private[sources] class PartitionSplitWriter(path: String, stagingName: String,
+    schema: StructType, conf: SerializableHadoopConf, format: String,
+    partitionId: Int, taskId: Long, colIdx: Int, kind: String,
+    dt: DataType) extends DataWriter[InternalRow] {
+
+  private val writers =
+    scala.collection.mutable.LinkedHashMap.empty[Long, DataWriter[InternalRow]]
+  private val NullKey = Long.MinValue
+
+  /** Partition key of a row: days/months map the temporal value to its
+    * day/month index (timestamps via floorDiv so pre-epoch values land
+    * in the right day); identity keys numerics/dates directly and
+    * strings/other orderables via a stable hash (the key only routes
+    * rows to files — the VALUE-pure file's stats are what proofs use,
+    * so hash collisions merely co-locate two values in one file, which
+    * is still a correct, slightly weaker layout). */
+  private def key(row: InternalRow): Long = {
+    if (row.isNullAt(colIdx)) return NullKey
+    val dayOf: Long = dt match {
+      case DateType => row.getInt(colIdx).toLong
+      case TimestampType | TimestampNTZType =>
+        Math.floorDiv(row.getLong(colIdx), 86400000000L)
+      case _ => 0L
+    }
+    kind match {
+      case "days" => dayOf
+      case "months" =>
+        val d = java.time.LocalDate.ofEpochDay(dayOf)
+        d.getYear.toLong * 12 + (d.getMonthValue - 1)
+      case _ => dt match { // identity
+        case LongType => row.getLong(colIdx)
+        case IntegerType => row.getInt(colIdx).toLong
+        case ShortType => row.getShort(colIdx).toLong
+        case ByteType => row.getByte(colIdx).toLong
+        case DateType => row.getInt(colIdx).toLong
+        case TimestampType | TimestampNTZType => row.getLong(colIdx)
+        case BooleanType => if (row.getBoolean(colIdx)) 1L else 0L
+        case StringType => row.getUTF8String(colIdx).hashCode.toLong
+        case DoubleType =>
+          java.lang.Double.hashCode(row.getDouble(colIdx)).toLong
+        case FloatType => java.lang.Float.hashCode(row.getFloat(colIdx)).toLong
+        case d: DecimalType =>
+          row.getDecimal(colIdx, d.precision, d.scale).hashCode.toLong
+        case _ => 0L // unreachable: DDL requires an orderable primitive
+      }
+    }
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val k = key(row)
+    writers.getOrElseUpdate(k, {
+      val seq = writers.size
+      ManifestWriters.create(path, stagingName,
+        f"part-$partitionId%05d-$taskId-s$seq${ManifestWriters.ext(format)}.tmp",
+        schema, conf, injectFailure = false)
+    }).write(row)
+  }
+
+  override def commit(): WriterCommitMessage =
+    FilesCommitted(writers.values.toSeq.map(
+      _.commit().asInstanceOf[FileCommitted]))
+
+  override def abort(): Unit = writers.values.foreach { w =>
+    try w.abort() catch { case _: Exception => }
+  }
+
+  override def close(): Unit = writers.values.foreach(_.close())
 }
 
 /** STREAMING write half: each epoch is one snapshot commit with

@@ -240,6 +240,26 @@ object ManifestFiles {
   def tableConfLine(colPos: Int, n: Int, sortPos: Option[Int]): String =
     s"#tableconf,bucket,$colPos,$n" + sortPos.fold("")("," + _)
 
+  /** Declared time/identity partition layout: `#tableconf,part,<colPos>,
+    * <identity|days|months>` — written by `CREATE TABLE … PARTITIONED BY
+    * (days(ts))` / `(months(ts))` / `(col)` (Iceberg's retention-layout
+    * transforms). Every batch write splits its task output so each data
+    * file holds ONE partition value (one day / one month / one value of
+    * the column), which makes the file's min==max-tight stats prove
+    * retention deletes metadata-only BY CONSTRUCTION — `DELETE WHERE ts
+    * < cutoff` on a day-laid table is a snapshot edit, no scan, no
+    * rewrite, at any scale. Position-keyed like every metadata line. */
+  def partConfLine(colPos: Int, kind: String): String =
+    s"#tableconf,part,$colPos,$kind"
+
+  def partConf(lines: Array[String]): Option[(Int, String)] =
+    lines.find(_.startsWith("#tableconf,part,")).flatMap { l =>
+      l.split(",") match {
+        case Array(_, _, pos, kind) => pos.toIntOption.map((_, kind))
+        case _ => None
+      }
+    }
+
   /** Payload-format pin: `#tableconf,format,<parquet|csv>` — written by
     * `CREATE TABLE … TBLPROPERTIES('format'='csv')`, re-surfaced as a
     * table property at load so EVERY write path (INSERT INTO appends,
@@ -1721,6 +1741,7 @@ class GraftManifestCatalog extends TableCatalog
     if (f.exists(new Path(dir, "_MANIFEST")))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         Array(catalogName, ident.name))
+    var part: Option[(Int, String)] = None
     val bucket = partitions.toSeq match {
       case Seq() => None
       case Seq(t) if t.name == "bucket" =>
@@ -1740,9 +1761,31 @@ class GraftManifestCatalog extends TableCatalog
           case _ => throw new IllegalArgumentException(
             s"malformed bucket transform: $t")
         }
+      // time/identity partition transforms (round 12): recorded as a
+      // `#tableconf,part` line; the write side splits task output so
+      // each data file holds one partition value (see ManifestWriters)
+      case Seq(t) if t.name == "days" || t.name == "months" ||
+          t.name == "identity" =>
+        val c = t.references.headOption.map(_.fieldNames.mkString("."))
+          .getOrElse(throw new IllegalArgumentException(
+            s"malformed ${t.name} transform: $t"))
+        require(schema.fieldNames.contains(c),
+          s"partition column '$c' not in ${schema.fieldNames.mkString(",")}")
+        val dt = schema(c).dataType
+        if (t.name == "identity")
+          require(ManifestSkip.statsCapable(dt),
+            s"identity partitioning needs an orderable primitive " +
+              s"column, got ${dt.sql}")
+        else
+          require(dt == TimestampType || dt == TimestampNTZType ||
+              dt == DateType,
+            s"${t.name}() needs a TIMESTAMP or DATE column, got ${dt.sql}")
+        part = Some((schema.fieldIndex(c), t.name))
+        None
       case other => throw new UnsupportedOperationException(
-        "graft-manifest supports PARTITIONED BY (bucket(n, col)) only, " +
-          s"got ${other.mkString(", ")}")
+        "graft-manifest supports PARTITIONED BY (bucket(n, col)), " +
+          "(days(ts)), (months(ts)), or (col) — got " +
+          other.mkString(", "))
     }
     val mor = Option(properties.get("delete.mode")) match {
       case Some("merge-on-read") => Array(ManifestFiles.MergeOnReadLine)
@@ -1757,7 +1800,9 @@ class GraftManifestCatalog extends TableCatalog
     ManifestFiles.publishSnapshot(f,
       SparkSession.active.sessionState.newHadoopConf(), dir,
       _ => bucket.map { case (pos, n) =>
-        ManifestFiles.tableConfLine(pos, n, None) }.toArray ++ mor ++ fmt,
+          ManifestFiles.tableConfLine(pos, n, None) }.toArray ++
+        part.map { case (pos, kind) =>
+          ManifestFiles.partConfLine(pos, kind) }.toArray ++ mor ++ fmt,
       schema)
     load(ident, None)
   }
@@ -1832,11 +1877,17 @@ class GraftManifestCatalog extends TableCatalog
             "graft-manifest: cannot drop the last column")
           val idx = schema.fieldIndex(name)
           val pos = ManifestFiles.physPos(schema, idx)
-          // a DDL bucket/sort layout referencing the column blocks the drop
+          // a DDL bucket/sort/partition layout referencing the column
+          // blocks the drop
           ManifestFiles.tableConf(f, dir, None).foreach { case (bp, _, sp) =>
             require(bp != pos && !sp.contains(pos),
               s"cannot drop '$name': the table's declared bucket/sort " +
                 "layout references it")
+          }
+          ManifestFiles.partConf(priorLines).foreach { case (pp, kind) =>
+            require(pp != pos,
+              s"cannot drop '$name': the table's declared $kind() " +
+                "partition layout references it")
           }
           dropped += pos
           newDropLines ::= ManifestFiles.droppedLine(pos)

@@ -1,0 +1,190 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+
+/** Time/identity partition transforms in manifest DDL (round 12 —
+  * Iceberg's retention layout): `CREATE TABLE … PARTITIONED BY
+  * (days(ts))` / `(months(ts))` / `(col)` persists a `#tableconf,part`
+  * line; every batch write range-distributes on the column and splits
+  * task output one-file-per-partition-value, so file stats are
+  * value-tight and `DELETE WHERE ts < cutoff` is metadata-only BY
+  * CONSTRUCTION — q239 builds the same alignment by hand; this makes
+  * the layout automatic on every INSERT. */
+class ManifestPartitionSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.local(4)
+  import spark.implicits._
+
+  private def freshCat(tag: String): (String, String) = {
+    val root = java.nio.file.Files.createTempDirectory(s"graft_part_$tag").toString
+    val cat = s"graft_part_${tag}_" + math.abs(root.hashCode).toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    (cat, root)
+  }
+
+  private def dataFiles(dir: String): Set[String] =
+    new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("part-")).toSet
+
+  /** 1000 events over 10 days starting 2024-03-01, deliberately
+    * UNSORTED and spread over many input partitions. */
+  private def events() =
+    spark.range(0, 1000).select(
+      $"id".as("k"),
+      (lit(java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime / 1000)
+        .cast("long") + ($"id" * 7919 % 10) * 86400L + $"id" % 86400)
+        .cast("timestamp").as("ts"),
+      ($"id" % 100).cast("double").as("v"))
+      .repartition(8)
+
+  test("days(ts): INSERTs auto-route one file per day; retention DELETE " +
+    "is metadata-only with no manual layout") {
+    val (cat, root) = freshCat("days")
+    spark.sql(s"CREATE TABLE $cat.ev (k BIGINT, ts TIMESTAMP, v DOUBLE) " +
+      "PARTITIONED BY (days(ts))")
+    events().writeTo(s"$cat.ev").append()
+
+    // every data file holds exactly one day
+    val spans = spark.read.format("graft-manifest")
+      .option("path", s"$root/ev").load()
+      .groupBy($"_file")
+      .agg(min(to_date($"ts")).as("lo"), max(to_date($"ts")).as("hi"))
+      .collect()
+    assert(spans.nonEmpty)
+    spans.foreach(r => assert(r.get(1) == r.get(2),
+      s"file ${r.get(0)} spans ${r.get(1)}..${r.get(2)} — not day-pure"))
+    // range distribution keeps the count near one file per day (a day
+    // straddling a range boundary may split once)
+    val days = spans.map(_.get(1)).distinct.length
+    assert(days == 10)
+    assert(spans.length <= days + spark.conf
+      .get("spark.sql.shuffle.partitions").toInt,
+      s"${spans.length} files for $days days")
+
+    // retention delete at a day boundary: pure snapshot edit — on-disk
+    // files untouched, no delete vectors, no rewrites
+    val before = dataFiles(s"$root/ev")
+    spark.sql(s"DELETE FROM $cat.ev WHERE ts < TIMESTAMP'2024-03-04 00:00:00'")
+    assert(dataFiles(s"$root/ev") == before,
+      "aligned retention delete must not write or rewrite any file")
+    val fs = new Path(s"$root/ev")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lines = ManifestFiles.latestLines(fs, new Path(s"$root/ev"))
+    assert(ManifestFiles.deleteFilesFromLines(lines).isEmpty)
+    val expected = (0 until 1000).count(i => i * 7919 % 10 >= 3)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev").head().getLong(0)
+      == expected.toLong)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev " +
+      "WHERE ts < TIMESTAMP'2024-03-04 00:00:00'").head().getLong(0) == 0L)
+
+    // stats skipping on the partition column: a one-day query plans
+    // only that day's file(s)
+    val q = spark.read.format("graft-manifest").option("path", s"$root/ev")
+      .load()
+      .filter($"ts" >= lit(java.sql.Timestamp.valueOf("2024-03-08 00:00:00")) &&
+        $"ts" < lit(java.sql.Timestamp.valueOf("2024-03-09 00:00:00")))
+      .agg(count(lit(1)))
+    q.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val finalPlan = q.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def scansOf(p: SparkPlan): Seq[BatchScanExec] = p.collectWithSubqueries {
+      case b: BatchScanExec => Seq(b)
+      case st: QueryStageExec => scansOf(st.plan)
+    }.flatten
+    val scans = scansOf(finalPlan)
+    val planned = scans.flatMap(_.metrics.get("filesPlanned")).map(_.value).sum
+    val skipped = scans.flatMap(_.metrics.get("filesSkipped")).map(_.value).sum
+    assert(planned >= 1 && planned <= 2, s"planned $planned files for one day")
+    assert(skipped >= 5, s"expected most day files skipped, got $skipped")
+  }
+
+  test("identity partitioning on a string column: value-pure files, " +
+    "equality retention delete metadata-only") {
+    val (cat, root) = freshCat("id")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, tier STRING, v DOUBLE) " +
+      "PARTITIONED BY (tier)")
+    spark.range(0, 400).select($"id".as("k"),
+        concat(lit("tier-"), $"id" % 5).as("tier"),
+        ($"id" % 13).cast("double").as("v"))
+      .repartition(6)
+      .writeTo(s"$cat.t").append()
+    val spans = spark.read.format("graft-manifest")
+      .option("path", s"$root/t").load()
+      .groupBy($"_file").agg(countDistinct($"tier").as("n")).collect()
+    spans.foreach(r => assert(r.getLong(1) == 1L,
+      s"file ${r.get(0)} mixes ${r.getLong(1)} tiers"))
+    val before = dataFiles(s"$root/t")
+    spark.sql(s"DELETE FROM $cat.t WHERE tier = 'tier-2'")
+    assert(dataFiles(s"$root/t") == before)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 320L)
+    assert(spark.sql(
+        s"SELECT count(DISTINCT tier) FROM $cat.t").head().getLong(0) == 4L)
+  }
+
+  test("months(ts) groups by calendar month across year boundaries") {
+    val (cat, root) = freshCat("mon")
+    spark.sql(s"CREATE TABLE $cat.m (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (months(ts))")
+    // 300 rows over Nov 2023 .. Feb 2024
+    spark.range(0, 300).select($"id".as("k"),
+        (lit(java.sql.Timestamp.valueOf("2023-11-15 12:00:00").getTime / 1000)
+          .cast("long") + ($"id" % 4) * 2592000L).cast("timestamp").as("ts"))
+      .repartition(5)
+      .writeTo(s"$cat.m").append()
+    val spans = spark.read.format("graft-manifest")
+      .option("path", s"$root/m").load()
+      .groupBy($"_file")
+      .agg(countDistinct(date_format($"ts", "yyyy-MM")).as("n"))
+      .collect()
+    spans.foreach(r => assert(r.getLong(1) == 1L,
+      s"file ${r.get(0)} mixes months"))
+    assert(spark.table(s"$cat.m").count() == 300L)
+  }
+
+  test("layout survives INSERT OVERWRITE and blocks dropping its column; " +
+    "DDL rejects non-temporal days() and multi-transform specs") {
+    val (cat, root) = freshCat("guard")
+    spark.sql(s"CREATE TABLE $cat.g (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    def ins(lo: Int, hi: Int) =
+      spark.range(lo, hi).select($"id".as("k"),
+          (lit(1700000000L) + ($"id" % 3) * 86400L).cast("timestamp").as("ts"))
+    ins(0, 100).writeTo(s"$cat.g").append()
+    ins(100, 160).writeTo(s"$cat.g").overwrite(lit(true))
+    // the #tableconf,part line survived the truncate: new files day-pure
+    val spans = spark.read.format("graft-manifest")
+      .option("path", s"$root/g").load()
+      .groupBy($"_file").agg(countDistinct(to_date($"ts")).as("n")).collect()
+    assert(spans.nonEmpty)
+    spans.foreach(r => assert(r.getLong(1) == 1L))
+    assert(spark.table(s"$cat.g").count() == 60L)
+
+    val dropErr = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.g DROP COLUMN ts")
+    }
+    assert(dropErr.getMessage.contains("partition layout"), dropErr.getMessage)
+
+    val typeErr = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.bad (k BIGINT, s STRING) " +
+        "PARTITIONED BY (days(s))")
+    }
+    assert(typeErr.getMessage.contains("TIMESTAMP or DATE"),
+      typeErr.getMessage)
+    val multiErr = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.bad2 (k BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (days(ts), bucket(4, k))")
+    }
+    assert(multiErr.getMessage.toLowerCase.contains("supports"),
+      multiErr.getMessage)
+  }
+}
