@@ -147,9 +147,45 @@ private[sources] object ManifestParquet {
           case (TimestampType, i: java.time.Instant) =>
             Some(onLong(FilterApi.longColumn(n),
               org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i)))
+          // DECIMAL (round 12): we write precision<=9 as INT32 and
+          // precision<=18 as INT64 unscaled values (ParquetWriteSupport,
+          // writeLegacyFormat=false), whose parquet stats compare SIGNED
+          // — the same order as the decimal values at a fixed scale. The
+          // filter value must rescale to the column's scale EXACTLY
+          // (RoundingMode.UNNECESSARY) and fit the physical width;
+          // anything else falls back to residual-only filtering.
+          // Wider decimals land as FIXED_LEN_BYTE_ARRAY and are left
+          // untranslated: their binary stats ordering is a logical-type
+          // subtlety we refuse to bet correctness on.
+          case (d: DecimalType, v) if d.precision <= 18 =>
+            decimalUnscaled(d, v).flatMap { u =>
+              if (d.precision <= 9) {
+                if (u.bitLength() < 32)
+                  Some(onInt(FilterApi.intColumn(n), u.intValueExact()))
+                else None
+              } else if (u.bitLength() < 64)
+                Some(onLong(FilterApi.longColumn(n), u.longValueExact()))
+              else None
+            }
           case _ => None
         }
       }
+    // Exact unscaled representation of a pushed decimal value at the
+    // column's declared scale; None when the value does not rescale
+    // exactly (a predicate like price = 1.005 over DECIMAL(12,2) cannot
+    // be translated — the residual row filter answers it).
+    def decimalUnscaled(d: DecimalType, v: Any): Option[java.math.BigInteger] = {
+      val bd = v match {
+        case b: java.math.BigDecimal => Some(b)
+        case b: scala.math.BigDecimal => Some(b.bigDecimal)
+        case x: java.lang.Number if integral(x) =>
+          Some(java.math.BigDecimal.valueOf(x.longValue()))
+        case _ => None
+      }
+      bd.flatMap(b => scala.util.Try(
+          b.setScale(d.scale, java.math.RoundingMode.UNNECESSARY)).toOption)
+        .map(_.unscaledValue())
+    }
     def integral(x: java.lang.Number): Boolean =
       !x.isInstanceOf[java.lang.Double] && !x.isInstanceOf[java.lang.Float]
 
@@ -192,6 +228,12 @@ private[sources] object ManifestParquet {
               null.asInstanceOf[java.lang.Integer]))
           case StringType => Some(FilterApi.eq(FilterApi.binaryColumn(n),
             null.asInstanceOf[Binary]))
+          case d: DecimalType if d.precision <= 9 =>
+            Some(FilterApi.eq(FilterApi.intColumn(n),
+              null.asInstanceOf[java.lang.Integer]))
+          case d: DecimalType if d.precision <= 18 =>
+            Some(FilterApi.eq(FilterApi.longColumn(n),
+              null.asInstanceOf[java.lang.Long]))
           case _ => None
         }}
       case sf.IsNotNull(c) =>
@@ -204,6 +246,12 @@ private[sources] object ManifestParquet {
               null.asInstanceOf[java.lang.Integer]))
           case StringType => Some(FilterApi.notEq(FilterApi.binaryColumn(n),
             null.asInstanceOf[Binary]))
+          case d: DecimalType if d.precision <= 9 =>
+            Some(FilterApi.notEq(FilterApi.intColumn(n),
+              null.asInstanceOf[java.lang.Integer]))
+          case d: DecimalType if d.precision <= 18 =>
+            Some(FilterApi.notEq(FilterApi.longColumn(n),
+              null.asInstanceOf[java.lang.Long]))
           case _ => None
         }}
       case _ => None

@@ -112,4 +112,62 @@ class ManifestTypesSpec extends AnyFunSuite {
     }.sum
     assert(BigDecimal(got.getDecimal(1)) == expected)
   }
+
+  test("decimal row-group pushdown: a selective decimal predicate reads " +
+    "fewer rows than the file holds (int64 and int32 physical); inexact " +
+    "scales fall back to residual filtering") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val prev = Option(hconf.get("parquet.block.size"))
+    hconf.setLong("parquet.block.size", 64 * 1024) // force many row groups
+    try {
+      val path = tmp()
+      // money DECIMAL(12,2) -> int64 physical; small DECIMAL(7,2) ->
+      // int32 physical; sorted so row groups are range-disjoint
+      spark.range(0, 200000).select($"id".as("k"),
+          ($"id" + 0.25).cast("decimal(12,2)").as("price"),
+          (($"id" % 90000) + 0.50).cast("decimal(7,2)").as("fee"))
+        .sort($"k").coalesce(1)
+        .write.mode("append").format("graft-manifest").option("path", path).save()
+      def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect()
+        val finalPlan = df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        def scans(p: SparkPlan): Seq[BatchScanExec] = p.collectWithSubqueries {
+          case b: BatchScanExec => Seq(b)
+          case q: QueryStageExec => scans(q.plan)
+        }.flatten
+        scans(finalPlan).flatMap(_.metrics.get("numOutputRows"))
+          .map(_.value).sum
+      }
+      val t = spark.read.format("graft-manifest").option("path", path).load()
+      val sel = t.filter($"price" >= new java.math.BigDecimal("190000.25"))
+      assert(sel.count() == 10000L)
+      assert(scanRows(sel.select($"k")) < 100000L,
+        "int64 decimal predicate did not skip row groups")
+      // int32 physical (precision 7): sorted within [0, 90000) twice —
+      // equality on one value must not read the whole file
+      val one = t.filter($"fee" === new java.math.BigDecimal("123.50"))
+      assert(one.count() == 3L)
+      assert(scanRows(one.select($"k")) < 100000L,
+        "int32 decimal predicate did not skip row groups")
+      // boundary soundness + inexact-scale fallback stays exact
+      assert(t.filter($"price" === new java.math.BigDecimal("199999.25"))
+        .count() == 1L)
+      assert(t.filter($"price" === new java.math.BigDecimal("100.255"))
+        .count() == 0L)
+      assert(t.filter($"price" < new java.math.BigDecimal("0.25"))
+        .count() == 0L)
+    } finally {
+      prev match {
+        case Some(v) => hconf.set("parquet.block.size", v)
+        case None => hconf.unset("parquet.block.size")
+      }
+    }
+  }
 }
