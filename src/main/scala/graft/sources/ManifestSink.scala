@@ -277,7 +277,8 @@ private[sources] class ManifestTable(schema0: StructType,
       new SerializableHadoopConf(
         SparkSession.active.sessionState.newHadoopConf()),
       changes = changes,
-      columnar = opt("columnar").map(_.toBoolean))
+      columnar = opt("columnar").map(_.toBoolean),
+      ignoreDeletes = opt("ignoreDeletes").exists(_.toBoolean))
   }
   /** Per-field type diff for the append-mismatch error (simpleString
     * hides nullability flags, which are part of dataType equality). */

@@ -473,27 +473,46 @@ object ManifestFiles {
     * `changesFrom`/`changesTo` options). Fails loudly when the range is
     * not pure appends — a COW rewrite inside the range would otherwise
     * surface rewritten rows as if they were new data. */
-  def addedBetween(fs: FileSystem, dir: Path, from: Int, to: Int): Array[String] = {
+  def addedBetween(fs: FileSystem, dir: Path, from: Int, to: Int,
+      ignoreDeletes: Boolean = false): Array[String] = {
     def linesAt(v: Int): Array[String] =
-      if (v <= 0) Array.empty else linesOf(fs, dir, Some(v))
+      if (v <= 0) Array.empty
+      else if (!fs.exists(new Path(dir, s"_MANIFEST.v$v"))) {
+        // a vacuumed start/end version must surface as EXPIRED, not as a
+        // generic missing-file error — the caller's checkpoint outlived
+        // the retention window and needs a deliberate restart
+        val have = versions(fs, dir).sorted
+        throw new IllegalStateException(
+          s"graft-manifest at $dir: version $v has expired (vacuumed); " +
+            s"retained versions: ${have.mkString(",")} — restart the " +
+            "incremental read from a retained version")
+      } else linesOf(fs, dir, Some(v))
     val beforeLines = linesAt(from)
     val afterLines = linesAt(to)
     val before = entriesFromLines(beforeLines).map(_._1).toSet
     val after = entriesFromLines(afterLines).map(_._1).toSet
     val removed = before -- after
-    if (removed.nonEmpty) throw new IllegalStateException(
+    if (removed.nonEmpty && !ignoreDeletes) throw new IllegalStateException(
       s"graft-manifest at $dir: versions $from..$to are not pure " +
         s"appends (${removed.size} entries unlisted, e.g. ${removed.head}); " +
-        "incremental reads require append-only history")
+        "incremental reads require append-only history (pass " +
+        "option(\"ignoreDeletes\", true) to acknowledge and skip " +
+        "delete-bearing ranges)")
     // Merge-on-read deletes arriving inside the range are invisible to a
     // file-level tail — failing loudly beats silently re-surfacing
     // deleted rows downstream (the Delta streaming-source default).
+    // `ignoreDeletes` is the consumer's explicit acknowledgement (the
+    // Delta escape hatch): the tail keeps emitting ADDED entries and
+    // skips the removals/delete vectors — rows a COW rewrite re-landed
+    // surface again and MOR-deleted rows already emitted are not
+    // retracted, the documented at-least-the-appends contract.
     val newDels = deleteFilesFromLines(afterLines).toSet --
       deleteFilesFromLines(beforeLines).toSet
-    if (newDels.nonEmpty) throw new IllegalStateException(
+    if (newDels.nonEmpty && !ignoreDeletes) throw new IllegalStateException(
       s"graft-manifest at $dir: versions $from..$to apply merge-on-read " +
         s"deletes (${newDels.size} delete files, e.g. ${newDels.head}); " +
-        "incremental reads require append-only history")
+        "incremental reads require append-only history (pass " +
+        "option(\"ignoreDeletes\", true) to acknowledge and skip them)")
     (after -- before).toArray.sorted
   }
 
@@ -850,7 +869,10 @@ private[sources] class ManifestScanBuilder(path: String, version: Option[Int],
     // would never drop it and the DELETE would silently no-op for that
     // file. Only Spark's own `_file` group filter (whose semantics is
     // "files AFFECTED") may prune a row-level scan.
-    statsSkip: Boolean = true)
+    statsSkip: Boolean = true,
+    // incremental/streaming reads: tolerate delete-bearing ranges
+    // instead of failing (see ManifestFiles.addedBetween)
+    ignoreDeletes: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
 
@@ -878,7 +900,8 @@ private[sources] class ManifestScanBuilder(path: String, version: Option[Int],
 
   override def build(): Scan = new ManifestScan(path, version, fullSchema,
     required, conf, onPlanned, changes, accepted.toArray,
-    runtimeKeyPrune = statsSkip, columnar = columnar)
+    runtimeKeyPrune = statsSkip, columnar = columnar,
+    ignoreDeletes = ignoreDeletes)
 
 }
 
@@ -906,7 +929,8 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
     // SOURCE clauses must rewrite files with no build-side key overlap,
     // so join-key pruning there could drop files that still need rewriting
     runtimeKeyPrune: Boolean = true,
-    columnar: Option[Boolean] = None)
+    columnar: Option[Boolean] = None,
+    ignoreDeletes: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -961,7 +985,7 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
       case Some((from, to)) =>
         val fs = dir.getFileSystem(conf.value)
         ManifestFiles.addedBetween(fs, dir, from,
-          to.getOrElse(ManifestFiles.latestComplete(fs, dir)))
+          to.getOrElse(ManifestFiles.latestComplete(fs, dir)), ignoreDeletes)
       case None => allEntries.map(_._1)
     }
     val kept = listed.filterNot(n => skipFilters.exists(f =>
@@ -1261,7 +1285,8 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new ManifestMicroBatchStream(path, fullSchema, required, conf)
+    new ManifestMicroBatchStream(path, fullSchema, required, conf,
+      ignoreDeletes)
 }
 
 // Concrete zero-arg classes: the SQL UI listener re-instantiates custom
@@ -1308,7 +1333,8 @@ private[sources] case class ManifestOffset(version: Int)
 }
 
 private[sources] class ManifestMicroBatchStream(path: String,
-    fullSchema: StructType, required: StructType, conf: SerializableHadoopConf)
+    fullSchema: StructType, required: StructType, conf: SerializableHadoopConf,
+    ignoreDeletes: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -1324,7 +1350,7 @@ private[sources] class ManifestMicroBatchStream(path: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[ManifestOffset].version
     val e = end.asInstanceOf[ManifestOffset].version
-    ManifestFiles.addedBetween(fs, dir, s, e).map(n =>
+    ManifestFiles.addedBetween(fs, dir, s, e, ignoreDeletes).map(n =>
       ManifestInputPartition(new Path(dir, n).toString, n): InputPartition)
   }
 
@@ -2199,14 +2225,34 @@ private[sources] object ManifestProcedures {
 
   def vacuum(dirFor: String => Path): UnboundProcedure =
     proc("vacuum", Array(param("table", StringType),
-        paramDefault("retain_versions", IntegerType, "1"))) { input =>
+        paramDefault("retain_versions", IntegerType, "1"),
+        // production retention is usually TIME-based (Delta's
+        // `RETAIN n HOURS`): versions committed within the last
+        // `retain_hours` survive regardless of count. The two arguments
+        // COMPOSE as the more generous horizon — a version is dropped
+        // only when BOTH rules let it go. -1 = count-only (default).
+        paramDefault("retain_hours", IntegerType, "-1"))) { input =>
       val spark = SparkSession.active
       val dir = dirFor(input.getUTF8String(0).toString)
       val retain = input.getInt(1)
+      val retainHours = input.getInt(2)
       require(retain >= 1, s"retain_versions must be >= 1, got $retain")
       val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
       val versions = ManifestFiles.versions(fs, dir).sorted
-      val (dropped, kept) = versions.splitAt(math.max(0, versions.length - retain))
+      val dropByCount = math.max(0, versions.length - retain)
+      // commit time = the version file's modification time (the same
+      // clock `snapshots` and time travel report); age-kept versions
+      // form a suffix because commit times are monotone in version
+      val dropByAge =
+        if (retainHours < 0) versions.length
+        else {
+          val cutoff = System.currentTimeMillis() - retainHours * 3600000L
+          val i = versions.indexWhere(v =>
+            fs.getFileStatus(new Path(dir, s"_MANIFEST.v$v"))
+              .getModificationTime >= cutoff)
+          if (i < 0) versions.length else i
+        }
+      val (dropped, kept) = versions.splitAt(math.min(dropByCount, dropByAge))
       val referenced = kept.flatMap { v =>
         val lines = ManifestFiles.linesOf(fs, dir, Some(v))
         ManifestFiles.entriesFromLines(lines).map(_._1) ++
