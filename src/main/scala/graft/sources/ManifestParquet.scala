@@ -43,13 +43,30 @@ private[sources] object ManifestParquet {
 
   def isParquet(entryName: String): Boolean = entryName.endsWith(".parquet")
 
+  /** Positional storage type, applied RECURSIVELY (round 12): struct
+    * fields at every nesting level store under `c<index>` names, so a
+    * nested RENAME is metadata-only exactly like a top-level one — the
+    * reader maps the table schema's nested names to indices at plan
+    * time. Nested ADDs append at the struct's end (alterTable enforces
+    * it), so indices never shift; a field an old file lacks simply
+    * null-fills through the reader's clipped-schema path. Array
+    * elements / map entries are unnamed and recurse transparently. */
+  private[sources] def storedType(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.zipWithIndex.map {
+      case (f, i) => StructField(colName(i), storedType(f.dataType),
+        nullable = true) })
+    case ArrayType(et, cn) => ArrayType(storedType(et), cn)
+    case MapType(k, v, vn) => MapType(storedType(k), storedType(v), vn)
+    case other => other
+  }
+
   /** Write-side parquet schema: the table schema with positional names,
     * everything nullable (nullability is enforced by the engine above,
     * and relaxed storage nullability keeps old/new files union-able). */
   private def storedSchema(schema: StructType): StructType =
     StructType(schema.fields.zipWithIndex.map { case (f, i) =>
-      StructField(colName(ManifestFiles.physPos(schema, i)), f.dataType,
-        nullable = true)
+      StructField(colName(ManifestFiles.physPos(schema, i)),
+        storedType(f.dataType), nullable = true)
     })
 
   /** ParquetWriteSupport asserts these keys PRESENT (Spark's write path
@@ -298,10 +315,29 @@ private[sources] object ManifestParquet {
       (VectorizedParquetRecordReader, Array[Int]) = {
     val dataFields = required.fields
       .filter(f => f.name != "_file" && f.name != "_pos")
+    // Positional nested names come from the field's index in the TABLE
+    // schema, not the (possibly nested-pruned) required struct — a
+    // pruned struct<b> of a table struct<a,b> must request c1, not c0.
+    def storedRequested(pruned: DataType, table: DataType): DataType =
+      (pruned, table) match {
+        case (ps: StructType, ts: StructType) =>
+          StructType(ps.fields.map { pf =>
+            val ti = ts.fieldIndex(pf.name)
+            StructField(colName(ti),
+              storedRequested(pf.dataType, ts(ti).dataType), nullable = true)
+          })
+        case (ArrayType(pe, cn), ArrayType(te, _)) =>
+          ArrayType(storedRequested(pe, te), cn)
+        case (MapType(pk, pv, vn), MapType(tk, tv, _)) =>
+          MapType(storedRequested(pk, tk), storedRequested(pv, tv), vn)
+        case (p, _) => p
+      }
     val requested = StructType(dataFields.map(f =>
       StructField(
         colName(ManifestFiles.physPos(fullSchema, fullSchema.fieldIndex(f.name))),
-        f.dataType, nullable = true)))
+        storedRequested(f.dataType,
+          fullSchema(fullSchema.fieldIndex(f.name)).dataType),
+        nullable = true)))
     def confFor(withFilter: Boolean): Configuration = {
       val conf = readerConf(base, requested)
       if (withFilter) {

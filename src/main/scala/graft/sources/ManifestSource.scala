@@ -1864,10 +1864,48 @@ class GraftManifestCatalog extends TableCatalog
     def withGpos(fd: StructField, pos: Int): StructField =
       fd.copy(metadata = new MetadataBuilder()
         .withMetadata(fd.metadata).putLong("gpos", pos).build())
+    // NESTED evolution (round 12): struct fields store under positional
+    // `c<index>` names at every level (ManifestParquet.storedType), so a
+    // nested RENAME is metadata-only like a top-level one and a nested
+    // ADD (always appended at the struct's end, so existing indices
+    // never shift) null-fills through the reader's clipped-schema path.
+    // Navigation traverses STRUCTS only — fields inside arrays/maps have
+    // no stable per-row identity to evolve. Nested DROP stays refused:
+    // positions inside structs are not tombstoned.
+    def mapStructAt(s: StructType, path: Seq[String], ctx: String)(
+        f: StructType => StructType): StructType =
+      path match {
+        case Seq() => f(s)
+        case head +: tail =>
+          require(s.fieldNames.contains(head), s"no column $head in $ctx")
+          StructType(s.fields.map { fd =>
+            if (fd.name != head) fd
+            else fd.dataType match {
+              case inner: StructType =>
+                fd.copy(dataType = mapStructAt(inner, tail, ctx)(f))
+              case other => throw new IllegalArgumentException(
+                s"graft-manifest: '$head' in $ctx is not a struct " +
+                  s"(${other.sql}) — nested evolution traverses structs only")
+            }
+          })
+      }
     changes.foreach {
+      case a: TableChange.AddColumn if a.fieldNames.length > 1 =>
+        require(a.position == null,
+          "graft-manifest: added columns always append at the end " +
+            "(rows are positional)")
+        require(a.isNullable,
+          "graft-manifest: added columns must be nullable — existing " +
+            "rows surface NULL for them")
+        val parent = a.fieldNames.init.toSeq
+        val name = a.fieldNames.last
+        val full = a.fieldNames.mkString(".")
+        schema = mapStructAt(schema, parent, full) { st =>
+          require(!st.fieldNames.contains(name), s"column $full exists")
+          StructType(st.fields :+ StructField(name, a.dataType,
+            nullable = true))
+        }
       case a: TableChange.AddColumn =>
-        require(a.fieldNames.length == 1,
-          "graft-manifest: nested columns are not supported")
         require(a.position == null,
           "graft-manifest: added columns always append at the end " +
             "(rows are positional)")
@@ -1883,9 +1921,18 @@ class GraftManifestCatalog extends TableCatalog
         schema = schema.add(
           if (pos == schema.length && dropped.isEmpty) fd0
           else withGpos(fd0, pos))
+      case r: TableChange.RenameColumn if r.fieldNames.length > 1 =>
+        val parent = r.fieldNames.init.toSeq
+        val from = r.fieldNames.last
+        val full = r.fieldNames.mkString(".")
+        schema = mapStructAt(schema, parent, full) { st =>
+          require(st.fieldNames.contains(from), s"no column $full")
+          require(!st.fieldNames.contains(r.newName),
+            s"column ${parent.mkString(".")}.${r.newName} exists")
+          StructType(st.fields.map(fd =>
+            if (fd.name == from) fd.copy(name = r.newName) else fd))
+        }
       case r: TableChange.RenameColumn =>
-        require(r.fieldNames.length == 1,
-          "graft-manifest: nested columns are not supported")
         val from = r.fieldNames()(0)
         require(schema.fieldNames.contains(from), s"no column $from")
         require(!schema.fieldNames.contains(r.newName),
@@ -1894,7 +1941,9 @@ class GraftManifestCatalog extends TableCatalog
           if (fd.name == from) fd.copy(name = r.newName) else fd))
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames.length == 1,
-          "graft-manifest: nested columns are not supported")
+          "graft-manifest: nested DROP COLUMN is not supported " +
+            "(positions inside structs are not tombstoned) — drop the " +
+            "whole top-level column instead")
         val name = d.fieldNames()(0)
         if (!schema.fieldNames.contains(name)) {
           if (!d.ifExists) throw new IllegalArgumentException(s"no column $name")
