@@ -105,9 +105,9 @@ private[sources] class ManifestDeltaBatchWrite(path: String, queryId: String,
       fin
     }
     val fresh = messages.flatMap { case DeltaCommitted(data, del, _) =>
-      data.toSeq.flatMap { case FileCommitted(tmp, rows, bytes, stats, _, _) =>
+      data.toSeq.flatMap { case FileCommitted(tmp, rows, bytes, stats, _, _, nested) =>
         val fin = land(tmp)
-        Seq(s"$fin,$rows", ManifestFiles.statsLine(fin, bytes, stats))
+        Seq(s"$fin,$rows", ManifestFiles.statsLine(fin, bytes, stats, nested))
       } ++ del.map(d => s"#dels,${land(d)}")
     }
     // Data files the staged delete vectors point INTO (the Iceberg

@@ -134,8 +134,27 @@ private[sources] object ManifestTable {
     * as `array<t> (containsNull=false)` for an `ARRAY<t>` column, which
     * is a perfectly safe write. The loose direction (nullable data into
     * a non-null slot) stays refused. Nested struct field NAMES must
-    * match — the parquet payload stores them literally; top-level names
-    * are positional and not compared here. */
+    * match the table schema — rows bind to nested storage positions
+    * through it (storage names are positional at every level since the
+    * round-12 nested evolution); top-level names are positional and not
+    * compared here. */
+  /** Everything-nullable copy of a schema (StructType.asNullable is
+    * private[spark]) — the first write to a fresh table publishes this,
+    * so incidental non-nullability in the first DF never rejects later
+    * appends (Spark's own file sinks normalize the same way). */
+  def nullableSchema(st: StructType): StructType =
+    StructType(st.fields.map(f =>
+      f.copy(dataType = nullableType(f.dataType), nullable = true)))
+
+  private def nullableType(dt: DataType): DataType = dt match {
+    case s: StructType => nullableSchema(s)
+    case org.apache.spark.sql.types.ArrayType(et, _) =>
+      org.apache.spark.sql.types.ArrayType(nullableType(et), true)
+    case org.apache.spark.sql.types.MapType(k, v, _) =>
+      org.apache.spark.sql.types.MapType(nullableType(k), nullableType(v), true)
+    case o => o
+  }
+
   def writeCompatible(from: DataType, to: DataType): Boolean = (from, to) match {
     case (org.apache.spark.sql.types.ArrayType(f, fn),
           org.apache.spark.sql.types.ArrayType(t, tn)) =>
@@ -454,7 +473,10 @@ private[sources] class ManifestTable(schema0: StructType,
                 s"${e.simpleString}, write provides ${incoming.simpleString}" +
                 mismatchDetail(e, incoming))
           }
-          val finalSchema = existing.getOrElse(incoming)
+          // first write to a fresh table: publish NULLABLE at every level
+          // (Spark's own file sinks do the same) — the first DF's
+          // incidental non-nullability must not reject later appends
+          val finalSchema = existing.getOrElse(ManifestTable.nullableSchema(incoming))
           new ManifestBatchWrite(
             path.toString, info.queryId(),
             Option(info.options.get("failPartition")).map(_.toInt).getOrElse(-1),
@@ -503,7 +525,7 @@ private[sources] class ManifestTable(schema0: StructType,
                 mismatchDetail(e, incoming))
           }
           new ManifestStreamingWrite(path.toString, info.queryId(),
-            existing.getOrElse(incoming), hconf, format)
+            existing.getOrElse(ManifestTable.nullableSchema(incoming)), hconf, format)
         }
       }
     }
@@ -558,7 +580,9 @@ private[sources] class ManifestRowLevelOperation(
 
 private[sources] case class FileCommitted(name: String, rows: Long,
     bytes: Long = -1L, stats: Seq[(Int, ManifestFiles.ColStats)] = Nil,
-    bucket: Int = -1, sortedOk: Boolean = false)
+    bucket: Int = -1, sortedOk: Boolean = false,
+    // struct LEAF stats, keyed by dotted position paths (round 12)
+    nestedStats: Seq[(String, ManifestFiles.ColStats)] = Nil)
   extends WriterCommitMessage
 
 /** A partition-split task's commit: one staged file per partition value
@@ -628,11 +652,11 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
     val fs = dir.getFileSystem(conf.value)
     val staging = new Path(dir, stagingName)
     def landOne(m: FileCommitted): Seq[String] = m match {
-      case FileCommitted(tmp, rows, bytes, stats, bucket, sortedOk) =>
+      case FileCommitted(tmp, rows, bytes, stats, bucket, sortedOk, nested) =>
         val fin = tmp.stripSuffix(".tmp")
         val ok = fs.rename(new Path(staging, tmp), new Path(dir, fin))
         require(ok, s"staged file $tmp vanished before commit")
-        Seq(s"$fin,$rows", ManifestFiles.statsLine(fin, bytes, stats)) ++
+        Seq(s"$fin,$rows", ManifestFiles.statsLine(fin, bytes, stats, nested)) ++
           bucketSpec.map { case (pos, n) =>
             ManifestFiles.bucketLine(fin, pos, n, bucket) } ++
           (sortPos.filter(_ => sortedOk).map(p =>
@@ -713,6 +737,76 @@ private[sources] object ManifestWriters {
       private val maxs = new Array[Any](schema.length)
       private val rawMins = new Array[String](schema.length)
       private val rawMaxs = new Array[String](schema.length)
+
+      // NESTED LEAF stats (round 12): orderable leaves reachable through
+      // STRUCTS get their own bounds, keyed by dotted position paths —
+      // (storage key, getStruct steps as (ordinal, numFields), leaf
+      // ordinal, leaf type). A null struct anywhere on the path counts
+      // as a null leaf (what a row predicate would see).
+      private val leaves: Array[(String, Array[(Int, Int)], Int, DataType)] = {
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Array[(Int, Int)], Int, DataType)]
+        def walk(st: StructType, keyPrefix: String,
+            steps: List[(Int, Int)]): Unit =
+          st.fields.zipWithIndex.foreach { case (f, i) =>
+            f.dataType match {
+              case inner: StructType =>
+                walk(inner, s"$keyPrefix.$i", steps :+ (i -> inner.length))
+              case dt if ManifestSkip.statsCapable(dt) =>
+                buf += ((s"$keyPrefix.$i", steps.toArray, i, dt))
+              case _ => () // arrays/maps: no stable leaf identity
+            }
+          }
+        schema.indices.foreach { i =>
+          schema(i).dataType match {
+            case st0: StructType =>
+              walk(st0, ManifestFiles.physPos(schema, i).toString,
+                List(i -> st0.length))
+            case _ => ()
+          }
+        }
+        buf.toArray
+      }
+      private val leafNulls = new Array[Long](leaves.length)
+      private val leafMins = new Array[Any](leaves.length)
+      private val leafMaxs = new Array[Any](leaves.length)
+      private val leafRawMins = new Array[String](leaves.length)
+      private val leafRawMaxs = new Array[String](leaves.length)
+
+      private def trackLeaves(r: InternalRow): Unit = {
+        var li = 0
+        while (li < leaves.length) {
+          val (_, steps, ord, dt) = leaves(li)
+          var cur: org.apache.spark.sql.catalyst.expressions.SpecializedGetters = r
+          var nul = false
+          var si = 0
+          while (si < steps.length && !nul) {
+            val (o, n) = steps(si)
+            if (cur.isNullAt(o)) nul = true
+            else cur = cur.getStruct(o, n)
+            si += 1
+          }
+          if (nul || cur.isNullAt(ord)) leafNulls(li) += 1
+          else {
+            val v = cur.get(ord, dt)
+            ManifestSkip.normalize(dt, v).foreach { nv =>
+              val kept = nv match {
+                case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
+                case other => other
+              }
+              if (leafMins(li) == null || ordered(kept, leafMins(li)) < 0) {
+                leafMins(li) = kept
+                leafRawMins(li) = String.valueOf(v)
+              }
+              if (leafMaxs(li) == null || ordered(kept, leafMaxs(li)) > 0) {
+                leafMaxs(li) = kept
+                leafRawMaxs(li) = String.valueOf(v)
+              }
+            }
+          }
+          li += 1
+        }
+      }
       // sortedBy verification: rows must arrive non-decreasing in the
       // sort column (nulls first, matching ASC NULLS FIRST) for the file
       // to earn its `#sorted` mark
@@ -778,6 +872,7 @@ private[sources] object ManifestWriters {
           }
           csvOut.println(slots.mkString(","))
         }
+        if (leaves.nonEmpty) trackLeaves(r)
         sortPos.foreach { p =>
           if (sortedOk) {
             if (r.isNullAt(p)) {
@@ -834,7 +929,16 @@ private[sources] object ManifestWriters {
           ManifestFiles.physPos(schema, i) ->
             ManifestFiles.ColStats(nulls(i), mn, mx)
         }
-        FileCommitted(name, rows, bytes, stats, bucket, sortedOk)
+        val nested = leaves.indices.map { li =>
+          val dt = leaves(li)._4
+          val (mn, mx) =
+            if (dt == StringType)
+              (Option(leafRawMins(li)).map(ManifestFiles.truncLower),
+                Option(leafRawMaxs(li)).flatMap(ManifestFiles.truncUpper))
+            else (Option(leafRawMins(li)), Option(leafRawMaxs(li)))
+          leaves(li)._1 -> ManifestFiles.ColStats(leafNulls(li), mn, mx)
+        }
+        FileCommitted(name, rows, bytes, stats, bucket, sortedOk, nested)
       }
       override def abort(): Unit = {
         try closeOut() catch { case _: Exception => }
@@ -991,17 +1095,17 @@ private[sources] class ManifestStreamingWrite(path: String, queryId: String,
     val already = ManifestFiles.committedEpoch(
       ManifestFiles.latestLines(fs, dir), queryId).exists(_ >= epochId)
     if (already) {
-      messages.foreach { case FileCommitted(tmp, _, _, _, _, _) =>
+      messages.foreach { case FileCommitted(tmp, _, _, _, _, _, _) =>
         fs.delete(new Path(staging, tmp), false)
       }
       return
     }
     val fresh = messages.flatMap {
-      case FileCommitted(tmp, rows, bytes, stats, _, _) =>
+      case FileCommitted(tmp, rows, bytes, stats, _, _, nested) =>
         val fin = tmp.stripSuffix(".tmp")
         val ok = fs.rename(new Path(staging, tmp), new Path(dir, fin))
         require(ok, s"staged file $tmp vanished before commit")
-        Seq(s"$fin,$rows", ManifestFiles.statsLine(fin, bytes, stats))
+        Seq(s"$fin,$rows", ManifestFiles.statsLine(fin, bytes, stats, nested))
     }
     ManifestFiles.publishSnapshot(fs, conf.value, dir, previous =>
       previous.filterNot(_.startsWith(s"#txn,$queryId,")) ++ fresh :+

@@ -129,7 +129,13 @@ object ManifestFiles {
     statsFromLines(linesOf(fs, dir, version))
 
   final case class ColStats(nulls: Long, min: Option[String], max: Option[String])
-  final case class FileStats(bytes: Long, cols: Map[Int, ColStats])
+  final case class FileStats(bytes: Long, cols: Map[Int, ColStats],
+      // NESTED LEAF stats (round 12 — Iceberg records bounds per nested
+      // field): keyed by dotted POSITION paths `<top physPos>.<i>[.<j>…]`
+      // through structs only, so nested renames keep them valid exactly
+      // like top-level renames. A null struct counts as a null leaf (the
+      // value a row predicate would see).
+      nested: Map[String, ColStats] = Map.empty)
 
   /** PHYSICAL storage position of schema field `i`: the `gpos` field
     * metadata when present (stamped by schema evolution once positions
@@ -207,16 +213,19 @@ object ManifestFiles {
     new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
 
   def statsLine(name: String, bytes: Long,
-      cols: Seq[(Int, ColStats)]): String = {
+      cols: Seq[(Int, ColStats)],
+      nested: Seq[(String, ColStats)] = Nil): String = {
     // ABSENT min/max (all-null column) encodes as `-` (not in the Base64
     // alphabet), NOT as an empty field: Base64("") is also "", and
     // conflating the two would make a file whose string minimum is the
     // EMPTY STRING look all-null — provably row-free under any
     // comparison — and silently skip rows matching `s = ''`
     // (caught by ManifestSkipPropertySpec's round-trip fuzz).
-    val payload = cols.map { case (i, c) =>
-      s"$i=${c.nulls}:${c.min.fold("-")(b64)}:${c.max.fold("-")(b64)}"
-    }.mkString(";")
+    def one(key: String, c: ColStats) =
+      s"$key=${c.nulls}:${c.min.fold("-")(b64)}:${c.max.fold("-")(b64)}"
+    val payload =
+      (cols.map { case (i, c) => one(i.toString, c) } ++
+        nested.map { case (k, c) => one(k, c) }).mkString(";")
     s"#stats,$name,$bytes,$payload"
   }
 
@@ -342,26 +351,32 @@ object ManifestFiles {
       version: Option[Int]): Map[String, (Int, Int, Int)] =
     bucketsFromLines(linesOf(fs, dir, version))
 
+  private val nestedKey = """\d+(\.\d+)+""".r
+
   def parseStatsLine(line: String): Option[(String, FileStats)] = {
     val parts = line.split(",", 4)
     if (parts.length < 4) return None
     def field(s: String): Option[String] =
       if (s == "-") None else Some(unb64(s))
-    val cols = parts(3).split(";").filter(_.nonEmpty).flatMap { c =>
+    val entries = parts(3).split(";").filter(_.nonEmpty).flatMap { c =>
       val eq = c.indexOf('=')
       if (eq < 0) None
       else {
         val fields = c.substring(eq + 1).split(":", -1)
         if (fields.length != 3) None
         else for { // malformed numeric/Base64 ⇒ drop the column's stats
-          idx <- c.substring(0, eq).toIntOption
           nulls <- fields(0).toLongOption
           mn <- scala.util.Try(field(fields(1))).toOption
           mx <- scala.util.Try(field(fields(2))).toOption
-        } yield idx -> ColStats(nulls, mn, mx)
+        } yield c.substring(0, eq) -> ColStats(nulls, mn, mx)
       }
-    }.toMap
-    parts(2).toLongOption.map(bytes => parts(1) -> FileStats(bytes, cols))
+    }
+    val cols = entries.flatMap { case (k, c) =>
+      k.toIntOption.map(_ -> c) }.toMap
+    val nested = entries.collect {
+      case (k, c) if nestedKey.matches(k) => k -> c }.toMap
+    parts(2).toLongOption.map(bytes =>
+      parts(1) -> FileStats(bytes, cols, nested))
   }
 
   /** Raw lines of the newest complete snapshot (file entries AND
@@ -702,6 +717,51 @@ private[sources] object ManifestSkip {
     case _ => None
   }
 
+  /** Resolve a (possibly dotted) filter reference to its nested STORAGE
+    * key (`<top physPos>.<i>[.<j>…]`, structs only) and leaf type. A
+    * whole-name top-level match wins — a column literally named "m.a"
+    * is not a path. Unresolvable/ambiguous refs yield None (never skip). */
+  private[sources] def nestedLeaf(schema: StructType,
+      col: String): Option[(String, DataType)] = {
+    if (!col.contains('.') || schema.fieldNames.contains(col)) return None
+    val parts = col.split('.')
+    fieldIndex(schema, parts.head).flatMap { top =>
+      var key = ManifestFiles.physPos(schema, top).toString
+      var dt: DataType = schema(top).dataType
+      var ok = true
+      parts.tail.foreach { p =>
+        if (ok) dt match {
+          case stc: StructType if stc.fieldNames.contains(p) =>
+            val i = stc.fieldIndex(p)
+            key = s"$key.$i"
+            dt = stc(i).dataType
+          case _ => ok = false
+        }
+      }
+      if (ok) Some((key, dt)) else None
+    }
+  }
+
+  /** Leaf type of a filter reference — top-level or dotted-nested. */
+  private[sources] def dtOf(schema: StructType, col: String): Option[DataType] =
+    fieldIndex(schema, col).map(schema(_).dataType)
+      .orElse(nestedLeaf(schema, col).map(_._2))
+
+  private def decodeStats(dt: DataType,
+      c: ManifestFiles.ColStats): Option[(Option[Any], Option[Any], Long)] = {
+    // Outer None = this bound is UNDECODABLE (stats unusable, never
+    // skip); inner None = the bound was recorded ABSENT (all-null
+    // column). Conflating the two is how lost rows happen.
+    def conv(s: Option[String]): Option[Option[Any]] = s match {
+      case None => Some(None)
+      case Some(x) => parseStat(x, dt).flatMap(normalize(dt, _)) match {
+        case some @ Some(_) => Some(some)
+        case None => None
+      }
+    }
+    for { mn <- conv(c.min); mx <- conv(c.max) } yield (mn, mx, c.nulls)
+  }
+
   private def bounds(schema: StructType, st: ManifestFiles.FileStats,
       col: String): Option[(Option[Any], Option[Any], Long)] =
     fieldIndex(schema, col)
@@ -709,21 +769,13 @@ private[sources] object ManifestSkip {
       // a non-orderable column (whatever wrote it) proves nothing
       .filter(i => statsCapable(schema(i).dataType))
       .flatMap { i =>
-      st.cols.get(ManifestFiles.physPos(schema, i)).flatMap { c =>
-        val dt = schema(i).dataType
-        // Outer None = this bound is UNDECODABLE (stats unusable, never
-        // skip); inner None = the bound was recorded ABSENT (all-null
-        // column). Conflating the two is how lost rows happen.
-        def conv(s: Option[String]): Option[Option[Any]] = s match {
-          case None => Some(None)
-          case Some(x) => parseStat(x, dt).flatMap(normalize(dt, _)) match {
-            case some @ Some(_) => Some(some)
-            case None => None
-          }
-        }
-        for { mn <- conv(c.min); mx <- conv(c.max) } yield (mn, mx, c.nulls)
+        st.cols.get(ManifestFiles.physPos(schema, i))
+          .flatMap(decodeStats(schema(i).dataType, _))
       }
-    }
+      .orElse(nestedLeaf(schema, col)
+        .filter { case (_, dt) => statsCapable(dt) }
+        .flatMap { case (key, dt) =>
+          st.nested.get(key).flatMap(decodeStats(dt, _)) })
 
   /** True iff `filter` proves no row of the file can match. `rows` is the
     * file's manifest row count (for IsNotNull on an all-null file). */
@@ -731,8 +783,7 @@ private[sources] object ManifestSkip {
       stats: Option[ManifestFiles.FileStats], rows: Option[Long]): Boolean = {
     val st = stats.getOrElse(return false)
 
-    def colDt(c: String): Option[DataType] =
-      fieldIndex(schema, c).map(schema(_).dataType)
+    def colDt(c: String): Option[DataType] = dtOf(schema, c)
 
     // Comparison semantics: NULL never satisfies a comparison, so a file
     // that is all-null on the column skips for any value predicate.
@@ -797,8 +848,7 @@ private[sources] object ManifestSkip {
   def provesAllMatch(filter: Filter, schema: StructType,
       stats: Option[ManifestFiles.FileStats], rows: Option[Long]): Boolean = {
     val st = stats.getOrElse(return false)
-    def colDt(c: String): Option[DataType] =
-      fieldIndex(schema, c).map(schema(_).dataType)
+    def colDt(c: String): Option[DataType] = dtOf(schema, c)
     def withBounds(c: String, v: Any)(
         prove: (Any, Any, Any) => Boolean): Boolean =
       bounds(schema, st, c).exists {
@@ -891,7 +941,11 @@ private[sources] class ManifestScanBuilder(path: String, version: Option[Int],
       Array[org.apache.spark.sql.sources.Filter] = {
     if (statsSkip) filters.foreach { f =>
       val refs = f.references
-      if (refs.nonEmpty && refs.forall(fullSchema.fieldNames.contains)) accepted += f
+      // data columns AND dotted struct-leaf references (Spark's nested
+      // predicate pushdown delivers `m.a` — resolved by ManifestSkip)
+      if (refs.nonEmpty &&
+        refs.forall(r => ManifestSkip.dtOf(fullSchema, r).isDefined))
+        accepted += f
     }
     filters
   }
@@ -924,7 +978,7 @@ private[sources] class ManifestScanBuilder(path: String, version: Option[Int],
 private[sources] class ManifestScan(path: String, version: Option[Int],
     fullSchema: StructType, required: StructType, conf: SerializableHadoopConf,
     onPlanned: Array[String] => Unit, changes: Option[(Int, Option[Int])],
-    skipFilters: Array[org.apache.spark.sql.sources.Filter],
+    private[sources] val skipFilters: Array[org.apache.spark.sql.sources.Filter],
     // false on row-level COPY_ON_WRITE scans: a MERGE with NOT MATCHED BY
     // SOURCE clauses must rewrite files with no build-side key overlap,
     // so join-key pruning there could drop files that still need rewriting

@@ -23,6 +23,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q65_dedup_embedding_cosine", // bounded id window
     "q66_sim_bruteforce_topk", // corpus × broadcast queries, guarded
     "q69_sim_custom_topk",     // same scoring shape as q66, custom top-k cut
+    "q240_manifest_embeddings_ann", // q66's scoring shape over the governed table
     "q181_ivf_assign_exact",   // corpus × 8 broadcast centroids by design
     "q97_compute_pi",          // range × 1-row constant
     "q223_epoch_shuffle",      // corpus × 2 broadcast epoch rows (fan-out
