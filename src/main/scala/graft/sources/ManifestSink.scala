@@ -1023,10 +1023,10 @@ private[sources] class PartitionSplitWriter(path: String, stagingName: String,
       case _ => 0L
     }
     kind match {
-      case "days" => dayOf
-      case "months" =>
-        val d = java.time.LocalDate.ofEpochDay(dayOf)
-        d.getYear.toLong * 12 + (d.getMonthValue - 1)
+      // the ONE shared transform math (also the catalog's V2 function
+      // and the scan's group derivation — three consumers, one formula)
+      case "days" | "months" =>
+        GraftTimeTransformFunction.dayOf(kind, dayOf).toLong
       case _ => dt match { // identity
         case LongType => row.getLong(colIdx)
         case IntegerType => row.getInt(colIdx).toLong

@@ -762,6 +762,13 @@ private[sources] object ManifestSkip {
     for { mn <- conv(c.min); mx <- conv(c.max) } yield (mn, mx, c.nulls)
   }
 
+  /** Raw INTERNAL-typed decode of a stored stat bound (Int for int/date
+    * columns, Long for long/timestamp, UTF8String for strings …) — what
+    * a partition KEY must carry, as opposed to the canonical comparison
+    * domain `normalize` maps into. */
+  private[sources] def decodeRaw(dt: DataType, s: String): Option[Any] =
+    parseStat(s, dt)
+
   private def bounds(schema: StructType, st: ManifestFiles.FileStats,
       col: String): Option[(Option[Any], Option[Any], Long)] =
     fieldIndex(schema, col)
@@ -1178,6 +1185,57 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
     }
   }
 
+  /** Declared days/months/identity layout of this snapshot's surviving
+    * files → (column, kind, file→group key), Some iff EVERY planned
+    * file's stats PROVE it value-pure (null-free column, min and max in
+    * the same group; the partition-splitting writer guarantees this for
+    * its own files — a foreign append simply degrades the layout, never
+    * wrongness). Group keys carry the INTERNAL type the reported
+    * transform produces: Int day/month ordinals for days/months, the
+    * column's own internal value for identity. Gated on
+    * `spark.sql.sources.v2.bucketing.enabled` like Iceberg's
+    * preserve-data-grouping: without SPJ in play, one-split-per-group
+    * would only cost parallelism and the columnar path. */
+  private lazy val partGroups: Option[(String, String, Map[String, Any])] = {
+    val (kept, _, stats) = staticPlan
+    if (kept.isEmpty || changes.nonEmpty || !runtimeKeyPrune || hasDeletes ||
+      !org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled) None
+    else ManifestFiles.partConf(snapshotLines).flatMap { case (pos, kind) =>
+      ManifestFiles.fieldAtPhys(fullSchema, pos).flatMap { idx =>
+        val field = fullSchema(idx)
+        val dt = field.dataType
+        if (!required.fieldNames.contains(field.name)) None
+        else if (kind == "identity" && dt.isInstanceOf[DecimalType]) None
+        else {
+          def keyOf(name: String): Option[Any] =
+            stats.get(name).flatMap(_.cols.get(pos)).flatMap { c =>
+              if (c.nulls != 0) None
+              else for {
+                mnS <- c.min; mxS <- c.max
+                mn <- ManifestSkip.decodeRaw(dt, mnS)
+                mx <- ManifestSkip.decodeRaw(dt, mxS)
+                key <- kind match {
+                  case "days" | "months" =>
+                    def ord(v: Any): Option[Int] = v match {
+                      case i: Int => Some(GraftTimeTransformFunction.dayOf(kind, i.toLong))
+                      case l: Long => Some(GraftTimeTransformFunction.dayOf(
+                        kind, Math.floorDiv(l, 86400000000L)))
+                      case _ => None
+                    }
+                    for { a <- ord(mn); b <- ord(mx); if a == b } yield a
+                  case _ => // identity: value-pure file
+                    if (mn == mx) Some(mn) else None
+                }
+              } yield key
+            }
+          val keys = kept.map(n => n -> keyOf(n))
+          if (keys.exists(_._2.isEmpty)) None
+          else Some((field.name, kind, keys.map { case (n, k) => n -> k.get }.toMap))
+        }
+      }
+    }
+  }
+
   /** Verified sort order of this snapshot, reportable ONLY when each
     * planned split reads at most one file (concatenating two sorted
     * files is not sorted): with a bucket layout that means ≤1 file per
@@ -1195,7 +1253,11 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
         val onePerSplit = bucketLayout match {
           case Some(_) =>
             kept.groupBy(f => bucketIds(f)._3).values.forall(_.length <= 1)
-          case None => true // one split per file by construction
+          case None => partGroups match {
+            case Some((_, _, keyOf)) => // value groups concatenate files
+              kept.groupBy(keyOf).values.forall(_.length <= 1)
+            case None => true // one split per file by construction
+          }
         }
         if (!onePerSplit) None
         else ManifestFiles.fieldAtPhys(fullSchema, pos)
@@ -1232,12 +1294,27 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           Array(org.apache.spark.sql.connector.expressions.Expressions
             .bucket(n, col)), n)
-      case None =>
-        // staticPlan, NOT planInputPartitions(): the planner asks for the
-        // partitioning before runtime filters exist, and planning here
-        // would double-count the skip metrics / fire onPlanned twice
-        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
-          staticPlan._1.length)
+      case None => partGroups match {
+        case Some((col, kind, keyOf)) =>
+          // days/months resolve through the catalog's V2 functions,
+          // identity through the column itself — the same SPJ seam the
+          // bucket layout plugs, now on the TIME dimension: two day-laid
+          // tables join/aggregate with zero exchanges
+          import org.apache.spark.sql.connector.expressions.Expressions
+          val expr = kind match {
+            case "days" => Expressions.days(col)
+            case "months" => Expressions.months(col)
+            case _ => Expressions.identity(col)
+          }
+          new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+            Array(expr), keyOf.values.toSet.size)
+        case None =>
+          // staticPlan, NOT planInputPartitions(): the planner asks for the
+          // partitioning before runtime filters exist, and planning here
+          // would double-count the skip metrics / fire onPlanned twice
+          new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+            staticPlan._1.length)
+      }
     }
 
   /** file → sorted deleted ordinals, from this snapshot's `#dels` delete
@@ -1289,9 +1366,21 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
           ManifestBucketPartition(b, byBucket.getOrElse(b, Array.empty)
             .map(f => (new Path(dir, f).toString, f))): InputPartition
         }.toArray
-      case None =>
-        names.map(n => ManifestInputPartition(new Path(dir, n).toString, n,
-          deleteMap.getOrElse(n, Array.empty))).toArray
+      case None => partGroups match {
+        case Some((_, _, keyOf)) =>
+          // one split per STATIC group value (runtime filters may empty
+          // a group but must not change the split count the reported
+          // partitioning promised); deletes never coexist with a
+          // reported layout (partGroups gates on !hasDeletes)
+          val byKey = names.groupBy(keyOf)
+          keyOf.values.toSeq.distinct.map { k =>
+            ManifestGroupPartition(k, byKey.getOrElse(k, Array.empty)
+              .map(f => (new Path(dir, f).toString, f))): InputPartition
+          }.toArray
+        case None =>
+          names.map(n => ManifestInputPartition(new Path(dir, n).toString, n,
+            deleteMap.getOrElse(n, Array.empty))).toArray
+      }
     }
   }
 
@@ -1330,9 +1419,11 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
     // inside each surviving file
     new ManifestReaderFactory(fullSchema, required, conf,
       // merge-on-read deletes force row reads (the batch paths carry no
-      // delete vectors) — scan-level, so the answer stays uniform
+      // delete vectors) — scan-level, so the answer stays uniform;
+      // grouped layouts (bucket / value groups) read row-wise through
+      // their sequential multi-file splits
       columnar = columnar.getOrElse(allParquet) && bucketLayout.isEmpty &&
-        !hasDeletes,
+        partGroups.isEmpty && !hasDeletes,
       filters = skipFilters, parquetOnly = allParquet,
       maxPhysArity = ManifestReaderFactory.maxPhysArity(fullSchema,
         ManifestFiles.droppedFromLines(snapshotLines)))
@@ -1433,6 +1524,17 @@ private[sources] case class ManifestBucketPartition(bucket: Int,
     new GenericInternalRow(Array[Any](bucket))
 }
 
+/** One VALUE GROUP of a days/months/identity-partitioned snapshot:
+  * every file whose rows share the group key (day/month ordinal, or the
+  * identity column's value). */
+private[sources] case class ManifestGroupPartition(key: Any,
+    files: Array[(String, String)])
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
+    new GenericInternalRow(Array[Any](key))
+}
+
 private[sources] object ManifestReaderFactory {
   /** Largest physical slot count ANY file of this table can carry: the
     * max physical position across live fields AND retired (dropped)
@@ -1480,29 +1582,33 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
-      case bp: ManifestBucketPartition =>
-        // one split = one bucket = that bucket's files, read in sequence
-        new PartitionReader[InternalRow] {
-          private val files = bp.files.iterator
-          private var cur: PartitionReader[InternalRow] = _
-          override def next(): Boolean = {
-            while (cur == null || !cur.next()) {
-              if (cur != null) cur.close()
-              cur = null
-              if (!files.hasNext) return false
-              val (f, n) = files.next()
-              // bucket splits only plan when the snapshot has NO
-              // merge-on-read deletes (bucketLayout degrades), so the
-              // inner single-file partitions carry none
-              cur = createReader(ManifestInputPartition(f, n))
-            }
-            true
-          }
-          override def get(): InternalRow = cur.get()
-          override def close(): Unit = if (cur != null) cur.close()
-        }
+      case bp: ManifestBucketPartition => sequentialReader(bp.files)
+      case gp: ManifestGroupPartition => sequentialReader(gp.files)
       case single: ManifestInputPartition => createFileReader(single)
       case other => throw new IllegalArgumentException(other.toString)
+    }
+
+  /** One split = one bucket/value-group = its files read in sequence.
+    * Grouped splits only plan when the snapshot has NO merge-on-read
+    * deletes (the layouts degrade), so the inner single-file partitions
+    * carry none. */
+  private def sequentialReader(
+      groupFiles: Array[(String, String)]): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val files = groupFiles.iterator
+      private var cur: PartitionReader[InternalRow] = _
+      override def next(): Boolean = {
+        while (cur == null || !cur.next()) {
+          if (cur != null) cur.close()
+          cur = null
+          if (!files.hasNext) return false
+          val (f, n) = files.next()
+          cur = createReader(ManifestInputPartition(f, n))
+        }
+        true
+      }
+      override def get(): InternalRow = cur.get()
+      override def close(): Unit = if (cur != null) cur.close()
     }
 
   private def createFileReader(
@@ -2077,14 +2183,17 @@ class GraftManifestCatalog extends TableCatalog
   // a bucketing-aware shuffle of an unbucketed join side lands on the
   // identical layout.
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(Array.empty, "bucket"))
+    Array("bucket", "days", "months").map(Identifier.of(Array.empty, _))
 
   override def loadFunction(ident: Identifier):
-      org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
-    require(ident.name == "bucket",
-      s"catalog $catalogName provides function 'bucket' only, got $ident")
-    GraftBucketFunction
-  }
+      org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    ident.name match {
+      case "bucket" => GraftBucketFunction
+      case "days" => new GraftTimeTransformFunction("days")
+      case "months" => new GraftTimeTransformFunction("months")
+      case other => throw new IllegalArgumentException(
+        s"catalog $catalogName provides bucket/days/months, got $other")
+    }
 
   import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
   import org.apache.spark.sql.types.{IntegerType, LongType, StringType, TimestampType}
@@ -2155,6 +2264,60 @@ private[sources] object GraftBucketFunction
         val m = 42 % n; if (m < 0) m + n else m
       } else invoke(n, input.getLong(1))
     }
+  }
+}
+
+/** `days(ts)` / `months(ts)` as DSv2 bound functions — the SAME math the
+  * partition-splitting writer keys files by (`PartitionSplitWriter.key`)
+  * and the scan derives group values with, so the write layout, the
+  * reported `KeyGroupedPartitioning(days(col))`, and any engine-side
+  * evaluation of the transform agree exactly. Timestamps map micros to
+  * the epoch-day via floorDiv (pre-epoch values land in the right day);
+  * dates are already epoch-days; months = year*12 + (month-1). */
+private[sources] final class GraftTimeTransformFunction(kind: String)
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.connector.catalog.functions.BoundFunction
+  import org.apache.spark.sql.types.{DateType, IntegerType, TimestampNTZType, TimestampType}
+
+  override def name(): String = kind
+  override def description(): String =
+    s"$kind(ts): graft-manifest $kind partition transform"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 1 &&
+      (inputType(0).dataType == TimestampType ||
+        inputType(0).dataType == TimestampNTZType ||
+        inputType(0).dataType == DateType),
+      s"$kind expects one TIMESTAMP or DATE column, got ${inputType.simpleString}")
+    new GraftTimeTransformFunction.Bound(kind,
+      inputType(0).dataType == DateType, inputType(0).dataType)
+  }
+}
+
+private[sources] object GraftTimeTransformFunction {
+  import org.apache.spark.sql.connector.catalog.functions.ScalarFunction
+  import org.apache.spark.sql.types.{DataType, IntegerType}
+
+  def dayOf(kind: String, epochDay: Long): Int =
+    if (kind == "days") epochDay.toInt
+    else {
+      val d = java.time.LocalDate.ofEpochDay(epochDay)
+      d.getYear * 12 + (d.getMonthValue - 1)
+    }
+
+  /** Named public class — Spark's magic-method Invoke lookup needs a
+    * public `invoke` on a public class (see BoundBucket). */
+  final class Bound(kind: String, isDate: Boolean, dt: DataType)
+      extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(dt)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = kind
+    override def canonicalName(): String = s"graft.$kind"
+    override def isResultNullable: Boolean = true
+    override def produceResult(input: InternalRow): Integer =
+      if (input.isNullAt(0)) null
+      else if (isDate) dayOf(kind, input.getInt(0).toLong)
+      else dayOf(kind, Math.floorDiv(input.getLong(0), 86400000000L))
   }
 }
 

@@ -899,10 +899,72 @@ object Sources extends QueryModule {
         WHERE q.vec_id < 10)
       WHERE rk <= 3 ORDER BY query_id, rk"""))
 
+  /** DAY-PARTITIONED storage-partitioned join (round 12 — the
+    * time-dimension analogue of q234's bucket SPJ): two tables created
+    * `PARTITIONED BY (od)` (identity on a DATE column) land value-pure
+    * files via the partition-splitting writer, the scans report
+    * `KeyGroupedPartitioning(identity(od))` with one split per day, and
+    * the fact⋈dim join + per-day aggregate plan ZERO exchanges (pinned
+    * by ManifestPartitionSpjSpec; here the oracle pins the ANSWER). At
+    * 100 TB this is the daily-rollup-join shape: the write-time day
+    * layout replaces the join shuffle, and the same layout makes
+    * `DELETE WHERE od < retention` metadata-only (q239's alignment, now
+    * automatic). */
+  val qDaySpj: QueryDef = QueryDef(
+    "q241_manifest_day_spj",
+    (s, d) => {
+      import s.implicits._
+      val root = tmp(d, "manifest_dayspj")
+      val dir = new org.apache.hadoop.fs.Path(root)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      val cat = "graft_dsp_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val q1 = Tables.df(s, d, "orders")
+        .filter($"o_orderdate" >= "1996-01-01" && $"o_orderdate" < "1996-04-01")
+        .select(to_date($"o_orderdate").as("od"), $"o_orderkey",
+          $"o_totalprice", $"o_orderpriority")
+      s.sql(s"CREATE TABLE $cat.fact (od DATE, o_orderkey BIGINT, " +
+        "o_totalprice DOUBLE) PARTITIONED BY (od)")
+      s.sql(s"CREATE TABLE $cat.dim (od DATE, n_urgent BIGINT) " +
+        "PARTITIONED BY (od)")
+      q1.select($"od", $"o_orderkey", $"o_totalprice")
+        .writeTo(s"$cat.fact").append()
+      q1.groupBy($"od")
+        .agg(sum(when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L))
+          .as("n_urgent"))
+        .writeTo(s"$cat.dim").append()
+      s.sql(s"""
+        SELECT f.od, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(f.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 AS total,
+               any_value(m.n_urgent) AS n_urgent
+        FROM $cat.fact f JOIN $cat.dim m ON f.od = m.od
+        GROUP BY f.od ORDER BY f.od""")
+    },
+    Some("""
+      WITH q1 AS (
+        SELECT CAST(o_orderdate AS DATE) AS od, o_orderkey, o_totalprice,
+               o_orderpriority
+        FROM orders
+        WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'),
+      dim AS (
+        SELECT od,
+               CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1
+                 ELSE 0 END) AS BIGINT) AS n_urgent
+        FROM q1 GROUP BY od)
+      SELECT f.od, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(f.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS total,
+             any_value(m.n_urgent) AS n_urgent
+      FROM q1 f JOIN dim m ON f.od = m.od
+      GROUP BY f.od ORDER BY f.od"""))
+
   override def defs: Seq[QueryDef] =
     Seq(qCsv, qJson, qOrc, qText, qPartitioned, qSynthSource, qSynthColumnar,
       qSchemaEvolution, qManifestTimeTravel, qManifestMerge, qManifestStream,
       qManifestSkipping, qXml, qBinaryFile, qZOrder, qSpjJoin, qBucketedJoin,
       qManifestParquetMixed, qManifestEvolution, qManifestTyped,
-      qManifestMergeOnRead, qMetadataDelete, qManifestEmbeddings)
+      qManifestMergeOnRead, qMetadataDelete, qManifestEmbeddings, qDaySpj)
 }
