@@ -67,7 +67,8 @@ object Bench {
     "q234_bucketed_manifest_join", "q235_manifest_parquet_mixed",
     "q236_manifest_evolution", "q237_manifest_typed_columns",
     "q238_manifest_merge_on_read", "q239_manifest_metadata_delete",
-    "q240_manifest_embeddings_ann", "q241_manifest_day_spj")
+    "q240_manifest_embeddings_ann", "q241_manifest_day_spj",
+    "q242_manifest_multi_partition")
 
   private val sentinelName = "q97_compute_pi"
   private val stragglerQueries =

@@ -188,6 +188,27 @@ private[sources] class ManifestTable(schema0: StructType,
   override def name(): String = "graft_manifest_sink"
   override def schema(): StructType = schema0
 
+  // Declared layout surfaced for introspection (DESCRIBE/SHOW CREATE):
+  // the catalog's load() passes bucket/partition props from the
+  // `#tableconf` lines; SPJ itself rides the Scan's outputPartitioning.
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val bucket = for {
+      c <- Option(properties.get("bucketBy"))
+      n <- Option(properties.get("buckets"))
+    } yield Expressions.bucket(n.toInt, c)
+    val part = for {
+      cs <- Option(properties.get("partitionBy")).map(_.split(",").toSeq)
+      ks <- Option(properties.get("partitionKind")).map(_.split(",").toSeq)
+      if cs.length == ks.length
+    } yield cs.zip(ks).map {
+      case (c, "days") => Expressions.days(c)
+      case (c, "months") => Expressions.months(c)
+      case (c, _) => Expressions.identity(c)
+    }
+    (bucket.toSeq ++ part.toSeq.flatten).toArray
+  }
+
   // ---- METADATA-ONLY DELETE (SupportsDelete; Iceberg's partition-
   // aligned delete generalized to stats-aligned): when every file either
   // provably ALL-matches the predicate (ManifestSkip.provesAllMatch) or
@@ -387,17 +408,17 @@ private[sources] class ManifestTable(schema0: StructType,
         // column: clustered rows let the task-side partition-splitting
         // writer keep one open file at a time, and the file count stays
         // ~one per partition value instead of tasks × values.
-        private val partLayout: Option[(Int, String)] =
+        private val partLayout: Seq[(Int, String)] =
           try {
             val fs = path.getFileSystem(
               SparkSession.active.sessionState.newHadoopConf())
-            ManifestFiles.partConf(ManifestFiles.latestLines(fs, path))
+            ManifestFiles.partConfs(ManifestFiles.latestLines(fs, path))
               .flatMap { case (pos, kind) =>
                 ManifestFiles.fieldAtPhys(
                   ManifestFiles.schemaFor(fs, path, None), pos)
                   .map(idx => (idx, kind))
               }
-          } catch { case _: Exception => None }
+          } catch { case _: Exception => Seq.empty }
 
         // `option("sortedBy", col)` — sorted buckets: demand an
         // in-partition sort through the same write seam, so every bucket
@@ -427,14 +448,16 @@ private[sources] class ManifestTable(schema0: StructType,
               org.apache.spark.sql.connector.distributions.Distributions
                 .clustered(Array(
                   org.apache.spark.sql.connector.expressions.Expressions.identity(c)))
-            case None => partLayout match {
-              case Some((idx, _)) =>
+            case None =>
+              if (partLayout.nonEmpty)
+                // composite layouts range-distribute lexicographically on
+                // ALL partition columns in declared order — clustered
+                // rows keep the split writer near one open file
                 org.apache.spark.sql.connector.distributions.Distributions
-                  .ordered(Array(partSortOrder(idx)))
-              case None =>
+                  .ordered(partLayout.map(p => partSortOrder(p._1)).toArray)
+              else
                 org.apache.spark.sql.connector.distributions.Distributions
                   .unspecified()
-            }
           }
         override def requiredNumPartitions(): Int =
           bucketSpec.map(_._2).getOrElse(0)
@@ -444,9 +467,10 @@ private[sources] class ManifestTable(schema0: StructType,
             org.apache.spark.sql.connector.expressions.Expressions.sort(
               org.apache.spark.sql.connector.expressions.Expressions.column(c),
               org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)))
-            .orElse(partLayout.map { case (idx, _) =>
-              Array(partSortOrder(idx)) })
-            .getOrElse(Array.empty)
+            .getOrElse(
+              if (partLayout.nonEmpty)
+                partLayout.map(p => partSortOrder(p._1)).toArray
+              else Array.empty)
 
         override def toBatch: BatchWrite = {
           // The authoritative previous schema is the published `_SCHEMA`
@@ -622,17 +646,15 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
       info: PhysicalWriteInfo): DataWriterFactory = {
     // Declared days/months/identity layout, re-read from disk HERE so
     // every batch route splits files per partition value — plain
-    // appends, catalog INSERTs, COW rewrites, and compact all preserve
-    // the layout (streaming writes don't split; their files simply
-    // carry wider stats bounds, which only weakens skipping/alignment,
-    // never correctness).
-    val partSpec: Option[(Int, String)] =
+    // appends, catalog INSERTs, COW rewrites, compact, AND streaming
+    // epochs (ManifestStreamingWrite) all preserve the layout.
+    val partSpec: Seq[(Int, String)] =
       try {
         val fs = new Path(path).getFileSystem(conf.value)
-        ManifestFiles.partConf(ManifestFiles.latestLines(fs, new Path(path)))
+        ManifestFiles.partConfs(ManifestFiles.latestLines(fs, new Path(path)))
           .flatMap { case (pos, kind) =>
             ManifestFiles.fieldAtPhys(schema, pos).map(idx => (idx, kind)) }
-      } catch { case _: Exception => None }
+      } catch { case _: Exception => Seq.empty }
     new ManifestWriterFactory(path, stagingName, failPartition, schema, conf,
       recordBucket = bucketSpec.isDefined, sortPos = sortPos, format = format,
       partSpec = partSpec)
@@ -950,13 +972,24 @@ private[sources] object ManifestWriters {
 
 private[sources] class ManifestStreamWriterFactory(path: String,
     stagingName: String, schema: StructType, conf: SerializableHadoopConf,
-    format: String)
+    format: String,
+    // declared days/months/identity layout: 24/7 streaming ingest lands
+    // value-pure files too, so retention deletes stay metadata-only on
+    // streamed history (round 12; the epoch prefix keeps the abort
+    // sweep's per-epoch selector working)
+    partSpec: Seq[(Int, String)] = Seq.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    ManifestWriters.create(path, stagingName,
-      f"part-e$epochId-$partitionId%05d-$taskId${ManifestWriters.ext(format)}.tmp",
-      schema, conf, injectFailure = false)
+    if (partSpec.isEmpty)
+      ManifestWriters.create(path, stagingName,
+        f"part-e$epochId-$partitionId%05d-$taskId${ManifestWriters.ext(format)}.tmp",
+        schema, conf, injectFailure = false)
+    else
+      new PartitionSplitWriter(path, stagingName, schema, conf, format,
+        f"part-e$epochId-$partitionId%05d-$taskId",
+        partSpec.map { case (idx, kind) =>
+          (idx, kind, schema(idx).dataType) })
 }
 
 private[sources] class ManifestWriterFactory(path: String, stagingName: String,
@@ -967,23 +1000,25 @@ private[sources] class ManifestWriterFactory(path: String, stagingName: String,
     recordBucket: Boolean = false,
     sortPos: Option[Int] = None,
     format: String = "parquet",
-    // (schema index, kind) of a declared days/months/identity layout:
-    // the task splits its rows into one staged file per partition value
-    partSpec: Option[(Int, String)] = None) extends DataWriterFactory {
+    // (schema index, kind) per declared days/months/identity transform,
+    // in declared order: the task splits its rows into one staged file
+    // per COMPOSITE partition value
+    partSpec: Seq[(Int, String)] = Seq.empty) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int,
-      taskId: Long): DataWriter[InternalRow] = partSpec match {
-    case None =>
+      taskId: Long): DataWriter[InternalRow] =
+    if (partSpec.isEmpty)
       ManifestWriters.create(path, stagingName,
         f"part-$partitionId%05d-$taskId${ManifestWriters.ext(format)}.tmp",
         schema, conf,
         injectFailure = partitionId == failPartition,
         bucket = if (recordBucket) partitionId else -1,
         sortPos = sortPos)
-    case Some((idx, kind)) =>
+    else
       new PartitionSplitWriter(path, stagingName, schema, conf, format,
-        partitionId, taskId, idx, kind, schema(idx).dataType)
-  }
+        f"part-$partitionId%05d-$taskId",
+        partSpec.map { case (idx, kind) =>
+          (idx, kind, schema(idx).dataType) })
 }
 
 /** Partition-splitting task writer for days/months/identity layouts:
@@ -1000,21 +1035,24 @@ private[sources] class ManifestWriterFactory(path: String, stagingName: String,
   * file it produced. */
 private[sources] class PartitionSplitWriter(path: String, stagingName: String,
     schema: StructType, conf: SerializableHadoopConf, format: String,
-    partitionId: Int, taskId: Long, colIdx: Int, kind: String,
-    dt: DataType) extends DataWriter[InternalRow] {
+    namePrefix: String,
+    specs: Seq[(Int, String, DataType)]) extends DataWriter[InternalRow] {
 
-  private val writers =
-    scala.collection.mutable.LinkedHashMap.empty[Long, DataWriter[InternalRow]]
+  private val writers = scala.collection.mutable
+    .LinkedHashMap.empty[List[Long], DataWriter[InternalRow]]
   private val NullKey = Long.MinValue
+  private val specsArr = specs.toArray
 
-  /** Partition key of a row: days/months map the temporal value to its
-    * day/month index (timestamps via floorDiv so pre-epoch values land
-    * in the right day); identity keys numerics/dates directly and
-    * strings/other orderables via a stable hash (the key only routes
-    * rows to files — the VALUE-pure file's stats are what proofs use,
-    * so hash collisions merely co-locate two values in one file, which
-    * is still a correct, slightly weaker layout). */
-  private def key(row: InternalRow): Long = {
+  /** Partition key of a row on ONE transform column: days/months map
+    * the temporal value to its day/month index (timestamps via floorDiv
+    * so pre-epoch values land in the right day); identity keys
+    * numerics/dates directly and strings/other orderables via a stable
+    * hash (the key only routes rows to files — the VALUE-pure file's
+    * stats are what proofs use, so hash collisions merely co-locate two
+    * values in one file, which is still a correct, slightly weaker
+    * layout). Composite layouts route on the List of per-column keys. */
+  private def keyAt(row: InternalRow, colIdx: Int, kind: String,
+      dt: DataType): Long = {
     if (row.isNullAt(colIdx)) return NullKey
     val dayOf: Long = dt match {
       case DateType => row.getInt(colIdx).toLong
@@ -1046,12 +1084,15 @@ private[sources] class PartitionSplitWriter(path: String, stagingName: String,
     }
   }
 
+  private def key(row: InternalRow): List[Long] =
+    specsArr.map { case (i, k, dt) => keyAt(row, i, k, dt) }.toList
+
   override def write(row: InternalRow): Unit = {
     val k = key(row)
     writers.getOrElseUpdate(k, {
       val seq = writers.size
       ManifestWriters.create(path, stagingName,
-        f"part-$partitionId%05d-$taskId-s$seq${ManifestWriters.ext(format)}.tmp",
+        s"$namePrefix-s$seq${ManifestWriters.ext(format)}.tmp",
         schema, conf, injectFailure = false)
     }).write(row)
   }
@@ -1084,8 +1125,23 @@ private[sources] class ManifestStreamingWrite(path: String, queryId: String,
   private val stagingName = s".staging-$queryId"
 
   override def createStreamingWriterFactory(
-      info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new ManifestStreamWriterFactory(path, stagingName, schema, conf, format)
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    // declared days/months/identity layout (see ManifestBatchWrite):
+    // each micro-batch's tasks split output per partition value, so
+    // streamed history keeps retention deletes metadata-only. Without a
+    // demanded distribution the per-epoch file count is tasks × values
+    // touched this epoch — for time layouts an epoch usually touches
+    // one or two days, so the cost stays near one file per task.
+    val partSpec: Seq[(Int, String)] =
+      try {
+        val fs = new Path(path).getFileSystem(conf.value)
+        ManifestFiles.partConfs(ManifestFiles.latestLines(fs, new Path(path)))
+          .flatMap { case (pos, kind) =>
+            ManifestFiles.fieldAtPhys(schema, pos).map(idx => (idx, kind)) }
+      } catch { case _: Exception => Seq.empty }
+    new ManifestStreamWriterFactory(path, stagingName, schema, conf, format,
+      partSpec)
+  }
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
@@ -1095,17 +1151,24 @@ private[sources] class ManifestStreamingWrite(path: String, queryId: String,
     val already = ManifestFiles.committedEpoch(
       ManifestFiles.latestLines(fs, dir), queryId).exists(_ >= epochId)
     if (already) {
-      messages.foreach { case FileCommitted(tmp, _, _, _, _, _, _) =>
-        fs.delete(new Path(staging, tmp), false)
+      def sweep(m: WriterCommitMessage): Unit = m match {
+        case FileCommitted(tmp, _, _, _, _, _, _) =>
+          fs.delete(new Path(staging, tmp), false)
+        case FilesCommitted(files) => files.foreach(sweep)
       }
+      messages.foreach(sweep)
       return
     }
-    val fresh = messages.flatMap {
+    def landOne(m: FileCommitted): Seq[String] = m match {
       case FileCommitted(tmp, rows, bytes, stats, _, _, nested) =>
         val fin = tmp.stripSuffix(".tmp")
         val ok = fs.rename(new Path(staging, tmp), new Path(dir, fin))
         require(ok, s"staged file $tmp vanished before commit")
         Seq(s"$fin,$rows", ManifestFiles.statsLine(fin, bytes, stats, nested))
+    }
+    val fresh = messages.flatMap {
+      case f: FileCommitted => landOne(f)
+      case FilesCommitted(files) => files.flatMap(landOne)
     }
     ManifestFiles.publishSnapshot(fs, conf.value, dir, previous =>
       previous.filterNot(_.startsWith(s"#txn,$queryId,")) ++ fresh :+

@@ -261,13 +261,18 @@ object ManifestFiles {
   def partConfLine(colPos: Int, kind: String): String =
     s"#tableconf,part,$colPos,$kind"
 
-  def partConf(lines: Array[String]): Option[(Int, String)] =
-    lines.find(_.startsWith("#tableconf,part,")).flatMap { l =>
+  /** Declared partition transforms in DECLARED ORDER — one
+    * `#tableconf,part` line per transform (round 12 extends the single
+    * time/identity transform to composite layouts like
+    * `PARTITIONED BY (days(ts), region)`); the order is the composite
+    * group-key order everywhere (writer split, SPJ report, split keys). */
+  def partConfs(lines: Array[String]): Seq[(Int, String)] =
+    lines.iterator.filter(_.startsWith("#tableconf,part,")).flatMap { l =>
       l.split(",") match {
         case Array(_, _, pos, kind) => pos.toIntOption.map((_, kind))
         case _ => None
       }
-    }
+    }.toSeq
 
   /** Payload-format pin: `#tableconf,format,<parquet|csv>` — written by
     * `CREATE TABLE … TBLPROPERTIES('format'='csv')`, re-surfaced as a
@@ -1186,52 +1191,74 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
   }
 
   /** Declared days/months/identity layout of this snapshot's surviving
-    * files → (column, kind, file→group key), Some iff EVERY planned
-    * file's stats PROVE it value-pure (null-free column, min and max in
-    * the same group; the partition-splitting writer guarantees this for
-    * its own files — a foreign append simply degrades the layout, never
+    * files → (ordered (column, kind) transforms, file→composite group
+    * key), Some iff EVERY planned file's stats PROVE it value-pure on
+    * EVERY transform column (null-free column, min and max in the same
+    * group; the partition-splitting writer guarantees this for its own
+    * files — a foreign append simply degrades the layout, never
     * wrongness). Group keys carry the INTERNAL type the reported
     * transform produces: Int day/month ordinals for days/months, the
-    * column's own internal value for identity. Gated on
+    * column's own internal value for identity — one key element per
+    * declared transform, in declared order. Gated on
     * `spark.sql.sources.v2.bucketing.enabled` like Iceberg's
     * preserve-data-grouping: without SPJ in play, one-split-per-group
     * would only cost parallelism and the columnar path. */
-  private lazy val partGroups: Option[(String, String, Map[String, Any])] = {
+  private lazy val partGroups:
+      Option[(Seq[(String, String)], Map[String, List[Any]])] = {
     val (kept, _, stats) = staticPlan
     if (kept.isEmpty || changes.nonEmpty || !runtimeKeyPrune || hasDeletes ||
       !org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled) None
-    else ManifestFiles.partConf(snapshotLines).flatMap { case (pos, kind) =>
-      ManifestFiles.fieldAtPhys(fullSchema, pos).flatMap { idx =>
-        val field = fullSchema(idx)
-        val dt = field.dataType
-        if (!required.fieldNames.contains(field.name)) None
-        else if (kind == "identity" && dt.isInstanceOf[DecimalType]) None
-        else {
-          def keyOf(name: String): Option[Any] =
-            stats.get(name).flatMap(_.cols.get(pos)).flatMap { c =>
-              if (c.nulls != 0) None
-              else for {
-                mnS <- c.min; mxS <- c.max
-                mn <- ManifestSkip.decodeRaw(dt, mnS)
-                mx <- ManifestSkip.decodeRaw(dt, mxS)
-                key <- kind match {
-                  case "days" | "months" =>
-                    def ord(v: Any): Option[Int] = v match {
-                      case i: Int => Some(GraftTimeTransformFunction.dayOf(kind, i.toLong))
-                      case l: Long => Some(GraftTimeTransformFunction.dayOf(
-                        kind, Math.floorDiv(l, 86400000000L)))
-                      case _ => None
-                    }
-                    for { a <- ord(mn); b <- ord(mx); if a == b } yield a
-                  case _ => // identity: value-pure file
-                    if (mn == mx) Some(mn) else None
-                }
-              } yield key
-            }
-          val keys = kept.map(n => n -> keyOf(n))
-          if (keys.exists(_._2.isEmpty)) None
-          else Some((field.name, kind, keys.map { case (n, k) => n -> k.get }.toMap))
+    else {
+      val specs = ManifestFiles.partConfs(snapshotLines)
+      // every declared transform must resolve to a live, required,
+      // reportable column — any miss degrades the WHOLE layout (a
+      // partial report would promise a partitioning the splits don't
+      // honor)
+      val cols: Seq[Option[(Int, Int, String)]] = specs.map {
+        case (pos, kind) =>
+          ManifestFiles.fieldAtPhys(fullSchema, pos).flatMap { idx =>
+            val field = fullSchema(idx)
+            if (!required.fieldNames.contains(field.name)) None
+            else if (kind == "identity" &&
+              field.dataType.isInstanceOf[DecimalType]) None
+            else Some((pos, idx, kind))
+          }
+      }
+      if (specs.isEmpty || cols.exists(_.isEmpty)) None
+      else {
+        val resolved = cols.flatten
+        def keyAt(name: String, pos: Int, kind: String,
+            dt: DataType): Option[Any] =
+          stats.get(name).flatMap(_.cols.get(pos)).flatMap { c =>
+            if (c.nulls != 0) None
+            else for {
+              mnS <- c.min; mxS <- c.max
+              mn <- ManifestSkip.decodeRaw(dt, mnS)
+              mx <- ManifestSkip.decodeRaw(dt, mxS)
+              key <- kind match {
+                case "days" | "months" =>
+                  def ord(v: Any): Option[Int] = v match {
+                    case i: Int => Some(GraftTimeTransformFunction.dayOf(kind, i.toLong))
+                    case l: Long => Some(GraftTimeTransformFunction.dayOf(
+                      kind, Math.floorDiv(l, 86400000000L)))
+                    case _ => None
+                  }
+                  for { a <- ord(mn); b <- ord(mx); if a == b } yield a
+                case _ => // identity: value-pure file
+                  if (mn == mx) Some(mn) else None
+              }
+            } yield key
+          }
+        def keyOf(name: String): Option[List[Any]] = {
+          val ks = resolved.map { case (pos, idx, kind) =>
+            keyAt(name, pos, kind, fullSchema(idx).dataType) }
+          if (ks.exists(_.isEmpty)) None else Some(ks.map(_.get).toList)
         }
+        val keys = kept.map(n => n -> keyOf(n))
+        if (keys.exists(_._2.isEmpty)) None
+        else Some((
+          resolved.map { case (_, idx, kind) => (fullSchema(idx).name, kind) },
+          keys.map { case (n, k) => n -> k.get }.toMap))
       }
     }
   }
@@ -1254,7 +1281,7 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
           case Some(_) =>
             kept.groupBy(f => bucketIds(f)._3).values.forall(_.length <= 1)
           case None => partGroups match {
-            case Some((_, _, keyOf)) => // value groups concatenate files
+            case Some((_, keyOf)) => // value groups concatenate files
               kept.groupBy(keyOf).values.forall(_.length <= 1)
             case None => true // one split per file by construction
           }
@@ -1295,19 +1322,20 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
           Array(org.apache.spark.sql.connector.expressions.Expressions
             .bucket(n, col)), n)
       case None => partGroups match {
-        case Some((col, kind, keyOf)) =>
+        case Some((colKinds, keyOf)) =>
           // days/months resolve through the catalog's V2 functions,
           // identity through the column itself — the same SPJ seam the
           // bucket layout plugs, now on the TIME dimension: two day-laid
-          // tables join/aggregate with zero exchanges
+          // tables join/aggregate with zero exchanges. Composite layouts
+          // report every transform, in declared (= split-key) order.
           import org.apache.spark.sql.connector.expressions.Expressions
-          val expr = kind match {
+          val exprs = colKinds.map { case (col, kind) => kind match {
             case "days" => Expressions.days(col)
             case "months" => Expressions.months(col)
             case _ => Expressions.identity(col)
-          }
+          }}
           new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-            Array(expr), keyOf.values.toSet.size)
+            exprs.toArray, keyOf.values.toSet.size)
         case None =>
           // staticPlan, NOT planInputPartitions(): the planner asks for the
           // partitioning before runtime filters exist, and planning here
@@ -1367,7 +1395,7 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
             .map(f => (new Path(dir, f).toString, f))): InputPartition
         }.toArray
       case None => partGroups match {
-        case Some((_, _, keyOf)) =>
+        case Some((_, keyOf)) =>
           // one split per STATIC group value (runtime filters may empty
           // a group but must not change the split count the reported
           // partitioning promised); deletes never coexist with a
@@ -1527,12 +1555,12 @@ private[sources] case class ManifestBucketPartition(bucket: Int,
 /** One VALUE GROUP of a days/months/identity-partitioned snapshot:
   * every file whose rows share the group key (day/month ordinal, or the
   * identity column's value). */
-private[sources] case class ManifestGroupPartition(key: Any,
+private[sources] case class ManifestGroupPartition(key: List[Any],
     files: Array[(String, String)])
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
-    new GenericInternalRow(Array[Any](key))
+    new GenericInternalRow(key.toArray)
 }
 
 private[sources] object ManifestReaderFactory {
@@ -1885,6 +1913,18 @@ class GraftManifestCatalog extends TableCatalog
     if (ManifestFiles.isMergeOnRead(confLines))
       props.put("delete.mode", "merge-on-read")
     ManifestFiles.formatFromLines(confLines).foreach(props.put("format", _))
+    ManifestFiles.partConfs(confLines) match {
+      case specs if specs.nonEmpty =>
+        val resolved = specs.flatMap { case (pos, kind) =>
+          ManifestFiles.fieldAtPhys(schema, pos)
+            .map(idx => (schema(idx).name, kind)) }
+        // all-or-nothing: a half-resolved layout must not surface
+        if (resolved.length == specs.length) {
+          props.put("partitionBy", resolved.map(_._1).mkString(","))
+          props.put("partitionKind", resolved.map(_._2).mkString(","))
+        }
+      case _ =>
+    }
     // DDL-declared layout rides into the write path as properties
     // (positions are PHYSICAL — resolve to the current field, if live)
     ManifestFiles.tableConf(f, dir, version).foreach { case (pos, n, sp) =>
@@ -1927,7 +1967,7 @@ class GraftManifestCatalog extends TableCatalog
     if (f.exists(new Path(dir, "_MANIFEST")))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         Array(catalogName, ident.name))
-    var part: Option[(Int, String)] = None
+    var part: Vector[(Int, String)] = Vector.empty
     val bucket = partitions.toSeq match {
       case Seq() => None
       case Seq(t) if t.name == "bucket" =>
@@ -1947,31 +1987,40 @@ class GraftManifestCatalog extends TableCatalog
           case _ => throw new IllegalArgumentException(
             s"malformed bucket transform: $t")
         }
-      // time/identity partition transforms (round 12): recorded as a
-      // `#tableconf,part` line; the write side splits task output so
-      // each data file holds one partition value (see ManifestWriters)
-      case Seq(t) if t.name == "days" || t.name == "months" ||
-          t.name == "identity" =>
-        val c = t.references.headOption.map(_.fieldNames.mkString("."))
-          .getOrElse(throw new IllegalArgumentException(
-            s"malformed ${t.name} transform: $t"))
-        require(schema.fieldNames.contains(c),
-          s"partition column '$c' not in ${schema.fieldNames.mkString(",")}")
-        val dt = schema(c).dataType
-        if (t.name == "identity")
-          require(ManifestSkip.statsCapable(dt),
-            s"identity partitioning needs an orderable primitive " +
-              s"column, got ${dt.sql}")
-        else
-          require(dt == TimestampType || dt == TimestampNTZType ||
-              dt == DateType,
-            s"${t.name}() needs a TIMESTAMP or DATE column, got ${dt.sql}")
-        part = Some((schema.fieldIndex(c), t.name))
+      // time/identity partition transforms (round 12): recorded as
+      // `#tableconf,part` lines IN DECLARED ORDER; the write side splits
+      // task output so each data file holds one COMPOSITE partition
+      // value (see ManifestWriters) — `PARTITIONED BY (days(ts),
+      // region)` lands day+region-pure files, so a retention delete on
+      // either dimension stays metadata-only and two identically-laid
+      // tables storage-partition-join on the composite key
+      case ts if ts.forall(t => t.name == "days" || t.name == "months" ||
+          t.name == "identity") =>
+        ts.foreach { t =>
+          val c = t.references.headOption.map(_.fieldNames.mkString("."))
+            .getOrElse(throw new IllegalArgumentException(
+              s"malformed ${t.name} transform: $t"))
+          require(schema.fieldNames.contains(c),
+            s"partition column '$c' not in ${schema.fieldNames.mkString(",")}")
+          val dt = schema(c).dataType
+          if (t.name == "identity")
+            require(ManifestSkip.statsCapable(dt),
+              s"identity partitioning needs an orderable primitive " +
+                s"column, got ${dt.sql}")
+          else
+            require(dt == TimestampType || dt == TimestampNTZType ||
+                dt == DateType,
+              s"${t.name}() needs a TIMESTAMP or DATE column, got ${dt.sql}")
+          val idx = schema.fieldIndex(c)
+          require(!part.exists(_._1 == idx),
+            s"duplicate partition transform on column '$c'")
+          part :+= ((idx, t.name))
+        }
         None
       case other => throw new UnsupportedOperationException(
-        "graft-manifest supports PARTITIONED BY (bucket(n, col)), " +
-          "(days(ts)), (months(ts)), or (col) — got " +
-          other.mkString(", "))
+        "graft-manifest supports PARTITIONED BY (bucket(n, col)) — " +
+          "alone — or any list of (days(ts)), (months(ts)), (col) " +
+          "transforms; got " + other.mkString(", "))
     }
     val mor = Option(properties.get("delete.mode")) match {
       case Some("merge-on-read") => Array(ManifestFiles.MergeOnReadLine)
@@ -1988,7 +2037,7 @@ class GraftManifestCatalog extends TableCatalog
       _ => bucket.map { case (pos, n) =>
           ManifestFiles.tableConfLine(pos, n, None) }.toArray ++
         part.map { case (pos, kind) =>
-          ManifestFiles.partConfLine(pos, kind) }.toArray ++ mor ++ fmt,
+          ManifestFiles.partConfLine(pos, kind) }.toArray[String] ++ mor ++ fmt,
       schema)
     load(ident, None)
   }
@@ -2119,7 +2168,7 @@ class GraftManifestCatalog extends TableCatalog
               s"cannot drop '$name': the table's declared bucket/sort " +
                 "layout references it")
           }
-          ManifestFiles.partConf(priorLines).foreach { case (pp, kind) =>
+          ManifestFiles.partConfs(priorLines).foreach { case (pp, kind) =>
             require(pp != pos,
               s"cannot drop '$name': the table's declared $kind() " +
                 "partition layout references it")

@@ -961,10 +961,60 @@ object Sources extends QueryModule {
       FROM q1 f JOIN dim m ON f.od = m.od
       GROUP BY f.od ORDER BY f.od"""))
 
+  /** Composite partition layout (round 12): `PARTITIONED BY (od,
+    * o_orderpriority)` lands files pure on BOTH dimensions, so a
+    * takedown delete aligned on the SECOND column is metadata-only too
+    * — the retention story generalizes from "by day" to "by (day, any
+    * identity dimension)" with no manual layout. The aggregate groups
+    * by both partition columns; the ManifestPartitionSpjSpec twin
+    * proves the composite storage-partitioned join plans zero
+    * exchanges. */
+  val qMultiPart: QueryDef = QueryDef(
+    "q242_manifest_multi_partition",
+    (s, d) => {
+      import s.implicits._
+      val root = tmp(d, "manifest_multipart")
+      val dir = new org.apache.hadoop.fs.Path(root)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      val cat = "graft_mpt_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.sql(s"CREATE TABLE $cat.fact (od DATE, o_orderpriority STRING, " +
+        "o_orderkey BIGINT, o_totalprice DOUBLE) " +
+        "PARTITIONED BY (od, o_orderpriority)")
+      Tables.df(s, d, "orders")
+        .filter($"o_orderdate" >= "1996-01-01" && $"o_orderdate" < "1996-03-01")
+        .select(to_date($"o_orderdate").as("od"), $"o_orderpriority",
+          $"o_orderkey", $"o_totalprice")
+        .writeTo(s"$cat.fact").append()
+      // takedown on the SECOND partition dimension: metadata-only by
+      // construction (every file is priority-pure)
+      s.sql(s"DELETE FROM $cat.fact WHERE o_orderpriority = '5-LOW'")
+      s.sql(s"""
+        SELECT od, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 AS total
+        FROM $cat.fact
+        GROUP BY od, o_orderpriority
+        ORDER BY od, o_orderpriority""")
+    },
+    Some("""
+      SELECT CAST(o_orderdate AS DATE) AS od, o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS total
+      FROM orders
+      WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-03-01'
+        AND o_orderpriority <> '5-LOW'
+      GROUP BY od, o_orderpriority
+      ORDER BY od, o_orderpriority"""))
+
   override def defs: Seq[QueryDef] =
     Seq(qCsv, qJson, qOrc, qText, qPartitioned, qSynthSource, qSynthColumnar,
       qSchemaEvolution, qManifestTimeTravel, qManifestMerge, qManifestStream,
       qManifestSkipping, qXml, qBinaryFile, qZOrder, qSpjJoin, qBucketedJoin,
       qManifestParquetMixed, qManifestEvolution, qManifestTyped,
-      qManifestMergeOnRead, qMetadataDelete, qManifestEmbeddings, qDaySpj)
+      qManifestMergeOnRead, qMetadataDelete, qManifestEmbeddings, qDaySpj,
+      qMultiPart)
 }

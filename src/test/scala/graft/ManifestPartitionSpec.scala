@@ -151,6 +151,99 @@ class ManifestPartitionSpec extends AnyFunSuite {
     assert(spark.table(s"$cat.m").count() == 300L)
   }
 
+  test("streaming epochs split per day too: streamed history keeps " +
+    "retention deletes metadata-only") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val (cat, root) = freshCat("stream")
+    spark.sql(s"CREATE TABLE $cat.ev (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_part_ck").toString
+    val input = MemoryStream[Long](spark)
+    def drain(): Unit = {
+      val q = input.toDS().selectExpr("value AS k",
+          "timestamp_seconds(1714521600 + (value % 4) * 86400 + value) AS ts")
+        .writeStream.format("graft-manifest")
+        .option("path", s"$root/ev")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      q.stop()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.streams.active.exists(_.id == q.id) &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+      Thread.sleep(200)
+    }
+    input.addData(0L until 200L: _*)
+    drain()
+    input.addData(200L until 300L: _*)
+    drain()
+    // every streamed file is day-pure
+    val spans = spark.read.format("graft-manifest")
+      .option("path", s"$root/ev").load()
+      .groupBy($"_file").agg(countDistinct(to_date($"ts")).as("n")).collect()
+    assert(spans.nonEmpty)
+    spans.foreach(r => assert(r.getLong(1) == 1L,
+      s"streamed file ${r.get(0)} mixes days"))
+    // retention delete at a day boundary over PURELY STREAMED history:
+    // still a metadata-only snapshot edit
+    val before = dataFiles(s"$root/ev")
+    spark.sql(s"DELETE FROM $cat.ev WHERE ts < " +
+      "timestamp_seconds(1714521600 + 2 * 86400)")
+    assert(dataFiles(s"$root/ev") == before,
+      "aligned retention delete on streamed files must write nothing")
+    val expected = (0 until 300).count(_ % 4 >= 2)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev").head().getLong(0)
+      == expected.toLong)
+  }
+
+  test("composite layout days(ts), region: files pure on BOTH dimensions; " +
+    "retention delete on either column stays metadata-only") {
+    val (cat, root) = freshCat("multi")
+    spark.sql(s"CREATE TABLE $cat.ev (k BIGINT, ts TIMESTAMP, region STRING) " +
+      "PARTITIONED BY (days(ts), region)")
+    spark.range(0, 600).select($"id".as("k"),
+        (lit(1714521600L) + ($"id" * 7919 % 5) * 86400L + $"id" % 86400)
+          .cast("timestamp").as("ts"),
+        element_at(array(lit("apac"), lit("emea"), lit("amer")),
+          ($"id" % 3 + 1).cast("int")).as("region"))
+      .repartition(7).writeTo(s"$cat.ev").append()
+    // every file holds exactly one (day, region) pair
+    val spans = spark.read.format("graft-manifest")
+      .option("path", s"$root/ev").load()
+      .groupBy($"_file").agg(
+        countDistinct(to_date($"ts")).as("d"),
+        countDistinct($"region").as("r")).collect()
+    assert(spans.nonEmpty)
+    spans.foreach { r =>
+      assert(r.getLong(1) == 1L && r.getLong(2) == 1L,
+        s"file ${r.get(0)} not (day, region)-pure: ${r.getLong(1)} days, " +
+          s"${r.getLong(2)} regions")
+    }
+    // retention delete on the TIME dimension: metadata-only
+    val before = dataFiles(s"$root/ev")
+    spark.sql(s"DELETE FROM $cat.ev WHERE ts < " +
+      "timestamp_seconds(1714521600 + 2 * 86400)")
+    assert(dataFiles(s"$root/ev") == before,
+      "day-aligned delete on a composite layout must write nothing")
+    // takedown delete on the SECOND dimension: also metadata-only,
+    // because files are region-pure too
+    spark.sql(s"DELETE FROM $cat.ev WHERE region = 'emea'")
+    assert(dataFiles(s"$root/ev") == before,
+      "region-aligned delete on a composite layout must write nothing")
+    val expected = (0 until 600)
+      .filter(i => i * 7919 % 5 >= 2).filterNot(_ % 3 == 1).size
+    assert(spark.table(s"$cat.ev").count() == expected.toLong)
+    // the declared layout surfaces through the catalog
+    val t = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty, "ev"))
+    assert(t.partitioning().map(_.toString).toSeq
+      == Seq("days(ts)", "identity(region)"))
+  }
+
   test("layout survives INSERT OVERWRITE and blocks dropping its column; " +
     "DDL rejects non-temporal days() and multi-transform specs") {
     val (cat, root) = freshCat("guard")

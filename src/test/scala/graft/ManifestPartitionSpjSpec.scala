@@ -148,6 +148,42 @@ class ManifestPartitionSpjSpec extends AnyFunSuite {
     }
   }
 
+  test("composite layout (days(ts), region) joins on BOTH keys with " +
+    "zero shuffles; dropping one join key falls back to a shuffle") {
+    val (cat, _) = freshCat("comp")
+    spark.sql(s"CREATE TABLE $cat.a (ts TIMESTAMP, region STRING, v BIGINT) " +
+      "PARTITIONED BY (days(ts), region)")
+    spark.sql(s"CREATE TABLE $cat.b (ts TIMESTAMP, region STRING, w BIGINT) " +
+      "PARTITIONED BY (days(ts), region)")
+    def rows(col: String) =
+      spark.range(0, 240).select(
+        (lit(1714521600L) + ($"id" % 4) * 86400L).cast("timestamp").as("ts"),
+        element_at(array(lit("apac"), lit("emea")),
+          (($"id" / 4) % 2 + 1).cast("int")).as("region"),
+        $"id".as(col))
+    rows("v").repartition(5).writeTo(s"$cat.a").append()
+    rows("w").repartition(3).writeTo(s"$cat.b").append()
+    noBroadcast {
+      val q = spark.sql(s"""
+        SELECT a.ts, a.region, count(*) AS n FROM $cat.a a
+        JOIN $cat.b b ON a.ts = b.ts AND a.region = b.region
+        GROUP BY a.ts, a.region""")
+      assert(shuffles(q) == 0,
+        s"expected composite SPJ, plan:\n${q.queryExecution.executedPlan}")
+      val got = q.collect()
+      // 8 (day, region) groups of 30×30 pairs each — ts is day-constant
+      // per id%4 so each (ts, region) cell holds 30 rows a side
+      assert(got.length == 8)
+      assert(got.map(_.getLong(2)).sum == 8 * 30L * 30L)
+      // joining on ts alone cannot use the (days, region) grouping —
+      // region would be co-partitioned on an absent key — so the plan
+      // legitimately shuffles and the answer is still exact
+      val q2 = spark.sql(
+        s"SELECT count(*) AS n FROM $cat.a a JOIN $cat.b b ON a.ts = b.ts")
+      assert(q2.head().getLong(0) == 4L * 60 * 60)
+    }
+  }
+
   test("a foreign (non-day-pure) append degrades the layout to a normal " +
     "scan, never a wrong one") {
     val (cat, root) = freshCat("deg")
