@@ -1,0 +1,260 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Inspection METADATA TABLES over a manifest table, Iceberg-style
+  * (`db.table.files` / Delta's DESCRIBE DETAIL): `SELECT * FROM
+  * cat.`t$files``, `…$snapshots`, `…$partitions`. Read-only, computed
+  * entirely from the snapshot's metadata lines on the DRIVER (no Spark
+  * job — file listings scale with file count, not data; the scan is a
+  * [[LocalScan]], the same seam the CALL procedures return results
+  * through), and they compose with time travel: `VERSION AS OF n` on
+  * the metadata identifier inspects that snapshot's metadata.
+  *
+  *   - `t$files` — one row per data file: name, per-file format, row
+  *     count, size, bucket id, sort mark, merge-on-read deleted-row
+  *     count, and the file's proven partition value (null when the
+  *     file's stats don't prove it value-pure — same proof the SPJ
+  *     group derivation uses).
+  *   - `t$snapshots` — version history with per-version file/row
+  *     totals, commit time, and added/removed file deltas.
+  *   - `t$partitions` — per-partition-value aggregates (file count,
+  *     row count, bytes) for the declared days/months/identity layout;
+  *     files whose purity is unprovable aggregate into an all-NULL
+  *     partition row so the totals always reconcile with `t$files`.
+  *
+  * Reference seam: SplitServe inherits Spark 2.1's `DESCRIBE` surface
+  * (`sql/core/.../command/tables.scala`); this lifts the same
+  * introspection need to the versioned table format, where the
+  * interesting state (snapshots, per-file stats, layout proofs) lives
+  * outside the Hive catalog.
+  */
+private[sources] object ManifestMetaTables {
+  val Suffixes: Set[String] = Set("files", "snapshots", "partitions")
+
+  /** `name$kind` → (base table name, kind), when kind is a known
+    * metadata-table suffix. A REAL table whose directory is literally
+    * named `x$files` wins (the catalog checks existence first). */
+  def parse(name: String): Option[(String, String)] = {
+    val i = name.lastIndexOf('$')
+    if (i <= 0) None
+    else {
+      val kind = name.substring(i + 1)
+      if (Suffixes.contains(kind)) Some((name.substring(0, i), kind)) else None
+    }
+  }
+
+  /** Proven partition key of one file under the declared transforms —
+    * the SAME stats proof the scan's SPJ group derivation
+    * (ManifestScan.partGroups) runs: null-free column, min and max in
+    * one group. None = unprovable (foreign/legacy file). */
+  def fileKey(stats: Option[ManifestFiles.FileStats],
+      specs: Seq[(Int, String, DataType)]): Option[List[Any]] = {
+    def keyAt(pos: Int, kind: String, dt: DataType): Option[Any] =
+      stats.flatMap(_.cols.get(pos)).flatMap { c =>
+        if (c.nulls != 0) None
+        else for {
+          mnS <- c.min; mxS <- c.max
+          mn <- ManifestSkip.decodeRaw(dt, mnS)
+          mx <- ManifestSkip.decodeRaw(dt, mxS)
+          key <- kind match {
+            case "days" | "months" =>
+              def ord(v: Any): Option[Int] = v match {
+                case i: Int => Some(GraftTimeTransformFunction.dayOf(kind, i.toLong))
+                case l: Long => Some(GraftTimeTransformFunction.dayOf(
+                  kind, Math.floorDiv(l, 86400000000L)))
+                case _ => None
+              }
+              for { a <- ord(mn); b <- ord(mx); if a == b } yield a
+            case _ => if (mn == mx) Some(mn) else None
+          }
+        } yield key
+      }
+    val ks = specs.map { case (pos, kind, dt) => keyAt(pos, kind, dt) }
+    if (ks.exists(_.isEmpty)) None else Some(ks.map(_.get).toList)
+  }
+
+  /** Partition-value column of the `$partitions` schema for one
+    * transform: identity surfaces the column itself; days surfaces
+    * `<col>_day DATE` (the ordinal IS the epoch day); months surfaces
+    * `<col>_month STRING` as `yyyy-MM`. */
+  def partField(name: String, kind: String, dt: DataType): StructField =
+    kind match {
+      case "days" => StructField(s"${name}_day", DateType, nullable = true)
+      case "months" => StructField(s"${name}_month", StringType, nullable = true)
+      case _ => StructField(name, dt, nullable = true)
+    }
+
+  def renderKey(kind: String, key: Any): Any = kind match {
+    case "months" =>
+      val ord = key.asInstanceOf[Int]
+      UTF8String.fromString(
+        f"${Math.floorDiv(ord, 12)}%04d-${Math.floorMod(ord, 12) + 1}%02d")
+    case _ => key // days: epoch-day Int = DateType internal; identity: raw
+  }
+
+  /** Human-readable partition string for `t$files` (`od=1996-01-03/
+    * o_orderpriority=5-LOW`). */
+  def renderPath(specs: Seq[(String, String, DataType)],
+      key: List[Any]): String =
+    specs.zip(key).map { case ((name, kind, _), k) =>
+      val v = kind match {
+        case "days" => java.time.LocalDate.ofEpochDay(
+          k.asInstanceOf[Int].toLong).toString
+        case "months" => renderKey(kind, k).toString
+        case _ => String.valueOf(k)
+      }
+      s"$name=$v"
+    }.mkString("/")
+}
+
+/** One metadata table, bound to a base table directory and an optional
+  * pinned version (time travel). Rows materialize driver-side at scan
+  * build — metadata scale. */
+private[sources] class ManifestMetaTable(kind: String, dir: Path,
+    fs: FileSystem, version: Option[Int]) extends Table with SupportsRead {
+
+  import ManifestMetaTables._
+
+  override def name(): String = s"${dir.getName}$$$kind"
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  private def ver: Option[Int] = version.orElse {
+    val v = ManifestFiles.latestComplete(fs, dir)
+    if (v > 0) Some(v) else None
+  }
+
+  private lazy val baseSchema: StructType =
+    ManifestFiles.schemaFor(fs, dir, ver)
+
+  /** Declared layout resolved to live (name, kind, type, physical pos)
+    * — positions key the stats, names/types surface in results. */
+  private lazy val layout: Seq[(String, String, DataType, Int)] =
+    ManifestFiles.partConfs(ManifestFiles.linesOf(fs, dir, ver)).flatMap {
+      case (pos, k) =>
+        ManifestFiles.fieldAtPhys(baseSchema, pos).map { idx =>
+          (baseSchema(idx).name, k, baseSchema(idx).dataType, pos)
+        }
+    }
+
+  override def schema(): StructType = kind match {
+    case "files" => new StructType()
+      .add("file", StringType, nullable = false)
+      .add("format", StringType, nullable = false)
+      .add("row_count", LongType, nullable = false)
+      .add("size_bytes", LongType, nullable = true)
+      .add("bucket", IntegerType, nullable = true)
+      .add("sorted_by", StringType, nullable = true)
+      .add("delete_rows", LongType, nullable = false)
+      .add("partition", StringType, nullable = true)
+    case "snapshots" => new StructType()
+      .add("version", IntegerType, nullable = false)
+      .add("committed_at", TimestampType, nullable = false)
+      .add("file_count", IntegerType, nullable = false)
+      .add("row_count", LongType, nullable = false)
+      .add("added_files", IntegerType, nullable = false)
+      .add("removed_files", IntegerType, nullable = false)
+    case "partitions" =>
+      require(layout.nonEmpty,
+        s"${dir.getName} has no declared partition layout — " +
+          "$partitions needs PARTITIONED BY (days(ts)|months(ts)|col, …)")
+      StructType(layout.map { case (n, k, dt, _) => partField(n, k, dt) } ++
+        Seq(StructField("file_count", LongType, nullable = false),
+          StructField("row_count", LongType, nullable = false),
+          StructField("size_bytes", LongType, nullable = false)))
+  }
+
+  private def computeRows(): Array[InternalRow] = {
+    val lines = ManifestFiles.linesOf(fs, dir, ver)
+    val entries = ManifestFiles.entriesFromLines(lines)
+    val stats = ManifestFiles.statsFromLines(lines)
+    kind match {
+      case "files" =>
+        val buckets = ManifestFiles.bucketsFromLines(lines)
+        val sorted = ManifestFiles.sortedFromLines(lines)
+        // per-file merge-on-read deleted-row counts (#dels files hold
+        // (file, pos) pairs — driver metadata I/O)
+        val delCounts: Map[String, Long] = lines
+          .filter(_.startsWith("#dels,")).map(_.split(",", 2)(1))
+          .flatMap { dn =>
+            ManifestFiles.readManifest(fs, new Path(dir, dn)).map { l =>
+              l.substring(0, l.lastIndexOf(',')) }
+          }.groupBy(identity).map { case (f, hits) => f -> hits.length.toLong }
+        val specs3 = layout.map { case (n, k, dt, pos) => (pos, k, dt) }
+        val names3 = layout.map { case (n, k, dt, _) => (n, k, dt) }
+        entries.map { case (file, rows) =>
+          val key =
+            if (layout.isEmpty) None
+            else fileKey(stats.get(file), specs3)
+          new GenericInternalRow(Array[Any](
+            UTF8String.fromString(file),
+            UTF8String.fromString(
+              if (ManifestParquet.isParquet(file)) "parquet" else "csv"),
+            rows,
+            stats.get(file).map(s => s.bytes: Any).orNull,
+            buckets.get(file).map(b => b._3: Any).orNull,
+            sorted.get(file)
+              .flatMap(p => ManifestFiles.fieldAtPhys(baseSchema, p))
+              .map(i => UTF8String.fromString(baseSchema(i).name): Any)
+              .orNull,
+            delCounts.getOrElse(file, 0L),
+            key.map(k => UTF8String.fromString(
+              renderPath(names3, k)): Any).orNull)): InternalRow
+        }
+      case "snapshots" =>
+        val vs = ManifestFiles.versions(fs, dir).sorted
+        var prev = Set.empty[String]
+        vs.map { v =>
+          val es = ManifestFiles.entries(fs, dir, Some(v))
+          val cur = es.map(_._1).toSet
+          val row = new GenericInternalRow(Array[Any](
+            v,
+            fs.getFileStatus(new Path(dir, s"_MANIFEST.v$v"))
+              .getModificationTime * 1000L,
+            es.length,
+            es.map(_._2).sum,
+            (cur -- prev).size,
+            (prev -- cur).size)): InternalRow
+          prev = cur
+          row
+        }.toArray
+      case "partitions" =>
+        val specs3 = layout.map { case (_, k, dt, pos) => (pos, k, dt) }
+        val kinds = layout.map(_._2)
+        entries.toSeq
+          .groupBy { case (file, _) => fileKey(stats.get(file), specs3) }
+          .map { case (key, files) =>
+            val cells: Array[Any] = key match {
+              case Some(ks) => kinds.zip(ks).map { case (k, v) =>
+                renderKey(k, v) }.toArray
+              case None => Array.fill[Any](kinds.length)(null)
+            }
+            new GenericInternalRow(cells ++ Array[Any](
+              files.length.toLong,
+              files.map(_._2).sum,
+              files.map { case (f, _) =>
+                stats.get(f).map(_.bytes).getOrElse(0L) }.sum)): InternalRow
+          }.toArray
+    }
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = {
+        val out = schema()
+        val data = computeRows()
+        new LocalScan {
+          override def readSchema(): StructType = out
+          override def rows(): Array[InternalRow] = data
+        }
+      }
+    }
+}

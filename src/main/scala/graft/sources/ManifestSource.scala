@@ -1938,12 +1938,31 @@ class GraftManifestCatalog extends TableCatalog
     new ManifestTable(schema, props, strictSchema = true)
   }
 
-  override def loadTable(ident: Identifier): Table = load(ident, None)
+  /** `t$files` / `t$snapshots` / `t$partitions` resolve to read-only
+    * metadata tables over t's snapshot lines (ManifestMetaTables) —
+    * unless a REAL table is literally named that (directory existence
+    * wins), and only when the base table exists. Composes with time
+    * travel: `VERSION AS OF n` inspects snapshot n's metadata. */
+  private def metaTable(ident: Identifier, version: Option[Int]): Option[Table] =
+    ManifestMetaTables.parse(ident.name).flatMap { case (base, kind) =>
+      val f = fs
+      if (f.exists(new Path(tableDir(ident), "_MANIFEST"))) None
+      else {
+        val baseDir = tableDir(Identifier.of(ident.namespace, base))
+        if (!f.exists(new Path(baseDir, "_MANIFEST"))) None
+        else Some(new ManifestMetaTable(kind, baseDir, f, version))
+      }
+    }
 
-  override def loadTable(ident: Identifier, version: String): Table =
-    load(ident, Some(version.toIntOption.getOrElse(
+  override def loadTable(ident: Identifier): Table =
+    metaTable(ident, None).getOrElse(load(ident, None))
+
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = version.toIntOption.getOrElse(
       throw new IllegalArgumentException(
-        s"graft-manifest versions are integers, got '$version'"))))
+        s"graft-manifest versions are integers, got '$version'"))
+    metaTable(ident, Some(v)).getOrElse(load(ident, Some(v)))
+  }
 
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val dir = tableDir(ident)

@@ -1010,11 +1010,50 @@ object Sources extends QueryModule {
       GROUP BY od, o_orderpriority
       ORDER BY od, o_orderpriority"""))
 
+  /** Metadata tables (round 12): `t$partitions` is a driver-computed
+    * LocalScan over the snapshot's metadata lines — zero Spark jobs —
+    * yet its per-partition row counts must equal a real group-by of the
+    * data, which is exactly what the DuckDB oracle replays. The takedown
+    * delete in the middle keeps the metadata honest under row-level
+    * ops. */
+  val qPartitionsMeta: QueryDef = QueryDef(
+    "q243_manifest_partitions_meta",
+    (s, d) => {
+      import s.implicits._
+      val root = tmp(d, "manifest_partsmeta")
+      val dir = new org.apache.hadoop.fs.Path(root)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      val cat = "graft_pm_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE TABLE $cat.fact (od DATE, o_orderpriority STRING, " +
+        "o_orderkey BIGINT, o_totalprice DOUBLE) " +
+        "PARTITIONED BY (od, o_orderpriority)")
+      Tables.df(s, d, "orders")
+        .filter($"o_orderdate" >= "1996-01-01" && $"o_orderdate" < "1996-02-01")
+        .select(to_date($"o_orderdate").as("od"), $"o_orderpriority",
+          $"o_orderkey", $"o_totalprice")
+        .writeTo(s"$cat.fact").append()
+      s.sql(s"DELETE FROM $cat.fact WHERE o_orderpriority = '4-NOT SPECIFIED'")
+      s.sql(s"""
+        SELECT od, o_orderpriority, CAST(row_count AS BIGINT) AS n
+        FROM $cat.`fact$$partitions`
+        ORDER BY od, o_orderpriority""")
+    },
+    Some("""
+      SELECT CAST(o_orderdate AS DATE) AS od, o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders
+      WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-02-01'
+        AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY od, o_orderpriority
+      ORDER BY od, o_orderpriority"""))
+
   override def defs: Seq[QueryDef] =
     Seq(qCsv, qJson, qOrc, qText, qPartitioned, qSynthSource, qSynthColumnar,
       qSchemaEvolution, qManifestTimeTravel, qManifestMerge, qManifestStream,
       qManifestSkipping, qXml, qBinaryFile, qZOrder, qSpjJoin, qBucketedJoin,
       qManifestParquetMixed, qManifestEvolution, qManifestTyped,
       qManifestMergeOnRead, qMetadataDelete, qManifestEmbeddings, qDaySpj,
-      qMultiPart)
+      qMultiPart, qPartitionsMeta)
 }
