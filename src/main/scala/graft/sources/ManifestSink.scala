@@ -101,7 +101,8 @@ class ManifestSink extends TableProvider
         SparkSession.active.sessionState.newHadoopConf())
       if (fs.exists(new Path(dir, "_SCHEMA")))
         ManifestFiles.schemaFor(fs, dir,
-          Option(options.get("versionAsOf")).map(_.toInt))
+          Option(options.get("versionAsOf"))
+            .map(ManifestFiles.resolveVersionStr(fs, dir, _)))
       else new StructType()
     }.getOrElse(new StructType())
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -313,7 +314,10 @@ private[sources] class ManifestTable(schema0: StructType,
         "graft-manifest: changesFrom and versionAsOf are mutually exclusive")
       (from, opt("changesTo").map(_.toInt))
     }
-    new ManifestScanBuilder(p, opt("versionAsOf").map(_.toInt), schema0,
+    val resolveV = (s: String) => ManifestFiles.resolveVersionStr(
+      new Path(p).getFileSystem(
+        SparkSession.active.sessionState.newHadoopConf()), new Path(p), s)
+    new ManifestScanBuilder(p, opt("versionAsOf").map(resolveV), schema0,
       new SerializableHadoopConf(
         SparkSession.active.sessionState.newHadoopConf()),
       changes = changes,

@@ -274,6 +274,38 @@ object ManifestFiles {
       }
     }.toSeq
 
+  /** Named TAGS (round 12 — Iceberg refs): `_TAGS` lines `name,version`.
+    * A tag pins a version for humans (`VERSION AS OF 'nightly'`) and
+    * for VACUUM, which never drops a tagged version. Stored OUTSIDE the
+    * snapshot chain (a tag is a pointer to history, not part of it), so
+    * tagging never creates versions; updates land via tmp + rename. */
+  def tags(fs: FileSystem, dir: Path): Map[String, Int] =
+    readManifest(fs, new Path(dir, "_TAGS")).flatMap { l =>
+      val i = l.lastIndexOf(',')
+      if (i <= 0) None
+      else l.substring(i + 1).toIntOption.map(v => l.substring(0, i) -> v)
+    }.toMap
+
+  /** `versionAsOf` option value → version: integer, or a `_TAGS` name. */
+  def resolveVersionStr(fs: FileSystem, dir: Path, s: String): Int =
+    s.toIntOption.getOrElse {
+      val t = tags(fs, dir)
+      t.getOrElse(s, throw new IllegalArgumentException(
+        s"'$s' is neither a version number nor a tag on ${dir.getName} " +
+          s"(tags: ${t.keys.toSeq.sorted.mkString(", ")})"))
+    }
+
+  def writeTags(fs: FileSystem, dir: Path, m: Map[String, Int]): Unit = {
+    val tmp = new Path(dir, s"._tags-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(m.toSeq.sortBy(_._1)
+      .map { case (n, v) => s"$n,$v\n" }.mkString.getBytes("UTF-8"))
+    finally out.close()
+    val dest = new Path(dir, "_TAGS")
+    fs.delete(dest, false)
+    require(fs.rename(tmp, dest), s"could not publish tags at $dest")
+  }
+
   /** Payload-format pin: `#tableconf,format,<parquet|csv>` — written by
     * `CREATE TABLE … TBLPROPERTIES('format'='csv')`, re-surfaced as a
     * table property at load so EVERY write path (INSERT INTO appends,
@@ -1957,12 +1989,30 @@ class GraftManifestCatalog extends TableCatalog
   override def loadTable(ident: Identifier): Table =
     metaTable(ident, None).getOrElse(load(ident, None))
 
-  override def loadTable(ident: Identifier, version: String): Table = {
-    val v = version.toIntOption.getOrElse(
-      throw new IllegalArgumentException(
-        s"graft-manifest versions are integers, got '$version'"))
-    metaTable(ident, Some(v)).getOrElse(load(ident, Some(v)))
-  }
+  /** `VERSION AS OF x`: an integer is a version number; anything else
+    * resolves through the table's `_TAGS` refs (`VERSION AS OF
+    * 'nightly'`). Metadata tables resolve against their BASE table's
+    * tags. */
+  private def resolveVersion(dir: Path, version: String): Int =
+    version.toIntOption.getOrElse {
+      val t = ManifestFiles.tags(fs, dir)
+      t.getOrElse(version, throw new IllegalArgumentException(
+        s"'$version' is neither a version number nor a tag on " +
+          s"${dir.getName} (tags: ${t.keys.toSeq.sorted.mkString(", ")})"))
+    }
+
+  override def loadTable(ident: Identifier, version: String): Table =
+    ManifestMetaTables.parse(ident.name) match {
+      case Some((base, kind))
+          if !fs.exists(new Path(tableDir(ident), "_MANIFEST")) &&
+            fs.exists(new Path(
+              tableDir(Identifier.of(ident.namespace, base)), "_MANIFEST")) =>
+        val baseDir = tableDir(Identifier.of(ident.namespace, base))
+        new ManifestMetaTable(kind, baseDir, fs,
+          Some(resolveVersion(baseDir, version)))
+      case _ =>
+        load(ident, Some(resolveVersion(tableDir(ident), version)))
+    }
 
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val dir = tableDir(ident)
@@ -2281,6 +2331,9 @@ class GraftManifestCatalog extends TableCatalog
       case "snapshots" => ManifestProcedures.snapshots(dirFor)
       case "rewrite_position_deletes" =>
         ManifestProcedures.rewritePositionDeletes(dirFor)
+      case "rollback" => ManifestProcedures.rollback(dirFor)
+      case "create_tag" => ManifestProcedures.createTag(dirFor)
+      case "drop_tag" => ManifestProcedures.dropTag(dirFor)
     }
   }
 }
@@ -2401,7 +2454,8 @@ private[sources] object ManifestProcedures {
   import org.apache.spark.unsafe.types.UTF8String
 
   val names: Array[String] =
-    Array("compact", "vacuum", "snapshots", "rewrite_position_deletes")
+    Array("compact", "vacuum", "snapshots", "rewrite_position_deletes",
+      "rollback", "create_tag", "drop_tag")
 
   private def param(n: String, dt: org.apache.spark.sql.types.DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -2573,6 +2627,9 @@ private[sources] object ManifestProcedures {
       require(retain >= 1, s"retain_versions must be >= 1, got $retain")
       val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
       val versions = ManifestFiles.versions(fs, dir).sorted
+      // tagged versions are PINNED: vacuum never drops a version a tag
+      // still names (drop the tag first) — Iceberg's ref-aware expiry
+      val tagged = ManifestFiles.tags(fs, dir).values.toSet
       val dropByCount = math.max(0, versions.length - retain)
       // commit time = the version file's modification time (the same
       // clock `snapshots` and time travel report); age-kept versions
@@ -2586,7 +2643,9 @@ private[sources] object ManifestProcedures {
               .getModificationTime >= cutoff)
           if (i < 0) versions.length else i
         }
-      val (dropped, kept) = versions.splitAt(math.min(dropByCount, dropByAge))
+      val (dropCand, keptSuffix) = versions.splitAt(math.min(dropByCount, dropByAge))
+      val dropped = dropCand.filterNot(tagged)
+      val kept = dropCand.filter(tagged) ++ keptSuffix
       val referenced = kept.flatMap { v =>
         val lines = ManifestFiles.linesOf(fs, dir, Some(v))
         ManifestFiles.entriesFromLines(lines).map(_._1) ++
@@ -2615,6 +2674,77 @@ private[sources] object ManifestProcedures {
       result(new StructType().add("versions_dropped", IntegerType)
           .add("data_files_deleted", IntegerType),
         Array(dropped.length, removed))
+    }
+
+  /** `rollback(table, version)` — restore snapshot `version` as a NEW
+    * version (Iceberg semantics: rollback is a commit, history is never
+    * destroyed — the bad versions stay time-travelable until vacuum).
+    * Concurrency rides the same claim loop as every commit; the rebase
+    * closure ignores the predecessor deliberately, because "make the
+    * table exactly version N again" IS the requested end state. */
+  def rollback(dirFor: String => Path): UnboundProcedure =
+    proc("rollback", Array(param("table", StringType),
+        param("version", IntegerType))) { input =>
+      val spark = SparkSession.active
+      val dir = dirFor(input.getUTF8String(0).toString)
+      val to = input.getInt(1)
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = dir.getFileSystem(conf)
+      val have = ManifestFiles.versions(fs, dir)
+      require(have.contains(to),
+        s"cannot roll back to version $to — it does not exist or was " +
+          s"vacuumed (have: ${have.sorted.mkString(",")})")
+      val from = ManifestFiles.latestComplete(fs, dir)
+      val lines = ManifestFiles.linesOf(fs, dir, Some(to))
+      val schema = ManifestFiles.schemaFor(fs, dir, Some(to))
+      val v = ManifestFiles.publishSnapshot(fs, conf, dir, _ => lines, schema)
+      result(new StructType().add("from_version", IntegerType)
+          .add("rolled_back_to", IntegerType).add("new_version", IntegerType),
+        Array(from, to, v))
+    }
+
+  /** `create_tag(table, tag[, version])` — pin a version under a name
+    * (default: latest). Tagged versions survive vacuum and resolve in
+    * `VERSION AS OF 'tag'`. Numeric names are rejected (they would be
+    * ambiguous with version numbers); duplicate names fail loudly. */
+  def createTag(dirFor: String => Path): UnboundProcedure =
+    proc("create_tag", Array(param("table", StringType),
+        param("tag", StringType),
+        paramDefault("version", IntegerType, "-1"))) { input =>
+      val spark = SparkSession.active
+      val dir = dirFor(input.getUTF8String(0).toString)
+      val tag = input.getUTF8String(1).toString
+      require(tag.nonEmpty && tag.toIntOption.isEmpty,
+        s"tag name '$tag' must be non-empty and non-numeric")
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      val v0 = input.getInt(2)
+      val v = if (v0 >= 0) v0 else ManifestFiles.latestComplete(fs, dir)
+      require(ManifestFiles.versions(fs, dir).contains(v),
+        s"cannot tag version $v — it does not exist " +
+          s"(have: ${ManifestFiles.versions(fs, dir).sorted.mkString(",")})")
+      val cur = ManifestFiles.tags(fs, dir)
+      require(!cur.contains(tag),
+        s"tag '$tag' already names version ${cur(tag)} — drop_tag it first")
+      ManifestFiles.writeTags(fs, dir, cur + (tag -> v))
+      result(new StructType().add("tag", StringType)
+          .add("version", IntegerType),
+        Array(UTF8String.fromString(tag), v))
+    }
+
+  def dropTag(dirFor: String => Path): UnboundProcedure =
+    proc("drop_tag", Array(param("table", StringType),
+        param("tag", StringType))) { input =>
+      val spark = SparkSession.active
+      val dir = dirFor(input.getUTF8String(0).toString)
+      val tag = input.getUTF8String(1).toString
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      val cur = ManifestFiles.tags(fs, dir)
+      require(cur.contains(tag),
+        s"no tag '$tag' (have: ${cur.keys.toSeq.sorted.mkString(", ")})")
+      ManifestFiles.writeTags(fs, dir, cur - tag)
+      result(new StructType().add("tag", StringType)
+          .add("was_version", IntegerType),
+        Array(UTF8String.fromString(tag), cur(tag)))
     }
 
   def snapshots(dirFor: String => Path): UnboundProcedure =

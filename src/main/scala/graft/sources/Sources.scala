@@ -1049,11 +1049,52 @@ object Sources extends QueryModule {
       GROUP BY od, o_orderpriority
       ORDER BY od, o_orderpriority"""))
 
+  /** Snapshot refs (round 12): a January load is TAGGED, February lands
+    * on top, a bad-load rollback restores the tagged version as a NEW
+    * commit, and the final read resolves `VERSION AS OF 'jan'` — the
+    * oracle replays January alone, so the tag pin, the rollback
+    * restore, and the ref resolution must all be exact. */
+  val qRefs: QueryDef = QueryDef(
+    "q244_manifest_refs",
+    (s, d) => {
+      import s.implicits._
+      val root = tmp(d, "manifest_refs")
+      val dir = new org.apache.hadoop.fs.Path(root)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      val cat = "graft_ref_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE TABLE $cat.t (od DATE, o_orderkey BIGINT, " +
+        "o_totalprice DOUBLE)") // v1
+      def slice(lo: String, hi: String) = Tables.df(s, d, "orders")
+        .filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
+        .select(to_date($"o_orderdate").as("od"), $"o_orderkey",
+          $"o_totalprice")
+      slice("1996-01-01", "1996-02-01").writeTo(s"$cat.t").append() // v2
+      s.sql(s"CALL $cat.system.create_tag('t', 'jan')")
+      slice("1996-02-01", "1996-03-01").writeTo(s"$cat.t").append() // v3
+      s.sql(s"CALL $cat.system.rollback('t', 2)") // v4 == v2 content
+      s.sql(s"""
+        SELECT od, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 AS total
+        FROM $cat.t VERSION AS OF 'jan'
+        GROUP BY od ORDER BY od""")
+    },
+    Some("""
+      SELECT CAST(o_orderdate AS DATE) AS od,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS total
+      FROM orders
+      WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-02-01'
+      GROUP BY od ORDER BY od"""))
+
   override def defs: Seq[QueryDef] =
     Seq(qCsv, qJson, qOrc, qText, qPartitioned, qSynthSource, qSynthColumnar,
       qSchemaEvolution, qManifestTimeTravel, qManifestMerge, qManifestStream,
       qManifestSkipping, qXml, qBinaryFile, qZOrder, qSpjJoin, qBucketedJoin,
       qManifestParquetMixed, qManifestEvolution, qManifestTyped,
       qManifestMergeOnRead, qMetadataDelete, qManifestEmbeddings, qDaySpj,
-      qMultiPart, qPartitionsMeta)
+      qMultiPart, qPartitionsMeta, qRefs)
 }
