@@ -2136,6 +2136,7 @@ class GraftManifestCatalog extends TableCatalog
     var dropped = ManifestFiles.droppedFromLines(priorLines)
     var newDropLines = List.empty[String]
     var morFlip: Option[Boolean] = None
+    var partFlip: Option[Seq[(Int, String)]] = None
     def nextPos: Int =
       (schema.indices.map(ManifestFiles.physPos(schema, _)) ++ dropped)
         .foldLeft(-1)(math.max) + 1
@@ -2260,22 +2261,73 @@ class GraftManifestCatalog extends TableCatalog
             s"delete.mode must be 'copy-on-write' or 'merge-on-read', " +
               s"got '$other'")
         }
+      // PARTITION EVOLUTION (round 12 — Iceberg evolves partition specs
+      // in place): replace the declared days/months/identity layout.
+      // METADATA-ONLY: existing files keep their stats and simply stop
+      // (or start!) proving purity under the new layout — group
+      // reporting and delete alignment degrade per-file, never
+      // wrongness; FUTURE writes split under the new layout. 'none'
+      // clears the layout.
+      case sp: TableChange.SetProperty if sp.property == "partition.layout" =>
+        require(ManifestFiles.tableConf(f, dir, None).isEmpty,
+          "partition.layout cannot be set on a bucket-laid table " +
+            "(bucket and time/identity layouts are exclusive)")
+        val specs: Seq[(Int, String)] = sp.value.trim match {
+          case "" | "none" => Seq.empty
+          case v => v.split(",").map(_.trim).toSeq.map { token =>
+            val (kind, col) = token match {
+              case s if s.startsWith("days(") && s.endsWith(")") =>
+                ("days", s.stripPrefix("days(").stripSuffix(")").trim)
+              case s if s.startsWith("months(") && s.endsWith(")") =>
+                ("months", s.stripPrefix("months(").stripSuffix(")").trim)
+              case s if s.startsWith("identity(") && s.endsWith(")") =>
+                ("identity", s.stripPrefix("identity(").stripSuffix(")").trim)
+              case s if !s.contains("(") => ("identity", s)
+              case s => throw new IllegalArgumentException(
+                s"partition.layout transform '$s' — use days(col), " +
+                  "months(col), identity(col)/col, or 'none'")
+            }
+            require(schema.fieldNames.contains(col),
+              s"partition column '$col' not in ${schema.fieldNames.mkString(",")}")
+            val dt = schema(col).dataType
+            if (kind == "identity")
+              require(ManifestSkip.statsCapable(dt),
+                s"identity partitioning needs an orderable primitive " +
+                  s"column, got ${dt.sql}")
+            else
+              require(dt == TimestampType || dt == TimestampNTZType ||
+                  dt == DateType,
+                s"$kind() needs a TIMESTAMP or DATE column, got ${dt.sql}")
+            (ManifestFiles.physPos(schema, schema.fieldIndex(col)), kind)
+          }
+        }
+        require(specs.map(_._1).distinct.length == specs.length,
+          "duplicate partition transform on one column")
+        partFlip = Some(specs)
       case other => throw new UnsupportedOperationException(
         "graft-manifest supports ADD COLUMN (appended, nullable), " +
           "RENAME COLUMN, DROP COLUMN, and SET " +
-          s"TBLPROPERTIES('delete.mode') only, got $other")
+          "TBLPROPERTIES('delete.mode'|'partition.layout') only, " +
+          s"got $other")
     }
     val drops = newDropLines.reverse.toArray
     ManifestFiles.publishSnapshot(f,
       SparkSession.active.sessionState.newHadoopConf(), dir,
       previous => {
-        val base = morFlip match {
+        val base0 = morFlip match {
           case Some(true) =>
             previous.filterNot(_ == ManifestFiles.MergeOnReadLine) :+
               ManifestFiles.MergeOnReadLine
           case Some(false) =>
             previous.filterNot(_ == ManifestFiles.MergeOnReadLine)
           case None => previous
+        }
+        val base = partFlip match {
+          case Some(specs) =>
+            base0.filterNot(_.startsWith("#tableconf,part,")) ++
+              specs.map { case (pos, kind) =>
+                ManifestFiles.partConfLine(pos, kind) }
+          case None => base0
         }
         base ++ drops.filterNot(base.contains)
       }, schema)

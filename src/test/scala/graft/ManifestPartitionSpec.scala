@@ -244,6 +244,58 @@ class ManifestPartitionSpec extends AnyFunSuite {
       == Seq("days(ts)", "identity(region)"))
   }
 
+  test("partition EVOLUTION: ALTER TBLPROPERTIES('partition.layout') " +
+    "re-declares the layout metadata-only; compact re-lays old files; " +
+    "'none' clears; invalid specs rejected") {
+    val (cat, root) = freshCat("evo")
+    spark.sql(s"CREATE TABLE $cat.ev (k BIGINT, ts TIMESTAMP)")
+    def rows(lo: Int, hi: Int) = spark.range(lo, hi).select($"id".as("k"),
+      (lit(1714521600L) + ($"id" % 4) * 86400L + $"id").cast("timestamp")
+        .as("ts"))
+    rows(0, 200).repartition(3).writeTo(s"$cat.ev").append() // pre-layout
+    spark.sql(s"ALTER TABLE $cat.ev " +
+      "SET TBLPROPERTIES('partition.layout'='days(ts)')")
+    rows(200, 300).repartition(3).writeTo(s"$cat.ev").append() // post-layout
+    // post-evolution files are day-pure; pre-evolution files are not —
+    // and both read correctly
+    assert(spark.table(s"$cat.ev").count() == 300L)
+    val meta = spark.table(s"$cat.`ev$$files`")
+      .select($"file", $"partition").collect()
+    assert(meta.count(_.getString(1) != null) > 0, "new files attributed")
+    assert(meta.count(_.getString(1) == null) > 0, "old files unprovable")
+    // compact re-lays EVERYTHING under the evolved layout
+    spark.sql(s"CALL $cat.system.compact('ev', 1)")
+    val spans = spark.read.format("graft-manifest")
+      .option("path", s"$root/ev").load()
+      .groupBy($"_file").agg(countDistinct(to_date($"ts")).as("n")).collect()
+    spans.foreach(r => assert(r.getLong(1) == 1L,
+      s"post-compact file ${r.get(0)} mixes days"))
+    // now a retention delete is metadata-only on the whole history
+    val before = dataFiles(s"$root/ev")
+    spark.sql(s"DELETE FROM $cat.ev WHERE ts < " +
+      "timestamp_seconds(1714521600 + 86400)")
+    assert(dataFiles(s"$root/ev") == before)
+    assert(spark.table(s"$cat.ev").count() ==
+      (0 until 300).count(_ % 4 != 0).toLong)
+    // clearing the layout: future writes stop splitting
+    spark.sql(s"ALTER TABLE $cat.ev SET TBLPROPERTIES('partition.layout'='none')")
+    val err = intercept[Exception] {
+      spark.table(s"$cat.`ev$$partitions`").collect()
+    }
+    assert(err.getMessage.contains("no declared partition layout"))
+    // invalid specs fail loudly
+    val bad = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ev " +
+        "SET TBLPROPERTIES('partition.layout'='days(k)')")
+    }
+    assert(bad.getMessage.contains("TIMESTAMP or DATE"), bad.getMessage)
+    val badTok = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ev " +
+        "SET TBLPROPERTIES('partition.layout'='hours(ts)')")
+    }
+    assert(badTok.getMessage.contains("days(col)"), badTok.getMessage)
+  }
+
   test("layout survives INSERT OVERWRITE and blocks dropping its column; " +
     "DDL rejects non-temporal days() and multi-transform specs") {
     val (cat, root) = freshCat("guard")
