@@ -99,11 +99,16 @@ class ManifestSink extends TableProvider
       val dir = new Path(p)
       val fs = dir.getFileSystem(
         SparkSession.active.sessionState.newHadoopConf())
-      if (fs.exists(new Path(dir, "_SCHEMA")))
-        ManifestFiles.schemaFor(fs, dir,
+      if (fs.exists(new Path(dir, "_SCHEMA"))) {
+        val base = ManifestFiles.schemaFor(fs, dir,
           Option(options.get("versionAsOf"))
             .map(ManifestFiles.resolveVersionStr(fs, dir, _)))
-      else new StructType()
+        // change-feed reads surface the table's columns PLUS the
+        // _change_type/_commit_version constants
+        if (Option(options.get("changeFeed")).exists(_.toBoolean))
+          ManifestChangeFeed.outputSchema(base)
+        else base
+      } else new StructType()
     }.getOrElse(new StructType())
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
@@ -314,6 +319,10 @@ private[sources] class ManifestTable(schema0: StructType,
         "graft-manifest: changesFrom and versionAsOf are mutually exclusive")
       (from, opt("changesTo").map(_.toInt))
     }
+    val changeFeed = opt("changeFeed").exists(_.toBoolean)
+    require(!changeFeed || changes.isDefined,
+      "graft-manifest: changeFeed requires changesFrom (exclusive start " +
+        "version; changesTo defaults to latest)")
     val resolveV = (s: String) => ManifestFiles.resolveVersionStr(
       new Path(p).getFileSystem(
         SparkSession.active.sessionState.newHadoopConf()), new Path(p), s)
@@ -322,7 +331,8 @@ private[sources] class ManifestTable(schema0: StructType,
         SparkSession.active.sessionState.newHadoopConf()),
       changes = changes,
       columnar = opt("columnar").map(_.toBoolean),
-      ignoreDeletes = opt("ignoreDeletes").exists(_.toBoolean))
+      ignoreDeletes = opt("ignoreDeletes").exists(_.toBoolean),
+      changeFeed = changeFeed)
   }
   /** Per-field type diff for the append-mismatch error (simpleString
     * hides nullability flags, which are part of dataType equality). */

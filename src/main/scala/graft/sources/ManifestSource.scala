@@ -966,7 +966,11 @@ private[sources] class ManifestScanBuilder(path: String, version: Option[Int],
     statsSkip: Boolean = true,
     // incremental/streaming reads: tolerate delete-bearing ranges
     // instead of failing (see ManifestFiles.addedBetween)
-    ignoreDeletes: Boolean = false)
+    ignoreDeletes: Boolean = false,
+    // change data feed: read the range's ROW-LEVEL diff (inserts AND
+    // deletes) with _change_type/_commit_version columns — the
+    // delete-capable superset of the plain incremental read
+    changeFeed: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
 
@@ -996,10 +1000,17 @@ private[sources] class ManifestScanBuilder(path: String, version: Option[Int],
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     accepted.toArray
 
-  override def build(): Scan = new ManifestScan(path, version, fullSchema,
-    required, conf, onPlanned, changes, accepted.toArray,
-    runtimeKeyPrune = statsSkip, columnar = columnar,
-    ignoreDeletes = ignoreDeletes)
+  override def build(): Scan =
+    if (changeFeed)
+      // fullSchema here carries the CDF output columns (inferSchema
+      // appended them); the scan reads data through the bare table
+      // schema and attaches the constants itself
+      new ManifestChangeFeedScan(path, changes.get._1, changes.get._2,
+        ManifestChangeFeed.stripCdf(fullSchema), required, conf)
+    else new ManifestScan(path, version, fullSchema,
+      required, conf, onPlanned, changes, accepted.toArray,
+      runtimeKeyPrune = statsSkip, columnar = columnar,
+      ignoreDeletes = ignoreDeletes)
 
 }
 

@@ -1090,11 +1090,59 @@ object Sources extends QueryModule {
       WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-02-01'
       GROUP BY od ORDER BY od"""))
 
+  /** Change data feed (round 12): the row-level diff across an
+    * insert → MOR-delete → insert history, aggregated by change type
+    * and commit version. The oracle reconstructs the exact same feed
+    * from the raw data — inserts are the loaded slices, deletes are the
+    * predicate's rows at the delete commit — so change types, commit
+    * versions, AND row multiplicities must all be exact. */
+  val qChangeFeed: QueryDef = QueryDef(
+    "q245_manifest_change_feed",
+    (s, d) => {
+      import s.implicits._
+      val root = tmp(d, "manifest_cdf")
+      val dir = new org.apache.hadoop.fs.Path(root)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      val cat = "graft_cdf_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE TABLE $cat.t (od DATE, o_orderkey BIGINT) " +
+        "TBLPROPERTIES('delete.mode'='merge-on-read')") // v1
+      def slice(lo: String, hi: String) = Tables.df(s, d, "orders")
+        .filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
+        .select(to_date($"o_orderdate").as("od"), $"o_orderkey")
+      slice("1996-01-01", "1996-02-01").writeTo(s"$cat.t").append() // v2
+      s.sql(s"DELETE FROM $cat.t WHERE o_orderkey % 7 = 0")         // v3
+      slice("1996-02-01", "1996-03-01").writeTo(s"$cat.t").append() // v4
+      s.read.format("graft-manifest").option("path", s"$root/t")
+        .option("changeFeed", "true").option("changesFrom", "0").load()
+        .groupBy($"od", $"_change_type".as("ct"),
+          $"_commit_version".as("v"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"od", $"ct", $"v")
+        .select($"od", $"ct", $"v", $"n")
+    },
+    Some("""
+      WITH jan AS (
+        SELECT CAST(o_orderdate AS DATE) AS od, o_orderkey FROM orders
+        WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-02-01'),
+      feb AS (
+        SELECT CAST(o_orderdate AS DATE) AS od, o_orderkey FROM orders
+        WHERE o_orderdate >= '1996-02-01' AND o_orderdate < '1996-03-01'),
+      changes AS (
+        SELECT od, 'insert' AS ct, 2 AS v FROM jan
+        UNION ALL
+        SELECT od, 'delete' AS ct, 3 AS v FROM jan WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT od, 'insert' AS ct, 4 AS v FROM feb)
+      SELECT od, ct, CAST(v AS INTEGER) AS v, CAST(COUNT(*) AS BIGINT) AS n
+      FROM changes GROUP BY od, ct, v ORDER BY od, ct, v"""))
+
   override def defs: Seq[QueryDef] =
     Seq(qCsv, qJson, qOrc, qText, qPartitioned, qSynthSource, qSynthColumnar,
       qSchemaEvolution, qManifestTimeTravel, qManifestMerge, qManifestStream,
       qManifestSkipping, qXml, qBinaryFile, qZOrder, qSpjJoin, qBucketedJoin,
       qManifestParquetMixed, qManifestEvolution, qManifestTyped,
       qManifestMergeOnRead, qMetadataDelete, qManifestEmbeddings, qDaySpj,
-      qMultiPart, qPartitionsMeta, qRefs)
+      qMultiPart, qPartitionsMeta, qRefs, qChangeFeed)
 }

@@ -1,0 +1,161 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+
+/** Change data feed (round 12 — Delta CDF analogue): the row-level diff
+  * a version range committed, as data columns + `_change_type`
+  * ('insert'|'delete') + `_commit_version`. The invariant every test
+  * drives: STATE(from) ⊎ inserts ∖ deletes == STATE(to), multiset-wise,
+  * for any history — appends, MOR vector deletes, metadata-only
+  * unlists, COW rewrites. */
+class ManifestChangeFeedSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.local(4)
+  import spark.implicits._
+
+  private def freshCat(tag: String): (String, String) = {
+    val root = java.nio.file.Files.createTempDirectory(s"graft_cdf_$tag").toString
+    val cat = s"graft_cdf_${tag}_" + math.abs(root.hashCode).toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    (cat, root)
+  }
+
+  private def feed(root: String, from: Int, to: Option[Int] = None): DataFrame = {
+    val r = spark.read.format("graft-manifest")
+      .option("path", root).option("changeFeed", "true")
+      .option("changesFrom", from.toString)
+    to.fold(r)(t => r.option("changesTo", t.toString)).load()
+  }
+
+  /** state(from) ⊎ inserts ∖ deletes == state(to), compared as
+    * (row → multiplicity) maps over the data columns. */
+  private def checkInvariant(root: String, from: Int, to: Int): Unit = {
+    def counts(df: DataFrame): Map[String, Long] = {
+      val cols = df.columns.filterNot(_.startsWith("_")).sorted
+      df.groupBy(cols.map(col): _*).count().collect()
+        .map(r => cols.indices.map(i => String.valueOf(r.get(i)))
+          .mkString("|") -> r.getLong(cols.length)).toMap
+    }
+    def stateAt(v: Int): Map[String, Long] =
+      if (v == 0) Map.empty
+      else counts(spark.read.format("graft-manifest")
+        .option("path", root).option("versionAsOf", v.toString).load())
+    val f = feed(root, from, Some(to))
+    val ins = counts(f.filter($"_change_type" === "insert")
+      .drop("_change_type", "_commit_version"))
+    val del = counts(f.filter($"_change_type" === "delete")
+      .drop("_change_type", "_commit_version"))
+    val applied = (stateAt(from).keySet ++ ins.keySet ++ del.keySet).map { k =>
+      k -> (stateAt(from).getOrElse(k, 0L) + ins.getOrElse(k, 0L)
+        - del.getOrElse(k, 0L))
+    }.filter(_._2 != 0L).toMap
+    assert(applied == stateAt(to),
+      s"feed $from..$to does not apply cleanly")
+  }
+
+  test("append-only history: every row surfaces as insert with its " +
+    "commit version") {
+    val (cat, root) = freshCat("ins")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING)")      // v1
+    spark.range(0, 50).select($"id".as("k"), lit("a").as("v"))
+      .writeTo(s"$cat.t").append()                              // v2
+    spark.range(50, 80).select($"id".as("k"), lit("b").as("v"))
+      .writeTo(s"$cat.t").append()                              // v3
+    val f = feed(root + "/t", 0).collect()
+    assert(f.length == 80)
+    assert(f.forall(_.getAs[String]("_change_type") == "insert"))
+    assert(f.count(_.getAs[Int]("_commit_version") == 2) == 50)
+    assert(f.count(_.getAs[Int]("_commit_version") == 3) == 30)
+    // a sub-range sees only its own commits
+    assert(feed(root + "/t", 2).count() == 30)
+    checkInvariant(root + "/t", 2, 3)
+  }
+
+  test("merge-on-read vector deletes surface exactly the deleted rows " +
+    "as 'delete'") {
+    val (cat, root) = freshCat("mor")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES('delete.mode'='merge-on-read')")           // v1
+    spark.range(0, 100).select($"id".as("k"),
+      ($"id" % 7).cast("double").as("v")).writeTo(s"$cat.t").append() // v2
+    spark.sql(s"DELETE FROM $cat.t WHERE k % 10 = 3")           // v3
+    val f = feed(root + "/t", 2)
+    val dels = f.filter($"_change_type" === "delete").collect()
+    assert(dels.length == 10)
+    assert(dels.forall(_.getAs[Long]("k") % 10 == 3))
+    assert(dels.forall(_.getAs[Int]("_commit_version") == 3))
+    assert(f.filter($"_change_type" === "insert").count() == 0)
+    checkInvariant(root + "/t", 0, 3)
+    // stacked second delete only surfaces the NEW positions
+    spark.sql(s"DELETE FROM $cat.t WHERE k % 10 = 7")           // v4
+    val second = feed(root + "/t", 3).filter($"_change_type" === "delete")
+    assert(second.count() == 10)
+    assert(second.collect().forall(_.getAs[Long]("k") % 10 == 7))
+    checkInvariant(root + "/t", 2, 4)
+  }
+
+  test("metadata-only delete (unlisted files) surfaces the rows visible " +
+    "at the predecessor — earlier MOR holes stay deleted") {
+    val (cat, root) = freshCat("meta")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, day BIGINT) " +
+      "PARTITIONED BY (day) " +
+      "TBLPROPERTIES('delete.mode'='merge-on-read')")           // v1
+    spark.range(0, 90).select($"id".as("k"), ($"id" % 3).as("day"))
+      .writeTo(s"$cat.t").append()                              // v2
+    spark.sql(s"DELETE FROM $cat.t WHERE k % 9 = 0")            // v3 (MOR)
+    // day-aligned: unlists day-0 files without writing anything
+    spark.sql(s"DELETE FROM $cat.t WHERE day = 0")              // v4
+    val f4 = feed(root + "/t", 3).filter($"_change_type" === "delete")
+      .collect()
+    // day 0 had 30 rows; v3 already removed k%9==0 among them (k%3==0
+    // and k%9==0 → 10 rows), so the unlist surfaces 20
+    assert(f4.length == 20, s"got ${f4.length}")
+    assert(f4.forall(r => r.getAs[Long]("day") == 0L &&
+      r.getAs[Long]("k") % 9 != 0))
+    checkInvariant(root + "/t", 0, 4)
+    checkInvariant(root + "/t", 2, 4)
+  }
+
+  test("COW rewrites surface remove+insert whose net is the update") {
+    val (cat, root) = freshCat("cow")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v DOUBLE)")      // v1
+    spark.range(0, 60).select($"id".as("k"), lit(1.0).as("v"))
+      .writeTo(s"$cat.t").append()                              // v2
+    spark.sql(s"UPDATE $cat.t SET v = 2.0 WHERE k < 10")        // v3 (COW)
+    val f = feed(root + "/t", 2, Some(3))
+    val ins = f.filter($"_change_type" === "insert").collect()
+    val del = f.filter($"_change_type" === "delete").collect()
+    // the rewritten file(s) surface fully: deletes = old content,
+    // inserts = new content; net = 10 rows flipped to 2.0
+    assert(del.nonEmpty && ins.nonEmpty)
+    assert(ins.count(_.getAs[Double]("v") == 2.0) == 10)
+    checkInvariant(root + "/t", 2, 3)
+  }
+
+  test("guard rails: changeFeed requires changesFrom; vacuumed ranges " +
+    "and reclaimed bytes fail loudly") {
+    val (cat, root) = freshCat("guard")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")                // v1
+    spark.range(0, 10).select($"id".as("k")).writeTo(s"$cat.t").append() // v2
+    val e1 = intercept[Exception] {
+      spark.read.format("graft-manifest").option("path", s"$root/t")
+        .option("changeFeed", "true").load().collect()
+    }
+    assert(e1.getMessage.contains("changesFrom"), e1.getMessage)
+    // overwrite drops v2's files from the tip; vacuum reclaims them —
+    // the unlist step's bytes are gone, so the feed must refuse
+    spark.range(10, 15).select($"id".as("k"))
+      .writeTo(s"$cat.t").overwrite(lit(true))                  // v3
+    spark.sql(s"CALL $cat.system.vacuum('t', 1)")
+    val e2 = intercept[Exception] {
+      feed(root + "/t", 1).collect()
+    }
+    assert(e2.getMessage.contains("expired") ||
+      e2.getMessage.contains("vacuumed"), e2.getMessage)
+  }
+}
