@@ -49,36 +49,13 @@ private[sources] object ManifestChangeFeed {
   def stripCdf(s: StructType): StructType =
     StructType(s.fields.filterNot(f =>
       f.name == TypeCol || f.name == VersionCol))
-}
 
-/** One changed file in one commit. Exactly one of skip/keep modes is in
-  * force: `skipOrdinals` hides already-deleted rows (insert of a
-  * vectored file / delete of an unlisted file); a non-empty
-  * `keepOrdinals` restricts to newly-vectored rows ('delete' of
-  * surviving files). */
-private[sources] case class ManifestChangePartition(file: String,
-    name: String, changeType: String, version: Int,
-    skipOrdinals: Array[Long],
-    keepOrdinals: Array[Long]) extends InputPartition
-
-private[sources] class ManifestChangeFeedScan(path: String, from: Int,
-    to: Option[Int], fullSchema: StructType, required: StructType,
-    conf: SerializableHadoopConf) extends Scan with Batch {
-
-  import ManifestChangeFeed._
-
-  private def dir = new Path(path)
-
-  override def readSchema(): StructType = required
-  override def toBatch: Batch = this
-  override def description(): String =
-    s"graft-manifest-changefeed $path v$from..${to.getOrElse("latest")}"
-
-  override def planInputPartitions(): Array[InputPartition] = {
-    val fs = dir.getFileSystem(conf.value)
-    val end = to.getOrElse(ManifestFiles.latestComplete(fs, dir))
-    require(end >= from,
-      s"changesTo ($end) must be >= changesFrom ($from)")
+  /** The step walk, shared by the batch scan and the streaming source:
+    * one ManifestChangePartition per changed file per commit in
+    * (from, end]. Driver metadata I/O only. */
+  def planRange(fs: FileSystem, dir: Path, from: Int,
+      end: Int): Array[InputPartition] = {
+    require(end >= from, s"changesTo ($end) must be >= changesFrom ($from)")
     def linesAt(v: Int): Array[String] =
       if (v <= 0) Array.empty
       else if (!fs.exists(new Path(dir, s"_MANIFEST.v$v"))) {
@@ -135,15 +112,90 @@ private[sources] class ManifestChangeFeedScan(path: String, from: Int,
     out.result()
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val fs = dir.getFileSystem(conf.value)
-    val endLines = ManifestFiles.linesOf(fs, dir,
-      Some(to.getOrElse(ManifestFiles.latestComplete(fs, dir)))
-        .filter(_ > 0))
+  def readerFactory(fs: FileSystem, dir: Path, at: Option[Int],
+      fullSchema: StructType, required: StructType,
+      conf: SerializableHadoopConf): PartitionReaderFactory = {
+    val lines = ManifestFiles.linesOf(fs, dir,
+      at.orElse {
+        val v = ManifestFiles.latestComplete(fs, dir)
+        if (v > 0) Some(v) else None
+      })
     new ManifestChangeReaderFactory(fullSchema, required, conf,
       ManifestReaderFactory.maxPhysArity(fullSchema,
-        ManifestFiles.droppedFromLines(endLines)))
+        ManifestFiles.droppedFromLines(lines)))
   }
+}
+
+/** One changed file in one commit. Exactly one of skip/keep modes is in
+  * force: `skipOrdinals` hides already-deleted rows (insert of a
+  * vectored file / delete of an unlisted file); a non-empty
+  * `keepOrdinals` restricts to newly-vectored rows ('delete' of
+  * surviving files). */
+private[sources] case class ManifestChangePartition(file: String,
+    name: String, changeType: String, version: Int,
+    skipOrdinals: Array[Long],
+    keepOrdinals: Array[Long]) extends InputPartition
+
+private[sources] class ManifestChangeFeedScan(path: String, from: Int,
+    to: Option[Int], fullSchema: StructType, required: StructType,
+    conf: SerializableHadoopConf) extends Scan with Batch {
+
+  import ManifestChangeFeed._
+
+  private def dir = new Path(path)
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-manifest-changefeed $path v$from..${to.getOrElse("latest")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val fs = dir.getFileSystem(conf.value)
+    ManifestChangeFeed.planRange(fs, dir, from,
+      to.getOrElse(ManifestFiles.latestComplete(fs, dir)))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val fs = dir.getFileSystem(conf.value)
+    ManifestChangeFeed.readerFactory(fs, dir, to.filter(_ > 0), fullSchema,
+      required, conf)
+  }
+
+  /** STREAMING change feed (Delta's `readChangeFeed` stream): offsets
+    * are versions; each micro-batch emits the rows its version range
+    * inserted AND deleted, so a 24/7 downstream consumer propagates
+    * takedowns without dying on delete-bearing commits (the plain tail's
+    * only options are fail or skip). Starts at `changesFrom` (default 0
+    * = full history first batch). */
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ManifestChangeFeedStream(path, from, fullSchema, required, conf)
+}
+
+private[sources] class ManifestChangeFeedStream(path: String, startAt: Int,
+    fullSchema: StructType, required: StructType, conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def dir = new Path(path)
+  private def fs = dir.getFileSystem(conf.value)
+
+  override def initialOffset(): Offset = ManifestOffset(startAt)
+  override def latestOffset(): Offset =
+    ManifestOffset(ManifestFiles.latestVersion(fs, dir))
+  override def deserializeOffset(json: String): Offset =
+    ManifestOffset(json.trim.toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    ManifestChangeFeed.planRange(fs, dir,
+      start.asInstanceOf[ManifestOffset].version,
+      end.asInstanceOf[ManifestOffset].version)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ManifestChangeFeed.readerFactory(fs, dir, None, fullSchema, required, conf)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** Wraps the ordinary single-file readers: the inner read projects the

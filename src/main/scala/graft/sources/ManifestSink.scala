@@ -320,9 +320,13 @@ private[sources] class ManifestTable(schema0: StructType,
       (from, opt("changesTo").map(_.toInt))
     }
     val changeFeed = opt("changeFeed").exists(_.toBoolean)
-    require(!changeFeed || changes.isDefined,
-      "graft-manifest: changeFeed requires changesFrom (exclusive start " +
-        "version; changesTo defaults to latest)")
+    // a catalog-resolved table's schema cannot grow the CDF columns
+    // (Table.schema() is fixed at load) — route to the path-based reader
+    require(!changeFeed ||
+      schema0.fieldNames.contains(ManifestChangeFeed.TypeCol),
+      "graft-manifest: change feed reads are path-based — " +
+        "spark.read.format(\"graft-manifest\").option(\"path\", dir)" +
+        ".option(\"changeFeed\", true).option(\"changesFrom\", v)")
     val resolveV = (s: String) => ManifestFiles.resolveVersionStr(
       new Path(p).getFileSystem(
         SparkSession.active.sessionState.newHadoopConf()), new Path(p), s)

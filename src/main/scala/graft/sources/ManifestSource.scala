@@ -1004,8 +1004,10 @@ private[sources] class ManifestScanBuilder(path: String, version: Option[Int],
     if (changeFeed)
       // fullSchema here carries the CDF output columns (inferSchema
       // appended them); the scan reads data through the bare table
-      // schema and attaches the constants itself
-      new ManifestChangeFeedScan(path, changes.get._1, changes.get._2,
+      // schema and attaches the constants itself. No changesFrom =
+      // full history (batch) / stream-from-0 (streaming).
+      new ManifestChangeFeedScan(path, changes.map(_._1).getOrElse(0),
+        changes.flatMap(_._2),
         ManifestChangeFeed.stripCdf(fullSchema), required, conf)
     else new ManifestScan(path, version, fullSchema,
       required, conf, onPlanned, changes, accepted.toArray,

@@ -137,16 +137,16 @@ class ManifestChangeFeedSpec extends AnyFunSuite {
     checkInvariant(root + "/t", 2, 3)
   }
 
-  test("guard rails: changeFeed requires changesFrom; vacuumed ranges " +
-    "and reclaimed bytes fail loudly") {
+  test("guard rails: changeFeed defaults to full history; vacuumed " +
+    "ranges and reclaimed bytes fail loudly") {
     val (cat, root) = freshCat("guard")
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")                // v1
     spark.range(0, 10).select($"id".as("k")).writeTo(s"$cat.t").append() // v2
-    val e1 = intercept[Exception] {
-      spark.read.format("graft-manifest").option("path", s"$root/t")
-        .option("changeFeed", "true").load().collect()
-    }
-    assert(e1.getMessage.contains("changesFrom"), e1.getMessage)
+    // no changesFrom = the whole history
+    val full = spark.read.format("graft-manifest").option("path", s"$root/t")
+      .option("changeFeed", "true").load().collect()
+    assert(full.length == 10 &&
+      full.forall(_.getAs[String]("_change_type") == "insert"))
     // overwrite drops v2's files from the tip; vacuum reclaims them —
     // the unlist step's bytes are gone, so the feed must refuse
     spark.range(10, 15).select($"id".as("k"))
@@ -157,5 +157,39 @@ class ManifestChangeFeedSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("expired") ||
       e2.getMessage.contains("vacuumed"), e2.getMessage)
+  }
+
+  test("STREAMING change feed: a 24/7 consumer receives deletes as " +
+    "rows instead of dying on the delete-bearing commit") {
+    import org.apache.spark.sql.streaming.Trigger
+    val (cat, root) = freshCat("stream")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT) " +
+      "TBLPROPERTIES('delete.mode'='merge-on-read')")           // v1
+    spark.range(0, 40).select($"id".as("k")).writeTo(s"$cat.t").append() // v2
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdf_ck").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_cdf_out").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-manifest")
+        .option("path", s"$root/t").option("changeFeed", "true")
+        .load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000); q.stop()
+    }
+    drain()
+    assert(spark.read.parquet(out).count() == 40L)
+    // the delete-bearing commit arrives as DELETE ROWS (the plain tail
+    // would fail or, with ignoreDeletes, silently skip)
+    spark.sql(s"DELETE FROM $cat.t WHERE k % 4 = 1")            // v3
+    spark.range(40, 50).select($"id".as("k")).writeTo(s"$cat.t").append() // v4
+    drain()
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.count(_.getAs[String]("_change_type") == "delete") == 10)
+    assert(rows.filter(_.getAs[String]("_change_type") == "delete")
+      .forall(_.getAs[Long]("k") % 4 == 1))
+    assert(rows.count(_.getAs[String]("_change_type") == "insert") == 50)
+    assert(rows.filter(r => r.getAs[Int]("_commit_version") == 4)
+      .forall(r => r.getAs[Long]("k") >= 40))
   }
 }
