@@ -69,7 +69,8 @@ object Bench {
     "q238_manifest_merge_on_read", "q239_manifest_metadata_delete",
     "q240_manifest_embeddings_ann", "q241_manifest_day_spj",
     "q242_manifest_multi_partition", "q243_manifest_partitions_meta",
-    "q244_manifest_refs", "q245_manifest_change_feed")
+    "q244_manifest_refs", "q245_manifest_change_feed",
+    "q246_manifest_branch_wap")
 
   private val sentinelName = "q97_compute_pi"
   private val stragglerQueries =

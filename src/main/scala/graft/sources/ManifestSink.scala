@@ -102,7 +102,8 @@ class ManifestSink extends TableProvider
       if (fs.exists(new Path(dir, "_SCHEMA"))) {
         val base = ManifestFiles.schemaFor(fs, dir,
           Option(options.get("versionAsOf"))
-            .map(ManifestFiles.resolveVersionStr(fs, dir, _)))
+            .map(ManifestFiles.resolveVersionStr(fs, dir, _)),
+          Option(options.get("branch")))
         // change-feed reads surface the table's columns PLUS the
         // _change_type/_commit_version constants
         if (Option(options.get("changeFeed")).exists(_.toBoolean))
@@ -330,13 +331,18 @@ private[sources] class ManifestTable(schema0: StructType,
     val resolveV = (s: String) => ManifestFiles.resolveVersionStr(
       new Path(p).getFileSystem(
         SparkSession.active.sessionState.newHadoopConf()), new Path(p), s)
+    val branch = opt("branch")
+    require(branch.isEmpty || (changes.isEmpty && !changeFeed),
+      "graft-manifest: branch reads are snapshot reads — incremental " +
+        "tails and change feeds follow MAIN only")
     new ManifestScanBuilder(p, opt("versionAsOf").map(resolveV), schema0,
       new SerializableHadoopConf(
         SparkSession.active.sessionState.newHadoopConf()),
       changes = changes,
       columnar = opt("columnar").map(_.toBoolean),
       ignoreDeletes = opt("ignoreDeletes").exists(_.toBoolean),
-      changeFeed = changeFeed)
+      changeFeed = changeFeed,
+      branch = branch)
   }
   /** Per-field type diff for the append-mismatch error (simpleString
     * hides nullability flags, which are part of dataType equality). */
@@ -502,8 +508,20 @@ private[sources] class ManifestTable(schema0: StructType,
           val hconf = new SerializableHadoopConf(
             SparkSession.active.sessionState.newHadoopConf())
           val fs = path.getFileSystem(hconf.value)
+          // BRANCH writes (write-audit-publish): the commit lands on the
+          // branch's own chain; the branch must exist (create_branch)
+          val branch = Option(info.options.get("branch"))
+            .orElse(Option(properties.get("branch")))
+          branch.foreach { b =>
+            require(ManifestFiles.latestComplete(fs, path, Some(b)) > 0,
+              s"no branch '$b' at $path — CALL create_branch first " +
+                s"(branches: ${ManifestFiles.branches(fs, path).sorted.mkString(", ")})")
+          }
           val existing =
-            if (!truncateRequested && fs.exists(new Path(path, "_SCHEMA")))
+            if (truncateRequested) None
+            else if (branch.isDefined)
+              Some(ManifestFiles.schemaFor(fs, path, None, branch))
+            else if (fs.exists(new Path(path, "_SCHEMA")))
               Some(ManifestFiles.schemaFor(fs, path, None))
             else None
           existing.foreach { e =>
@@ -542,7 +560,8 @@ private[sources] class ManifestTable(schema0: StructType,
                       incoming.fieldIndex(c2))))
                 }.toArray
               else Array.empty,
-            format = format)
+            format = format,
+            branch = branch)
         }
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
           if (truncateRequested) throw new UnsupportedOperationException(
@@ -654,7 +673,9 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
     confLines: Array[String] = Array.empty,
     // payload format of THIS commit's files ("parquet" default / "csv");
     // a per-file property, so mixed-format history reads fine
-    format: String = "parquet") extends BatchWrite {
+    format: String = "parquet",
+    // write-audit-publish: commit onto this branch's chain, not main's
+    branch: Option[String] = None) extends BatchWrite {
 
   // Per-job staging namespace: concurrent writes (or an overlapping retry
   // of another job) can never see or delete each other's in-flight files.
@@ -713,13 +734,16 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
     // concurrent committer's files are never lost from the merge.
     ManifestFiles.publishSnapshot(fs, conf.value, dir, previous => {
       // DDL intent (#tableconf) persists until DROP TABLE: truncation
-      // replaces the DATA, not the declared layout.
+      // replaces the DATA, not the declared layout — and a branch's
+      // fork-point marker (#branchbase) must survive both shapes, or
+      // fast_forward loses its divergence check.
       val base =
-        if (truncate) previous.filter(_.startsWith("#tableconf,"))
+        if (truncate) previous.filter(l =>
+          l.startsWith("#tableconf,") || l.startsWith("#branchbase,"))
         else previous.filterNot(line => ManifestSink.entryName(line).exists(drop))
       val conf0 = confLines.filterNot(base.contains)
       conf0 ++ base ++ fresh
-    }, schema)
+    }, schema, branch)
     fs.delete(staging, true)
   }
 

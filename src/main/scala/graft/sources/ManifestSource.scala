@@ -49,15 +49,46 @@ object ManifestFiles {
       text.split("\n").filter(_.nonEmpty)
     }
 
-  def versions(fs: FileSystem, dir: Path): Seq[Int] =
+  /** Version-chain file-name prefix: main = `_MANIFEST.vN`; a BRANCH b
+    * (round 12 — Iceberg refs with write support) keeps its own chain
+    * `_MANIFEST.br-<b>.vN` in the SAME directory, so branch data files
+    * co-locate with main's and fast-forward is a pure metadata commit. */
+  def chainPrefix(branch: Option[String]): String =
+    branch.map { b =>
+      require(b.nonEmpty && b.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
+        s"branch name '$b' must be [A-Za-z0-9_-]+")
+      s"br-$b."
+    }.getOrElse("")
+
+  def versions(fs: FileSystem, dir: Path): Seq[Int] = versions(fs, dir, None)
+
+  def versions(fs: FileSystem, dir: Path, branch: Option[String]): Seq[Int] = {
+    val pfx = s"_MANIFEST.${chainPrefix(branch)}v"
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq
       .map(_.getPath.getName)
-      .filter(_.startsWith("_MANIFEST.v"))
-      .flatMap(n => n.stripPrefix("_MANIFEST.v").toIntOption)
+      .filter(_.startsWith(pfx))
+      .flatMap(n => n.stripPrefix(pfx).toIntOption)
+  }
+
+  /** Branch names with at least one version file on their chain. */
+  def branches(fs: FileSystem, dir: Path): Seq[String] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("_MANIFEST.br-"))
+      .flatMap { n =>
+        val rest = n.stripPrefix("_MANIFEST.br-")
+        val i = rest.lastIndexOf(".v")
+        if (i > 0 && rest.substring(i + 2).toIntOption.isDefined)
+          Some(rest.substring(0, i))
+        else None
+      }.distinct
 
   def latestVersion(fs: FileSystem, dir: Path): Int =
     (0 +: versions(fs, dir)).max
+
+  def latestVersion(fs: FileSystem, dir: Path, branch: Option[String]): Int =
+    (0 +: versions(fs, dir, branch)).max
 
   /** Newest version whose `_SCHEMA.v<N>` has also landed — the claim
     * (`_MANIFEST.v<N>`) precedes the schema by an instant, so readers
@@ -66,8 +97,13 @@ object ManifestFiles {
     * source of truth: under concurrent commits the pointers can lag or
     * even regress briefly (last swing wins); version files cannot. */
   def latestComplete(fs: FileSystem, dir: Path): Int =
-    (0 +: versions(fs, dir).filter(v =>
-      fs.exists(new Path(dir, s"_SCHEMA.v$v")))).max
+    latestComplete(fs, dir, None)
+
+  def latestComplete(fs: FileSystem, dir: Path, branch: Option[String]): Int = {
+    val p = chainPrefix(branch)
+    (0 +: versions(fs, dir, branch).filter(v =>
+      fs.exists(new Path(dir, s"_SCHEMA.${p}v$v")))).max
+  }
 
   /** Latest version whose snapshot file existed at `tsMicros` (commit
     * time = the version file's modification time). */
@@ -77,23 +113,34 @@ object ManifestFiles {
         .getModificationTime * 1000L <= tsMicros)
       .maxOption
 
-  private def manifestPath(fs: FileSystem, dir: Path, version: Option[Int]): Path =
+  private def manifestPath(fs: FileSystem, dir: Path, version: Option[Int],
+      branch: Option[String] = None): Path = {
+    val pfx = chainPrefix(branch)
     version match {
       case Some(v) =>
-        val p = new Path(dir, s"_MANIFEST.v$v")
-        require(fs.exists(p), s"no version $v at $dir " +
-          s"(have: ${versions(fs, dir).sorted.mkString(",")})")
+        val p = new Path(dir, s"_MANIFEST.${pfx}v$v")
+        require(fs.exists(p),
+          s"no version $v${branch.map(b => s" on branch '$b'").getOrElse("")} " +
+            s"at $dir (have: ${versions(fs, dir, branch).sorted.mkString(",")})")
         p
       case None =>
-        val v = latestComplete(fs, dir)
-        if (v > 0) new Path(dir, s"_MANIFEST.v$v")
+        val v = latestComplete(fs, dir, branch)
+        if (v > 0) new Path(dir, s"_MANIFEST.${pfx}v$v")
+        else if (branch.isDefined) throw new IllegalArgumentException(
+          s"no branch '${branch.get}' at $dir " +
+            s"(branches: ${branches(fs, dir).sorted.mkString(", ")})")
         else new Path(dir, "_MANIFEST")
     }
+  }
 
   /** Raw lines of ONE snapshot (the consistency unit — every parser
     * below can run off a single read of these). */
   def linesOf(fs: FileSystem, dir: Path, version: Option[Int]): Array[String] =
     readManifest(fs, manifestPath(fs, dir, version))
+
+  def linesOf(fs: FileSystem, dir: Path, version: Option[Int],
+      branch: Option[String]): Array[String] =
+    readManifest(fs, manifestPath(fs, dir, version, branch))
 
   def entriesFromLines(lines: Array[String]): Array[(String, Long)] =
     // `#`-prefixed lines are snapshot metadata (`#txn,<query>,<epoch>`
@@ -446,7 +493,13 @@ object ManifestFiles {
     * source of truth, see latestVersion). Returns the claimed version. */
   def publishSnapshot(fs: FileSystem, conf: org.apache.hadoop.conf.Configuration,
       dir: Path, buildEntries: Array[String] => Array[String],
-      schema: StructType): Int = {
+      schema: StructType): Int =
+    publishSnapshot(fs, conf, dir, buildEntries, schema, None)
+
+  def publishSnapshot(fs: FileSystem, conf: org.apache.hadoop.conf.Configuration,
+      dir: Path, buildEntries: Array[String] => Array[String],
+      schema: StructType, branch: Option[String]): Int = {
+    val pfx = chainPrefix(branch)
     if (!fs.exists(dir)) fs.mkdirs(dir)
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
     // Temp names carry a committer-unique token: two committers racing
@@ -496,26 +549,32 @@ object ManifestFiles {
     // so CROSS-process committers are safe where it matters (shared
     // production storage); cross-process writers on one raw local disk
     // remain a documented out-of-scope race.
-    val lock = (dir.toUri.toString + "#graft-manifest-claim").intern()
+    val lock = (dir.toUri.toString + s"#graft-manifest-claim-$pfx").intern()
     lock.synchronized {
-      var version = latestVersion(fs, dir) + 1
+      var version = latestVersion(fs, dir, branch) + 1
       var entries: Array[Byte] = null
       var claimed = false
       while (!claimed) {
         val previous =
           if (version <= 1) Array.empty[String]
-          else readManifest(fs, new Path(dir, s"_MANIFEST.v${version - 1}"))
+          else readManifest(fs, new Path(dir, s"_MANIFEST.${pfx}v${version - 1}"))
         entries = buildEntries(previous).sorted.mkString("\n").getBytes("UTF-8")
-        claimed = !fs.exists(new Path(dir, s"_MANIFEST.v$version")) &&
-          land(s"._claim-$token-$version", entries, s"_MANIFEST.v$version",
-            overwrite = false)
+        claimed = !fs.exists(new Path(dir, s"_MANIFEST.${pfx}v$version")) &&
+          land(s"._claim-$token-$pfx$version", entries,
+            s"_MANIFEST.${pfx}v$version", overwrite = false)
         if (!claimed) version += 1
       }
       val schemaBytes = schema.json.getBytes("UTF-8")
-      land(s"._publish-$token-vschema", schemaBytes, s"_SCHEMA.v$version",
+      land(s"._publish-$token-vschema", schemaBytes, s"_SCHEMA.${pfx}v$version",
         overwrite = true)
-      land(s"._publish-$token-lschema", schemaBytes, "_SCHEMA", overwrite = true)
-      land(s"._publish-$token-lmanifest", entries, "_MANIFEST", overwrite = true)
+      // the latest pointers are MAIN's convenience probe — branch
+      // readers resolve through their own chain's version files
+      if (branch.isEmpty) {
+        land(s"._publish-$token-lschema", schemaBytes, "_SCHEMA",
+          overwrite = true)
+        land(s"._publish-$token-lmanifest", entries, "_MANIFEST",
+          overwrite = true)
+      }
       version
     }
   }
@@ -568,15 +627,24 @@ object ManifestFiles {
     (after -- before).toArray.sorted
   }
 
-  def schemaFor(fs: FileSystem, dir: Path, version: Option[Int]): StructType = {
+  def schemaFor(fs: FileSystem, dir: Path, version: Option[Int]): StructType =
+    schemaFor(fs, dir, version, None)
+
+  def schemaFor(fs: FileSystem, dir: Path, version: Option[Int],
+      branch: Option[String]): StructType = {
+    val pfx = chainPrefix(branch)
     version.foreach { v =>
-      require(fs.exists(new Path(dir, s"_MANIFEST.v$v")),
-        s"no version $v at $dir " +
-          s"(have: ${versions(fs, dir).sorted.mkString(",")})")
+      require(fs.exists(new Path(dir, s"_MANIFEST.${pfx}v$v")),
+        s"no version $v${branch.map(b => s" on branch '$b'").getOrElse("")} " +
+          s"at $dir (have: ${versions(fs, dir, branch).sorted.mkString(",")})")
     }
-    val p = version.map(v => new Path(dir, s"_SCHEMA.v$v")).getOrElse {
-      val v = latestComplete(fs, dir)
-      if (v > 0) new Path(dir, s"_SCHEMA.v$v") else new Path(dir, "_SCHEMA")
+    val p = version.map(v => new Path(dir, s"_SCHEMA.${pfx}v$v")).getOrElse {
+      val v = latestComplete(fs, dir, branch)
+      if (v > 0) new Path(dir, s"_SCHEMA.${pfx}v$v")
+      else if (branch.isDefined) throw new IllegalArgumentException(
+        s"no branch '${branch.get}' at $dir " +
+          s"(branches: ${branches(fs, dir).sorted.mkString(", ")})")
+      else new Path(dir, "_SCHEMA")
     }
     require(fs.exists(p), s"graft-manifest: no schema file at $p — " +
       "was this directory written by the graft-manifest sink?")
@@ -970,7 +1038,9 @@ private[sources] class ManifestScanBuilder(path: String, version: Option[Int],
     // change data feed: read the range's ROW-LEVEL diff (inserts AND
     // deletes) with _change_type/_commit_version columns — the
     // delete-capable superset of the plain incremental read
-    changeFeed: Boolean = false)
+    changeFeed: Boolean = false,
+    // read a named BRANCH's head (or versionAsOf within its chain)
+    branch: Option[String] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
 
@@ -1012,7 +1082,7 @@ private[sources] class ManifestScanBuilder(path: String, version: Option[Int],
     else new ManifestScan(path, version, fullSchema,
       required, conf, onPlanned, changes, accepted.toArray,
       runtimeKeyPrune = statsSkip, columnar = columnar,
-      ignoreDeletes = ignoreDeletes)
+      ignoreDeletes = ignoreDeletes, branch = branch)
 
 }
 
@@ -1041,7 +1111,8 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
     // so join-key pruning there could drop files that still need rewriting
     runtimeKeyPrune: Boolean = true,
     columnar: Option[Boolean] = None,
-    ignoreDeletes: Boolean = false)
+    ignoreDeletes: Boolean = false,
+    branch: Option[String] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -1080,11 +1151,11 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
       case Some((_, to)) =>
         Some(to.getOrElse(ManifestFiles.latestComplete(fs, dir)))
       case None => version.orElse {
-        val v = ManifestFiles.latestComplete(fs, dir)
+        val v = ManifestFiles.latestComplete(fs, dir, branch)
         if (v > 0) Some(v) else None
       }
     }
-    ManifestFiles.linesOf(fs, dir, pinned)
+    ManifestFiles.linesOf(fs, dir, pinned, branch)
   }
 
   private lazy val staticPlan: (Array[String], Map[String, Long],
@@ -1502,9 +1573,13 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
         ManifestFiles.droppedFromLines(snapshotLines)))
 
   override def toMicroBatchStream(checkpointLocation: String):
-      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(branch.isEmpty,
+      "graft-manifest: streaming tails follow MAIN only — fast-forward " +
+        "the branch to stream its rows")
     new ManifestMicroBatchStream(path, fullSchema, required, conf,
       ignoreDeletes)
+  }
 }
 
 // Concrete zero-arg classes: the SQL UI listener re-instantiates custom
@@ -2399,6 +2474,9 @@ class GraftManifestCatalog extends TableCatalog
       case "rollback" => ManifestProcedures.rollback(dirFor)
       case "create_tag" => ManifestProcedures.createTag(dirFor)
       case "drop_tag" => ManifestProcedures.dropTag(dirFor)
+      case "create_branch" => ManifestProcedures.createBranch(dirFor)
+      case "drop_branch" => ManifestProcedures.dropBranch(dirFor)
+      case "fast_forward" => ManifestProcedures.fastForward(dirFor)
     }
   }
 }
@@ -2520,7 +2598,8 @@ private[sources] object ManifestProcedures {
 
   val names: Array[String] =
     Array("compact", "vacuum", "snapshots", "rewrite_position_deletes",
-      "rollback", "create_tag", "drop_tag")
+      "rollback", "create_tag", "drop_tag",
+      "create_branch", "drop_branch", "fast_forward")
 
   private def param(n: String, dt: org.apache.spark.sql.types.DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -2711,11 +2790,21 @@ private[sources] object ManifestProcedures {
       val (dropCand, keptSuffix) = versions.splitAt(math.min(dropByCount, dropByAge))
       val dropped = dropCand.filterNot(tagged)
       val kept = dropCand.filter(tagged) ++ keptSuffix
-      val referenced = kept.flatMap { v =>
+      // every BRANCH version is a live root too: its chain files are
+      // `_`-prefixed (never swept here) and the data files it references
+      // must survive until drop_branch releases them
+      val branchRefs = ManifestFiles.branches(fs, dir).flatMap { b =>
+        ManifestFiles.versions(fs, dir, Some(b)).flatMap { v =>
+          val lines = ManifestFiles.linesOf(fs, dir, Some(v), Some(b))
+          ManifestFiles.entriesFromLines(lines).map(_._1) ++
+            ManifestFiles.deleteFilesFromLines(lines)
+        }
+      }
+      val referenced = (kept.flatMap { v =>
         val lines = ManifestFiles.linesOf(fs, dir, Some(v))
         ManifestFiles.entriesFromLines(lines).map(_._1) ++
           ManifestFiles.deleteFilesFromLines(lines) // MOR delete files live too
-      }.toSet
+      } ++ branchRefs).toSet
       dropped.foreach { v =>
         fs.delete(new Path(dir, s"_MANIFEST.v$v"), false)
         fs.delete(new Path(dir, s"_SCHEMA.v$v"), false)
@@ -2810,6 +2899,94 @@ private[sources] object ManifestProcedures {
       result(new StructType().add("tag", StringType)
           .add("was_version", IntegerType),
         Array(UTF8String.fromString(tag), cur(tag)))
+    }
+
+  /** `create_branch(table, branch[, version])` — fork a writable branch
+    * off main (default: latest) for WRITE-AUDIT-PUBLISH: stage commits
+    * onto the branch (`option("branch", b)` on reads AND writes), audit
+    * them, then `fast_forward` main to the branch head. Branch v1 is a
+    * copy of the fork version's lines plus a `#branchbase,<mainV>`
+    * marker — the divergence check fast_forward enforces. Branch data
+    * files land in the SAME directory (vacuum treats every branch
+    * version as a live root), so publishing is a pure metadata commit. */
+  def createBranch(dirFor: String => Path): UnboundProcedure =
+    proc("create_branch", Array(param("table", StringType),
+        param("branch", StringType),
+        paramDefault("version", IntegerType, "-1"))) { input =>
+      val spark = SparkSession.active
+      val dir = dirFor(input.getUTF8String(0).toString)
+      val b = input.getUTF8String(1).toString
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = dir.getFileSystem(conf)
+      require(ManifestFiles.versions(fs, dir, Some(b)).isEmpty,
+        s"branch '$b' already exists — drop_branch it first")
+      val v0 = input.getInt(2)
+      val v = if (v0 >= 0) v0 else ManifestFiles.latestComplete(fs, dir)
+      require(ManifestFiles.versions(fs, dir).contains(v),
+        s"cannot branch from version $v — it does not exist " +
+          s"(have: ${ManifestFiles.versions(fs, dir).sorted.mkString(",")})")
+      val lines = ManifestFiles.linesOf(fs, dir, Some(v)) :+ s"#branchbase,$v"
+      val schema = ManifestFiles.schemaFor(fs, dir, Some(v))
+      ManifestFiles.publishSnapshot(fs, conf, dir, _ => lines, schema, Some(b))
+      result(new StructType().add("branch", StringType)
+          .add("forked_from", IntegerType),
+        Array(UTF8String.fromString(b), v))
+    }
+
+  def dropBranch(dirFor: String => Path): UnboundProcedure =
+    proc("drop_branch", Array(param("table", StringType),
+        param("branch", StringType))) { input =>
+      val spark = SparkSession.active
+      val dir = dirFor(input.getUTF8String(0).toString)
+      val b = input.getUTF8String(1).toString
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      val vs = ManifestFiles.versions(fs, dir, Some(b))
+      require(vs.nonEmpty, s"no branch '$b' " +
+        s"(branches: ${ManifestFiles.branches(fs, dir).sorted.mkString(", ")})")
+      val pfx = ManifestFiles.chainPrefix(Some(b))
+      vs.foreach { v =>
+        fs.delete(new Path(dir, s"_MANIFEST.$pfx" + s"v$v"), false)
+        fs.delete(new Path(dir, s"_SCHEMA.$pfx" + s"v$v"), false)
+      }
+      // its data files become unreferenced; the next vacuum reclaims them
+      result(new StructType().add("branch", StringType)
+          .add("versions_dropped", IntegerType),
+        Array(UTF8String.fromString(b), vs.length))
+    }
+
+  /** `fast_forward(table, branch)` — publish the audited branch head as
+    * a NEW main version, iff main has not advanced past the fork point
+    * (Iceberg's fast-forward condition; a diverged main fails loudly —
+    * rebase by re-branching). The branch stays for further staging or
+    * drop_branch. */
+  def fastForward(dirFor: String => Path): UnboundProcedure =
+    proc("fast_forward", Array(param("table", StringType),
+        param("branch", StringType))) { input =>
+      val spark = SparkSession.active
+      val dir = dirFor(input.getUTF8String(0).toString)
+      val b = input.getUTF8String(1).toString
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = dir.getFileSystem(conf)
+      require(ManifestFiles.versions(fs, dir, Some(b)).nonEmpty,
+        s"no branch '$b' " +
+          s"(branches: ${ManifestFiles.branches(fs, dir).sorted.mkString(", ")})")
+      val headLines = ManifestFiles.linesOf(fs, dir, None, Some(b))
+      val base = headLines.find(_.startsWith("#branchbase,"))
+        .flatMap(_.stripPrefix("#branchbase,").toIntOption)
+        .getOrElse(throw new IllegalStateException(
+          s"branch '$b' carries no #branchbase marker — cannot verify " +
+            "divergence"))
+      val mainHead = ManifestFiles.latestComplete(fs, dir)
+      require(mainHead == base,
+        s"cannot fast-forward: main is at version $mainHead but branch " +
+          s"'$b' forked from $base — main has advanced (diverged); " +
+          "re-branch from the current head and re-stage")
+      val schema = ManifestFiles.schemaFor(fs, dir, None, Some(b))
+      val v = ManifestFiles.publishSnapshot(fs, conf, dir,
+        _ => headLines.filterNot(_.startsWith("#branchbase,")), schema)
+      result(new StructType().add("branch", StringType)
+          .add("published_as", IntegerType),
+        Array(UTF8String.fromString(b), v))
     }
 
   def snapshots(dirFor: String => Path): UnboundProcedure =

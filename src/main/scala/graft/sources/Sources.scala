@@ -1138,11 +1138,75 @@ object Sources extends QueryModule {
       SELECT od, ct, CAST(v AS INTEGER) AS v, CAST(COUNT(*) AS BIGINT) AS n
       FROM changes GROUP BY od, ct, v ORDER BY od, ct, v"""))
 
+  /** Write-audit-publish (round 12): February stages on a BRANCH while
+    * main serves January untouched; the staged rows pass audit and
+    * `fast_forward` publishes them as one atomic main commit. The final
+    * aggregate unions a main read taken BEFORE the publish (must be
+    * January only — proving staging isolation) with the published table
+    * (January+February) — both legs replayed exactly by the oracle. */
+  val qBranchWap: QueryDef = QueryDef(
+    "q246_manifest_branch_wap",
+    (s, d) => {
+      import s.implicits._
+      val root = tmp(d, "manifest_wap")
+      val dir = new org.apache.hadoop.fs.Path(root)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      val cat = "graft_wap_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE TABLE $cat.t (od DATE, o_orderkey BIGINT)") // v1
+      def slice(lo: String, hi: String) = Tables.df(s, d, "orders")
+        .filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
+        .select(to_date($"o_orderdate").as("od"), $"o_orderkey")
+      slice("1996-01-01", "1996-02-01").writeTo(s"$cat.t").append() // v2
+      s.sql(s"CALL $cat.system.create_branch('t', 'stage')")
+      slice("1996-02-01", "1996-03-01")
+        .write.mode("append").format("graft-manifest")
+        .option("path", s"$root/t").option("branch", "stage").save()
+      // main BEFORE publish: January only (staging isolation) —
+      // MATERIALIZED now, or the lazy plan would read the post-publish
+      // snapshot when the union finally executes
+      val pre = s.table(s"$cat.t")
+        .groupBy(date_trunc("month", $"od").cast("date").as("m"))
+        .agg(count(lit(1)).as("n")).withColumn("leg", lit("pre"))
+        .select($"leg", $"m", $"n").collect().toSeq
+      val preMonths = s.createDataFrame(
+        s.sparkContext.parallelize(pre, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("leg",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("m",
+            org.apache.spark.sql.types.DateType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType))))
+      s.sql(s"CALL $cat.system.fast_forward('t', 'stage')")
+      val postMonths = s.table(s"$cat.t")
+        .groupBy(date_trunc("month", $"od").cast("date").as("m"))
+        .agg(count(lit(1)).as("n")).withColumn("leg", lit("post"))
+        .select($"leg", $"m", $"n")
+      preMonths.unionAll(postMonths).orderBy($"leg", $"m")
+    },
+    Some("""
+      WITH jan AS (
+        SELECT CAST(o_orderdate AS DATE) AS od FROM orders
+        WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-02-01'),
+      feb AS (
+        SELECT CAST(o_orderdate AS DATE) AS od FROM orders
+        WHERE o_orderdate >= '1996-02-01' AND o_orderdate < '1996-03-01'),
+      legs AS (
+        SELECT 'pre' AS leg, DATE '1996-01-01' AS m,
+               CAST(COUNT(*) AS BIGINT) AS n FROM jan
+        UNION ALL
+        SELECT 'post', DATE '1996-01-01', CAST(COUNT(*) AS BIGINT) FROM jan
+        UNION ALL
+        SELECT 'post', DATE '1996-02-01', CAST(COUNT(*) AS BIGINT) FROM feb)
+      SELECT leg, m, n FROM legs ORDER BY leg, m"""))
+
   override def defs: Seq[QueryDef] =
     Seq(qCsv, qJson, qOrc, qText, qPartitioned, qSynthSource, qSynthColumnar,
       qSchemaEvolution, qManifestTimeTravel, qManifestMerge, qManifestStream,
       qManifestSkipping, qXml, qBinaryFile, qZOrder, qSpjJoin, qBucketedJoin,
       qManifestParquetMixed, qManifestEvolution, qManifestTyped,
       qManifestMergeOnRead, qMetadataDelete, qManifestEmbeddings, qDaySpj,
-      qMultiPart, qPartitionsMeta, qRefs, qChangeFeed)
+      qMultiPart, qPartitionsMeta, qRefs, qChangeFeed, qBranchWap)
 }

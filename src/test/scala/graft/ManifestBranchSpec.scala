@@ -1,0 +1,132 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+
+/** BRANCHES with write support (round 12 — Iceberg refs / the
+  * write-audit-publish workflow): `CALL create_branch` forks a writable
+  * chain off main; `option("branch", b)` routes reads AND writes to it;
+  * `CALL fast_forward` publishes the audited branch head as a new main
+  * version iff main has not advanced past the fork point. Branch data
+  * files co-locate with main's, so publish is a metadata commit and
+  * vacuum treats every branch version as a live root. */
+class ManifestBranchSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.local(4)
+  import spark.implicits._
+
+  private def freshCat(tag: String): (String, String) = {
+    val root = java.nio.file.Files.createTempDirectory(s"graft_br_$tag").toString
+    val cat = s"graft_br_${tag}_" + math.abs(root.hashCode).toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    (cat, root)
+  }
+
+  private def branchRead(root: String, b: String) =
+    spark.read.format("graft-manifest")
+      .option("path", root).option("branch", b).load()
+
+  private def branchAppend(root: String, b: String, lo: Int, hi: Int): Unit =
+    spark.range(lo, hi).select($"id".as("k"))
+      .write.mode("append").format("graft-manifest")
+      .option("path", root).option("branch", b).save()
+
+  test("write-audit-publish: stage commits on a branch, main unmoved; " +
+    "fast_forward publishes; a second fast_forward is stale") {
+    val (cat, root) = freshCat("wap")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")                 // v1
+    spark.range(0, 50).select($"id".as("k")).writeTo(s"$cat.t").append() // v2
+    val r = spark.sql(s"CALL $cat.system.create_branch('t', 'audit')")
+      .collect()
+    assert(r.head.getString(0) == "audit" && r.head.getInt(1) == 2)
+    // stage TWO commits on the branch
+    branchAppend(s"$root/t", "audit", 50, 80)
+    branchAppend(s"$root/t", "audit", 80, 90)
+    // audit: branch sees staged rows, main does not
+    assert(branchRead(s"$root/t", "audit").count() == 90L)
+    assert(spark.table(s"$cat.t").count() == 50L)
+    // publish
+    val ff = spark.sql(s"CALL $cat.system.fast_forward('t', 'audit')")
+      .collect()
+    assert(ff.head.getInt(1) == 3)
+    assert(spark.table(s"$cat.t").count() == 90L)
+    // main advanced past the fork point now: re-publishing is stale
+    val stale = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.fast_forward('t', 'audit')").collect()
+    }
+    assert(stale.getMessage.contains("diverged"), stale.getMessage)
+    spark.sql(s"CALL $cat.system.drop_branch('t', 'audit')")
+    intercept[Exception] { branchRead(s"$root/t", "audit").collect() }
+  }
+
+  test("divergence guard: main advancing after the fork blocks " +
+    "fast_forward; abandoned staging is reclaimed by drop_branch+vacuum") {
+    val (cat, root) = freshCat("div")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")                 // v1
+    spark.range(0, 20).select($"id".as("k")).writeTo(s"$cat.t").append() // v2
+    spark.sql(s"CALL $cat.system.create_branch('t', 'wip')")
+    branchAppend(s"$root/t", "wip", 20, 40)
+    val branchFiles = branchRead(s"$root/t", "wip")
+      .select(input_file_name()).distinct().count()
+    assert(branchFiles > 0)
+    // main moves on — the branch is now stale
+    spark.range(100, 110).select($"id".as("k")).writeTo(s"$cat.t").append() // v3
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.fast_forward('t', 'wip')").collect()
+    }
+    assert(e.getMessage.contains("diverged"), e.getMessage)
+    // vacuum keeps branch-referenced data while the branch lives
+    spark.sql(s"CALL $cat.system.vacuum('t', 1)")
+    assert(branchRead(s"$root/t", "wip").count() == 40L)
+    assert(spark.table(s"$cat.t").count() == 30L)
+    // dropping the branch releases its files to the next vacuum
+    spark.sql(s"CALL $cat.system.drop_branch('t', 'wip')")
+    val res = spark.sql(s"CALL $cat.system.vacuum('t', 1)").collect()
+    assert(res.head.getInt(1) > 0, "abandoned staged files reclaimed")
+    assert(spark.table(s"$cat.t").count() == 30L)
+  }
+
+  test("branch overwrite keeps the fork marker; guards: unknown branch " +
+    "writes, streaming, and change feeds refuse") {
+    val (cat, root) = freshCat("guard")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")                 // v1
+    spark.range(0, 10).select($"id".as("k")).writeTo(s"$cat.t").append() // v2
+    spark.sql(s"CALL $cat.system.create_branch('t', 'redo')")
+    // full REDO on the branch: overwrite, then publish the replacement
+    spark.range(500, 520).select($"id".as("k"))
+      .write.mode("overwrite").format("graft-manifest")
+      .option("path", s"$root/t").option("branch", "redo").save()
+    assert(branchRead(s"$root/t", "redo").count() == 20L)
+    spark.sql(s"CALL $cat.system.fast_forward('t', 'redo')")
+    assert(spark.table(s"$cat.t").count() == 20L)
+    assert(spark.table(s"$cat.t").agg(min($"k")).head().getLong(0) == 500L)
+    // time travel still reads the pre-publish main
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 2")
+      .head().getLong(0) == 10L)
+    val noBranch = intercept[Exception] {
+      spark.range(0, 5).select($"id".as("k"))
+        .write.mode("append").format("graft-manifest")
+        .option("path", s"$root/t").option("branch", "nope").save()
+    }
+    assert(noBranch.getMessage.contains("create_branch"), noBranch.getMessage)
+    val noStream = intercept[Exception] {
+      val q = spark.readStream.format("graft-manifest")
+        .option("path", s"$root/t").option("branch", "redo").load()
+        .writeStream.format("console")
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft_br_ck").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(noStream.getMessage.contains("MAIN"), noStream.getMessage)
+    val noCdf = intercept[Exception] {
+      spark.read.format("graft-manifest").option("path", s"$root/t")
+        .option("branch", "redo").option("changeFeed", "true").load()
+        .collect()
+    }
+    assert(noCdf.getMessage.toLowerCase.contains("branch"), noCdf.getMessage)
+  }
+}
