@@ -195,6 +195,19 @@ private[sources] class ManifestTable(schema0: StructType,
   override def name(): String = "graft_manifest_sink"
   override def schema(): StructType = schema0
 
+  /** This table pinned to a BRANCH head (SQL `VERSION AS OF 'branch'`):
+    * same directory, the branch chain's schema, and a `branch` property
+    * the scan builder routes on. */
+  private[sources] def withBranch(b: String): ManifestTable = {
+    val p = new java.util.HashMap[String, String](properties)
+    p.put("branch", b)
+    val dir = new Path(properties.get("path"))
+    val fs = dir.getFileSystem(
+      SparkSession.active.sessionState.newHadoopConf())
+    new ManifestTable(
+      ManifestFiles.schemaFor(fs, dir, None, Some(b)), p, strictSchema = true)
+  }
+
   // Declared layout surfaced for introspection (DESCRIBE/SHOW CREATE):
   // the catalog's load() passes bucket/partition props from the
   // `#tableconf` lines; SPJ itself rides the Scan's outputPartitioning.

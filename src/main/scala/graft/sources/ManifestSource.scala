@@ -2078,15 +2078,17 @@ class GraftManifestCatalog extends TableCatalog
     metaTable(ident, None).getOrElse(load(ident, None))
 
   /** `VERSION AS OF x`: an integer is a version number; anything else
-    * resolves through the table's `_TAGS` refs (`VERSION AS OF
-    * 'nightly'`). Metadata tables resolve against their BASE table's
-    * tags. */
+    * resolves through the table's `_TAGS` refs, then its BRANCHES
+    * (`VERSION AS OF 'nightly'` / `VERSION AS OF 'staging'` — Iceberg
+    * resolves both ref kinds here). Metadata tables resolve against
+    * their BASE table's refs (tags only — a branch head is mutable). */
   private def resolveVersion(dir: Path, version: String): Int =
     version.toIntOption.getOrElse {
       val t = ManifestFiles.tags(fs, dir)
       t.getOrElse(version, throw new IllegalArgumentException(
         s"'$version' is neither a version number nor a tag on " +
-          s"${dir.getName} (tags: ${t.keys.toSeq.sorted.mkString(", ")})"))
+          s"${dir.getName} (tags: ${t.keys.toSeq.sorted.mkString(", ")}; " +
+          s"branches: ${ManifestFiles.branches(fs, dir).sorted.mkString(", ")})"))
     }
 
   override def loadTable(ident: Identifier, version: String): Table =
@@ -2099,7 +2101,16 @@ class GraftManifestCatalog extends TableCatalog
         new ManifestMetaTable(kind, baseDir, fs,
           Some(resolveVersion(baseDir, version)))
       case _ =>
-        load(ident, Some(resolveVersion(tableDir(ident), version)))
+        val dir = tableDir(ident)
+        // a BRANCH name reads the branch head (SQL surface for the
+        // audit step of write-audit-publish): tags shadow branches on a
+        // name collision — a tag is immutable, the safer resolution
+        if (version.toIntOption.isEmpty &&
+            !ManifestFiles.tags(fs, dir).contains(version) &&
+            ManifestFiles.versions(fs, dir, Some(version)).nonEmpty) {
+          val t = load(ident, None).asInstanceOf[ManifestTable]
+          t.withBranch(version)
+        } else load(ident, Some(resolveVersion(dir, version)))
     }
 
   override def loadTable(ident: Identifier, timestamp: Long): Table = {

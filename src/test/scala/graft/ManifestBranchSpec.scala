@@ -48,6 +48,10 @@ class ManifestBranchSpec extends AnyFunSuite {
     // audit: branch sees staged rows, main does not
     assert(branchRead(s"$root/t", "audit").count() == 90L)
     assert(spark.table(s"$cat.t").count() == 50L)
+    // SQL surface for the audit step: VERSION AS OF '<branch>' reads
+    // the branch head through the catalog
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 'audit'")
+      .head().getLong(0) == 90L)
     // publish
     val ff = spark.sql(s"CALL $cat.system.fast_forward('t', 'audit')")
       .collect()
