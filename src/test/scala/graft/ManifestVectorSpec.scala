@@ -105,6 +105,47 @@ class ManifestVectorSpec extends AnyFunSuite {
       (0 until 200).count(_ % 9 != 8).toLong)
   }
 
+  test("MAP columns round-trip through both read paths, survive COW " +
+    "row-level ops, and null-fill on schema evolution") {
+    val (cat, root) = freshCat("map")
+    spark.sql(s"CREATE TABLE $cat.m (id BIGINT, tags MAP<STRING, BIGINT>)")
+    def rows(lo: Int, hi: Int) = spark.range(lo, hi).select($"id",
+      when($"id" % 7 === 6, lit(null))
+        .otherwise(map(lit("a"), $"id", lit("b"), $"id" * 2)).as("tags"))
+    rows(0, 120).repartition(3).writeTo(s"$cat.m").append()
+    def canonMap(df: DataFrame): Seq[(Long, Option[(Long, Long)])] =
+      df.select($"id", $"tags".getItem("a"), $"tags".getItem("b"))
+        .collect().map { r =>
+          (r.getLong(0),
+            if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2))))
+        }.toSeq.sortBy(_._1)
+    val expected = canonMap(rows(0, 120))
+    assert(canonMap(spark.read.format("graft-manifest")
+      .option("path", s"$root/m").option("columnar", "true").load()) == expected)
+    assert(canonMap(spark.read.format("graft-manifest")
+      .option("path", s"$root/m").option("columnar", "false").load()) == expected)
+    // map access in SQL through the catalog
+    assert(spark.sql(s"SELECT sum(tags['b']) FROM $cat.m").head().getLong(0)
+      == (0 until 120).filter(_ % 7 != 6).map(_ * 2L).sum)
+    // COW row-level ops on a map-bearing table
+    spark.sql(s"DELETE FROM $cat.m WHERE id % 10 = 3")
+    assert(spark.table(s"$cat.m").count() ==
+      (0 until 120).count(_ % 10 != 3).toLong)
+    spark.sql(s"UPDATE $cat.m SET tags = map('z', id) WHERE id < 5")
+    // ids 0,1,2,4 — id=3 fell to the DELETE above
+    assert(spark.sql(s"SELECT count(*) FROM $cat.m WHERE tags['z'] = id")
+      .head().getLong(0) == 4L)
+    // evolution: a map column ADDED later null-fills pre-evolution files
+    spark.sql(s"ALTER TABLE $cat.m ADD COLUMN extra MAP<STRING, DOUBLE>")
+    rows(200, 210).select($"id", $"tags",
+        map(lit("w"), $"id".cast("double")).as("extra"))
+      .writeTo(s"$cat.m").append()
+    assert(spark.sql(s"SELECT count(*) FROM $cat.m WHERE extra IS NULL")
+      .head().getLong(0) == (0 until 120).count(_ % 10 != 3).toLong)
+    assert(spark.sql(s"SELECT sum(extra['w']) FROM $cat.m").head().getDouble(0)
+      == (200 until 210).map(_.toDouble).sum)
+  }
+
   test("csv payload refuses non-primitive columns at plan time") {
     val (_, root) = freshCat("csvref")
     val err = intercept[UnsupportedOperationException] {
