@@ -328,10 +328,15 @@ private[sources] class ManifestTable(schema0: StructType,
       Option(options.get(k)).orElse(Option(properties.get(k)))
     val p = opt("path").getOrElse(throw new IllegalArgumentException(
       "graft-manifest read requires .option(\"path\", <directory URI>)"))
-    val changes = opt("changesFrom").map(_.toInt).map { from =>
+    // tag names resolve as range endpoints too ("changes since the
+    // 'golden' tag") — the same refs VERSION AS OF reads
+    def resolveRef(s: String): Int = ManifestFiles.resolveVersionStr(
+      new Path(p).getFileSystem(
+        SparkSession.active.sessionState.newHadoopConf()), new Path(p), s)
+    val changes = opt("changesFrom").map(resolveRef).map { from =>
       require(opt("versionAsOf").isEmpty,
         "graft-manifest: changesFrom and versionAsOf are mutually exclusive")
-      (from, opt("changesTo").map(_.toInt))
+      (from, opt("changesTo").map(resolveRef))
     }
     val changeFeed = opt("changeFeed").exists(_.toBoolean)
     // a catalog-resolved table's schema cannot grow the CDF columns
@@ -341,14 +346,11 @@ private[sources] class ManifestTable(schema0: StructType,
       "graft-manifest: change feed reads are path-based — " +
         "spark.read.format(\"graft-manifest\").option(\"path\", dir)" +
         ".option(\"changeFeed\", true).option(\"changesFrom\", v)")
-    val resolveV = (s: String) => ManifestFiles.resolveVersionStr(
-      new Path(p).getFileSystem(
-        SparkSession.active.sessionState.newHadoopConf()), new Path(p), s)
     val branch = opt("branch")
     require(branch.isEmpty || (changes.isEmpty && !changeFeed),
       "graft-manifest: branch reads are snapshot reads — incremental " +
         "tails and change feeds follow MAIN only")
-    new ManifestScanBuilder(p, opt("versionAsOf").map(resolveV), schema0,
+    new ManifestScanBuilder(p, opt("versionAsOf").map(resolveRef), schema0,
       new SerializableHadoopConf(
         SparkSession.active.sessionState.newHadoopConf()),
       changes = changes,

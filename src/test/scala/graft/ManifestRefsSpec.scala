@@ -71,6 +71,15 @@ class ManifestRefsSpec extends AnyFunSuite {
     assert(spark.sql(
         s"SELECT sum(row_count) FROM $cat.`t$$files` VERSION AS OF 'golden'")
       .head().getLong(0) == 50L)
+    // tags work as incremental/change-feed range endpoints too
+    assert(spark.read.format("graft-manifest")
+      .option("path", s"$root/t").option("changesFrom", "golden")
+      .load().count() == 30L)
+    assert(spark.read.format("graft-manifest")
+      .option("path", s"$root/t").option("changeFeed", "true")
+      .option("changesFrom", "golden").load()
+      .collect().forall(r => r.getAs[String]("_change_type") == "insert" &&
+        r.getAs[Long]("k") >= 50))
     val dup = intercept[Exception] {
       spark.sql(s"CALL $cat.system.create_tag('t', 'golden', 3)").collect()
     }
