@@ -37,7 +37,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * outside the Hive catalog.
   */
 private[sources] object ManifestMetaTables {
-  val Suffixes: Set[String] = Set("files", "snapshots", "partitions")
+  val Suffixes: Set[String] = Set("files", "snapshots", "partitions", "refs")
 
   /** `name$kind` → (base table name, kind), when kind is a known
     * metadata-table suffix. A REAL table whose directory is literally
@@ -170,6 +170,11 @@ private[sources] class ManifestMetaTable(kind: String, dir: Path,
         Seq(StructField("file_count", LongType, nullable = false),
           StructField("row_count", LongType, nullable = false),
           StructField("size_bytes", LongType, nullable = false)))
+    case "refs" => new StructType()
+      .add("name", StringType, nullable = false)
+      .add("type", StringType, nullable = false)
+      .add("version", IntegerType, nullable = false)
+      .add("forked_from", IntegerType, nullable = true)
   }
 
   private def computeRows(): Array[InternalRow] = {
@@ -226,6 +231,26 @@ private[sources] class ManifestMetaTable(kind: String, dir: Path,
           prev = cur
           row
         }.toArray
+      case "refs" =>
+        // named refs: immutable tags (name → version) and writable
+        // branches (head version + fork point) — `main` itself excluded
+        // (it IS the table). `ver` pinning doesn't apply: refs live
+        // outside the snapshot chain.
+        val tagRows = ManifestFiles.tags(fs, dir).toSeq.sortBy(_._1).map {
+          case (n, v) => new GenericInternalRow(Array[Any](
+            UTF8String.fromString(n), UTF8String.fromString("tag"), v,
+            null)): InternalRow
+        }
+        val branchRows = ManifestFiles.branches(fs, dir).sorted.map { b =>
+          val head = ManifestFiles.latestComplete(fs, dir, Some(b))
+          val base = ManifestFiles.linesOf(fs, dir, None, Some(b))
+            .find(_.startsWith("#branchbase,"))
+            .flatMap(_.stripPrefix("#branchbase,").toIntOption)
+          new GenericInternalRow(Array[Any](
+            UTF8String.fromString(b), UTF8String.fromString("branch"), head,
+            base.map(v => v: Any).orNull)): InternalRow
+        }
+        (tagRows ++ branchRows).toArray
       case "partitions" =>
         val specs3 = layout.map { case (_, k, dt, pos) => (pos, k, dt) }
         val kinds = layout.map(_._2)

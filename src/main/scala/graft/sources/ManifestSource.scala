@@ -2439,8 +2439,28 @@ class GraftManifestCatalog extends TableCatalog
     f.exists(dir) && f.delete(dir, true)
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("rename not supported")
+  /** `ALTER TABLE … RENAME TO …` — a directory rename: every snapshot,
+    * ref, and data file moves as one unit (manifest lines store BARE
+    * file names, never absolute paths, so history stays valid at the
+    * new location). Racing writers fail their claim at the old path —
+    * loudly, not silently split-brained. */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val f = fs
+    val from = tableDir(oldIdent)
+    val to = tableDir(newIdent)
+    if (!f.exists(new Path(from, "_MANIFEST")))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Seq(catalogName, oldIdent.name))
+    if (f.exists(to))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Array(catalogName, newIdent.name))
+    require(ManifestMetaTables.parse(newIdent.name).isEmpty ||
+      !f.exists(new Path(tableDir(Identifier.of(newIdent.namespace,
+        ManifestMetaTables.parse(newIdent.name).get._1)), "_MANIFEST")),
+      s"'${newIdent.name}' is a reserved metadata-table name")
+    require(f.rename(from, to),
+      s"rename $from -> $to failed (filesystem refused)")
+  }
 
   // ---- FunctionCatalog: the `bucket` transform the scans report -------
   // Spark resolves a scan's KeyGroupedPartitioning(bucket(n, col)) by

@@ -98,6 +98,47 @@ class ManifestRefsSpec extends AnyFunSuite {
     }
   }
 
+  test("$refs metadata table lists tags and branches with fork points") {
+    val (cat, _) = freshCat("refs")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")          // v1
+    ins(cat, 0, 10)                                       // v2
+    spark.sql(s"CALL $cat.system.create_tag('t', 'golden')")
+    spark.sql(s"CALL $cat.system.create_branch('t', 'wip')")
+    spark.range(0, 5).select($"id".as("k"))
+      .write.mode("append").format("graft-manifest")
+      .option("path", spark.conf.get(s"spark.sql.catalog.$cat.root") + "/t")
+      .option("branch", "wip").save()
+    val refs = spark.table(s"$cat.`t$$refs`").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3))).toSet
+    assert(refs == Set(("golden", "tag", 2, -1), ("wip", "branch", 2, 2)))
+  }
+
+  test("ALTER TABLE RENAME moves the whole history; refs and time " +
+    "travel survive; reserved/occupied names refuse") {
+    val (cat, _) = freshCat("ren")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")          // v1
+    ins(cat, 0, 25)                                       // v2
+    spark.sql(s"CALL $cat.system.create_tag('t', 'keep')")
+    ins(cat, 25, 40)                                      // v3
+    spark.sql(s"ALTER TABLE $cat.t RENAME TO t2")
+    assert(spark.table(s"$cat.t2").count() == 40L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t2 VERSION AS OF 'keep'")
+      .head().getLong(0) == 25L)
+    intercept[Exception] { spark.table(s"$cat.t").collect() }
+    // occupied target refuses
+    spark.sql(s"CREATE TABLE $cat.other (x BIGINT)")
+    val occ = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.t2 RENAME TO other")
+    }
+    assert(occ.getMessage.toLowerCase.contains("exists"), occ.getMessage)
+    // a live table's reserved metadata names refuse as targets
+    val res = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.t2 RENAME TO `other$$files`")
+    }
+    assert(res.getMessage.contains("reserved"), res.getMessage)
+  }
+
   test("vacuum never expires a tagged version; dropping the tag " +
     "releases it") {
     val (cat, _) = freshCat("vac")
