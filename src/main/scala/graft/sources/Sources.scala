@@ -984,7 +984,7 @@ object Sources extends QueryModule {
         "o_orderkey BIGINT, o_totalprice DOUBLE) " +
         "PARTITIONED BY (od, o_orderpriority)")
       Tables.df(s, d, "orders")
-        .filter($"o_orderdate" >= "1996-01-01" && $"o_orderdate" < "1996-03-01")
+        .filter($"o_orderdate" >= "1996-01-01" && $"o_orderdate" < "1996-02-01")
         .select(to_date($"o_orderdate").as("od"), $"o_orderpriority",
           $"o_orderkey", $"o_totalprice")
         .writeTo(s"$cat.fact").append()
@@ -1005,7 +1005,7 @@ object Sources extends QueryModule {
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
                AS total
       FROM orders
-      WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-03-01'
+      WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-02-01'
         AND o_orderpriority <> '5-LOW'
       GROUP BY od, o_orderpriority
       ORDER BY od, o_orderpriority"""))
