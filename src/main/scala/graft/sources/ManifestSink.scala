@@ -587,8 +587,17 @@ private[sources] class ManifestTable(schema0: StructType,
           val hconf = new SerializableHadoopConf(
             SparkSession.active.sessionState.newHadoopConf())
           val fs = path.getFileSystem(hconf.value)
+          val branch = Option(info.options.get("branch"))
+            .orElse(Option(properties.get("branch")))
+          branch.foreach { b =>
+            require(ManifestFiles.latestComplete(fs, path, Some(b)) > 0,
+              s"no branch '$b' at $path — CALL create_branch first " +
+                s"(branches: ${ManifestFiles.branches(fs, path).sorted.mkString(", ")})")
+          }
           val existing =
-            if (fs.exists(new Path(path, "_SCHEMA")))
+            if (branch.isDefined)
+              Some(ManifestFiles.schemaFor(fs, path, None, branch))
+            else if (fs.exists(new Path(path, "_SCHEMA")))
               Some(ManifestFiles.schemaFor(fs, path, None))
             else None
           existing.foreach { e =>
@@ -601,7 +610,8 @@ private[sources] class ManifestTable(schema0: StructType,
                 mismatchDetail(e, incoming))
           }
           new ManifestStreamingWrite(path.toString, info.queryId(),
-            existing.getOrElse(ManifestTable.nullableSchema(incoming)), hconf, format)
+            existing.getOrElse(ManifestTable.nullableSchema(incoming)), hconf,
+            format, branch)
         }
       }
     }
@@ -1175,7 +1185,11 @@ private[sources] class PartitionSplitWriter(path: String, stagingName: String,
   * of double-committing. Append output mode only. */
 private[sources] class ManifestStreamingWrite(path: String, queryId: String,
     schema: StructType, conf: SerializableHadoopConf,
-    format: String = "parquet")
+    format: String = "parquet",
+    // 24/7 WRITE-AUDIT-PUBLISH: a stream staged on a branch keeps main
+    // clean while an auditor periodically fast_forwards the vetted
+    // prefix; the `#txn` exactly-once markers ride the branch chain
+    branch: Option[String] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
@@ -1206,7 +1220,8 @@ private[sources] class ManifestStreamingWrite(path: String, queryId: String,
     val fs = dir.getFileSystem(conf.value)
     val staging = new Path(dir, stagingName)
     val already = ManifestFiles.committedEpoch(
-      ManifestFiles.latestLines(fs, dir), queryId).exists(_ >= epochId)
+      if (branch.isDefined) ManifestFiles.linesOf(fs, dir, None, branch)
+      else ManifestFiles.latestLines(fs, dir), queryId).exists(_ >= epochId)
     if (already) {
       def sweep(m: WriterCommitMessage): Unit = m match {
         case FileCommitted(tmp, _, _, _, _, _, _) =>
@@ -1229,7 +1244,7 @@ private[sources] class ManifestStreamingWrite(path: String, queryId: String,
     }
     ManifestFiles.publishSnapshot(fs, conf.value, dir, previous =>
       previous.filterNot(_.startsWith(s"#txn,$queryId,")) ++ fresh :+
-        s"#txn,$queryId,$epochId", schema)
+        s"#txn,$queryId,$epochId", schema, branch)
   }
 
   override def abort(epochId: Long,

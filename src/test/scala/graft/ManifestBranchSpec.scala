@@ -93,6 +93,43 @@ class ManifestBranchSpec extends AnyFunSuite {
     assert(spark.table(s"$cat.t").count() == 30L)
   }
 
+  test("24/7 WAP: a STREAM stages epochs on a branch with exactly-once " +
+    "markers; main stays clean until fast_forward") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val (cat, root) = freshCat("swap")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")                 // v1
+    spark.range(0, 10).select($"id".as("k")).writeTo(s"$cat.t").append() // v2
+    spark.sql(s"CALL $cat.system.create_branch('t', 'ingest')")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_swap_ck").toString
+    val input = MemoryStream[Long](spark)
+    def drain(): Unit = {
+      val q = input.toDS().selectExpr("value AS k")
+        .writeStream.format("graft-manifest")
+        .option("path", s"$root/t").option("branch", "ingest")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000); q.stop()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.streams.active.exists(_.id == q.id) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      Thread.sleep(200)
+    }
+    input.addData(10L until 40L: _*)
+    drain()
+    input.addData(40L until 55L: _*)
+    drain()
+    // staged on the branch, invisible on main
+    assert(branchRead(s"$root/t", "ingest").count() == 55L)
+    assert(spark.table(s"$cat.t").count() == 10L)
+    // a re-drain with nothing new is a no-op (epoch markers on the
+    // branch chain dedup restarts)
+    drain()
+    assert(branchRead(s"$root/t", "ingest").count() == 55L)
+    spark.sql(s"CALL $cat.system.fast_forward('t', 'ingest')")
+    assert(spark.table(s"$cat.t").count() == 55L)
+  }
+
   test("branch overwrite keeps the fork marker; guards: unknown branch " +
     "writes, streaming, and change feeds refuse") {
     val (cat, root) = freshCat("guard")
