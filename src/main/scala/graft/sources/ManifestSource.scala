@@ -2508,6 +2508,7 @@ class GraftManifestCatalog extends TableCatalog
       case "create_branch" => ManifestProcedures.createBranch(dirFor)
       case "drop_branch" => ManifestProcedures.dropBranch(dirFor)
       case "fast_forward" => ManifestProcedures.fastForward(dirFor)
+      case "cherry_pick" => ManifestProcedures.cherryPick(dirFor)
     }
   }
 }
@@ -2630,7 +2631,7 @@ private[sources] object ManifestProcedures {
   val names: Array[String] =
     Array("compact", "vacuum", "snapshots", "rewrite_position_deletes",
       "rollback", "create_tag", "drop_tag",
-      "create_branch", "drop_branch", "fast_forward")
+      "create_branch", "drop_branch", "fast_forward", "cherry_pick")
 
   private def param(n: String, dt: org.apache.spark.sql.types.DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -3018,6 +3019,61 @@ private[sources] object ManifestProcedures {
       result(new StructType().add("branch", StringType)
           .add("published_as", IntegerType),
         Array(UTF8String.fromString(b), v))
+    }
+
+  /** `cherry_pick(table, version[, branch])` — graft ONE commit's delta
+    * onto the CURRENT main head (Iceberg's cherrypick_snapshot): the
+    * recovery tool when fast_forward reports divergence. Only
+    * APPEND-ONLY commits qualify (their delta is a self-contained set
+    * of new entry+stats lines; a rewrite/delete commit's delta is
+    * entangled with its predecessor's file set) — others fail loudly.
+    * Grafted files must still exist on disk (not vacuumed). */
+  def cherryPick(dirFor: String => Path): UnboundProcedure =
+    proc("cherry_pick", Array(param("table", StringType),
+        param("version", IntegerType),
+        paramDefault("branch", StringType, "CAST(NULL AS STRING)"))) { input =>
+      val spark = SparkSession.active
+      val dir = dirFor(input.getUTF8String(0).toString)
+      val v = input.getInt(1)
+      val br = if (input.isNullAt(2)) None
+        else Some(input.getUTF8String(2).toString)
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = dir.getFileSystem(conf)
+      require(ManifestFiles.versions(fs, dir, br).contains(v),
+        s"no version $v${br.map(b => s" on branch '$b'").getOrElse("")} " +
+          s"(have: ${ManifestFiles.versions(fs, dir, br).sorted.mkString(",")})")
+      val cur = ManifestFiles.linesOf(fs, dir, Some(v), br)
+      val prev = if (v <= 1) Array.empty[String]
+        else ManifestFiles.linesOf(fs, dir, Some(v - 1), br)
+      def payload(ls: Array[String]) = ls.filterNot(l =>
+        l.startsWith("#txn,") || l.startsWith("#branchbase,"))
+      val removed = payload(prev).toSet -- payload(cur).toSet
+      require(removed.isEmpty,
+        s"cherry_pick supports APPEND-ONLY commits; version $v also " +
+          s"removed/rewrote ${removed.size} lines (e.g. ${removed.head}) " +
+          "— replay that operation against current main instead")
+      val delta = (payload(cur).toSet -- payload(prev).toSet).toSeq.sorted
+      require(!delta.exists(_.startsWith("#dels,")),
+        s"cherry_pick supports APPEND-ONLY commits; version $v applied " +
+          "merge-on-read delete vectors — replay the DELETE against " +
+          "current main instead")
+      val addedNames = delta.filterNot(_.startsWith("#"))
+        .flatMap(l => ManifestSink.entryName(l))
+      require(addedNames.nonEmpty, s"version $v added no data files")
+      addedNames.foreach { n =>
+        require(fs.exists(new Path(dir, n)),
+          s"data file $n of version $v was vacuumed — nothing to graft")
+      }
+      val newV = ManifestFiles.publishSnapshot(fs, conf, dir, previous => {
+        val mainNames = previous.flatMap(ManifestSink.entryName).toSet
+        require(addedNames.forall(!mainNames.contains(_)),
+          s"main already lists ${addedNames.count(mainNames.contains)} of " +
+            s"version $v's files — already fast-forwarded or picked?")
+        previous ++ delta.filterNot(previous.contains)
+      }, ManifestFiles.schemaFor(fs, dir, None))
+      result(new StructType().add("picked_version", IntegerType)
+          .add("files_grafted", IntegerType).add("new_version", IntegerType),
+        Array(v, addedNames.length, newV))
     }
 
   def snapshots(dirFor: String => Path): UnboundProcedure =

@@ -82,15 +82,34 @@ class ManifestBranchSpec extends AnyFunSuite {
       spark.sql(s"CALL $cat.system.fast_forward('t', 'wip')").collect()
     }
     assert(e.getMessage.contains("diverged"), e.getMessage)
+    // divergence RECOVERY: cherry-pick the branch's append commit onto
+    // the advanced main — the rows land without losing main's progress
+    val cp = spark.sql(s"CALL $cat.system.cherry_pick('t', 2, 'wip')")
+      .collect()
+    assert(cp.head.getInt(1) > 0)
+    assert(spark.table(s"$cat.t").count() == 50L) // 20 + 10 + picked 20
+    // picking the same commit twice refuses
+    val dup = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.cherry_pick('t', 2, 'wip')").collect()
+    }
+    assert(dup.getMessage.contains("already"), dup.getMessage)
     // vacuum keeps branch-referenced data while the branch lives
     spark.sql(s"CALL $cat.system.vacuum('t', 1)")
     assert(branchRead(s"$root/t", "wip").count() == 40L)
-    assert(spark.table(s"$cat.t").count() == 30L)
-    // dropping the branch releases its files to the next vacuum
+    assert(spark.table(s"$cat.t").count() == 50L)
+    // dropping the branch: the PICKED files are now main-referenced and
+    // must survive the sweep; main keeps every row
     spark.sql(s"CALL $cat.system.drop_branch('t', 'wip')")
-    val res = spark.sql(s"CALL $cat.system.vacuum('t', 1)").collect()
-    assert(res.head.getInt(1) > 0, "abandoned staged files reclaimed")
-    assert(spark.table(s"$cat.t").count() == 30L)
+    spark.sql(s"CALL $cat.system.vacuum('t', 1)")
+    assert(spark.table(s"$cat.t").count() == 50L)
+    // a non-append commit (COW rewrite) refuses to cherry-pick
+    spark.sql(s"UPDATE $cat.t SET k = k + 1000 WHERE k < 5")
+    val rewriteV = spark.sql(s"CALL $cat.system.snapshots('t')")
+      .agg(max($"version")).head().getInt(0)
+    val nonAppend = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.cherry_pick('t', $rewriteV)").collect()
+    }
+    assert(nonAppend.getMessage.contains("APPEND-ONLY"), nonAppend.getMessage)
   }
 
   test("24/7 WAP: a STREAM stages epochs on a branch with exactly-once " +
