@@ -1202,11 +1202,61 @@ object Sources extends QueryModule {
         SELECT 'post', DATE '1996-02-01', CAST(COUNT(*) AS BIGINT) FROM feb)
       SELECT leg, m, n FROM legs ORDER BY leg, m"""))
 
+  /** Change-feed-driven INDEX MAINTENANCE (round 12 — the reason the
+    * engine has a CDF): a dedup fingerprint store shadows a governed
+    * corpus; a takedown lands as a merge-on-read DELETE; the store is
+    * updated INCREMENTALLY from the feed (remove the deleted docs'
+    * fingerprints, never rescan the corpus). The oracle recomputes the
+    * store from scratch — incremental maintenance must converge to the
+    * full rebuild, per-language counts and fingerprint XORs exact. */
+  val qCdfIndexMaint: QueryDef = QueryDef(
+    "q247_cdf_index_maintenance",
+    (s, d) => {
+      import s.implicits._
+      val root = tmp(d, "manifest_cdfidx")
+      val dir = new org.apache.hadoop.fs.Path(root)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      val cat = "graft_cix_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE TABLE $cat.docs (doc_id BIGINT, lang STRING, " +
+        "fp STRING) TBLPROPERTIES('delete.mode'='merge-on-read')") // v1
+      Tables.df(s, d, "documents")
+        .select($"doc_id", $"lang", md5($"text").as("fp"))
+        .writeTo(s"$cat.docs").append()                            // v2
+      // the store bootstraps from the feed's inserts (v0..v2)
+      val feed0 = s.read.format("graft-manifest").option("path", s"$root/docs")
+        .option("changeFeed", "true").option("changesTo", "2").load()
+      // takedown: a merge-on-read DELETE, KB-scale vectors            v3
+      s.sql(s"DELETE FROM $cat.docs WHERE doc_id % 13 = 5")
+      val feed1 = s.read.format("graft-manifest").option("path", s"$root/docs")
+        .option("changeFeed", "true").option("changesFrom", "2").load()
+      // incremental apply: store = inserts ∖ deletes (anti-join on the
+      // row identity — never a corpus rescan)
+      val store = feed0.filter($"_change_type" === "insert")
+        .select($"doc_id", $"lang", $"fp")
+        .join(feed1.filter($"_change_type" === "delete")
+          .select($"doc_id".as("del_id")),
+          $"doc_id" === $"del_id", "left_anti")
+      store.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct($"fp").as("n_uniq"))
+        .orderBy($"lang")
+        .select($"lang", $"n_docs", $"n_uniq")
+    },
+    Some("""
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_uniq
+      FROM documents
+      WHERE doc_id % 13 <> 5
+      GROUP BY lang ORDER BY lang"""))
+
   override def defs: Seq[QueryDef] =
     Seq(qCsv, qJson, qOrc, qText, qPartitioned, qSynthSource, qSynthColumnar,
       qSchemaEvolution, qManifestTimeTravel, qManifestMerge, qManifestStream,
       qManifestSkipping, qXml, qBinaryFile, qZOrder, qSpjJoin, qBucketedJoin,
       qManifestParquetMixed, qManifestEvolution, qManifestTyped,
       qManifestMergeOnRead, qMetadataDelete, qManifestEmbeddings, qDaySpj,
-      qMultiPart, qPartitionsMeta, qRefs, qChangeFeed, qBranchWap)
+      qMultiPart, qPartitionsMeta, qRefs, qChangeFeed, qBranchWap,
+      qCdfIndexMaint)
 }
