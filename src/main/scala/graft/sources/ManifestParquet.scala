@@ -95,12 +95,22 @@ private[sources] object ManifestParquet {
       new ParquetWriteSupport
   }
 
+  /** Declared bloom-filter columns ride the (write-private) hadoop conf
+    * from the driver's factory construction to every task writer —
+    * values are the PHYSICAL `c<pos>` column names. */
+  private val BloomKey = "graft.manifest.bloom.cols"
+  def setBloomCols(conf: Configuration, positions: Seq[Int]): Unit =
+    if (positions.nonEmpty)
+      conf.set(BloomKey, positions.map(p => s"c$p").mkString(","))
+
   /** Open a parquet writer for rows of `schema` at `file`. Snappy, the
-    * engine default — dictionary + RLE come with the format. */
+    * engine default — dictionary + RLE come with the format; declared
+    * bloom columns (see [[setBloomCols]]) get a chunk-level bloom
+    * filter, the point-lookup complement of min/max stats. */
   def createWriter(file: Path, schema: StructType,
       base: Configuration): org.apache.parquet.hadoop.ParquetWriter[InternalRow] = {
     val conf = writerConf(base, schema)
-    new RowWriterBuilder(
+    var b = new RowWriterBuilder(
         org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(file, conf))
       .withConf(conf)
       .withCompressionCodec(
@@ -111,7 +121,10 @@ private[sources] object ManifestParquet {
       .withRowGroupSize(conf.getLong(
         org.apache.parquet.hadoop.ParquetOutputFormat.BLOCK_SIZE,
         org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE))
-      .build()
+    Option(base.get(BloomKey)).foreach { cols =>
+      cols.split(",").foreach(c => b = b.withBloomFilterEnabled(c, true))
+    }
+    b.build()
   }
 
   /** Pushed-filter → parquet `FilterPredicate` translation for ROW-GROUP

@@ -712,13 +712,17 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
     // every batch route splits files per partition value — plain
     // appends, catalog INSERTs, COW rewrites, compact, AND streaming
     // epochs (ManifestStreamingWrite) all preserve the layout.
+    val lines =
+      try ManifestFiles.latestLines(
+        new Path(path).getFileSystem(conf.value), new Path(path))
+      catch { case _: Exception => Array.empty[String] }
     val partSpec: Seq[(Int, String)] =
-      try {
-        val fs = new Path(path).getFileSystem(conf.value)
-        ManifestFiles.partConfs(ManifestFiles.latestLines(fs, new Path(path)))
-          .flatMap { case (pos, kind) =>
-            ManifestFiles.fieldAtPhys(schema, pos).map(idx => (idx, kind)) }
-      } catch { case _: Exception => Seq.empty }
+      ManifestFiles.partConfs(lines).flatMap { case (pos, kind) =>
+        ManifestFiles.fieldAtPhys(schema, pos).map(idx => (idx, kind)) }
+    // declared bloom-filter columns ride the task conf (physical c<pos>
+    // names — the parquet writer's column identifiers)
+    ManifestParquet.setBloomCols(conf.value,
+      ManifestFiles.bloomFromLines(lines))
     new ManifestWriterFactory(path, stagingName, failPartition, schema, conf,
       recordBucket = bucketSpec.isDefined, sortPos = sortPos, format = format,
       partSpec = partSpec)
@@ -1203,13 +1207,15 @@ private[sources] class ManifestStreamingWrite(path: String, queryId: String,
     // demanded distribution the per-epoch file count is tasks × values
     // touched this epoch — for time layouts an epoch usually touches
     // one or two days, so the cost stays near one file per task.
+    val lines =
+      try ManifestFiles.latestLines(
+        new Path(path).getFileSystem(conf.value), new Path(path))
+      catch { case _: Exception => Array.empty[String] }
     val partSpec: Seq[(Int, String)] =
-      try {
-        val fs = new Path(path).getFileSystem(conf.value)
-        ManifestFiles.partConfs(ManifestFiles.latestLines(fs, new Path(path)))
-          .flatMap { case (pos, kind) =>
-            ManifestFiles.fieldAtPhys(schema, pos).map(idx => (idx, kind)) }
-      } catch { case _: Exception => Seq.empty }
+      ManifestFiles.partConfs(lines).flatMap { case (pos, kind) =>
+        ManifestFiles.fieldAtPhys(schema, pos).map(idx => (idx, kind)) }
+    ManifestParquet.setBloomCols(conf.value,
+      ManifestFiles.bloomFromLines(lines))
     new ManifestStreamWriterFactory(path, stagingName, schema, conf, format,
       partSpec)
   }

@@ -353,6 +353,22 @@ object ManifestFiles {
     require(fs.rename(tmp, dest), s"could not publish tags at $dest")
   }
 
+  /** Parquet BLOOM FILTER columns (round 12 — Iceberg's
+    * `write.parquet.bloom-filter-enabled.column.*`): positions of
+    * columns whose parquet column chunks carry a bloom filter, written
+    * by `TBLPROPERTIES('bloom.columns'='a,b')`. Point lookups on a
+    * high-cardinality key then skip row groups whose stats range covers
+    * the value but whose bloom proves it absent — the within-file
+    * complement of stats skipping that ranges cannot give. */
+  def bloomLine(positions: Seq[Int]): String =
+    s"#tableconf,bloom,${positions.mkString(";")}"
+
+  def bloomFromLines(lines: Array[String]): Seq[Int] =
+    lines.find(_.startsWith("#tableconf,bloom,")).toSeq.flatMap { l =>
+      l.stripPrefix("#tableconf,bloom,").split(";").toSeq
+        .flatMap(_.toIntOption)
+    }
+
   /** Payload-format pin: `#tableconf,format,<parquet|csv>` — written by
     * `CREATE TABLE … TBLPROPERTIES('format'='csv')`, re-surfaced as a
     * table property at load so EVERY write path (INSERT INTO appends,
@@ -2033,6 +2049,10 @@ class GraftManifestCatalog extends TableCatalog
     if (ManifestFiles.isMergeOnRead(confLines))
       props.put("delete.mode", "merge-on-read")
     ManifestFiles.formatFromLines(confLines).foreach(props.put("format", _))
+    val bloomNames = ManifestFiles.bloomFromLines(confLines)
+      .flatMap(ManifestFiles.fieldAtPhys(schema, _)).map(schema(_).name)
+    if (bloomNames.nonEmpty)
+      props.put("bloom.columns", bloomNames.mkString(","))
     ManifestFiles.partConfs(confLines) match {
       case specs if specs.nonEmpty =>
         val resolved = specs.flatMap { case (pos, kind) =>
@@ -2200,12 +2220,22 @@ class GraftManifestCatalog extends TableCatalog
       ManifestWriters.ext(f) // validates parquet|csv at DDL time
       ManifestFiles.formatLine(f)
     }.toArray
+    val bloom = Option(properties.get("bloom.columns")).map { cs =>
+      val positions = cs.split(",").map(_.trim).filter(_.nonEmpty).map { c =>
+        require(schema.fieldNames.contains(c),
+          s"bloom.columns column '$c' not in ${schema.fieldNames.mkString(",")}")
+        schema.fieldIndex(c)
+      }.toSeq
+      require(positions.nonEmpty, "bloom.columns must name at least one column")
+      ManifestFiles.bloomLine(positions)
+    }.toArray
     ManifestFiles.publishSnapshot(f,
       SparkSession.active.sessionState.newHadoopConf(), dir,
       _ => bucket.map { case (pos, n) =>
           ManifestFiles.tableConfLine(pos, n, None) }.toArray ++
         part.map { case (pos, kind) =>
-          ManifestFiles.partConfLine(pos, kind) }.toArray[String] ++ mor ++ fmt,
+          ManifestFiles.partConfLine(pos, kind) }.toArray[String] ++
+        mor ++ fmt ++ bloom,
       schema)
     load(ident, None)
   }
