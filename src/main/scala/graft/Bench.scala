@@ -70,7 +70,8 @@ object Bench {
     "q240_manifest_embeddings_ann", "q241_manifest_day_spj",
     "q242_manifest_multi_partition", "q243_manifest_partitions_meta",
     "q244_manifest_refs", "q245_manifest_change_feed",
-    "q246_manifest_branch_wap", "q247_cdf_index_maintenance")
+    "q246_manifest_branch_wap", "q247_cdf_index_maintenance",
+    "q248_manifest_bloom_probe")
 
   private val sentinelName = "q97_compute_pi"
   private val stragglerQueries =

@@ -194,6 +194,10 @@ private[sources] class ManifestTable(schema0: StructType,
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = "graft_manifest_sink"
   override def schema(): StructType = schema0
+  // surface the catalog-resolved properties (format, delete.mode,
+  // bloom.columns, layout) for DESCRIBE EXTENDED / SHOW TBLPROPERTIES
+  override def properties(): JMap[String, String] = properties0
+  private def properties0: JMap[String, String] = properties
 
   /** This table pinned to a BRANCH head (SQL `VERSION AS OF 'branch'`):
     * same directory, the branch chain's schema, and a `branch` property

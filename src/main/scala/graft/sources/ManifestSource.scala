@@ -2266,6 +2266,7 @@ class GraftManifestCatalog extends TableCatalog
     var newDropLines = List.empty[String]
     var morFlip: Option[Boolean] = None
     var partFlip: Option[Seq[(Int, String)]] = None
+    var bloomFlip: Option[Seq[Int]] = None
     def nextPos: Int =
       (schema.indices.map(ManifestFiles.physPos(schema, _)) ++ dropped)
         .foldLeft(-1)(math.max) + 1
@@ -2433,11 +2434,22 @@ class GraftManifestCatalog extends TableCatalog
         require(specs.map(_._1).distinct.length == specs.length,
           "duplicate partition transform on one column")
         partFlip = Some(specs)
+      // bloom evolution: future writes carry (or stop carrying) the
+      // filters; existing files are untouched (reads degrade per-chunk)
+      case sp: TableChange.SetProperty if sp.property == "bloom.columns" =>
+        bloomFlip = Some(sp.value.trim match {
+          case "" | "none" => Seq.empty
+          case v => v.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { c =>
+            require(schema.fieldNames.contains(c),
+              s"bloom.columns column '$c' not in ${schema.fieldNames.mkString(",")}")
+            ManifestFiles.physPos(schema, schema.fieldIndex(c))
+          }
+        })
       case other => throw new UnsupportedOperationException(
         "graft-manifest supports ADD COLUMN (appended, nullable), " +
           "RENAME COLUMN, DROP COLUMN, and SET " +
-          "TBLPROPERTIES('delete.mode'|'partition.layout') only, " +
-          s"got $other")
+          "TBLPROPERTIES('delete.mode'|'partition.layout'|'bloom.columns') " +
+          s"only, got $other")
     }
     val drops = newDropLines.reverse.toArray
     ManifestFiles.publishSnapshot(f,
@@ -2451,12 +2463,19 @@ class GraftManifestCatalog extends TableCatalog
             previous.filterNot(_ == ManifestFiles.MergeOnReadLine)
           case None => previous
         }
-        val base = partFlip match {
+        val base1 = partFlip match {
           case Some(specs) =>
             base0.filterNot(_.startsWith("#tableconf,part,")) ++
               specs.map { case (pos, kind) =>
                 ManifestFiles.partConfLine(pos, kind) }
           case None => base0
+        }
+        val base = bloomFlip match {
+          case Some(positions) =>
+            base1.filterNot(_.startsWith("#tableconf,bloom,")) ++
+              (if (positions.nonEmpty) Seq(ManifestFiles.bloomLine(positions))
+               else Seq.empty)
+          case None => base1
         }
         base ++ drops.filterNot(base.contains)
       }, schema)

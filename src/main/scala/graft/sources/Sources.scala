@@ -1251,6 +1251,37 @@ object Sources extends QueryModule {
       WHERE doc_id % 13 <> 5
       GROUP BY lang ORDER BY lang"""))
 
+  /** Bloom-filtered point lookups (round 12): a corpus keyed by a
+    * high-cardinality unsorted doc_id carries chunk-level blooms; a
+    * batch of point probes (present and absent) resolves exactly. The
+    * skipping itself is spec-pinned (ManifestBloomSpec measures scan
+    * rows with dictionary encoding disabled); this row pins the
+    * CORRECTNESS of reads through bloom-bearing files. */
+  val qBloomProbe: QueryDef = QueryDef(
+    "q248_manifest_bloom_probe",
+    (s, d) => {
+      import s.implicits._
+      val root = tmp(d, "manifest_bloom")
+      val dir = new org.apache.hadoop.fs.Path(root)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      val cat = "graft_blm_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE TABLE $cat.docs (doc_id BIGINT, lang STRING, " +
+        "n_chars BIGINT) TBLPROPERTIES('bloom.columns'='doc_id')")
+      Tables.df(s, d, "documents")
+        .select($"doc_id", $"lang", $"n_chars")
+        .writeTo(s"$cat.docs").append()
+      s.sql(s"""
+        SELECT doc_id, lang, n_chars FROM $cat.docs
+        WHERE doc_id IN (3, 17, 171, 1717, 99999999, 424242)
+        ORDER BY doc_id""")
+    },
+    Some("""
+      SELECT doc_id, lang, n_chars FROM documents
+      WHERE doc_id IN (3, 17, 171, 1717, 99999999, 424242)
+      ORDER BY doc_id"""))
+
   override def defs: Seq[QueryDef] =
     Seq(qCsv, qJson, qOrc, qText, qPartitioned, qSynthSource, qSynthColumnar,
       qSchemaEvolution, qManifestTimeTravel, qManifestMerge, qManifestStream,
@@ -1258,5 +1289,5 @@ object Sources extends QueryModule {
       qManifestParquetMixed, qManifestEvolution, qManifestTyped,
       qManifestMergeOnRead, qMetadataDelete, qManifestEmbeddings, qDaySpj,
       qMultiPart, qPartitionsMeta, qRefs, qChangeFeed, qBranchWap,
-      qCdfIndexMaint)
+      qCdfIndexMaint, qBloomProbe)
 }

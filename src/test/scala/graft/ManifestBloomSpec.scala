@@ -88,6 +88,27 @@ class ManifestBloomSpec extends AnyFunSuite {
       assert(spark.table(s"$cat.b").filter($"k" === 500123L).count() == 1L)
       assert(spark.sql(s"SELECT count(*) FROM $cat.b").head().getLong(0)
         == 200000L)
+      // bloom EVOLUTION: the no-bloom twin adopts blooms via ALTER;
+      // only files written after the flip carry them
+      spark.sql(s"ALTER TABLE $cat.nb SET TBLPROPERTIES('bloom.columns'='k')")
+      rows().coalesce(1).writeTo(s"$cat.nb").append()
+      val nbDir = new Path(s"$root/nb")
+      val withOffsets = fs.listStatus(nbDir).map(_.getPath)
+        .filter(_.getName.startsWith("part-")).map { p =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              p, spark.sessionState.newHadoopConf()))
+          try r.getFooter.getBlocks.get(0).getColumns.get(0)
+            .getBloomFilterOffset >= 0
+          finally r.close()
+        }
+      assert(withOffsets.count(identity) == 1 && withOffsets.length == 2,
+        "exactly the post-ALTER file carries blooms")
+      val loaded = spark.sessionState.catalogManager.catalog(cat)
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+        .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array.empty, "nb"))
+      assert(loaded.properties().get("bloom.columns") == "k")
     } finally {
       prevBlock.fold(hconf.unset("parquet.block.size"))(
         v => hconf.set("parquet.block.size", v))
