@@ -91,8 +91,15 @@ private[sources] class ManifestDeltaBatchWrite(path: String, queryId: String,
   private val stagingName = s".staging-$queryId"
 
   override def createBatchWriterFactory(
-      info: PhysicalWriteInfo): DeltaWriterFactory =
-    new ManifestDeltaWriterFactory(path, stagingName, schema, conf, format)
+      info: PhysicalWriteInfo): DeltaWriterFactory = {
+    // no catch: a bind failure must fail the write, not skip validation
+    val checks = ManifestChecks.bind(
+      org.apache.spark.sql.SparkSession.active, schema,
+      ManifestFiles.checksFromLines(ManifestFiles.latestLines(
+        new Path(path).getFileSystem(conf.value), new Path(path))))
+    new ManifestDeltaWriterFactory(path, stagingName, schema, conf, format,
+      checks)
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
@@ -145,7 +152,12 @@ private[sources] class ManifestDeltaBatchWrite(path: String, queryId: String,
 private[sources] class ManifestDeltaWriterFactory(path: String,
     stagingName: String, schema: StructType,
     conf: SerializableHadoopConf,
-    format: String = "parquet") extends DeltaWriterFactory {
+    format: String = "parquet",
+    // bound CHECK constraints: a merge-on-read UPDATE/MERGE can insert
+    // brand-new rows, so the delta route validates like every other
+    checks: Seq[(String, String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
+    extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int,
       taskId: Long): DeltaWriter[InternalRow] =
@@ -158,8 +170,9 @@ private[sources] class ManifestDeltaWriterFactory(path: String,
       private def data(): DataWriter[InternalRow] = {
         if (dataWriter == null) {
           dataName = f"part-$partitionId%05d-$taskId${ManifestWriters.ext(format)}.tmp"
-          dataWriter = ManifestWriters.create(path, stagingName, dataName,
-            schema, conf, injectFailure = false)
+          dataWriter = ManifestChecks.wrap(
+            ManifestWriters.create(path, stagingName, dataName,
+              schema, conf, injectFailure = false), checks, schema)
         }
         dataWriter
       }

@@ -729,7 +729,9 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
       ManifestFiles.bloomFromLines(lines))
     new ManifestWriterFactory(path, stagingName, failPartition, schema, conf,
       recordBucket = bucketSpec.isDefined, sortPos = sortPos, format = format,
-      partSpec = partSpec)
+      partSpec = partSpec,
+      checks = ManifestChecks.bind(SparkSession.active, schema,
+        ManifestFiles.checksFromLines(lines)))
   }
 
   // Driver-side, exactly once, only after EVERY task committed: publish.
@@ -1052,10 +1054,12 @@ private[sources] class ManifestStreamWriterFactory(path: String,
     // value-pure files too, so retention deletes stay metadata-only on
     // streamed history (round 12; the epoch prefix keeps the abort
     // sweep's per-epoch selector working)
-    partSpec: Seq[(Int, String)] = Seq.empty)
+    partSpec: Seq[(Int, String)] = Seq.empty,
+    checks: Seq[(String, String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
-      epochId: Long): DataWriter[InternalRow] =
+      epochId: Long): DataWriter[InternalRow] = ManifestChecks.wrap(
     if (partSpec.isEmpty)
       ManifestWriters.create(path, stagingName,
         f"part-e$epochId-$partitionId%05d-$taskId${ManifestWriters.ext(format)}.tmp",
@@ -1064,7 +1068,8 @@ private[sources] class ManifestStreamWriterFactory(path: String,
       new PartitionSplitWriter(path, stagingName, schema, conf, format,
         f"part-e$epochId-$partitionId%05d-$taskId",
         partSpec.map { case (idx, kind) =>
-          (idx, kind, schema(idx).dataType) })
+          (idx, kind, schema(idx).dataType) }),
+    checks, schema)
 }
 
 private[sources] class ManifestWriterFactory(path: String, stagingName: String,
@@ -1078,10 +1083,15 @@ private[sources] class ManifestWriterFactory(path: String, stagingName: String,
     // (schema index, kind) per declared days/months/identity transform,
     // in declared order: the task splits its rows into one staged file
     // per COMPOSITE partition value
-    partSpec: Seq[(Int, String)] = Seq.empty) extends DataWriterFactory {
+    partSpec: Seq[(Int, String)] = Seq.empty,
+    // bound CHECK constraints, enforced on every row before it reaches
+    // any inner writer (see ManifestChecks)
+    checks: Seq[(String, String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
+    extends DataWriterFactory {
 
   override def createWriter(partitionId: Int,
-      taskId: Long): DataWriter[InternalRow] =
+      taskId: Long): DataWriter[InternalRow] = ManifestChecks.wrap(
     if (partSpec.isEmpty)
       ManifestWriters.create(path, stagingName,
         f"part-$partitionId%05d-$taskId${ManifestWriters.ext(format)}.tmp",
@@ -1093,7 +1103,8 @@ private[sources] class ManifestWriterFactory(path: String, stagingName: String,
       new PartitionSplitWriter(path, stagingName, schema, conf, format,
         f"part-$partitionId%05d-$taskId",
         partSpec.map { case (idx, kind) =>
-          (idx, kind, schema(idx).dataType) })
+          (idx, kind, schema(idx).dataType) }),
+    checks, schema)
 }
 
 /** Partition-splitting task writer for days/months/identity layouts:
@@ -1221,7 +1232,9 @@ private[sources] class ManifestStreamingWrite(path: String, queryId: String,
     ManifestParquet.setBloomCols(conf.value,
       ManifestFiles.bloomFromLines(lines))
     new ManifestStreamWriterFactory(path, stagingName, schema, conf, format,
-      partSpec)
+      partSpec,
+      checks = ManifestChecks.bind(SparkSession.active, schema,
+        ManifestFiles.checksFromLines(lines)))
   }
 
   override def commit(epochId: Long,

@@ -2,6 +2,8 @@ package graft.sources
 
 import java.util.{Map => JMap}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
@@ -367,6 +369,19 @@ object ManifestFiles {
     lines.find(_.startsWith("#tableconf,bloom,")).toSeq.flatMap { l =>
       l.stripPrefix("#tableconf,bloom,").split(";").toSeq
         .flatMap(_.toIntOption)
+    }
+
+  /** CHECK constraints: `#tableconf,check,<name>,<b64 expr>` — see
+    * [[ManifestChecks]]. */
+  def checkLine(name: String, exprText: String): String =
+    s"#tableconf,check,$name,${ManifestChecks.encode(exprText)}"
+
+  def checksFromLines(lines: Array[String]): Seq[(String, String)] =
+    lines.filter(_.startsWith("#tableconf,check,")).toSeq.flatMap { l =>
+      l.split(",", 4) match {
+        case Array(_, _, name, b64) => Some(name -> ManifestChecks.decode(b64))
+        case _ => None
+      }
     }
 
   /** Payload-format pin: `#tableconf,format,<parquet|csv>` — written by
@@ -2053,6 +2068,9 @@ class GraftManifestCatalog extends TableCatalog
       .flatMap(ManifestFiles.fieldAtPhys(schema, _)).map(schema(_).name)
     if (bloomNames.nonEmpty)
       props.put("bloom.columns", bloomNames.mkString(","))
+    ManifestFiles.checksFromLines(confLines).foreach { case (n, txt) =>
+      props.put(s"check.$n", txt)
+    }
     ManifestFiles.partConfs(confLines) match {
       case specs if specs.nonEmpty =>
         val resolved = specs.flatMap { case (pos, kind) =>
@@ -2220,6 +2238,14 @@ class GraftManifestCatalog extends TableCatalog
       ManifestWriters.ext(f) // validates parquet|csv at DDL time
       ManifestFiles.formatLine(f)
     }.toArray
+    val checks = properties.entrySet().iterator().asScala.toSeq
+      .filter(_.getKey.startsWith("check."))
+      .map(e => (e.getKey.stripPrefix("check."), e.getValue))
+      .sortBy(_._1)
+      .map { case (n, txt) =>
+        ManifestChecks.validate(SparkSession.active, schema, n, txt)
+        ManifestFiles.checkLine(n, txt)
+      }.toArray
     val bloom = Option(properties.get("bloom.columns")).map { cs =>
       val positions = cs.split(",").map(_.trim).filter(_.nonEmpty).map { c =>
         require(schema.fieldNames.contains(c),
@@ -2235,7 +2261,7 @@ class GraftManifestCatalog extends TableCatalog
           ManifestFiles.tableConfLine(pos, n, None) }.toArray ++
         part.map { case (pos, kind) =>
           ManifestFiles.partConfLine(pos, kind) }.toArray[String] ++
-        mor ++ fmt ++ bloom,
+        mor ++ fmt ++ bloom ++ checks,
       schema)
     load(ident, None)
   }
@@ -2267,6 +2293,8 @@ class GraftManifestCatalog extends TableCatalog
     var morFlip: Option[Boolean] = None
     var partFlip: Option[Seq[(Int, String)]] = None
     var bloomFlip: Option[Seq[Int]] = None
+    val checkSet = scala.collection.mutable.LinkedHashMap
+      .empty[String, Option[String]] // Some = add/replace, None = drop
     def nextPos: Int =
       (schema.indices.map(ManifestFiles.physPos(schema, _)) ++ dropped)
         .foldLeft(-1)(math.max) + 1
@@ -2346,6 +2374,14 @@ class GraftManifestCatalog extends TableCatalog
         require(schema.fieldNames.contains(from), s"no column $from")
         require(!schema.fieldNames.contains(r.newName),
           s"column ${r.newName} exists")
+        // check-constraint expressions store column NAMES — a rename
+        // would silently break them, so it is refused while referenced
+        ManifestFiles.checksFromLines(priorLines).foreach { case (n, txt) =>
+          require(!ManifestChecks.referencedColumns(SparkSession.active, txt)
+              .exists(_.equalsIgnoreCase(from)),
+            s"cannot rename '$from': check constraint '$n' ($txt) " +
+              "references it — drop the constraint first")
+        }
         schema = StructType(schema.fields.map(fd =>
           if (fd.name == from) fd.copy(name = r.newName) else fd))
       case d: TableChange.DeleteColumn =>
@@ -2372,6 +2408,12 @@ class GraftManifestCatalog extends TableCatalog
             require(pp != pos,
               s"cannot drop '$name': the table's declared $kind() " +
                 "partition layout references it")
+          }
+          ManifestFiles.checksFromLines(priorLines).foreach { case (cn, txt) =>
+            require(!ManifestChecks.referencedColumns(SparkSession.active, txt)
+                .exists(_.equalsIgnoreCase(name)),
+              s"cannot drop '$name': check constraint '$cn' ($txt) " +
+                "references it — drop the constraint first")
           }
           dropped += pos
           newDropLines ::= ManifestFiles.droppedLine(pos)
@@ -2434,6 +2476,16 @@ class GraftManifestCatalog extends TableCatalog
         require(specs.map(_._1).distinct.length == specs.length,
           "duplicate partition transform on one column")
         partFlip = Some(specs)
+      // CHECK constraint add/replace: validated now (analysis error on
+      // unknown columns / non-boolean), enforced on FUTURE writes —
+      // existing rows are NOT retro-validated (Delta's ADD CONSTRAINT
+      // would scan; our format stays metadata-only, documented)
+      case sp: TableChange.SetProperty if sp.property.startsWith("check.") =>
+        val n = sp.property.stripPrefix("check.")
+        ManifestChecks.validate(SparkSession.active, schema, n, sp.value)
+        checkSet += (n -> Some(sp.value))
+      case rp: TableChange.RemoveProperty if rp.property.startsWith("check.") =>
+        checkSet += (rp.property.stripPrefix("check.") -> None)
       // bloom evolution: future writes carry (or stop carrying) the
       // filters; existing files are untouched (reads degrade per-chunk)
       case sp: TableChange.SetProperty if sp.property == "bloom.columns" =>
@@ -2470,13 +2522,19 @@ class GraftManifestCatalog extends TableCatalog
                 ManifestFiles.partConfLine(pos, kind) }
           case None => base0
         }
-        val base = bloomFlip match {
+        val base2 = bloomFlip match {
           case Some(positions) =>
             base1.filterNot(_.startsWith("#tableconf,bloom,")) ++
               (if (positions.nonEmpty) Seq(ManifestFiles.bloomLine(positions))
                else Seq.empty)
           case None => base1
         }
+        val base =
+          if (checkSet.isEmpty) base2
+          else base2.filterNot(l => checkSet.keys.exists(n =>
+            l.startsWith(s"#tableconf,check,$n,"))) ++
+            checkSet.collect { case (n, Some(txt)) =>
+              ManifestFiles.checkLine(n, txt) }
         base ++ drops.filterNot(base.contains)
       }, schema)
     load(ident, None)
