@@ -361,7 +361,9 @@ private[sources] class ManifestTable(schema0: StructType,
       columnar = opt("columnar").map(_.toBoolean),
       ignoreDeletes = opt("ignoreDeletes").exists(_.toBoolean),
       changeFeed = changeFeed,
-      branch = branch)
+      branch = branch,
+      filesSubset = opt("filesSubset")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet))
   }
   /** Per-field type diff for the append-mismatch error (simpleString
     * hides nullability flags, which are part of dataType equality). */

@@ -1071,7 +1071,10 @@ private[sources] class ManifestScanBuilder(path: String, version: Option[Int],
     // delete-capable superset of the plain incremental read
     changeFeed: Boolean = false,
     // read a named BRANCH's head (or versionAsOf within its chain)
-    branch: Option[String] = None)
+    branch: Option[String] = None,
+    // restrict the scan to EXACTLY these manifest entries (maintenance
+    // reads — partial compaction rewrites a file set verbatim)
+    filesSubset: Option[Set[String]] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
 
@@ -1113,7 +1116,8 @@ private[sources] class ManifestScanBuilder(path: String, version: Option[Int],
     else new ManifestScan(path, version, fullSchema,
       required, conf, onPlanned, changes, accepted.toArray,
       runtimeKeyPrune = statsSkip, columnar = columnar,
-      ignoreDeletes = ignoreDeletes, branch = branch)
+      ignoreDeletes = ignoreDeletes, branch = branch,
+      filesSubset = filesSubset)
 
 }
 
@@ -1143,7 +1147,8 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
     runtimeKeyPrune: Boolean = true,
     columnar: Option[Boolean] = None,
     ignoreDeletes: Boolean = false,
-    branch: Option[String] = None)
+    branch: Option[String] = None,
+    filesSubset: Option[Set[String]] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -1194,13 +1199,14 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
     val allEntries = ManifestFiles.entriesFromLines(snapshotLines)
     val rows = allEntries.toMap
     val stats = ManifestFiles.statsFromLines(snapshotLines)
-    val listed = changes match {
+    val listed0 = changes match {
       case Some((from, to)) =>
         val fs = dir.getFileSystem(conf.value)
         ManifestFiles.addedBetween(fs, dir, from,
           to.getOrElse(ManifestFiles.latestComplete(fs, dir)), ignoreDeletes)
       case None => allEntries.map(_._1)
     }
+    val listed = filesSubset.fold(listed0)(s => listed0.filter(s.contains))
     val kept = listed.filterNot(n => skipFilters.exists(f =>
       ManifestSkip.canSkip(f, fullSchema, stats.get(n), rows.get(n))))
     filesListed = listed.length
@@ -2786,14 +2792,28 @@ private[sources] object ManifestProcedures {
   def compact(dirFor: String => Path): UnboundProcedure =
     proc("compact", Array(param("table", StringType),
         paramDefault("target_files", IntegerType, "1"),
-        paramDefault("sort_by", StringType, "''"))) { input =>
+        paramDefault("sort_by", StringType, "''"),
+        // SCOPED compaction (round 12 — at 100 TB you never rewrite the
+        // whole table): fold ONLY the files whose stats PROVE every row
+        // satisfies `where` (the same sound file-alignment rule
+        // metadata delete uses); partially-covered files stay untouched
+        paramDefault("where", StringType, "''"))) { input =>
       val spark = SparkSession.active
       val dir = dirFor(input.getUTF8String(0).toString)
       val target = input.getInt(1)
       require(target >= 1, s"target_files must be >= 1, got $target")
       val sortBy = if (input.numFields > 2 && !input.isNullAt(2))
         input.getUTF8String(2).toString else ""
+      val whereStr = if (input.numFields > 3 && !input.isNullAt(3))
+        input.getUTF8String(3).toString else ""
       val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      if (whereStr.nonEmpty)
+        compactScoped(spark, dir, fs, target, sortBy, whereStr)
+      else compactFull(spark, dir, fs, target, sortBy)
+    }
+
+  private def compactFull(spark: SparkSession, dir: Path,
+      fs: FileSystem, target: Int, sortBy: String): java.util.Iterator[Scan] = {
       val before = ManifestFiles.entries(fs, dir, None).length
       val live = spark.read.format("graft-manifest")
         .option("path", dir.toString).load()
@@ -2846,7 +2866,183 @@ private[sources] object ManifestProcedures {
       result(new StructType().add("version", IntegerType)
           .add("files_before", IntegerType).add("files_after", IntegerType),
         Array(ManifestFiles.latestVersion(fs, dir), before, after))
+  }
+
+  /** SCOPED compaction: fold ONLY the files whose `#stats` PROVE every
+    * row satisfies `where` (translated conjunct-by-conjunct through
+    * Spark's own filter translation; untranslatable conjuncts merely
+    * shrink the scope to nothing — selection is advisory, rewrite is
+    * verbatim, so correctness never depends on predicate semantics).
+    * The replacement is ONE atomic commit through the claim loop that
+    * drops exactly the scoped entries (validated still-present against
+    * the rebased predecessor — a concurrent rewrite aborts us loudly)
+    * and adds the folded files; a declared days/months/identity layout
+    * is preserved via the same partition-splitting task writer. */
+  private def compactScoped(spark: SparkSession, dir: Path, fs: FileSystem,
+      target: Int, sortBy: String,
+      whereStr: String): java.util.Iterator[Scan] = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val lines = ManifestFiles.latestLines(fs, dir)
+    require(ManifestFiles.tableConf(fs, dir, None).isEmpty,
+      "scoped compact on a bucket-laid table is not supported — the " +
+        "bucket layout already governs file organization (full compact " +
+        "re-buckets)")
+    require(!lines.exists(_.startsWith("#dels,")),
+      "scoped compact with merge-on-read delete vectors pending — " +
+        "CALL rewrite_position_deletes or a full compact first")
+    val schemaNow = ManifestFiles.schemaFor(fs, dir, None)
+    // WHERE → data-source filters via Spark's own translation
+    val probe = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schemaNow)
+    // analyzed condition + manual constant folding (the optimizer would
+    // erase a Filter over the empty probe relation): the implicit casts
+    // analysis wraps around literals collapse (`k < 120` → `k < 120L`)
+    val cond0 = probe.filter(org.apache.spark.sql.functions.expr(whereStr))
+      .queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.getOrElse(throw new IllegalArgumentException(
+        s"could not analyze where: $whereStr"))
+    val cond = cond0.transformUp {
+      case e if e.foldable &&
+          !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] =>
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          e.eval(null), e.dataType)
     }
+    def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression):
+        Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    // conjunct → data-source filter for the shapes the stats prover
+    // understands (comparison / equality / In / null tests against
+    // literals) — internal literal values convert to the EXTERNAL
+    // representation sources.Filter carries
+    def ext(v: Any, dt: DataType): Any =
+      org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala(v, dt)
+    def toSource(e: org.apache.spark.sql.catalyst.expressions.Expression):
+        Option[org.apache.spark.sql.sources.Filter] = {
+      import org.apache.spark.sql.catalyst.expressions._
+      import org.apache.spark.sql.{sources => s}
+      e match {
+        case EqualTo(a: AttributeReference, Literal(v, dt)) =>
+          Some(s.EqualTo(a.name, ext(v, dt)))
+        case EqualTo(Literal(v, dt), a: AttributeReference) =>
+          Some(s.EqualTo(a.name, ext(v, dt)))
+        case LessThan(a: AttributeReference, Literal(v, dt)) =>
+          Some(s.LessThan(a.name, ext(v, dt)))
+        case LessThan(Literal(v, dt), a: AttributeReference) =>
+          Some(s.GreaterThan(a.name, ext(v, dt)))
+        case LessThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
+          Some(s.LessThanOrEqual(a.name, ext(v, dt)))
+        case LessThanOrEqual(Literal(v, dt), a: AttributeReference) =>
+          Some(s.GreaterThanOrEqual(a.name, ext(v, dt)))
+        case GreaterThan(a: AttributeReference, Literal(v, dt)) =>
+          Some(s.GreaterThan(a.name, ext(v, dt)))
+        case GreaterThan(Literal(v, dt), a: AttributeReference) =>
+          Some(s.LessThan(a.name, ext(v, dt)))
+        case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
+          Some(s.GreaterThanOrEqual(a.name, ext(v, dt)))
+        case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference) =>
+          Some(s.LessThanOrEqual(a.name, ext(v, dt)))
+        case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+          Some(s.In(a.name, vs.map { case Literal(v, dt) => ext(v, dt) }.toArray))
+        case InSet(a: AttributeReference, vs) =>
+          Some(s.In(a.name, vs.map(ext(_, a.dataType)).toArray))
+        case IsNull(a: AttributeReference) => Some(s.IsNull(a.name))
+        case IsNotNull(a: AttributeReference) => Some(s.IsNotNull(a.name))
+        case _ => None
+      }
+    }
+    val filters = conjuncts(cond).flatMap(toSource)
+    require(filters.nonEmpty,
+      s"where '$whereStr' translates to no pushable filter — scoped " +
+        "compact selects files by stats proofs")
+    val entries = ManifestFiles.entriesFromLines(lines)
+    val stats = ManifestFiles.statsFromLines(lines)
+    val rowsOf = entries.toMap
+    val sel = entries.map(_._1).filter { n =>
+      filters.forall(f => ManifestSkip.provesAllMatch(f, schemaNow,
+        stats.get(n), rowsOf.get(n)))
+    }.toSeq
+    val before = entries.length
+    if (sel.isEmpty)
+      result(new StructType().add("version", IntegerType)
+          .add("files_before", IntegerType).add("files_after", IntegerType),
+        Array(ManifestFiles.latestVersion(fs, dir), before, before))
+    else {
+      val sortCols = sortBy.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      sortCols.foreach(c => require(schemaNow.fieldNames.contains(c),
+        s"sort_by column '$c' not in ${schemaNow.fieldNames.mkString(",")}"))
+      import org.apache.spark.sql.functions.col
+      val subset = spark.read.format("graft-manifest")
+        .option("path", dir.toString)
+        .option("filesSubset", sel.mkString(",")).load()
+      val arranged = sortCols match {
+        case Seq() => subset.coalesce(target)
+        case Seq(one) =>
+          subset.repartitionByRange(target, col(one)).sortWithinPartitions(one)
+        case many =>
+          val zc = "__graft_z"
+          subset.withColumn(zc, graft.functions.ZOrder.zvalue(subset, many))
+            .repartitionByRange(target, col(zc))
+            .sortWithinPartitions(zc).drop(zc)
+      }
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val stagingName = s".staging-compactw-$token"
+      val partSpec: Seq[(Int, String, DataType)] =
+        ManifestFiles.partConfs(lines).flatMap { case (pos, kind) =>
+          ManifestFiles.fieldAtPhys(schemaNow, pos)
+            .map(i => (i, kind, schemaNow(i).dataType)) }
+      val fmt = ManifestFiles.formatFromLines(lines).getOrElse("parquet")
+      val serConf = new SerializableHadoopConf(hconf)
+      ManifestParquet.setBloomCols(serConf.value,
+        ManifestFiles.bloomFromLines(lines))
+      val dirStr = dir.toString
+      val schemaB = schemaNow
+      val msgs: Array[FileCommitted] =
+        arranged.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
+          if (!rows.hasNext) Iterator.empty
+          else {
+            val w =
+              if (partSpec.isEmpty)
+                ManifestWriters.create(dirStr, stagingName,
+                  f"part-cw$token-$pid%05d${ManifestWriters.ext(fmt)}.tmp",
+                  schemaB, serConf, injectFailure = false)
+              else new PartitionSplitWriter(dirStr, stagingName, schemaB,
+                serConf, fmt, f"part-cw$token-$pid%05d", partSpec)
+            try {
+              rows.foreach(w.write)
+              w.commit() match {
+                case f: FileCommitted => Iterator(f)
+                case FilesCommitted(files) => files.iterator
+              }
+            } catch { case e: Throwable => w.abort(); throw e }
+          }
+        }.collect()
+      val staging = new Path(dir, stagingName)
+      val fresh = msgs.flatMap {
+        case FileCommitted(tmp, rows, bytes, st, _, _, nested) =>
+          val fin = tmp.stripSuffix(".tmp")
+          require(fs.rename(new Path(staging, tmp), new Path(dir, fin)),
+            s"staged file $tmp vanished before commit")
+          Seq(s"$fin,$rows", ManifestFiles.statsLine(fin, bytes, st, nested))
+      }
+      val selSet = sel.toSet
+      val v = ManifestFiles.publishSnapshot(fs, hconf, dir, previous => {
+        val present = previous.flatMap(ManifestSink.entryName).toSet
+        require(selSet.subsetOf(present),
+          "a concurrent commit rewrote files in the compaction scope — " +
+            "retry the scoped compact")
+        previous.filterNot(l =>
+          ManifestSink.entryName(l).exists(selSet)) ++ fresh
+      }, schemaNow)
+      fs.delete(staging, true)
+      result(new StructType().add("version", IntegerType)
+          .add("files_before", IntegerType).add("files_after", IntegerType),
+        Array(v, before, before - sel.length + msgs.length))
+    }
+  }
 
   /** `rewrite_position_deletes(table)`: fold a snapshot's many small
     * positional delete files (every DELETE/UPDATE task writes its own)
