@@ -41,14 +41,16 @@ import org.apache.spark.unsafe.types.UTF8String
 private[sources] object ManifestChangeFeed {
   val TypeCol = "_change_type"
   val VersionCol = "_commit_version"
+  val TimestampCol = "_commit_timestamp"
 
   def outputSchema(base: StructType): StructType =
     base.add(TypeCol, StringType, nullable = false)
       .add(VersionCol, IntegerType, nullable = false)
+      .add(TimestampCol, TimestampType, nullable = false)
 
   def stripCdf(s: StructType): StructType =
     StructType(s.fields.filterNot(f =>
-      f.name == TypeCol || f.name == VersionCol))
+      f.name == TypeCol || f.name == VersionCol || f.name == TimestampCol))
 
   /** The step walk, shared by the batch scan and the streaming source:
     * one ManifestChangePartition per changed file per commit in
@@ -86,9 +88,11 @@ private[sources] object ManifestChangeFeed {
       val curLines = linesAt(v)
       val curNames = ManifestFiles.entriesFromLines(curLines).map(_._1).toSet
       val curDels = delsOf(curLines)
+      val ts = fs.getFileStatus(new Path(dir, s"_MANIFEST.v$v"))
+        .getModificationTime * 1000L
       (curNames -- prevNames).toSeq.sorted.foreach { n =>
         out += ManifestChangePartition(new Path(dir, n).toString, n,
-          "insert", v, curDels.getOrElse(n, Array.empty), Array.empty)
+          "insert", v, curDels.getOrElse(n, Array.empty), Array.empty, ts)
       }
       (prevNames -- curNames).toSeq.sorted.foreach { n =>
         if (!fs.exists(new Path(dir, n))) throw new IllegalStateException(
@@ -97,14 +101,14 @@ private[sources] object ManifestChangeFeed {
             "for this range is unavailable; widen retention or restart " +
             "downstream from a full snapshot")
         out += ManifestChangePartition(new Path(dir, n).toString, n,
-          "delete", v, prevDels.getOrElse(n, Array.empty), Array.empty)
+          "delete", v, prevDels.getOrElse(n, Array.empty), Array.empty, ts)
       }
       (curNames & prevNames).toSeq.sorted.foreach { n =>
         val fresh = curDels.getOrElse(n, Array.empty)
           .diff(prevDels.getOrElse(n, Array.empty))
         if (fresh.nonEmpty)
           out += ManifestChangePartition(new Path(dir, n).toString, n,
-            "delete", v, Array.empty, fresh)
+            "delete", v, Array.empty, fresh, ts)
       }
       prevLines = curLines; prevNames = curNames; prevDels = curDels
       v += 1
@@ -134,7 +138,10 @@ private[sources] object ManifestChangeFeed {
 private[sources] case class ManifestChangePartition(file: String,
     name: String, changeType: String, version: Int,
     skipOrdinals: Array[Long],
-    keepOrdinals: Array[Long]) extends InputPartition
+    keepOrdinals: Array[Long],
+    // commit time = the version file's modification time in micros —
+    // the same clock $snapshots and time travel report
+    commitTsMicros: Long = 0L) extends InputPartition
 
 private[sources] class ManifestChangeFeedScan(path: String, from: Int,
     to: Option[Int], fullSchema: StructType, required: StructType,
@@ -228,6 +235,7 @@ private[sources] class ManifestChangeReaderFactory(fullSchema: StructType,
     val picks: Array[Int] = required.fields.map { f =>
       if (f.name == TypeCol) -1
       else if (f.name == VersionCol) -2
+      else if (f.name == TimestampCol) -3
       else innerReq.fieldNames.indexOf(f.name)
     }
     val dts: Array[DataType] = required.fields.map(_.dataType)
@@ -252,6 +260,7 @@ private[sources] class ManifestChangeReaderFactory(fullSchema: StructType,
           out.update(i, picks(i) match {
             case -1 => typeConst
             case -2 => part.version
+            case -3 => part.commitTsMicros
             case j => in.get(j, dts(i))
           })
           i += 1

@@ -71,6 +71,12 @@ class ManifestChangeFeedSpec extends AnyFunSuite {
     assert(f.forall(_.getAs[String]("_change_type") == "insert"))
     assert(f.count(_.getAs[Int]("_commit_version") == 2) == 50)
     assert(f.count(_.getAs[Int]("_commit_version") == 3) == 30)
+    // _commit_timestamp matches the $snapshots clock per version
+    val snapTs = spark.sql(
+        s"CALL $cat.system.snapshots('t')").collect()
+      .map(r => r.getInt(0) -> r.getTimestamp(3)).toMap
+    assert(f.forall(r => r.getAs[java.sql.Timestamp]("_commit_timestamp")
+      == snapTs(r.getAs[Int]("_commit_version"))))
     // a sub-range sees only its own commits
     assert(feed(root + "/t", 2).count() == 30)
     checkInvariant(root + "/t", 2, 3)
