@@ -1282,6 +1282,49 @@ object Sources extends QueryModule {
       WHERE doc_id IN (3, 17, 171, 1717, 99999999, 424242)
       ORDER BY doc_id"""))
 
+  /** Scoped compaction (round 12): three daily loads leave small files;
+    * `compact(..., where)` folds ONLY the closed (old) days — the hot
+    * day's files stay untouched — and the aggregate afterwards must be
+    * bit-identical to the oracle's full recompute: the rewrite is
+    * verbatim, the fold is lossless, file counts shrink. */
+  val qScopedCompact: QueryDef = QueryDef(
+    "q249_manifest_scoped_compact",
+    (s, d) => {
+      import s.implicits._
+      val root = tmp(d, "manifest_scomp")
+      val dir = new org.apache.hadoop.fs.Path(root)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      val cat = "graft_scp_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE TABLE $cat.fact (od DATE, o_orderkey BIGINT, " +
+        "o_totalprice DOUBLE) PARTITIONED BY (od)")
+      def slice(lo: String, hi: String) = Tables.df(s, d, "orders")
+        .filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
+        .select(to_date($"o_orderdate").as("od"), $"o_orderkey",
+          $"o_totalprice")
+      // three loads = three files per day; fold the CLOSED first half
+      // of January, leave the second half's files alone
+      slice("1996-01-01", "1996-01-21").writeTo(s"$cat.fact").append()
+      slice("1996-01-21", "1996-01-26").writeTo(s"$cat.fact").append()
+      slice("1996-01-26", "1996-02-01").writeTo(s"$cat.fact").append()
+      s.sql(s"CALL $cat.system.compact('fact', 1, '', " +
+        "\"od < DATE'1996-01-21'\")")
+      s.sql(s"""
+        SELECT od, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 AS total
+        FROM $cat.fact GROUP BY od ORDER BY od""")
+    },
+    Some("""
+      SELECT CAST(o_orderdate AS DATE) AS od,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS total
+      FROM orders
+      WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-02-01'
+      GROUP BY od ORDER BY od"""))
+
   override def defs: Seq[QueryDef] =
     Seq(qCsv, qJson, qOrc, qText, qPartitioned, qSynthSource, qSynthColumnar,
       qSchemaEvolution, qManifestTimeTravel, qManifestMerge, qManifestStream,
@@ -1289,5 +1332,5 @@ object Sources extends QueryModule {
       qManifestParquetMixed, qManifestEvolution, qManifestTyped,
       qManifestMergeOnRead, qMetadataDelete, qManifestEmbeddings, qDaySpj,
       qMultiPart, qPartitionsMeta, qRefs, qChangeFeed, qBranchWap,
-      qCdfIndexMaint, qBloomProbe)
+      qCdfIndexMaint, qBloomProbe, qScopedCompact)
 }
