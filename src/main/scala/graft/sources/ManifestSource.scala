@@ -3316,12 +3316,28 @@ private[sources] object ManifestProcedures {
         s"cannot fast-forward: main is at version $mainHead but branch " +
           s"'$b' forked from $base — main has advanced (diverged); " +
           "re-branch from the current head and re-stage")
-      val schema = ManifestFiles.schemaFor(fs, dir, None, Some(b))
-      val v = ManifestFiles.publishSnapshot(fs, conf, dir,
-        _ => headLines.filterNot(_.startsWith("#branchbase,")), schema)
-      result(new StructType().add("branch", StringType)
-          .add("published_as", IntegerType),
-        Array(UTF8String.fromString(b), v))
+      val payload = headLines.filterNot(_.startsWith("#branchbase,"))
+      // nothing staged since the fork/last publish: no-op, no version
+      if (payload.sorted.toSeq ==
+          ManifestFiles.linesOf(fs, dir, Some(mainHead)).sorted.toSeq)
+        result(new StructType().add("branch", StringType)
+            .add("published_as", IntegerType),
+          Array(UTF8String.fromString(b), mainHead))
+      else {
+        val schema = ManifestFiles.schemaFor(fs, dir, None, Some(b))
+        val v = ManifestFiles.publishSnapshot(fs, conf, dir, _ => payload,
+          schema)
+        // RE-BASE the branch onto the version it just became: one
+        // long-lived staging branch then serves CONTINUOUS
+        // write-audit-publish cycles (stage → publish → stage …) without
+        // re-branching — the next fast_forward's divergence check
+        // compares against THIS publish
+        ManifestFiles.publishSnapshot(fs, conf, dir,
+          _ => payload :+ s"#branchbase,$v", schema, Some(b))
+        result(new StructType().add("branch", StringType)
+            .add("published_as", IntegerType),
+          Array(UTF8String.fromString(b), v))
+      }
     }
 
   /** `cherry_pick(table, version[, branch])` — graft ONE commit's delta

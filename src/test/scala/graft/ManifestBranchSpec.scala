@@ -35,7 +35,8 @@ class ManifestBranchSpec extends AnyFunSuite {
       .option("path", root).option("branch", b).save()
 
   test("write-audit-publish: stage commits on a branch, main unmoved; " +
-    "fast_forward publishes; a second fast_forward is stale") {
+    "fast_forward publishes AND re-bases the branch for continuous " +
+    "cycles; out-of-band main commits still diverge") {
     val (cat, root) = freshCat("wap")
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")                 // v1
     spark.range(0, 50).select($"id".as("k")).writeTo(s"$cat.t").append() // v2
@@ -57,7 +58,18 @@ class ManifestBranchSpec extends AnyFunSuite {
       .collect()
     assert(ff.head.getInt(1) == 3)
     assert(spark.table(s"$cat.t").count() == 90L)
-    // main advanced past the fork point now: re-publishing is stale
+    // fast_forward RE-BASED the branch: an empty cycle is a version-free
+    // no-op, and the SAME long-lived branch serves the next WAP cycle
+    val noop = spark.sql(s"CALL $cat.system.fast_forward('t', 'audit')")
+      .collect()
+    assert(noop.head.getInt(1) == 3, "empty cycle must not publish")
+    branchAppend(s"$root/t", "audit", 90, 120)
+    assert(spark.table(s"$cat.t").count() == 90L, "staged, not published")
+    spark.sql(s"CALL $cat.system.fast_forward('t', 'audit')")
+    assert(spark.table(s"$cat.t").count() == 120L)
+    // an OUT-OF-BAND main commit still diverges the next cycle
+    spark.range(500, 510).select($"id".as("k")).writeTo(s"$cat.t").append()
+    branchAppend(s"$root/t", "audit", 120, 130)
     val stale = intercept[Exception] {
       spark.sql(s"CALL $cat.system.fast_forward('t', 'audit')").collect()
     }
