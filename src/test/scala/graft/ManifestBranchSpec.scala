@@ -161,6 +161,25 @@ class ManifestBranchSpec extends AnyFunSuite {
     assert(spark.table(s"$cat.t").count() == 55L)
   }
 
+  test("time travel WITHIN a branch chain: versionAsOf + branch reads " +
+    "a staged intermediate state") {
+    val (cat, root) = freshCat("tt")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")                 // main v1
+    spark.range(0, 10).select($"id".as("k")).writeTo(s"$cat.t").append() // v2
+    spark.sql(s"CALL $cat.system.create_branch('t', 'wip')")     // wip v1
+    branchAppend(s"$root/t", "wip", 10, 30)                      // wip v2
+    branchAppend(s"$root/t", "wip", 30, 60)                      // wip v3
+    def at(v: Int) = spark.read.format("graft-manifest")
+      .option("path", s"$root/t").option("branch", "wip")
+      .option("versionAsOf", v.toString).load().count()
+    assert(at(1) == 10L, "branch v1 = the fork copy")
+    assert(at(2) == 30L)
+    assert(at(3) == 60L)
+    assert(spark.table(s"$cat.t").count() == 10L, "main untouched")
+    val missing = intercept[Exception] { at(9) }
+    assert(missing.getMessage.contains("branch 'wip'"), missing.getMessage)
+  }
+
   test("branch overwrite keeps the fork marker; guards: unknown branch " +
     "writes, streaming, and change feeds refuse") {
     val (cat, root) = freshCat("guard")

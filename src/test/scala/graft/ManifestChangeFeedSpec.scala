@@ -143,6 +143,30 @@ class ManifestChangeFeedSpec extends AnyFunSuite {
     checkInvariant(root + "/t", 2, 3)
   }
 
+  test("schema evolution inside the range: every row projects through " +
+    "the range-END schema (renames uniform, added columns null-fill)") {
+    val (cat, root) = freshCat("evo")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v DOUBLE)")       // v1
+    spark.range(0, 30).select($"id".as("k"), lit(1.5).as("v"))
+      .writeTo(s"$cat.t").append()                               // v2
+    spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN v TO price")    // v3
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN tag STRING")       // v4
+    spark.range(30, 40).select($"id".as("k"), lit(2.5).as("price"),
+      lit("new").as("tag")).writeTo(s"$cat.t").append()          // v5
+    val f = feed(root + "/t", 0)
+    assert(f.columns.toSeq == Seq("k", "price", "tag",
+      "_change_type", "_commit_version", "_commit_timestamp"))
+    val rows = f.collect()
+    assert(rows.length == 40)
+    // pre-evolution rows surface under the NEW name, tag null-filled
+    assert(rows.filter(_.getAs[Int]("_commit_version") == 2)
+      .forall(r => r.getAs[Double]("price") == 1.5 && r.isNullAt(2)))
+    assert(rows.filter(_.getAs[Int]("_commit_version") == 5)
+      .forall(r => r.getAs[Double]("price") == 2.5 &&
+        r.getAs[String]("tag") == "new"))
+    checkInvariant(root + "/t", 0, 5)
+  }
+
   test("guard rails: changeFeed defaults to full history; vacuumed " +
     "ranges and reclaimed bytes fail loudly") {
     val (cat, root) = freshCat("guard")
