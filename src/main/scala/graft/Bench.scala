@@ -71,7 +71,8 @@ object Bench {
     "q242_manifest_multi_partition", "q243_manifest_partitions_meta",
     "q244_manifest_refs", "q245_manifest_change_feed",
     "q246_manifest_branch_wap", "q247_cdf_index_maintenance",
-    "q248_manifest_bloom_probe", "q249_manifest_scoped_compact")
+    "q248_manifest_bloom_probe", "q249_manifest_scoped_compact",
+    "q250_manifest_column_defaults")
 
   private val sentinelName = "q97_compute_pi"
   private val stragglerQueries =

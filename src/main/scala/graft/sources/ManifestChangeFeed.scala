@@ -126,7 +126,9 @@ private[sources] object ManifestChangeFeed {
       })
     new ManifestChangeReaderFactory(fullSchema, required, conf,
       ManifestReaderFactory.maxPhysArity(fullSchema,
-        ManifestFiles.droppedFromLines(lines)))
+        ManifestFiles.droppedFromLines(lines)),
+      ManifestChecks.existsDefaults(
+        org.apache.spark.sql.SparkSession.active, fullSchema))
   }
 }
 
@@ -212,7 +214,8 @@ private[sources] class ManifestChangeFeedStream(path: String, startAt: Int,
   * feeds are diff-sized, not scan-sized. */
 private[sources] class ManifestChangeReaderFactory(fullSchema: StructType,
     required: StructType, conf: SerializableHadoopConf,
-    maxPhysArity: Int) extends PartitionReaderFactory {
+    maxPhysArity: Int,
+    defaults: Seq[(String, Any)] = Seq.empty) extends PartitionReaderFactory {
 
   import ManifestChangeFeed._
 
@@ -227,7 +230,7 @@ private[sources] class ManifestChangeReaderFactory(fullSchema: StructType,
         dataReq0.add("_pos", LongType, nullable = false)
       else dataReq0
     val inner = new ManifestReaderFactory(fullSchema, innerReq, conf,
-      columnar = false, maxPhysArity = maxPhysArity)
+      columnar = false, maxPhysArity = maxPhysArity, defaults = defaults)
       .createReader(ManifestInputPartition(part.file, part.name,
         part.skipOrdinals))
     val posIdx = innerReq.fieldNames.indexOf("_pos")

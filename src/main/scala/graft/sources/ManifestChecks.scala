@@ -78,6 +78,30 @@ private[sources] object ManifestChecks {
       (name, text, bound)
     }
 
+  /** COLUMN DEFAULT VALUES (round 12 — the standard `ALTER TABLE ADD
+    * COLUMN x INT DEFAULT 5`): the EXISTS_DEFAULT metadata key (Spark's
+    * own) stores the frozen literal's SQL text; files written BEFORE the
+    * column existed surface it instead of NULL. Evaluated DRIVER-side
+    * (the readers ship plain internal values). */
+  def existsDefaults(spark: SparkSession,
+      required: StructType): Seq[(String, Any)] =
+    required.fields.toSeq.flatMap { f =>
+      if (f.metadata.contains("EXISTS_DEFAULT"))
+        Some(f.name -> evalDefault(spark,
+          f.metadata.getString("EXISTS_DEFAULT"), f.dataType))
+      else None
+    }
+
+  /** Parse + fold + cast a default's SQL text to the column type's
+    * INTERNAL value; loud analysis errors at declaration time. */
+  def evalDefault(spark: SparkSession, sql: String,
+      dt: org.apache.spark.sql.types.DataType): Any = {
+    val e = spark.sessionState.sqlParser.parseExpression(sql)
+    require(e.foldable && e.deterministic,
+      s"DEFAULT must be a constant expression, got: $sql")
+    org.apache.spark.sql.catalyst.expressions.Cast(e, dt, Some("UTC")).eval(null)
+  }
+
   /** Wrap a task writer: every row must satisfy every check before it
     * reaches the inner writer; a violation aborts the whole commit. */
   def wrap(inner: DataWriter[InternalRow],

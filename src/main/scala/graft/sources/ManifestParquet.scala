@@ -41,6 +41,19 @@ private[sources] object ManifestParquet {
   /** The stored (positional) column name of schema position `i`. */
   def colName(i: Int): String = "c" + i
 
+  /** Top-level field names + total row count of one parquet file (a
+    * footer read — the per-file EXISTS_DEFAULT projection probe). */
+  def fileInfo(file: String, conf: Configuration): (Set[String], Long) = {
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new Path(file), conf))
+    try {
+      import scala.jdk.CollectionConverters._
+      (r.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSet,
+        r.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
+    } finally r.close()
+  }
+
   def isParquet(entryName: String): Boolean = entryName.endsWith(".parquet")
 
   /** Positional storage type, applied RECURSIVELY (round 12): struct

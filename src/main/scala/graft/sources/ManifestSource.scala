@@ -1607,7 +1607,9 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
         partGroups.isEmpty && !hasDeletes,
       filters = skipFilters, parquetOnly = allParquet,
       maxPhysArity = ManifestReaderFactory.maxPhysArity(fullSchema,
-        ManifestFiles.droppedFromLines(snapshotLines)))
+        ManifestFiles.droppedFromLines(snapshotLines)),
+      defaults = ManifestChecks.existsDefaults(
+        org.apache.spark.sql.SparkSession.active, required))
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -1687,7 +1689,9 @@ private[sources] class ManifestMicroBatchStream(path: String,
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestReaderFactory(fullSchema, required, conf,
       maxPhysArity = ManifestReaderFactory.maxPhysArity(fullSchema,
-        ManifestFiles.droppedFromLines(ManifestFiles.latestLines(fs, dir))))
+        ManifestFiles.droppedFromLines(ManifestFiles.latestLines(fs, dir))),
+      defaults = ManifestChecks.existsDefaults(
+        org.apache.spark.sql.SparkSession.active, required))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -1746,11 +1750,22 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
     parquetOnly: Boolean = false,
     // see ManifestReaderFactory.maxPhysArity; Int.MaxValue disables the
     // over-split check (pre-evolution layouts never full-split anyway)
-    maxPhysArity: Int = Int.MaxValue)
+    maxPhysArity: Int = Int.MaxValue,
+    // EXISTS_DEFAULT values (field name → INTERNAL value, evaluated
+    // driver-side): files written before the column existed surface the
+    // default instead of NULL (see ManifestChecks.existsDefaults)
+    defaults: Seq[(String, Any)] = Seq.empty)
     extends PartitionReaderFactory {
 
+  // required-index → default, for fields this projection carries
+  private val defaultAt: Map[Int, Any] = defaults.flatMap { case (n, v) =>
+    val i = required.fieldNames.indexOf(n)
+    if (i >= 0) Some(i -> v) else None
+  }.toMap
+
   override def supportColumnarReads(p: InputPartition): Boolean =
-    columnar && p.isInstanceOf[ManifestInputPartition] &&
+    columnar && defaultAt.isEmpty &&
+      p.isInstanceOf[ManifestInputPartition] &&
       !required.fieldNames.contains("_pos") &&
       required.fields.forall(f =>
         if (parquetOnly) ManifestColumnarReader.parquetSupports(f.dataType)
@@ -1796,10 +1811,90 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
       override def close(): Unit = if (cur != null) cur.close()
     }
 
+  /** Parquet files written BEFORE a defaulted column existed lack its
+    * physical `c<pos>` field entirely (one footer probe per file). The
+    * inner read projects only the PRESENT columns (a projection of
+    * nothing-but-missing columns gives the vectorized reader no rows to
+    * iterate), the wrapper splices in the default constants; when no
+    * real column remains, the footer's row count drives a synthetic
+    * constant-row reader. Post-add files carry the field — explicit
+    * NULLs stay NULL. */
+  private def withParquetDefaults(
+      part: ManifestInputPartition): PartitionReader[InternalRow] = {
+    def plain() =
+      ManifestParquet.rowReader(part, fullSchema, required, conf, filters)
+    if (defaultAt.isEmpty) return plain()
+    val (fileFields, rowCount) = ManifestParquet.fileInfo(part.file, conf.value)
+    def presentInFile(n: String): Boolean =
+      fileFields.contains(ManifestParquet.colName(
+        ManifestFiles.physPos(fullSchema, fullSchema.fieldIndex(n))))
+    val missing = defaultAt.filter { case (i, _) =>
+      val n = required.fields(i).name
+      n != "_file" && n != "_pos" && !presentInFile(n)
+    }
+    if (missing.isEmpty) return plain()
+    val innerFields = required.fields.zipWithIndex
+      .filterNot { case (_, i) => missing.contains(i) }
+    val dts = required.fields.map(_.dataType)
+    if (innerFields.exists { case (f, _) =>
+        f.name != "_file" && f.name != "_pos" }) {
+      // at least one REAL column to drive the inner read
+      val innerReq = StructType(innerFields.map(_._1))
+      val inner = ManifestParquet.rowReader(
+        ManifestInputPartition(part.file, part.name, part.deletes),
+        fullSchema, innerReq, conf, filters)
+      val innerIdxOf: Map[Int, Int] =
+        innerFields.map(_._2).zipWithIndex.toMap
+      new PartitionReader[InternalRow] {
+        override def next(): Boolean = inner.next()
+        override def get(): InternalRow = {
+          val in = inner.get()
+          val out = new GenericInternalRow(dts.length)
+          var i = 0
+          while (i < dts.length) {
+            out.update(i, missing.getOrElse(i,
+              in.get(innerIdxOf(i), dts(i))))
+            i += 1
+          }
+          out
+        }
+        override def close(): Unit = inner.close()
+      }
+    } else {
+      // every requested column is a constant for this file: emit the
+      // footer's row count directly (minus merge-on-read deletes)
+      val fileName = UTF8String.fromString(part.name)
+      new PartitionReader[InternalRow] {
+        private var ordinal = -1L
+        private var di = 0
+        override def next(): Boolean = {
+          ordinal += 1
+          while (di < part.deletes.length && part.deletes(di) < ordinal) di += 1
+          while (di < part.deletes.length && part.deletes(di) == ordinal) {
+            ordinal += 1
+            di += 1
+          }
+          ordinal < rowCount
+        }
+        override def get(): InternalRow = {
+          val out = new GenericInternalRow(dts.length)
+          var i = 0
+          while (i < dts.length) {
+            out.update(i, missing.getOrElse(i,
+              if (required.fields(i).name == "_file") fileName else ordinal))
+            i += 1
+          }
+          out
+        }
+        override def close(): Unit = ()
+      }
+    }
+  }
+
   private def createFileReader(
       part: ManifestInputPartition): PartitionReader[InternalRow] = {
     if (ManifestParquet.isParquet(part.name))
-      return ManifestParquet.rowReader(part, fullSchema, required, conf, filters)
+      return withParquetDefaults(part)
     val file = new Path(part.file)
     val fs = file.getFileSystem(conf.value)
     val reader = new java.io.BufferedReader(
@@ -1858,11 +1953,12 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
         while (i < picks.length) {
           val (src, dt) = picks(i)
           // src beyond the row's arity = a column added by ALTER TABLE
-          // after this file was written — old rows surface NULL.
+          // after this file was written — old rows surface the column's
+          // EXISTS_DEFAULT (NULL when none was declared)
           out.update(i,
             if (src == -1) fileName
             else if (src == -2) ordinal
-            else if (src >= cols.length) null
+            else if (src >= cols.length) defaultAt.getOrElse(i, null)
             else parse(cols(src), dt))
           i += 1
         }
@@ -2024,6 +2120,14 @@ private[sources] class ManifestColumnarReader(part: ManifestInputPartition,
 class GraftManifestCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
     with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+
+  // DEFAULT column values: analysis routes `DEFAULT`/missing INSERT
+  // columns through the CURRENT_DEFAULT field metadata only when the
+  // catalog declares the capability
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   private var catalogName: String = _
   private var root: Path = _
@@ -2358,7 +2462,21 @@ class GraftManifestCatalog extends TableCatalog
         val name = a.fieldNames()(0)
         require(!schema.fieldNames.contains(name), s"column $name exists")
         val pos = nextPos
-        val fd0 = StructField(name, a.dataType, nullable = true)
+        // `ADD COLUMN x T DEFAULT <expr>`: the frozen literal's SQL text
+        // rides Spark's own metadata keys — CURRENT_DEFAULT resolves
+        // future INSERTs, EXISTS_DEFAULT surfaces from files written
+        // before the column existed (instead of NULL). Validated now.
+        val fdMeta = Option(a.defaultValue()) match {
+          case Some(dv) =>
+            val sql = dv.getSql
+            ManifestChecks.evalDefault(SparkSession.active, sql, a.dataType)
+            new MetadataBuilder()
+              .putString("CURRENT_DEFAULT", sql)
+              .putString("EXISTS_DEFAULT", sql).build()
+          case None => Metadata.empty
+        }
+        val fd0 = StructField(name, a.dataType, nullable = true,
+          metadata = fdMeta)
         // a clean layout (pos == index, nothing retired) stays metadata-
         // free; once positions diverge, every added field pins its gpos
         schema = schema.add(

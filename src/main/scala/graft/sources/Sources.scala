@@ -1325,6 +1325,44 @@ object Sources extends QueryModule {
       WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-02-01'
       GROUP BY od ORDER BY od"""))
 
+  /** Column DEFAULT values (round 12 — `ALTER TABLE ADD COLUMN x T
+    * DEFAULT <lit>`): a corpus is loaded, then grows two defaulted
+    * columns; pre-evolution files surface the frozen default WITHOUT a
+    * rewrite (a per-file parquet footer probe), while post-evolution
+    * inserts carry their own values. The aggregate must match an oracle
+    * that unions the legacy rows (with the literal) and the fresh rows. */
+  val qColumnDefaults: QueryDef = QueryDef(
+    "q250_manifest_column_defaults",
+    (s, d) => {
+      import s.implicits._
+      val root = tmp(d, "manifest_defaults")
+      val dir = new org.apache.hadoop.fs.Path(root)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      val cat = "graft_dfl_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE TABLE $cat.docs (doc_id BIGINT, lang STRING)")
+      Tables.df(s, d, "documents").select($"doc_id", $"lang")
+        .writeTo(s"$cat.docs").append()                  // pre-evolution
+      s.sql(s"ALTER TABLE $cat.docs ADD COLUMN quality DOUBLE DEFAULT 0.5")
+      s.sql(s"ALTER TABLE $cat.docs ADD COLUMN src STRING DEFAULT 'legacy'")
+      Tables.df(s, d, "documents").filter($"doc_id" % 11 === 3)
+        .select(($"doc_id" + 1000000L).as("doc_id"), $"lang",
+          ($"n_chars" % 7).cast("double").as("quality"),
+          lit("fresh").as("src"))
+        .writeTo(s"$cat.docs").append()                  // post-evolution
+      s.sql(s"""
+        SELECT src, lang, CAST(COUNT(*) AS BIGINT) AS n, SUM(quality) AS q
+        FROM $cat.docs GROUP BY src, lang ORDER BY src, lang""")
+    },
+    Some("""
+      SELECT src, lang, CAST(COUNT(*) AS BIGINT) AS n, SUM(q) AS q FROM (
+        SELECT 'legacy' AS src, lang, 0.5 AS q FROM documents
+        UNION ALL
+        SELECT 'fresh', lang, CAST(n_chars % 7 AS DOUBLE)
+        FROM documents WHERE doc_id % 11 = 3)
+      GROUP BY src, lang ORDER BY src, lang"""))
+
   override def defs: Seq[QueryDef] =
     Seq(qCsv, qJson, qOrc, qText, qPartitioned, qSynthSource, qSynthColumnar,
       qSchemaEvolution, qManifestTimeTravel, qManifestMerge, qManifestStream,
@@ -1332,5 +1370,5 @@ object Sources extends QueryModule {
       qManifestParquetMixed, qManifestEvolution, qManifestTyped,
       qManifestMergeOnRead, qMetadataDelete, qManifestEmbeddings, qDaySpj,
       qMultiPart, qPartitionsMeta, qRefs, qChangeFeed, qBranchWap,
-      qCdfIndexMaint, qBloomProbe, qScopedCompact)
+      qCdfIndexMaint, qBloomProbe, qScopedCompact, qColumnDefaults)
 }
