@@ -72,7 +72,7 @@ object Bench {
     "q244_manifest_refs", "q245_manifest_change_feed",
     "q246_manifest_branch_wap", "q247_cdf_index_maintenance",
     "q248_manifest_bloom_probe", "q249_manifest_scoped_compact",
-    "q250_manifest_column_defaults")
+    "q250_manifest_column_defaults", "q251_manifest_sort_order")
 
   private val sentinelName = "q97_compute_pi"
   private val stragglerQueries =

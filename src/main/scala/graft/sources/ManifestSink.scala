@@ -465,6 +465,24 @@ private[sources] class ManifestTable(schema0: StructType,
               }
           } catch { case _: Exception => Seq.empty }
 
+        // Declared `write.sort-order` (the `#tableconf,sortorder` line —
+        // read from disk like the partition layout, so EVERY write route
+        // honors it): schema indices in declared order. The write demands
+        // a PER-TASK lexicographic sort on these columns, appended after
+        // any partition clustering — no shuffle is added to the insert
+        // path (Iceberg's write.distribution-mode=none + sort order);
+        // each landed file is clustered on the keys, earns a verified
+        // `#sorted` mark on the leading one, and compaction later turns
+        // per-file order into disjoint table-wide ranges.
+        private val sortLayout: Seq[Int] =
+          try {
+            val fs = path.getFileSystem(
+              SparkSession.active.sessionState.newHadoopConf())
+            ManifestFiles.sortOrderFromLines(ManifestFiles.latestLines(fs, path))
+              .flatMap(pos => ManifestFiles.fieldAtPhys(
+                ManifestFiles.schemaFor(fs, path, None), pos))
+          } catch { case _: Exception => Seq.empty }
+
         // `option("sortedBy", col)` — sorted buckets: demand an
         // in-partition sort through the same write seam, so every bucket
         // file lands sorted and a bucketed+sorted join needs neither
@@ -512,10 +530,15 @@ private[sources] class ManifestTable(schema0: StructType,
             org.apache.spark.sql.connector.expressions.Expressions.sort(
               org.apache.spark.sql.connector.expressions.Expressions.column(c),
               org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)))
-            .getOrElse(
-              if (partLayout.nonEmpty)
-                partLayout.map(p => partSortOrder(p._1)).toArray
-              else Array.empty)
+            .getOrElse {
+              // partition clustering first (the split writer's file-count
+              // guarantee rides it), then the declared sort order — a
+              // sort column that IS a partition column needs no second
+              // sort key (each file is value-pure on it already)
+              val partIdx = partLayout.map(_._1)
+              (partIdx ++ sortLayout.filterNot(partIdx.contains))
+                .map(partSortOrder).toArray
+            }
 
         override def toBatch: BatchWrite = {
           // The authoritative previous schema is the published `_SCHEMA`
@@ -568,8 +591,11 @@ private[sources] class ManifestTable(schema0: StructType,
               (ManifestFiles.physPos(finalSchema, incoming.fieldIndex(c)), n)
             },
             // row INDEX for the writer's sort check; the commit converts
-            // it to the physical position when marking #sorted
-            sortPos = sortedBy.map(incoming.fieldIndex),
+            // it to the physical position when marking #sorted. A declared
+            // write.sort-order marks (and verifies) its LEADING column —
+            // lexicographic order implies order on the first key.
+            sortPos = sortedBy.map(incoming.fieldIndex)
+              .orElse(sortLayout.headOption),
             // a DDL-declared layout (from table properties) must survive
             // INSERT OVERWRITE — re-emit its #tableconf line on truncate
             confLines =
@@ -1105,7 +1131,8 @@ private[sources] class ManifestWriterFactory(path: String, stagingName: String,
       new PartitionSplitWriter(path, stagingName, schema, conf, format,
         f"part-$partitionId%05d-$taskId",
         partSpec.map { case (idx, kind) =>
-          (idx, kind, schema(idx).dataType) }),
+          (idx, kind, schema(idx).dataType) },
+        sortPos = sortPos),
     checks, schema)
 }
 
@@ -1124,7 +1151,11 @@ private[sources] class ManifestWriterFactory(path: String, stagingName: String,
 private[sources] class PartitionSplitWriter(path: String, stagingName: String,
     schema: StructType, conf: SerializableHadoopConf, format: String,
     namePrefix: String,
-    specs: Seq[(Int, String, DataType)]) extends DataWriter[InternalRow] {
+    specs: Seq[(Int, String, DataType)],
+    // declared write.sort-order's leading column: rows arrive ordered
+    // (partition cols, sort cols), so each per-value inner file streams
+    // non-decreasing in it and earns its own verified `#sorted` mark
+    sortPos: Option[Int] = None) extends DataWriter[InternalRow] {
 
   private val writers = scala.collection.mutable
     .LinkedHashMap.empty[List[Long], DataWriter[InternalRow]]
@@ -1181,7 +1212,7 @@ private[sources] class PartitionSplitWriter(path: String, stagingName: String,
       val seq = writers.size
       ManifestWriters.create(path, stagingName,
         s"$namePrefix-s$seq${ManifestWriters.ext(format)}.tmp",
-        schema, conf, injectFailure = false)
+        schema, conf, injectFailure = false, sortPos = sortPos)
     }).write(row)
   }
 

@@ -371,6 +371,26 @@ object ManifestFiles {
         .flatMap(_.toIntOption)
     }
 
+  /** Declared WRITE SORT ORDER (round 12 — Iceberg's `write.sort-order`
+    * table property / SortOrder spec, ASC NULLS FIRST): physical column
+    * positions, in declared order, as `#tableconf,sortorder,<p0>;<p1>`.
+    * Every batch write sorts its tasks' rows lexicographically on these
+    * columns BEFORE writing (a per-task sort through DSv2's
+    * RequiresDistributionAndOrdering seam — no extra shuffle on the hot
+    * insert path), so each landed file is clustered on the leading key,
+    * earns a verified `#sorted` mark on it, and carries tight `#stats`
+    * bounds on every listed column. Compaction defaults its clustering
+    * to this order, turning the per-file property into disjoint
+    * table-wide ranges (Iceberg's rewrite-with-table-sort-order). */
+  def sortOrderLine(positions: Seq[Int]): String =
+    s"#tableconf,sortorder,${positions.mkString(";")}"
+
+  def sortOrderFromLines(lines: Array[String]): Seq[Int] =
+    lines.find(_.startsWith("#tableconf,sortorder,")).toSeq.flatMap { l =>
+      l.stripPrefix("#tableconf,sortorder,").split(";").toSeq
+        .flatMap(_.toIntOption)
+    }
+
   /** CHECK constraints: `#tableconf,check,<name>,<b64 expr>` — see
     * [[ManifestChecks]]. */
   def checkLine(name: String, exprText: String): String =
@@ -2178,6 +2198,10 @@ class GraftManifestCatalog extends TableCatalog
       .flatMap(ManifestFiles.fieldAtPhys(schema, _)).map(schema(_).name)
     if (bloomNames.nonEmpty)
       props.put("bloom.columns", bloomNames.mkString(","))
+    val sortNames = ManifestFiles.sortOrderFromLines(confLines)
+      .flatMap(ManifestFiles.fieldAtPhys(schema, _)).map(schema(_).name)
+    if (sortNames.nonEmpty)
+      props.put("write.sort-order", sortNames.mkString(","))
     ManifestFiles.checksFromLines(confLines).foreach { case (n, txt) =>
       props.put(s"check.$n", txt)
     }
@@ -2267,6 +2291,23 @@ class GraftManifestCatalog extends TableCatalog
       throw new IllegalArgumentException(
         s"no snapshot of $ident at or before timestamp $timestamp"))
     load(ident, Some(v))
+  }
+
+  /** `write.sort-order` property value → physical positions (validated:
+    * live columns, orderable primitives, no duplicates). */
+  private def parseSortOrder(schema: StructType, cs: String): Seq[Int] = {
+    val positions = cs.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { c =>
+      require(schema.fieldNames.contains(c),
+        s"write.sort-order column '$c' not in ${schema.fieldNames.mkString(",")}")
+      require(ManifestSkip.statsCapable(schema(c).dataType),
+        s"write.sort-order needs orderable primitive columns — " +
+          s"'$c' is ${schema(c).dataType.sql}")
+      ManifestFiles.physPos(schema, schema.fieldIndex(c))
+    }
+    require(positions.nonEmpty, "write.sort-order must name at least one column")
+    require(positions.distinct.length == positions.length,
+      "duplicate column in write.sort-order")
+    positions
   }
 
   /** DDL table creation — `CREATE TABLE cat.t (…) [PARTITIONED BY
@@ -2365,13 +2406,20 @@ class GraftManifestCatalog extends TableCatalog
       require(positions.nonEmpty, "bloom.columns must name at least one column")
       ManifestFiles.bloomLine(positions)
     }.toArray
+    val sortOrder = Option(properties.get("write.sort-order")).map { cs =>
+      require(bucket.isEmpty,
+        "write.sort-order conflicts with a bucket layout — sorted " +
+          "buckets are declared via the layout's own sort slot " +
+          "(option(\"sortedBy\", col))")
+      ManifestFiles.sortOrderLine(parseSortOrder(schema, cs))
+    }.toArray
     ManifestFiles.publishSnapshot(f,
       SparkSession.active.sessionState.newHadoopConf(), dir,
       _ => bucket.map { case (pos, n) =>
           ManifestFiles.tableConfLine(pos, n, None) }.toArray ++
         part.map { case (pos, kind) =>
           ManifestFiles.partConfLine(pos, kind) }.toArray[String] ++
-        mor ++ fmt ++ bloom ++ checks,
+        mor ++ fmt ++ bloom ++ sortOrder ++ checks,
       schema)
     load(ident, None)
   }
@@ -2403,6 +2451,7 @@ class GraftManifestCatalog extends TableCatalog
     var morFlip: Option[Boolean] = None
     var partFlip: Option[Seq[(Int, String)]] = None
     var bloomFlip: Option[Seq[Int]] = None
+    var sortFlip: Option[Seq[Int]] = None
     val checkSet = scala.collection.mutable.LinkedHashMap
       .empty[String, Option[String]] // Some = add/replace, None = drop
     def nextPos: Int =
@@ -2533,6 +2582,9 @@ class GraftManifestCatalog extends TableCatalog
               s"cannot drop '$name': the table's declared $kind() " +
                 "partition layout references it")
           }
+          require(!ManifestFiles.sortOrderFromLines(priorLines).contains(pos),
+            s"cannot drop '$name': the table's declared write.sort-order " +
+              "references it — clear or re-declare the sort order first")
           ManifestFiles.checksFromLines(priorLines).foreach { case (cn, txt) =>
             require(!ManifestChecks.referencedColumns(SparkSession.active, txt)
                 .exists(_.equalsIgnoreCase(name)),
@@ -2621,10 +2673,22 @@ class GraftManifestCatalog extends TableCatalog
             ManifestFiles.physPos(schema, schema.fieldIndex(c))
           }
         })
+      // sort-order evolution: FUTURE writes sort (and mark/bound) under
+      // the new order; existing files keep whatever marks they earned —
+      // reads degrade per-file, never wrongness. 'none' clears it.
+      case sp: TableChange.SetProperty if sp.property == "write.sort-order" =>
+        require(ManifestFiles.tableConf(f, dir, None).isEmpty,
+          "write.sort-order cannot be set on a bucket-laid table — " +
+            "sorted buckets are declared via the layout's own sort slot")
+        sortFlip = Some(sp.value.trim match {
+          case "" | "none" => Seq.empty
+          case v => parseSortOrder(schema, v)
+        })
       case other => throw new UnsupportedOperationException(
         "graft-manifest supports ADD COLUMN (appended, nullable), " +
           "RENAME COLUMN, DROP COLUMN, and SET " +
-          "TBLPROPERTIES('delete.mode'|'partition.layout'|'bloom.columns') " +
+          "TBLPROPERTIES('delete.mode'|'partition.layout'|'bloom.columns'|" +
+          "'write.sort-order') " +
           s"only, got $other")
     }
     val drops = newDropLines.reverse.toArray
@@ -2653,9 +2717,17 @@ class GraftManifestCatalog extends TableCatalog
                else Seq.empty)
           case None => base1
         }
+        val base2s = sortFlip match {
+          case Some(positions) =>
+            base2.filterNot(_.startsWith("#tableconf,sortorder,")) ++
+              (if (positions.nonEmpty)
+                 Seq(ManifestFiles.sortOrderLine(positions))
+               else Seq.empty)
+          case None => base2
+        }
         val base =
-          if (checkSet.isEmpty) base2
-          else base2.filterNot(l => checkSet.keys.exists(n =>
+          if (checkSet.isEmpty) base2s
+          else base2s.filterNot(l => checkSet.keys.exists(n =>
             l.startsWith(s"#tableconf,check,$n,"))) ++
             checkSet.collect { case (n, Some(txt)) =>
               ManifestFiles.checkLine(n, txt) }
@@ -2966,11 +3038,26 @@ private[sources] object ManifestProcedures {
               .getOrElse(Map.empty))
             .save()
         case None =>
-          val arranged = sortCols match {
-            case Seq() => live.coalesce(target)
-            case Seq(one) =>
+          // no explicit sort_by: a DECLARED write.sort-order governs the
+          // rewrite (Iceberg's rewrite-with-table-sort-order) — range-
+          // cluster LEXICOGRAPHICALLY on the declared columns, turning
+          // the per-file sortedness appends produce into disjoint
+          // table-wide ranges. An explicit multi-column sort_by keeps
+          // its Z-ORDER semantics (a different, opt-in tiling).
+          val declared: Seq[String] =
+            if (sortCols.nonEmpty) Seq.empty
+            else ManifestFiles.sortOrderFromLines(
+                ManifestFiles.latestLines(fs, dir))
+              .flatMap(ManifestFiles.fieldAtPhys(schemaNow, _))
+              .map(schemaNow(_).name)
+          val arranged = (sortCols, declared) match {
+            case (Seq(), Seq()) => live.coalesce(target)
+            case (Seq(), ds) =>
+              live.repartitionByRange(target, ds.map(col): _*)
+                .sortWithinPartitions(ds.head, ds.tail: _*)
+            case (Seq(one), _) =>
               live.repartitionByRange(target, col(one)).sortWithinPartitions(one)
-            case many =>
+            case (many, _) =>
               val zc = "__graft_z"
               live.withColumn(zc, graft.functions.ZOrder.zvalue(live, many))
                 .repartitionByRange(target, col(zc))

@@ -1363,6 +1363,52 @@ object Sources extends QueryModule {
         FROM documents WHERE doc_id % 11 = 3)
       GROUP BY src, lang ORDER BY src, lang"""))
 
+  /** Declared write SORT ORDER (round 12 — Iceberg's `write.sort-order`):
+    * three unsorted appends land per-task-sorted files (no insert
+    * shuffle), then a compact with NO sort_by defaults to the declared
+    * order and folds them into range-disjoint files. The range query
+    * afterwards must be bit-identical to the oracle's full recompute —
+    * the sort/rewrite machinery is pure layout, never values. The
+    * skipping and `#sorted`-mark mechanics are spec-pinned
+    * (ManifestSortOrderSpec); this row pins read correctness through
+    * sorted-written and default-compacted files. */
+  val qSortOrder: QueryDef = QueryDef(
+    "q251_manifest_sort_order",
+    (s, d) => {
+      import s.implicits._
+      val root = tmp(d, "manifest_sortorder")
+      val dir = new org.apache.hadoop.fs.Path(root)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      val cat = "graft_srt_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE TABLE $cat.li (l_shipdate TIMESTAMP, " +
+        "l_orderkey BIGINT, l_quantity DOUBLE, l_returnflag STRING) " +
+        "TBLPROPERTIES('write.sort-order'='l_shipdate,l_orderkey')")
+      val li = Tables.df(s, d, "lineitem")
+        .select($"l_shipdate", $"l_orderkey", $"l_quantity", $"l_returnflag")
+      // three interleaved appends (split on an UNRELATED key, so each
+      // append spans the whole time range — the worst layout for a
+      // time-range query without the declared order)
+      (0 until 3).foreach { r =>
+        li.filter($"l_orderkey" % 3 === r).writeTo(s"$cat.li").append()
+      }
+      // no sort_by: the rewrite defaults to the DECLARED order
+      s.sql(s"CALL $cat.system.compact('li', 4)")
+      s.sql(s"""
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(l_quantity) AS qty
+        FROM $cat.li
+        WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-09-01'
+        GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    Some("""
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-09-01'
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   override def defs: Seq[QueryDef] =
     Seq(qCsv, qJson, qOrc, qText, qPartitioned, qSynthSource, qSynthColumnar,
       qSchemaEvolution, qManifestTimeTravel, qManifestMerge, qManifestStream,
@@ -1370,5 +1416,6 @@ object Sources extends QueryModule {
       qManifestParquetMixed, qManifestEvolution, qManifestTyped,
       qManifestMergeOnRead, qMetadataDelete, qManifestEmbeddings, qDaySpj,
       qMultiPart, qPartitionsMeta, qRefs, qChangeFeed, qBranchWap,
-      qCdfIndexMaint, qBloomProbe, qScopedCompact, qColumnDefaults)
+      qCdfIndexMaint, qBloomProbe, qScopedCompact, qColumnDefaults,
+      qSortOrder)
 }
