@@ -72,7 +72,9 @@ object Bench {
     "q244_manifest_refs", "q245_manifest_change_feed",
     "q246_manifest_branch_wap", "q247_cdf_index_maintenance",
     "q248_manifest_bloom_probe", "q249_manifest_scoped_compact",
-    "q250_manifest_column_defaults", "q251_manifest_sort_order")
+    "q250_manifest_column_defaults", "q251_manifest_sort_order",
+    "q252_manifest_add_files", "q253_manifest_upsert",
+    "q254_cdf_upsert_maintenance")
 
   private val sentinelName = "q97_compute_pi"
   private val stragglerQueries =

@@ -56,7 +56,8 @@ private[sources] object ManifestChangeFeed {
     * one ManifestChangePartition per changed file per commit in
     * (from, end]. Driver metadata I/O only. */
   def planRange(fs: FileSystem, dir: Path, from: Int,
-      end: Int): Array[InputPartition] = {
+      end: Int, schema: StructType,
+      conf: org.apache.hadoop.conf.Configuration): Array[InputPartition] = {
     require(end >= from, s"changesTo ($end) must be >= changesFrom ($from)")
     def linesAt(v: Int): Array[String] =
       if (v <= 0) Array.empty
@@ -79,6 +80,33 @@ private[sources] object ManifestChangeFeed {
       }.groupBy(_._1).map { case (f, ps) =>
         f -> ps.map(_._2).distinct.sorted.toArray }
 
+    // equality-delete SET cache (each .eqdel file is immutable; key
+    // types resolve against the range-end schema, like every read)
+    val eqSetCache = scala.collection.mutable
+      .Map.empty[String, ManifestEqDeletes.EqSet]
+    def eqSetsOf(lines: Array[String]): Seq[(Int, ManifestEqDeletes.EqSet)] =
+      lines.filter(_.startsWith("#eqdels,")).toSeq.flatMap { l =>
+        val parts = l.split(",", 4)
+        for (ver <- parts.lift(3).flatMap(_.toIntOption)) yield
+          ver -> eqSetCache.getOrElseUpdate(parts(1),
+            ManifestEqDeletes.readSet(parts(1),
+              parts(2).split(";").map(_.toInt), schema, dir, conf))
+      }
+    // file → the delete sets already applied to it in a snapshot
+    def eqApplicable(lines: Array[String]):
+        Map[String, Seq[ManifestEqDeletes.EqSet]] = {
+      val sets = eqSetsOf(lines)
+      if (sets.isEmpty) Map.empty
+      else {
+        val born = ManifestFiles.bornFromLines(lines)
+        ManifestFiles.entriesFromLines(lines).flatMap { case (n, _) =>
+          val applicable = sets.collect {
+            case (ver, st) if born.getOrElse(n, 0) < ver => st }
+          if (applicable.isEmpty) None else Some(n -> applicable.toSeq)
+        }.toMap
+      }
+    }
+
     val out = Array.newBuilder[InputPartition]
     var prevLines = linesAt(from)
     var prevNames = ManifestFiles.entriesFromLines(prevLines).map(_._1).toSet
@@ -88,6 +116,20 @@ private[sources] object ManifestChangeFeed {
       val curLines = linesAt(v)
       val curNames = ManifestFiles.entriesFromLines(curLines).map(_._1).toSet
       val curDels = delsOf(curLines)
+      // EQUALITY deletes (upserts) express as value-keyed delete legs:
+      // a new `#eqdels` set at v deletes, from every file born before
+      // it, the rows that were LIVE at the predecessor (not positionally
+      // deleted, not already eq-deleted) and match the set's tuples
+      val prevEqApplicable = eqApplicable(prevLines)
+      val newEqSets = eqSetsOf(curLines).collect {
+        case (ver, st) if ver == v => st }
+      val mergedNew =
+        if (newEqSets.isEmpty) None
+        // one commit's delete files share the commit's key columns —
+        // merge their tuples so a row matching several files still
+        // emits ONE delete leg (multiplicities must replay exactly)
+        else Some(ManifestEqDeletes.EqSet(newEqSets.head.keyNames,
+          newEqSets.head.keyTypes, newEqSets.flatMap(_.tuples).toArray))
       val ts = fs.getFileStatus(new Path(dir, s"_MANIFEST.v$v"))
         .getModificationTime * 1000L
       (curNames -- prevNames).toSeq.sorted.foreach { n =>
@@ -101,7 +143,8 @@ private[sources] object ManifestChangeFeed {
             "for this range is unavailable; widen retention or restart " +
             "downstream from a full snapshot")
         out += ManifestChangePartition(new Path(dir, n).toString, n,
-          "delete", v, prevDels.getOrElse(n, Array.empty), Array.empty, ts)
+          "delete", v, prevDels.getOrElse(n, Array.empty), Array.empty, ts,
+          skipEqs = prevEqApplicable.getOrElse(n, Seq.empty))
       }
       (curNames & prevNames).toSeq.sorted.foreach { n =>
         val fresh = curDels.getOrElse(n, Array.empty)
@@ -109,6 +152,16 @@ private[sources] object ManifestChangeFeed {
         if (fresh.nonEmpty)
           out += ManifestChangePartition(new Path(dir, n).toString, n,
             "delete", v, Array.empty, fresh, ts)
+      }
+      mergedNew.foreach { st =>
+        val bornCur = ManifestFiles.bornFromLines(curLines)
+        (curNames & prevNames).toSeq.sorted
+          .filter(n => bornCur.getOrElse(n, 0) < v).foreach { n =>
+            out += ManifestChangePartition(new Path(dir, n).toString, n,
+              "delete", v, prevDels.getOrElse(n, Array.empty), Array.empty,
+              ts, skipEqs = prevEqApplicable.getOrElse(n, Seq.empty),
+              keepEq = Some(st))
+          }
       }
       prevLines = curLines; prevNames = curNames; prevDels = curDels
       v += 1
@@ -124,11 +177,22 @@ private[sources] object ManifestChangeFeed {
         val v = ManifestFiles.latestComplete(fs, dir)
         if (v > 0) Some(v) else None
       })
+    // import maps ride each snapshot WITH their file entry, but a feed's
+    // delete legs read PRE-IMAGE files a later commit unlisted — union
+    // the mappings across every still-present version (a mapping is
+    // immutable per file name, so the union is exact; vacuumed versions
+    // skip — any in-range file's mapping lives in an in-range snapshot)
+    val vmax = at.getOrElse(ManifestFiles.latestComplete(fs, dir))
+    val imports = (1 to vmax).flatMap { v =>
+      try ManifestFiles.importsFromLines(ManifestFiles.linesOf(fs, dir, Some(v)))
+      catch { case _: Exception => Map.empty[String, Map[Int, String]] }
+    }.toMap
     new ManifestChangeReaderFactory(fullSchema, required, conf,
       ManifestReaderFactory.maxPhysArity(fullSchema,
         ManifestFiles.droppedFromLines(lines)),
       ManifestChecks.existsDefaults(
-        org.apache.spark.sql.SparkSession.active, fullSchema))
+        org.apache.spark.sql.SparkSession.active, fullSchema),
+      imports)
   }
 }
 
@@ -143,7 +207,12 @@ private[sources] case class ManifestChangePartition(file: String,
     keepOrdinals: Array[Long],
     // commit time = the version file's modification time in micros —
     // the same clock $snapshots and time travel report
-    commitTsMicros: Long = 0L) extends InputPartition
+    commitTsMicros: Long = 0L,
+    // equality-delete legs: emit ONLY rows matching `keepEq` (the new
+    // delete set), after hiding rows `skipEqs` already deleted
+    keepEq: Option[ManifestEqDeletes.EqSet] = None,
+    skipEqs: Seq[ManifestEqDeletes.EqSet] = Seq.empty)
+    extends InputPartition
 
 private[sources] class ManifestChangeFeedScan(path: String, from: Int,
     to: Option[Int], fullSchema: StructType, required: StructType,
@@ -161,7 +230,8 @@ private[sources] class ManifestChangeFeedScan(path: String, from: Int,
   override def planInputPartitions(): Array[InputPartition] = {
     val fs = dir.getFileSystem(conf.value)
     ManifestChangeFeed.planRange(fs, dir, from,
-      to.getOrElse(ManifestFiles.latestComplete(fs, dir)))
+      to.getOrElse(ManifestFiles.latestComplete(fs, dir)),
+      ManifestChangeFeed.stripCdf(fullSchema), conf.value)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -198,7 +268,8 @@ private[sources] class ManifestChangeFeedStream(path: String, startAt: Int,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     ManifestChangeFeed.planRange(fs, dir,
       start.asInstanceOf[ManifestOffset].version,
-      end.asInstanceOf[ManifestOffset].version)
+      end.asInstanceOf[ManifestOffset].version,
+      ManifestChangeFeed.stripCdf(fullSchema), conf.value)
 
   override def createReaderFactory(): PartitionReaderFactory =
     ManifestChangeFeed.readerFactory(fs, dir, None, fullSchema, required, conf)
@@ -215,7 +286,9 @@ private[sources] class ManifestChangeFeedStream(path: String, startAt: Int,
 private[sources] class ManifestChangeReaderFactory(fullSchema: StructType,
     required: StructType, conf: SerializableHadoopConf,
     maxPhysArity: Int,
-    defaults: Seq[(String, Any)] = Seq.empty) extends PartitionReaderFactory {
+    defaults: Seq[(String, Any)] = Seq.empty,
+    imports: Map[String, Map[Int, String]] = Map.empty)
+    extends PartitionReaderFactory {
 
   import ManifestChangeFeed._
 
@@ -225,12 +298,24 @@ private[sources] class ManifestChangeReaderFactory(fullSchema: StructType,
     val needPos = part.keepOrdinals.nonEmpty
     // an all-constant projection (count over the feed) still needs one
     // driver column to iterate rows by — `_pos` works on both payloads
-    val innerReq =
+    val innerReq0 =
       if ((needPos || dataReq0.isEmpty) && !dataReq0.fieldNames.contains("_pos"))
         dataReq0.add("_pos", LongType, nullable = false)
       else dataReq0
+    // equality-delete legs evaluate key tuples — widen the projection
+    // with the key columns the query didn't ask for (never surfaced:
+    // `picks` below only maps the REQUIRED fields)
+    val eqSets = part.keepEq.toSeq ++ part.skipEqs
+    val innerReq = ManifestEqDeletes.missingKeys(eqSets, innerReq0)
+      .foldLeft(innerReq0)((acc, n) =>
+        acc.add(fullSchema(fullSchema.fieldIndex(n))))
+    val skipProbe = if (part.skipEqs.isEmpty) null
+      else new ManifestEqDeletes.Probe(part.skipEqs, innerReq)
+    val keepProbe = part.keepEq.map(st =>
+      new ManifestEqDeletes.Probe(Seq(st), innerReq)).orNull
     val inner = new ManifestReaderFactory(fullSchema, innerReq, conf,
-      columnar = false, maxPhysArity = maxPhysArity, defaults = defaults)
+      columnar = false, maxPhysArity = maxPhysArity, defaults = defaults,
+      imports = imports)
       .createReader(ManifestInputPartition(part.file, part.name,
         part.skipOrdinals))
     val posIdx = innerReq.fieldNames.indexOf("_pos")
@@ -246,12 +331,17 @@ private[sources] class ManifestChangeReaderFactory(fullSchema: StructType,
       private var k = 0 // keep-list pointer (ordinals arrive ascending)
       override def next(): Boolean = {
         while (inner.next()) {
-          if (!needPos) return true
-          val pos = inner.get().getLong(posIdx)
-          while (k < part.keepOrdinals.length && part.keepOrdinals(k) < pos)
-            k += 1
-          if (k < part.keepOrdinals.length && part.keepOrdinals(k) == pos)
-            return true
+          val r = inner.get()
+          val eqOk = (skipProbe == null || !skipProbe.matches(r)) &&
+            (keepProbe == null || keepProbe.matches(r))
+          if (eqOk) {
+            if (!needPos) return true
+            val pos = r.getLong(posIdx)
+            while (k < part.keepOrdinals.length && part.keepOrdinals(k) < pos)
+              k += 1
+            if (k < part.keepOrdinals.length && part.keepOrdinals(k) == pos)
+              return true
+          }
         }
         false
       }

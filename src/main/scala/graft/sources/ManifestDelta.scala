@@ -125,7 +125,9 @@ private[sources] class ManifestDeltaBatchWrite(path: String, queryId: String,
       .flatMap(dn => ManifestFiles.readManifest(fs, new Path(dir, dn))
         .map(l => l.substring(0, l.lastIndexOf(','))))
       .toSet
-    ManifestFiles.publishSnapshot(fs, conf.value, dir, previous => {
+    val freshNames = fresh.filterNot(_.startsWith("#"))
+      .map(l => l.substring(0, l.lastIndexOf(',')))
+    ManifestFiles.publishSnapshotV(fs, conf.value, dir, (previous, version) => {
       // A concurrent compact / COPY_ON_WRITE rewrite landing between our
       // MOR scan and this commit drops the files these ordinals index —
       // appending the vectors anyway would silently no-op them and the
@@ -138,7 +140,10 @@ private[sources] class ManifestDeltaBatchWrite(path: String, queryId: String,
           s"${gone.size} data file(s) a concurrent commit rewrote or " +
           s"removed (e.g. ${gone.head}); retry the operation against " +
           "the current snapshot")
-      previous ++ fresh
+      // MOR insert files mark their birth version — a later equality
+      // delete must not swallow rows an UPDATE re-landed after it
+      previous ++ fresh ++
+        freshNames.map(n => ManifestFiles.bornLine(n, version))
     }, schema)
     fs.delete(staging, true)
   }

@@ -337,7 +337,12 @@ private[sources] object ManifestParquet {
     * columns null-filled by the reader itself. */
   def openVectorized(part: ManifestInputPartition, fullSchema: StructType,
       required: StructType, base: Configuration, capacity: Int,
-      filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty):
+      filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+      // IMPORTED file (`CALL add_files` — foreign parquet registered
+      // without rewrite): physical position → the file's OWN field name,
+      // recorded at import time. Positions absent from the map (columns
+      // added after the import) keep their positional name and null-fill.
+      importedNames: Map[Int, String] = Map.empty):
       (VectorizedParquetRecordReader, Array[Int]) = {
     val dataFields = required.fields
       .filter(f => f.name != "_file" && f.name != "_pos")
@@ -358,15 +363,20 @@ private[sources] object ManifestParquet {
           MapType(storedRequested(pk, tk), storedRequested(pv, tv), vn)
         case (p, _) => p
       }
-    val requested = StructType(dataFields.map(f =>
+    val requested = StructType(dataFields.map { f =>
+      val p = ManifestFiles.physPos(fullSchema, fullSchema.fieldIndex(f.name))
       StructField(
-        colName(ManifestFiles.physPos(fullSchema, fullSchema.fieldIndex(f.name))),
+        importedNames.getOrElse(p, colName(p)),
         storedRequested(f.dataType,
           fullSchema(fullSchema.fieldIndex(f.name)).dataType),
-        nullable = true)))
+        nullable = true)
+    })
     def confFor(withFilter: Boolean): Configuration = {
       val conf = readerConf(base, requested)
-      if (withFilter) {
+      // imported files: row-group pushdown stays OFF — the translated
+      // predicates reference positional names this file doesn't have
+      // (file-level stats skipping already happened; Spark re-filters)
+      if (withFilter && importedNames.isEmpty) {
         val preds = filters.flatMap(toParquetFilter(_, fullSchema))
         if (preds.nonEmpty)
           org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(
@@ -421,7 +431,8 @@ private[sources] object ManifestParquet {
 
   def rowReader(part: ManifestInputPartition, fullSchema: StructType,
       required: StructType, conf: SerializableHadoopConf,
-      filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty):
+      filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+      importedNames: Map[Int, String] = Map.empty):
       PartitionReader[InternalRow] = {
     // `_pos` and merge-on-read deletes need FILE-ABSOLUTE ordinals, so
     // row-group skipping (which hides whole position ranges) must stay
@@ -429,7 +440,8 @@ private[sources] object ManifestParquet {
     val needOrdinals =
       required.fieldNames.contains("_pos") || part.deletes.nonEmpty
     val (reader, outMap) = openVectorized(part, fullSchema, required,
-      conf.value, 4096, if (needOrdinals) Array.empty else filters)
+      conf.value, 4096, if (needOrdinals) Array.empty else filters,
+      importedNames)
     val identity = outMap.sameElements(outMap.indices)
     val types = required.fields.map(_.dataType)
     new PartitionReader[InternalRow] {
@@ -466,10 +478,11 @@ private[sources] object ManifestParquet {
 
   def columnarReader(part: ManifestInputPartition, fullSchema: StructType,
       required: StructType, conf: SerializableHadoopConf,
-      filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty):
+      filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+      importedNames: Map[Int, String] = Map.empty):
       PartitionReader[ColumnarBatch] = {
     val (reader, outMap) = openVectorized(part, fullSchema, required,
-      conf.value, 4096, filters)
+      conf.value, 4096, filters, importedNames)
     reader.enableReturningBatches()
     val identity = outMap.sameElements(outMap.indices)
     new PartitionReader[ColumnarBatch] {
@@ -487,6 +500,175 @@ private[sources] object ManifestParquet {
         }
       }
       override def close(): Unit = reader.close()
+    }
+  }
+}
+
+/** Footer inspection for `CALL add_files` (see ManifestProcedures
+  * .addFiles): validates a FOREIGN parquet file positionally against the
+  * table schema and lifts its footer metadata — row count and per-column
+  * min/max/null-count statistics — into the manifest's `#stats` codec.
+  * Strictly conservative: any block missing statistics (or an
+  * un-liftable value) drops that COLUMN's stats for the whole file
+  * (absent stats = never skipped); float/double stats are always dropped
+  * (a foreign writer's NaN handling is unknowable, and NaN-polluted
+  * bounds would make skips unsound). Parquet's own truncated binary
+  * bounds are already conservative (prefix min / incremented max), and
+  * the format's 16-codepoint string truncation re-applies on top. */
+private[sources] object ManifestImport {
+  import scala.jdk.CollectionConverters._
+
+  import org.apache.parquet.hadoop.ParquetFileReader
+  import org.apache.parquet.hadoop.util.HadoopInputFile
+  import org.apache.parquet.io.api.Binary
+  import org.apache.parquet.schema.{LogicalTypeAnnotation, Type => PType}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+  /** Manifest lines registering `src` as entry `name`: the data entry,
+    * its `#stats`, and the `#import` field-name map. Throws (nothing
+    * published, nothing moved yet) on any schema incompatibility. */
+  def inspect(src: Path, name: String, bytes: Long, schema: StructType,
+      conf: Configuration): Seq[String] = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(src, conf))
+    try {
+      val msg = r.getFileMetaData.getSchema
+      require(msg.getFieldCount == schema.length,
+        s"$src has ${msg.getFieldCount} fields, the table has " +
+          s"${schema.length} — add_files aligns files positionally")
+      val fields = msg.getFields.asScala.toSeq
+      fields.zipWithIndex.foreach { case (f, i) =>
+        require(compatible(f, schema(i).dataType),
+          s"$src field $i ('${f.getName}': $f) is not readable as table " +
+            s"column '${schema(i).name}' ${schema(i).dataType.sql}")
+      }
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val stats = schema.indices.flatMap { i =>
+        columnStats(blocks, i, schema(i).dataType, rows)
+          .map(cs => ManifestFiles.physPos(schema, i) -> cs)
+      }
+      Seq(s"$name,$rows",
+        ManifestFiles.statsLine(name, bytes, stats, Nil),
+        ManifestFiles.importLine(name, schema.indices.map(i =>
+          (ManifestFiles.physPos(schema, i), fields(i).getName))))
+    } finally r.close()
+  }
+
+  /** Can the vectorized reader decode parquet field `f` as `dt`? The
+    * physical type AND logical annotation must agree — a near-miss
+    * (nanos timestamp, differently-scaled decimal) must refuse at
+    * import, not corrupt at read. */
+  private def compatible(f: PType, dt: DataType): Boolean = {
+    if (f.isPrimitive == false ||
+      f.isRepetition(PType.Repetition.REPEATED)) return false
+    val p = f.asPrimitiveType()
+    val ptn = p.getPrimitiveTypeName
+    val ann = p.getLogicalTypeAnnotation
+    def intAnn(bits: Int) =
+      ann == null || ann == LogicalTypeAnnotation.intType(bits, true)
+    dt match {
+      case LongType => ptn == INT64 && intAnn(64)
+      case IntegerType => ptn == INT32 && intAnn(32)
+      case ShortType => ptn == INT32 && (intAnn(32) ||
+        ann == LogicalTypeAnnotation.intType(16, true))
+      case ByteType => ptn == INT32 && (intAnn(32) ||
+        ann == LogicalTypeAnnotation.intType(8, true))
+      case DoubleType => ptn == DOUBLE
+      case FloatType => ptn == FLOAT
+      case BooleanType => ptn == BOOLEAN
+      case StringType =>
+        ptn == BINARY && ann == LogicalTypeAnnotation.stringType()
+      case DateType =>
+        ptn == INT32 && ann == LogicalTypeAnnotation.dateType()
+      case TimestampType => ptn == INT64 && ann ==
+        LogicalTypeAnnotation.timestampType(true,
+          LogicalTypeAnnotation.TimeUnit.MICROS)
+      case TimestampNTZType => ptn == INT64 && ann ==
+        LogicalTypeAnnotation.timestampType(false,
+          LogicalTypeAnnotation.TimeUnit.MICROS)
+      case d: DecimalType => ann match {
+        case dec: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+          dec.getPrecision == d.precision && dec.getScale == d.scale &&
+            (ptn == INT32 || ptn == INT64 || ptn == BINARY ||
+              ptn == FIXED_LEN_BYTE_ARRAY)
+        case _ => false
+      }
+      case _ => false // non-primitive table types refused by the caller
+    }
+  }
+
+  /** Raw `#stats` string + canonical comparison value of one footer
+    * bound, in the SAME codec the task writers record (String.valueOf of
+    * the internal representation). */
+  private def lift(dt: DataType, v: Any): Option[(String, Any)] = (dt, v) match {
+    case (LongType | TimestampType | TimestampNTZType, l: java.lang.Long) =>
+      Some((l.toString, l))
+    case (IntegerType | ShortType | ByteType | DateType, i: java.lang.Integer) =>
+      Some((i.toString, i))
+    case (BooleanType, b: java.lang.Boolean) => Some((b.toString, b))
+    case (StringType, b: Binary) =>
+      val s = b.toStringUsingUTF8
+      Some((s, s))
+    case (d: DecimalType, x) =>
+      val unscaled: Option[java.math.BigInteger] = x match {
+        case i: java.lang.Integer =>
+          Some(java.math.BigInteger.valueOf(i.longValue()))
+        case l: java.lang.Long => Some(java.math.BigInteger.valueOf(l))
+        case b: Binary => Some(new java.math.BigInteger(b.getBytes))
+        case _ => None
+      }
+      unscaled.map { u =>
+        val bd = new java.math.BigDecimal(u, d.scale)
+        (bd.toString, bd)
+      }
+    case _ => None
+  }
+
+  /** Fold one column's bounds across every block, in the skip
+    * evaluator's canonical order. None = record NO stats (conservative);
+    * an all-null column records `(nulls, absent, absent)` — the codec's
+    * all-null pattern. */
+  private def columnStats(
+      blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
+      i: Int, dt: DataType,
+      totalRows: Long): Option[ManifestFiles.ColStats] = {
+    dt match { // foreign float/double stats: NaN posture unknowable
+      case DoubleType | FloatType => return None
+      case _ =>
+    }
+    var nulls = 0L
+    var mnRaw: String = null; var mnC: Any = null
+    var mxRaw: String = null; var mxC: Any = null
+    val it = blocks.iterator
+    while (it.hasNext) {
+      val b = it.next()
+      val st = b.getColumns.get(i).getStatistics
+      if (st == null || !st.isNumNullsSet) return None
+      nulls += st.getNumNulls
+      if (st.getNumNulls < b.getRowCount) {
+        if (!st.hasNonNullValue) return None
+        val (rawMn, cMn) = lift(dt, st.genericGetMin).getOrElse(return None)
+        val (rawMx, cMx) = lift(dt, st.genericGetMax).getOrElse(return None)
+        def canon(a: Any): Any = ManifestSkip.normalize(dt, a).getOrElse(
+          return None)
+        if (mnC == null || ManifestSkip.cmp(canon(cMn), canon(mnC)) < 0) {
+          mnC = cMn; mnRaw = rawMn
+        }
+        if (mxC == null || ManifestSkip.cmp(canon(cMx), canon(mxC)) > 0) {
+          mxC = cMx; mxRaw = rawMx
+        }
+      }
+    }
+    if (nulls >= totalRows) Some(ManifestFiles.ColStats(nulls, None, None))
+    else if (mnRaw == null) None // no block produced bounds
+    else {
+      val (mn, mx) =
+        if (dt == StringType)
+          (Some(ManifestFiles.truncLower(mnRaw)),
+            ManifestFiles.truncUpper(mxRaw))
+        else (Some(mnRaw), Some(mxRaw))
+      Some(ManifestFiles.ColStats(nulls, mn, mx))
     }
   }
 }

@@ -59,6 +59,8 @@ private[sources] object ManifestSink {
     if (line.startsWith("#stats,")) line.split(",", 4).lift(1)
     else if (line.startsWith("#bucket,") || line.startsWith("#sorted,"))
       line.split(",", 3).lift(1) // drop layout marks with their entry
+    else if (line.startsWith("#import,") || line.startsWith("#born,"))
+      line.split(",", 3).lift(1) // name maps / birth marks ride their file
     else if (line.startsWith("#")) None
     else Some(line.substring(0, line.lastIndexOf(',')))
 
@@ -483,6 +485,45 @@ private[sources] class ManifestTable(schema0: StructType,
                 ManifestFiles.schemaFor(fs, path, None), pos))
           } catch { case _: Exception => Seq.empty }
 
+        // `option("upsertKeys", "k1[,k2]")` — CDC UPSERT append via
+        // EQUALITY DELETES (see ManifestEqDeletes): each task tees its
+        // rows' distinct key tuples into a delete file, the commit
+        // orders them BEFORE the batch's entries, and prior rows of
+        // those keys vanish without this write reading ANY existing
+        // data. Batch and streaming epochs share the seam.
+        private val upsertKeys: Seq[Int] = {
+          val opt = Option(info.options.get("upsertKeys"))
+            .orElse(Option(properties.get("upsertKeys")))
+          opt.map { cs =>
+            require(bucketSpec.isEmpty,
+              "upsertKeys cannot combine with a bucket-clustered write")
+            val lines =
+              try ManifestFiles.latestLines(path.getFileSystem(
+                SparkSession.active.sessionState.newHadoopConf()), path)
+              catch { case _: Exception => Array.empty[String] }
+            require(ManifestFiles.isMergeOnRead(lines),
+              "upsertKeys requires a merge-on-read table " +
+                "(TBLPROPERTIES('delete.mode'='merge-on-read')) — " +
+                "equality deletes are a MOR concept")
+            val keys = cs.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+              .map { c =>
+                val i = info.schema().fieldNames.indexOf(c)
+                require(i >= 0, s"upsertKeys column '$c' not in " +
+                  info.schema().fieldNames.mkString(","))
+                val dt = info.schema().fields(i).dataType
+                require(ManifestEqDeletes.keyTypeOk(dt),
+                  s"upsertKeys column '$c' is ${dt.sql} — keys must be " +
+                    "exact-equality primitives (integrals, string, " +
+                    "boolean, date, timestamp)")
+                i
+              }
+            require(keys.nonEmpty, "upsertKeys must name at least one column")
+            require(keys.distinct.length == keys.length,
+              "duplicate column in upsertKeys")
+            keys
+          }.getOrElse(Seq.empty)
+        }
+
         // `option("sortedBy", col)` — sorted buckets: demand an
         // in-partition sort through the same write seam, so every bucket
         // file lands sorted and a bucketed+sorted join needs neither
@@ -541,6 +582,9 @@ private[sources] class ManifestTable(schema0: StructType,
             }
 
         override def toBatch: BatchWrite = {
+          if (truncateRequested) require(upsertKeys.isEmpty,
+            "upsertKeys with mode(\"overwrite\") is meaningless — the " +
+              "truncate already discards every prior row")
           // The authoritative previous schema is the published `_SCHEMA`
           // on disk (schema0 is the DataFrame's own schema on path-based
           // writes — supportsExternalMetadata). Appends must align with
@@ -560,6 +604,15 @@ private[sources] class ManifestTable(schema0: StructType,
             require(ManifestFiles.latestComplete(fs, path, Some(b)) > 0,
               s"no branch '$b' at $path — CALL create_branch first " +
                 s"(branches: ${ManifestFiles.branches(fs, path).sorted.mkString(", ")})")
+            require(upsertKeys.isEmpty,
+              "upsertKeys on a branch write is not supported — branch " +
+                "chains number versions independently, so the delete's " +
+                "sequencing would not survive fast_forward")
+            require(!ManifestFiles.linesOf(fs, path, None, branch)
+                .exists(_.startsWith("#eqdels,")),
+              s"branch '$b' carries live equality deletes (forked from " +
+                "an upsert history) — CALL compact on main and re-branch " +
+                "before writing to it")
           }
           val existing =
             if (truncateRequested) None
@@ -608,7 +661,8 @@ private[sources] class ManifestTable(schema0: StructType,
                 }.toArray
               else Array.empty,
             format = format,
-            branch = branch)
+            branch = branch,
+            upsertKeys = upsertKeys)
         }
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
           if (truncateRequested) throw new UnsupportedOperationException(
@@ -625,6 +679,15 @@ private[sources] class ManifestTable(schema0: StructType,
             require(ManifestFiles.latestComplete(fs, path, Some(b)) > 0,
               s"no branch '$b' at $path — CALL create_branch first " +
                 s"(branches: ${ManifestFiles.branches(fs, path).sorted.mkString(", ")})")
+            require(upsertKeys.isEmpty,
+              "upsertKeys on a branch write is not supported — branch " +
+                "chains number versions independently, so the delete's " +
+                "sequencing would not survive fast_forward")
+            require(!ManifestFiles.linesOf(fs, path, None, branch)
+                .exists(_.startsWith("#eqdels,")),
+              s"branch '$b' carries live equality deletes (forked from " +
+                "an upsert history) — CALL compact on main and re-branch " +
+                "before writing to it")
           }
           val existing =
             if (branch.isDefined)
@@ -643,7 +706,7 @@ private[sources] class ManifestTable(schema0: StructType,
           }
           new ManifestStreamingWrite(path.toString, info.queryId(),
             existing.getOrElse(ManifestTable.nullableSchema(incoming)), hconf,
-            format, branch)
+            format, branch, upsertKeys = upsertKeys)
         }
       }
     }
@@ -732,7 +795,10 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
     // a per-file property, so mixed-format history reads fine
     format: String = "parquet",
     // write-audit-publish: commit onto this branch's chain, not main's
-    branch: Option[String] = None) extends BatchWrite {
+    branch: Option[String] = None,
+    // CDC upsert (equality deletes): schema indices of the key columns;
+    // the commit lands `#eqdels` lines BEFORE this batch's entries
+    upsertKeys: Seq[Int] = Seq.empty) extends BatchWrite {
 
   // Per-job staging namespace: concurrent writes (or an overlapping retry
   // of another job) can never see or delete each other's in-flight files.
@@ -759,7 +825,8 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
       recordBucket = bucketSpec.isDefined, sortPos = sortPos, format = format,
       partSpec = partSpec,
       checks = ManifestChecks.bind(SparkSession.active, schema,
-        ManifestFiles.checksFromLines(lines)))
+        ManifestFiles.checksFromLines(lines)),
+      upsertKeys = upsertKeys.toArray)
   }
 
   // Driver-side, exactly once, only after EVERY task committed: publish.
@@ -786,16 +853,36 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
           (sortPos.filter(_ => sortedOk).map(p =>
             ManifestFiles.sortedLine(fin, ManifestFiles.physPos(schema, p))))
     }
+    // unwrap upsert tees: their staged equality-delete files land now;
+    // the `#eqdels` lines are built inside the claim closure, where the
+    // attempted version is known (explicit sequencing — see
+    // ManifestEqDeletes)
+    val eqdelFins = messages.collect {
+      case ManifestEqDeletes.UpsertCommitted(_, Some(tmp), _) =>
+        val fin = tmp.stripSuffix(".tmp")
+        require(fs.rename(new Path(staging, tmp), new Path(dir, fin)),
+          s"staged equality-delete file $tmp vanished before commit")
+        fin
+    }
     val fresh = messages.flatMap {
+      case ManifestEqDeletes.UpsertCommitted(inner, _, _) => inner match {
+        case f: FileCommitted => landOne(f)
+        case FilesCommitted(files) => files.flatMap(landOne)
+        case other => throw new IllegalStateException(other.toString)
+      }
       case f: FileCommitted => landOne(f)
       // partition-split tasks: one message, many files
       case FilesCommitted(files) => files.flatMap(landOne)
     }
+    val freshNames = fresh.filterNot(_.startsWith("#"))
+      .map(l => l.substring(0, l.lastIndexOf(',')))
+    val eqPositions = upsertKeys.map(k =>
+      ManifestFiles.physPos(schema, k)).mkString(";")
     val drop = dropFromPrevious()
     // The base snapshot is supplied by publishSnapshot's claim loop (the
     // immediate predecessor version, re-read on every retry), so a
     // concurrent committer's files are never lost from the merge.
-    ManifestFiles.publishSnapshot(fs, conf.value, dir, previous => {
+    ManifestFiles.publishSnapshotV(fs, conf.value, dir, (previous, version) => {
       // DDL intent (#tableconf) persists until DROP TABLE: truncation
       // replaces the DATA, not the declared layout — and a branch's
       // fork-point marker (#branchbase) must survive both shapes, or
@@ -805,7 +892,15 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
           l.startsWith("#tableconf,") || l.startsWith("#branchbase,"))
         else previous.filterNot(line => ManifestSink.entryName(line).exists(drop))
       val conf0 = confLines.filterNot(base.contains)
-      conf0 ++ base ++ fresh
+      val eqdels = eqdelFins.map(f => s"#eqdels,$f,$eqPositions,$version")
+      // merge-on-read tables mark every entry's BIRTH version so later
+      // equality deletes can scope around it; elsewhere the marker is
+      // dead weight and stays absent
+      val born: Array[String] =
+        if (ManifestFiles.isMergeOnRead(previous) || eqdelFins.nonEmpty)
+          freshNames.map(n => ManifestFiles.bornLine(n, version))
+        else Array.empty
+      conf0 ++ base ++ eqdels ++ fresh ++ born
     }, schema, branch)
     fs.delete(staging, true)
   }
@@ -1084,20 +1179,29 @@ private[sources] class ManifestStreamWriterFactory(path: String,
     // sweep's per-epoch selector working)
     partSpec: Seq[(Int, String)] = Seq.empty,
     checks: Seq[(String, String,
-      org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty,
+    upsertKeys: Array[Int] = Array.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
-      epochId: Long): DataWriter[InternalRow] = ManifestChecks.wrap(
-    if (partSpec.isEmpty)
-      ManifestWriters.create(path, stagingName,
-        f"part-e$epochId-$partitionId%05d-$taskId${ManifestWriters.ext(format)}.tmp",
-        schema, conf, injectFailure = false)
-    else
-      new PartitionSplitWriter(path, stagingName, schema, conf, format,
-        f"part-e$epochId-$partitionId%05d-$taskId",
-        partSpec.map { case (idx, kind) =>
-          (idx, kind, schema(idx).dataType) }),
-    checks, schema)
+      epochId: Long): DataWriter[InternalRow] = {
+    val base =
+      if (partSpec.isEmpty)
+        ManifestWriters.create(path, stagingName,
+          f"part-e$epochId-$partitionId%05d-$taskId${ManifestWriters.ext(format)}.tmp",
+          schema, conf, injectFailure = false)
+      else
+        new PartitionSplitWriter(path, stagingName, schema, conf, format,
+          f"part-e$epochId-$partitionId%05d-$taskId",
+          partSpec.map { case (idx, kind) =>
+            (idx, kind, schema(idx).dataType) })
+    val teed =
+      if (upsertKeys.isEmpty) base
+      // the epoch-prefixed staged name keeps abort's per-epoch sweep
+      // and the replayed-epoch cleanup working unchanged
+      else ManifestEqDeletes.tee(base, schema, upsertKeys, path, stagingName,
+        f"part-e$epochId-$partitionId%05d-$taskId.eqdel.tmp", conf)
+    ManifestChecks.wrap(teed, checks, schema)
+  }
 }
 
 private[sources] class ManifestWriterFactory(path: String, stagingName: String,
@@ -1115,25 +1219,34 @@ private[sources] class ManifestWriterFactory(path: String, stagingName: String,
     // bound CHECK constraints, enforced on every row before it reaches
     // any inner writer (see ManifestChecks)
     checks: Seq[(String, String,
-      org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty,
+    // CDC upsert key indices — wraps each writer with the equality-
+    // delete tee (see ManifestEqDeletes.tee)
+    upsertKeys: Array[Int] = Array.empty)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int,
-      taskId: Long): DataWriter[InternalRow] = ManifestChecks.wrap(
-    if (partSpec.isEmpty)
-      ManifestWriters.create(path, stagingName,
-        f"part-$partitionId%05d-$taskId${ManifestWriters.ext(format)}.tmp",
-        schema, conf,
-        injectFailure = partitionId == failPartition,
-        bucket = if (recordBucket) partitionId else -1,
-        sortPos = sortPos)
-    else
-      new PartitionSplitWriter(path, stagingName, schema, conf, format,
-        f"part-$partitionId%05d-$taskId",
-        partSpec.map { case (idx, kind) =>
-          (idx, kind, schema(idx).dataType) },
-        sortPos = sortPos),
-    checks, schema)
+      taskId: Long): DataWriter[InternalRow] = {
+    val base =
+      if (partSpec.isEmpty)
+        ManifestWriters.create(path, stagingName,
+          f"part-$partitionId%05d-$taskId${ManifestWriters.ext(format)}.tmp",
+          schema, conf,
+          injectFailure = partitionId == failPartition,
+          bucket = if (recordBucket) partitionId else -1,
+          sortPos = sortPos)
+      else
+        new PartitionSplitWriter(path, stagingName, schema, conf, format,
+          f"part-$partitionId%05d-$taskId",
+          partSpec.map { case (idx, kind) =>
+            (idx, kind, schema(idx).dataType) },
+          sortPos = sortPos)
+    val teed =
+      if (upsertKeys.isEmpty) base
+      else ManifestEqDeletes.tee(base, schema, upsertKeys, path, stagingName,
+        f"part-$partitionId%05d-$taskId.eqdel.tmp", conf)
+    ManifestChecks.wrap(teed, checks, schema)
+  }
 }
 
 /** Partition-splitting task writer for days/months/identity layouts:
@@ -1241,7 +1354,10 @@ private[sources] class ManifestStreamingWrite(path: String, queryId: String,
     // 24/7 WRITE-AUDIT-PUBLISH: a stream staged on a branch keeps main
     // clean while an auditor periodically fast_forwards the vetted
     // prefix; the `#txn` exactly-once markers ride the branch chain
-    branch: Option[String] = None)
+    branch: Option[String] = None,
+    // streaming CDC upsert: key indices for the equality-delete tee —
+    // each epoch's delete file applies to every PRIOR epoch's rows
+    upsertKeys: Seq[Int] = Seq.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
@@ -1267,7 +1383,8 @@ private[sources] class ManifestStreamingWrite(path: String, queryId: String,
     new ManifestStreamWriterFactory(path, stagingName, schema, conf, format,
       partSpec,
       checks = ManifestChecks.bind(SparkSession.active, schema,
-        ManifestFiles.checksFromLines(lines)))
+        ManifestFiles.checksFromLines(lines)),
+      upsertKeys = upsertKeys.toArray)
   }
 
   override def commit(epochId: Long,
@@ -1283,6 +1400,9 @@ private[sources] class ManifestStreamingWrite(path: String, queryId: String,
         case FileCommitted(tmp, _, _, _, _, _, _) =>
           fs.delete(new Path(staging, tmp), false)
         case FilesCommitted(files) => files.foreach(sweep)
+        case ManifestEqDeletes.UpsertCommitted(inner, del, _) =>
+          sweep(inner)
+          del.foreach(d => fs.delete(new Path(staging, d), false))
       }
       messages.foreach(sweep)
       return
@@ -1294,13 +1414,35 @@ private[sources] class ManifestStreamingWrite(path: String, queryId: String,
         require(ok, s"staged file $tmp vanished before commit")
         Seq(s"$fin,$rows", ManifestFiles.statsLine(fin, bytes, stats, nested))
     }
+    val eqdelFins = messages.collect {
+      case ManifestEqDeletes.UpsertCommitted(_, Some(tmp), _) =>
+        val fin = tmp.stripSuffix(".tmp")
+        require(fs.rename(new Path(staging, tmp), new Path(dir, fin)),
+          s"staged equality-delete file $tmp vanished before commit")
+        fin
+    }
     val fresh = messages.flatMap {
+      case ManifestEqDeletes.UpsertCommitted(inner, _, _) => inner match {
+        case f: FileCommitted => landOne(f)
+        case FilesCommitted(files) => files.flatMap(landOne)
+        case other => throw new IllegalStateException(other.toString)
+      }
       case f: FileCommitted => landOne(f)
       case FilesCommitted(files) => files.flatMap(landOne)
     }
-    ManifestFiles.publishSnapshot(fs, conf.value, dir, previous =>
-      previous.filterNot(_.startsWith(s"#txn,$queryId,")) ++ fresh :+
-        s"#txn,$queryId,$epochId", schema, branch)
+    val freshNames = fresh.filterNot(_.startsWith("#"))
+      .map(l => l.substring(0, l.lastIndexOf(',')))
+    val eqPositions = upsertKeys.map(k =>
+      ManifestFiles.physPos(schema, k)).mkString(";")
+    ManifestFiles.publishSnapshotV(fs, conf.value, dir, (previous, version) => {
+      val eqdels = eqdelFins.map(f => s"#eqdels,$f,$eqPositions,$version")
+      val born: Array[String] =
+        if (ManifestFiles.isMergeOnRead(previous) || eqdelFins.nonEmpty)
+          freshNames.map(n => ManifestFiles.bornLine(n, version))
+        else Array.empty
+      previous.filterNot(_.startsWith(s"#txn,$queryId,")) ++ eqdels ++
+        fresh ++ born :+ s"#txn,$queryId,$epochId"
+    }, schema, branch)
   }
 
   override def abort(epochId: Long,

@@ -391,6 +391,34 @@ object ManifestFiles {
         .flatMap(_.toIntOption)
     }
 
+  /** IMPORTED data file (round 12 — `CALL add_files`, Iceberg's
+    * migration path): a foreign parquet file registered into the table
+    * WITHOUT a rewrite. Its columns are stored under the file's OWN
+    * field names, not the format's positional `c<pos>` names, so the
+    * manifest records the mapping the readers translate through:
+    * `#import,<file>,<physPos>:<b64 field name>;…`, one pair per file
+    * field in file order. Names are base64'd (field names may contain
+    * the codec's separators). Positions absent from a file's map —
+    * columns added after the import — null-fill as usual. */
+  def importLine(name: String, fields: Seq[(Int, String)]): String =
+    s"#import,$name,${fields.map { case (p, n) => s"$p:${b64(n)}" }.mkString(";")}"
+
+  /** file → (physical position → stored field name) for one snapshot. */
+  def importsFromLines(lines: Array[String]): Map[String, Map[Int, String]] =
+    lines.filter(_.startsWith("#import,")).flatMap { line =>
+      line.split(",", 3) match {
+        case Array(_, name, pairs) =>
+          val m = pairs.split(";").toSeq.flatMap { pr =>
+            val i = pr.indexOf(':')
+            if (i <= 0) None
+            else pr.substring(0, i).toIntOption.map(
+              _ -> unb64(pr.substring(i + 1)))
+          }
+          if (m.isEmpty) None else Some(name -> m.toMap)
+        case _ => None
+      }
+    }.toMap
+
   /** CHECK constraints: `#tableconf,check,<name>,<b64 expr>` — see
     * [[ManifestChecks]]. */
   def checkLine(name: String, exprText: String): String =
@@ -436,6 +464,32 @@ object ManifestFiles {
   /** Names of this snapshot's positional delete files. */
   def deleteFilesFromLines(lines: Array[String]): Array[String] =
     lines.filter(_.startsWith("#dels,")).map(_.split(",", 2)(1))
+
+  /** Names of this snapshot's EQUALITY delete files (round 12 — the
+    * Iceberg-v2 value-keyed delete flavor; see [[ManifestEqDeletes]]).
+    * Line shape: `#eqdels,<file>,<p0;p1>` — key tuple files apply to
+    * every data entry listed ABOVE them (commit order IS the line
+    * order), which is how an upsert's delete half never swallows the
+    * same commit's inserts. */
+  def eqDeleteFilesFromLines(lines: Array[String]): Array[String] =
+    lines.filter(_.startsWith("#eqdels,")).map(_.split(",", 4)(1))
+
+  /** Birth version of a data entry: `#born,<name>,<version>`, written by
+    * every commit route on merge-on-read tables. Equality deletes apply
+    * to an entry iff born(entry) < eqdelVersion — EXPLICIT sequencing,
+    * because the manifest stores its lines sorted (line order is not
+    * commit order). An entry without a line is born at 0 (pre-eqdel
+    * history): every equality delete applies, which is correct because
+    * only post-#born writers can commit after one exists. */
+  def bornLine(name: String, version: Int): String = s"#born,$name,$version"
+
+  def bornFromLines(lines: Array[String]): Map[String, Int] =
+    lines.filter(_.startsWith("#born,")).flatMap { l =>
+      l.split(",", 3) match {
+        case Array(_, n, v) => v.toIntOption.map(n -> _)
+        case _ => None
+      }
+    }.toMap
 
   /** (bucket colPos, n, sort colPos) declared by DDL, if any. */
   def tableConf(fs: FileSystem, dir: Path,
@@ -549,7 +603,17 @@ object ManifestFiles {
 
   def publishSnapshot(fs: FileSystem, conf: org.apache.hadoop.conf.Configuration,
       dir: Path, buildEntries: Array[String] => Array[String],
-      schema: StructType, branch: Option[String]): Int = {
+      schema: StructType, branch: Option[String]): Int =
+    publishSnapshotV(fs, conf, dir, (prev, _) => buildEntries(prev), schema,
+      branch)
+
+  /** The versioned flavor: `buildEntries` additionally receives the
+    * version number THIS claim attempt is for (re-invoked per retry), so
+    * commits can embed sequencing metadata (`#born`/`#eqdels` version
+    * scoping) that survives the manifest's sorted storage. */
+  def publishSnapshotV(fs: FileSystem, conf: org.apache.hadoop.conf.Configuration,
+      dir: Path, buildEntries: (Array[String], Int) => Array[String],
+      schema: StructType, branch: Option[String] = None): Int = {
     val pfx = chainPrefix(branch)
     if (!fs.exists(dir)) fs.mkdirs(dir)
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
@@ -609,7 +673,8 @@ object ManifestFiles {
         val previous =
           if (version <= 1) Array.empty[String]
           else readManifest(fs, new Path(dir, s"_MANIFEST.${pfx}v${version - 1}"))
-        entries = buildEntries(previous).sorted.mkString("\n").getBytes("UTF-8")
+        entries = buildEntries(previous, version).sorted.mkString("\n")
+          .getBytes("UTF-8")
         claimed = !fs.exists(new Path(dir, s"_MANIFEST.${pfx}v$version")) &&
           land(s"._claim-$token-$pfx$version", entries,
             s"_MANIFEST.${pfx}v$version", overwrite = false)
@@ -675,6 +740,15 @@ object ManifestFiles {
         s"deletes (${newDels.size} delete files, e.g. ${newDels.head}); " +
         "incremental reads require append-only history (pass " +
         "option(\"ignoreDeletes\", true) to acknowledge and skip them)")
+    // equality deletes (upserts) are row removals too — same contract
+    val newEqDels = eqDeleteFilesFromLines(afterLines).toSet --
+      eqDeleteFilesFromLines(beforeLines).toSet
+    if (newEqDels.nonEmpty && !ignoreDeletes) throw new IllegalStateException(
+      s"graft-manifest at $dir: versions $from..$to apply equality " +
+        s"deletes (${newEqDels.size} delete files, e.g. ${newEqDels.head}); " +
+        "incremental reads require append-only history (pass " +
+        "option(\"ignoreDeletes\", true) to acknowledge and skip them, " +
+        "or CALL compact to materialize)")
     (after -- before).toArray.sorted
   }
 
@@ -1539,6 +1613,13 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
   }
   private[sources] def hasDeletes: Boolean = deleteMap.nonEmpty
 
+  /** file → equality-delete sets that apply to it (the `#eqdels` lines
+    * BELOW the file's entry line — commit order is line order). Driver
+    * reads each KB-scale tuple file once; applied per row in the
+    * factory's wrapping filter. */
+  private lazy val eqDeleteMap: Map[String, Seq[ManifestEqDeletes.EqSet]] =
+    ManifestEqDeletes.assemble(snapshotLines, fullSchema, dir, conf.value)
+
   override def planInputPartitions(): Array[InputPartition] = {
     val (kept, rows, stats) = staticPlan
     val afterGroup = allowedFiles.fold(kept)(ok => kept.filter(ok))
@@ -1623,13 +1704,17 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
       // delete vectors) — scan-level, so the answer stays uniform;
       // grouped layouts (bucket / value groups) read row-wise through
       // their sequential multi-file splits
+      // equality deletes force row reads too (the wrapping filter is a
+      // row filter) — scan-level, so the reader kind stays uniform
       columnar = columnar.getOrElse(allParquet) && bucketLayout.isEmpty &&
-        partGroups.isEmpty && !hasDeletes,
+        partGroups.isEmpty && !hasDeletes && eqDeleteMap.isEmpty,
       filters = skipFilters, parquetOnly = allParquet,
       maxPhysArity = ManifestReaderFactory.maxPhysArity(fullSchema,
         ManifestFiles.droppedFromLines(snapshotLines)),
       defaults = ManifestChecks.existsDefaults(
-        org.apache.spark.sql.SparkSession.active, required))
+        org.apache.spark.sql.SparkSession.active, required),
+      imports = ManifestFiles.importsFromLines(snapshotLines),
+      eqDeletes = eqDeleteMap)
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -1711,7 +1796,9 @@ private[sources] class ManifestMicroBatchStream(path: String,
       maxPhysArity = ManifestReaderFactory.maxPhysArity(fullSchema,
         ManifestFiles.droppedFromLines(ManifestFiles.latestLines(fs, dir))),
       defaults = ManifestChecks.existsDefaults(
-        org.apache.spark.sql.SparkSession.active, required))
+        org.apache.spark.sql.SparkSession.active, required),
+      imports = ManifestFiles.importsFromLines(
+        ManifestFiles.latestLines(fs, dir)))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -1774,17 +1861,25 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
     // EXISTS_DEFAULT values (field name → INTERNAL value, evaluated
     // driver-side): files written before the column existed surface the
     // default instead of NULL (see ManifestChecks.existsDefaults)
-    defaults: Seq[(String, Any)] = Seq.empty)
+    defaults: Seq[(String, Any)] = Seq.empty,
+    // `CALL add_files` imports: file → (physical position → the file's
+    // own field name) — the readers request THOSE names instead of the
+    // positional `c<pos>` ones (see ManifestFiles.importLine)
+    imports: Map[String, Map[Int, String]] = Map.empty,
+    // equality deletes: file → the delete sets that apply to it; the
+    // row reader wraps with a key-tuple filter (see ManifestEqDeletes)
+    eqDeletes: Map[String, Seq[ManifestEqDeletes.EqSet]] = Map.empty)
     extends PartitionReaderFactory {
 
-  // required-index → default, for fields this projection carries
-  private val defaultAt: Map[Int, Any] = defaults.flatMap { case (n, v) =>
-    val i = required.fieldNames.indexOf(n)
-    if (i >= 0) Some(i -> v) else None
-  }.toMap
+  // projection-index → default, for fields a projection carries
+  private def defaultsFor(req: StructType): Map[Int, Any] =
+    defaults.flatMap { case (n, v) =>
+      val i = req.fieldNames.indexOf(n)
+      if (i >= 0) Some(i -> v) else None
+    }.toMap
 
   override def supportColumnarReads(p: InputPartition): Boolean =
-    columnar && defaultAt.isEmpty &&
+    columnar && defaultsFor(required).isEmpty && eqDeletes.isEmpty &&
       p.isInstanceOf[ManifestInputPartition] &&
       !required.fieldNames.contains("_pos") &&
       required.fields.forall(f =>
@@ -1795,7 +1890,8 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
       PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val part = p.asInstanceOf[ManifestInputPartition]
     if (ManifestParquet.isParquet(part.name))
-      ManifestParquet.columnarReader(part, fullSchema, required, conf, filters)
+      ManifestParquet.columnarReader(part, fullSchema, required, conf, filters,
+        imports.getOrElse(part.name, Map.empty))
     else new ManifestColumnarReader(part, fullSchema, required, conf,
       maxPhysArity)
   }
@@ -1804,7 +1900,19 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
     p match {
       case bp: ManifestBucketPartition => sequentialReader(bp.files)
       case gp: ManifestGroupPartition => sequentialReader(gp.files)
-      case single: ManifestInputPartition => createFileReader(single)
+      case single: ManifestInputPartition =>
+        val eqs = eqDeletes.getOrElse(single.name, Seq.empty)
+        if (eqs.isEmpty) createFileReader(single, required)
+        else {
+          // the filter needs the KEY columns — widen the projection when
+          // the query didn't ask for them, project back after
+          val missing = eqs.flatMap(_.keyNames).distinct
+            .filterNot(required.fieldNames.contains)
+          val widened = StructType(required.fields ++ missing.map(n =>
+            fullSchema(fullSchema.fieldIndex(n))))
+          ManifestEqDeletes.filtered(
+            createFileReader(single, widened), widened, required, eqs)
+        }
       case other => throw new IllegalArgumentException(other.toString)
     }
 
@@ -1839,30 +1947,35 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
     * real column remains, the footer's row count drives a synthetic
     * constant-row reader. Post-add files carry the field — explicit
     * NULLs stay NULL. */
-  private def withParquetDefaults(
-      part: ManifestInputPartition): PartitionReader[InternalRow] = {
+  private def withParquetDefaults(part: ManifestInputPartition,
+      req: StructType): PartitionReader[InternalRow] = {
+    val importedNames = imports.getOrElse(part.name, Map.empty)
+    val defAt = defaultsFor(req)
     def plain() =
-      ManifestParquet.rowReader(part, fullSchema, required, conf, filters)
-    if (defaultAt.isEmpty) return plain()
+      ManifestParquet.rowReader(part, fullSchema, req, conf, filters,
+        importedNames)
+    if (defAt.isEmpty) return plain()
     val (fileFields, rowCount) = ManifestParquet.fileInfo(part.file, conf.value)
-    def presentInFile(n: String): Boolean =
-      fileFields.contains(ManifestParquet.colName(
-        ManifestFiles.physPos(fullSchema, fullSchema.fieldIndex(n))))
-    val missing = defaultAt.filter { case (i, _) =>
-      val n = required.fields(i).name
+    def presentInFile(n: String): Boolean = {
+      val p = ManifestFiles.physPos(fullSchema, fullSchema.fieldIndex(n))
+      fileFields.contains(
+        importedNames.getOrElse(p, ManifestParquet.colName(p)))
+    }
+    val missing = defAt.filter { case (i, _) =>
+      val n = req.fields(i).name
       n != "_file" && n != "_pos" && !presentInFile(n)
     }
     if (missing.isEmpty) return plain()
-    val innerFields = required.fields.zipWithIndex
+    val innerFields = req.fields.zipWithIndex
       .filterNot { case (_, i) => missing.contains(i) }
-    val dts = required.fields.map(_.dataType)
+    val dts = req.fields.map(_.dataType)
     if (innerFields.exists { case (f, _) =>
         f.name != "_file" && f.name != "_pos" }) {
       // at least one REAL column to drive the inner read
       val innerReq = StructType(innerFields.map(_._1))
       val inner = ManifestParquet.rowReader(
         ManifestInputPartition(part.file, part.name, part.deletes),
-        fullSchema, innerReq, conf, filters)
+        fullSchema, innerReq, conf, filters, importedNames)
       val innerIdxOf: Map[Int, Int] =
         innerFields.map(_._2).zipWithIndex.toMap
       new PartitionReader[InternalRow] {
@@ -1901,7 +2014,7 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
           var i = 0
           while (i < dts.length) {
             out.update(i, missing.getOrElse(i,
-              if (required.fields(i).name == "_file") fileName else ordinal))
+              if (req.fields(i).name == "_file") fileName else ordinal))
             i += 1
           }
           out
@@ -1911,10 +2024,11 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
     }
   }
 
-  private def createFileReader(
-      part: ManifestInputPartition): PartitionReader[InternalRow] = {
+  private def createFileReader(part: ManifestInputPartition,
+      req: StructType): PartitionReader[InternalRow] = {
     if (ManifestParquet.isParquet(part.name))
-      return withParquetDefaults(part)
+      return withParquetDefaults(part, req)
+    val defAt = defaultsFor(req)
     val file = new Path(part.file)
     val fs = file.getFileSystem(conf.value)
     val reader = new java.io.BufferedReader(
@@ -1924,7 +2038,7 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
     // metadata column (this partition's manifest entry name — the group
     // identity row-level COW plans join on); -2 = `_pos` (the row's
     // ordinal in its file — the row identity delta plans key on).
-    val picks: Array[(Int, DataType)] = required.fields.map { f =>
+    val picks: Array[(Int, DataType)] = req.fields.map { f =>
       if (f.name == "_file") (-1, StringType)
       else if (f.name == "_pos") (-2, LongType)
       else (ManifestFiles.physPos(fullSchema,
@@ -1978,7 +2092,7 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
           out.update(i,
             if (src == -1) fileName
             else if (src == -2) ordinal
-            else if (src >= cols.length) defaultAt.getOrElse(i, null)
+            else if (src >= cols.length) defAt.getOrElse(i, null)
             else parse(cols(src), dt))
           i += 1
         }
@@ -2585,6 +2699,14 @@ class GraftManifestCatalog extends TableCatalog
           require(!ManifestFiles.sortOrderFromLines(priorLines).contains(pos),
             s"cannot drop '$name': the table's declared write.sort-order " +
               "references it — clear or re-declare the sort order first")
+          // live equality-delete files key on physical positions: losing
+          // one would make their tuples unevaluable and RESURFACE the
+          // deleted rows — materialize first
+          require(!priorLines.exists(l => l.startsWith("#eqdels,") &&
+              l.split(",", 4)(2).split(";").flatMap(_.toIntOption)
+                .contains(pos)),
+            s"cannot drop '$name': live equality-delete files key on it " +
+              "— CALL compact to materialize them first")
           ManifestFiles.checksFromLines(priorLines).foreach { case (cn, txt) =>
             require(!ManifestChecks.referencedColumns(SparkSession.active, txt)
                 .exists(_.equalsIgnoreCase(name)),
@@ -2812,6 +2934,8 @@ class GraftManifestCatalog extends TableCatalog
       case "drop_branch" => ManifestProcedures.dropBranch(dirFor)
       case "fast_forward" => ManifestProcedures.fastForward(dirFor)
       case "cherry_pick" => ManifestProcedures.cherryPick(dirFor)
+      case "add_files" => ManifestProcedures.addFiles(dirFor)
+      case "remove_orphan_files" => ManifestProcedures.removeOrphanFiles(dirFor)
     }
   }
 }
@@ -2934,7 +3058,8 @@ private[sources] object ManifestProcedures {
   val names: Array[String] =
     Array("compact", "vacuum", "snapshots", "rewrite_position_deletes",
       "rollback", "create_tag", "drop_tag",
-      "create_branch", "drop_branch", "fast_forward", "cherry_pick")
+      "create_branch", "drop_branch", "fast_forward", "cherry_pick",
+      "add_files", "remove_orphan_files")
 
   private def param(n: String, dt: org.apache.spark.sql.types.DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -3092,9 +3217,11 @@ private[sources] object ManifestProcedures {
       "scoped compact on a bucket-laid table is not supported — the " +
         "bucket layout already governs file organization (full compact " +
         "re-buckets)")
-    require(!lines.exists(_.startsWith("#dels,")),
-      "scoped compact with merge-on-read delete vectors pending — " +
-        "CALL rewrite_position_deletes or a full compact first")
+    require(!lines.exists(l => l.startsWith("#dels,") ||
+        l.startsWith("#eqdels,")),
+      "scoped compact with merge-on-read delete vectors or equality " +
+        "deletes pending — CALL rewrite_position_deletes or a full " +
+        "compact first")
     val schemaNow = ManifestFiles.schemaFor(fs, dir, None)
     // WHERE → data-source filters via Spark's own translation
     val probe = spark.createDataFrame(
@@ -3337,13 +3464,15 @@ private[sources] object ManifestProcedures {
         ManifestFiles.versions(fs, dir, Some(b)).flatMap { v =>
           val lines = ManifestFiles.linesOf(fs, dir, Some(v), Some(b))
           ManifestFiles.entriesFromLines(lines).map(_._1) ++
-            ManifestFiles.deleteFilesFromLines(lines)
+            ManifestFiles.deleteFilesFromLines(lines) ++
+            ManifestFiles.eqDeleteFilesFromLines(lines)
         }
       }
       val referenced = (kept.flatMap { v =>
         val lines = ManifestFiles.linesOf(fs, dir, Some(v))
         ManifestFiles.entriesFromLines(lines).map(_._1) ++
-          ManifestFiles.deleteFilesFromLines(lines) // MOR delete files live too
+          ManifestFiles.deleteFilesFromLines(lines) ++ // MOR dels live too
+          ManifestFiles.eqDeleteFilesFromLines(lines)  // equality dels too
       } ++ branchRefs).toSet
       dropped.foreach { v =>
         fs.delete(new Path(dir, s"_MANIFEST.v$v"), false)
@@ -3368,6 +3497,45 @@ private[sources] object ManifestProcedures {
       result(new StructType().add("versions_dropped", IntegerType)
           .add("data_files_deleted", IntegerType),
         Array(dropped.length, removed))
+    }
+
+  /** `remove_orphan_files(table[, older_than_hours])` — reclaim the one
+    * leak vacuum's referenced-file sweep cannot see: `.staging-<query>`
+    * DIRECTORIES left by writers that died between factory creation and
+    * commit/abort (task-staged files live under them, invisible to the
+    * top-level sweep). A staging dir is an orphan only when its NEWEST
+    * member predates the horizon (default 24h — Iceberg's default for
+    * the same procedure): an in-flight job's staging keeps fresh mtimes,
+    * so racing a live writer is impossible by construction at any sane
+    * horizon. Complements vacuum; never touches manifest/schema/ref
+    * files or committed data. */
+  def removeOrphanFiles(dirFor: String => Path): UnboundProcedure =
+    proc("remove_orphan_files", Array(param("table", StringType),
+        paramDefault("older_than_hours", IntegerType, "24"))) { input =>
+      val spark = SparkSession.active
+      val dir = dirFor(input.getUTF8String(0).toString)
+      val hours = input.getInt(1)
+      require(hours >= 0, s"older_than_hours must be >= 0, got $hours")
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      require(fs.exists(new Path(dir, "_MANIFEST")),
+        s"no graft-manifest table at $dir")
+      val cutoff = System.currentTimeMillis() - hours * 3600000L
+      var dirsRemoved = 0
+      var filesRemoved = 0
+      fs.listStatus(dir).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.startsWith(".staging-")) {
+          val members = fs.listStatus(st.getPath)
+          val newest = (members.map(_.getModificationTime) :+
+            st.getModificationTime).max
+          if (newest < cutoff && fs.delete(st.getPath, true)) {
+            dirsRemoved += 1
+            filesRemoved += members.length
+          }
+        }
+      }
+      result(new StructType().add("staging_dirs_removed", IntegerType)
+          .add("files_removed", IntegerType),
+        Array(dirsRemoved, filesRemoved))
     }
 
   /** `rollback(table, version)` — restore snapshot `version` as a NEW
@@ -3577,7 +3745,8 @@ private[sources] object ManifestProcedures {
           s"removed/rewrote ${removed.size} lines (e.g. ${removed.head}) " +
           "— replay that operation against current main instead")
       val delta = (payload(cur).toSet -- payload(prev).toSet).toSeq.sorted
-      require(!delta.exists(_.startsWith("#dels,")),
+      require(!delta.exists(l => l.startsWith("#dels,") ||
+          l.startsWith("#eqdels,")),
         s"cherry_pick supports APPEND-ONLY commits; version $v applied " +
           "merge-on-read delete vectors — replay the DELETE against " +
           "current main instead")
@@ -3588,12 +3757,20 @@ private[sources] object ManifestProcedures {
         require(fs.exists(new Path(dir, n)),
           s"data file $n of version $v was vacuumed — nothing to graft")
       }
-      val newV = ManifestFiles.publishSnapshot(fs, conf, dir, previous => {
+      val newV = ManifestFiles.publishSnapshotV(fs, conf, dir,
+        (previous, version) => {
         val mainNames = previous.flatMap(ManifestSink.entryName).toSet
         require(addedNames.forall(!mainNames.contains(_)),
           s"main already lists ${addedNames.count(mainNames.contains)} of " +
             s"version $v's files — already fast-forwarded or picked?")
-        previous ++ delta.filterNot(previous.contains)
+        // source-chain birth markers carry SOURCE version numbers —
+        // strip them and re-mark at the grafted version
+        previous ++
+          delta.filterNot(l => previous.contains(l) ||
+            l.startsWith("#born,")) ++
+          (if (ManifestFiles.isMergeOnRead(previous))
+             addedNames.map(n => ManifestFiles.bornLine(n, version))
+           else Seq.empty[String])
       }, ManifestFiles.schemaFor(fs, dir, None))
       result(new StructType().add("picked_version", IntegerType)
           .add("files_grafted", IntegerType).add("new_version", IntegerType),
@@ -3618,5 +3795,91 @@ private[sources] object ManifestProcedures {
         override def readSchema(): StructType = schema
         override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = history
       }).iterator()
+    }
+
+  /** `add_files(table, source[, pattern])` — Iceberg's migration path
+    * (`add_files` / `migrate`): register EXISTING parquet files into the
+    * governed table as ONE metadata commit, no data rewrite. At 100 TB
+    * this is the difference between "adopt the table format" being a
+    * week-long copy job and being a driver-side footer sweep. Per file:
+    * the footer is inspected (schema validated positionally against the
+    * table's — count, physical types, logical annotations), the row
+    * count and per-column min/max/null stats are LIFTED from the footer
+    * into `#stats` (parquet's truncated binary bounds are already
+    * conservative — prefix-min / incremented-max — so the skip
+    * evaluator's contract holds; float/double stats are dropped: foreign
+    * NaN handling is unknowable), and the file is RENAMED into the table
+    * directory (same filesystem — manifest entries are bare names).
+    * Because foreign files carry their OWN field names rather than the
+    * format's positional `c<pos>` ones, each import records a
+    * `#import` name map the readers translate through (row, columnar,
+    * change-feed, and defaults-probe paths all consult it; row-group
+    * pushdown stays off for imported files — file-level skipping still
+    * applies). All footers are validated BEFORE anything moves; a failed
+    * publish moves the files back. Primitive-typed tables only; bucket
+    * layouts refused (the layout cannot be verified on foreign files);
+    * CHECK constraints are not retro-validated (the ADD CONSTRAINT
+    * posture, documented); imported rows join snapshots, time travel,
+    * CDF, and row-level ops like any other — a later compact folds them
+    * into native positional files. */
+  def addFiles(dirFor: String => Path): UnboundProcedure =
+    proc("add_files", Array(param("table", StringType),
+        param("source", StringType),
+        paramDefault("pattern", StringType, "'*.parquet'"))) { input =>
+      val spark = SparkSession.active
+      val dir = dirFor(input.getUTF8String(0).toString)
+      val source = new Path(input.getUTF8String(1).toString)
+      val pattern = if (input.numFields > 2 && !input.isNullAt(2))
+        input.getUTF8String(2).toString else "*.parquet"
+      val hconf = spark.sessionState.newHadoopConf()
+      val fs = dir.getFileSystem(hconf)
+      require(fs.exists(new Path(dir, "_MANIFEST")),
+        s"no graft-manifest table at $dir")
+      require(ManifestFiles.tableConf(fs, dir, None).isEmpty,
+        "add_files into a bucket-laid table is not supported — the " +
+          "bucket layout cannot be verified on foreign files " +
+          "(INSERT ... SELECT re-clusters)")
+      val schema = ManifestFiles.schemaFor(fs, dir, None)
+      schema.fields.foreach { f =>
+        require(ManifestSkip.statsCapable(f.dataType),
+          s"add_files supports primitive-typed tables — column " +
+            s"'${f.name}' is ${f.dataType.sql} " +
+            "(use INSERT ... SELECT to rewrite-import)")
+      }
+      val srcFs = source.getFileSystem(hconf)
+      require(srcFs.getUri == fs.getUri,
+        s"add_files moves files WITHIN one filesystem — source " +
+          s"${srcFs.getUri} vs table ${fs.getUri} (copy first)")
+      val found = Option(srcFs.globStatus(new Path(source, pattern)))
+        .getOrElse(Array.empty).filter(_.isFile)
+      require(found.nonEmpty, s"no files match $source/$pattern")
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      // inspect EVERY footer before moving anything — all-or-nothing
+      val prepared = found.zipWithIndex.map { case (st, i) =>
+        val name = f"import-$token-$i%05d.parquet"
+        val lines = ManifestImport.inspect(st.getPath, name, st.getLen,
+          schema, hconf)
+        (st.getPath, name, lines)
+      }
+      prepared.foreach { case (src, name, _) =>
+        require(fs.rename(src, new Path(dir, name)),
+          s"could not move $src into $dir (filesystem refused)")
+      }
+      try ManifestFiles.publishSnapshotV(fs, hconf, dir,
+        (previous, version) => previous ++ prepared.flatMap(_._3) ++
+          (if (ManifestFiles.isMergeOnRead(previous))
+             prepared.map(pr => ManifestFiles.bornLine(pr._2, version))
+           else Array.empty[String]), schema)
+      catch { case t: Throwable =>
+        prepared.foreach { case (src, name, _) =>
+          try fs.rename(new Path(dir, name), src)
+          catch { case _: Exception => } // best effort; vacuum reclaims
+        }
+        throw t
+      }
+      val rows = prepared.map(_._3.head.split(',').last.toLong).sum
+      result(new StructType().add("version", IntegerType)
+          .add("files_added", IntegerType).add("rows_added", LongType),
+        Array(ManifestFiles.latestVersion(fs, dir), prepared.length, rows))
     }
 }

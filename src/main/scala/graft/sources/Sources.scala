@@ -1409,6 +1409,163 @@ object Sources extends QueryModule {
       WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-09-01'
       GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** `CALL add_files` (round 12 — Iceberg's migration path): a month of
+    * orders lands as PLAIN parquet (a foreign export, real field names),
+    * registers into the governed table as one metadata commit (files
+    * renamed in, stats lifted from footers, no rewrite), then a second
+    * month arrives through a NATIVE append — the aggregate reads
+    * imported and native files in one scan and must match the oracle's
+    * recompute from the raw table. */
+  val qAddFiles: QueryDef = QueryDef(
+    "q252_manifest_add_files",
+    (s, d) => {
+      import s.implicits._
+      val root = tmp(d, "manifest_addfiles")
+      val dir = new org.apache.hadoop.fs.Path(root)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      val cat = "graft_adf_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      def slice(lo: String, hi: String) = Tables.df(s, d, "orders")
+        .filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
+        .select(to_date($"o_orderdate").as("day"), $"o_orderkey",
+          $"o_totalprice", $"o_orderpriority")
+      // the foreign export: real names, plain parquet, 3 files
+      slice("1996-01-01", "1996-02-01").toDF(
+          "od", "okey", "price", "prio")
+        .repartitionByRange(3, $"od")
+        .write.mode("overwrite").parquet(s"$root/landing")
+      s.sql(s"CREATE TABLE $cat.fact (day DATE, o_orderkey BIGINT, " +
+        "o_totalprice DOUBLE, o_orderpriority STRING)")
+      s.sql(s"CALL $cat.system.add_files('fact', '$root/landing')")
+        .collect()
+      slice("1996-02-01", "1996-03-01").writeTo(s"$cat.fact").append()
+      s.sql(s"""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 AS total, MIN(day) AS first_day, MAX(day) AS last_day
+        FROM $cat.fact GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    },
+    Some("""
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS total,
+             MIN(CAST(o_orderdate AS DATE)) AS first_day,
+             MAX(CAST(o_orderdate AS DATE)) AS last_day
+      FROM orders
+      WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-03-01'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** EQUALITY-DELETE UPSERTS (round 12 — Iceberg v2's value-keyed delete
+    * flavor): a corpus loads, then two CDC-style correction batches
+    * upsert overlapping key ranges — each writes ONLY its own rows plus
+    * a KB-scale key-tuple delete file, never reading the table. The
+    * final aggregate must equal the oracle's direct last-wins
+    * computation; a post-upsert compact (materializing the deletes) must
+    * not change it. */
+  val qUpsert: QueryDef = QueryDef(
+    "q253_manifest_upsert",
+    (s, d) => {
+      import s.implicits._
+      val root = tmp(d, "manifest_upsert")
+      val dir = new org.apache.hadoop.fs.Path(root)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      val cat = "graft_ups_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE TABLE $cat.docs (doc_id BIGINT, lang STRING, " +
+        "n_chars BIGINT) TBLPROPERTIES('delete.mode'='merge-on-read')")
+      val docs = Tables.df(s, d, "documents")
+        .select($"doc_id", $"lang", $"n_chars")
+      docs.writeTo(s"$cat.docs").append()
+      // correction batch 1: re-scores every 7th doc
+      docs.filter($"doc_id" % 7 === 2)
+        .select($"doc_id", $"lang", ($"n_chars" + 1000L).as("n_chars"))
+        .write.mode("append").format("graft-manifest")
+        .option("path", s"$root/docs").option("upsertKeys", "doc_id").save()
+      // correction batch 2 overlaps batch 1 (doc_id % 77 == 58 hits both)
+      docs.filter($"doc_id" % 11 === 3)
+        .select($"doc_id", $"lang", ($"n_chars" + 5000L).as("n_chars"))
+        .write.mode("append").format("graft-manifest")
+        .option("path", s"$root/docs").option("upsertKeys", "doc_id").save()
+      // half the check BEFORE compaction, half after: the materializing
+      // rewrite must be value-neutral
+      val pre = s.sql(s"""
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM $cat.docs GROUP BY lang""").collect()
+      s.sql(s"CALL $cat.system.compact('docs', 2)")
+      val post = s.sql(s"""
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM $cat.docs GROUP BY lang""").collect()
+      require(pre.map(_.toString).sorted.sameElements(
+        post.map(_.toString).sorted),
+        "compact (materializing equality deletes) changed the aggregate")
+      s.sql(s"""
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM $cat.docs GROUP BY lang ORDER BY lang""")
+    },
+    Some("""
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(n_chars +
+               CASE WHEN doc_id % 11 = 3 THEN 5000
+                    WHEN doc_id % 7 = 2 THEN 1000
+                    ELSE 0 END) AS BIGINT) AS chars
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
+  /** The full CDC loop (round 12): corrections arrive as equality-delete
+    * UPSERTS (write side never reads the table), and a downstream
+    * fingerprint store is maintained INCREMENTALLY from the change feed
+    * — each upsert surfaces as delete(old row) + insert(new row), so the
+    * store applies inserts ∖ deletes on the row identity and never
+    * rescans the corpus. The oracle recomputes the store from scratch:
+    * incremental maintenance across upserts must converge to the full
+    * rebuild. */
+  val qCdfUpsertMaint: QueryDef = QueryDef(
+    "q254_cdf_upsert_maintenance",
+    (s, d) => {
+      import s.implicits._
+      val root = tmp(d, "manifest_cdfups")
+      val dir = new org.apache.hadoop.fs.Path(root)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      val cat = "graft_cup_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE TABLE $cat.docs (doc_id BIGINT, lang STRING, " +
+        "fp STRING) TBLPROPERTIES('delete.mode'='merge-on-read')")
+      val docs = Tables.df(s, d, "documents")
+      docs.select($"doc_id", $"lang", md5($"text").as("fp"))
+        .writeTo(s"$cat.docs").append()                            // v2
+      // a re-crawl re-fingerprints every 7th doc — lands as an UPSERT
+      docs.filter($"doc_id" % 7 === 2)
+        .select($"doc_id", $"lang",
+          md5(concat($"text", lit("v2"))).as("fp"))
+        .write.mode("append").format("graft-manifest")
+        .option("path", s"$root/docs")
+        .option("upsertKeys", "doc_id").save()                     // v3
+      val feed = s.read.format("graft-manifest").option("path", s"$root/docs")
+        .option("changeFeed", "true").load()
+      // store = inserts ∖ deletes on the (doc_id, fp) row identity
+      val store = feed.filter($"_change_type" === "insert")
+        .select($"doc_id", $"lang", $"fp")
+        .join(feed.filter($"_change_type" === "delete")
+          .select($"doc_id".as("d_id"), $"fp".as("d_fp")),
+          $"doc_id" === $"d_id" && $"fp" === $"d_fp", "left_anti")
+      store.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct($"fp").as("n_uniq"))
+        .orderBy($"lang")
+        .select($"lang", $"n_docs", $"n_uniq")
+    },
+    Some("""
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT CASE WHEN doc_id % 7 = 2
+               THEN md5(text || 'v2') ELSE md5(text) END) AS BIGINT)
+               AS n_uniq
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
   override def defs: Seq[QueryDef] =
     Seq(qCsv, qJson, qOrc, qText, qPartitioned, qSynthSource, qSynthColumnar,
       qSchemaEvolution, qManifestTimeTravel, qManifestMerge, qManifestStream,
@@ -1417,5 +1574,5 @@ object Sources extends QueryModule {
       qManifestMergeOnRead, qMetadataDelete, qManifestEmbeddings, qDaySpj,
       qMultiPart, qPartitionsMeta, qRefs, qChangeFeed, qBranchWap,
       qCdfIndexMaint, qBloomProbe, qScopedCompact, qColumnDefaults,
-      qSortOrder)
+      qSortOrder, qAddFiles, qUpsert, qCdfUpsertMaint)
 }

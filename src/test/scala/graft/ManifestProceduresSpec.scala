@@ -120,4 +120,41 @@ class ManifestProceduresSpec extends AnyFunSuite {
       assert(ManifestFiles.entries(fs, p, None).length == 1)
     }
   }
+
+  test("remove_orphan_files reclaims stale staging dirs, spares fresh " +
+    "ones and everything committed") {
+    withCatalog("graft_pc5") { root =>
+      write(s"$root/t", 0 until 5)
+      val p = new Path(s"$root/t")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      // a writer that died mid-job: staged task files, no commit/abort
+      val stale = new Path(p, ".staging-dead-query")
+      fs.mkdirs(stale)
+      val orphan = new Path(stale, "part-00000-1.parquet.tmp")
+      val out = fs.create(orphan, true)
+      out.write("x".getBytes("UTF-8")); out.close()
+      // age it past the horizon (mtime is the orphan test's only input)
+      fs.setTimes(orphan, System.currentTimeMillis() - 48L * 3600000L, -1)
+      fs.setTimes(stale, System.currentTimeMillis() - 48L * 3600000L, -1)
+      // an IN-FLIGHT writer's staging: fresh mtimes, must survive
+      val live = new Path(p, ".staging-live-query")
+      fs.mkdirs(live)
+      val inflight = new Path(live, "part-00000-2.parquet.tmp")
+      val out2 = fs.create(inflight, true)
+      out2.write("y".getBytes("UTF-8")); out2.close()
+
+      val res = spark.sql(
+        "CALL graft_pc5.system.remove_orphan_files('t', 24)").collect()(0)
+      assert((res.getInt(0), res.getInt(1)) == ((1, 1)), res.toString)
+      assert(!fs.exists(stale), "stale staging dir must be reclaimed")
+      assert(fs.exists(inflight), "in-flight staging must survive")
+      // committed data untouched
+      assert(spark.read.format("graft-manifest")
+        .option("path", s"$root/t").load().count() == 5L)
+      // horizon 0 sweeps the rest (nothing fresh is in flight here)
+      spark.sql(
+        "CALL graft_pc5.system.remove_orphan_files('t', 0)").collect()
+      assert(!fs.exists(live))
+    }
+  }
 }
