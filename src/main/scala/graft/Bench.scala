@@ -74,7 +74,7 @@ object Bench {
     "q248_manifest_bloom_probe", "q249_manifest_scoped_compact",
     "q250_manifest_column_defaults", "q251_manifest_sort_order",
     "q252_manifest_add_files", "q253_manifest_upsert",
-    "q254_cdf_upsert_maintenance")
+    "q254_cdf_upsert_maintenance", "q255_manifest_replace_table")
 
   private val sentinelName = "q97_compute_pi"
   private val stragglerQueries =

@@ -448,6 +448,15 @@ private[sources] class ManifestTable(schema0: StructType,
               "bucketBy and buckets must be set together")
           }
         }
+        // REPLACE TABLE staging (see GraftManifestCatalog.stageReplace):
+        // the catalog passes the NEW DDL's #tableconf lines — the write
+        // must honor THOSE, never the to-be-replaced table's layout
+        // (presence of the key is the replace marker)
+        private val replaceConf: Option[Array[String]] =
+          Option(info.options.get("replaceConfLines"))
+            .orElse(Option(properties.get("replaceConfLines")))
+            .map(v => v.split("\n").filter(_.nonEmpty))
+
         // Declared days/months/identity partition layout (from the
         // `#tableconf,part` line on disk, so EVERY write route honors it
         // — catalog INSERTs and path-based appends alike). The write
@@ -456,7 +465,8 @@ private[sources] class ManifestTable(schema0: StructType,
         // writer keep one open file at a time, and the file count stays
         // ~one per partition value instead of tasks × values.
         private val partLayout: Seq[(Int, String)] =
-          try {
+          if (replaceConf.isDefined) Seq.empty
+          else try {
             val fs = path.getFileSystem(
               SparkSession.active.sessionState.newHadoopConf())
             ManifestFiles.partConfs(ManifestFiles.latestLines(fs, path))
@@ -476,14 +486,20 @@ private[sources] class ManifestTable(schema0: StructType,
         // each landed file is clustered on the keys, earns a verified
         // `#sorted` mark on the leading one, and compaction later turns
         // per-file order into disjoint table-wide ranges.
-        private val sortLayout: Seq[Int] =
-          try {
-            val fs = path.getFileSystem(
-              SparkSession.active.sessionState.newHadoopConf())
-            ManifestFiles.sortOrderFromLines(ManifestFiles.latestLines(fs, path))
-              .flatMap(pos => ManifestFiles.fieldAtPhys(
-                ManifestFiles.schemaFor(fs, path, None), pos))
-          } catch { case _: Exception => Seq.empty }
+        private val sortLayout: Seq[Int] = replaceConf match {
+          // a REPLACE's declared order references the NEW schema (fresh
+          // positions == indices)
+          case Some(lines) => ManifestFiles.sortOrderFromLines(lines)
+            .filter(_ < info.schema().length)
+          case None =>
+            try {
+              val fs = path.getFileSystem(
+                SparkSession.active.sessionState.newHadoopConf())
+              ManifestFiles.sortOrderFromLines(ManifestFiles.latestLines(fs, path))
+                .flatMap(pos => ManifestFiles.fieldAtPhys(
+                  ManifestFiles.schemaFor(fs, path, None), pos))
+            } catch { case _: Exception => Seq.empty }
+        }
 
         // `option("upsertKeys", "k1[,k2]")` — CDC UPSERT append via
         // EQUALITY DELETES (see ManifestEqDeletes): each task tees its
@@ -650,8 +666,9 @@ private[sources] class ManifestTable(schema0: StructType,
             sortPos = sortedBy.map(incoming.fieldIndex)
               .orElse(sortLayout.headOption),
             // a DDL-declared layout (from table properties) must survive
-            // INSERT OVERWRITE — re-emit its #tableconf line on truncate
-            confLines =
+            // INSERT OVERWRITE — re-emit its #tableconf line on truncate;
+            // a staged REPLACE instead swaps in the NEW DDL's lines
+            confLines = replaceConf.getOrElse(
               if (Option(properties.get("bucketBy")).isDefined)
                 bucketSpec.map { case (c, n) =>
                   ManifestFiles.tableConfLine(
@@ -659,10 +676,11 @@ private[sources] class ManifestTable(schema0: StructType,
                     n, sortedBy.map(c2 => ManifestFiles.physPos(finalSchema,
                       incoming.fieldIndex(c2))))
                 }.toArray
-              else Array.empty,
+              else Array.empty),
             format = format,
             branch = branch,
-            upsertKeys = upsertKeys)
+            upsertKeys = upsertKeys,
+            replaceConf = replaceConf.isDefined)
         }
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
           if (truncateRequested) throw new UnsupportedOperationException(
@@ -798,7 +816,10 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
     branch: Option[String] = None,
     // CDC upsert (equality deletes): schema indices of the key columns;
     // the commit lands `#eqdels` lines BEFORE this batch's entries
-    upsertKeys: Seq[Int] = Seq.empty) extends BatchWrite {
+    upsertKeys: Seq[Int] = Seq.empty,
+    // staged REPLACE TABLE: the truncate drops the OLD #tableconf lines
+    // (confLines carries the new DDL's) instead of preserving them
+    replaceConf: Boolean = false) extends BatchWrite {
 
   // Per-job staging namespace: concurrent writes (or an overlapping retry
   // of another job) can never see or delete each other's in-flight files.
@@ -810,10 +831,14 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
     // every batch route splits files per partition value — plain
     // appends, catalog INSERTs, COW rewrites, compact, AND streaming
     // epochs (ManifestStreamingWrite) all preserve the layout.
+    // a staged REPLACE enforces the NEW DDL's declared intent (checks,
+    // blooms) — the to-be-replaced table's lines are history
     val lines =
-      try ManifestFiles.latestLines(
-        new Path(path).getFileSystem(conf.value), new Path(path))
-      catch { case _: Exception => Array.empty[String] }
+      if (replaceConf) confLines
+      else
+        try ManifestFiles.latestLines(
+          new Path(path).getFileSystem(conf.value), new Path(path))
+        catch { case _: Exception => Array.empty[String] }
     val partSpec: Seq[(Int, String)] =
       ManifestFiles.partConfs(lines).flatMap { case (pos, kind) =>
         ManifestFiles.fieldAtPhys(schema, pos).map(idx => (idx, kind)) }
@@ -889,7 +914,8 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
       // fast_forward loses its divergence check.
       val base =
         if (truncate) previous.filter(l =>
-          l.startsWith("#tableconf,") || l.startsWith("#branchbase,"))
+          (!replaceConf && l.startsWith("#tableconf,")) ||
+            l.startsWith("#branchbase,"))
         else previous.filterNot(line => ManifestSink.entryName(line).exists(drop))
       val conf0 = confLines.filterNot(base.contains)
       val eqdels = eqdelFins.map(f => s"#eqdels,$f,$eqPositions,$version")

@@ -2253,7 +2253,8 @@ private[sources] class ManifestColumnarReader(part: ManifestInputPartition,
   */
 class GraftManifestCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
-    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   // DEFAULT column values: analysis routes `DEFAULT`/missing INSERT
   // columns through the CURRENT_DEFAULT field metadata only when the
@@ -2493,6 +2494,22 @@ class GraftManifestCatalog extends TableCatalog
           "alone — or any list of (days(ts)), (months(ts)), (col) " +
           "transforms; got " + other.mkString(", "))
     }
+    ManifestFiles.publishSnapshot(f,
+      SparkSession.active.sessionState.newHadoopConf(), dir,
+      _ => bucket.map { case (pos, n) =>
+          ManifestFiles.tableConfLine(pos, n, None) }.toArray ++
+        part.map { case (pos, kind) =>
+          ManifestFiles.partConfLine(pos, kind) }.toArray[String] ++
+        propertyConfLines(schema, properties, bucketLaid = bucket.isDefined),
+      schema)
+    load(ident, None)
+  }
+
+  /** DDL properties → their persisted `#tableconf` lines (delete.mode,
+    * format, CHECK constraints, bloom columns, write sort order) —
+    * shared by CREATE TABLE and the staged REPLACE. */
+  private def propertyConfLines(schema: StructType,
+      properties: JMap[String, String], bucketLaid: Boolean): Array[String] = {
     val mor = Option(properties.get("delete.mode")) match {
       case Some("merge-on-read") => Array(ManifestFiles.MergeOnReadLine)
       case Some("copy-on-write") | None => Array.empty[String]
@@ -2521,21 +2538,76 @@ class GraftManifestCatalog extends TableCatalog
       ManifestFiles.bloomLine(positions)
     }.toArray
     val sortOrder = Option(properties.get("write.sort-order")).map { cs =>
-      require(bucket.isEmpty,
+      require(!bucketLaid,
         "write.sort-order conflicts with a bucket layout — sorted " +
           "buckets are declared via the layout's own sort slot " +
           "(option(\"sortedBy\", col))")
       ManifestFiles.sortOrderLine(parseSortOrder(schema, cs))
     }.toArray
-    ManifestFiles.publishSnapshot(f,
-      SparkSession.active.sessionState.newHadoopConf(), dir,
-      _ => bucket.map { case (pos, n) =>
-          ManifestFiles.tableConfLine(pos, n, None) }.toArray ++
-        part.map { case (pos, kind) =>
-          ManifestFiles.partConfLine(pos, kind) }.toArray[String] ++
-        mor ++ fmt ++ bloom ++ sortOrder ++ checks,
-      schema)
-    load(ident, None)
+    mor ++ fmt ++ bloom ++ sortOrder ++ checks
+  }
+
+  // ---- StagingTableCatalog: atomic CTAS / RTAS ------------------------
+  // `CREATE OR REPLACE TABLE … AS SELECT` (and plain REPLACE) resolve
+  // here instead of Spark's non-atomic drop-then-create fallback. The
+  // REPLACE swap is the format's own truncating commit: the staged
+  // table's write builder forces truncate (+ the NEW DDL's #tableconf
+  // lines via the `replaceConfLines` property), so old readers keep
+  // their version-pinned snapshots, the replacement becomes visible in
+  // ONE claim-loop commit, and an aborted query leaves the table
+  // byte-identical (nothing published). Partition transforms in REPLACE
+  // are refused (the write-side splitter reads the layout from disk —
+  // create a fresh table instead); plain CTAS creates the empty table
+  // up front and DROPS it on abort.
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]):
+      org.apache.spark.sql.connector.catalog.StagedTable = {
+    val created = createTable(ident, schema, partitions, properties)
+    new StagedManifestTable(created, forceTruncate = false,
+      commitFn = () => (), abortFn = () => { dropTable(ident); () })
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]):
+      org.apache.spark.sql.connector.catalog.StagedTable =
+    stagedReplace(ident, schema, partitions, properties, orCreate = false)
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]):
+      org.apache.spark.sql.connector.catalog.StagedTable =
+    stagedReplace(ident, schema, partitions, properties, orCreate = true)
+
+  private def stagedReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String],
+      orCreate: Boolean): org.apache.spark.sql.connector.catalog.StagedTable = {
+    val dir = tableDir(ident)
+    val f = fs
+    if (!f.exists(new Path(dir, "_MANIFEST"))) {
+      if (orCreate) return stageCreate(ident, schema, partitions, properties)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Seq(catalogName, ident.name))
+    }
+    require(partitions.isEmpty,
+      "REPLACE TABLE with partition transforms is not supported — " +
+        "CREATE a new table and ALTER TABLE RENAME it into place")
+    val confLines = propertyConfLines(schema, properties, bucketLaid = false)
+    val props = new java.util.HashMap[String, String]()
+    props.put("path", dir.toString)
+    Option(properties.get("format")).foreach(props.put("format", _))
+    // presence of the key IS the replace marker (old #tableconf drops)
+    props.put("replaceConfLines", confLines.mkString("\n"))
+    val hconf = SparkSession.active.sessionState.newHadoopConf()
+    new StagedManifestTable(
+      new ManifestTable(schema, props, strictSchema = true),
+      forceTruncate = true,
+      // a plain `REPLACE TABLE t (cols…)` runs NO write — the commit
+      // itself must publish the empty replacement then
+      commitFn = () => {
+        ManifestFiles.publishSnapshot(f, hconf, dir, previous =>
+          previous.filter(_.startsWith("#branchbase,")) ++ confLines,
+          ManifestTable.nullableSchema(schema))
+      },
+      abortFn = () => ())
   }
 
   /** Schema evolution as a METADATA-ONLY commit: `ALTER TABLE ... ADD
@@ -2938,6 +3010,43 @@ class GraftManifestCatalog extends TableCatalog
       case "remove_orphan_files" => ManifestProcedures.removeOrphanFiles(dirFor)
     }
   }
+}
+
+/** The staged handle CTAS/RTAS write through (see
+  * GraftManifestCatalog.stageCreate/stageReplace): delegates everything
+  * to the inner manifest table, forcing the write builder into truncate
+  * mode for REPLACE — the format's truncating commit IS the atomic
+  * swap, so commitStagedChanges only has work when NO write ran (plain
+  * `REPLACE TABLE t (cols)`). */
+private[sources] class StagedManifestTable(
+    inner: org.apache.spark.sql.connector.catalog.Table,
+    forceTruncate: Boolean, commitFn: () => Unit, abortFn: () => Unit)
+    extends org.apache.spark.sql.connector.catalog.StagedTable
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  @volatile private var wrote = false
+  override def name(): String = inner.name()
+  override def schema(): StructType = inner.schema()
+  override def partitioning():
+      Array[org.apache.spark.sql.connector.expressions.Transform] =
+    inner.partitioning()
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCapability] =
+    inner.capabilities()
+  override def properties(): java.util.Map[String, String] =
+    inner.properties()
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
+      org.apache.spark.sql.connector.write.WriteBuilder = {
+    wrote = true
+    val b = inner.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
+      .newWriteBuilder(info)
+    if (forceTruncate)
+      b.asInstanceOf[org.apache.spark.sql.connector.write.SupportsTruncate]
+        .truncate()
+    b
+  }
+  override def commitStagedChanges(): Unit = if (!wrote) commitFn()
+  override def abortStagedChanges(): Unit = abortFn()
 }
 
 /** `bucket(n, col)` as a DSv2 bound function: Spark's Murmur3 long hash

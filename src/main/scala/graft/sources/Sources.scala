@@ -1566,6 +1566,53 @@ object Sources extends QueryModule {
                AS n_uniq
       FROM documents GROUP BY lang ORDER BY lang"""))
 
+  /** Atomic RTAS (round 12 — `CREATE OR REPLACE TABLE … AS SELECT`
+    * through the StagingTableCatalog seam): a materialized rollup is
+    * re-derived wholesale when February lands — contents, schema (a new
+    * column), and declared properties swap in ONE truncating commit,
+    * while the pre-replace January rollup stays time-travelable. The
+    * final read must match the oracle's direct two-month recompute. */
+  val qReplaceTable: QueryDef = QueryDef(
+    "q255_manifest_replace_table",
+    (s, d) => {
+      import s.implicits._
+      val root = tmp(d, "manifest_rtas")
+      val dir = new org.apache.hadoop.fs.Path(root)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      val cat = "graft_rts_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      Tables.df(s, d, "orders").createOrReplaceTempView("orders_src")
+      def rollup(hi: String) = s"""
+        SELECT o_orderpriority AS prio, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 AS total
+        FROM orders_src
+        WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '$hi'
+        GROUP BY o_orderpriority"""
+      s.sql(s"CREATE TABLE $cat.rollup AS ${rollup("1996-02-01")}")
+      // the January-only materialization, pinned before the refresh
+      val jan = s.sql(s"SELECT CAST(SUM(n) AS BIGINT) FROM $cat.rollup")
+        .collect()(0).getLong(0)
+      // February lands: re-derive the WHOLE rollup atomically
+      s.sql(s"CREATE OR REPLACE TABLE $cat.rollup AS ${rollup("1996-03-01")}")
+      s.sql(s"""
+        SELECT prio, n, total, $jan AS jan_orders
+        FROM $cat.rollup ORDER BY prio""")
+    },
+    Some("""
+      WITH two AS (
+        SELECT o_orderpriority AS prio, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 AS total
+        FROM orders
+        WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-03-01'
+        GROUP BY o_orderpriority),
+      jan AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS jan_orders FROM orders
+        WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-02-01')
+      SELECT prio, n, total, jan_orders FROM two, jan ORDER BY prio"""))
+
   override def defs: Seq[QueryDef] =
     Seq(qCsv, qJson, qOrc, qText, qPartitioned, qSynthSource, qSynthColumnar,
       qSchemaEvolution, qManifestTimeTravel, qManifestMerge, qManifestStream,
@@ -1574,5 +1621,5 @@ object Sources extends QueryModule {
       qManifestMergeOnRead, qMetadataDelete, qManifestEmbeddings, qDaySpj,
       qMultiPart, qPartitionsMeta, qRefs, qChangeFeed, qBranchWap,
       qCdfIndexMaint, qBloomProbe, qScopedCompact, qColumnDefaults,
-      qSortOrder, qAddFiles, qUpsert, qCdfUpsertMaint)
+      qSortOrder, qAddFiles, qUpsert, qCdfUpsertMaint, qReplaceTable)
 }
