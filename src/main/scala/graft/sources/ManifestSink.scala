@@ -486,6 +486,21 @@ private[sources] class ManifestTable(schema0: StructType,
         // each landed file is clustered on the keys, earns a verified
         // `#sorted` mark on the leading one, and compaction later turns
         // per-file order into disjoint table-wide ranges.
+        // range distribution mode (declared with the sort order): an
+        // explicit `option("distributionMode", "none")` overrides — the
+        // compaction rewrite arranges its own exact-file-count layout
+        private val distRange: Boolean =
+          !Option(info.options.get("distributionMode")).contains("none") && {
+            replaceConf match {
+              case Some(lines) => ManifestFiles.distModeRange(lines)
+              case None =>
+                try ManifestFiles.distModeRange(ManifestFiles.latestLines(
+                  path.getFileSystem(
+                    SparkSession.active.sessionState.newHadoopConf()), path))
+                catch { case _: Exception => false }
+            }
+          }
+
         private val sortLayout: Seq[Int] = replaceConf match {
           // a REPLACE's declared order references the NEW schema (fresh
           // positions == indices)
@@ -575,6 +590,12 @@ private[sources] class ManifestTable(schema0: StructType,
                 // rows keep the split writer near one open file
                 org.apache.spark.sql.connector.distributions.Distributions
                   .ordered(partLayout.map(p => partSortOrder(p._1)).toArray)
+              else if (distRange && sortLayout.nonEmpty)
+                // declared write.distribution-mode=range: inserts pay one
+                // range shuffle on the sort columns, so files land
+                // range-DISJOINT without waiting for a compaction
+                org.apache.spark.sql.connector.distributions.Distributions
+                  .ordered(sortLayout.map(partSortOrder).toArray)
               else
                 org.apache.spark.sql.connector.distributions.Distributions
                   .unspecified()

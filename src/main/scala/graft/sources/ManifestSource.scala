@@ -419,6 +419,18 @@ object ManifestFiles {
       }
     }.toMap
 
+  /** Declared write DISTRIBUTION MODE (Iceberg's
+    * `write.distribution-mode`): `#tableconf,distmode,range` makes every
+    * INSERT range-distribute on the declared `write.sort-order` columns
+    * BEFORE the per-task sort, so appended files land range-DISJOINT
+    * without waiting for a compaction — the ingest pays one shuffle for
+    * immediately-skippable layout. Absent = none (per-task sort only,
+    * the default: no shuffle added to the hot insert path). */
+  val DistModeRangeLine = "#tableconf,distmode,range"
+
+  def distModeRange(lines: Array[String]): Boolean =
+    lines.contains(DistModeRangeLine)
+
   /** CHECK constraints: `#tableconf,check,<name>,<b64 expr>` — see
     * [[ManifestChecks]]. */
   def checkLine(name: String, exprText: String): String =
@@ -2317,6 +2329,8 @@ class GraftManifestCatalog extends TableCatalog
       .flatMap(ManifestFiles.fieldAtPhys(schema, _)).map(schema(_).name)
     if (sortNames.nonEmpty)
       props.put("write.sort-order", sortNames.mkString(","))
+    if (ManifestFiles.distModeRange(confLines))
+      props.put("write.distribution-mode", "range")
     ManifestFiles.checksFromLines(confLines).foreach { case (n, txt) =>
       props.put(s"check.$n", txt)
     }
@@ -2544,7 +2558,17 @@ class GraftManifestCatalog extends TableCatalog
           "(option(\"sortedBy\", col))")
       ManifestFiles.sortOrderLine(parseSortOrder(schema, cs))
     }.toArray
-    mor ++ fmt ++ bloom ++ sortOrder ++ checks
+    val distMode = Option(properties.get("write.distribution-mode")) match {
+      case Some("range") =>
+        require(sortOrder.nonEmpty,
+          "write.distribution-mode=range needs a declared " +
+            "write.sort-order — there is nothing to range-distribute on")
+        Array(ManifestFiles.DistModeRangeLine)
+      case Some("none") | None => Array.empty[String]
+      case Some(other) => throw new IllegalArgumentException(
+        s"write.distribution-mode must be 'none' or 'range', got '$other'")
+    }
+    mor ++ fmt ++ bloom ++ sortOrder ++ distMode ++ checks
   }
 
   // ---- StagingTableCatalog: atomic CTAS / RTAS ------------------------
@@ -2638,6 +2662,7 @@ class GraftManifestCatalog extends TableCatalog
     var partFlip: Option[Seq[(Int, String)]] = None
     var bloomFlip: Option[Seq[Int]] = None
     var sortFlip: Option[Seq[Int]] = None
+    var distFlip: Option[Boolean] = None
     val checkSet = scala.collection.mutable.LinkedHashMap
       .empty[String, Option[String]] // Some = add/replace, None = drop
     def nextPos: Int =
@@ -2878,11 +2903,24 @@ class GraftManifestCatalog extends TableCatalog
           case "" | "none" => Seq.empty
           case v => parseSortOrder(schema, v)
         })
+      case sp: TableChange.SetProperty
+          if sp.property == "write.distribution-mode" =>
+        distFlip = Some(sp.value.trim match {
+          case "range" =>
+            require(
+              ManifestFiles.sortOrderFromLines(priorLines).nonEmpty,
+              "write.distribution-mode=range needs a declared " +
+                "write.sort-order — there is nothing to range-distribute on")
+            true
+          case "none" | "" => false
+          case other => throw new IllegalArgumentException(
+            s"write.distribution-mode must be 'none' or 'range', got '$other'")
+        })
       case other => throw new UnsupportedOperationException(
         "graft-manifest supports ADD COLUMN (appended, nullable), " +
           "RENAME COLUMN, DROP COLUMN, and SET " +
           "TBLPROPERTIES('delete.mode'|'partition.layout'|'bloom.columns'|" +
-          "'write.sort-order') " +
+          "'write.sort-order'|'write.distribution-mode') " +
           s"only, got $other")
     }
     val drops = newDropLines.reverse.toArray
@@ -2911,13 +2949,25 @@ class GraftManifestCatalog extends TableCatalog
                else Seq.empty)
           case None => base1
         }
-        val base2s = sortFlip match {
+        val base2s0 = sortFlip match {
           case Some(positions) =>
             base2.filterNot(_.startsWith("#tableconf,sortorder,")) ++
               (if (positions.nonEmpty)
                  Seq(ManifestFiles.sortOrderLine(positions))
                else Seq.empty)
           case None => base2
+        }
+        // clearing the sort order also clears a range mode riding it
+        val base2s = distFlip match {
+          case Some(true) =>
+            base2s0.filterNot(_ == ManifestFiles.DistModeRangeLine) :+
+              ManifestFiles.DistModeRangeLine
+          case Some(false) =>
+            base2s0.filterNot(_ == ManifestFiles.DistModeRangeLine)
+          case None =>
+            if (sortFlip.contains(Seq.empty))
+              base2s0.filterNot(_ == ManifestFiles.DistModeRangeLine)
+            else base2s0
         }
         val base =
           if (checkSet.isEmpty) base2s
@@ -3299,7 +3349,10 @@ private[sources] object ManifestProcedures {
                 .drop(zc) // projection keeps the per-partition order
           }
           arranged.write.mode("overwrite").format("graft-manifest")
-            .option("path", dir.toString).save()
+            .option("path", dir.toString)
+            // compact arranges its own exact-target layout; a declared
+            // range mode must not re-shuffle it to the session default
+            .option("distributionMode", "none").save()
       }
       val after = ManifestFiles.entries(fs, dir, None).length
       result(new StructType().add("version", IntegerType)

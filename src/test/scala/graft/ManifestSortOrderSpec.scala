@@ -206,6 +206,54 @@ class ManifestSortOrderSpec extends AnyFunSuite {
     assert(spark.table(s"$cat.t").columns.toSeq == Seq("a"))
   }
 
+  test("write.distribution-mode=range: plain INSERTs land range-disjoint " +
+    "files (skipping works without a compaction); 'none' restores the " +
+    "shuffle-free path; compact keeps its exact target") {
+    import spark.implicits._
+    val root = tmpDir()
+    val cat = register(root)
+    spark.sql(s"CREATE TABLE $cat.rd (ts BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('write.sort-order'='ts'," +
+      "'write.distribution-mode'='range')")
+    // AQE would coalesce a 4000-row range shuffle into one partition —
+    // scope it off so the test sees the multi-file layout a real ingest
+    // volume produces
+    graft.Confs.withValues(spark,
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
+      spark.range(4000)
+        .select(($"id" * 7 % 4000).as("ts"), $"id".as("v"))
+        .orderBy(md5($"v".cast("string"))).repartition(4)
+        .writeTo(s"$cat.rd").append()
+    }
+    def live() = spark.read.format("graft-manifest")
+      .option("path", s"$root/rd").load()
+    val q = live().filter($"ts" < 400).agg(sum($"v"))
+    q.collect()
+    val listed = metric(q, "filesListed")
+    assert(listed >= 2, s"range distribution should land several files")
+    assert(metric(q, "filesSkipped") >= listed - 2,
+      s"append-time range layout skipped only " +
+        s"${metric(q, "filesSkipped")} of $listed")
+
+    // compact keeps its exact target despite the declared mode
+    val res = spark.sql(s"CALL $cat.system.compact('rd', 3)").collect()(0)
+    assert(res.getInt(2) == 3, s"expected 3 files after compact, got $res")
+
+    // 'none' restores the shuffle-free path: N input partitions → N files
+    spark.sql(s"ALTER TABLE $cat.rd " +
+      "SET TBLPROPERTIES('write.distribution-mode'='none')")
+    spark.range(300).select($"id".as("ts"), $"id".as("v")).repartition(5)
+      .writeTo(s"$cat.rd").append()
+    val dir = new Path(root, "rd")
+    assert(ManifestFiles.entries(fsOf(dir), dir, None).length == 3 + 5)
+
+    // validation: range without a sort order refuses
+    val e = intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.bad (x BIGINT) " +
+        "TBLPROPERTIES('write.distribution-mode'='range')"))
+    assert(e.getMessage.contains("write.sort-order"), e.getMessage)
+  }
+
   test("the insert path adds NO shuffle: a sort-ordered append's write " +
     "plan sorts within partitions only") {
     import spark.implicits._
