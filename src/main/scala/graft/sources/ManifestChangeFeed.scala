@@ -185,7 +185,8 @@ private[sources] object ManifestChangeFeed {
     val vmax = at.getOrElse(ManifestFiles.latestComplete(fs, dir))
     val imports = (1 to vmax).flatMap { v =>
       try ManifestFiles.importsFromLines(ManifestFiles.linesOf(fs, dir, Some(v)))
-      catch { case _: Exception => Map.empty[String, Map[Int, String]] }
+      catch { case _: Exception =>
+        Map.empty[String, ManifestFiles.ImportMap] }
     }.toMap
     new ManifestChangeReaderFactory(fullSchema, required, conf,
       ManifestReaderFactory.maxPhysArity(fullSchema,
@@ -287,7 +288,7 @@ private[sources] class ManifestChangeReaderFactory(fullSchema: StructType,
     required: StructType, conf: SerializableHadoopConf,
     maxPhysArity: Int,
     defaults: Seq[(String, Any)] = Seq.empty,
-    imports: Map[String, Map[Int, String]] = Map.empty)
+    imports: Map[String, ManifestFiles.ImportMap] = Map.empty)
     extends PartitionReaderFactory {
 
   import ManifestChangeFeed._

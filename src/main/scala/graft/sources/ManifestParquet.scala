@@ -526,33 +526,87 @@ private[sources] object ManifestImport {
   import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 
   /** Manifest lines registering `src` as entry `name`: the data entry,
-    * its `#stats`, and the `#import` field-name map. Throws (nothing
-    * published, nothing moved yet) on any schema incompatibility. */
+    * its `#stats`, and the `#import` field-name map. `consts` pins
+    * schema columns whose value lives in the file's PARTITION PATH
+    * (hive layouts), not its footer — they splice as per-file constants
+    * at read and record exact min==max stats, so partition-dimension
+    * proofs (SPJ groups, metadata deletes) work on imported hive data.
+    * Throws (nothing published, nothing moved yet) on any
+    * incompatibility. */
   def inspect(src: Path, name: String, bytes: Long, schema: StructType,
-      conf: Configuration): Seq[String] = {
+      conf: Configuration,
+      consts: Seq[(Int, Option[String])] = Seq.empty): Seq[String] = {
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(src, conf))
     try {
       val msg = r.getFileMetaData.getSchema
-      require(msg.getFieldCount == schema.length,
+      val constIdx = consts.map(_._1).toSet
+      val dataIdx = schema.indices.filterNot(constIdx)
+      require(msg.getFieldCount == dataIdx.length,
         s"$src has ${msg.getFieldCount} fields, the table has " +
-          s"${schema.length} — add_files aligns files positionally")
+          s"${dataIdx.length} non-partition columns — add_files aligns " +
+          "files positionally")
       val fields = msg.getFields.asScala.toSeq
-      fields.zipWithIndex.foreach { case (f, i) =>
+      dataIdx.zip(fields).foreach { case (i, f) =>
         require(compatible(f, schema(i).dataType),
-          s"$src field $i ('${f.getName}': $f) is not readable as table " +
+          s"$src field ('${f.getName}': $f) is not readable as table " +
             s"column '${schema(i).name}' ${schema(i).dataType.sql}")
       }
       val blocks = r.getFooter.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
-      val stats = schema.indices.flatMap { i =>
-        columnStats(blocks, i, schema(i).dataType, rows)
+      val stats = dataIdx.zipWithIndex.flatMap { case (i, fi) =>
+        columnStats(blocks, fi, schema(i).dataType, rows)
           .map(cs => ManifestFiles.physPos(schema, i) -> cs)
+      } ++ consts.map { case (i, raw) =>
+        // a partition-path column is value-pure by construction: exact
+        // min==max bounds (string bounds truncate like everywhere)
+        val (mn, mx) = raw match {
+          case None => (None, None)
+          case Some(v) if schema(i).dataType == StringType =>
+            (Some(ManifestFiles.truncLower(v)), ManifestFiles.truncUpper(v))
+          case Some(v) => (Some(v), Some(v))
+        }
+        ManifestFiles.physPos(schema, i) ->
+          ManifestFiles.ColStats(if (raw.isEmpty) rows else 0L, mn, mx)
       }
       Seq(s"$name,$rows",
         ManifestFiles.statsLine(name, bytes, stats, Nil),
-        ManifestFiles.importLine(name, schema.indices.map(i =>
-          (ManifestFiles.physPos(schema, i), fields(i).getName))))
+        ManifestFiles.importLine(name,
+          dataIdx.zip(fields).map { case (i, f) =>
+            (ManifestFiles.physPos(schema, i), f.getName) },
+          consts.map { case (i, raw) =>
+            (ManifestFiles.physPos(schema, i), raw) }))
     } finally r.close()
+  }
+
+  /** A hive partition-path value, parsed to the column's INTERNAL raw
+    * string (the `#stats`/constant codec): dates to epoch days,
+    * integrals verbatim-validated, `__HIVE_DEFAULT_PARTITION__` to NULL.
+    * Refuses column types whose path encoding is ambiguous. */
+  def parsePathValue(col: String, dt: DataType,
+      v: String): Option[String] = {
+    if (v == "__HIVE_DEFAULT_PARTITION__") return None
+    // the same %XX unescaping Spark/Hive applied when writing the
+    // directory (URLDecoder would additionally corrupt a literal '+')
+    val decoded = org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.unescapePathName(v)
+    def fail(detail: String): Nothing = throw new IllegalArgumentException(
+      s"partition-path value '$decoded' is not a valid $detail for " +
+        s"column '$col'")
+    Some(dt match {
+      case LongType =>
+        decoded.toLongOption.getOrElse(fail("BIGINT")).toString
+      case IntegerType | ShortType | ByteType =>
+        decoded.toIntOption.getOrElse(fail(dt.sql)).toString
+      case BooleanType =>
+        decoded.toBooleanOption.getOrElse(fail("BOOLEAN")).toString
+      case DateType =>
+        scala.util.Try(java.time.LocalDate.parse(decoded)).toOption
+          .getOrElse(fail("DATE (yyyy-MM-dd)")).toEpochDay.toString
+      case StringType => decoded
+      case other => throw new IllegalArgumentException(
+        s"add_files cannot take column '$col' of type ${other.sql} from " +
+          "a partition path — integrals, string, boolean, and date only")
+    })
   }
 
   /** Can the vectorized reader decode parquet field `f` as `dt`? The

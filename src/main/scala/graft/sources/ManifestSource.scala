@@ -400,21 +400,39 @@ object ManifestFiles {
     * field in file order. Names are base64'd (field names may contain
     * the codec's separators). Positions absent from a file's map —
     * columns added after the import — null-fill as usual. */
-  def importLine(name: String, fields: Seq[(Int, String)]): String =
-    s"#import,$name,${fields.map { case (p, n) => s"$p:${b64(n)}" }.mkString(";")}"
+  def importLine(name: String, fields: Seq[(Int, String)],
+      consts: Seq[(Int, Option[String])] = Seq.empty): String = {
+    // `p:<b64 name>` maps a position to the file's own field; `p=<b64
+    // raw>` pins a position to a PER-FILE CONSTANT (hive-style partition
+    // directories carry the value in the PATH, not the footer; `-` = a
+    // NULL partition value — not in the base64 alphabet)
+    val entries = fields.map { case (p, n) => s"$p:${b64(n)}" } ++
+      consts.map { case (p, v) => s"$p=${v.fold("-")(b64)}" }
+    s"#import,$name,${entries.mkString(";")}"
+  }
 
-  /** file → (physical position → stored field name) for one snapshot. */
-  def importsFromLines(lines: Array[String]): Map[String, Map[Int, String]] =
+  /** Per-file import map: position → stored field name, and position →
+    * constant value (raw internal string; None = NULL). */
+  final case class ImportMap(names: Map[Int, String],
+      consts: Map[Int, Option[String]])
+
+  /** file → import map for one snapshot. */
+  def importsFromLines(lines: Array[String]): Map[String, ImportMap] =
     lines.filter(_.startsWith("#import,")).flatMap { line =>
       line.split(",", 3) match {
         case Array(_, name, pairs) =>
-          val m = pairs.split(";").toSeq.flatMap { pr =>
-            val i = pr.indexOf(':')
-            if (i <= 0) None
-            else pr.substring(0, i).toIntOption.map(
-              _ -> unb64(pr.substring(i + 1)))
+          val names = Map.newBuilder[Int, String]
+          val consts = Map.newBuilder[Int, Option[String]]
+          pairs.split(";").foreach { pr =>
+            val i = pr.indexWhere(c => c == ':' || c == '=')
+            if (i > 0) pr.substring(0, i).toIntOption.foreach { pos =>
+              val v = pr.substring(i + 1)
+              if (pr.charAt(i) == ':') names += pos -> unb64(v)
+              else consts += pos -> (if (v == "-") None else Some(unb64(v)))
+            }
           }
-          if (m.isEmpty) None else Some(name -> m.toMap)
+          val m = ImportMap(names.result(), consts.result())
+          if (m.names.isEmpty && m.consts.isEmpty) None else Some(name -> m)
         case _ => None
       }
     }.toMap
@@ -1874,10 +1892,11 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
     // driver-side): files written before the column existed surface the
     // default instead of NULL (see ManifestChecks.existsDefaults)
     defaults: Seq[(String, Any)] = Seq.empty,
-    // `CALL add_files` imports: file → (physical position → the file's
-    // own field name) — the readers request THOSE names instead of the
-    // positional `c<pos>` ones (see ManifestFiles.importLine)
-    imports: Map[String, Map[Int, String]] = Map.empty,
+    // `CALL add_files` imports: per-file field-name maps (readers
+    // request the file's OWN names instead of positional `c<pos>` ones)
+    // plus per-file CONSTANTS for hive-style partition-path columns
+    // (see ManifestFiles.importLine)
+    imports: Map[String, ManifestFiles.ImportMap] = Map.empty,
     // equality deletes: file → the delete sets that apply to it; the
     // row reader wraps with a key-tuple filter (see ManifestEqDeletes)
     eqDeletes: Map[String, Seq[ManifestEqDeletes.EqSet]] = Map.empty)
@@ -1892,6 +1911,7 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
 
   override def supportColumnarReads(p: InputPartition): Boolean =
     columnar && defaultsFor(required).isEmpty && eqDeletes.isEmpty &&
+      imports.values.forall(_.consts.isEmpty) &&
       p.isInstanceOf[ManifestInputPartition] &&
       !required.fieldNames.contains("_pos") &&
       required.fields.forall(f =>
@@ -1903,7 +1923,7 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
     val part = p.asInstanceOf[ManifestInputPartition]
     if (ManifestParquet.isParquet(part.name))
       ManifestParquet.columnarReader(part, fullSchema, required, conf, filters,
-        imports.getOrElse(part.name, Map.empty))
+        imports.get(part.name).map(_.names).getOrElse(Map.empty))
     else new ManifestColumnarReader(part, fullSchema, required, conf,
       maxPhysArity)
   }
@@ -1961,22 +1981,36 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
     * NULLs stay NULL. */
   private def withParquetDefaults(part: ManifestInputPartition,
       req: StructType): PartitionReader[InternalRow] = {
-    val importedNames = imports.getOrElse(part.name, Map.empty)
+    val im = imports.getOrElse(part.name,
+      ManifestFiles.ImportMap(Map.empty, Map.empty))
+    val importedNames = im.names
     val defAt = defaultsFor(req)
+    // hive-style partition-path constants of an imported file, resolved
+    // to this projection: every row of the file carries the value
+    val constAt: Map[Int, Any] = im.consts.flatMap { case (pos, raw) =>
+      ManifestFiles.fieldAtPhys(fullSchema, pos).flatMap { idx =>
+        val i = req.fieldNames.indexOf(fullSchema(idx).name)
+        if (i < 0) None
+        else Some(i -> raw.map(r =>
+          ManifestCsv.parse(r, req.fields(i).dataType)).orNull)
+      }
+    }
     def plain() =
       ManifestParquet.rowReader(part, fullSchema, req, conf, filters,
         importedNames)
-    if (defAt.isEmpty) return plain()
+    if (defAt.isEmpty && constAt.isEmpty) return plain()
     val (fileFields, rowCount) = ManifestParquet.fileInfo(part.file, conf.value)
     def presentInFile(n: String): Boolean = {
       val p = ManifestFiles.physPos(fullSchema, fullSchema.fieldIndex(n))
       fileFields.contains(
         importedNames.getOrElse(p, ManifestParquet.colName(p)))
     }
+    // constants by construction name columns the file lacks — they
+    // override any global EXISTS_DEFAULT for the same slot
     val missing = defAt.filter { case (i, _) =>
       val n = req.fields(i).name
       n != "_file" && n != "_pos" && !presentInFile(n)
-    }
+    } ++ constAt
     if (missing.isEmpty) return plain()
     val innerFields = req.fields.zipWithIndex
       .filterNot { case (_, i) => missing.contains(i) }
@@ -4016,11 +4050,40 @@ private[sources] object ManifestProcedures {
         .getOrElse(Array.empty).filter(_.isFile)
       require(found.nonEmpty, s"no files match $source/$pattern")
       val token = java.util.UUID.randomUUID().toString.take(8)
+      // hive-style layouts carry partition VALUES in the path
+      // (`day=2024-01-01/part-0.parquet`): every `k=v` directory segment
+      // between `source` and the file becomes a PER-FILE CONSTANT for
+      // the named table column — the footers don't contain it, the
+      // readers splice it, and its exact min==max stats make the
+      // partition dimension provable (metadata deletes, SPJ groups)
+      val srcPrefix = srcFs.makeQualified(source).toString
+      def pathConsts(file: Path): Seq[(Int, Option[String])] = {
+        val full = srcFs.makeQualified(file).toString
+        require(full.startsWith(srcPrefix), s"$file escapes $source")
+        full.stripPrefix(srcPrefix).split("/").dropRight(1)
+          .filter(_.nonEmpty).toSeq.map { seg =>
+            val eq = seg.indexOf('=')
+            require(eq > 0,
+              s"path segment '$seg' of $file is not a hive-style " +
+                "k=v partition directory — move the file or tighten " +
+                "the glob pattern")
+            val col = seg.substring(0, eq)
+            require(schema.fieldNames.contains(col),
+              s"partition-path column '$col' (from $file) not in " +
+                schema.fieldNames.mkString(","))
+            val i = schema.fieldIndex(col)
+            i -> ManifestImport.parsePathValue(col, schema(i).dataType,
+              seg.substring(eq + 1))
+          }
+      }
       // inspect EVERY footer before moving anything — all-or-nothing
       val prepared = found.zipWithIndex.map { case (st, i) =>
         val name = f"import-$token-$i%05d.parquet"
+        val consts = pathConsts(st.getPath)
+        require(consts.map(_._1).distinct.length == consts.length,
+          s"duplicate partition-path column under ${st.getPath}")
         val lines = ManifestImport.inspect(st.getPath, name, st.getLen,
-          schema, hconf)
+          schema, hconf, consts)
         (st.getPath, name, lines)
       }
       prepared.foreach { case (src, name, _) =>

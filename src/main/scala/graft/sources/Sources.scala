@@ -1430,20 +1430,26 @@ object Sources extends QueryModule {
         .filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
         .select(to_date($"o_orderdate").as("day"), $"o_orderkey",
           $"o_totalprice", $"o_orderpriority")
-      // the foreign export: real names, plain parquet, 3 files
-      slice("1996-01-01", "1996-02-01").toDF(
+      // the foreign export: a HIVE-partitioned lake directory — the day
+      // column lives in the PATH, not the footers (the classic layout;
+      // one file per day via the clustering repartition)
+      val jan = slice("1996-01-01", "1996-02-01").toDF(
           "od", "okey", "price", "prio")
-        .repartitionByRange(3, $"od")
-        .write.mode("overwrite").parquet(s"$root/landing")
-      s.sql(s"CREATE TABLE $cat.fact (day DATE, o_orderkey BIGINT, " +
-        "o_totalprice DOUBLE, o_orderpriority STRING)")
-      s.sql(s"CALL $cat.system.add_files('fact', '$root/landing')")
-        .collect()
-      slice("1996-02-01", "1996-03-01").writeTo(s"$cat.fact").append()
+      jan.repartition($"od")
+        .write.partitionBy("od").mode("overwrite")
+        .parquet(s"$root/landing")
+      s.sql(s"CREATE TABLE $cat.fact (o_orderkey BIGINT, " +
+        "o_totalprice DOUBLE, o_orderpriority STRING, od DATE)")
+      s.sql(s"CALL $cat.system.add_files('fact', '$root/landing', " +
+        "'od=*/*.parquet')").collect()
+      slice("1996-02-01", "1996-03-01")
+        .select($"o_orderkey", $"o_totalprice", $"o_orderpriority",
+          $"day".as("od"))
+        .writeTo(s"$cat.fact").append()
       s.sql(s"""
         SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
-                 AS total, MIN(day) AS first_day, MAX(day) AS last_day
+                 AS total, MIN(od) AS first_day, MAX(od) AS last_day
         FROM $cat.fact GROUP BY o_orderpriority ORDER BY o_orderpriority""")
     },
     Some("""

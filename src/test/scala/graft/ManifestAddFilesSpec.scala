@@ -229,6 +229,75 @@ class ManifestAddFilesSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("primitive"), e4.getMessage)
   }
 
+  test("hive-partitioned layouts import with PATH CONSTANTS: the " +
+    "partition column splices per file, stats prove the dimension, and " +
+    "an aligned delete stays metadata-only") {
+    import spark.implicits._
+    val root = tmpDir()
+    val cat = register(root)
+    val landing = s"$root/landing"
+    // the classic lake layout: day in the DIRECTORY, not the footers —
+    // plus a string dimension with a character Spark escapes, and a
+    // NULL partition value
+    spark.range(600)
+      .select(
+        when($"id" % 200 === 199, lit(null))
+          .otherwise(date_add(lit(java.sql.Date.valueOf("2024-05-01")),
+            ($"id" % 3).cast("int"))).as("day"),
+        concat(lit("t a"), ($"id" % 2).cast("string")).as("tenant"),
+        $"id".as("v"))
+      .write.partitionBy("day", "tenant").mode("overwrite").parquet(landing)
+    spark.sql(s"CREATE TABLE $cat.lake (day DATE, tenant STRING, v BIGINT)")
+    val res = spark.sql(s"CALL $cat.system.add_files('lake', '$landing', " +
+      "'day=*/tenant=*/*.parquet')").collect()(0)
+    assert(res.getLong(2) == 600L, res.toString)
+
+    val t = spark.table(s"$cat.lake")
+    assert(t.count() == 600L)
+    // spliced values are exact: per-(day, tenant) sums match a direct
+    // recompute of the generator
+    val expect = spark.range(600)
+      .select(
+        when($"id" % 200 === 199, lit(null))
+          .otherwise(date_add(lit(java.sql.Date.valueOf("2024-05-01")),
+            ($"id" % 3).cast("int"))).as("day"),
+        concat(lit("t a"), ($"id" % 2).cast("string")).as("tenant"),
+        $"id".as("v"))
+      .groupBy($"day", $"tenant").agg(sum($"v")).collect().toSet
+    assert(t.groupBy($"day", $"tenant").agg(sum($"v")).collect().toSet
+      == expect)
+    // NULL partition values round-trip
+    assert(t.filter($"day".isNull).count() == 3L)
+
+    // the path constant is a PROVABLE dimension: a day slice skips files
+    val q = t.filter($"day" === java.sql.Date.valueOf("2024-05-01"))
+      .agg(sum($"v"))
+    q.collect()
+    assert(metric(q, "filesSkipped") > 0,
+      s"path-constant stats skipped ${metric(q, "filesSkipped")}")
+    // ... and an aligned retention delete is METADATA-ONLY
+    val dir = new Path(root, "lake")
+    val entriesBefore =
+      ManifestFiles.entries(fsOf(dir), dir, None).map(_._1).toSet
+    spark.sql(s"DELETE FROM $cat.lake WHERE day < DATE'2024-05-02'")
+    val after = ManifestFiles.latestLines(fsOf(dir), dir)
+    assert(!after.exists(_.startsWith("#dels,")))
+    assert(ManifestFiles.entriesFromLines(after).map(_._1).toSet
+      .subsetOf(entriesBefore))
+    assert(spark.table(s"$cat.lake").filter($"day".isNotNull)
+      .agg(min($"day")).head().getDate(0).toString == "2024-05-02")
+
+    // a non-hive subdirectory refuses loudly
+    val bad = s"$root/bad"
+    spark.range(5).select($"id".as("v")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$bad/notkv")
+    spark.sql(s"CREATE TABLE $cat.plain (v BIGINT)")
+    val e = intercept[Exception](spark.sql(
+      s"CALL $cat.system.add_files('plain', '$bad', 'notkv/*.parquet')")
+      .collect())
+    assert(e.getMessage.contains("k=v"), e.getMessage)
+  }
+
   test("lifted stats align metadata-level operations: a delete aligned " +
     "on imported day-pure files stays metadata-only") {
     import spark.implicits._
