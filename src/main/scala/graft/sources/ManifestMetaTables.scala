@@ -155,6 +155,14 @@ private[sources] class ManifestMetaTable(kind: String, dir: Path,
       .add("sorted_by", StringType, nullable = true)
       .add("delete_rows", LongType, nullable = false)
       .add("partition", StringType, nullable = true)
+      // round 12: upsert/import observability — the birth version
+      // (#born marker, null for pre-eqdel history), whether the file
+      // was registered by CALL add_files, and how many equality-delete
+      // sets currently apply to it (the read-amplification signal that
+      // says "compact me")
+      .add("born", IntegerType, nullable = true)
+      .add("imported", BooleanType, nullable = false)
+      .add("eq_delete_sets", IntegerType, nullable = false)
     case "snapshots" => new StructType()
       .add("version", IntegerType, nullable = false)
       .add("committed_at", TimestampType, nullable = false)
@@ -185,6 +193,11 @@ private[sources] class ManifestMetaTable(kind: String, dir: Path,
       case "files" =>
         val buckets = ManifestFiles.bucketsFromLines(lines)
         val sorted = ManifestFiles.sortedFromLines(lines)
+        val born = ManifestFiles.bornFromLines(lines)
+        val imported = ManifestFiles.importsFromLines(lines).keySet
+        // equality-delete set VERSIONS (counting needs no tuple reads)
+        val eqVersions = lines.filter(_.startsWith("#eqdels,"))
+          .flatMap(_.split(",", 4).lift(3)).flatMap(_.toIntOption)
         // per-file merge-on-read deleted-row counts (#dels files hold
         // (file, pos) pairs — driver metadata I/O)
         val delCounts: Map[String, Long] = lines
@@ -212,7 +225,10 @@ private[sources] class ManifestMetaTable(kind: String, dir: Path,
               .orNull,
             delCounts.getOrElse(file, 0L),
             key.map(k => UTF8String.fromString(
-              renderPath(names3, k)): Any).orNull)): InternalRow
+              renderPath(names3, k)): Any).orNull,
+            born.get(file).map(v => v: Any).orNull,
+            imported.contains(file),
+            eqVersions.count(_ > born.getOrElse(file, 0)))): InternalRow
         }
       case "snapshots" =>
         val vs = ManifestFiles.versions(fs, dir).sorted

@@ -84,6 +84,23 @@ class ManifestEqDeleteSpec extends AnyFunSuite {
       .map(_.getString(0))
     assert(vs.length == 150 && vs.count(_.startsWith("up2-")) == 60)
 
+    // $files surfaces the upsert state: pre-upsert files show the
+    // delete sets applying to them (the "compact me" signal), upsert-era
+    // files carry their birth version and dodge their own deletes
+    val meta = spark.table(s"$cat.`state$$files`")
+      .select($"file", $"born", $"eq_delete_sets").collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) -1 else r.getInt(1), r.getInt(2)))
+    assert(meta.forall(_._2 > 0),
+      s"every MOR entry must carry a birth version: ${meta.toSeq}")
+    val maxSets = meta.map(_._3).max
+    assert(maxSets >= 2 && meta.filter(_._2 == 2).forall(_._3 == maxSets),
+      s"the base append's files must show EVERY delete set: ${meta.toSeq}")
+    assert(meta.filter(_._2 == 3).forall(_._3 == 1),
+      s"v3's files must dodge v3's own sets, see only v4's: ${meta.toSeq}")
+    assert(meta.filter(_._2 == 4).forall(_._3 == 0),
+      s"v4's files dodge everything: ${meta.toSeq}")
+
     // compact MATERIALIZES: eqdels gone, values identical
     val before = spark.table(s"$cat.state").orderBy($"k").collect().toSeq
     spark.sql(s"CALL $cat.system.compact('state', 2)").collect()
