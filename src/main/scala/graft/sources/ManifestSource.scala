@@ -1667,6 +1667,11 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
       deleteFilesApplied = snapshotLines.count(_.startsWith("#dels,")).toLong
       deleteRowsApplied = names.flatMap(deleteMap.get).map(_.length.toLong).sum
     }
+    if (eqDeleteMap.nonEmpty)
+      // equality-delete files count as applied delete files too (their
+      // row hits are only known at read time, so rows stay positional)
+      deleteFilesApplied +=
+        names.flatMap(eqDeleteMap.get).flatten.distinct.length.toLong
     onPlanned(names)
     bucketLayout match {
       case Some((_, n)) =>
