@@ -116,6 +116,37 @@ private[sources] object ManifestChangeFeed {
       val curLines = linesAt(v)
       val curNames = ManifestFiles.entriesFromLines(curLines).map(_._1).toSet
       val curDels = delsOf(curLines)
+      // A version step that REMOVES delete state — CALL rollback to a
+      // pre-delete snapshot — RESURRECTS rows on files that survive the
+      // step, a diff this walk cannot express as insert/delete legs (the
+      // resurrected rows' files were never unlisted). Fail loudly, like
+      // the vacuumed-file surface, instead of letting a downstream store
+      // silently diverge. Shrinkage on files that were ALSO unlisted in
+      // the same step (compaction materializing its deletes) stays fine:
+      // those surface as full delete+insert legs.
+      val survivors = curNames & prevNames
+      val shrunkVec = survivors.iterator.filter { n =>
+        prevDels.getOrElse(n, Array.empty[Long])
+          .diff(curDels.getOrElse(n, Array.empty[Long])).nonEmpty
+      }.take(1).toSeq
+      val curLineSet = curLines.toSet
+      val bornPrev = ManifestFiles.bornFromLines(prevLines)
+      val shrunkEq = prevLines.filter { l =>
+        l.startsWith("#eqdels,") && !curLineSet.contains(l) && {
+          val ver = l.split(",", 4).lift(3).flatMap(_.toIntOption).getOrElse(0)
+          survivors.exists(n => bornPrev.getOrElse(n, 0) < ver)
+        }
+      }.take(1)
+      if (shrunkVec.nonEmpty || shrunkEq.nonEmpty)
+        throw new IllegalStateException(
+          s"graft-manifest at $dir: version $v removed delete state from " +
+            s"surviving files (" +
+            (shrunkVec.map(n => s"delete-vector ordinals dropped on $n") ++
+              shrunkEq.map(l => s"equality-delete line '$l' unlisted"))
+              .mkString("; ") +
+            ") — e.g. CALL rollback past a row-level delete; the change " +
+            "feed cannot express resurrected rows, restart the consumer " +
+            s"from a full snapshot at or after version $v")
       // EQUALITY deletes (upserts) express as value-keyed delete legs:
       // a new `#eqdels` set at v deletes, from every file born before
       // it, the rows that were LIVE at the predecessor (not positionally
@@ -169,6 +200,37 @@ private[sources] object ManifestChangeFeed {
     out.result()
   }
 
+  /** Import-map union cache. A mapping is immutable per file name, so
+    * the union over versions 1..v only ever GROWS — cache it per table
+    * and extend incrementally, turning the streaming change feed's
+    * per-micro-batch sweep from O(all retained versions) driver reads
+    * into O(new versions). Keyed by dir PLUS the v1 manifest's
+    * modification time, so a dropped-and-recreated table at the same
+    * path never reads a stale union. */
+  private val importCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Int, Map[String, ManifestFiles.ImportMap])]()
+
+  private def importsThrough(fs: FileSystem, dir: Path, vmax: Int):
+      Map[String, ManifestFiles.ImportMap] = {
+    val epoch =
+      try fs.getFileStatus(new Path(dir, "_MANIFEST.v1")).getModificationTime
+      catch { case _: Exception => 0L }
+    val key = s"$dir@$epoch"
+    val (seen, acc) = Option(importCache.get(key))
+      .getOrElse((0, Map.empty[String, ManifestFiles.ImportMap]))
+    if (vmax <= seen) acc
+    else {
+      val extended = (seen + 1 to vmax).foldLeft(acc) { (m, v) =>
+        try m ++ ManifestFiles.importsFromLines(
+          ManifestFiles.linesOf(fs, dir, Some(v)))
+        catch { case _: Exception => m }
+      }
+      importCache.merge(key, (vmax, extended),
+        (a, b) => if (a._1 >= b._1) a else b)
+      extended
+    }
+  }
+
   def readerFactory(fs: FileSystem, dir: Path, at: Option[Int],
       fullSchema: StructType, required: StructType,
       conf: SerializableHadoopConf): PartitionReaderFactory = {
@@ -182,12 +244,8 @@ private[sources] object ManifestChangeFeed {
     // the mappings across every still-present version (a mapping is
     // immutable per file name, so the union is exact; vacuumed versions
     // skip — any in-range file's mapping lives in an in-range snapshot)
-    val vmax = at.getOrElse(ManifestFiles.latestComplete(fs, dir))
-    val imports = (1 to vmax).flatMap { v =>
-      try ManifestFiles.importsFromLines(ManifestFiles.linesOf(fs, dir, Some(v)))
-      catch { case _: Exception =>
-        Map.empty[String, ManifestFiles.ImportMap] }
-    }.toMap
+    val imports = importsThrough(fs, dir,
+      at.getOrElse(ManifestFiles.latestComplete(fs, dir)))
     new ManifestChangeReaderFactory(fullSchema, required, conf,
       ManifestReaderFactory.maxPhysArity(fullSchema,
         ManifestFiles.droppedFromLines(lines)),

@@ -465,17 +465,23 @@ private[sources] class ManifestTable(schema0: StructType,
         // writer keep one open file at a time, and the file count stays
         // ~one per partition value instead of tasks × values.
         private val partLayout: Seq[(Int, String)] =
-          if (replaceConf.isDefined) Seq.empty
-          else try {
-            val fs = path.getFileSystem(
-              SparkSession.active.sessionState.newHadoopConf())
-            ManifestFiles.partConfs(ManifestFiles.latestLines(fs, path))
-              .flatMap { case (pos, kind) =>
-                ManifestFiles.fieldAtPhys(
-                  ManifestFiles.schemaFor(fs, path, None), pos)
-                  .map(idx => (idx, kind))
-              }
-          } catch { case _: Exception => Seq.empty }
+          replaceConf match {
+            // a staged CREATE's declared layout references the NEW
+            // schema (fresh positions == indices); staged REPLACE
+            // refuses transforms, so its lines never carry `part`
+            case Some(lines) => ManifestFiles.partConfs(lines)
+              .filter(_._1 < info.schema().length)
+            case None => try {
+              val fs = path.getFileSystem(
+                SparkSession.active.sessionState.newHadoopConf())
+              ManifestFiles.partConfs(ManifestFiles.latestLines(fs, path))
+                .flatMap { case (pos, kind) =>
+                  ManifestFiles.fieldAtPhys(
+                    ManifestFiles.schemaFor(fs, path, None), pos)
+                    .map(idx => (idx, kind))
+                }
+            } catch { case _: Exception => Seq.empty }
+          }
 
         // Declared `write.sort-order` (the `#tableconf,sortorder` line —
         // read from disk like the partition layout, so EVERY write route
@@ -637,19 +643,16 @@ private[sources] class ManifestTable(schema0: StructType,
           // branch's own chain; the branch must exist (create_branch)
           val branch = Option(info.options.get("branch"))
             .orElse(Option(properties.get("branch")))
+          // Branch chains share main's version numbering (the fork is a
+          // twin of main's v<base>), so version-scoped metadata —
+          // `#born` birth markers, `#eqdels` sequencing — means the same
+          // thing on both chains: upserts stage on branches and live
+          // equality deletes survive the fork, verbatim through
+          // fast_forward's replay.
           branch.foreach { b =>
             require(ManifestFiles.latestComplete(fs, path, Some(b)) > 0,
               s"no branch '$b' at $path — CALL create_branch first " +
                 s"(branches: ${ManifestFiles.branches(fs, path).sorted.mkString(", ")})")
-            require(upsertKeys.isEmpty,
-              "upsertKeys on a branch write is not supported — branch " +
-                "chains number versions independently, so the delete's " +
-                "sequencing would not survive fast_forward")
-            require(!ManifestFiles.linesOf(fs, path, None, branch)
-                .exists(_.startsWith("#eqdels,")),
-              s"branch '$b' carries live equality deletes (forked from " +
-                "an upsert history) — CALL compact on main and re-branch " +
-                "before writing to it")
           }
           val existing =
             if (truncateRequested) None
@@ -701,7 +704,9 @@ private[sources] class ManifestTable(schema0: StructType,
             format = format,
             branch = branch,
             upsertKeys = upsertKeys,
-            replaceConf = replaceConf.isDefined)
+            replaceConf = replaceConf.isDefined,
+            requireFresh = Option(properties.get("requireFreshTable"))
+              .contains("true"))
         }
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
           if (truncateRequested) throw new UnsupportedOperationException(
@@ -715,18 +720,11 @@ private[sources] class ManifestTable(schema0: StructType,
           val branch = Option(info.options.get("branch"))
             .orElse(Option(properties.get("branch")))
           branch.foreach { b =>
+            // shared numbering makes upserts/eqdels branch-safe — see
+            // the batch path's note above
             require(ManifestFiles.latestComplete(fs, path, Some(b)) > 0,
               s"no branch '$b' at $path — CALL create_branch first " +
                 s"(branches: ${ManifestFiles.branches(fs, path).sorted.mkString(", ")})")
-            require(upsertKeys.isEmpty,
-              "upsertKeys on a branch write is not supported — branch " +
-                "chains number versions independently, so the delete's " +
-                "sequencing would not survive fast_forward")
-            require(!ManifestFiles.linesOf(fs, path, None, branch)
-                .exists(_.startsWith("#eqdels,")),
-              s"branch '$b' carries live equality deletes (forked from " +
-                "an upsert history) — CALL compact on main and re-branch " +
-                "before writing to it")
           }
           val existing =
             if (branch.isDefined)
@@ -840,7 +838,11 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
     upsertKeys: Seq[Int] = Seq.empty,
     // staged REPLACE TABLE: the truncate drops the OLD #tableconf lines
     // (confLines carries the new DDL's) instead of preserving them
-    replaceConf: Boolean = false) extends BatchWrite {
+    replaceConf: Boolean = false,
+    // staged CREATE (atomic CTAS): this commit must BE version 1 — a
+    // concurrent CREATE that claimed first aborts this one loudly
+    // instead of silently merging two tables
+    requireFresh: Boolean = false) extends BatchWrite {
 
   // Per-job staging namespace: concurrent writes (or an overlapping retry
   // of another job) can never see or delete each other's in-flight files.
@@ -929,6 +931,10 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
     // immediate predecessor version, re-read on every retry), so a
     // concurrent committer's files are never lost from the merge.
     ManifestFiles.publishSnapshotV(fs, conf.value, dir, (previous, version) => {
+      require(!requireFresh || (previous.isEmpty && version == 1),
+        s"graft-manifest at $path: a concurrent committer published a " +
+          "version while this CREATE TABLE AS SELECT was staging — " +
+          "aborting instead of appending to someone else's table")
       // DDL intent (#tableconf) persists until DROP TABLE: truncation
       // replaces the DATA, not the declared layout — and a branch's
       // fork-point marker (#branchbase) must survive both shapes, or
@@ -1287,7 +1293,11 @@ private[sources] class ManifestWriterFactory(path: String, stagingName: String,
           f"part-$partitionId%05d-$taskId",
           partSpec.map { case (idx, kind) =>
             (idx, kind, schema(idx).dataType) },
-          sortPos = sortPos)
+          sortPos = sortPos,
+          // MIXED layout (bucket + transforms): each task IS one bucket
+          // (clustered distribution), so every split file inherits the
+          // task's bucket id — files land pure on both dimensions
+          bucket = if (recordBucket) partitionId else -1)
     val teed =
       if (upsertKeys.isEmpty) base
       else ManifestEqDeletes.tee(base, schema, upsertKeys, path, stagingName,
@@ -1315,7 +1325,10 @@ private[sources] class PartitionSplitWriter(path: String, stagingName: String,
     // declared write.sort-order's leading column: rows arrive ordered
     // (partition cols, sort cols), so each per-value inner file streams
     // non-decreasing in it and earns its own verified `#sorted` mark
-    sortPos: Option[Int] = None) extends DataWriter[InternalRow] {
+    sortPos: Option[Int] = None,
+    // ≥0 on a mixed bucket+transform layout: the task's bucket id, which
+    // every split file records via its `#bucket` line
+    bucket: Int = -1) extends DataWriter[InternalRow] {
 
   private val writers = scala.collection.mutable
     .LinkedHashMap.empty[List[Long], DataWriter[InternalRow]]
@@ -1342,8 +1355,23 @@ private[sources] class PartitionSplitWriter(path: String, stagingName: String,
     kind match {
       // the ONE shared transform math (also the catalog's V2 function
       // and the scan's group derivation — three consumers, one formula)
-      case "days" | "months" =>
-        GraftTimeTransformFunction.dayOf(kind, dayOf).toLong
+      case "hours" =>
+        GraftTimeTransformFunction.hourOf(row.getLong(colIdx)).toLong
+      case k if GraftTimeTransformFunction.TimeKinds(k) =>
+        GraftTimeTransformFunction.dayOf(k, dayOf).toLong
+      case k if GraftTruncateFunction.widthOf(k).isDefined =>
+        val w = GraftTruncateFunction.widthOf(k).get
+        dt match {
+          case LongType => GraftTruncateFunction.truncLong(w, row.getLong(colIdx))
+          case IntegerType =>
+            GraftTruncateFunction.truncLong(w, row.getInt(colIdx).toLong)
+          // routing key only — the file's own stats prove the layout, so
+          // a hash collision merely co-locates two prefixes (still
+          // correct, the scan degrades that group)
+          case StringType => GraftTruncateFunction
+            .truncStr(w, row.getUTF8String(colIdx)).hashCode.toLong
+          case _ => 0L
+        }
       case _ => dt match { // identity
         case LongType => row.getLong(colIdx)
         case IntegerType => row.getInt(colIdx).toLong
@@ -1372,7 +1400,8 @@ private[sources] class PartitionSplitWriter(path: String, stagingName: String,
       val seq = writers.size
       ManifestWriters.create(path, stagingName,
         s"$namePrefix-s$seq${ManifestWriters.ext(format)}.tmp",
-        schema, conf, injectFailure = false, sortPos = sortPos)
+        schema, conf, injectFailure = false, bucket = bucket,
+        sortPos = sortPos)
     }).write(row)
   }
 

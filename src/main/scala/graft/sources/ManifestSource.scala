@@ -51,6 +51,268 @@ object ManifestFiles {
       text.split("\n").filter(_.nonEmpty)
     }
 
+  // ---- Segmented snapshot storage (round 13) --------------------------
+  // Version files were FULL listings through round 12, so every commit
+  // rewrote the complete file list and every plan re-read it — O(table)
+  // metadata I/O per commit, the one cost that breaks per-epoch
+  // streaming commits into a 10⁶-file table. From round 13 a snapshot is
+  // a MANIFEST LIST (Iceberg's model): the atomically-claimed
+  // `_MANIFEST.v<N>` holds a `#list,1` header, the snapshot's CONTROL
+  // lines inline (#tableconf/#txn/#dels/#eqdels/#branchbase — bounded by
+  // live delete state, not file count), and `#seg,<file>,<count>`
+  // references to immutable `_SEG.*` segment files carrying the bulk
+  // (entries + their per-file #stats/#bucket/#sorted/#born/#import). A
+  // commit writes ONE new segment holding its delta and re-references
+  // the predecessor's surviving segments — commit I/O is O(delta).
+  // Claim-loop concurrency is untouched: the list file IS what the claim
+  // renames. Legacy full-listing version files stay readable (no header
+  // → the file is the lines) and the first commit on one converts it.
+
+  val ListHeader = "#list,1"
+  private val SegPrefix = "#seg,"
+  /** Data lines up to this count stay inline instead of costing a
+    * segment file (CREATE TABLE, tiny appends). */
+  val InlineDataMax = 32
+  /** Ceiling on live segments per snapshot: a commit that would exceed
+    * it folds the smallest segments into its own new segment — LSM-ish
+    * amortized merging that bounds list size and plan-time file count
+    * over unbounded commit histories. */
+  val MaxSegments = 64
+
+  /** Per-file metadata kinds that travel WITH their entry inside a data
+    * segment; everything else is a control line and stays inline. */
+  private def isDataLine(l: String): Boolean =
+    !l.startsWith("#") || l.startsWith("#stats,") ||
+      l.startsWith("#bucket,") || l.startsWith("#sorted,") ||
+      l.startsWith("#born,") || l.startsWith("#import,")
+
+  def isListFormat(raw: Array[String]): Boolean = raw.contains(ListHeader)
+
+  def segmentRefsFromRaw(raw: Array[String]): Seq[(String, Int)] =
+    raw.toSeq.filter(_.startsWith(SegPrefix)).flatMap { l =>
+      l.split(",", 3) match {
+        case Array(_, n, c) => c.toIntOption.map(n -> _)
+        case _ => None
+      }
+    }
+
+  /** Segment contents are IMMUTABLE (names carry a committer-unique
+    * token and are never reused), so a driver-side cache makes repeated
+    * plans and the commit encoder's survivor checks memory-reads — only
+    * segments never seen by this JVM touch storage. */
+  private val segCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+
+  private def segmentLines(fs: FileSystem, dir: Path, name: String): Array[String] = {
+    val key = s"${dir.toUri}#$name"
+    val hit = segCache.get(key)
+    if (hit != null) hit
+    else {
+      val ls = readManifest(fs, new Path(dir, name))
+      if (ls.nonEmpty) {
+        if (segCache.size > 4096) segCache.clear()
+        segCache.put(key, ls)
+      }
+      ls
+    }
+  }
+
+  private val SegStatsPrefix = "#segstats,"
+
+  /** Lines that exist only in the LIST encoding, never in the logical
+    * snapshot. */
+  private def isListOnly(l: String): Boolean =
+    l == ListHeader || l.startsWith(SegPrefix) || l.startsWith(SegStatsPrefix)
+
+  /** Resolve a version file's RAW lines to the snapshot's full logical
+    * line set. Legacy full listings pass through untouched. */
+  def materialize(fs: FileSystem, dir: Path, raw: Array[String]): Array[String] =
+    if (!isListFormat(raw)) raw
+    else raw.filterNot(isListOnly) ++ segmentRefsFromRaw(raw).toArray
+      .flatMap { case (n, _) => segmentLines(fs, dir, n) }
+
+  /** Materialize with SEGMENT-LEVEL pruning — the plan-time win of the
+    * list encoding: `skip(files, rows, unionStats)` decides from a
+    * segment's aggregate `#segstats` summary whether the WHOLE segment
+    * can be proven row-free for the scan, before its per-file lines are
+    * ever read. Skips are exact (the union range contains every file
+    * range, so any file-level skip decision is implied). Returns the
+    * surviving lines and the pruned-file count (those files were listed
+    * AND skipped, for metric parity with file-level skipping). */
+  def materializePruned(fs: FileSystem, dir: Path, raw: Array[String],
+      skip: (Int, Long, FileStats) => Boolean): (Array[String], Long) =
+    if (!isListFormat(raw)) (raw, 0L)
+    else {
+      val sums = raw.filter(_.startsWith(SegStatsPrefix))
+        .flatMap(parseSegStats).toMap
+      var pruned = 0L
+      val body = segmentRefsFromRaw(raw).toArray.flatMap { case (n, _) =>
+        sums.get(n) match {
+          case Some((files, rows, st)) if skip(files, rows, st) =>
+            pruned += files
+            Array.empty[String]
+          case _ => segmentLines(fs, dir, n)
+        }
+      }
+      (raw.filterNot(isListOnly) ++ body, pruned)
+    }
+
+  /** `#segstats,<seg>,<files>,<rows>,<bytes>,<payload>` — a segment's
+    * aggregate stats in the SAME payload codec as per-file `#stats`:
+    * nulls summed, bounds unioned in the canonical comparison domain.
+    * Emitted only when EVERY entry in the segment carries stats (an
+    * unknown file makes the union unprovable). */
+  def parseSegStats(line: String): Option[(String, (Int, Long, FileStats))] = {
+    val p = line.split(",", 6)
+    if (p.length != 6) return None
+    for {
+      files <- p(2).toIntOption
+      rows <- p(3).toLongOption
+      parsed <- parseStatsLine(s"#stats,${p(1)},${p(4)},${p(5)}")
+    } yield parsed._1 -> ((files, rows, parsed._2))
+  }
+
+  /** Union one column's per-file stats. Sound under every skip pattern:
+    * nulls sum (IS NULL needs zero anywhere; IS NOT NULL's all-null
+    * proof composes as sum(nulls)==sum(rows)); bounds take the winning
+    * file's RECORDED string, so no re-encoding drift; a file whose upper
+    * bound was recorded absent (string truncation overflow) forces the
+    * union's upper bound absent too — claiming a tighter bound than an
+    * unknown maximum is how lost rows happen. */
+  private def unionCol(dt: DataType, cs: Seq[ColStats]): Option[ColStats] = {
+    val nulls = cs.map(_.nulls).sum
+    if (cs.forall(c => c.min.isEmpty && c.max.isEmpty))
+      return Some(ColStats(nulls, None, None)) // every file all-null
+    def pick(vals: Seq[String], wantMin: Boolean): Option[Option[String]] = {
+      if (vals.isEmpty) return Some(None)
+      val decoded = vals.map(s =>
+        ManifestSkip.decodeRaw(dt, s).flatMap(ManifestSkip.normalize(dt, _))
+          .map(s -> _))
+      if (decoded.exists(_.isEmpty)) None // undecodable ⇒ drop the column
+      else {
+        val ds = decoded.flatten
+        Some(Some((if (wantMin) ds.minBy(_._2)(ManifestSkip.canonOrdering)
+                   else ds.maxBy(_._2)(ManifestSkip.canonOrdering))._1))
+      }
+    }
+    val minKnown = cs.forall(c => c.min.isDefined || c.max.isEmpty)
+    val maxKnown = cs.forall(c => c.max.isDefined || c.min.isEmpty)
+    if (!minKnown) return None // (absent-min, value) never recorded; bail
+    for {
+      mn <- pick(cs.flatMap(_.min), wantMin = true)
+      mx <- if (maxKnown) pick(cs.flatMap(_.max), wantMin = false)
+            else Some(None)
+    } yield ColStats(nulls, mn, mx)
+  }
+
+  /** Aggregate a freshly-written data segment's lines into its
+    * `#segstats` line, or None when any entry lacks stats. Top-level
+    * positions only (nested predicates keep their file-level skipping). */
+  private def segSummaryLine(name: String, data: Array[String],
+      schema: StructType): Option[String] = {
+    val entries = entriesFromLines(data)
+    if (entries.isEmpty) return None
+    val stats = statsFromLines(data)
+    if (!entries.forall(e => stats.contains(e._1))) return None
+    val all = entries.map(e => stats(e._1)).toSeq
+    val keys = all.map(_.cols.keySet).reduce(_ intersect _)
+    val cols = keys.toSeq.sorted.flatMap { pos =>
+      fieldAtPhys(schema, pos).map(schema(_).dataType)
+        .filter(ManifestSkip.statsCapable)
+        .flatMap(dt => unionCol(dt, all.map(_.cols(pos))))
+        .map(pos -> _)
+    }
+    if (cols.isEmpty) None
+    else {
+      val bytes = all.map(_.bytes).sum
+      val sl = statsLine(name, bytes, cols)
+      val rest = sl.stripPrefix(s"#stats,$name,")
+      Some(s"$SegStatsPrefix$name,${entries.length},${entries.map(_._2).sum},$rest")
+    }
+  }
+
+  /** Streaming exactly-once markers accumulate one line per committed
+    * epoch; only the MAX epoch per query is ever consulted
+    * (committedEpoch), so storage keeps just that one — without this the
+    * inline control section of every list would grow O(epochs). Lines
+    * that do not parse are kept verbatim. */
+  private def dedupeTxn(lines: Array[String]): Array[String] = {
+    val txns = lines.filter(_.startsWith("#txn,"))
+    if (txns.length <= 1) lines
+    else {
+      val parsed = txns.flatMap { l =>
+        val p = l.split(",", 3)
+        if (p.length == 3) p(2).toLongOption.map(e => (p(1), e, l)) else None
+      }
+      val keep = parsed.groupBy(_._1).map { case (_, g) => g.maxBy(_._2)._3 }
+        .toSet ++ txns.filterNot(l => parsed.exists(_._3 == l))
+      lines.filter(l => !l.startsWith("#txn,") || keep(l))
+    }
+  }
+
+  /** Encode one snapshot's full logical lines against the predecessor's
+    * RAW list: keep every predecessor segment whose lines all survive,
+    * spill everything else (the commit's delta plus survivors of
+    * rewritten segments) into one new segment — written BEFORE the claim
+    * so a reader resolving the landed list always finds it. Returns the
+    * raw list lines and any segment files written (the claim-loop
+    * deletes them if the attempt loses). */
+  private def encodeSnapshot(fs: FileSystem, dir: Path,
+      prevRaw: Array[String], full: Array[String], version: Int,
+      token: String, schema: StructType): (Array[String], Seq[Path]) = {
+    val newSet = new java.util.HashSet[String](full.length * 2)
+    full.foreach(newSet.add)
+    var kept = List.empty[(String, Int)]
+    val covered = new java.util.HashSet[String](full.length * 2)
+    if (isListFormat(prevRaw)) segmentRefsFromRaw(prevRaw).foreach {
+      case (name, _) =>
+        val ls = segmentLines(fs, dir, name)
+        if (ls.nonEmpty && ls.forall(newSet.contains)) {
+          kept ::= ((name, ls.length))
+          ls.foreach(covered.add)
+        }
+    }
+    val pending = full.filter(l => !covered.contains(l)).distinct
+    var (data, control) = pending.partition(isDataLine)
+    // amortized merge: fold the smallest kept segments into this
+    // commit's segment until the reference count fits the ceiling
+    if (kept.length + 1 > MaxSegments) {
+      val bySize = kept.sortBy(_._2)
+      val fold = bySize.take(kept.length + 1 - MaxSegments)
+      val foldSet = fold.map(_._1).toSet
+      kept = kept.filterNot(s => foldSet(s._1))
+      data = data ++ fold.toArray.flatMap { case (n, _) =>
+        segmentLines(fs, dir, n) }
+    }
+    val written = List.newBuilder[Path]
+    var inline = control
+    var newSummary = List.empty[String]
+    if (data.nonEmpty) {
+      if (data.length <= InlineDataMax && kept.length < MaxSegments)
+        inline = inline ++ data
+      else {
+        val segName =
+          s"_SEG.$version-$token-${java.util.UUID.randomUUID().toString.take(8)}"
+        val p = new Path(dir, segName)
+        val out = fs.create(p, true)
+        try out.write(data.sorted.mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+        segCache.put(s"${dir.toUri}#$segName", data.sorted)
+        written += p
+        kept ::= ((segName, data.length))
+        newSummary = segSummaryLine(segName, data, schema).toList
+      }
+    }
+    // kept segments carry their existing summaries forward verbatim
+    val keptNames = kept.map(_._1).toSet
+    val keptSummaries = prevRaw.filter(l => l.startsWith(SegStatsPrefix) &&
+      parseSegStats(l).exists(s => keptNames(s._1)))
+    val raw = ListHeader +: (inline.sorted ++
+      (kept.map { case (n, c) => s"$SegPrefix$n,$c" } ++
+        keptSummaries ++ newSummary).sorted.toArray)
+    (raw, written.result())
+  }
+
   /** Version-chain file-name prefix: main = `_MANIFEST.vN`; a BRANCH b
     * (round 12 — Iceberg refs with write support) keeps its own chain
     * `_MANIFEST.br-<b>.vN` in the SAME directory, so branch data files
@@ -135,13 +397,21 @@ object ManifestFiles {
     }
   }
 
-  /** Raw lines of ONE snapshot (the consistency unit — every parser
-    * below can run off a single read of these). */
+  /** Full logical lines of ONE snapshot (the consistency unit — every
+    * parser below can run off a single read of these). Segmented lists
+    * resolve through the segment cache; legacy listings pass through. */
   def linesOf(fs: FileSystem, dir: Path, version: Option[Int]): Array[String] =
-    readManifest(fs, manifestPath(fs, dir, version))
+    materialize(fs, dir, readManifest(fs, manifestPath(fs, dir, version)))
 
   def linesOf(fs: FileSystem, dir: Path, version: Option[Int],
       branch: Option[String]): Array[String] =
+    materialize(fs, dir,
+      readManifest(fs, manifestPath(fs, dir, version, branch)))
+
+  /** RAW list lines of one snapshot — copy-style publishers re-reference
+    * these verbatim (segments shared, O(1) metadata I/O). */
+  def rawLinesOf(fs: FileSystem, dir: Path, version: Option[Int],
+      branch: Option[String] = None): Array[String] =
     readManifest(fs, manifestPath(fs, dir, version, branch))
 
   def entriesFromLines(lines: Array[String]): Array[(String, Long)] =
@@ -524,7 +794,7 @@ object ManifestFiles {
   /** (bucket colPos, n, sort colPos) declared by DDL, if any. */
   def tableConf(fs: FileSystem, dir: Path,
       version: Option[Int]): Option[(Int, Int, Option[Int])] =
-    readManifest(fs, manifestPath(fs, dir, version))
+    linesOf(fs, dir, version)
       .find(_.startsWith("#tableconf,bucket,")).flatMap { line =>
         line.split(",") match {
           case Array(_, _, pos, n) =>
@@ -603,7 +873,7 @@ object ManifestFiles {
   def latestLines(fs: FileSystem, dir: Path): Array[String] = {
     val v = latestComplete(fs, dir)
     if (v <= 0) Array.empty
-    else readManifest(fs, new Path(dir, s"_MANIFEST.v$v"))
+    else materialize(fs, dir, readManifest(fs, new Path(dir, s"_MANIFEST.v$v")))
   }
 
   /** Highest epoch a streaming query has committed into this table, read
@@ -640,10 +910,35 @@ object ManifestFiles {
   /** The versioned flavor: `buildEntries` additionally receives the
     * version number THIS claim attempt is for (re-invoked per retry), so
     * commits can embed sequencing metadata (`#born`/`#eqdels` version
-    * scoping) that survives the manifest's sorted storage. */
+    * scoping) that survives the manifest's sorted storage. `startAt`
+    * floors the first claimed version — how a fresh BRANCH chain starts
+    * at its fork version instead of 1, keeping branch numbering aligned
+    * with main's so version-scoped metadata means the same thing on
+    * both chains. Storage is the SEGMENTED list encoding (see
+    * [[encodeSnapshot]]): the closure works on full logical lines, the
+    * landed bytes are O(delta). */
   def publishSnapshotV(fs: FileSystem, conf: org.apache.hadoop.conf.Configuration,
       dir: Path, buildEntries: (Array[String], Int) => Array[String],
-      schema: StructType, branch: Option[String] = None): Int = {
+      schema: StructType, branch: Option[String] = None,
+      startAt: Int = 0): Int =
+    publishRawV(fs, conf, dir, (prevRaw, version) => {
+      val previous = materialize(fs, dir, prevRaw)
+      encodeSnapshot(fs, dir, prevRaw,
+        dedupeTxn(buildEntries(previous, version)), version,
+        java.util.UUID.randomUUID().toString.take(8), schema)
+    }, schema, branch, startAt)
+
+  /** RAW-level publish: `buildRaw` receives the predecessor's raw list
+    * lines and returns (raw lines to land, segment files written for
+    * this attempt — deleted if the claim loses). Copy-style commits
+    * (create_branch, rollback, fast_forward) use this directly to
+    * re-reference the source snapshot's segments verbatim: a branch
+    * fork or a rollback of a million-file table is a one-small-file
+    * metadata commit. */
+  def publishRawV(fs: FileSystem, conf: org.apache.hadoop.conf.Configuration,
+      dir: Path, buildRaw: (Array[String], Int) => (Array[String], Seq[Path]),
+      schema: StructType, branch: Option[String] = None,
+      startAt: Int = 0): Int = {
     val pfx = chainPrefix(branch)
     if (!fs.exists(dir)) fs.mkdirs(dir)
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
@@ -696,19 +991,25 @@ object ManifestFiles {
     // remain a documented out-of-scope race.
     val lock = (dir.toUri.toString + s"#graft-manifest-claim-$pfx").intern()
     lock.synchronized {
-      var version = latestVersion(fs, dir, branch) + 1
+      var version = math.max(latestVersion(fs, dir, branch) + 1, startAt)
       var entries: Array[Byte] = null
       var claimed = false
       while (!claimed) {
-        val previous =
+        val prevRaw =
           if (version <= 1) Array.empty[String]
           else readManifest(fs, new Path(dir, s"_MANIFEST.${pfx}v${version - 1}"))
-        entries = buildEntries(previous, version).sorted.mkString("\n")
-          .getBytes("UTF-8")
+        val (raw, segsWritten) = buildRaw(prevRaw, version)
+        entries = raw.mkString("\n").getBytes("UTF-8")
         claimed = !fs.exists(new Path(dir, s"_MANIFEST.${pfx}v$version")) &&
           land(s"._claim-$token-$pfx$version", entries,
             s"_MANIFEST.${pfx}v$version", overwrite = false)
-        if (!claimed) version += 1
+        if (!claimed) {
+          // this attempt's segments are unreferenced — sweep them now
+          // rather than leaving orphans for vacuum
+          segsWritten.foreach(p => try fs.delete(p, false)
+            catch { case _: Exception => })
+          version += 1
+        }
       }
       val schemaBytes = schema.json.getBytes("UTF-8")
       land(s"._publish-$token-vschema", schemaBytes, s"_SCHEMA.${pfx}v$version",
@@ -931,6 +1232,10 @@ private[sources] object ManifestSkip {
     case _: DecimalType => true
     case _ => false
   }
+
+  /** [[cmp]] as an Ordering, for the segment-summary unions. */
+  private[sources] val canonOrdering: Ordering[Any] =
+    new Ordering[Any] { def compare(a: Any, b: Any): Int = cmp(a, b) }
 
   /** Canonical-domain comparator — the SINGLE ordering both the writer's
     * streamed min/max tracking and the skip evaluator use (two copies
@@ -1305,7 +1610,7 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
     * mid-planning can never make the file list, the skip stats, and the
     * layout metadata disagree (and a large manifest is parsed once, not
     * five times). */
-  private lazy val snapshotLines: Array[String] = {
+  private lazy val snapshotView: (Array[String], Long) = {
     val fs = dir.getFileSystem(conf.value)
     val pinned = changes match {
       case Some((_, to)) =>
@@ -1315,8 +1620,24 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
         if (v > 0) Some(v) else None
       }
     }
-    ManifestFiles.linesOf(fs, dir, pinned, branch)
+    val raw = ManifestFiles.rawLinesOf(fs, dir, pinned, branch)
+    // SEGMENT-level pruning: on a plain filtered batch scan, a pushed
+    // predicate disproved by a segment's `#segstats` union range skips
+    // the whole segment UNREAD — plan-time metadata I/O tracks the
+    // matching data, not the table's total file count. Union ranges
+    // contain every member file's range, so any segment-level skip is
+    // implied file-by-file (metric parity: pruned files count as listed
+    // AND skipped, exactly what the per-file pass would have reported).
+    // Incremental/CDF ranges and runtime group-filtered (COW) scans
+    // materialize fully — their file lists come from elsewhere.
+    if (changes.isDefined || filesSubset.isDefined || skipFilters.isEmpty)
+      (ManifestFiles.materialize(fs, dir, raw), 0L)
+    else ManifestFiles.materializePruned(fs, dir, raw, (files, rows, st) =>
+      skipFilters.exists(f =>
+        ManifestSkip.canSkip(f, fullSchema, Some(st), Some(rows))))
   }
+
+  private lazy val snapshotLines: Array[String] = snapshotView._1
 
   private lazy val staticPlan: (Array[String], Map[String, Long],
       Map[String, ManifestFiles.FileStats]) = {
@@ -1333,8 +1654,8 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
     val listed = filesSubset.fold(listed0)(s => listed0.filter(s.contains))
     val kept = listed.filterNot(n => skipFilters.exists(f =>
       ManifestSkip.canSkip(f, fullSchema, stats.get(n), rows.get(n))))
-    filesListed = listed.length
-    filesSkipped = (listed.length - kept.length).toLong
+    filesListed = listed.length + snapshotView._2
+    filesSkipped = (listed.length - kept.length).toLong + snapshotView._2
     (kept, rows, stats)
   }
 
@@ -1513,14 +1834,34 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
               mn <- ManifestSkip.decodeRaw(dt, mnS)
               mx <- ManifestSkip.decodeRaw(dt, mxS)
               key <- kind match {
-                case "days" | "months" =>
+                case k if GraftTimeTransformFunction.TimeKinds(k) =>
                   def ord(v: Any): Option[Int] = v match {
-                    case i: Int => Some(GraftTimeTransformFunction.dayOf(kind, i.toLong))
-                    case l: Long => Some(GraftTimeTransformFunction.dayOf(
-                      kind, Math.floorDiv(l, 86400000000L)))
+                    case i: Int if k != "hours" =>
+                      Some(GraftTimeTransformFunction.dayOf(k, i.toLong))
+                    case l: Long =>
+                      Some(GraftTimeTransformFunction.unitOf(k, l,
+                        isDate = false))
                     case _ => None
                   }
                   for { a <- ord(mn); b <- ord(mx); if a == b } yield a
+                case k if GraftTruncateFunction.widthOf(k).isDefined =>
+                  val w = GraftTruncateFunction.widthOf(k).get
+                  // string bounds are stats-truncated at StatsTruncLen
+                  // code points — beyond that width a recorded bound is
+                  // only a PREFIX of the true value and the derived key
+                  // would be wrong, so the layout degrades instead
+                  def tr(v: Any): Option[Any] = v match {
+                    case l: Long => Some(GraftTruncateFunction.truncLong(w, l))
+                    case i: Int =>
+                      Some(GraftTruncateFunction.truncLong(w, i.toLong).toInt)
+                    case s: UTF8String if w <= ManifestFiles.StatsTruncLen =>
+                      Some(GraftTruncateFunction.truncStr(w, s))
+                    case s: String if w <= ManifestFiles.StatsTruncLen =>
+                      Some(GraftTruncateFunction.truncStr(w,
+                        UTF8String.fromString(s)))
+                    case _ => None
+                  }
+                  for { a <- tr(mn); b <- tr(mx); if a == b } yield a
                 case _ => // identity: value-pure file
                   if (mn == mx) Some(mn) else None
               }
@@ -1609,6 +1950,12 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
           val exprs = colKinds.map { case (col, kind) => kind match {
             case "days" => Expressions.days(col)
             case "months" => Expressions.months(col)
+            case "years" => Expressions.years(col)
+            case "hours" => Expressions.hours(col)
+            case k if GraftTruncateFunction.widthOf(k).isDefined =>
+              Expressions.apply("truncate",
+                Expressions.literal(GraftTruncateFunction.widthOf(k).get),
+                Expressions.column(col))
             case _ => Expressions.identity(col)
           }}
           new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
@@ -2492,71 +2839,100 @@ class GraftManifestCatalog extends TableCatalog
     if (f.exists(new Path(dir, "_MANIFEST")))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         Array(catalogName, ident.name))
-    var part: Vector[(Int, String)] = Vector.empty
-    val bucket = partitions.toSeq match {
-      case Seq() => None
-      case Seq(t) if t.name == "bucket" =>
-        val n = t.arguments.collectFirst {
-          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
-            l.value.toString.toInt
-        }
-        val col = t.references.headOption
-          .map(_.fieldNames.mkString("."))
-        (n, col) match {
-          case (Some(nn), Some(c)) =>
-            require(schema.fieldNames.contains(c),
-              s"bucket column '$c' not in ${schema.fieldNames.mkString(",")}")
-            require(schema(c).dataType == LongType,
-              s"bucket supports BIGINT columns, got ${schema(c).dataType.sql}")
-            Some((schema.fieldIndex(c), nn))
-          case _ => throw new IllegalArgumentException(
-            s"malformed bucket transform: $t")
-        }
-      // time/identity partition transforms (round 12): recorded as
-      // `#tableconf,part` lines IN DECLARED ORDER; the write side splits
-      // task output so each data file holds one COMPOSITE partition
-      // value (see ManifestWriters) — `PARTITIONED BY (days(ts),
-      // region)` lands day+region-pure files, so a retention delete on
-      // either dimension stays metadata-only and two identically-laid
-      // tables storage-partition-join on the composite key
-      case ts if ts.forall(t => t.name == "days" || t.name == "months" ||
-          t.name == "identity") =>
-        ts.foreach { t =>
-          val c = t.references.headOption.map(_.fieldNames.mkString("."))
-            .getOrElse(throw new IllegalArgumentException(
-              s"malformed ${t.name} transform: $t"))
-          require(schema.fieldNames.contains(c),
-            s"partition column '$c' not in ${schema.fieldNames.mkString(",")}")
-          val dt = schema(c).dataType
-          if (t.name == "identity")
-            require(ManifestSkip.statsCapable(dt),
-              s"identity partitioning needs an orderable primitive " +
-                s"column, got ${dt.sql}")
-          else
-            require(dt == TimestampType || dt == TimestampNTZType ||
-                dt == DateType,
-              s"${t.name}() needs a TIMESTAMP or DATE column, got ${dt.sql}")
-          val idx = schema.fieldIndex(c)
-          require(!part.exists(_._1 == idx),
-            s"duplicate partition transform on column '$c'")
-          part :+= ((idx, t.name))
-        }
-        None
-      case other => throw new UnsupportedOperationException(
-        "graft-manifest supports PARTITIONED BY (bucket(n, col)) — " +
-          "alone — or any list of (days(ts)), (months(ts)), (col) " +
-          "transforms; got " + other.mkString(", "))
-    }
+    val (bucket, part) = parseTransforms(schema, partitions)
     ManifestFiles.publishSnapshot(f,
       SparkSession.active.sessionState.newHadoopConf(), dir,
-      _ => bucket.map { case (pos, n) =>
-          ManifestFiles.tableConfLine(pos, n, None) }.toArray ++
-        part.map { case (pos, kind) =>
-          ManifestFiles.partConfLine(pos, kind) }.toArray[String] ++
-        propertyConfLines(schema, properties, bucketLaid = bucket.isDefined),
-      schema)
+      _ => createConfLines(schema, bucket, part, properties), schema)
     load(ident, None)
   }
+
+  /** DECLARED layout transforms → (bucket spec, time/identity/truncate
+    * partition columns), shared by CREATE TABLE and the staged (atomic)
+    * CTAS. Time/identity/truncate transforms are recorded as
+    * `#tableconf,part` lines IN DECLARED ORDER; the write side splits
+    * task output so each data file holds one COMPOSITE partition value
+    * (see ManifestWriters) — `PARTITIONED BY (days(ts), region)` lands
+    * day+region-pure files, so a retention delete on either dimension
+    * stays metadata-only and two identically-laid tables
+    * storage-partition-join on the composite key. MIXED specs may add
+    * ONE `bucket(n, col)`: the write clusters tasks by bucket and splits
+    * files by the remaining transforms — files land pure on BOTH, the
+    * bucket SPJ layout holds, and temporal retention deletes stay
+    * metadata-only. */
+  private def parseTransforms(schema: StructType,
+      partitions: Array[Transform]):
+      (Option[(Int, Int)], Vector[(Int, String)]) = {
+    var part: Vector[(Int, String)] = Vector.empty
+    var bucket: Option[(Int, Int)] = None
+    def litInt(t: Transform): Option[Int] = t.arguments.collectFirst {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        l.value.toString.toInt
+    }
+    def colOf(t: Transform): Int = {
+      val c = t.references.headOption.map(_.fieldNames.mkString("."))
+        .getOrElse(throw new IllegalArgumentException(
+          s"malformed ${t.name} transform: $t"))
+      require(schema.fieldNames.contains(c),
+        s"partition column '$c' not in ${schema.fieldNames.mkString(",")}")
+      schema.fieldIndex(c)
+    }
+    partitions.foreach { t =>
+      t.name match {
+        case "bucket" =>
+          require(bucket.isEmpty, "at most one bucket(n, col) transform")
+          val idx = colOf(t)
+          val n = litInt(t).getOrElse(throw new IllegalArgumentException(
+            s"malformed bucket transform: $t"))
+          require(schema(idx).dataType == LongType,
+            s"bucket supports BIGINT columns, got ${schema(idx).dataType.sql}")
+          bucket = Some((idx, n))
+        case k if GraftTimeTransformFunction.TimeKinds(k) =>
+          val idx = colOf(t)
+          val dt = schema(idx).dataType
+          require(dt == TimestampType || dt == TimestampNTZType ||
+              (dt == DateType && k != "hours"),
+            s"$k() needs a TIMESTAMP${if (k == "hours") ""
+              else " or DATE"} column, got ${dt.sql}")
+          require(!part.exists(_._1 == idx),
+            s"duplicate partition transform on column ${schema(idx).name}")
+          part :+= ((idx, k))
+        case "truncate" =>
+          val idx = colOf(t)
+          val w = litInt(t).getOrElse(throw new IllegalArgumentException(
+            s"malformed truncate transform: $t"))
+          require(w >= 1, s"truncate width must be >= 1, got $w")
+          val dt = schema(idx).dataType
+          require(dt == LongType || dt == IntegerType || dt == StringType,
+            s"truncate supports BIGINT/INT/STRING columns, got ${dt.sql}")
+          require(!part.exists(_._1 == idx),
+            s"duplicate partition transform on column ${schema(idx).name}")
+          part :+= ((idx, GraftTruncateFunction.kindOf(w)))
+        case "identity" =>
+          val idx = colOf(t)
+          require(ManifestSkip.statsCapable(schema(idx).dataType),
+            s"identity partitioning needs an orderable primitive " +
+              s"column, got ${schema(idx).dataType.sql}")
+          require(!part.exists(_._1 == idx),
+            s"duplicate partition transform on column ${schema(idx).name}")
+          part :+= ((idx, "identity"))
+        case other => throw new UnsupportedOperationException(
+          "graft-manifest supports PARTITIONED BY lists of days/months/" +
+            "years/hours(ts), truncate(w, col), identity (col), plus at " +
+            s"most one bucket(n, col); got $other")
+      }
+    }
+    (bucket, part)
+  }
+
+  /** A fresh table's full `#tableconf` line set (layout + properties). */
+  private def createConfLines(schema: StructType,
+      bucket: Option[(Int, Int)], part: Vector[(Int, String)],
+      properties: JMap[String, String]): Array[String] =
+    bucket.map { case (pos, n) =>
+        ManifestFiles.tableConfLine(pos, n, None) }.toArray ++
+      part.map { case (pos, kind) =>
+        ManifestFiles.partConfLine(pos, kind) }.toArray[String] ++
+      propertyConfLines(schema, properties, bucketLaid = bucket.isDefined)
 
   /** DDL properties → their persisted `#tableconf` lines (delete.mode,
     * format, CHECK constraints, bloom columns, write sort order) —
@@ -2619,15 +2995,53 @@ class GraftManifestCatalog extends TableCatalog
   // their version-pinned snapshots, the replacement becomes visible in
   // ONE claim-loop commit, and an aborted query leaves the table
   // byte-identical (nothing published). Partition transforms in REPLACE
-  // are refused (the write-side splitter reads the layout from disk —
-  // create a fresh table instead); plain CTAS creates the empty table
-  // up front and DROPS it on abort.
+  // are refused (a replaced layout would need the split writer to route
+  // on lines not yet on disk AND reconcile with the old table's files —
+  // create a fresh table instead). A plain CTAS defers ALL visibility to
+  // the data write's own version-1 claim (the StagedTable contract): the
+  // DDL's #tableconf lines ride the `replaceConfLines` property, so a
+  // half-finished CTAS is never observable as an empty table, and the
+  // claim closure re-verifies the table is still fresh — a concurrent
+  // CREATE racing this one aborts instead of silently appending.
   override def stageCreate(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]):
       org.apache.spark.sql.connector.catalog.StagedTable = {
-    val created = createTable(ident, schema, partitions, properties)
-    new StagedManifestTable(created, forceTruncate = false,
-      commitFn = () => (), abortFn = () => { dropTable(ident); () })
+    val dir = tableDir(ident)
+    val f = fs
+    if (f.exists(new Path(dir, "_MANIFEST")))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Array(catalogName, ident.name))
+    val (bucket, part) = parseTransforms(schema, partitions)
+    val confLines = createConfLines(schema, bucket, part, properties)
+    val props = new java.util.HashMap[String, String]()
+    props.put("path", dir.toString)
+    Option(properties.get("format")).foreach(props.put("format", _))
+    props.put("replaceConfLines", confLines.mkString("\n"))
+    props.put("requireFreshTable", "true")
+    // a bucket layout clusters the CTAS write itself (the recorded
+    // #tableconf line rides replaceConfLines; these drive the shuffle)
+    bucket.foreach { case (pos, n) =>
+      props.put("bucketBy", schema.fieldNames(pos))
+      props.put("buckets", n.toString)
+    }
+    val hconf = SparkSession.active.sessionState.newHadoopConf()
+    new StagedManifestTable(
+      new ManifestTable(schema, props, strictSchema = true),
+      forceTruncate = false,
+      // `CREATE TABLE` staged without a write still publishes (empty) v1
+      commitFn = () => {
+        ManifestFiles.publishSnapshotV(f, hconf, dir, (previous, version) => {
+          require(previous.isEmpty && version == 1,
+            s"graft-manifest at $dir: a concurrent committer published " +
+              "a version while this CREATE was staging — aborting")
+          confLines
+        }, ManifestTable.nullableSchema(schema))
+      },
+      // nothing was published — sweep the staged bytes, if any landed
+      abortFn = () => {
+        if (!f.exists(new Path(dir, "_MANIFEST.v1")) && f.exists(dir))
+          f.delete(dir, true)
+      })
   }
 
   override def stageReplace(ident: Identifier, schema: StructType,
@@ -2881,17 +3295,27 @@ class GraftManifestCatalog extends TableCatalog
         val specs: Seq[(Int, String)] = sp.value.trim match {
           case "" | "none" => Seq.empty
           case v => v.split(",").map(_.trim).toSeq.map { token =>
+            val timeKind = GraftTimeTransformFunction.TimeKinds.find(k =>
+              token.startsWith(s"$k(") && token.endsWith(")"))
             val (kind, col) = token match {
-              case s if s.startsWith("days(") && s.endsWith(")") =>
-                ("days", s.stripPrefix("days(").stripSuffix(")").trim)
-              case s if s.startsWith("months(") && s.endsWith(")") =>
-                ("months", s.stripPrefix("months(").stripSuffix(")").trim)
+              case s if timeKind.isDefined =>
+                val k = timeKind.get
+                (k, s.stripPrefix(s"$k(").stripSuffix(")").trim)
+              case s if s.startsWith("truncate(") && s.endsWith(")") =>
+                // truncate(w c) — layout strings are comma-split, so the
+                // width and column separate on whitespace
+                val inner = s.stripPrefix("truncate(").stripSuffix(")").trim
+                val ps = inner.split("\\s+")
+                require(ps.length == 2 && ps(0).toIntOption.exists(_ >= 1),
+                  s"truncate spec '$s' — use truncate(<w> <col>)")
+                (GraftTruncateFunction.kindOf(ps(0).toInt), ps(1))
               case s if s.startsWith("identity(") && s.endsWith(")") =>
                 ("identity", s.stripPrefix("identity(").stripSuffix(")").trim)
               case s if !s.contains("(") => ("identity", s)
               case s => throw new IllegalArgumentException(
                 s"partition.layout transform '$s' — use days(col), " +
-                  "months(col), identity(col)/col, or 'none'")
+                  "months(col), years(col), hours(col), " +
+                  "truncate(<w> <col>), identity(col)/col, or 'none'")
             }
             require(schema.fieldNames.contains(col),
               s"partition column '$col' not in ${schema.fieldNames.mkString(",")}")
@@ -2900,10 +3324,14 @@ class GraftManifestCatalog extends TableCatalog
               require(ManifestSkip.statsCapable(dt),
                 s"identity partitioning needs an orderable primitive " +
                   s"column, got ${dt.sql}")
+            else if (GraftTruncateFunction.widthOf(kind).isDefined)
+              require(dt == LongType || dt == IntegerType || dt == StringType,
+                s"truncate supports BIGINT/INT/STRING columns, got ${dt.sql}")
             else
               require(dt == TimestampType || dt == TimestampNTZType ||
-                  dt == DateType,
-                s"$kind() needs a TIMESTAMP or DATE column, got ${dt.sql}")
+                  (dt == DateType && kind != "hours"),
+                s"$kind() needs a TIMESTAMP${if (kind == "hours") ""
+                  else " or DATE"} column, got ${dt.sql}")
             (ManifestFiles.physPos(schema, schema.fieldIndex(col)), kind)
           }
         }
@@ -3058,16 +3486,19 @@ class GraftManifestCatalog extends TableCatalog
   // a bucketing-aware shuffle of an unbucketed join side lands on the
   // identical layout.
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array("bucket", "days", "months").map(Identifier.of(Array.empty, _))
+    Array("bucket", "days", "months", "years", "hours", "truncate")
+      .map(Identifier.of(Array.empty, _))
 
   override def loadFunction(ident: Identifier):
       org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     ident.name match {
       case "bucket" => GraftBucketFunction
-      case "days" => new GraftTimeTransformFunction("days")
-      case "months" => new GraftTimeTransformFunction("months")
+      case "truncate" => GraftTruncateFunction.unbound
+      case k if GraftTimeTransformFunction.TimeKinds(k) =>
+        new GraftTimeTransformFunction(k)
       case other => throw new IllegalArgumentException(
-        s"catalog $catalogName provides bucket/days/months, got $other")
+        s"catalog $catalogName provides bucket/days/months/years/hours/" +
+          s"truncate, got $other")
     }
 
   import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
@@ -3208,8 +3639,9 @@ private[sources] final class GraftTimeTransformFunction(kind: String)
     require(inputType.length == 1 &&
       (inputType(0).dataType == TimestampType ||
         inputType(0).dataType == TimestampNTZType ||
-        inputType(0).dataType == DateType),
-      s"$kind expects one TIMESTAMP or DATE column, got ${inputType.simpleString}")
+        (inputType(0).dataType == DateType && kind != "hours")),
+      s"$kind expects one TIMESTAMP${if (kind == "hours") "" else " or DATE"} " +
+        s"column, got ${inputType.simpleString}")
     new GraftTimeTransformFunction.Bound(kind,
       inputType(0).dataType == DateType, inputType(0).dataType)
   }
@@ -3219,12 +3651,27 @@ private[sources] object GraftTimeTransformFunction {
   import org.apache.spark.sql.connector.catalog.functions.ScalarFunction
   import org.apache.spark.sql.types.{DataType, IntegerType}
 
-  def dayOf(kind: String, epochDay: Long): Int =
-    if (kind == "days") epochDay.toInt
-    else {
+  val TimeKinds: Set[String] = Set("days", "months", "years", "hours")
+
+  def dayOf(kind: String, epochDay: Long): Int = kind match {
+    case "days" => epochDay.toInt
+    case "years" => java.time.LocalDate.ofEpochDay(epochDay).getYear
+    case _ =>
       val d = java.time.LocalDate.ofEpochDay(epochDay)
       d.getYear * 12 + (d.getMonthValue - 1)
-    }
+  }
+
+  /** hours() works on raw MICROS (a date has no hours — DDL refuses). */
+  def hourOf(micros: Long): Int = Math.floorDiv(micros, 3600000000L).toInt
+
+  /** The ONE shared transform math over the column's internal value
+    * (Int epoch days for DATE, Long micros for timestamps) — the writer
+    * split keys, the catalog's V2 function, and the scan's group
+    * derivation all call this. */
+  def unitOf(kind: String, internal: Long, isDate: Boolean): Int =
+    if (kind == "hours") hourOf(internal) // DDL guarantees non-date
+    else dayOf(kind,
+      if (isDate) internal else Math.floorDiv(internal, 86400000000L))
 
   /** Named public class — Spark's magic-method Invoke lookup needs a
     * public `invoke` on a public class (see BoundBucket). */
@@ -3237,8 +3684,72 @@ private[sources] object GraftTimeTransformFunction {
     override def isResultNullable: Boolean = true
     override def produceResult(input: InternalRow): Integer =
       if (input.isNullAt(0)) null
-      else if (isDate) dayOf(kind, input.getInt(0).toLong)
-      else dayOf(kind, Math.floorDiv(input.getLong(0), 86400000000L))
+      else unitOf(kind,
+        if (isDate) input.getInt(0).toLong else input.getLong(0), isDate)
+  }
+}
+
+/** `truncate(w, col)` as a DSv2 bound function (Iceberg's width
+  * transform): integrals floor to the width multiple
+  * (`v - pmod(v, w)`, negative-safe), strings keep their first `w`
+  * CODE POINTS. The same formula routes the write split, derives the
+  * scan's group keys from file stats, and resolves SPJ partitioning. */
+private[sources] object GraftTruncateFunction {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+  import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
+
+  def truncLong(w: Int, v: Long): Long = v - Math.floorMod(v, w.toLong)
+
+  def truncStr(w: Int, s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (str.codePointCount(0, str.length) <= w) s
+    else UTF8String.fromString(str.substring(0, str.offsetByCodePoints(0, w)))
+  }
+
+  /** Kind-string encoding in the `#tableconf,part` line: `truncate.<w>`
+    * (comma-free, so the line format is untouched). */
+  def kindOf(w: Int): String = s"truncate.$w"
+  def widthOf(kind: String): Option[Int] =
+    if (kind.startsWith("truncate.")) kind.stripPrefix("truncate.").toIntOption
+    else None
+
+  def unbound: UnboundFunction = new UnboundFunction {
+    override def name(): String = "truncate"
+    override def description(): String =
+      "truncate(w, col): width transform — graft-manifest partition layout"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.length == 2 && inputType(0).dataType == IntegerType,
+        s"truncate expects (INT width, column), got ${inputType.simpleString}")
+      inputType(1).dataType match {
+        case LongType | IntegerType => new BoundTruncLong(inputType(1).dataType)
+        case StringType => new BoundTruncStr
+        case other => throw new IllegalArgumentException(
+          s"truncate supports BIGINT/INT/STRING columns, got ${other.sql}")
+      }
+    }
+  }
+
+  final class BoundTruncLong(dt: DataType) extends ScalarFunction[Any] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
+    override def resultType(): DataType = dt
+    override def name(): String = "truncate"
+    override def canonicalName(): String = "graft.truncate"
+    override def isResultNullable: Boolean = true
+    override def produceResult(input: InternalRow): Any =
+      if (input.isNullAt(0) || input.isNullAt(1)) null
+      else if (dt == LongType) truncLong(input.getInt(0), input.getLong(1))
+      else truncLong(input.getInt(0), input.getInt(1).toLong).toInt
+  }
+
+  final class BoundTruncStr extends ScalarFunction[UTF8String] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, StringType)
+    override def resultType(): DataType = StringType
+    override def name(): String = "truncate"
+    override def canonicalName(): String = "graft.truncate"
+    override def isResultNullable: Boolean = true
+    override def produceResult(input: InternalRow): UTF8String =
+      if (input.isNullAt(0) || input.isNullAt(1)) null
+      else truncStr(input.getInt(0), input.getUTF8String(1))
   }
 }
 
@@ -3687,6 +4198,28 @@ private[sources] object ManifestProcedures {
         if (dead) fs.delete(new Path(dir, s".$n.crc"), false)
         dead
       }
+      // SEGMENT sweep: a `_SEG.*` file is live iff any RETAINED list
+      // references it (main kept versions, every branch version, the
+      // convenience pointer). Segments younger than an hour are exempt:
+      // a live commit writes its segment moments before claiming the
+      // list that references it, and sweeping inside that window would
+      // corrupt the commit. Not counted as data files.
+      val liveSegs = (kept.map(v =>
+          ManifestFiles.rawLinesOf(fs, dir, Some(v))) ++
+        ManifestFiles.branches(fs, dir).flatMap(b =>
+          ManifestFiles.versions(fs, dir, Some(b)).map(v =>
+            ManifestFiles.rawLinesOf(fs, dir, Some(v), Some(b)))) :+
+        ManifestFiles.readManifest(fs, new Path(dir, "_MANIFEST")))
+        .flatMap(ManifestFiles.segmentRefsFromRaw).map(_._1).toSet
+      val segHorizon = System.currentTimeMillis() - 3600000L
+      fs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isFile && n.startsWith("_SEG.") && !liveSegs.contains(n) &&
+            st.getModificationTime < segHorizon) {
+          if (fs.delete(st.getPath, false))
+            fs.delete(new Path(dir, s".$n.crc"), false)
+        }
+      }
       // Crashed committers leave orphan temp files (`._claim-*` /
       // `._publish-*`); racing a LIVE commit is harmless — its claim
       // retry stages a fresh temp. Not counted as data files.
@@ -3758,9 +4291,12 @@ private[sources] object ManifestProcedures {
         s"cannot roll back to version $to — it does not exist or was " +
           s"vacuumed (have: ${have.sorted.mkString(",")})")
       val from = ManifestFiles.latestComplete(fs, dir)
-      val lines = ManifestFiles.linesOf(fs, dir, Some(to))
+      // RAW copy — "make the table exactly version N again" re-references
+      // version N's segments; rollback of any table size is O(1) metadata
+      val raw = ManifestFiles.rawLinesOf(fs, dir, Some(to))
       val schema = ManifestFiles.schemaFor(fs, dir, Some(to))
-      val v = ManifestFiles.publishSnapshot(fs, conf, dir, _ => lines, schema)
+      val v = ManifestFiles.publishRawV(fs, conf, dir, (_, _) => (raw, Nil),
+        schema)
       result(new StructType().add("from_version", IntegerType)
           .add("rolled_back_to", IntegerType).add("new_version", IntegerType),
         Array(from, to, v))
@@ -3813,11 +4349,16 @@ private[sources] object ManifestProcedures {
   /** `create_branch(table, branch[, version])` — fork a writable branch
     * off main (default: latest) for WRITE-AUDIT-PUBLISH: stage commits
     * onto the branch (`option("branch", b)` on reads AND writes), audit
-    * them, then `fast_forward` main to the branch head. Branch v1 is a
-    * copy of the fork version's lines plus a `#branchbase,<mainV>`
-    * marker — the divergence check fast_forward enforces. Branch data
-    * files land in the SAME directory (vacuum treats every branch
-    * version as a live root), so publishing is a pure metadata commit. */
+    * them, then `fast_forward` main to the branch head. The branch chain
+    * SHARES main's version numbering: its first version is `v<base>`, a
+    * twin of main's fork version (plus a `#branchbase,<mainV>` marker,
+    * kept for observability), and staged commits continue at base+1 —
+    * so `#born`/`#eqdels` version scoping written on the branch means
+    * exactly what it will mean on main, branch-staged equality deletes
+    * apply to inherited entries correctly, and fast_forward can replay
+    * commits VERBATIM. Branch data files land in the SAME directory
+    * (vacuum treats every branch version as a live root), so publishing
+    * is a pure metadata commit. */
   def createBranch(dirFor: String => Path): UnboundProcedure =
     proc("create_branch", Array(param("table", StringType),
         param("branch", StringType),
@@ -3834,9 +4375,14 @@ private[sources] object ManifestProcedures {
       require(ManifestFiles.versions(fs, dir).contains(v),
         s"cannot branch from version $v — it does not exist " +
           s"(have: ${ManifestFiles.versions(fs, dir).sorted.mkString(",")})")
-      val lines = ManifestFiles.linesOf(fs, dir, Some(v)) :+ s"#branchbase,$v"
+      // RAW copy: the fork twin re-references the source snapshot's
+      // segments verbatim — branching a million-file table writes one
+      // small list file, no relisting
+      val branchRaw = ManifestFiles.rawLinesOf(fs, dir, Some(v)) :+
+        s"#branchbase,$v"
       val schema = ManifestFiles.schemaFor(fs, dir, Some(v))
-      ManifestFiles.publishSnapshot(fs, conf, dir, _ => lines, schema, Some(b))
+      ManifestFiles.publishRawV(fs, conf, dir, (_, _) => (branchRaw, Nil),
+        schema, Some(b), startAt = v)
       result(new StructType().add("branch", StringType)
           .add("forked_from", IntegerType),
         Array(UTF8String.fromString(b), v))
@@ -3863,11 +4409,21 @@ private[sources] object ManifestProcedures {
         Array(UTF8String.fromString(b), vs.length))
     }
 
-  /** `fast_forward(table, branch)` — publish the audited branch head as
-    * a NEW main version, iff main has not advanced past the fork point
-    * (Iceberg's fast-forward condition; a diverged main fails loudly —
-    * rebase by re-branching). The branch stays for further staging or
-    * drop_branch. */
+  /** `fast_forward(table, branch)` — publish the branch's audited
+    * commits onto main by REPLAY. Branch chains share main's version
+    * numbering (they fork as a twin of main's `v<base>`), so each staged
+    * branch version w lands on main AS version w with its lines verbatim
+    * (minus the informational `#branchbase` marker). Verbatim replay is
+    * what keeps `#born`/`#eqdels` version scoping intact: a collapse
+    * publish would carry branch-numbered birth markers onto main, where
+    * a later upsert at version V ≤ born(entry) would silently skip those
+    * files and resurrect replaced rows. Each claim re-validates INSIDE
+    * the commit closure that the predecessor main version is the
+    * branch's own twin — a concurrent out-of-band main commit aborts the
+    * replay loudly instead of being rebased past (a lost update). The
+    * branch stays for further staging (after publish its chain is a twin
+    * prefix of main's, so the next cycle replays only the new tail);
+    * divergence recovery is cherry_pick or re-branch. */
   def fastForward(dirFor: String => Path): UnboundProcedure =
     proc("fast_forward", Array(param("table", StringType),
         param("branch", StringType))) { input =>
@@ -3876,42 +4432,50 @@ private[sources] object ManifestProcedures {
       val b = input.getUTF8String(1).toString
       val conf = spark.sessionState.newHadoopConf()
       val fs = dir.getFileSystem(conf)
-      require(ManifestFiles.versions(fs, dir, Some(b)).nonEmpty,
+      val branchVs = ManifestFiles.versions(fs, dir, Some(b))
+      require(branchVs.nonEmpty,
         s"no branch '$b' " +
           s"(branches: ${ManifestFiles.branches(fs, dir).sorted.mkString(", ")})")
-      val headLines = ManifestFiles.linesOf(fs, dir, None, Some(b))
-      val base = headLines.find(_.startsWith("#branchbase,"))
-        .flatMap(_.stripPrefix("#branchbase,").toIntOption)
-        .getOrElse(throw new IllegalStateException(
-          s"branch '$b' carries no #branchbase marker — cannot verify " +
-            "divergence"))
+      def norm(ls: Array[String]): Seq[String] =
+        ls.filterNot(_.startsWith("#branchbase,")).sorted.toSeq
       val mainHead = ManifestFiles.latestComplete(fs, dir)
-      require(mainHead == base,
-        s"cannot fast-forward: main is at version $mainHead but branch " +
-          s"'$b' forked from $base — main has advanced (diverged); " +
-          "re-branch from the current head and re-stage")
-      val payload = headLines.filterNot(_.startsWith("#branchbase,"))
-      // nothing staged since the fork/last publish: no-op, no version
-      if (payload.sorted.toSeq ==
-          ManifestFiles.linesOf(fs, dir, Some(mainHead)).sorted.toSeq)
-        result(new StructType().add("branch", StringType)
-            .add("published_as", IntegerType),
-          Array(UTF8String.fromString(b), mainHead))
-      else {
-        val schema = ManifestFiles.schemaFor(fs, dir, None, Some(b))
-        val v = ManifestFiles.publishSnapshot(fs, conf, dir, _ => payload,
-          schema)
-        // RE-BASE the branch onto the version it just became: one
-        // long-lived staging branch then serves CONTINUOUS
-        // write-audit-publish cycles (stage → publish → stage …) without
-        // re-branching — the next fast_forward's divergence check
-        // compares against THIS publish
-        ManifestFiles.publishSnapshot(fs, conf, dir,
-          _ => payload :+ s"#branchbase,$v", schema, Some(b))
-        result(new StructType().add("branch", StringType)
-            .add("published_as", IntegerType),
-          Array(UTF8String.fromString(b), v))
+      val branchHead = ManifestFiles.latestComplete(fs, dir, Some(b))
+      // Divergence pre-check (for the friendly message; re-validated
+      // inside every claim): main's head must be a version the branch
+      // chain also carries with IDENTICAL payload — i.e. every main
+      // advance since the fork came from THIS branch.
+      val twin = branchVs.contains(mainHead) &&
+        norm(ManifestFiles.linesOf(fs, dir, Some(mainHead), Some(b))) ==
+          norm(ManifestFiles.linesOf(fs, dir, Some(mainHead)))
+      require(twin,
+        s"cannot fast-forward: main is at version $mainHead, which did " +
+          s"not come from branch '$b' — main has advanced (diverged); " +
+          "cherry_pick the staged commits or re-branch from the current " +
+          "head and re-stage")
+      var published = mainHead
+      (mainHead + 1 to branchHead).foreach { w =>
+        // RAW copy: main re-references the branch commit's segments
+        // verbatim (#branchbase is always an inline control line, so the
+        // filter never touches a segment) — each replayed publish is one
+        // small list write regardless of table size
+        val wRaw = ManifestFiles.rawLinesOf(fs, dir, Some(w), Some(b))
+          .filterNot(_.startsWith("#branchbase,"))
+        val prevTwin = norm(ManifestFiles.linesOf(fs, dir, Some(w - 1), Some(b)))
+        val wSchema = ManifestFiles.schemaFor(fs, dir, Some(w), Some(b))
+        ManifestFiles.publishRawV(fs, conf, dir, (prevRaw, version) => {
+          require(version == w &&
+              norm(ManifestFiles.materialize(fs, dir, prevRaw)) == prevTwin,
+            s"cannot fast-forward: a concurrent commit advanced main " +
+              s"while replaying branch '$b' (diverged mid-publish at " +
+              s"version $w; published through ${w - 1}) — cherry_pick " +
+              "the remaining staged commits or re-branch")
+          (wRaw, Nil)
+        }, wSchema)
+        published = w
       }
+      result(new StructType().add("branch", StringType)
+          .add("published_as", IntegerType),
+        Array(UTF8String.fromString(b), published))
     }
 
   /** `cherry_pick(table, version[, branch])` — graft ONE commit's delta

@@ -8,10 +8,12 @@ import graft.GraftSession
 /** BRANCHES with write support (round 12 — Iceberg refs / the
   * write-audit-publish workflow): `CALL create_branch` forks a writable
   * chain off main; `option("branch", b)` routes reads AND writes to it;
-  * `CALL fast_forward` publishes the audited branch head as a new main
-  * version iff main has not advanced past the fork point. Branch data
-  * files co-locate with main's, so publish is a metadata commit and
-  * vacuum treats every branch version as a live root. */
+  * `CALL fast_forward` REPLAYS the staged branch commits onto main.
+  * Branch chains share main's version numbering (the fork is a twin of
+  * main's `v<base>`), so version-scoped metadata (`#born`/`#eqdels`)
+  * means the same thing on both chains and replay is verbatim. Branch
+  * data files co-locate with main's, so publish is a metadata commit
+  * and vacuum treats every branch version as a live root. */
 class ManifestBranchSpec extends AnyFunSuite {
 
   lazy val spark = GraftSession.local(4)
@@ -56,13 +58,20 @@ class ManifestBranchSpec extends AnyFunSuite {
     // publish
     val ff = spark.sql(s"CALL $cat.system.fast_forward('t', 'audit')")
       .collect()
-    assert(ff.head.getInt(1) == 3)
+    // REPLAY semantics: two staged branch commits (v3, v4 on the shared
+    // numbering) land on main as versions 3 and 4, lines verbatim
+    assert(ff.head.getInt(1) == 4)
     assert(spark.table(s"$cat.t").count() == 90L)
-    // fast_forward RE-BASED the branch: an empty cycle is a version-free
-    // no-op, and the SAME long-lived branch serves the next WAP cycle
+    // each staged commit is its own main version — time travel sees the
+    // intermediate audit state, not one collapsed publish
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 3")
+      .head().getLong(0) == 80L)
+    // the branch chain is now a twin prefix of main: an empty cycle is a
+    // version-free no-op, and the SAME long-lived branch serves the next
+    // WAP cycle without re-basing
     val noop = spark.sql(s"CALL $cat.system.fast_forward('t', 'audit')")
       .collect()
-    assert(noop.head.getInt(1) == 3, "empty cycle must not publish")
+    assert(noop.head.getInt(1) == 4, "empty cycle must not publish")
     branchAppend(s"$root/t", "audit", 90, 120)
     assert(spark.table(s"$cat.t").count() == 90L, "staged, not published")
     spark.sql(s"CALL $cat.system.fast_forward('t', 'audit')")
@@ -94,15 +103,15 @@ class ManifestBranchSpec extends AnyFunSuite {
       spark.sql(s"CALL $cat.system.fast_forward('t', 'wip')").collect()
     }
     assert(e.getMessage.contains("diverged"), e.getMessage)
-    // divergence RECOVERY: cherry-pick the branch's append commit onto
-    // the advanced main — the rows land without losing main's progress
-    val cp = spark.sql(s"CALL $cat.system.cherry_pick('t', 2, 'wip')")
+    // divergence RECOVERY: cherry-pick the branch's append commit (v3 on
+    // the shared numbering — v2 is the fork twin) onto the advanced main
+    val cp = spark.sql(s"CALL $cat.system.cherry_pick('t', 3, 'wip')")
       .collect()
     assert(cp.head.getInt(1) > 0)
     assert(spark.table(s"$cat.t").count() == 50L) // 20 + 10 + picked 20
     // picking the same commit twice refuses
     val dup = intercept[Exception] {
-      spark.sql(s"CALL $cat.system.cherry_pick('t', 2, 'wip')").collect()
+      spark.sql(s"CALL $cat.system.cherry_pick('t', 3, 'wip')").collect()
     }
     assert(dup.getMessage.contains("already"), dup.getMessage)
     // vacuum keeps branch-referenced data while the branch lives
@@ -161,20 +170,72 @@ class ManifestBranchSpec extends AnyFunSuite {
     assert(spark.table(s"$cat.t").count() == 55L)
   }
 
+  test("WAP with CDC upserts: branch-staged equality deletes apply to " +
+    "inherited rows on branch reads, survive fast_forward verbatim, and " +
+    "a LATER main upsert still replaces the published files (no " +
+    "resurrection from branch-numbered birth markers)") {
+    val (cat, root) = freshCat("upsert")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES('delete.mode'='merge-on-read')")            // main v1
+    def rows(ks: Range, tag: String) =
+      ks.toDF("k0").select($"k0".cast("long").as("k"),
+        concat(lit(tag + "-"), $"k0").as("v"))
+    rows(0 until 10, "base").writeTo(s"$cat.t").append()         // main v2
+    def upsert(ks: Range, tag: String, branch: Option[String]): Unit = {
+      val w = rows(ks, tag).coalesce(1).write.mode("append")
+        .format("graft-manifest").option("path", s"$root/t")
+        .option("upsertKeys", "k")
+      branch.fold(w)(b => w.option("branch", b)).save()
+    }
+    // main upsert BEFORE the fork: the branch twin inherits live
+    // equality-delete state, which shared numbering keeps meaningful
+    upsert(8 until 10, "m0", None)                               // main v3
+    spark.sql(s"CALL $cat.system.create_branch('t', 'stage')")   // stage v3
+    // two staged upserts: shared numbering means their #eqdels versions
+    // scope correctly against the INHERITED entries' #born markers —
+    // the branch read already shows the replacement
+    upsert(0 until 5, "s1", Some("stage"))                       // stage v4
+    upsert(2 until 7, "s2", Some("stage"))                       // stage v5
+    val staged = branchRead(s"$root/t", "stage")
+      .select($"k", $"v").as[(Long, String)].collect().toMap
+    assert(staged.size == 10)
+    assert((0L to 1L).forall(k => staged(k) == s"s1-$k"), staged.toString)
+    assert((2L to 6L).forall(k => staged(k) == s"s2-$k"), staged.toString)
+    assert(staged(7L) == "base-7", staged.toString)
+    assert((8L to 9L).forall(k => staged(k) == s"m0-$k"), staged.toString)
+    assert(spark.table(s"$cat.t").filter($"v".startsWith("s"))
+      .count() == 0L, "main unmoved while staging")
+    // publish: replay lands both upserts as main v4, v5 verbatim
+    val ff = spark.sql(s"CALL $cat.system.fast_forward('t', 'stage')")
+      .collect()
+    assert(ff.head.getInt(1) == 5)
+    val pub = spark.table(s"$cat.t")
+      .select($"k", $"v").as[(Long, String)].collect().toMap
+    assert(pub == staged, "published head must equal the audited branch")
+    // THE regression: a later MAIN upsert must replace every published
+    // file — branch-numbered #born markers carried onto main would make
+    // born(entry) >= deleteVersion and silently skip them
+    upsert(0 until 10, "m", None)                                // main v6
+    val after = spark.table(s"$cat.t")
+      .select($"k", $"v").as[(Long, String)].collect().toMap
+    assert(after.size == 10, s"resurrected duplicates: $after")
+    assert((0L to 9L).forall(k => after(k) == s"m-$k"), after.toString)
+  }
+
   test("time travel WITHIN a branch chain: versionAsOf + branch reads " +
     "a staged intermediate state") {
     val (cat, root) = freshCat("tt")
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")                 // main v1
     spark.range(0, 10).select($"id".as("k")).writeTo(s"$cat.t").append() // v2
-    spark.sql(s"CALL $cat.system.create_branch('t', 'wip')")     // wip v1
-    branchAppend(s"$root/t", "wip", 10, 30)                      // wip v2
-    branchAppend(s"$root/t", "wip", 30, 60)                      // wip v3
+    spark.sql(s"CALL $cat.system.create_branch('t', 'wip')")     // wip v2
+    branchAppend(s"$root/t", "wip", 10, 30)                      // wip v3
+    branchAppend(s"$root/t", "wip", 30, 60)                      // wip v4
     def at(v: Int) = spark.read.format("graft-manifest")
       .option("path", s"$root/t").option("branch", "wip")
       .option("versionAsOf", v.toString).load().count()
-    assert(at(1) == 10L, "branch v1 = the fork copy")
-    assert(at(2) == 30L)
-    assert(at(3) == 60L)
+    assert(at(2) == 10L, "branch v2 = the fork twin (shared numbering)")
+    assert(at(3) == 30L)
+    assert(at(4) == 60L)
     assert(spark.table(s"$cat.t").count() == 10L, "main untouched")
     val missing = intercept[Exception] { at(9) }
     assert(missing.getMessage.contains("branch 'wip'"), missing.getMessage)

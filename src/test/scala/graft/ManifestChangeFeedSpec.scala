@@ -189,6 +189,41 @@ class ManifestChangeFeedSpec extends AnyFunSuite {
       e2.getMessage.contains("vacuumed"), e2.getMessage)
   }
 
+  test("rollback past a row-level delete poisons the feed range: " +
+    "resurrected rows cannot be expressed and fail loudly; pre-rollback " +
+    "ranges stay readable") {
+    import spark.implicits._
+    val (cat, root) = freshCat("rb")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT) " +
+      "TBLPROPERTIES('delete.mode'='merge-on-read')")           // v1
+    spark.range(0, 40).select($"id".as("k")).writeTo(s"$cat.t").append() // v2
+    // modulo predicate: not provable from file stats, so the MOR delete
+    // lands POSITIONAL VECTORS on surviving files (a metadata-only
+    // unlist would be expressible — and fine — on rollback)
+    spark.sql(s"DELETE FROM $cat.t WHERE k % 4 = 1")            // v3 (MOR)
+    // rollback RESURRECTS the vectored rows on files that survive —
+    // a diff no insert/delete leg can express
+    spark.sql(s"CALL $cat.system.rollback('t', 2)")             // v4
+    assert(spark.table(s"$cat.t").count() == 40L)
+    val e = intercept[Exception] {
+      feed(s"$root/t", 2, Some(4)).collect()
+    }
+    assert(e.getMessage.contains("removed delete state"), e.getMessage)
+    assert(e.getMessage.contains("restart"), e.getMessage)
+    // the range ending BEFORE the rollback still reads and applies
+    checkInvariant(s"$root/t", 0, 3)
+    // upsert flavor: an equality-delete set unlisted by rollback while
+    // its target files survive poisons the range the same way
+    spark.range(0, 5).select(($"id" + 100).as("k")).coalesce(1)
+      .write.mode("append").format("graft-manifest")
+      .option("path", s"$root/t").option("upsertKeys", "k").save() // v5
+    spark.sql(s"CALL $cat.system.rollback('t', 4)")             // v6
+    val e2 = intercept[Exception] {
+      feed(s"$root/t", 4, Some(6)).collect()
+    }
+    assert(e2.getMessage.contains("equality-delete"), e2.getMessage)
+  }
+
   test("STREAMING change feed: a 24/7 consumer receives deletes as " +
     "rows instead of dying on the delete-bearing commit") {
     import org.apache.spark.sql.streaming.Trigger

@@ -291,7 +291,7 @@ class ManifestPartitionSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("TIMESTAMP or DATE"), bad.getMessage)
     val badTok = intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.ev " +
-        "SET TBLPROPERTIES('partition.layout'='hours(ts)')")
+        "SET TBLPROPERTIES('partition.layout'='weeks(ts)')")
     }
     assert(badTok.getMessage.contains("days(col)"), badTok.getMessage)
   }
@@ -325,11 +325,12 @@ class ManifestPartitionSpec extends AnyFunSuite {
     }
     assert(typeErr.getMessage.contains("TIMESTAMP or DATE"),
       typeErr.getMessage)
+    // two bucket transforms stay invalid (mixed specs allow at most one)
     val multiErr = intercept[Exception] {
-      spark.sql(s"CREATE TABLE $cat.bad2 (k BIGINT, ts TIMESTAMP) " +
-        "PARTITIONED BY (days(ts), bucket(4, k))")
+      spark.sql(s"CREATE TABLE $cat.bad2 (k BIGINT, m BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (bucket(4, k), bucket(2, m))")
     }
-    assert(multiErr.getMessage.toLowerCase.contains("supports"),
+    assert(multiErr.getMessage.toLowerCase.contains("one bucket"),
       multiErr.getMessage)
   }
 }

@@ -111,7 +111,8 @@ class ManifestRefsSpec extends AnyFunSuite {
     val refs = spark.table(s"$cat.`t$$refs`").collect()
       .map(r => (r.getString(0), r.getString(1), r.getInt(2),
         if (r.isNullAt(3)) -1 else r.getInt(3))).toSet
-    assert(refs == Set(("golden", "tag", 2, -1), ("wip", "branch", 2, 2)))
+    // branch chains share main's numbering: fork twin v2, staged v3
+    assert(refs == Set(("golden", "tag", 2, -1), ("wip", "branch", 3, 2)))
   }
 
   test("ALTER TABLE RENAME moves the whole history; refs and time " +

@@ -243,12 +243,13 @@ class ManifestSkippingSpec extends AnyFunSuite {
       .coalesce(1)
       .write.mode("append").format("graft-manifest").option("path", path).save()
     // corrupt the stats payload in the newest snapshot (simulates a
-    // hand-edited or torn metadata line)
+    // hand-edited or torn metadata line) — written back as a LEGACY
+    // full listing, which doubles as a pre-segmentation readability check
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = graft.sources.ManifestFiles.latestVersion(fs, dir)
     val mf = new org.apache.hadoop.fs.Path(dir, s"_MANIFEST.v$v")
-    val lines = graft.sources.ManifestFiles.readManifest(fs, mf).map { l =>
+    val lines = graft.sources.ManifestFiles.linesOf(fs, dir, Some(v)).map { l =>
       if (l.startsWith("#stats,")) {
         val parts = l.split(",", 4)
         s"#stats,${parts(1)},${parts(2)},x=notanumber:@@@:@@@"
