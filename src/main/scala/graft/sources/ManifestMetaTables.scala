@@ -220,8 +220,10 @@ private[sources] class ManifestMetaTable(kind: String, dir: Path,
             stats.get(file).map(s => s.bytes: Any).orNull,
             buckets.get(file).map(b => b._3: Any).orNull,
             sorted.get(file)
-              .flatMap(p => ManifestFiles.fieldAtPhys(baseSchema, p))
-              .map(i => UTF8String.fromString(baseSchema(i).name): Any)
+              .flatMap { case (p, desc, _) =>
+                ManifestFiles.fieldAtPhys(baseSchema, p).map(i =>
+                  baseSchema(i).name + (if (desc) " DESC" else "")) }
+              .map(n => UTF8String.fromString(n): Any)
               .orNull,
             delCounts.getOrElse(file, 0L),
             key.map(k => UTF8String.fromString(

@@ -507,18 +507,22 @@ private[sources] class ManifestTable(schema0: StructType,
             }
           }
 
-        private val sortLayout: Seq[Int] = replaceConf match {
+        // (schema index, desc, nullsLast) per declared sort key — the
+        // full Iceberg sort-order surface, directions included
+        private val sortLayout: Seq[(Int, Boolean, Boolean)] = replaceConf match {
           // a REPLACE's declared order references the NEW schema (fresh
           // positions == indices)
-          case Some(lines) => ManifestFiles.sortOrderFromLines(lines)
-            .filter(_ < info.schema().length)
+          case Some(lines) => ManifestFiles.sortKeysFromLines(lines)
+            .filter(_.pos < info.schema().length)
+            .map(k => (k.pos, k.desc, k.nullsLast))
           case None =>
             try {
               val fs = path.getFileSystem(
                 SparkSession.active.sessionState.newHadoopConf())
-              ManifestFiles.sortOrderFromLines(ManifestFiles.latestLines(fs, path))
-                .flatMap(pos => ManifestFiles.fieldAtPhys(
-                  ManifestFiles.schemaFor(fs, path, None), pos))
+              ManifestFiles.sortKeysFromLines(ManifestFiles.latestLines(fs, path))
+                .flatMap(k => ManifestFiles.fieldAtPhys(
+                  ManifestFiles.schemaFor(fs, path, None), k.pos)
+                  .map(i => (i, k.desc, k.nullsLast)))
             } catch { case _: Exception => Seq.empty }
         }
 
@@ -582,6 +586,14 @@ private[sources] class ManifestTable(schema0: StructType,
               info.schema().fields(idx).name),
             org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
 
+        private def keySortOrder(k: (Int, Boolean, Boolean)) = {
+          import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection}
+          Expressions.sort(
+            Expressions.column(info.schema().fields(k._1).name),
+            if (k._2) SortDirection.DESCENDING else SortDirection.ASCENDING,
+            if (k._3) NullOrdering.NULLS_LAST else NullOrdering.NULLS_FIRST)
+        }
+
         override def requiredDistribution():
             org.apache.spark.sql.connector.distributions.Distribution =
           bucketSpec match {
@@ -601,7 +613,7 @@ private[sources] class ManifestTable(schema0: StructType,
                 // range shuffle on the sort columns, so files land
                 // range-DISJOINT without waiting for a compaction
                 org.apache.spark.sql.connector.distributions.Distributions
-                  .ordered(sortLayout.map(partSortOrder).toArray)
+                  .ordered(sortLayout.map(keySortOrder).toArray)
               else
                 org.apache.spark.sql.connector.distributions.Distributions
                   .unspecified()
@@ -620,8 +632,9 @@ private[sources] class ManifestTable(schema0: StructType,
               // sort column that IS a partition column needs no second
               // sort key (each file is value-pure on it already)
               val partIdx = partLayout.map(_._1)
-              (partIdx ++ sortLayout.filterNot(partIdx.contains))
-                .map(partSortOrder).toArray
+              (partIdx.map(partSortOrder) ++
+                sortLayout.filterNot(k => partIdx.contains(k._1))
+                  .map(keySortOrder)).toArray
             }
 
         override def toBatch: BatchWrite = {
@@ -687,7 +700,7 @@ private[sources] class ManifestTable(schema0: StructType,
             // it to the physical position when marking #sorted. A declared
             // write.sort-order marks (and verifies) its LEADING column —
             // lexicographic order implies order on the first key.
-            sortPos = sortedBy.map(incoming.fieldIndex)
+            sortPos = sortedBy.map(c => (incoming.fieldIndex(c), false, false))
               .orElse(sortLayout.headOption),
             // a DDL-declared layout (from table properties) must survive
             // INSERT OVERWRITE — re-emit its #tableconf line on truncate;
@@ -824,7 +837,7 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
     // task writer VERIFIES monotonicity as rows stream and only then
     // marks the file `#sorted` (trust but verify — a planner change that
     // dropped the sort would degrade ordering, never corrupt it)
-    sortPos: Option[Int] = None,
+    sortPos: Option[(Int, Boolean, Boolean)] = None,
     // DDL `#tableconf` lines to guarantee in the committed snapshot
     // (appends inherit them from the predecessor; truncate must re-emit)
     confLines: Array[String] = Array.empty,
@@ -898,8 +911,9 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
         Seq(s"$fin,$rows", ManifestFiles.statsLine(fin, bytes, stats, nested)) ++
           bucketSpec.map { case (pos, n) =>
             ManifestFiles.bucketLine(fin, pos, n, bucket) } ++
-          (sortPos.filter(_ => sortedOk).map(p =>
-            ManifestFiles.sortedLine(fin, ManifestFiles.physPos(schema, p))))
+          (sortPos.filter(_ => sortedOk).map { case (p, desc, nullsLast) =>
+            ManifestFiles.sortedLine(fin, ManifestFiles.physPos(schema, p),
+              desc, nullsLast) })
     }
     // unwrap upsert tees: their staged equality-delete files land now;
     // the `#eqdels` lines are built inside the claim closure, where the
@@ -941,7 +955,10 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
       // fast_forward loses its divergence check.
       val base =
         if (truncate) previous.filter(l =>
-          (!replaceConf && l.startsWith("#tableconf,")) ||
+          (!replaceConf && l.startsWith("#tableconf,") &&
+            // a truncating rewrite replaces EVERY byte at the current
+            // type — the narrow-history widening markers clear with it
+            !l.startsWith("#tableconf,widened,")) ||
             l.startsWith("#branchbase,"))
         else previous.filterNot(line => ManifestSink.entryName(line).exists(drop))
       val conf0 = confLines.filterNot(base.contains)
@@ -986,7 +1003,7 @@ private[sources] object ManifestWriters {
   def create(path: String, stagingName: String, name: String,
       schema: StructType, conf: SerializableHadoopConf,
       injectFailure: Boolean, bucket: Int = -1,
-      sortPos: Option[Int] = None): DataWriter[InternalRow] =
+      sortPos: Option[(Int, Boolean, Boolean)] = None): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val file = new Path(new Path(path, stagingName), name)
       private val fs: FileSystem = file.getFileSystem(conf.value)
@@ -1088,6 +1105,7 @@ private[sources] object ManifestWriters {
       private var sortedOk = sortPos.isDefined
       private var prevSortKey: Any = _
       private var seenNonNullSortKey = false
+      private var seenNullSortKey = false
 
       /** Track column i's stats for value `v`; returns the raw stat
         * string (computed lazily for parquet — only CSV needs it per
@@ -1148,12 +1166,15 @@ private[sources] object ManifestWriters {
           csvOut.println(slots.mkString(","))
         }
         if (leaves.nonEmpty) trackLeaves(r)
-        sortPos.foreach { p =>
+        sortPos.foreach { case (p, desc, nullsLast) =>
           if (sortedOk) {
             if (r.isNullAt(p)) {
-              // ASC NULLS FIRST: a null after any non-null breaks order
-              if (seenNonNullSortKey) sortedOk = false
+              // NULLS FIRST: a null after any non-null breaks order;
+              // NULLS LAST: nulls may only form the tail
+              if (!nullsLast && seenNonNullSortKey) sortedOk = false
+              seenNullSortKey = true
             } else {
+              if (nullsLast && seenNullSortKey) sortedOk = false
               val v = ManifestSkip.normalize(schema(p).dataType,
                 r.get(p, schema(p).dataType)) match {
                 case Some(u: org.apache.spark.unsafe.types.UTF8String) => u.clone()
@@ -1162,8 +1183,10 @@ private[sources] object ManifestWriters {
               }
               if (v == null) sortedOk = false // unorderable type
               else {
-                if (seenNonNullSortKey && ordered(prevSortKey, v) > 0)
-                  sortedOk = false
+                if (seenNonNullSortKey) {
+                  val c = ordered(prevSortKey, v)
+                  if (if (desc) c < 0 else c > 0) sortedOk = false
+                }
                 prevSortKey = v
                 seenNonNullSortKey = true
               }
@@ -1263,7 +1286,7 @@ private[sources] class ManifestWriterFactory(path: String, stagingName: String,
     // bucketed write: the task's partitionId IS its bucket id (the
     // required distribution pinned partitioning to pmod(murmur3(col), n))
     recordBucket: Boolean = false,
-    sortPos: Option[Int] = None,
+    sortPos: Option[(Int, Boolean, Boolean)] = None,
     format: String = "parquet",
     // (schema index, kind) per declared days/months/identity transform,
     // in declared order: the task splits its rows into one staged file
@@ -1325,7 +1348,7 @@ private[sources] class PartitionSplitWriter(path: String, stagingName: String,
     // declared write.sort-order's leading column: rows arrive ordered
     // (partition cols, sort cols), so each per-value inner file streams
     // non-decreasing in it and earns its own verified `#sorted` mark
-    sortPos: Option[Int] = None,
+    sortPos: Option[(Int, Boolean, Boolean)] = None,
     // ≥0 on a mixed bucket+transform layout: the task's bucket id, which
     // every split file records via its `#bucket` line
     bucket: Int = -1) extends DataWriter[InternalRow] {

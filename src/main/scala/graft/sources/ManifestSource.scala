@@ -652,14 +652,37 @@ object ManifestFiles {
     * bounds on every listed column. Compaction defaults its clustering
     * to this order, turning the per-file property into disjoint
     * table-wide ranges (Iceberg's rewrite-with-table-sort-order). */
-  def sortOrderLine(positions: Seq[Int]): String =
-    s"#tableconf,sortorder,${positions.mkString(";")}"
+  /** One declared sort key: physical position + direction + null
+    * placement. Defaults follow SQL: ASC pairs with NULLS FIRST, DESC
+    * with NULLS LAST — the token encodes only deviations
+    * (`<pos>[.d][.nf|.nl]`), so round-12 position-only lines parse as
+    * ASC NULLS FIRST unchanged. */
+  final case class SortKey(pos: Int, desc: Boolean, nullsLast: Boolean)
+
+  def sortOrderLine(keys: Seq[SortKey]): String =
+    "#tableconf,sortorder," + keys.map { k =>
+      k.pos.toString + (if (k.desc) ".d" else "") +
+        (if (k.nullsLast != k.desc) (if (k.nullsLast) ".nl" else ".nf")
+         else "")
+    }.mkString(";")
+
+  def sortKeysFromLines(lines: Array[String]): Seq[SortKey] =
+    lines.find(_.startsWith("#tableconf,sortorder,")).toSeq.flatMap { l =>
+      l.stripPrefix("#tableconf,sortorder,").split(";").toSeq.flatMap { t =>
+        val parts = t.split("\\.").toSeq
+        parts.headOption.flatMap(_.toIntOption).map { pos =>
+          val desc = parts.contains("d")
+          val nullsLast =
+            if (parts.contains("nl")) true
+            else if (parts.contains("nf")) false
+            else desc
+          SortKey(pos, desc, nullsLast)
+        }
+      }
+    }
 
   def sortOrderFromLines(lines: Array[String]): Seq[Int] =
-    lines.find(_.startsWith("#tableconf,sortorder,")).toSeq.flatMap { l =>
-      l.stripPrefix("#tableconf,sortorder,").split(";").toSeq
-        .flatMap(_.toIntOption)
-    }
+    sortKeysFromLines(lines).map(_.pos)
 
   /** IMPORTED data file (round 12 — `CALL add_files`, Iceberg's
     * migration path): a foreign parquet file registered into the table
@@ -714,6 +737,29 @@ object ManifestFiles {
     * without waiting for a compaction — the ingest pays one shuffle for
     * immediately-skippable layout. Absent = none (per-task sort only,
     * the default: no shuffle added to the hot insert path). */
+  /** TYPE WIDENING marker (round 13 — Iceberg's safe promotions):
+    * `#tableconf,widened,<pos>,<fromType>` records that the column at a
+    * physical position was promoted from a NARROWER stored type, so
+    * pre-widen files decode narrow and upcast at read. The marker's
+    * jobs: (a) suppress parquet ROW-GROUP pushdown on that column (the
+    * predicate's physical type no longer matches old footers), and (b)
+    * for float→double ONLY, suppress stats skipping too — a float bound
+    * rendered as text re-decodes to a DIFFERENT double than the row's
+    * upcast value, so old bounds stop being bounds; integral and decimal
+    * promotions re-decode exactly and keep skipping. Any truncating
+    * rewrite (INSERT OVERWRITE, CALL compact) clears the markers — all
+    * surviving bytes are new-typed. */
+  def widenedLine(pos: Int, from: DataType): String =
+    s"#tableconf,widened,$pos,${from.typeName}"
+
+  def widenedFromLines(lines: Array[String]): Map[Int, String] =
+    lines.filter(_.startsWith("#tableconf,widened,")).flatMap { l =>
+      l.split(",", 4) match {
+        case Array(_, _, pos, from) => pos.toIntOption.map(_ -> from)
+        case _ => None
+      }
+    }.toMap
+
   val DistModeRangeLine = "#tableconf,distmode,range"
 
   def distModeRange(lines: Array[String]): Boolean =
@@ -806,23 +852,33 @@ object ManifestFiles {
         }
       }
 
-  /** Verified per-file sort marker: `#sorted,<file>,<colPos>` — the
-    * writer CHECKED rows streamed non-decreasing (ASC NULLS FIRST) in
-    * that column. Position-keyed like `#stats`/`#bucket`. */
-  def sortedLine(name: String, colPos: Int): String =
-    s"#sorted,$name,$colPos"
+  /** Verified per-file sort marker: `#sorted,<file>,<colPos>[,<d|a><f|l>]`
+    * — the writer CHECKED rows streamed monotone in that column under
+    * the declared direction + null placement (the suffix is omitted for
+    * ASC NULLS FIRST, so round-12 marks parse unchanged). Position-keyed
+    * like `#stats`/`#bucket`. */
+  def sortedLine(name: String, colPos: Int,
+      desc: Boolean = false, nullsLast: Boolean = false): String =
+    s"#sorted,$name,$colPos" +
+      (if (desc || nullsLast)
+         "," + (if (desc) "d" else "a") + (if (nullsLast) "l" else "f")
+       else "")
 
-  /** file → sorted colPos for one snapshot. */
-  def sortedFromLines(lines: Array[String]): Map[String, Int] =
+  /** file → (sorted colPos, desc, nullsLast) for one snapshot. */
+  def sortedFromLines(lines: Array[String]): Map[String, (Int, Boolean, Boolean)] =
     lines.filter(_.startsWith("#sorted,")).flatMap { line =>
-      line.split(",", 3) match {
-        case Array(_, name, pos) => pos.toIntOption.map(name -> _)
+      line.split(",", 4) match {
+        case Array(_, name, pos) =>
+          pos.toIntOption.map(p => name -> ((p, false, false)))
+        case Array(_, name, pos, flags) if flags.length == 2 =>
+          pos.toIntOption.map(p =>
+            name -> ((p, flags(0) == 'd', flags(1) == 'l')))
         case _ => None
       }
     }.toMap
 
   def sortedFor(fs: FileSystem, dir: Path,
-      version: Option[Int]): Map[String, Int] =
+      version: Option[Int]): Map[String, (Int, Boolean, Boolean)] =
     sortedFromLines(linesOf(fs, dir, version))
 
   /** file → (colPos, n, bucketId) for one snapshot. */
@@ -1630,14 +1686,44 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
     // AND skipped, exactly what the per-file pass would have reported).
     // Incremental/CDF ranges and runtime group-filtered (COW) scans
     // materialize fully — their file lists come from elsewhere.
-    if (changes.isDefined || filesSubset.isDefined || skipFilters.isEmpty)
+    // float→double widened columns lose stats soundness (see
+    // widenedByName below); the markers are control lines, INLINE in the
+    // raw list, so they are known before any segment is read
+    val widenedFloatCols: Set[String] = ManifestFiles.widenedFromLines(raw)
+      .collect { case (pos, "float") => pos }
+      .flatMap(p => ManifestFiles.fieldAtPhys(fullSchema, p))
+      .map(fullSchema(_).name).toSet
+    val segSafe =
+      if (widenedFloatCols.isEmpty) skipFilters
+      else skipFilters.filterNot(_.references.exists(widenedFloatCols.contains))
+    if (changes.isDefined || filesSubset.isDefined || segSafe.isEmpty)
       (ManifestFiles.materialize(fs, dir, raw), 0L)
     else ManifestFiles.materializePruned(fs, dir, raw, (files, rows, st) =>
-      skipFilters.exists(f =>
+      segSafe.exists(f =>
         ManifestSkip.canSkip(f, fullSchema, Some(st), Some(rows))))
   }
 
   private lazy val snapshotLines: Array[String] = snapshotView._1
+
+  /** Widened columns (pos → original type name). Row-group pushdown is
+    * suppressed on ALL of them (old footers carry the narrow physical
+    * type); stats skipping is suppressed ONLY for float→double (the one
+    * promotion whose text-stored bounds re-decode inexactly). CALL
+    * compact / INSERT OVERWRITE clears the markers and restores both. */
+  private lazy val widenedByName: Map[String, String] =
+    ManifestFiles.widenedFromLines(snapshotLines).flatMap { case (pos, from) =>
+      ManifestFiles.fieldAtPhys(fullSchema, pos)
+        .map(i => fullSchema(i).name -> from)
+    }
+
+  private lazy val statsSafeFilters: Array[org.apache.spark.sql.sources.Filter] =
+    if (widenedByName.isEmpty) skipFilters
+    else skipFilters.filterNot(_.references.exists(c =>
+      widenedByName.get(c).contains("float")))
+
+  private lazy val rowGroupFilters: Array[org.apache.spark.sql.sources.Filter] =
+    if (widenedByName.isEmpty) skipFilters
+    else skipFilters.filterNot(_.references.exists(widenedByName.contains))
 
   private lazy val staticPlan: (Array[String], Map[String, Long],
       Map[String, ManifestFiles.FileStats]) = {
@@ -1652,7 +1738,7 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
       case None => allEntries.map(_._1)
     }
     val listed = filesSubset.fold(listed0)(s => listed0.filter(s.contains))
-    val kept = listed.filterNot(n => skipFilters.exists(f =>
+    val kept = listed.filterNot(n => statsSafeFilters.exists(f =>
       ManifestSkip.canSkip(f, fullSchema, stats.get(n), rows.get(n))))
     filesListed = listed.length + snapshotView._2
     filesSkipped = (listed.length - kept.length).toLong + snapshotView._2
@@ -1887,14 +1973,14 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
     * bucket. A bucketed+sorted pair of tables then joins with neither
     * exchange nor sort (`spark.sql.sources.v2.bucketing.sorting.enabled`;
     * the SMJ consumes the scans directly — ManifestSortedJoinSpec). */
-  private lazy val sortOrder: Option[String] = {
+  private lazy val sortOrder: Option[(String, Boolean, Boolean)] = {
     val (kept, _, _) = staticPlan
     if (kept.isEmpty || !runtimeKeyPrune || changes.nonEmpty) None
     else {
       val sorted = ManifestFiles.sortedFromLines(snapshotLines)
-      val positions = kept.map(sorted.get)
-      if (positions.exists(_.isEmpty) || positions.distinct.length != 1) None
-      else positions.head.flatMap { pos =>
+      val marks = kept.map(sorted.get)
+      if (marks.exists(_.isEmpty) || marks.distinct.length != 1) None
+      else marks.head.flatMap { case (pos, desc, nullsLast) =>
         val onePerSplit = bucketLayout match {
           case Some(_) =>
             kept.groupBy(f => bucketIds(f)._3).values.forall(_.length <= 1)
@@ -1908,17 +1994,19 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
         else ManifestFiles.fieldAtPhys(fullSchema, pos)
           .map(fullSchema(_).name)
           .filter(required.fieldNames.contains)
+          .map((_, desc, nullsLast))
       }
     }
   }
 
   override def outputOrdering():
       Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    sortOrder.map(c => Array(
-      org.apache.spark.sql.connector.expressions.Expressions.sort(
-        org.apache.spark.sql.connector.expressions.Expressions.column(c),
-        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)))
-      .getOrElse(Array.empty)
+    sortOrder.map { case (c, desc, nullsLast) =>
+      import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection}
+      Array(Expressions.sort(Expressions.column(c),
+        if (desc) SortDirection.DESCENDING else SortDirection.ASCENDING,
+        if (nullsLast) NullOrdering.NULLS_LAST else NullOrdering.NULLS_FIRST))
+    }.getOrElse(Array.empty)
 
   /** Storage-partitioned-join seam on the real table format
     * (`SupportsReportPartitioning`, the contract Iceberg bucket tables
@@ -1953,8 +2041,14 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
             case "years" => Expressions.years(col)
             case "hours" => Expressions.hours(col)
             case k if GraftTruncateFunction.widthOf(k).isDefined =>
-              Expressions.apply("truncate",
-                Expressions.literal(GraftTruncateFunction.widthOf(k).get),
+              // WIDTH-MANGLED single-arg form: Spark's physical
+              // KeyGroupedPartitioning supports only transforms with ONE
+              // reference child (bucket smuggles its arity through
+              // numBucketsOpt), so `truncate(w, col)` reports as
+              // `truncate_<w>(col)` — the catalog resolves the family
+              // dynamically and both join sides agree on canonicalName
+              Expressions.apply(
+                s"truncate_${GraftTruncateFunction.widthOf(k).get}",
                 Expressions.column(col))
             case _ => Expressions.identity(col)
           }}
@@ -2090,7 +2184,7 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
       // row filter) — scan-level, so the reader kind stays uniform
       columnar = columnar.getOrElse(allParquet) && bucketLayout.isEmpty &&
         partGroups.isEmpty && !hasDeletes && eqDeleteMap.isEmpty,
-      filters = skipFilters, parquetOnly = allParquet,
+      filters = rowGroupFilters, parquetOnly = allParquet,
       maxPhysArity = ManifestReaderFactory.maxPhysArity(fullSchema,
         ManifestFiles.droppedFromLines(snapshotLines)),
       defaults = ManifestChecks.existsDefaults(
@@ -2711,8 +2805,14 @@ class GraftManifestCatalog extends TableCatalog
       .flatMap(ManifestFiles.fieldAtPhys(schema, _)).map(schema(_).name)
     if (bloomNames.nonEmpty)
       props.put("bloom.columns", bloomNames.mkString(","))
-    val sortNames = ManifestFiles.sortOrderFromLines(confLines)
-      .flatMap(ManifestFiles.fieldAtPhys(schema, _)).map(schema(_).name)
+    val sortNames = ManifestFiles.sortKeysFromLines(confLines).flatMap { k =>
+      ManifestFiles.fieldAtPhys(schema, k.pos).map { i =>
+        schema(i).name + (if (k.desc) " DESC" else "") +
+          (if (k.nullsLast != k.desc)
+             (if (k.nullsLast) " NULLS LAST" else " NULLS FIRST")
+           else "")
+      }
+    }
     if (sortNames.nonEmpty)
       props.put("write.sort-order", sortNames.mkString(","))
     if (ManifestFiles.distModeRange(confLines))
@@ -2808,21 +2908,41 @@ class GraftManifestCatalog extends TableCatalog
     load(ident, Some(v))
   }
 
-  /** `write.sort-order` property value → physical positions (validated:
-    * live columns, orderable primitives, no duplicates). */
-  private def parseSortOrder(schema: StructType, cs: String): Seq[Int] = {
-    val positions = cs.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { c =>
+  /** `write.sort-order` property value → sort keys (validated: live
+    * columns, orderable primitives, no duplicates). Grammar per key:
+    * `col [ASC|DESC] [NULLS FIRST|NULLS LAST]` — Iceberg's sort-order
+    * surface; direction defaults ASC, null placement defaults to the
+    * direction's SQL pairing. */
+  private def parseSortOrder(schema: StructType,
+      cs: String): Seq[ManifestFiles.SortKey] = {
+    val keys = cs.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { spec =>
+      val toks = spec.split("\\s+").toList
+      val c = toks.head
+      val (desc, rest) = toks.tail.map(_.toLowerCase) match {
+        case "desc" :: r => (true, r)
+        case "asc" :: r => (false, r)
+        case r => (false, r)
+      }
+      val nullsLast = rest match {
+        case Nil => desc
+        case List("nulls", "first") => false
+        case List("nulls", "last") => true
+        case _ => throw new IllegalArgumentException(
+          s"write.sort-order: cannot parse '$spec' — use " +
+            "'col [ASC|DESC] [NULLS FIRST|NULLS LAST]'")
+      }
       require(schema.fieldNames.contains(c),
         s"write.sort-order column '$c' not in ${schema.fieldNames.mkString(",")}")
       require(ManifestSkip.statsCapable(schema(c).dataType),
         s"write.sort-order needs orderable primitive columns — " +
           s"'$c' is ${schema(c).dataType.sql}")
-      ManifestFiles.physPos(schema, schema.fieldIndex(c))
+      ManifestFiles.SortKey(
+        ManifestFiles.physPos(schema, schema.fieldIndex(c)), desc, nullsLast)
     }
-    require(positions.nonEmpty, "write.sort-order must name at least one column")
-    require(positions.distinct.length == positions.length,
+    require(keys.nonEmpty, "write.sort-order must name at least one column")
+    require(keys.map(_.pos).distinct.length == keys.length,
       "duplicate column in write.sort-order")
-    positions
+    keys
   }
 
   /** DDL table creation — `CREATE TABLE cat.t (…) [PARTITIONED BY
@@ -3114,8 +3234,9 @@ class GraftManifestCatalog extends TableCatalog
     var morFlip: Option[Boolean] = None
     var partFlip: Option[Seq[(Int, String)]] = None
     var bloomFlip: Option[Seq[Int]] = None
-    var sortFlip: Option[Seq[Int]] = None
+    var sortFlip: Option[Seq[ManifestFiles.SortKey]] = None
     var distFlip: Option[Boolean] = None
+    var widenFlip: List[(Int, DataType)] = Nil
     val checkSet = scala.collection.mutable.LinkedHashMap
       .empty[String, Option[String]] // Some = add/replace, None = drop
     def nextPos: Int =
@@ -3270,6 +3391,57 @@ class GraftManifestCatalog extends TableCatalog
             .filterNot(_._2 == idx)
             .map { case (fd, i) => withGpos(fd, ManifestFiles.physPos(schema, i)) })
         }
+      // TYPE WIDENING (round 13 — Iceberg's safe promotions): ALTER
+      // COLUMN ... TYPE is METADATA-ONLY for widening casts. Positional
+      // storage makes it read-side: old files decode at their stored
+      // narrow type and upcast (Spark 4's parquet converters promote
+      // INT32→long etc. natively; the CSV codec parses text under the
+      // CURRENT type). Stats bounds re-decode in the new canonical
+      // domain — exactly for integral/decimal promotions, so skipping
+      // survives; float→double bounds do NOT survive text round-trip and
+      // the widened marker suppresses them (see widenedLine). Narrowing
+      // and lossy changes refuse with pointers.
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames.length == 1,
+          "graft-manifest: nested ALTER COLUMN TYPE is not supported — " +
+            "widen the top-level column or rebuild the struct")
+        val name = u.fieldNames()(0)
+        require(schema.fieldNames.contains(name), s"no column $name")
+        val idx = schema.fieldIndex(name)
+        val from = schema(idx).dataType
+        val to = u.newDataType()
+        val ok = (from, to) match {
+          case (a, b) if a == b => false // no-op refused below for clarity
+          case (ByteType, ShortType | IntegerType | LongType) => true
+          case (ShortType, IntegerType | LongType) => true
+          case (IntegerType, LongType) => true
+          case (FloatType, DoubleType) => true
+          case (a: DecimalType, b: DecimalType) =>
+            b.scale == a.scale && b.precision > a.precision
+          case _ => false
+        }
+        require(ok,
+          s"cannot ALTER COLUMN '$name' TYPE ${to.sql}: only WIDENING " +
+            s"promotions are metadata-only (TINYINT→SMALLINT/INT/BIGINT, " +
+            "SMALLINT→INT/BIGINT, INT→BIGINT, FLOAT→DOUBLE, " +
+            s"DECIMAL(p,s)→DECIMAL(p+,s)); '$name' is ${from.sql} — " +
+            "narrowing or changing the type family requires rewriting " +
+            "the column (CTAS a new table)")
+        val pos = ManifestFiles.physPos(schema, idx)
+        // bucket layouts hash the STORED representation — widening under
+        // one would silently re-key the layout (bucket demands BIGINT at
+        // DDL, so this is belt and braces)
+        ManifestFiles.tableConf(f, dir, None).foreach { case (bp, _, _) =>
+          require(bp != pos,
+            s"cannot widen '$name': the declared bucket layout hashes it")
+        }
+        schema = StructType(schema.fields.zipWithIndex.map { case (fd, i) =>
+          if (i == idx) fd.copy(dataType = to) else fd })
+        // keep the ORIGINAL from-type if the column was already widened
+        // (files at the narrowest type may still exist)
+        if (!ManifestFiles.widenedFromLines(priorLines).contains(pos) &&
+            !widenFlip.exists(_._1 == pos))
+          widenFlip ::= ((pos, from))
       case sp: TableChange.SetProperty if sp.property == "delete.mode" =>
         // switch row-level strategy in place: MOR adds the #tableconf
         // line, COW removes it (existing delete files keep applying —
@@ -3417,10 +3589,10 @@ class GraftManifestCatalog extends TableCatalog
           case None => base1
         }
         val base2s0 = sortFlip match {
-          case Some(positions) =>
+          case Some(keys) =>
             base2.filterNot(_.startsWith("#tableconf,sortorder,")) ++
-              (if (positions.nonEmpty)
-                 Seq(ManifestFiles.sortOrderLine(positions))
+              (if (keys.nonEmpty)
+                 Seq(ManifestFiles.sortOrderLine(keys))
                else Seq.empty)
           case None => base2
         }
@@ -3436,12 +3608,14 @@ class GraftManifestCatalog extends TableCatalog
               base2s0.filterNot(_ == ManifestFiles.DistModeRangeLine)
             else base2s0
         }
-        val base =
+        val base3 =
           if (checkSet.isEmpty) base2s
           else base2s.filterNot(l => checkSet.keys.exists(n =>
             l.startsWith(s"#tableconf,check,$n,"))) ++
             checkSet.collect { case (n, Some(txt)) =>
               ManifestFiles.checkLine(n, txt) }
+        val base = base3 ++ widenFlip.map { case (pos, from) =>
+          ManifestFiles.widenedLine(pos, from) }
         base ++ drops.filterNot(base.contains)
       }, schema)
     load(ident, None)
@@ -3494,6 +3668,9 @@ class GraftManifestCatalog extends TableCatalog
     ident.name match {
       case "bucket" => GraftBucketFunction
       case "truncate" => GraftTruncateFunction.unbound
+      case n if n.startsWith("truncate_") &&
+          n.stripPrefix("truncate_").toIntOption.exists(_ >= 1) =>
+        GraftTruncateFunction.widthBound(n.stripPrefix("truncate_").toInt)
       case k if GraftTimeTransformFunction.TimeKinds(k) =>
         new GraftTimeTransformFunction(k)
       case other => throw new IllegalArgumentException(
@@ -3729,6 +3906,48 @@ private[sources] object GraftTruncateFunction {
     }
   }
 
+  /** The width-mangled SPJ family: `truncate_<w>(col)` with the width
+    * baked into the function (and its canonicalName), so the reported
+    * transform has exactly one reference child — the shape
+    * KeyGroupedPartitioning.supportsExpressions accepts. */
+  def widthBound(w: Int): UnboundFunction = new UnboundFunction {
+    override def name(): String = s"truncate_$w"
+    override def description(): String =
+      s"truncate_$w(col): width-$w transform — graft-manifest SPJ form"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.length == 1,
+        s"truncate_$w expects one column, got ${inputType.simpleString}")
+      inputType(0).dataType match {
+        case dt @ (LongType | IntegerType) => new BoundTruncLongW(w, dt)
+        case StringType => new BoundTruncStrW(w)
+        case other => throw new IllegalArgumentException(
+          s"truncate supports BIGINT/INT/STRING columns, got ${other.sql}")
+      }
+    }
+  }
+
+  final class BoundTruncLongW(w: Int, dt: DataType) extends ScalarFunction[Any] {
+    override def inputTypes(): Array[DataType] = Array(dt)
+    override def resultType(): DataType = dt
+    override def name(): String = s"truncate_$w"
+    override def canonicalName(): String = s"graft.truncate.$w"
+    override def isResultNullable: Boolean = true
+    override def produceResult(input: InternalRow): Any =
+      if (input.isNullAt(0)) null
+      else if (dt == LongType) truncLong(w, input.getLong(0))
+      else truncLong(w, input.getInt(0).toLong).toInt
+  }
+
+  final class BoundTruncStrW(w: Int) extends ScalarFunction[UTF8String] {
+    override def inputTypes(): Array[DataType] = Array(StringType)
+    override def resultType(): DataType = StringType
+    override def name(): String = s"truncate_$w"
+    override def canonicalName(): String = s"graft.truncate.$w"
+    override def isResultNullable: Boolean = true
+    override def produceResult(input: InternalRow): UTF8String =
+      if (input.isNullAt(0)) null else truncStr(w, input.getUTF8String(0))
+  }
+
   final class BoundTruncLong(dt: DataType) extends ScalarFunction[Any] {
     override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
     override def resultType(): DataType = dt
@@ -3878,17 +4097,29 @@ private[sources] object ManifestProcedures {
           // the per-file sortedness appends produce into disjoint
           // table-wide ranges. An explicit multi-column sort_by keeps
           // its Z-ORDER semantics (a different, opt-in tiling).
-          val declared: Seq[String] =
+          // declared keys keep their DIRECTION + null placement through
+          // the compaction rewrite (latest-first clustering compacts
+          // latest-first)
+          val declared: Seq[org.apache.spark.sql.Column] =
             if (sortCols.nonEmpty) Seq.empty
-            else ManifestFiles.sortOrderFromLines(
+            else ManifestFiles.sortKeysFromLines(
                 ManifestFiles.latestLines(fs, dir))
-              .flatMap(ManifestFiles.fieldAtPhys(schemaNow, _))
-              .map(schemaNow(_).name)
+              .flatMap { k =>
+                ManifestFiles.fieldAtPhys(schemaNow, k.pos).map { i =>
+                  val c = col(schemaNow(i).name)
+                  (k.desc, k.nullsLast) match {
+                    case (false, false) => c.asc_nulls_first
+                    case (false, true) => c.asc_nulls_last
+                    case (true, false) => c.desc_nulls_first
+                    case (true, true) => c.desc_nulls_last
+                  }
+                }
+              }
           val arranged = (sortCols, declared) match {
             case (Seq(), Seq()) => live.coalesce(target)
             case (Seq(), ds) =>
-              live.repartitionByRange(target, ds.map(col): _*)
-                .sortWithinPartitions(ds.head, ds.tail: _*)
+              live.repartitionByRange(target, ds: _*)
+                .sortWithinPartitions(ds: _*)
             case (Seq(one), _) =>
               live.repartitionByRange(target, col(one)).sortWithinPartitions(one)
             case (many, _) =>

@@ -133,11 +133,12 @@ class ManifestDdlSpec extends AnyFunSuite {
       spark.sql(s"CREATE TABLE $cat.plain (k BIGINT)")
     }
     assert(dup.getMessage.toLowerCase.contains("already exists"))
-    // identity/days/months became supported layouts in round 12; an
-    // unimplemented transform still fails loudly with the full menu
+    // identity/days/months (r12) + years/hours/truncate (r13) are
+    // supported layouts; an unimplemented transform still fails loudly
+    // with the full menu
     val unsupported = intercept[Exception] {
       spark.sql(s"CREATE TABLE $cat.badpart (k BIGINT, ts TIMESTAMP) " +
-        "PARTITIONED BY (hours(ts))")
+        "PARTITIONED BY (weeks(ts))")
     }
     assert(unsupported.getMessage.contains("PARTITIONED BY"),
       unsupported.getMessage)

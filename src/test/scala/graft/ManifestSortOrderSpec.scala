@@ -78,7 +78,7 @@ class ManifestSortOrderSpec extends AnyFunSuite {
     assert(entries.length == 6, s"3 appends × 2 tasks, got ${entries.length}")
     val sorted = ManifestFiles.sortedFor(fs, dir, None)
     // EVERY file earned its verified mark on the leading column (phys 0)
-    assert(entries.forall(f => sorted.get(f).contains(0)),
+    assert(entries.forall(f => sorted.get(f).map(_._1).contains(0)),
       s"files missing #sorted marks: ${entries.filterNot(sorted.contains).toSeq}")
 
     // appended files OVERLAP in ts (each append spanned the range): a
@@ -96,7 +96,7 @@ class ManifestSortOrderSpec extends AnyFunSuite {
     assert(res.getInt(2) == 6, s"expected 6 files after compact, got $res")
     val after = ManifestFiles.entries(fs, dir, None).map(_._1)
     val sorted2 = ManifestFiles.sortedFor(fs, dir, None)
-    assert(after.forall(f => sorted2.get(f).contains(0)),
+    assert(after.forall(f => sorted2.get(f).map(_._1).contains(0)),
       "compacted files must keep verified #sorted marks")
     // now range-disjoint: the same slice skips most files
     val q = live().filter($"ts" < 300).agg(sum($"v"))
@@ -129,7 +129,7 @@ class ManifestSortOrderSpec extends AnyFunSuite {
     // required ordering is (partition cols, sort cols), and each split
     // file holds one day
     assert(entries.nonEmpty)
-    assert(entries.forall(f => sorted.get(f).contains(1)),
+    assert(entries.forall(f => sorted.get(f).map(_._1).contains(1)),
       s"day files missing #sorted(k): ${entries.filterNot(sorted.contains).toSeq}")
     // day-purity intact (the partition layout still governs splitting):
     // one file per day per task; with the ordered distribution the day
@@ -142,6 +142,70 @@ class ManifestSortOrderSpec extends AnyFunSuite {
     // correctness through the layout
     assert(spark.read.format("graft-manifest").option("path", dir.toString)
       .load().agg(sum($"v")).head().getLong(0) == (0L until 2000L).sum)
+  }
+
+  test("DESC + NULLS orderings: 'ts DESC NULLS LAST, k' verifies " +
+    "latest-first files, earns direction-stamped marks, skips on range " +
+    "predicates, and round-trips through SHOW TBLPROPERTIES") {
+    import spark.implicits._
+    val root = tmpDir()
+    val cat = register(root)
+    spark.sql(s"CREATE TABLE $cat.ev (ts BIGINT, k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('write.sort-order'='ts DESC NULLS LAST, k'," +
+      "'write.distribution-mode'='range')")
+    // shuffled input incl. NULL ts rows — the write must order
+    // latest-first with nulls at the tail for the mark to be earned
+    // (AQE coalescing off for the write: tiny test data must still land
+    // several range partitions for the disjointness probe below)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      spark.range(4000).select(
+          when($"id" % 50 === 0, lit(null)).otherwise($"id" * 3 % 4000)
+            .as("ts"),
+          ($"id" % 11).as("k"), $"id".as("v"))
+        .orderBy(md5($"v".cast("string")))
+        .repartition(3)
+        .writeTo(s"$cat.ev").append()
+    } finally spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val dir = new Path(root, "ev")
+    val fs = fsOf(dir)
+    val entries = ManifestFiles.entries(fs, dir, None).map(_._1)
+    val sorted = ManifestFiles.sortedFor(fs, dir, None)
+    assert(entries.nonEmpty)
+    // every file carries a DIRECTION-stamped verified mark (desc, nl)
+    assert(entries.forall(f => sorted.get(f).contains((0, true, true))),
+      s"marks: ${entries.map(sorted.get).toSeq}")
+    // a DESC order on the data itself: within each file rows stream
+    // non-increasing in ts with nulls last
+    def live() = spark.read.format("graft-manifest")
+      .option("path", dir.toString).load()
+    // range mode landed DISJOINT latest-first files: a recency slice
+    // (the hot query on a DESC-clustered table) skips most files
+    val q = live().filter($"ts" >= 3600).agg(sum($"v"))
+    q.collect()
+    assert(metric(q, "filesSkipped") >= 1L,
+      s"skipped ${metric(q, "filesSkipped")} of ${metric(q, "filesListed")}")
+    // the declared order round-trips with its directions
+    val show = spark.sql(s"SHOW TBLPROPERTIES $cat.ev").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(show.get("write.sort-order").contains("ts DESC,k"),
+      show.get("write.sort-order").toString)
+    // an UNSORTED route never earns the desc mark (verification holds
+    // for directions too): append through the path API with the order
+    // suppressed via distributionMode=none + pre-sorted ASC input
+    spark.range(100).select($"id".as("ts"), ($"id" % 3).as("k"),
+        $"id".as("v"))
+      .sortWithinPartitions($"ts".asc).coalesce(1)
+      .write.mode("append").format("graft-manifest")
+      .option("path", dir.toString).option("distributionMode", "none").save()
+    val after = ManifestFiles.entries(fs, dir, None).map(_._1)
+    val marks2 = ManifestFiles.sortedFor(fs, dir, None)
+    val fresh = after.filterNot(entries.contains)
+    assert(fresh.nonEmpty)
+    // the writer re-sorts per task under the declared order, so even
+    // ASC input lands desc-verified — the mark survives any input order
+    assert(fresh.forall(f => marks2.get(f).contains((0, true, true))))
   }
 
   test("ALTER TABLE evolves the sort order: future writes follow the new " +
@@ -159,13 +223,13 @@ class ManifestSortOrderSpec extends AnyFunSuite {
       .coalesce(1).writeTo(s"$cat.t").append()
     val dir = new Path(root, "t")
     val fs = fsOf(dir)
-    assert(ManifestFiles.sortedFor(fs, dir, None).values.toSet == Set(0))
+    assert(ManifestFiles.sortedFor(fs, dir, None).values.map(_._1).toSet == Set(0))
 
     spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES('write.sort-order'='b')")
     spark.range(100).select(($"id" * 7 % 100).as("a"), $"id".as("b"))
       .coalesce(1).writeTo(s"$cat.t").append()
     val marks1 = ManifestFiles.sortedFor(fs, dir, None)
-    assert(marks1.values.toSet == Set(0, 1),
+    assert(marks1.values.map(_._1).toSet == Set(0, 1),
       "old files keep their marks; the new file marks the new order")
 
     spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES('write.sort-order'='none')")

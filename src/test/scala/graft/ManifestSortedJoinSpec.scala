@@ -91,7 +91,7 @@ class ManifestSortedJoinSpec extends AnyFunSuite {
     val entries1 = ManifestFiles.entries(fs, dir, None).map(_._1)
     assert(entries1.nonEmpty && entries1.forall(sorted1.contains),
       "every first-commit file must be verified sorted")
-    assert(sorted1.values.forall(_ == 0))
+    assert(sorted1.values.forall(_._1 == 0))
 
     writeSorted(root, "t", 2000) // 2 sorted files per bucket now
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
