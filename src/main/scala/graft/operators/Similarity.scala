@@ -65,7 +65,7 @@ object Similarity extends QueryModule {
     * product folds in index order via `list_reduce`, so every IEEE
     * rounding — and therefore every SIGN, and therefore every bucket —
     * is bit-identical to the JVM kernel. */
-  private val duckLshBuckets: String = s"""
+  private[graft] val duckLshBuckets: String = s"""
       dims AS (SELECT max(len(embedding)) AS dim FROM embeddings),
       pi AS (SELECT p, i, CAST(7 + p * 1000003 + i AS HUGEINT) AS rin
              FROM (SELECT unnest(range(0, 4)) AS p) pa,

@@ -38,10 +38,37 @@ import org.apache.spark.unsafe.types.UTF8String
   * surface; an unlisted file whose bytes vacuum already reclaimed fails
   * loudly at plan time (the diff is genuinely unavailable — widen
   * retention or restart downstream). */
-private[sources] object ManifestChangeFeed {
+object ManifestChangeFeed {
   val TypeCol = "_change_type"
   val VersionCol = "_commit_version"
   val TimestampCol = "_commit_timestamp"
+
+  /** UPDATE IMAGES over a keyed change feed (Delta's full CDF contract,
+    * round 13): when the table's rows carry a declared key, a version in
+    * which one key has BOTH a value-keyed 'delete' leg and an 'insert'
+    * leg is an UPDATE — the legs relabel as `update_preimage` /
+    * `update_postimage`, keyed pairs a downstream SCD-2 builder can
+    * consume directly. Plain inserts (fresh keys) and takedowns (keys
+    * with no same-version insert) keep their types. One hash shuffle on
+    * (keys, version) — at 100 TB the feed is diff-sized, so the pairing
+    * costs the CHANGES, never the table. Expressed as a DataFrame
+    * transform (Catalyst optimizes it with the consumer's own plan)
+    * because the pairing is a keyed exchange, which a DSv2 scan cannot
+    * perform inside its own partitions. */
+  def withUpdateImages(feed: org.apache.spark.sql.DataFrame,
+      keys: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, "withUpdateImages needs at least one key column")
+    val w = Window.partitionBy((keys.map(col) :+ col(VersionCol)): _*)
+    val hasDel = max(when(col(TypeCol) === "delete", 1).otherwise(0)).over(w)
+    val hasIns = max(when(col(TypeCol) === "insert", 1).otherwise(0)).over(w)
+    feed.withColumn(TypeCol,
+      when(hasDel === 1 && hasIns === 1,
+        when(col(TypeCol) === "delete", lit("update_preimage"))
+          .otherwise(lit("update_postimage")))
+        .otherwise(col(TypeCol)))
+  }
 
   def outputSchema(base: StructType): StructType =
     base.add(TypeCol, StringType, nullable = false)

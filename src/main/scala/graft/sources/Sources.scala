@@ -1619,6 +1619,192 @@ object Sources extends QueryModule {
         WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-02-01')
       SELECT prio, n, total, jan_orders FROM two, jan ORDER BY prio"""))
 
+  /** TYPE WIDENING (round 13 — Iceberg's safe promotions): half the
+    * table lands while the key column is INT, ALTER COLUMN widens it to
+    * BIGINT METADATA-ONLY, the other half (plus a row only BIGINT can
+    * hold) lands after. The aggregate reads pre- and post-widen files
+    * through one schema; the range predicate exercises stats skipping on
+    * the widened column (integral promotions re-decode exactly). */
+  val qWidened: QueryDef = QueryDef(
+    "q256_manifest_widened",
+    (s, d) => {
+      import s.implicits._
+      val root = tmp(d, "manifest_widen")
+      val dir = new org.apache.hadoop.fs.Path(root)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      val cat = "graft_wid_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE TABLE $cat.o (ok INT, prio STRING)")
+      val orders = Tables.df(s, d, "orders")
+        .select($"o_orderkey", $"o_orderpriority")
+      orders.filter($"o_orderkey" % 2 === 0)
+        .select($"o_orderkey".cast("int").as("ok"),
+          $"o_orderpriority".as("prio"))
+        .writeTo(s"$cat.o").append()                    // narrow files
+      s.sql(s"ALTER TABLE $cat.o ALTER COLUMN ok TYPE BIGINT")
+      orders.filter($"o_orderkey" % 2 === 1)
+        .select($"o_orderkey".as("ok"), $"o_orderpriority".as("prio"))
+        .writeTo(s"$cat.o").append()                    // wide files
+      s.sql(s"INSERT INTO $cat.o VALUES (${Int.MaxValue.toLong + 42L}, " +
+        "'9-OVERFLOW')")                                // needs BIGINT
+      s.sql(s"""
+        SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(ok) AS BIGINT) AS sum_ok
+        FROM $cat.o WHERE ok >= 8 GROUP BY prio ORDER BY prio""")
+    },
+    Some(s"""
+      SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(ok) AS BIGINT) AS sum_ok
+      FROM (SELECT o_orderkey AS ok, o_orderpriority AS prio FROM orders
+            UNION ALL SELECT ${Int.MaxValue.toLong + 42L}, '9-OVERFLOW')
+      WHERE ok >= 8 GROUP BY prio ORDER BY prio"""))
+
+  /** CDF UPDATE IMAGES (round 13 — Delta's full CDF contract): an
+    * upsert's change feed, paired by the declared key into
+    * `update_preimage`/`update_postimage` rows. The oracle reconstructs
+    * the keyed diff directly: for every re-scored doc, the old row is
+    * the preimage and the new row the postimage — exactly what an SCD-2
+    * builder consumes. */
+  val qCdfImages: QueryDef = QueryDef(
+    "q257_cdf_update_images",
+    (s, d) => {
+      import s.implicits._
+      val root = tmp(d, "manifest_cdfimg")
+      val dir = new org.apache.hadoop.fs.Path(root)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      val cat = "graft_img_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE TABLE $cat.docs (doc_id BIGINT, n_chars BIGINT) " +
+        "TBLPROPERTIES('delete.mode'='merge-on-read')")
+      val docs = Tables.df(s, d, "documents").select($"doc_id", $"n_chars")
+      docs.writeTo(s"$cat.docs").append()                          // v2
+      docs.filter($"doc_id" % 7 === 2)
+        .select($"doc_id", ($"n_chars" + 1000L).as("n_chars"))
+        .write.mode("append").format("graft-manifest")
+        .option("path", s"$root/docs")
+        .option("upsertKeys", "doc_id").save()                     // v3
+      val feed = s.read.format("graft-manifest").option("path", s"$root/docs")
+        .option("changeFeed", "true").option("changesFrom", "2").load()
+      ManifestChangeFeed.withUpdateImages(feed, Seq("doc_id"))
+        .select($"doc_id", $"_change_type".as("change"), $"n_chars")
+        .orderBy($"doc_id", $"change")
+    },
+    Some("""
+      SELECT doc_id, change, n_chars FROM (
+        SELECT doc_id, 'update_preimage' AS change, n_chars
+        FROM documents WHERE doc_id % 7 = 2
+        UNION ALL
+        SELECT doc_id, 'update_postimage' AS change, n_chars + 1000
+        FROM documents WHERE doc_id % 7 = 2)
+      ORDER BY doc_id, change"""))
+
+  /** GOVERNED ANN INDEX (round 13): the LSH bucket relation lives in a
+    * manifest table, a takedown lands on the corpus as merge-on-read
+    * delete metadata, and the index is maintained INCREMENTALLY from the
+    * change feed — never a corpus rescan. The top-3 query runs THROUGH
+    * the maintained index; DuckDB replays bucket generation (bit-exact
+    * doubles), drops the deleted ids, and hash-matches the whole
+    * candidates→cosine→top-k pipeline. */
+  val qAnnIndex: QueryDef = QueryDef(
+    "q258_ann_governed_index",
+    (s, d) => {
+      import s.implicits._
+      val root = tmp(d, "manifest_annidx")
+      val dir = new org.apache.hadoop.fs.Path(root)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      val cat = "graft_ann_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val emb = Tables.df(s, d, "embeddings").select($"vec_id", $"embedding")
+      s.sql(s"CREATE TABLE $cat.docs (vec_id BIGINT, " +
+        "embedding ARRAY<FLOAT>) TBLPROPERTIES('delete.mode'='merge-on-read')")
+      emb.writeTo(s"$cat.docs").append()                           // v2
+      s.sql(s"CREATE TABLE $cat.idx (bucket INT, vec_id BIGINT)")
+      graft.api.Graft.lshIndex(s.table(s"$cat.docs"), "vec_id",
+        "embedding", planes = 4, seed = 7L)
+        .writeTo(s"$cat.idx").append()
+      // takedown: KB-scale positional delete vectors, then the index
+      // maintains itself from the FEED (diff-sized, no corpus rescan)
+      s.sql(s"DELETE FROM $cat.docs WHERE vec_id % 17 = 3")        // v3
+      graft.api.Graft.maintainLshIndex(s, cat, "docs", "idx",
+        "vec_id", "embedding", fromVersion = 2, planes = 4, seed = 7L)
+      graft.api.Graft.lshIndexNeighbors(
+        s.table(s"$cat.docs"), s.table(s"$cat.idx"),
+        emb.filter($"vec_id" < 10),
+        "vec_id", "embedding", "vec_id", "embedding", k = 3,
+        planes = 4, seed = 7L)
+        .orderBy($"query_id", $"sim".desc, $"neighbor_id")
+    },
+    Some(s"""
+      WITH ${graft.operators.Similarity.duckLshBuckets},
+      corpus AS (SELECT e.vec_id AS neighbor_id, e.embedding AS vec,
+                        b.bucket
+                 FROM embeddings e JOIN buckets b ON b.vec_id = e.vec_id
+                 WHERE e.vec_id % 17 <> 3),
+      queries AS (SELECT e.vec_id AS query_id, e.embedding AS q_vec,
+                         b.bucket
+                  FROM embeddings e JOIN buckets b ON b.vec_id = e.vec_id
+                  WHERE e.vec_id < 10),
+      scored AS (
+        SELECT q.query_id, c.neighbor_id,
+          round(list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
+                                       CAST(c.vec AS DOUBLE[])), 6) AS sim
+        FROM corpus c JOIN queries q ON c.bucket = q.bucket
+        WHERE c.neighbor_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, sim,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY sim DESC, neighbor_id) AS rk
+        FROM scored)
+      SELECT query_id, neighbor_id, sim FROM ranked WHERE rk <= 3
+      ORDER BY query_id, sim DESC, neighbor_id"""))
+
+  /** hours() RETENTION (round 13): a 48-hour event slice lands
+    * hour-pure through the partition-splitting writer, the retention
+    * DELETE on the hour boundary is METADATA-ONLY (validated: entry
+    * count drops with zero rewrites), and the per-hour rollup reads only
+    * surviving files. */
+  val qHoursRetention: QueryDef = QueryDef(
+    "q259_hours_retention",
+    (s, d) => {
+      import s.implicits._
+      val root = tmp(d, "manifest_hours")
+      val dir = new org.apache.hadoop.fs.Path(root)
+      val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(dir, true)
+      val cat = "graft_hr_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE TABLE $cat.ev (ts TIMESTAMP, etype STRING, " +
+        "v DOUBLE) PARTITIONED BY (hours(ts))")
+      Tables.df(s, d, "events")
+        .filter($"ts" < lit("2024-01-03").cast("timestamp"))
+        .select($"ts", $"event_type".as("etype"), $"value".as("v"))
+        .writeTo(s"$cat.ev").append()
+      val tdir = new org.apache.hadoop.fs.Path(root, "ev")
+      val before = ManifestFiles.entries(fs, tdir, None).map(_._1).toSet
+      s.sql(s"DELETE FROM $cat.ev WHERE ts < " +
+        "CAST('2024-01-02 06:00:00' AS TIMESTAMP)")
+      val after = ManifestFiles.entries(fs, tdir, None).map(_._1).toSet
+      require(after.subsetOf(before) && after.size < before.size,
+        s"hours() retention delete must be metadata-only " +
+          s"(${before.size} -> ${after.size})")
+      s.sql(s"""
+        SELECT date_trunc('hour', ts) AS hr, etype,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sv
+        FROM $cat.ev GROUP BY 1, 2 ORDER BY 1, 2""")
+    },
+    Some("""
+      SELECT date_trunc('hour', ts) AS hr, etype,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sv
+      FROM (SELECT ts, event_type AS etype, value AS v FROM events
+            WHERE ts >= '2024-01-02 06:00:00' AND ts < '2024-01-03')
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   override def defs: Seq[QueryDef] =
     Seq(qCsv, qJson, qOrc, qText, qPartitioned, qSynthSource, qSynthColumnar,
       qSchemaEvolution, qManifestTimeTravel, qManifestMerge, qManifestStream,
@@ -1627,5 +1813,6 @@ object Sources extends QueryModule {
       qManifestMergeOnRead, qMetadataDelete, qManifestEmbeddings, qDaySpj,
       qMultiPart, qPartitionsMeta, qRefs, qChangeFeed, qBranchWap,
       qCdfIndexMaint, qBloomProbe, qScopedCompact, qColumnDefaults,
-      qSortOrder, qAddFiles, qUpsert, qCdfUpsertMaint, qReplaceTable)
+      qSortOrder, qAddFiles, qUpsert, qCdfUpsertMaint, qReplaceTable,
+      qWidened, qCdfImages, qAnnIndex, qHoursRetention)
 }

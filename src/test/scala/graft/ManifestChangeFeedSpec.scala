@@ -189,6 +189,44 @@ class ManifestChangeFeedSpec extends AnyFunSuite {
       e2.getMessage.contains("vacuumed"), e2.getMessage)
   }
 
+  test("withUpdateImages: keyed upserts pair into update_preimage/" +
+    "update_postimage; fresh inserts and takedowns keep their types") {
+    import spark.implicits._
+    val (cat, root) = freshCat("img")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES('delete.mode'='merge-on-read')")           // v1
+    (0L until 10L).map(k => (k, s"a-$k")).toDF("k", "v")
+      .writeTo(s"$cat.t").append()                              // v2
+    // upsert: updates 5..9, fresh inserts 10..12
+    (5L until 13L).map(k => (k, s"b-$k")).toDF("k", "v").coalesce(1)
+      .write.mode("append").format("graft-manifest")
+      .option("path", s"$root/t").option("upsertKeys", "k").save() // v3
+    spark.sql(s"DELETE FROM $cat.t WHERE k % 10 = 2")           // v4 (vector)
+    val img = ManifestChangeFeed.withUpdateImages(
+      feed(s"$root/t", 2, Some(4)), Seq("k"))
+    val rows = img.select($"k", $"v", $"_change_type", $"_commit_version")
+      .as[(Long, String, String, Int)].collect()
+    val byKey = rows.groupBy(_._1)
+    (5L until 10L).foreach { k =>
+      val legs = byKey(k).sortBy(_._3)
+      assert(legs.map(t => (t._2, t._3, t._4)).toSet ==
+        Set((s"a-$k", "update_preimage", 3), (s"b-$k", "update_postimage", 3)),
+        s"k=$k legs: ${legs.toSeq}")
+    }
+    (10L until 12L).foreach { k =>
+      assert(byKey(k).map(t => (t._3, t._4)).toSeq == Seq(("insert", 3)),
+        s"k=$k: ${byKey(k).toSeq}")
+    }
+    // the takedown (k=2, and the upserted k=12 survives v4? 12%10=2!)
+    assert(byKey(2L).map(t => (t._3, t._4)).toSeq == Seq(("delete", 4)))
+    // k=12 was inserted at v3 AND vector-deleted at v4 — different
+    // versions, so both legs keep their own types (no false pairing)
+    assert(byKey(12L).map(t => (t._3, t._4)).toSet ==
+      Set(("insert", 3), ("delete", 4)))
+    // replay exactness: state(2) + images-as-changes == state(4)
+    checkInvariant(s"$root/t", 2, 4)
+  }
+
   test("rollback past a row-level delete poisons the feed range: " +
     "resurrected rows cannot be expressed and fail loudly; pre-rollback " +
     "ranges stay readable") {
