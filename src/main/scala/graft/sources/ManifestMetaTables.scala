@@ -64,17 +64,9 @@ private[sources] object ManifestMetaTables {
           mnS <- c.min; mxS <- c.max
           mn <- ManifestSkip.decodeRaw(dt, mnS)
           mx <- ManifestSkip.decodeRaw(dt, mxS)
-          key <- kind match {
-            case "days" | "months" =>
-              def ord(v: Any): Option[Int] = v match {
-                case i: Int => Some(GraftTimeTransformFunction.dayOf(kind, i.toLong))
-                case l: Long => Some(GraftTimeTransformFunction.dayOf(
-                  kind, Math.floorDiv(l, 86400000000L)))
-                case _ => None
-              }
-              for { a <- ord(mn); b <- ord(mx); if a == b } yield a
-            case _ => if (mn == mx) Some(mn) else None
-          }
+          // ONE derivation, shared with the scan's SPJ grouping — all
+          // transforms (days/months/years/hours/truncate/identity)
+          key <- ManifestFiles.partKeyFromBounds(kind, mn, mx)
         } yield key
       }
     val ks = specs.map { case (pos, kind, dt) => keyAt(pos, kind, dt) }
@@ -83,12 +75,18 @@ private[sources] object ManifestMetaTables {
 
   /** Partition-value column of the `$partitions` schema for one
     * transform: identity surfaces the column itself; days surfaces
-    * `<col>_day DATE` (the ordinal IS the epoch day); months surfaces
-    * `<col>_month STRING` as `yyyy-MM`. */
+    * `<col>_day DATE` (the ordinal IS the epoch day); months/years/hours
+    * surface typed ordinals (`yyyy-MM` string / INT year / `yyyy-MM-dd
+    * HH:00` string); truncate surfaces the truncated value at the
+    * column's own type. */
   def partField(name: String, kind: String, dt: DataType): StructField =
     kind match {
       case "days" => StructField(s"${name}_day", DateType, nullable = true)
       case "months" => StructField(s"${name}_month", StringType, nullable = true)
+      case "years" => StructField(s"${name}_year", IntegerType, nullable = true)
+      case "hours" => StructField(s"${name}_hour", StringType, nullable = true)
+      case k if GraftTruncateFunction.widthOf(k).isDefined =>
+        StructField(s"${name}_trunc", dt, nullable = true)
       case _ => StructField(name, dt, nullable = true)
     }
 
@@ -97,7 +95,13 @@ private[sources] object ManifestMetaTables {
       val ord = key.asInstanceOf[Int]
       UTF8String.fromString(
         f"${Math.floorDiv(ord, 12)}%04d-${Math.floorMod(ord, 12) + 1}%02d")
-    case _ => key // days: epoch-day Int = DateType internal; identity: raw
+    case "hours" =>
+      val h = key.asInstanceOf[Int].toLong
+      UTF8String.fromString(java.time.LocalDateTime.ofEpochSecond(
+        h * 3600L, 0, java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:00")))
+    case _ => key // days: epoch-day Int; years: Int; identity/trunc: raw
   }
 
   /** Human-readable partition string for `t$files` (`od=1996-01-03/
@@ -108,7 +112,7 @@ private[sources] object ManifestMetaTables {
       val v = kind match {
         case "days" => java.time.LocalDate.ofEpochDay(
           k.asInstanceOf[Int].toLong).toString
-        case "months" => renderKey(kind, k).toString
+        case "months" | "hours" => renderKey(kind, k).toString
         case _ => String.valueOf(k)
       }
       s"$name=$v"

@@ -760,6 +760,41 @@ object ManifestFiles {
       }
     }.toMap
 
+  /** Group-key derivation from a file's decoded [min, max] stats bounds
+    * under ONE declared transform — Some iff the bounds PROVE the file
+    * value-pure on it (the partition-splitting writer guarantees this
+    * for its own files; a foreign file degrades the layout, never lies).
+    * Shared by the scan's SPJ grouping and `t$partitions`. String
+    * truncate keys derive only within the stats truncation length —
+    * beyond it a recorded bound is a PREFIX of the truth and the key
+    * would be wrong. */
+  def partKeyFromBounds(kind: String, mn: Any, mx: Any): Option[Any] =
+    kind match {
+      case k if GraftTimeTransformFunction.TimeKinds(k) =>
+        def ord(v: Any): Option[Int] = v match {
+          case i: Int if k != "hours" =>
+            Some(GraftTimeTransformFunction.dayOf(k, i.toLong))
+          case l: Long =>
+            Some(GraftTimeTransformFunction.unitOf(k, l, isDate = false))
+          case _ => None
+        }
+        for { a <- ord(mn); b <- ord(mx); if a == b } yield a
+      case k if GraftTruncateFunction.widthOf(k).isDefined =>
+        val w = GraftTruncateFunction.widthOf(k).get
+        def tr(v: Any): Option[Any] = v match {
+          case l: Long => Some(GraftTruncateFunction.truncLong(w, l))
+          case i: Int =>
+            Some(GraftTruncateFunction.truncLong(w, i.toLong).toInt)
+          case s: UTF8String if w <= StatsTruncLen =>
+            Some(GraftTruncateFunction.truncStr(w, s))
+          case s: String if w <= StatsTruncLen =>
+            Some(GraftTruncateFunction.truncStr(w, UTF8String.fromString(s)))
+          case _ => None
+        }
+        for { a <- tr(mn); b <- tr(mx); if a == b } yield a
+      case _ => if (mn == mx) Some(mn) else None // identity: value-pure
+    }
+
   val DistModeRangeLine = "#tableconf,distmode,range"
 
   def distModeRange(lines: Array[String]): Boolean =
@@ -1919,38 +1954,7 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
               mnS <- c.min; mxS <- c.max
               mn <- ManifestSkip.decodeRaw(dt, mnS)
               mx <- ManifestSkip.decodeRaw(dt, mxS)
-              key <- kind match {
-                case k if GraftTimeTransformFunction.TimeKinds(k) =>
-                  def ord(v: Any): Option[Int] = v match {
-                    case i: Int if k != "hours" =>
-                      Some(GraftTimeTransformFunction.dayOf(k, i.toLong))
-                    case l: Long =>
-                      Some(GraftTimeTransformFunction.unitOf(k, l,
-                        isDate = false))
-                    case _ => None
-                  }
-                  for { a <- ord(mn); b <- ord(mx); if a == b } yield a
-                case k if GraftTruncateFunction.widthOf(k).isDefined =>
-                  val w = GraftTruncateFunction.widthOf(k).get
-                  // string bounds are stats-truncated at StatsTruncLen
-                  // code points — beyond that width a recorded bound is
-                  // only a PREFIX of the true value and the derived key
-                  // would be wrong, so the layout degrades instead
-                  def tr(v: Any): Option[Any] = v match {
-                    case l: Long => Some(GraftTruncateFunction.truncLong(w, l))
-                    case i: Int =>
-                      Some(GraftTruncateFunction.truncLong(w, i.toLong).toInt)
-                    case s: UTF8String if w <= ManifestFiles.StatsTruncLen =>
-                      Some(GraftTruncateFunction.truncStr(w, s))
-                    case s: String if w <= ManifestFiles.StatsTruncLen =>
-                      Some(GraftTruncateFunction.truncStr(w,
-                        UTF8String.fromString(s)))
-                    case _ => None
-                  }
-                  for { a <- tr(mn); b <- tr(mx); if a == b } yield a
-                case _ => // identity: value-pure file
-                  if (mn == mx) Some(mn) else None
-              }
+              key <- ManifestFiles.partKeyFromBounds(kind, mn, mx)
             } yield key
           }
         def keyOf(name: String): Option[List[Any]] = {

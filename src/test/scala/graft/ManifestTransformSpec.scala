@@ -174,6 +174,38 @@ class ManifestTransformSpec extends AnyFunSuite {
       .length == 2)
   }
 
+  test("t$partitions types the new transforms: hours ordinals render " +
+    "as hour strings, truncate groups surface at the column's type, and " +
+    "both reconcile with a group-by of the data") {
+    val (cat, _) = freshCat("meta")
+    spark.sql(s"CREATE TABLE $cat.ev (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (hours(ts))")
+    spark.range(0, 120).select($"id".as("k"),
+        (lit(1700000000L) + ($"id" % 3) * 3600L).cast("timestamp").as("ts"))
+      .repartition(4).writeTo(s"$cat.ev").append()
+    val parts = spark.table(s"$cat.`ev$$partitions`")
+    assert(parts.schema.fieldNames.head == "ts_hour")
+    val fromMeta = parts.select($"ts_hour", $"row_count")
+      .as[(String, Long)].collect().filter(_._1 != null).toMap
+    val fromData = spark.table(s"$cat.ev")
+      .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:00")
+        .as("h")).count().as[(String, Long)].collect().toMap
+    assert(fromMeta == fromData, s"$fromMeta vs $fromData")
+
+    spark.sql(s"CREATE TABLE $cat.tw (k BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (truncate(100, k))")
+    spark.range(0, 300).select($"id".as("k"), lit(1.0d).as("v"))
+      .repartition(3).writeTo(s"$cat.tw").append()
+    val tparts = spark.table(s"$cat.`tw$$partitions`")
+    assert(tparts.schema.fieldNames.head == "k_trunc")
+    assert(tparts.schema("k_trunc").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val tm = tparts.select($"k_trunc", $"row_count")
+      .as[(Option[Long], Long)].collect()
+      .collect { case (Some(b), n) => b -> n }.toMap
+    assert(tm == Map(0L -> 100L, 100L -> 100L, 200L -> 100L), tm.toString)
+  }
+
   test("MIXED spec (days(ts), bucket(4, k)): files pure on BOTH " +
     "dimensions, the bucket SPJ layout still reports, and a day " +
     "retention delete stays metadata-only") {
