@@ -37,7 +37,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * outside the Hive catalog.
   */
 private[sources] object ManifestMetaTables {
-  val Suffixes: Set[String] = Set("files", "snapshots", "partitions", "refs")
+  val Suffixes: Set[String] =
+    Set("files", "snapshots", "partitions", "refs", "segments")
 
   /** `name$kind` → (base table name, kind), when kind is a known
     * metadata-table suffix. A REAL table whose directory is literally
@@ -187,6 +188,19 @@ private[sources] class ManifestMetaTable(kind: String, dir: Path,
       .add("type", StringType, nullable = false)
       .add("version", IntegerType, nullable = false)
       .add("forked_from", IntegerType, nullable = true)
+    // round 13: the SEGMENTED metadata layer itself is inspectable —
+    // which segments a snapshot references, how much each carries, and
+    // whether it has a prunable `#segstats` summary (an unsummarized
+    // segment is always read). The `(inline)` row covers lines living
+    // in the list file itself; a legacy full listing surfaces as one
+    // `(legacy)` row.
+    case "segments" => new StructType()
+      .add("segment", StringType, nullable = false)
+      .add("data_files", IntegerType, nullable = false)
+      .add("row_count", LongType, nullable = false)
+      .add("line_count", IntegerType, nullable = false)
+      .add("size_bytes", LongType, nullable = true)
+      .add("summarized", BooleanType, nullable = false)
   }
 
   private def computeRows(): Array[InternalRow] = {
@@ -273,6 +287,29 @@ private[sources] class ManifestMetaTable(kind: String, dir: Path,
             base.map(v => v: Any).orNull)): InternalRow
         }
         (tagRows ++ branchRows).toArray
+      case "segments" =>
+        val raw = ManifestFiles.rawLinesOf(fs, dir, ver)
+        def rowOf(name: String, ls: Array[String],
+            bytes: Option[Long], summarized: Boolean): InternalRow = {
+          val es = ManifestFiles.entriesFromLines(ls)
+          new GenericInternalRow(Array[Any](
+            UTF8String.fromString(name), es.length, es.map(_._2).sum,
+            ls.length, bytes.map(b => b: Any).orNull, summarized))
+        }
+        if (!ManifestFiles.isListFormat(raw)) Array(rowOf("(legacy)", raw,
+          None, summarized = false))
+        else {
+          val sums = raw.flatMap(ManifestFiles.parseSegStats).toMap
+          val inline = raw.filterNot(l => l.startsWith("#seg") ||
+            l == "#list,1")
+          val segRows = ManifestFiles.segmentRefsFromRaw(raw)
+            .sortBy(_._1).map { case (n, _) =>
+              rowOf(n, ManifestFiles.segmentLines(fs, dir, n),
+                sums.get(n).map(_._3.bytes), sums.contains(n))
+            }
+          (rowOf("(inline)", inline, None, summarized = false) +: segRows)
+            .toArray
+        }
       case "partitions" =>
         val specs3 = layout.map { case (_, k, dt, pos) => (pos, k, dt) }
         val kinds = layout.map(_._2)

@@ -103,7 +103,7 @@ object ManifestFiles {
   private val segCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
 
-  private def segmentLines(fs: FileSystem, dir: Path, name: String): Array[String] = {
+  private[sources] def segmentLines(fs: FileSystem, dir: Path, name: String): Array[String] = {
     val key = s"${dir.toUri}#$name"
     val hit = segCache.get(key)
     if (hit != null) hit
@@ -140,21 +140,23 @@ object ManifestFiles {
     * surviving lines and the pruned-file count (those files were listed
     * AND skipped, for metric parity with file-level skipping). */
   def materializePruned(fs: FileSystem, dir: Path, raw: Array[String],
-      skip: (Int, Long, FileStats) => Boolean): (Array[String], Long) =
-    if (!isListFormat(raw)) (raw, 0L)
+      skip: (Int, Long, FileStats) => Boolean): (Array[String], Long, Long) =
+    if (!isListFormat(raw)) (raw, 0L, 0L)
     else {
       val sums = raw.filter(_.startsWith(SegStatsPrefix))
         .flatMap(parseSegStats).toMap
       var pruned = 0L
+      var prunedSegs = 0L
       val body = segmentRefsFromRaw(raw).toArray.flatMap { case (n, _) =>
         sums.get(n) match {
           case Some((files, rows, st)) if skip(files, rows, st) =>
             pruned += files
+            prunedSegs += 1
             Array.empty[String]
           case _ => segmentLines(fs, dir, n)
         }
       }
-      (raw.filterNot(isListOnly) ++ body, pruned)
+      (raw.filterNot(isListOnly) ++ body, pruned, prunedSegs)
     }
 
   /** `#segstats,<seg>,<files>,<rows>,<bytes>,<payload>` — a segment's
@@ -1701,7 +1703,7 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
     * mid-planning can never make the file list, the skip stats, and the
     * layout metadata disagree (and a large manifest is parsed once, not
     * five times). */
-  private lazy val snapshotView: (Array[String], Long) = {
+  private lazy val snapshotView: (Array[String], Long, Long) = {
     val fs = dir.getFileSystem(conf.value)
     val pinned = changes match {
       case Some((_, to)) =>
@@ -1732,7 +1734,7 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
       if (widenedFloatCols.isEmpty) skipFilters
       else skipFilters.filterNot(_.references.exists(widenedFloatCols.contains))
     if (changes.isDefined || filesSubset.isDefined || segSafe.isEmpty)
-      (ManifestFiles.materialize(fs, dir, raw), 0L)
+      (ManifestFiles.materialize(fs, dir, raw), 0L, 0L)
     else ManifestFiles.materializePruned(fs, dir, raw, (files, rows, st) =>
       segSafe.exists(f =>
         ManifestSkip.canSkip(f, fullSchema, Some(st), Some(rows))))
@@ -2148,14 +2150,18 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(new FilesListedMetric, new FilesSkippedMetric, new FilesPlannedMetric,
-      new DeleteFilesAppliedMetric, new DeleteRowsAppliedMetric)
+      new DeleteFilesAppliedMetric, new DeleteRowsAppliedMetric,
+      new SegmentsPrunedMetric)
 
   override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     Array(driverMetric("filesListed", filesListed),
       driverMetric("filesSkipped", filesSkipped),
       driverMetric("filesPlanned", filesPlanned),
       driverMetric("deleteFilesApplied", deleteFilesApplied),
-      driverMetric("deleteRowsApplied", deleteRowsApplied))
+      driverMetric("deleteRowsApplied", deleteRowsApplied),
+      // forcing staticPlan first keeps the metric's resolution order
+      // identical to the file counters it rides with
+      { staticPlan; driverMetric("segmentsPruned", snapshotView._3) })
 
   private def driverMetric(n: String, v: Long) =
     new org.apache.spark.sql.connector.metric.CustomTaskMetric {
@@ -2228,6 +2234,11 @@ private[sources] class DeleteFilesAppliedMetric
     extends org.apache.spark.sql.connector.metric.CustomSumMetric {
   override def name(): String = "deleteFilesApplied"
   override def description(): String = "merge-on-read delete files applied"
+}
+private[sources] class SegmentsPrunedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "segmentsPruned"
+  override def description(): String = "manifest segments pruned unread"
 }
 private[sources] class DeleteRowsAppliedMetric
     extends org.apache.spark.sql.connector.metric.CustomSumMetric {

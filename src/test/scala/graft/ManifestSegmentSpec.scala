@@ -237,6 +237,33 @@ class ManifestSegmentSpec extends AnyFunSuite {
     // files happened to be file-level skippable
     assert(metric(q, "filesListed") == 55L, "segment pruning did not engage")
     assert(metric(q, "filesSkipped") >= 7L)
+    assert(metric(q, "segmentsPruned") == 1L,
+      "the dedicated segment counter must report the pruned phantom")
+  }
+
+  test("t$segments inspects the metadata layer: per-segment cardinality " +
+    "+ summary presence, the inline row, and reconciliation with the " +
+    "snapshot totals") {
+    val root = tmpDir()
+    val cat = "graft_segmeta_" + math.abs(root.hashCode).toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")                   // v1
+    spark.range(0, 40000).select($"id".as("k")).repartition(40)
+      .writeTo(s"$cat.t").append()                                 // v2: seg
+    spark.range(40000, 40005).select($"id".as("k")).coalesce(1)
+      .writeTo(s"$cat.t").append()                                 // v3: inline
+    val segs = spark.table(s"$cat.`t$$segments`")
+    val rows = segs.collect().map(r => (r.getString(0), r.getInt(1),
+      r.getLong(2), r.getBoolean(5)))
+    val inline = rows.find(_._1 == "(inline)").get
+    assert(inline._2 == 1 && inline._3 == 5L, inline.toString)
+    val real = rows.filterNot(_._1 == "(inline)")
+    assert(real.nonEmpty && real.forall(_._1.startsWith("_SEG.")))
+    assert(real.map(_._2).sum == 40, s"segment files: ${real.toSeq}")
+    assert(real.forall(_._4), "bulk segments carry #segstats summaries")
+    // totals reconcile with the table itself
+    assert(rows.map(_._3).sum == spark.table(s"$cat.t").count())
   }
 
   test("streaming epoch markers dedupe to the max per query — the " +
