@@ -322,7 +322,8 @@ object Graft {
       .option("path", dir.toString).option("changeFeed", "true")
       .option("changesFrom", fromVersion.toString)
       .option("changesTo", latest.toString).load()
-    val view = s"graft_idx_feed_${math.abs(dir.toString.hashCode)}"
+    val view = "graft_idx_feed_" +
+      java.lang.Integer.toUnsignedString(dir.toString.hashCode)
     feed.filter(col("_change_type") === "delete").select(col(idCol))
       .createOrReplaceTempView(view)
     // deletes FIRST: an updated row's stale bucket entry must drop

@@ -239,10 +239,17 @@ object ManifestChangeFeed {
 
   private def importsThrough(fs: FileSystem, dir: Path, vmax: Int):
       Map[String, ManifestFiles.ImportMap] = {
+    // key on the OLDEST RETAINED version + its mtime: a vacuum advance
+    // just re-sweeps once under a fresh key, and a dropped-and-recreated
+    // table can never collide (its v1 has a new mtime) — keying on v1
+    // alone degenerated to a shared 0 once v1 was vacuumed
+    val vs = ManifestFiles.versions(fs, dir)
+    val minV = if (vs.isEmpty) 0 else vs.min
     val epoch =
-      try fs.getFileStatus(new Path(dir, "_MANIFEST.v1")).getModificationTime
+      try fs.getFileStatus(new Path(dir, s"_MANIFEST.v$minV"))
+        .getModificationTime
       catch { case _: Exception => 0L }
-    val key = s"$dir@$epoch"
+    val key = s"$dir@$minV:$epoch"
     val (seen, acc) = Option(importCache.get(key))
       .getOrElse((0, Map.empty[String, ManifestFiles.ImportMap]))
     if (vmax <= seen) acc

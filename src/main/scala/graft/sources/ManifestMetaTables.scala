@@ -57,9 +57,14 @@ private[sources] object ManifestMetaTables {
     * (ManifestScan.partGroups) runs: null-free column, min and max in
     * one group. None = unprovable (foreign/legacy file). */
   def fileKey(stats: Option[ManifestFiles.FileStats],
-      specs: Seq[(Int, String, DataType)]): Option[List[Any]] = {
+      specs: Seq[(Int, String, DataType)],
+      // float→double widened positions: their text bounds don't bound
+      // the upcast rows, so derived keys could MISLABEL a file — such
+      // files fall into the all-NULL row (totals still reconcile)
+      unsafe: Set[Int] = Set.empty): Option[List[Any]] = {
     def keyAt(pos: Int, kind: String, dt: DataType): Option[Any] =
-      stats.flatMap(_.cols.get(pos)).flatMap { c =>
+      if (unsafe(pos)) None
+      else stats.flatMap(_.cols.get(pos)).flatMap { c =>
         if (c.nulls != 0) None
         else for {
           mnS <- c.min; mxS <- c.max
@@ -73,6 +78,11 @@ private[sources] object ManifestMetaTables {
     val ks = specs.map { case (pos, kind, dt) => keyAt(pos, kind, dt) }
     if (ks.exists(_.isEmpty)) None else Some(ks.map(_.get).toList)
   }
+
+  /** The positions [[fileKey]] must treat as unprovable for a snapshot. */
+  def unsafeKeyPositions(lines: Array[String]): Set[Int] =
+    ManifestFiles.widenedFromLines(lines)
+      .collect { case (pos, "float") => pos }.toSet
 
   /** Partition-value column of the `$partitions` schema for one
     * transform: identity surfaces the column itself; days surfaces
@@ -229,7 +239,7 @@ private[sources] class ManifestMetaTable(kind: String, dir: Path,
         entries.map { case (file, rows) =>
           val key =
             if (layout.isEmpty) None
-            else fileKey(stats.get(file), specs3)
+            else fileKey(stats.get(file), specs3, unsafeKeyPositions(lines))
           new GenericInternalRow(Array[Any](
             UTF8String.fromString(file),
             UTF8String.fromString(
@@ -300,8 +310,7 @@ private[sources] class ManifestMetaTable(kind: String, dir: Path,
           None, summarized = false))
         else {
           val sums = raw.flatMap(ManifestFiles.parseSegStats).toMap
-          val inline = raw.filterNot(l => l.startsWith("#seg") ||
-            l == "#list,1")
+          val inline = raw.filterNot(ManifestFiles.isListOnly)
           val segRows = ManifestFiles.segmentRefsFromRaw(raw)
             .sortBy(_._1).map { case (n, _) =>
               rowOf(n, ManifestFiles.segmentLines(fs, dir, n),
@@ -313,8 +322,9 @@ private[sources] class ManifestMetaTable(kind: String, dir: Path,
       case "partitions" =>
         val specs3 = layout.map { case (_, k, dt, pos) => (pos, k, dt) }
         val kinds = layout.map(_._2)
+        val unsafe = unsafeKeyPositions(lines)
         entries.toSeq
-          .groupBy { case (file, _) => fileKey(stats.get(file), specs3) }
+          .groupBy { case (file, _) => fileKey(stats.get(file), specs3, unsafe) }
           .map { case (key, files) =>
             val cells: Array[Any] = key match {
               case Some(ks) => kinds.zip(ks).map { case (k, v) =>

@@ -72,15 +72,27 @@ private[sources] object ManifestSink {
       (Set[String], Set[String], Seq[String]) = {
     val entries = ManifestFiles.entriesFromLines(lines)
     val stats = ManifestFiles.statsFromLines(lines)
+    // float→double WIDENED columns: their text-stored bounds re-decode
+    // to DIFFERENT doubles than the rows' upcast values, so neither
+    // all-match nor no-match is provable from them — a filter touching
+    // one sends every file to `mixed` (the COW rewrite path, which
+    // evaluates real rows; cost, never wrongness). Same suppression the
+    // scan's statsSafeFilters applies.
+    val widenedFloat: Set[String] = ManifestFiles.widenedFromLines(lines)
+      .collect { case (pos, "float") => pos }
+      .flatMap(p => ManifestFiles.fieldAtPhys(schema, p))
+      .map(schema(_).name).toSet
+    def statsSafe(f: org.apache.spark.sql.sources.Filter): Boolean =
+      widenedFloat.isEmpty || !f.references.exists(widenedFloat.contains)
     // DELETE's condition arrives as a conjunction
     val all = scala.collection.mutable.Set.empty[String]
     val none = scala.collection.mutable.Set.empty[String]
     val mixed = scala.collection.mutable.ArrayBuffer.empty[String]
     entries.foreach { case (n, rows) =>
       val st = stats.get(n)
-      if (filters.nonEmpty && filters.forall(f =>
+      if (filters.nonEmpty && filters.forall(f => statsSafe(f) &&
           ManifestSkip.provesAllMatch(f, schema, st, Some(rows)))) all += n
-      else if (filters.exists(f =>
+      else if (filters.exists(f => statsSafe(f) &&
           ManifestSkip.canSkip(f, schema, st, Some(rows)))) none += n
       else mixed += n
     }

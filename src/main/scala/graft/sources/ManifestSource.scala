@@ -121,15 +121,30 @@ object ManifestFiles {
 
   /** Lines that exist only in the LIST encoding, never in the logical
     * snapshot. */
-  private def isListOnly(l: String): Boolean =
+  private[sources] def isListOnly(l: String): Boolean =
     l == ListHeader || l.startsWith(SegPrefix) || l.startsWith(SegStatsPrefix)
+
+  /** [[segmentLines]] validated against the list's recorded line count:
+    * a missing or truncated segment fails LOUDLY (an expired snapshot or
+    * lost storage) instead of silently materializing a partial table —
+    * which a subsequent commit would then persist. */
+  private def segmentLinesChecked(fs: FileSystem, dir: Path, name: String,
+      expected: Int): Array[String] = {
+    val ls = segmentLines(fs, dir, name)
+    if (ls.length != expected) throw new IllegalStateException(
+      s"graft-manifest at $dir: segment $name is missing or truncated " +
+        s"(${ls.length} of $expected lines) — the snapshot referencing " +
+        "it has expired (vacuumed) or storage lost the file; re-resolve " +
+        "the latest version or restore the segment")
+    ls
+  }
 
   /** Resolve a version file's RAW lines to the snapshot's full logical
     * line set. Legacy full listings pass through untouched. */
   def materialize(fs: FileSystem, dir: Path, raw: Array[String]): Array[String] =
     if (!isListFormat(raw)) raw
     else raw.filterNot(isListOnly) ++ segmentRefsFromRaw(raw).toArray
-      .flatMap { case (n, _) => segmentLines(fs, dir, n) }
+      .flatMap { case (n, c) => segmentLinesChecked(fs, dir, n, c) }
 
   /** Materialize with SEGMENT-LEVEL pruning — the plan-time win of the
     * list encoding: `skip(files, rows, unionStats)` decides from a
@@ -147,13 +162,13 @@ object ManifestFiles {
         .flatMap(parseSegStats).toMap
       var pruned = 0L
       var prunedSegs = 0L
-      val body = segmentRefsFromRaw(raw).toArray.flatMap { case (n, _) =>
+      val body = segmentRefsFromRaw(raw).toArray.flatMap { case (n, cnt) =>
         sums.get(n) match {
           case Some((files, rows, st)) if skip(files, rows, st) =>
             pruned += files
             prunedSegs += 1
             Array.empty[String]
-          case _ => segmentLines(fs, dir, n)
+          case _ => segmentLinesChecked(fs, dir, n, cnt)
         }
       }
       (raw.filterNot(isListOnly) ++ body, pruned, prunedSegs)
@@ -267,9 +282,12 @@ object ManifestFiles {
     var kept = List.empty[(String, Int)]
     val covered = new java.util.HashSet[String](full.length * 2)
     if (isListFormat(prevRaw)) segmentRefsFromRaw(prevRaw).foreach {
-      case (name, _) =>
+      case (name, cnt) =>
         val ls = segmentLines(fs, dir, name)
-        if (ls.nonEmpty && ls.forall(newSet.contains)) {
+        // a short read (missing/truncated segment) is never KEPT — its
+        // surviving lines (already materialized into `full` by the
+        // caller, which validates counts) rewrite into the new segment
+        if (ls.length == cnt && ls.nonEmpty && ls.forall(newSet.contains)) {
           kept ::= ((name, ls.length))
           ls.foreach(covered.add)
         }
@@ -1942,6 +1960,11 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
             if (!required.fieldNames.contains(field.name)) None
             else if (kind == "identity" &&
               field.dataType.isInstanceOf[DecimalType]) None
+            // a float→double widened layout column: pre-widen keys would
+            // derive from drifted text bounds and mislabel groups — the
+            // whole layout degrades (correct scan, no SPJ) until a
+            // rewrite clears the marker
+            else if (widenedByName.get(field.name).contains("float")) None
             else Some((pos, idx, kind))
           }
       }
@@ -2102,8 +2125,12 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
     val afterGroup = allowedFiles.fold(kept)(ok => kept.filter(ok))
     // Runtime key sets: drop a file only when its stats PROVE every key
     // misses (all-or-nothing value coercion inside canSkip's In).
+    // float→double widened columns are exempt — their text bounds do
+    // not bound the rows' upcast values (same suppression as
+    // statsSafeFilters), so pruning on them could drop matching files.
     val names = afterGroup.filter { n =>
       runtimeKeys.forall { case (col, vals) =>
+        widenedByName.get(col).contains("float") ||
         !ManifestSkip.canSkip(org.apache.spark.sql.sources.In(col, vals),
           fullSchema, stats.get(n), rows.get(n))
       }

@@ -120,6 +120,32 @@ class ManifestWidenSpec extends AnyFunSuite {
     assert(metric(q2, "filesSkipped") >= 1L, "post-rewrite stats skip again")
   }
 
+  test("metadata-only DELETE and runtime key pruning honor the float " +
+    "widening suppression: a predicate over drifted text bounds must " +
+    "rewrite (evaluating real rows), never drop files from stats") {
+    val (cat, root) = freshCat("md")
+    spark.sql(s"CREATE TABLE $cat.m (x FLOAT, g BIGINT)")
+    // one file whose max stat records the TEXT "0.3" while its rows
+    // upcast to 0.30000001192… — the poster-child drift
+    spark.range(0, 50).select(
+        (lit(0.3f) - $"id".cast("float") / 1000f).as("x"), $"id".as("g"))
+      .coalesce(1).writeTo(s"$cat.m").append()
+    spark.sql(s"ALTER TABLE $cat.m ALTER COLUMN x TYPE DOUBLE")
+    val before = spark.table(s"$cat.m").count()
+    // x <= 0.3d: the recorded bound "0.3" would PROVE all-match, but the
+    // x=0.3f row upcasts above 0.3d and must SURVIVE this delete
+    spark.sql(s"DELETE FROM $cat.m WHERE x <= 0.3")
+    val t = spark.table(s"$cat.m")
+    assert(t.count() == 1L && before == 50L,
+      s"expected exactly the 0.3f row to survive, got ${t.count()}")
+    assert(t.head().getDouble(0) > 0.3d)
+    // and the file was REWRITTEN (COW), not metadata-dropped: the
+    // surviving row lives in a fresh file
+    val dir = new Path(root, "m")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(ManifestFiles.entries(fs, dir, None).length == 1)
+  }
+
   test("DECIMAL precision-up and CSV payloads widen too; narrowing and " +
     "cross-family changes refuse with pointers") {
     val (cat, root) = freshCat("dc")
