@@ -119,6 +119,22 @@ class ManifestReplaceTableSpec extends AnyFunSuite {
       // and a succeeding one lands
       spark.sql(s"CREATE TABLE $cat.fresh AS SELECT id AS k FROM range(4)")
       assert(spark.table(s"$cat.fresh").count() == 4L)
+
+      // staged CTAS defers visibility to its own version-1 claim; the
+      // claim closure re-verifies the table is still FRESH. Simulate the
+      // concurrent-CREATE race: a committer publishing v1 between the
+      // stageCreate existence check and the data write's commit must
+      // abort loudly instead of appending to someone else's table.
+      spark.sql(s"CREATE TABLE $cat.victim (k BIGINT)") // v1 exists
+      val race = intercept[Exception] {
+        spark.range(5).select($"id".as("k"))
+          .write.mode("append").format("graft-manifest")
+          .option("path", s"$root/victim")
+          .option("requireFreshTable", "true").save()
+      }
+      assert(race.getMessage.contains("concurrent"), race.getMessage)
+      // the loser published NOTHING: the table still has v1 only
+      assert(spark.table(s"$cat.victim").count() == 0L)
     }
   }
 }
