@@ -76,7 +76,9 @@ object Bench {
     "q252_manifest_add_files", "q253_manifest_upsert",
     "q254_cdf_upsert_maintenance", "q255_manifest_replace_table",
     "q256_manifest_widened", "q257_cdf_update_images",
-    "q258_ann_governed_index", "q259_hours_retention")
+    "q258_ann_governed_index", "q259_hours_retention",
+    "q260_capped_stream_drain", "q261_governed_band_index",
+    "q262_governed_view")
 
   private val sentinelName = "q97_compute_pi"
   private val stragglerQueries =

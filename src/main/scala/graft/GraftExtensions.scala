@@ -46,6 +46,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // desugars its unresolved node (DedupStatement.scala).
     ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
     ext.injectResolutionRule(_ => graft.plans.ResolveDedupTable)
+    // GOVERNED VIEWS (round 14): expand `cat.v [VERSION AS OF n]` from
+    // the _VIEW.v<N> definition chain (plans/GovernedViews.scala) —
+    // Spark 4.1 ships ViewCatalog without an engine consumer.
+    ext.injectResolutionRule(s => graft.plans.ResolveGovernedViews(s))
     // Columnar kernel: hamming64 projections over columnar children run
     // batch-at-a-time (ColumnarKernel.scala).
     ext.injectColumnar(_ => graft.plans.GraftColumnarRule)

@@ -119,9 +119,14 @@ object Dedup extends QueryModule {
     * DuckDB, ending at CTE `agree(doc_a, doc_b, est_jaccard)` — the q63
     * oracle selects from it directly, the q134 oracle appends the
     * recursive transitive closure. */
-  private val duckMinHashChain: String = s"""
+  private val duckMinHashChain: String = duckMinHashChainFrom("documents")
+
+  /** The q63 replay chain over an arbitrary source relation — q261 runs
+    * it over the post-takedown corpus to oracle the governed band
+    * index's candidates. */
+  private[graft] def duckMinHashChainFrom(src: String): String = s"""
       docs AS (
-        SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+        SELECT doc_id, string_split(lower(text), ' ') AS ws FROM $src
         WHERE len(string_split(lower(text), ' ')) >= 3),
       wh AS (
         SELECT doc_id, list_transform(ws, w ->
@@ -504,8 +509,55 @@ object Dedup extends QueryModule {
       SELECT * FROM seed UNION ALL SELECT * FROM keep
       ORDER BY o_custkey, o_orderkey"""))
 
+  /** GOVERNED MinHash-BAND dedup index (round 14 — the near-dup twin of
+    * q258's hyperplane ANN index): the `(band, bucket, doc_id)` relation
+    * lands in a manifest table built map-side from the q63 machinery; a
+    * TAKEDOWN on the corpus lands as KB-scale MOR delete vectors and the
+    * index maintains itself from the CHANGE FEED (row-level DELETE of
+    * exactly the touched ids + re-signature of ONLY the insert legs —
+    * never a corpus rescan, Graft.maintainMinHashBandIndex); candidate
+    * pairs come THROUGH the index (band self-join + candidates-only
+    * agreement verify). The oracle replays the full q63 HUGEINT chain
+    * over the post-takedown corpus, so a drift in the index build, the
+    * feed maintenance, or the query path fails the hash. Same q63
+    * caveats: the oracle buckets on slice equality vs Spark's
+    * hash(slice) (differs only on a Murmur3 collision), and the
+    * maxBucketSize cap is unreachable at this corpus size. */
+  val qBandIndex: QueryDef = QueryDef(
+    "q261_governed_band_index",
+    (s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Paths.get("target", "graft-io",
+        d.replaceAll("[^A-Za-z0-9.]", "_"), "band_index").toString
+      val dir = new org.apache.hadoop.fs.Path(root)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      val cat = "graft_bandidx_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE TABLE $cat.docs (doc_id BIGINT, text STRING) " +
+        "TBLPROPERTIES('delete.mode'='merge-on-read')")
+      t(s, d, "documents").select($"doc_id", $"text")
+        .writeTo(s"$cat.docs").append()                          // v2
+      s.sql(s"CREATE TABLE $cat.bidx (band INT, bucket INT, doc_id BIGINT)")
+      graft.api.Graft.minHashBandIndex(s.table(s"$cat.docs"),
+        "doc_id", "text").writeTo(s"$cat.bidx").append()
+      // takedown: KB-scale positional delete vectors on the corpus; the
+      // index follows from the FEED, never a rescan
+      s.sql(s"DELETE FROM $cat.docs WHERE doc_id % 13 = 5")      // v3
+      graft.api.Graft.maintainMinHashBandIndex(s, cat, "docs", "bidx",
+        "doc_id", "text", fromVersion = 2)
+      graft.api.Graft.minHashBandCandidates(s.table(s"$cat.docs"),
+        s.table(s"$cat.bidx"), "doc_id", "text", threshold = 0.2)
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some(s"""
+      WITH ${duckMinHashChainFrom(
+        "(SELECT * FROM documents WHERE doc_id % 13 <> 5) dsrc")}
+      SELECT doc_a, doc_b, est_jaccard FROM agree
+      WHERE est_jaccard >= 0.2 ORDER BY doc_a, doc_b"""))
+
   override def defs: Seq[QueryDef] = Seq(
     qExact, qFingerprint, qNgramJaccard, qMinHashLsh, qSimHash,
     qEmbeddingCosine, qDedupClusters, qDedupClustersExact, qCorpusPipeline,
-    qDedupStatement, qDedupWriteback)
+    qDedupStatement, qDedupWriteback, qBandIndex)
 }

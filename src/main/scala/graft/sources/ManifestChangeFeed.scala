@@ -234,23 +234,34 @@ object ManifestChangeFeed {
     * into O(new versions). Keyed by dir PLUS the v1 manifest's
     * modification time, so a dropped-and-recreated table at the same
     * path never reads a stale union. */
+  // Keyed by DIR with the retention epoch stored in the VALUE (round 14
+  // advice fix): the previous dir+epoch compound key left one stale
+  // entry — holding a full import-map union — behind per vacuum advance
+  // per table on a long-running streaming driver. Replacing the dir's
+  // single entry on an epoch change evicts the superseded union with it.
   private val importCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Int, Map[String, ManifestFiles.ImportMap])]()
+    String, (String, Int, Map[String, ManifestFiles.ImportMap])]()
+
+  /** Test hook: entries held for one table dir (must stay 1 across
+    * vacuum advances — the eviction the round-14 advice asked for). */
+  private[sources] def importCacheEntriesFor(dir: Path): Int =
+    if (importCache.containsKey(dir.toString)) 1 else 0
 
   private def importsThrough(fs: FileSystem, dir: Path, vmax: Int):
       Map[String, ManifestFiles.ImportMap] = {
-    // key on the OLDEST RETAINED version + its mtime: a vacuum advance
-    // just re-sweeps once under a fresh key, and a dropped-and-recreated
-    // table can never collide (its v1 has a new mtime) — keying on v1
-    // alone degenerated to a shared 0 once v1 was vacuumed
+    // epoch = the OLDEST RETAINED version + its mtime: a vacuum advance
+    // just re-sweeps once under a fresh epoch, and a dropped-and-
+    // recreated table can never collide (its v1 has a new mtime) —
+    // keying on v1 alone degenerated to a shared 0 once v1 was vacuumed
     val vs = ManifestFiles.versions(fs, dir)
     val minV = if (vs.isEmpty) 0 else vs.min
-    val epoch =
+    val mtime =
       try fs.getFileStatus(new Path(dir, s"_MANIFEST.v$minV"))
         .getModificationTime
       catch { case _: Exception => 0L }
-    val key = s"$dir@$minV:$epoch"
-    val (seen, acc) = Option(importCache.get(key))
+    val epoch = s"$minV:$mtime"
+    val (seen, acc) = Option(importCache.get(dir.toString))
+      .collect { case (e, s, a) if e == epoch => (s, a) }
       .getOrElse((0, Map.empty[String, ManifestFiles.ImportMap]))
     if (vmax <= seen) acc
     else {
@@ -259,8 +270,8 @@ object ManifestChangeFeed {
           ManifestFiles.linesOf(fs, dir, Some(v)))
         catch { case _: Exception => m }
       }
-      importCache.merge(key, (vmax, extended),
-        (a, b) => if (a._1 >= b._1) a else b)
+      importCache.merge(dir.toString, (epoch, vmax, extended),
+        (a, b) => if (a._1 == b._1 && a._2 >= b._2) a else b)
       extended
     }
   }
@@ -309,7 +320,9 @@ private[sources] case class ManifestChangePartition(file: String,
 
 private[sources] class ManifestChangeFeedScan(path: String, from: Int,
     to: Option[Int], fullSchema: StructType, required: StructType,
-    conf: SerializableHadoopConf) extends Scan with Batch {
+    conf: SerializableHadoopConf,
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None) extends Scan with Batch {
 
   import ManifestChangeFeed._
 
@@ -341,20 +354,45 @@ private[sources] class ManifestChangeFeedScan(path: String, from: Int,
     * = full history first batch). */
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new ManifestChangeFeedStream(path, from, fullSchema, required, conf)
+    new ManifestChangeFeedStream(path, from, fullSchema, required, conf,
+      maxFilesPerTrigger, maxBytesPerTrigger)
 }
 
 private[sources] class ManifestChangeFeedStream(path: String, startAt: Int,
-    fullSchema: StructType, required: StructType, conf: SerializableHadoopConf)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    fullSchema: StructType, required: StructType, conf: SerializableHadoopConf,
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private def dir = new Path(path)
   private def fs = dir.getFileSystem(conf.value)
 
+  @volatile private var availableEnd: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableEnd = Some(ManifestFiles.latestVersion(fs, dir))
+
+  private def head: Int =
+    availableEnd.getOrElse(ManifestFiles.latestVersion(fs, dir))
+
+  override def getDefaultReadLimit: ReadLimit =
+    ManifestAdmission.defaultLimit(maxFilesPerTrigger, maxBytesPerTrigger)
+
   override def initialOffset(): Offset = ManifestOffset(startAt)
   override def latestOffset(): Offset =
     ManifestOffset(ManifestFiles.latestVersion(fs, dir))
+  // Admission control for the streaming change feed: the same capped
+  // version walk as the plain tail, with `countRemovals = true` —
+  // a version's UNLISTED entries are reads the CDF batch must perform
+  // (delete legs), so they price against the caps too.
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[ManifestOffset].version
+    val (mf, mb) = ManifestAdmission.capsOf(limit)
+    ManifestOffset(ManifestFiles.admittedEnd(fs, dir, from, head, mf, mb,
+      countRemovals = true))
+  }
+  override def reportLatestOffset(): Offset = ManifestOffset(head)
   override def deserializeOffset(json: String): Offset =
     ManifestOffset(json.trim.toInt)
 

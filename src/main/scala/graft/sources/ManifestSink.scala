@@ -377,7 +377,17 @@ private[sources] class ManifestTable(schema0: StructType,
       changeFeed = changeFeed,
       branch = branch,
       filesSubset = opt("filesSubset")
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet),
+      maxFilesPerTrigger = opt("maxFilesPerTrigger").map { s =>
+        val n = s.trim.toInt
+        require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
+        n
+      },
+      maxBytesPerTrigger = opt("maxBytesPerTrigger").map { s =>
+        val b = s.trim.toLong
+        require(b > 0, s"maxBytesPerTrigger must be positive, got $b")
+        b
+      })
   }
   /** Per-field type diff for the append-mismatch error (simpleString
     * hides nullability flags, which are part of dataType equality). */

@@ -99,20 +99,54 @@ object ManifestFiles {
   /** Segment contents are IMMUTABLE (names carry a committer-unique
     * token and are never reused), so a driver-side cache makes repeated
     * plans and the commit encoder's survivor checks memory-reads — only
-    * segments never seen by this JVM touch storage. */
-  private val segCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+    * segments never seen by this JVM touch storage. Bounded by
+    * ACCUMULATED LINE BYTES with LRU eviction (round 14 — the previous
+    * clear-everything-past-4096-entries policy dropped every table's
+    * hot working set at once and bounded entry count, not memory): a
+    * 10⁶-file corpus's driver keeps the segments its plans actually
+    * touch, within `spark.graft.segCache.maxBytes` (default 64 MiB of
+    * line chars), and evicts only the coldest entries past the cap. */
+  private object segCache {
+    private def cap: Long =
+      try org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.segCache.maxBytes", "67108864").toLong
+      catch { case _: Exception => 67108864L }
+    // accessOrder=true: iteration starts at the LEAST recently used
+    private val map =
+      new java.util.LinkedHashMap[String, Array[String]](256, 0.75f, true)
+    private var bytes = 0L
+    // cache-MISS storage reads, observable for the plan-path scale spec
+    private[sources] val reads = new java.util.concurrent.atomic.AtomicLong
+    private def sizeOf(ls: Array[String]): Long =
+      ls.foldLeft(64L)(_ + _.length * 2L + 48L) // chars + object overhead
+    def get(k: String): Array[String] = synchronized(map.get(k))
+    def put(k: String, ls: Array[String]): Unit = synchronized {
+      if (map.containsKey(k)) return
+      bytes += sizeOf(ls)
+      map.put(k, ls)
+      val limit = cap
+      val it = map.entrySet().iterator()
+      while (bytes > limit && map.size > 1 && it.hasNext) {
+        val e = it.next()
+        if (e.getKey != k) { bytes -= sizeOf(e.getValue); it.remove() }
+      }
+    }
+    def clear(): Unit = synchronized { map.clear(); bytes = 0L }
+  }
+
+  /** Test hooks: segment cache-miss reads + reset (plan-path scale spec
+    * counts the `_SEG` files a cold plan actually opens). */
+  private[sources] def segmentReads: Long = segCache.reads.get()
+  private[sources] def clearSegmentCache(): Unit = segCache.clear()
 
   private[sources] def segmentLines(fs: FileSystem, dir: Path, name: String): Array[String] = {
     val key = s"${dir.toUri}#$name"
     val hit = segCache.get(key)
     if (hit != null) hit
     else {
+      segCache.reads.incrementAndGet()
       val ls = readManifest(fs, new Path(dir, name))
-      if (ls.nonEmpty) {
-        if (segCache.size > 4096) segCache.clear()
-        segCache.put(key, ls)
-      }
+      if (ls.nonEmpty) segCache.put(key, ls)
       ls
     }
   }
@@ -1194,6 +1228,73 @@ object ManifestFiles {
     (after -- before).toArray.sorted
   }
 
+  /** STREAMING ADMISSION CONTROL (the reference's rate-limit seam —
+    * `FileStreamSource.scala:63,99` caps each batch's new-file take via
+    * `maxFilesPerBatch`, `KafkaSource.scala:107` via
+    * `maxOffsetsPerTrigger` — lifted to snapshot versions): walk the
+    * versions in `(from, head]`, accumulate the files and bytes each
+    * step ADDS (plus, for change feeds, the entries it UNLISTS — every
+    * changed file is a read the batch must perform), and return the last
+    * version that fits the caps. A version is NEVER split — offsets stay
+    * plain snapshot versions, so exactly-once replay needs no
+    * sub-version bookkeeping; a single commit larger than the cap is
+    * admitted alone (progress guarantee), and metadata-only commits ride
+    * along free. Counting touches only the admitted prefix's manifests
+    * (segment-cached reads), so a consumer restarting against a year of
+    * backlog prices the BATCH it will run, never the history it skips
+    * past. Bytes come from the manifest's own `#stats` lines; pre-stats
+    * entries fall back to one `getFileStatus` each. */
+  def admittedEnd(fs: FileSystem, dir: Path, from: Int, head: Int,
+      maxFiles: Option[Int], maxBytes: Option[Long],
+      countRemovals: Boolean = false): Int = {
+    if (head <= from || (maxFiles.isEmpty && maxBytes.isEmpty)) return head
+    def linesAt(v: Int): Array[String] =
+      if (v <= 0) Array.empty
+      else if (!fs.exists(new Path(dir, s"_MANIFEST.v$v"))) {
+        val have = versions(fs, dir).sorted
+        throw new IllegalStateException(
+          s"graft-manifest at $dir: version $v has expired (vacuumed); " +
+            s"retained versions: ${have.mkString(",")} — restart the " +
+            "incremental read from a retained version")
+      } else linesOf(fs, dir, Some(v))
+    def bytesOf(name: String, stats: Map[String, FileStats]): Long =
+      stats.get(name).map(_.bytes).getOrElse {
+        try fs.getFileStatus(new Path(dir, name)).getLen
+        catch { case _: java.io.IOException => 0L }
+      }
+    var prevLines = linesAt(from)
+    var prevNames = entriesFromLines(prevLines).map(_._1).toSet
+    var files = 0L
+    var bytes = 0L
+    var end = from
+    var v = from + 1
+    while (v <= head) {
+      val curLines = linesAt(v)
+      val curNames = entriesFromLines(curLines).map(_._1).toSet
+      val added = curNames -- prevNames
+      val removed = if (countRemovals) prevNames -- curNames
+        else Set.empty[String]
+      val stepFiles = added.size + removed.size
+      val stepBytes = {
+        lazy val curStats = statsFromLines(curLines)
+        lazy val prevStats = statsFromLines(prevLines)
+        (if (maxBytes.isEmpty) 0L
+         else added.iterator.map(bytesOf(_, curStats)).sum +
+           removed.iterator.map(bytesOf(_, prevStats)).sum)
+      }
+      val wouldExceed = maxFiles.exists(files + stepFiles > _) ||
+        maxBytes.exists(bytes + stepBytes > _)
+      if (end > from && wouldExceed) return end
+      files += stepFiles
+      bytes += stepBytes
+      end = v
+      prevLines = curLines
+      prevNames = curNames
+      v += 1
+    }
+    end
+  }
+
   def schemaFor(fs: FileSystem, dir: Path, version: Option[Int]): StructType =
     schemaFor(fs, dir, version, None)
 
@@ -1614,7 +1715,10 @@ private[sources] class ManifestScanBuilder(path: String, version: Option[Int],
     branch: Option[String] = None,
     // restrict the scan to EXACTLY these manifest entries (maintenance
     // reads — partial compaction rewrites a file set verbatim)
-    filesSubset: Option[Set[String]] = None)
+    filesSubset: Option[Set[String]] = None,
+    // streaming admission control caps (see ManifestFiles.admittedEnd)
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
 
@@ -1652,12 +1756,16 @@ private[sources] class ManifestScanBuilder(path: String, version: Option[Int],
       // full history (batch) / stream-from-0 (streaming).
       new ManifestChangeFeedScan(path, changes.map(_._1).getOrElse(0),
         changes.flatMap(_._2),
-        ManifestChangeFeed.stripCdf(fullSchema), required, conf)
+        ManifestChangeFeed.stripCdf(fullSchema), required, conf,
+        maxFilesPerTrigger = maxFilesPerTrigger,
+        maxBytesPerTrigger = maxBytesPerTrigger)
     else new ManifestScan(path, version, fullSchema,
       required, conf, onPlanned, changes, accepted.toArray,
       runtimeKeyPrune = statsSkip, columnar = columnar,
       ignoreDeletes = ignoreDeletes, branch = branch,
-      filesSubset = filesSubset)
+      filesSubset = filesSubset,
+      maxFilesPerTrigger = maxFilesPerTrigger,
+      maxBytesPerTrigger = maxBytesPerTrigger)
 
 }
 
@@ -1688,7 +1796,9 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
     columnar: Option[Boolean] = None,
     ignoreDeletes: Boolean = false,
     branch: Option[String] = None,
-    filesSubset: Option[Set[String]] = None)
+    filesSubset: Option[Set[String]] = None,
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -2235,7 +2345,7 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
       "graft-manifest: streaming tails follow MAIN only — fast-forward " +
         "the branch to stream its rows")
     new ManifestMicroBatchStream(path, fullSchema, required, conf,
-      ignoreDeletes)
+      ignoreDeletes, maxFilesPerTrigger, maxBytesPerTrigger)
   }
 }
 
@@ -2287,18 +2397,78 @@ private[sources] case class ManifestOffset(version: Int)
   override def json: String = version.toString
 }
 
+/** ReadLimit plumbing shared by the manifest tail and the streaming
+  * change feed: `option("maxFilesPerTrigger", n)` /
+  * `option("maxBytesPerTrigger", b)` become the stream's default
+  * `ReadLimit` (composite when both are set), and whatever limit the
+  * engine hands back is decoded into the two caps
+  * [[ManifestFiles.admittedEnd]] walks with. */
+private[sources] object ManifestAdmission {
+  import org.apache.spark.sql.connector.read.streaming._
+
+  def defaultLimit(maxFiles: Option[Int], maxBytes: Option[Long]): ReadLimit = {
+    val lims = maxFiles.map(ReadLimit.maxFiles).toSeq ++
+      maxBytes.map(ReadLimit.maxBytes).toSeq
+    lims match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  /** (maxFiles, maxBytes) caps carried by an engine-supplied limit. */
+  def capsOf(limit: ReadLimit): (Option[Int], Option[Long]) = limit match {
+    case f: ReadMaxFiles => (Some(f.maxFiles()), None)
+    case b: ReadMaxBytes => (None, Some(b.maxBytes()))
+    case c: CompositeReadLimit =>
+      c.getReadLimits.map(capsOf).foldLeft(
+        (Option.empty[Int], Option.empty[Long])) { case ((f, b), (f2, b2)) =>
+        (f.orElse(f2), b.orElse(b2))
+      }
+    case _ => (None, None)
+  }
+}
+
 private[sources] class ManifestMicroBatchStream(path: String,
     fullSchema: StructType, required: StructType, conf: SerializableHadoopConf,
-    ignoreDeletes: Boolean = false)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    ignoreDeletes: Boolean = false,
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private def dir = new Path(path)
   private def fs = dir.getFileSystem(conf.value)
 
+  // Trigger.AvailableNow pins the head ONCE at query start: the capped
+  // batches then drain exactly the backlog that existed, ignoring
+  // commits that land mid-drain (Spark's SupportsTriggerAvailableNow
+  // contract — the wrapper-free path, since the source implements it).
+  @volatile private var availableEnd: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableEnd = Some(ManifestFiles.latestVersion(fs, dir))
+
+  private def head: Int =
+    availableEnd.getOrElse(ManifestFiles.latestVersion(fs, dir))
+
+  override def getDefaultReadLimit: ReadLimit =
+    ManifestAdmission.defaultLimit(maxFilesPerTrigger, maxBytesPerTrigger)
+
   override def initialOffset(): Offset = ManifestOffset(0)
   override def latestOffset(): Offset =
     ManifestOffset(ManifestFiles.latestVersion(fs, dir))
+  // ADMISSION CONTROL (SupportsAdmissionControl): each micro-batch takes
+  // versions up to the file/byte caps instead of the whole backlog —
+  // a consumer restarting after downtime drains history in bounded
+  // batches (bounded task sets, bounded watermark steps) rather than
+  // one giant catch-up batch.
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[ManifestOffset].version
+    val (mf, mb) = ManifestAdmission.capsOf(limit)
+    ManifestOffset(ManifestFiles.admittedEnd(fs, dir, from, head, mf, mb))
+  }
+  override def reportLatestOffset(): Offset = ManifestOffset(head)
   override def deserializeOffset(json: String): Offset =
     ManifestOffset(json.trim.toInt)
 
@@ -2788,7 +2958,8 @@ private[sources] class ManifestColumnarReader(part: ManifestInputPartition,
 class GraftManifestCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
     with org.apache.spark.sql.connector.catalog.FunctionCatalog
-    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
 
   // DEFAULT column values: analysis routes `DEFAULT`/missing INSERT
   // columns through the CURRENT_DEFAULT field metadata only when the
@@ -3001,6 +3172,8 @@ class GraftManifestCatalog extends TableCatalog
     if (f.exists(new Path(dir, "_MANIFEST")))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         Array(catalogName, ident.name))
+    require(!ManifestViews.exists(f, dir),
+      s"'${ident.name}' is a VIEW in catalog $catalogName — DROP it first")
     val (bucket, part) = parseTransforms(schema, partitions)
     ManifestFiles.publishSnapshot(f,
       SparkSession.active.sessionState.newHadoopConf(), dir,
@@ -3199,9 +3372,17 @@ class GraftManifestCatalog extends TableCatalog
           confLines
         }, ManifestTable.nullableSchema(schema))
       },
-      // nothing was published — sweep the staged bytes, if any landed
+      // nothing was published — reclaim the directory, SCOPED (round 14
+      // advice): two CTAS jobs racing the same identifier both pass the
+      // staging existence check, and the loser's abort must not delete
+      // the winner's in-flight `.staging-*` bytes. This job's own
+      // staged files are already gone (the write path's abort deletes
+      // its per-query staging dir), so only a directory with no
+      // snapshot AND no foreign files left is removed; anything else
+      // stays for `CALL remove_orphan_files` to age out.
       abortFn = () => {
-        if (!f.exists(new Path(dir, "_MANIFEST.v1")) && f.exists(dir))
+        if (!f.exists(new Path(dir, "_MANIFEST.v1")) && f.exists(dir) &&
+            f.listStatus(dir).isEmpty)
           f.delete(dir, true)
       })
   }
@@ -3692,6 +3873,122 @@ class GraftManifestCatalog extends TableCatalog
       s"rename $from -> $to failed (filesystem refused)")
   }
 
+  // ---- ViewCatalog: GOVERNED views (round 14) -------------------------
+  // Definitions live as `_VIEW.v<N>` chains under the catalog root (see
+  // ManifestViews) — versioned, atomically claimed, auditable. Spark
+  // 4.1's engine does not consume ViewCatalog yet (nothing in
+  // catalyst/sql references the interface), so the SQL surface rides
+  // `CALL cat.system.create_view/drop_view` plus the
+  // ResolveGovernedViews rule (plans/GovernedViews.scala) that expands
+  // `SELECT ... FROM cat.v [VERSION AS OF n]` from the stored
+  // definition; this STANDARD interface serves API clients and future
+  // engine versions unchanged.
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val f = fs
+    if (!f.exists(root)) Array.empty
+    else f.listStatus(root).filter(_.isDirectory)
+      .filter(s => ManifestViews.exists(f, s.getPath))
+      .map(s => Identifier.of(Array.empty, s.getPath.getName))
+  }
+
+  override def loadView(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.View =
+    loadViewAt(ident, None)
+
+  /** Load a view's definition AS OF a definition version — the seam
+    * `SELECT ... FROM cat.v VERSION AS OF n` resolves through. */
+  private[graft] def loadViewAt(ident: Identifier, version: Option[Int]):
+      org.apache.spark.sql.connector.catalog.View = {
+    val dir = tableDir(ident)
+    val f = fs
+    if (!ManifestViews.exists(f, dir))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    new GraftView(ident.name, ManifestViews.read(f, dir, version))
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    try ManifestViews.exists(fs, tableDir(ident))
+    catch { case _: Exception => false }
+
+  private def viewDefOf(info: org.apache.spark.sql.connector.catalog.ViewInfo):
+      ManifestViews.ViewDef =
+    ManifestViews.ViewDef(info.sql, info.currentCatalog,
+      info.currentNamespace, info.schema, info.queryColumnNames,
+      info.columnAliases, info.columnComments,
+      scala.jdk.CollectionConverters.MapHasAsScala(info.properties)
+        .asScala.toMap)
+
+  override def createView(info: org.apache.spark.sql.connector.catalog.ViewInfo):
+      org.apache.spark.sql.connector.catalog.View = {
+    val dir = tableDir(info.ident)
+    val f = fs
+    require(!f.exists(new Path(dir, "_MANIFEST")),
+      s"'${info.ident.name}' is a TABLE in catalog $catalogName")
+    try ManifestViews.publish(f, dir, viewDefOf(info), expectFresh = true)
+    catch {
+      case _: IllegalStateException =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .ViewAlreadyExistsException(info.ident)
+    }
+    loadView(info.ident)
+  }
+
+  override def replaceView(info: org.apache.spark.sql.connector.catalog.ViewInfo,
+      orCreate: Boolean): org.apache.spark.sql.connector.catalog.View = {
+    val dir = tableDir(info.ident)
+    val f = fs
+    require(!f.exists(new Path(dir, "_MANIFEST")),
+      s"'${info.ident.name}' is a TABLE in catalog $catalogName")
+    if (!orCreate && !ManifestViews.exists(f, dir))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(info.ident)
+    ManifestViews.publish(f, dir, viewDefOf(info), expectFresh = false)
+    loadView(info.ident)
+  }
+
+  override def alterView(ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.ViewChange*):
+      org.apache.spark.sql.connector.catalog.View = {
+    import org.apache.spark.sql.connector.catalog.ViewChange
+    val dir = tableDir(ident)
+    val f = fs
+    if (!ManifestViews.exists(f, dir))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    val d = ManifestViews.read(f, dir, None)
+    val props = changes.foldLeft(d.properties) {
+      case (m, sp: ViewChange.SetProperty) => m + (sp.property -> sp.value)
+      case (m, rp: ViewChange.RemoveProperty) => m - rp.property
+      case (_, other) => throw new IllegalArgumentException(
+        s"unsupported view change $other")
+    }
+    ManifestViews.publish(f, dir, d.copy(properties = props),
+      expectFresh = false)
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    val f = fs
+    ManifestViews.exists(f, dir) && f.delete(dir, true)
+  }
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val f = fs
+    val from = tableDir(oldIdent)
+    val to = tableDir(newIdent)
+    if (!ManifestViews.exists(f, from))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(oldIdent)
+    if (f.exists(to))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(newIdent)
+    require(f.rename(from, to),
+      s"rename $from -> $to failed (filesystem refused)")
+  }
+
+  override def invalidateView(ident: Identifier): Unit = ()
+
   // ---- FunctionCatalog: the `bucket` transform the scans report -------
   // Spark resolves a scan's KeyGroupedPartitioning(bucket(n, col)) by
   // loading `bucket` from the TABLE's catalog (V2ExpressionUtils) — no
@@ -3747,6 +4044,8 @@ class GraftManifestCatalog extends TableCatalog
       case "cherry_pick" => ManifestProcedures.cherryPick(dirFor)
       case "add_files" => ManifestProcedures.addFiles(dirFor)
       case "remove_orphan_files" => ManifestProcedures.removeOrphanFiles(dirFor)
+      case "create_view" => ManifestProcedures.createView(this, dirFor)
+      case "drop_view" => ManifestProcedures.dropView(this)
     }
   }
 }
@@ -4014,6 +4313,26 @@ private[sources] object GraftTruncateFunction {
   }
 }
 
+/** A governed view handle (the standard DSv2 `View` surface over a
+  * [[ManifestViews.ViewDef]]). */
+private[sources] class GraftView(viewName: String,
+    d: ManifestViews.ViewDef)
+    extends org.apache.spark.sql.connector.catalog.View {
+  override def name(): String = viewName
+  override def query(): String = d.sql
+  override def currentCatalog(): String = d.currentCatalog
+  override def currentNamespace(): Array[String] = d.currentNamespace
+  override def schema(): StructType = d.schema
+  override def queryColumnNames(): Array[String] = d.queryColumnNames
+  override def columnAliases(): Array[String] = d.columnAliases
+  override def columnComments(): Array[String] = d.columnComments
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    d.properties.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+}
+
 /** The maintenance procedures themselves. Each is an UnboundProcedure
   * whose `call` runs driver-side metadata work (vacuum/snapshots — file
   * listings scale with file count, not data) or a Spark job (compact)
@@ -4029,7 +4348,7 @@ private[sources] object ManifestProcedures {
     Array("compact", "vacuum", "snapshots", "rewrite_position_deletes",
       "rollback", "create_tag", "drop_tag",
       "create_branch", "drop_branch", "fast_forward", "cherry_pick",
-      "add_files", "remove_orphan_files")
+      "add_files", "remove_orphan_files", "create_view", "drop_view")
 
   private def param(n: String, dt: org.apache.spark.sql.types.DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -4473,10 +4792,19 @@ private[sources] object ManifestProcedures {
       }
       // SEGMENT sweep: a `_SEG.*` file is live iff any RETAINED list
       // references it (main kept versions, every branch version, the
-      // convenience pointer). Segments younger than an hour are exempt:
-      // a live commit writes its segment moments before claiming the
-      // list that references it, and sweeping inside that window would
-      // corrupt the commit. Not counted as data files.
+      // convenience pointer). Young segments are exempt: a live commit
+      // writes its segment moments before claiming the list that
+      // references it, and sweeping inside that window would corrupt
+      // the commit. Round 14 (advice): the exemption horizon derives
+      // from the retention window and is NEVER tighter than 24 hours —
+      // a claim loop stalled past a 1-hour horizon (contention, GC,
+      // object-store mtime skew) used to get its segment deleted,
+      // making the subsequently-landed snapshot unreadable (Iceberg's
+      // orphan cleanup defaults to days for the same reason). Survivors
+      // of the age test are additionally RE-VERIFIED against the lists
+      // claimed after the liveness snapshot above was taken, so a
+      // commit landing mid-vacuum keeps its segment even past the
+      // horizon. Not counted as data files.
       val liveSegs = (kept.map(v =>
           ManifestFiles.rawLinesOf(fs, dir, Some(v))) ++
         ManifestFiles.branches(fs, dir).flatMap(b =>
@@ -4484,12 +4812,26 @@ private[sources] object ManifestProcedures {
             ManifestFiles.rawLinesOf(fs, dir, Some(v), Some(b)))) :+
         ManifestFiles.readManifest(fs, new Path(dir, "_MANIFEST")))
         .flatMap(ManifestFiles.segmentRefsFromRaw).map(_._1).toSet
-      val segHorizon = System.currentTimeMillis() - 3600000L
-      fs.listStatus(dir).foreach { st =>
+      val segHorizon = System.currentTimeMillis() - math.max(24L * 3600000L,
+        if (retainHours >= 0) retainHours.toLong * 3600000L else 0L)
+      val segCandidates = fs.listStatus(dir).filter { st =>
         val n = st.getPath.getName
-        if (st.isFile && n.startsWith("_SEG.") && !liveSegs.contains(n) &&
-            st.getModificationTime < segHorizon) {
-          if (fs.delete(st.getPath, false))
+        st.isFile && n.startsWith("_SEG.") && !liveSegs.contains(n) &&
+          st.getModificationTime < segHorizon
+      }
+      if (segCandidates.nonEmpty) {
+        // liveness re-check at delete time: any list claimed since the
+        // first pass (main, branch, or pointer) pins its segments
+        val liveNow = (ManifestFiles.versions(fs, dir).map(v =>
+            ManifestFiles.rawLinesOf(fs, dir, Some(v))) ++
+          ManifestFiles.branches(fs, dir).flatMap(b =>
+            ManifestFiles.versions(fs, dir, Some(b)).map(v =>
+              ManifestFiles.rawLinesOf(fs, dir, Some(v), Some(b)))) :+
+          ManifestFiles.readManifest(fs, new Path(dir, "_MANIFEST")))
+          .flatMap(ManifestFiles.segmentRefsFromRaw).map(_._1).toSet
+        segCandidates.foreach { st =>
+          val n = st.getPath.getName
+          if (!liveNow.contains(n) && fs.delete(st.getPath, false))
             fs.delete(new Path(dir, s".$n.crc"), false)
         }
       }
@@ -4543,6 +4885,51 @@ private[sources] object ManifestProcedures {
       result(new StructType().add("staging_dirs_removed", IntegerType)
           .add("files_removed", IntegerType),
         Array(dirsRemoved, filesRemoved))
+    }
+
+  /** `create_view(view, sql[, replace])` — GOVERNED view DDL (round
+    * 14): the definition publishes as a `_VIEW.v<N>` version through
+    * [[ManifestViews.publish]]'s atomic claim, so concurrent CREATEs
+    * race loudly and every replace is a new auditable version (`SELECT
+    * ... FROM cat.v VERSION AS OF n` reads definition n). The SQL is
+    * analyzed at create time — a broken definition fails HERE, not at
+    * first read — and its output schema is recorded with it. */
+  def createView(cat: GraftManifestCatalog, dirFor: String => Path):
+      UnboundProcedure =
+    proc("create_view", Array(param("view", StringType),
+        param("sql", StringType),
+        paramDefault("replace", StringType, "'false'"))) { input =>
+      val spark = SparkSession.active
+      val name = input.getUTF8String(0).toString
+      val sql = input.getUTF8String(1).toString
+      val replace = input.getUTF8String(2).toString.toBoolean
+      val schema = spark.sql(sql).schema // analysis only — no job runs
+      val info = new org.apache.spark.sql.connector.catalog.ViewInfo(
+        Identifier.of(Array.empty, name), sql,
+        spark.sessionState.catalogManager.currentCatalog.name(),
+        Array.empty[String], schema, schema.fieldNames,
+        Array.empty[String], Array.empty[String],
+        java.util.Collections.emptyMap[String, String]())
+      if (replace) cat.replaceView(info, true) else cat.createView(info)
+      val dir = dirFor(name)
+      val v = ManifestViews.versions(
+        dir.getFileSystem(spark.sessionState.newHadoopConf()), dir).max
+      result(new StructType().add("view", StringType)
+          .add("version", IntegerType),
+        Array(UTF8String.fromString(name), v))
+    }
+
+  /** `drop_view(view)` — drops the definition chain; fails loudly on an
+    * unknown view. */
+  def dropView(cat: GraftManifestCatalog): UnboundProcedure =
+    proc("drop_view", Array(param("view", StringType))) { input =>
+      val name = input.getUTF8String(0).toString
+      require(cat.dropView(Identifier.of(Array.empty, name)),
+        s"no view '$name' (views: " +
+          cat.listViews().map(_.name).sorted.mkString(", ") + ")")
+      result(new StructType().add("view", StringType)
+          .add("dropped", IntegerType),
+        Array(UTF8String.fromString(name), 1))
     }
 
   /** `rollback(table, version)` — restore snapshot `version` as a NEW
@@ -4696,7 +5083,27 @@ private[sources] object ManifestProcedures {
     * replay loudly instead of being rebased past (a lost update). The
     * branch stays for further staging (after publish its chain is a twin
     * prefix of main's, so the next cycle replays only the new tail);
-    * divergence recovery is cherry_pick or re-branch. */
+    * divergence recovery is cherry_pick or re-branch.
+    *
+    * ATOMICITY CONTRACT (round 14, documented per advice): the replay
+    * claims one version at a time, so a crash (or a concurrent main
+    * commit, which fails the in-claim twin check loudly) can leave main
+    * at an INTERMEDIATE branch version — unlike a single-ref-swap
+    * publish, the WAP "all audited commits or none" guarantee holds per
+    * VERSION, not per fast_forward call. Three properties make the
+    * window operable: (a) every intermediate state is a consistent,
+    * already-audited branch snapshot — readers never see torn data,
+    * only an earlier audited prefix; (b) the operation is RESUMABLE —
+    * after a partial publish main's head is still a twin of the branch
+    * chain, so re-running `fast_forward` passes the divergence check
+    * and replays exactly the remaining tail (spec-pinned:
+    * ManifestBranchSpec "crash mid-replay"); (c) failures are loud and
+    * name the published-through version. A collapse into one atomic
+    * commit is deliberately NOT offered: `#born`/`#eqdels` version
+    * scoping cannot be renumbered into a single version without
+    * re-ordering hazards (see the verbatim-replay note above), and
+    * int-versioned claims cannot express the fractional ordering a
+    * sound collapse would need. */
   def fastForward(dirFor: String => Path): UnboundProcedure =
     proc("fast_forward", Array(param("table", StringType),
         param("branch", StringType))) { input =>

@@ -1805,6 +1805,109 @@ object Sources extends QueryModule {
             WHERE ts >= '2024-01-02 06:00:00' AND ts < '2024-01-03')
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** STREAMING ADMISSION CONTROL end to end (round 14 —
+    * `SupportsAdmissionControl` on the manifest tail, the reference's
+    * `FileStreamSource.scala:63,99` maxFilesPerBatch /
+    * `KafkaSource.scala:107` maxOffsetsPerTrigger seam): five
+    * single-file commits drain through `maxFilesPerTrigger=2` +
+    * `Trigger.AvailableNow` into a parquet file sink in exactly THREE
+    * bounded micro-batches (2+2+1 files — a restarted 24/7 consumer
+    * prices its batches, not its backlog), and the sink's rows
+    * hash-match the oracle recomputing the same aggregate straight from
+    * orders. The batch count rides the result as a column, so an
+    * admission regression (one giant catch-up batch) fails the hash,
+    * not just a spec. */
+  val qCappedStream: QueryDef = QueryDef(
+    "q260_capped_stream_drain",
+    (s, d) => {
+      import s.implicits._
+      val root = tmp(d, "capped_stream")
+      val sink = tmp(d, "capped_stream_sink")
+      val ckpt = tmp(d, "capped_stream_ckpt")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(root, sink, ckpt).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val src = Tables.df(s, d, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      def commit(m: Int): Unit =
+        src.filter(pmod($"o_orderkey", lit(5)) === m)
+          .coalesce(1).write.mode("append").format("graft-manifest")
+          .option("path", root).save()
+      (0 until 5).foreach(commit) // v1..v5, one file each
+      val q = s.readStream.format("graft-manifest").option("path", root)
+        .option("maxFilesPerTrigger", "2")
+        .load()
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(120000) finally q.stop()
+      val batches = fs.listStatus(
+        new org.apache.hadoop.fs.Path(ckpt, "offsets"))
+        .count(st => st.getPath.getName.forall(_.isDigit))
+      s.read.parquet(sink)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast("decimal(18,6)")).cast("double")
+            .as("total"))
+        .withColumn("batches", lit(batches))
+        .orderBy($"o_orderstatus")
+        .select($"o_orderstatus", $"n", $"total", $"batches")
+    },
+    Some("""
+      SELECT o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+             3 AS batches
+      FROM orders GROUP BY 1 ORDER BY 1"""))
+
+  /** GOVERNED VIEW end to end (round 14 — `ViewCatalog` +
+    * `CALL create_view` + the ResolveGovernedViews expansion): a
+    * revenue-rollup view lands as a versioned `_VIEW.v<N>` definition
+    * over a manifest table, is REPLACED once (so reading it exercises
+    * definition v2 while `VERSION AS OF 1` still answers), and the
+    * final SELECT through the view hash-matches the oracle computing
+    * the same rollup straight from orders. The reference's views
+    * (2.1 `sql/core/.../command/views.scala`) are session-catalog-only
+    * and versionless — this is the governed twin. */
+  val qGovernedView: QueryDef = QueryDef(
+    "q262_governed_view",
+    (s, d) => {
+      import s.implicits._
+      val root = tmp(d, "manifest_view")
+      val dir = new org.apache.hadoop.fs.Path(root)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      val cat = "graft_vw_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE TABLE $cat.ord (o_orderstatus STRING, " +
+        "o_orderpriority STRING, o_totalprice DOUBLE)")
+      Tables.df(s, d, "orders")
+        .select($"o_orderstatus", $"o_orderpriority", $"o_totalprice")
+        .writeTo(s"$cat.ord").append()
+      // v1 definition: per-status rollup (deliberately superseded)
+      s.sql(s"CALL $cat.system.create_view('rev', " +
+        s"'SELECT o_orderstatus AS st, count(*) AS n FROM $cat.ord " +
+        "GROUP BY o_orderstatus')")
+      // v2 definition REPLACES it with the per-status-and-priority shape
+      s.sql(s"CALL $cat.system.create_view('rev', " +
+        "'SELECT o_orderstatus AS st, o_orderpriority AS pri, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev " +
+        s"FROM $cat.ord GROUP BY o_orderstatus, o_orderpriority', 'true')")
+      // the SUPERSEDED definition must still answer (definition travel)
+      val v1Rows = s.sql(s"SELECT * FROM $cat.rev VERSION AS OF 1").collect()
+      require(v1Rows.nonEmpty && v1Rows.head.schema.fieldNames.toSeq ==
+        Seq("st", "n"), "definition v1 must answer under VERSION AS OF")
+      s.sql(s"SELECT st, pri, n, rev FROM $cat.rev ORDER BY st, pri")
+    },
+    Some("""
+      SELECT o_orderstatus AS st, o_orderpriority AS pri,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   override def defs: Seq[QueryDef] =
     Seq(qCsv, qJson, qOrc, qText, qPartitioned, qSynthSource, qSynthColumnar,
       qSchemaEvolution, qManifestTimeTravel, qManifestMerge, qManifestStream,
@@ -1814,5 +1917,6 @@ object Sources extends QueryModule {
       qMultiPart, qPartitionsMeta, qRefs, qChangeFeed, qBranchWap,
       qCdfIndexMaint, qBloomProbe, qScopedCompact, qColumnDefaults,
       qSortOrder, qAddFiles, qUpsert, qCdfUpsertMaint, qReplaceTable,
-      qWidened, qCdfImages, qAnnIndex, qHoursRetention)
+      qWidened, qCdfImages, qAnnIndex, qHoursRetention, qCappedStream,
+      qGovernedView)
 }

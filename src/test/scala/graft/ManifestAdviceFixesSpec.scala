@@ -181,4 +181,117 @@ class ManifestAdviceFixesSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSeq
       == Seq((1L, "x"), (2L, "y")))
   }
+
+  // ---- round 14 advice fixes ----
+
+  test("vacuum's segment sweep horizon is >= 24h: an unreferenced " +
+    "segment a stalled commit wrote 2h ago SURVIVES the sweep") {
+    import spark.implicits._
+    val (cat, root) = freshCat("seghz")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
+    spark.range(0, 40000).select($"id".as("k")).repartition(40)
+      .write.mode("append").format("graft-manifest")
+      .option("path", s"$root/t").save()                         // v2
+    spark.range(0, 10).select($"id".as("k")).write.mode("overwrite")
+      .format("graft-manifest").option("path", s"$root/t").save() // v3
+    val dir = new Path(s"$root/t")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val dead = ManifestFiles.segmentRefsFromRaw(
+      ManifestFiles.rawLinesOf(fs, dir, Some(2))).map(_._1)
+    assert(dead.nonEmpty)
+    // 2 hours old: past the ROUND-13 horizon (1h), inside the new one
+    fs.listStatus(dir).foreach { st =>
+      if (st.getPath.getName.startsWith("_SEG."))
+        fs.setTimes(st.getPath, System.currentTimeMillis() - 7200000L, -1)
+    }
+    spark.sql(s"CALL $cat.system.vacuum('t', 1)")
+    val onDisk = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("_SEG.")).toSet
+    assert(dead.forall(onDisk.contains),
+      s"a 2h-old segment was swept inside the 24h window: " +
+        s"${dead.filterNot(onDisk.contains)}")
+  }
+
+  test("aborting CTAS loser leaves a racing winner's in-flight staging " +
+    "bytes intact (abort cleanup is scoped, never rm -rf the dir)") {
+    val (cat, root) = freshCat("scoped")
+    val dir = new Path(s"$root/raced")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new Path(dir, ".staging-winner"))
+    val winnerFile = new Path(dir, ".staging-winner/part-00000")
+    val out = fs.create(winnerFile)
+    out.writeBytes("winner bytes"); out.close()
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.raced AS " +
+        "SELECT assert_true(id < 5, 'boom') AS x FROM range(10)"))
+    assert(fs.exists(winnerFile),
+      "the aborting CTAS deleted the concurrent winner's staged bytes")
+    // and with nothing foreign in the directory, abort still reclaims it
+    val fresh = new Path(s"$root/fresh2")
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.fresh2 AS " +
+        "SELECT assert_true(id < 5, 'boom') AS x FROM range(10)"))
+    assert(!fs.exists(new Path(fresh, "_MANIFEST.v1")))
+    intercept[Exception](spark.table(s"$cat.fresh2").collect())
+  }
+
+  test("segCache evicts by SIZE, least-recently-used first — never the " +
+    "whole working set at once") {
+    import spark.implicits._
+    val (_, root) = freshCat("lru")
+    val path = s"$root/t"
+    // 4 commits x 20 one-row files => 4 segments (>32 data lines each)
+    (0 until 4).foreach { i =>
+      spark.range(i * 20, (i + 1) * 20).select($"id".as("k"))
+        .repartition(20).write.mode("append").format("graft-manifest")
+        .option("path", path).save()
+    }
+    def scan(): Long =
+      spark.read.format("graft-manifest").option("path", path).load().count()
+    def readsDuring(f: => Unit): Long = {
+      val before = ManifestFiles.segmentReads
+      f
+      ManifestFiles.segmentReads - before
+    }
+    // default cap: a repeated plan is pure memory reads
+    ManifestFiles.clearSegmentCache()
+    assert(readsDuring(scan()) > 0)
+    assert(readsDuring(scan()) == 0L, "warm plan must not re-read segments")
+    // tiny cap: entries evict EACH OTHER (size-aware), but the cache
+    // still functions — no clear-everything, the newest entry survives
+    spark.conf.set("spark.graft.segCache.maxBytes", "256")
+    try {
+      ManifestFiles.clearSegmentCache()
+      assert(readsDuring(scan()) > 0)
+      val rereads = readsDuring(scan())
+      assert(rereads > 0, "a 256-byte cap must evict most segments")
+    } finally {
+      spark.conf.unset("spark.graft.segCache.maxBytes")
+      ManifestFiles.clearSegmentCache()
+    }
+  }
+
+  test("the change feed's import cache holds ONE entry per table dir " +
+    "across vacuum advances (superseded epochs evict)") {
+    import spark.implicits._
+    val (cat, root) = freshCat("impc")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
+    spark.range(0, 10).select($"id".as("k")).writeTo(s"$cat.t").append()
+    spark.range(10, 20).select($"id".as("k")).writeTo(s"$cat.t").append()
+    def feedCount(): Long = spark.read.format("graft-manifest")
+      .option("path", s"$root/t").option("changeFeed", "true")
+      .option("changesFrom", "0").load().count()
+    assert(feedCount() == 20L)
+    val dir = new Path(s"$root/t")
+    assert(ManifestChangeFeed.importCacheEntriesFor(dir) == 1)
+    // vacuum advances the retention epoch; the dir still holds ONE entry
+    spark.range(20, 30).select($"id".as("k")).writeTo(s"$cat.t").append()
+    spark.sql(s"CALL $cat.system.vacuum('t', 2)")
+    val vs = ManifestFiles.versions(
+      dir.getFileSystem(spark.sessionState.newHadoopConf()), dir).sorted
+    spark.read.format("graft-manifest")
+      .option("path", s"$root/t").option("changeFeed", "true")
+      .option("changesFrom", vs.min.toString).load().count()
+    assert(ManifestChangeFeed.importCacheEntriesFor(dir) == 1)
+  }
 }

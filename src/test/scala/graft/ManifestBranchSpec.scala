@@ -133,6 +133,39 @@ class ManifestBranchSpec extends AnyFunSuite {
     assert(nonAppend.getMessage.contains("APPEND-ONLY"), nonAppend.getMessage)
   }
 
+  test("crash mid-replay: a partially fast-forwarded main is a " +
+    "consistent audited prefix and re-running fast_forward resumes " +
+    "exactly the remaining tail (the documented recovery contract)") {
+    import org.apache.hadoop.fs.Path
+    val (cat, root) = freshCat("crash")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")                 // v1
+    spark.range(0, 20).select($"id".as("k")).writeTo(s"$cat.t").append() // v2
+    spark.sql(s"CALL $cat.system.create_branch('t', 'audit')")
+    branchAppend(s"$root/t", "audit", 20, 40)                    // v3 staged
+    branchAppend(s"$root/t", "audit", 40, 60)                    // v4 staged
+    branchAppend(s"$root/t", "audit", 60, 70)                    // v5 staged
+    // simulate the crash: replay ONLY v3 onto main exactly as
+    // fast_forward's loop does (raw copy minus #branchbase), then "die"
+    val dir = new Path(s"$root/t")
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = dir.getFileSystem(hconf)
+    val wRaw = ManifestFiles.rawLinesOf(fs, dir, Some(3), Some("audit"))
+      .filterNot(_.startsWith("#branchbase,"))
+    val wSchema = ManifestFiles.schemaFor(fs, dir, Some(3), Some("audit"))
+    ManifestFiles.publishRawV(fs, hconf, dir,
+      (_, v) => { require(v == 3, s"claimed $v"); (wRaw, Nil) }, wSchema)
+    // the intermediate state is a CONSISTENT audited prefix, never torn
+    assert(spark.table(s"$cat.t").count() == 40L)
+    // resume: main's head is still a branch twin, so the divergence
+    // check passes and the replay publishes exactly v4..v5
+    val ff = spark.sql(s"CALL $cat.system.fast_forward('t', 'audit')")
+      .collect()
+    assert(ff.head.getInt(1) == 5)
+    assert(spark.table(s"$cat.t").count() == 70L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 4")
+      .head().getLong(0) == 60L)
+  }
+
   test("24/7 WAP: a STREAM stages epochs on a branch with exactly-once " +
     "markers; main stays clean until fast_forward") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

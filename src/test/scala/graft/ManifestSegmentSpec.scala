@@ -166,10 +166,12 @@ class ManifestSegmentSpec extends AnyFunSuite {
     val liveSegs = ManifestFiles.segmentRefsFromRaw(
       ManifestFiles.rawLinesOf(fs, dir, Some(2))).map(_._1)
     assert(deadSegs.nonEmpty && liveSegs.nonEmpty)
-    // age every segment past the safety window, then expire v1
+    // age every segment past the safety window (>= 24h since round 14 —
+    // a stalled claim loop must never lose its segment), then expire v1
     fs.listStatus(dir).foreach { st =>
       if (st.getPath.getName.startsWith("_SEG."))
-        fs.setTimes(st.getPath, System.currentTimeMillis() - 7200000L, -1)
+        fs.setTimes(st.getPath,
+          System.currentTimeMillis() - 25L * 3600000L, -1)
     }
     spark.sql(s"CALL $cat.system.vacuum('t', 1)")
     val onDisk = fs.listStatus(dir).map(_.getPath.getName)
