@@ -4046,6 +4046,7 @@ class GraftManifestCatalog extends TableCatalog
       case "remove_orphan_files" => ManifestProcedures.removeOrphanFiles(dirFor)
       case "create_view" => ManifestProcedures.createView(this, dirFor)
       case "drop_view" => ManifestProcedures.dropView(this)
+      case "show_views" => ManifestProcedures.showViews(this, dirFor)
     }
   }
 }
@@ -4348,7 +4349,8 @@ private[sources] object ManifestProcedures {
     Array("compact", "vacuum", "snapshots", "rewrite_position_deletes",
       "rollback", "create_tag", "drop_tag",
       "create_branch", "drop_branch", "fast_forward", "cherry_pick",
-      "add_files", "remove_orphan_files", "create_view", "drop_view")
+      "add_files", "remove_orphan_files", "create_view", "drop_view",
+      "show_views")
 
   private def param(n: String, dt: org.apache.spark.sql.types.DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -4917,6 +4919,28 @@ private[sources] object ManifestProcedures {
       result(new StructType().add("view", StringType)
           .add("version", IntegerType),
         Array(UTF8String.fromString(name), v))
+    }
+
+  /** `show_views()` — the governed view inventory with each view's
+    * current definition version (SHOW VIEWS for the governed format). */
+  def showViews(cat: GraftManifestCatalog, dirFor: String => Path):
+      UnboundProcedure =
+    proc("show_views", Array.empty[ProcedureParameter]) { _ =>
+      val conf = SparkSession.active.sessionState.newHadoopConf()
+      val schema = new StructType().add("view", StringType)
+        .add("version", IntegerType)
+      val viewRows = cat.listViews().map(_.name).sorted.map { n =>
+        val dir = dirFor(n)
+        val vs = ManifestViews.versions(dir.getFileSystem(conf), dir)
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(n), (0 +: vs).max)):
+          org.apache.spark.sql.catalyst.InternalRow
+      }
+      java.util.List.of[Scan](new LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+          viewRows
+      }).iterator()
     }
 
   /** `drop_view(view)` — drops the definition chain; fails loudly on an

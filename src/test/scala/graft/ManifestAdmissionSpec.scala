@@ -187,6 +187,27 @@ class ManifestAdmissionSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("COMPOSITE limits: maxFilesPerTrigger and maxBytesPerTrigger " +
+    "together enforce the tighter cap") {
+    val (_, root) = freshCat("comp")
+    val path = s"$root/t"
+    (0 until 6).foreach(i => append(path, i * 10, (i + 1) * 10)) // v1..v6
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_adm_cp").toString
+    // byte cap of 1 is the tighter constraint: one version per batch
+    // even though the file cap would admit three
+    val (n, batches) = drain(path, ckpt,
+      Map("maxFilesPerTrigger" -> "3", "maxBytesPerTrigger" -> "1"))
+    assert(n == 6, s"the tighter (byte) cap must govern, got $n batches")
+    assert(batches.flatten.sorted == (0L until 60L))
+    // file cap tighter: generous bytes, cap 2 files => 3 batches
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_adm_cp2").toString
+    val (n2, b2) = drain(path, ckpt2,
+      Map("maxFilesPerTrigger" -> "2",
+        "maxBytesPerTrigger" -> (1L << 30).toString))
+    assert(n2 == 3, s"the tighter (file) cap must govern, got $n2 batches")
+    assert(b2.flatten.sorted == (0L until 60L))
+  }
+
   test("admittedEnd walk: oversized single versions go alone, " +
     "metadata-only versions ride free, no caps = head") {
     val (cat, root) = freshCat("walk")

@@ -96,6 +96,10 @@ class ManifestViewSpec extends AnyFunSuite {
     spark.sql(s"CALL $cat.system.create_view('v1', 'SELECT 1 AS one')")
     spark.sql(s"CALL $cat.system.create_view('v2', 'SELECT 2 AS two')")
     assert(c.listViews().map(_.name).sorted.toSeq == Seq("v1", "v2"))
+    // the SQL inventory surface agrees (name + current definition version)
+    assert(spark.sql(s"CALL $cat.system.show_views()").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+      == Seq(("v1", 1), ("v2", 1)))
     assert(c.viewExists(Identifier.of(Array.empty, "v1")))
     assert(!c.viewExists(Identifier.of(Array.empty, "t")))
     // tables list excludes views and vice versa
