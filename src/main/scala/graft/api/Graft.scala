@@ -322,8 +322,8 @@ object Graft {
       .option("path", dir.toString).option("changeFeed", "true")
       .option("changesFrom", fromVersion.toString)
       .option("changesTo", latest.toString).load()
-    applyLshIndexDelta(spark, catalog, indexTable, idCol, vecCol, feed,
-      planes, seed)
+    applyIndexDelta(catalog, indexTable, idCol, feed,
+      df => lshIndex(df, idCol, vecCol, planes, seed))
     latest
   }
 
@@ -354,20 +354,20 @@ object Graft {
       Seq(TopK.desc("sim"), TopK.asc("neighbor_id")), k)
   }
 
-  /** Apply one change-feed batch to a governed LSH index — the shared
-    * legs-apply of [[maintainLshIndex]] (batch) and
-    * [[maintainLshIndexStream]] (24/7). IDEMPOTENT by construction: the
-    * delete pass removes the index rows of EVERY touched id (delete
-    * legs AND insert legs), so a replayed epoch (foreachBatch's
-    * at-least-once unit) first drops the rows its previous attempt
-    * appended, then re-appends them — exactly-once net effect without
-    * any epoch bookkeeping in the index itself. */
-  private def applyLshIndexDelta(spark: org.apache.spark.sql.SparkSession,
-      catalog: String, indexTable: String, idCol: String, vecCol: String,
-      feed: DataFrame, planes: Int, seed: Long): Unit = {
-    // temp views are SESSION-scoped and foreachBatch hands the batch
-    // DataFrame to a cloned streaming session — register AND consume
-    // the view on the feed's own session, never the caller's
+  /** Apply one change-feed batch to a governed index table — the ONE
+    * legs-apply shared by the LSH and MinHash-band maintainers, batch
+    * and streaming alike: DELETE every TOUCHED id's index rows, then
+    * append `buildRows(insert legs)`. IDEMPOTENT by construction: the
+    * delete pass covers delete legs AND insert legs, so a replayed
+    * epoch (foreachBatch's at-least-once unit) first drops the rows its
+    * previous attempt appended, then re-appends them — exactly-once net
+    * effect without epoch bookkeeping in the index itself. Session
+    * discipline: temp views are SESSION-scoped and foreachBatch hands
+    * batches to a cloned streaming session, so the view and the DELETE
+    * ride the feed's own session, never the caller's. */
+  private def applyIndexDelta(catalog: String, indexTable: String,
+      idCol: String, feed: DataFrame,
+      buildRows: DataFrame => DataFrame): Unit = {
     val s = feed.sparkSession
     val view = "graft_idx_delta_" + java.lang.Long.toUnsignedString(
       Thread.currentThread().getId) + "_" +
@@ -380,9 +380,8 @@ object Graft {
       s"DELETE FROM $catalog.$indexTable WHERE $idCol IN " +
         s"(SELECT $idCol FROM $view)")
     s.catalog.dropTempView(view)
-    // the SAME bucket expression the build used — one formula
-    lshIndex(feed.filter(col("_change_type") === "insert"), idCol, vecCol,
-      planes, seed)
+    // the SAME bucket/signature expression the build used — one formula
+    buildRows(feed.filter(col("_change_type") === "insert"))
       .writeTo(s"$catalog.$indexTable").append()
   }
 
@@ -416,8 +415,8 @@ object Graft {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyLshIndexDelta(spark, catalog, indexTable, idCol, vecCol,
-          batch, planes, seed)
+        applyIndexDelta(catalog, indexTable, idCol, batch,
+          df => lshIndex(df, idCol, vecCol, planes, seed))
       }
       .start()
   }
@@ -473,18 +472,9 @@ object Graft {
       .option("path", dir.toString).option("changeFeed", "true")
       .option("changesFrom", fromVersion.toString)
       .option("changesTo", latest.toString).load()
-    val fs2 = feed.sparkSession // session-scoped temp view discipline
-    val view = "graft_bandidx_feed_" +
-      java.lang.Integer.toUnsignedString(dir.toString.hashCode)
-    feed.filter(col("_change_type").isin("delete", "insert"))
-      .select(col(idCol)).distinct().createOrReplaceTempView(view)
-    fs2.sql(
-      s"DELETE FROM $catalog.$indexTable WHERE $idCol IN " +
-        s"(SELECT $idCol FROM $view)")
-    fs2.catalog.dropTempView(view)
-    minHashBandIndex(feed.filter(col("_change_type") === "insert"),
-      idCol, textCol, numHashes, bands, shingleSize, seed)
-      .writeTo(s"$catalog.$indexTable").append()
+    applyIndexDelta(catalog, indexTable, idCol, feed,
+      df => minHashBandIndex(df, idCol, textCol, numHashes, bands,
+        shingleSize, seed))
     latest
   }
 
@@ -514,18 +504,9 @@ object Graft {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val s = batch.sparkSession
-        val view = "graft_bandidx_delta_" + java.lang.Long.toUnsignedString(
-          Thread.currentThread().getId) + "_" +
-          java.lang.Integer.toUnsignedString(indexTable.hashCode)
-        batch.filter(col("_change_type").isin("delete", "insert"))
-          .select(col(idCol)).distinct().createOrReplaceTempView(view)
-        s.sql(s"DELETE FROM $catalog.$indexTable WHERE $idCol IN " +
-          s"(SELECT $idCol FROM $view)")
-        s.catalog.dropTempView(view)
-        minHashBandIndex(batch.filter(col("_change_type") === "insert"),
-          idCol, textCol, numHashes, bands, shingleSize, seed)
-          .writeTo(s"$catalog.$indexTable").append()
+        applyIndexDelta(catalog, indexTable, idCol, batch,
+          df => minHashBandIndex(df, idCol, textCol, numHashes, bands,
+            shingleSize, seed))
       }
       .start()
   }

@@ -2,7 +2,6 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.Identifier
@@ -37,29 +36,48 @@ case class ResolveGovernedViews(spark: SparkSession)
       case _ => None
     }
 
+  /** Evaluates the existence probe ONCE per matched node (the guard
+    * and the body would otherwise each pay a catalog lookup plus a
+    * `_VIEW.*` listStatus round-trip). */
+  private object GovernedViewRef {
+    def unapply(p: LogicalPlan):
+        Option[(GraftManifestCatalog, Identifier, String)] = p match {
+      case u: UnresolvedRelation =>
+        viewOf(u.multipartIdentifier)
+          .map { case (c, i) => (c, i, u.multipartIdentifier.head) }
+      case _ => None
+    }
+  }
+
   private def expand(cat: GraftManifestCatalog, catName: String,
       ident: Identifier, version: Option[Int]): LogicalPlan = {
     val view = cat.loadViewAt(ident, version)
-    val parsed = spark.sessionState.sqlParser.parsePlan(view.query)
-    SubqueryAlias(Seq(catName, ident.name), parsed)
+    // parseQuery, not parsePlan: stored bodies are create-time-validated
+    // queries, and re-validating here keeps a hand-edited _VIEW file
+    // from smuggling a command into every reader's plan
+    val parsed = spark.sessionState.sqlParser.parseQuery(view.query)
+    val aliased =
+      if (view.columnAliases == null || view.columnAliases.isEmpty) parsed
+      else org.apache.spark.sql.catalyst.analysis
+        .UnresolvedSubqueryColumnAliases(
+          view.columnAliases.toIndexedSeq, parsed)
+    SubqueryAlias(Seq(catName, ident.name), aliased)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
-      case RelationTimeTravel(u: UnresolvedRelation, ts, Some(v))
-          if ts.isEmpty && v.toIntOption.isDefined &&
-            viewOf(u.multipartIdentifier).isDefined =>
-        val (cat, ident) = viewOf(u.multipartIdentifier).get
-        expand(cat, u.multipartIdentifier.head, ident, Some(v.toInt))
-      case RelationTimeTravel(u: UnresolvedRelation, Some(Literal(v, _)), None)
-          if viewOf(u.multipartIdentifier).isDefined &&
-            v != null && v.toString.toIntOption.isDefined =>
-        // `VERSION AS OF <int>` can surface as a literal expression
-        val (cat, ident) = viewOf(u.multipartIdentifier).get
-        expand(cat, u.multipartIdentifier.head, ident,
-          Some(v.toString.toInt))
-      case u: UnresolvedRelation if viewOf(u.multipartIdentifier).isDefined =>
-        val (cat, ident) = viewOf(u.multipartIdentifier).get
-        expand(cat, u.multipartIdentifier.head, ident, None)
+      case RelationTimeTravel(GovernedViewRef(cat, ident, catName), ts, ver)
+          if ts.isEmpty && ver.exists(_.toIntOption.isDefined) =>
+        // VERSION AS OF n on a VIEW = the definition current at view
+        // version n (the table-time-travel twin for definitions)
+        expand(cat, catName, ident, Some(ver.get.toInt))
+      case RelationTimeTravel(GovernedViewRef(_, ident, _), ts, ver)
+          if ts.isDefined || ver.isDefined =>
+        throw new IllegalArgumentException(
+          s"governed view '${ident.name}' supports VERSION AS OF " +
+            "<definition version> only — TIMESTAMP AS OF and named " +
+            "refs do not apply to view definitions")
+      case GovernedViewRef(cat, ident, catName) =>
+        expand(cat, catName, ident, None)
     }
 }

@@ -1268,6 +1268,16 @@ object ManifestFiles {
     var bytes = 0L
     var end = from
     var v = from + 1
+    // a FRESH stream (from = 0) on a vacuumed table: the history below
+    // the oldest retained version is observable only as that snapshot's
+    // full list, so the walk starts THERE and the first step admits it
+    // as one unit — exactly the base the uncapped read diffs against.
+    // A NON-zero expired `from` still fails loudly above (the
+    // checkpoint outlived retention), matching addedBetween.
+    if (from == 0) {
+      val retained = versions(fs, dir)
+      if (retained.nonEmpty && retained.min > 1) v = retained.min
+    }
     while (v <= head) {
       val curLines = linesAt(v)
       val curNames = entriesFromLines(curLines).map(_._1).toSet
@@ -3375,12 +3385,16 @@ class GraftManifestCatalog extends TableCatalog
       // nothing was published — reclaim the directory, SCOPED (round 14
       // advice): two CTAS jobs racing the same identifier both pass the
       // staging existence check, and the loser's abort must not delete
-      // the winner's in-flight `.staging-*` bytes. This job's own
-      // staged files are already gone (the write path's abort deletes
-      // its per-query staging dir), so only a directory with no
-      // snapshot AND no foreign files left is removed; anything else
-      // stays for `CALL remove_orphan_files` to age out.
-      abortFn = () => {
+      // the winner's in-flight `.staging-*` bytes. The abort first
+      // removes exactly THIS job's own staging dirs (by the query ids
+      // that wrote through this staged handle — covering a hard kill
+      // where the write path's own abort never ran), then removes the
+      // directory only if no snapshot landed and nothing foreign
+      // remains; anything else stays for `CALL remove_orphan_files`.
+      abortFn = qids => {
+        qids.foreach(q =>
+          try f.delete(new Path(dir, s".staging-$q"), true)
+          catch { case _: java.io.IOException => })
         if (!f.exists(new Path(dir, "_MANIFEST.v1")) && f.exists(dir) &&
             f.listStatus(dir).isEmpty)
           f.delete(dir, true)
@@ -3427,7 +3441,7 @@ class GraftManifestCatalog extends TableCatalog
           previous.filter(_.startsWith("#branchbase,")) ++ confLines,
           ManifestTable.nullableSchema(schema))
       },
-      abortFn = () => ())
+      abortFn = _ => ())
   }
 
   /** Schema evolution as a METADATA-ONLY commit: `ALTER TABLE ... ADD
@@ -3919,12 +3933,68 @@ class GraftManifestCatalog extends TableCatalog
       scala.jdk.CollectionConverters.MapHasAsScala(info.properties)
         .asScala.toMap)
 
+  /** Definition-body contract, enforced for EVERY create/replace path
+    * (procedure and API alike):
+    *
+    *   - the body must be a QUERY — `parseQuery` rejects DDL/DML/CALL at
+    *     the parser, so a definition can never execute side effects at
+    *     creation or at read;
+    *   - every table reference must be FULLY QUALIFIED (≥ 2 parts):
+    *     stored SQL re-parses in the READER's session, so an
+    *     unqualified name would resolve against whatever catalog the
+    *     reader happens to be using — a loud create-time contract beats
+    *     that silent misresolution;
+    *   - REPLACE additionally walks same-catalog view references
+    *     transitively and refuses a definition that reaches the view
+    *     being replaced (Spark's RECURSIVE_VIEW check; a cycle is only
+    *     creatable via replace, since plain CREATE analyzes against a
+    *     world where the new view does not exist yet). */
+  private def validateViewBody(ident: Identifier, sql: String,
+      replacing: Boolean): Unit = {
+    val parser = SparkSession.active.sessionState.sqlParser
+    val parsed = parser.parseQuery(sql) // throws on non-query statements
+    val rels = parsed.collectWithSubqueries {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        u.multipartIdentifier
+    }
+    val bare = rels.filter(_.length < 2)
+    require(bare.isEmpty,
+      s"governed view '${ident.name}': table references must be fully " +
+        s"qualified (<catalog>.<name>) — stored SQL re-resolves in each " +
+        s"reader's session; got ${bare.map(_.mkString(".")).mkString(", ")}")
+    if (replacing) {
+      def sameCatViews(body: String): Seq[String] =
+        (try parser.parseQuery(body).collectWithSubqueries {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+              if u.multipartIdentifier.length == 2 &&
+                u.multipartIdentifier.head == catalogName =>
+            u.multipartIdentifier(1)
+        } catch { case _: Exception => Seq.empty })
+          .filter(n => viewExists(Identifier.of(Array.empty, n)))
+      val seen = scala.collection.mutable.Set.empty[String]
+      var frontier = sameCatViews(sql)
+      while (frontier.nonEmpty) {
+        require(!frontier.contains(ident.name),
+          s"recursive governed view: replacing '${ident.name}' with a " +
+            "definition that references it (directly or through other " +
+            "views) is not allowed")
+        val next = frontier.filterNot(seen.contains)
+        seen ++= next
+        frontier = next.flatMap { n =>
+          sameCatViews(ManifestViews.read(fs,
+            tableDir(Identifier.of(Array.empty, n)), None).sql)
+        }
+      }
+    }
+  }
+
   override def createView(info: org.apache.spark.sql.connector.catalog.ViewInfo):
       org.apache.spark.sql.connector.catalog.View = {
     val dir = tableDir(info.ident)
     val f = fs
     require(!f.exists(new Path(dir, "_MANIFEST")),
       s"'${info.ident.name}' is a TABLE in catalog $catalogName")
+    validateViewBody(info.ident, info.sql, replacing = false)
     try ManifestViews.publish(f, dir, viewDefOf(info), expectFresh = true)
     catch {
       case _: IllegalStateException =>
@@ -3943,6 +4013,7 @@ class GraftManifestCatalog extends TableCatalog
     if (!orCreate && !ManifestViews.exists(f, dir))
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchViewException(info.ident)
+    validateViewBody(info.ident, info.sql, replacing = true)
     ManifestViews.publish(f, dir, viewDefOf(info), expectFresh = false)
     loadView(info.ident)
   }
@@ -4059,10 +4130,16 @@ class GraftManifestCatalog extends TableCatalog
   * `REPLACE TABLE t (cols)`). */
 private[sources] class StagedManifestTable(
     inner: org.apache.spark.sql.connector.catalog.Table,
-    forceTruncate: Boolean, commitFn: () => Unit, abortFn: () => Unit)
+    forceTruncate: Boolean, commitFn: () => Unit,
+    // receives the query ids whose writes staged through this handle,
+    // so an abort can reclaim exactly ITS OWN `.staging-<queryId>` dirs
+    // even when the write-path abort never ran (hard kill)
+    abortFn: Iterable[String] => Unit)
     extends org.apache.spark.sql.connector.catalog.StagedTable
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   @volatile private var wrote = false
+  private val stagedQueryIds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   override def name(): String = inner.name()
   override def schema(): StructType = inner.schema()
   override def partitioning():
@@ -4077,6 +4154,7 @@ private[sources] class StagedManifestTable(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
       org.apache.spark.sql.connector.write.WriteBuilder = {
     wrote = true
+    stagedQueryIds.add(info.queryId())
     val b = inner.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
       .newWriteBuilder(info)
     if (forceTruncate)
@@ -4085,7 +4163,10 @@ private[sources] class StagedManifestTable(
     b
   }
   override def commitStagedChanges(): Unit = if (!wrote) commitFn()
-  override def abortStagedChanges(): Unit = abortFn()
+  override def abortStagedChanges(): Unit = {
+    import scala.jdk.CollectionConverters._
+    abortFn(stagedQueryIds.asScala)
+  }
 }
 
 /** `bucket(n, col)` as a DSv2 bound function: Spark's Murmur3 long hash
@@ -4905,7 +4986,13 @@ private[sources] object ManifestProcedures {
       val name = input.getUTF8String(0).toString
       val sql = input.getUTF8String(1).toString
       val replace = input.getUTF8String(2).toString.toBoolean
-      val schema = spark.sql(sql).schema // analysis only — no job runs
+      // QUERY-only guard BEFORE any analysis: spark.sql executes
+      // commands (DDL/DML/CALL) eagerly, so the schema probe below must
+      // never see one — parseQuery rejects them at the parser (the
+      // catalog's validateViewBody re-checks for API callers)
+      val parsedBody = spark.sessionState.sqlParser.parseQuery(sql)
+      val schema = org.apache.spark.sql.graft.ColumnBridge
+        .ofRows(spark, parsedBody).schema // analysis only — queries stay lazy
       val info = new org.apache.spark.sql.connector.catalog.ViewInfo(
         Identifier.of(Array.empty, name), sql,
         spark.sessionState.catalogManager.currentCatalog.name(),

@@ -187,6 +187,29 @@ class ManifestAdmissionSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("a FRESH capped stream on a VACUUMED table starts at the oldest " +
+    "retained snapshot as one unit, then drains capped — same rows as " +
+    "the uncapped read") {
+    val (cat, root) = freshCat("vac")
+    val path = s"$root/t"
+    (0 until 8).foreach(i => append(path, i * 10, (i + 1) * 10)) // v1..v8
+    spark.sql(s"CALL $cat.system.vacuum('t', 4)") // retains v5..v8
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_adm_vk").toString
+    val (n, batches) = drain(path, ckpt, Map("maxFilesPerTrigger" -> "1"))
+    // first batch = the whole oldest-retained snapshot (history below it
+    // is only observable there); then one capped version per batch
+    assert(n == 4, s"expected 4 batches (v5 snapshot + v6..v8), got $n")
+    assert(batches.head.size == 50 && batches.head == (0L until 50L))
+    assert(batches.flatten.sorted == (0L until 80L))
+    // a NON-zero expired checkpoint still fails loudly (outlived retention)
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val ex = intercept[IllegalStateException] {
+      ManifestFiles.admittedEnd(fs, dir, 2, 8, Some(1), None)
+    }
+    assert(ex.getMessage.contains("expired"))
+  }
+
   test("COMPOSITE limits: maxFilesPerTrigger and maxBytesPerTrigger " +
     "together enforce the tighter cap") {
     val (_, root) = freshCat("comp")

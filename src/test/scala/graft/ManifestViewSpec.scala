@@ -124,6 +124,76 @@ class ManifestViewSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("is a VIEW"), e2.getMessage)
   }
 
+  test("definition bodies are QUERIES with fully-qualified references; " +
+    "cycles refuse at replace; nothing ever executes at create") {
+    val (cat, _) = freshCat("guard")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
+    spark.range(0, 25).select($"id".as("k")).writeTo(s"$cat.t").append()
+    // a DML body is rejected AT THE PARSER — and, crucially, never ran
+    intercept[Exception](spark.sql(
+      s"CALL $cat.system.create_view('x', 'DELETE FROM $cat.t')").collect())
+    assert(spark.table(s"$cat.t").count() == 25L,
+      "a rejected DML view body must never execute")
+    // a CALL body is rejected too (procedures invoke during ANALYSIS)
+    intercept[Exception](spark.sql(
+      s"CALL $cat.system.create_view('x', " +
+        s"'CALL $cat.system.vacuum(''t'', 1)')").collect())
+    // unqualified references are a loud create-time contract — even
+    // ones that happen to RESOLVE in the creator's session (a temp
+    // view would silently vanish or misresolve for later readers)
+    spark.range(3).createOrReplaceTempView("graft_vw_tmp_local")
+    val e = intercept[Exception](spark.sql(
+      s"CALL $cat.system.create_view('x', " +
+        "'SELECT * FROM graft_vw_tmp_local')").collect())
+    assert(e.getMessage.contains("fully qualified"), e.getMessage)
+    spark.catalog.dropTempView("graft_vw_tmp_local")
+    // direct self-reference at replace refuses
+    spark.sql(s"CALL $cat.system.create_view('v', " +
+      s"'SELECT k FROM $cat.t')")
+    val r1 = intercept[Exception](spark.sql(
+      s"CALL $cat.system.create_view('v', " +
+        s"'SELECT k FROM $cat.v WHERE k > 0', 'true')").collect())
+    assert(r1.getMessage.contains("recursive"), r1.getMessage)
+    // mutual cycle through another view refuses too
+    spark.sql(s"CALL $cat.system.create_view('w', " +
+      s"'SELECT k FROM $cat.v')")
+    val r2 = intercept[Exception](spark.sql(
+      s"CALL $cat.system.create_view('v', " +
+        s"'SELECT k FROM $cat.w', 'true')").collect())
+    assert(r2.getMessage.contains("recursive"), r2.getMessage)
+    // and the surviving definitions still answer
+    assert(spark.table(s"$cat.w").count() == 25L)
+  }
+
+  test("API-created views keep their column ALIASES; TIMESTAMP AS OF " +
+    "on a view refuses loudly") {
+    val (cat, _) = freshCat("alias")
+    val c = catalogOf(cat)
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING)")
+    spark.range(0, 5).select($"id".as("k"), lit("s").as("v"))
+      .writeTo(s"$cat.t").append()
+    val sql = s"SELECT k, v FROM $cat.t"
+    val schema = spark.sql(sql).schema
+    c.createView(new ViewInfo(Identifier.of(Array.empty, "aliased"), sql,
+      cat, Array.empty[String], schema, Array("k", "v"),
+      Array("key_out", "val_out"), Array[String](null, null),
+      java.util.Collections.emptyMap[String, String]()))
+    assert(spark.table(s"$cat.aliased").columns.toSeq
+      == Seq("key_out", "val_out"))
+    assert(spark.sql(s"SELECT key_out FROM $cat.aliased WHERE val_out = 's'")
+      .count() == 5L)
+    // TIMESTAMP AS OF has no meaning for a definition chain: it fails
+    // loudly (the table-resolution path rejects it before our rule's
+    // own refusal can fire — either surface is a clear error)
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM $cat.aliased TIMESTAMP AS OF '2020-01-01'").collect())
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(m => m.contains("VERSION AS OF") ||
+      m.contains("no snapshot")), chain(e).mkString("|"))
+  }
+
   test("views COMPOSE with the governed format: view-over-view expands " +
     "recursively and table time travel inside a view is honored") {
     val (cat, _) = freshCat("comp")
