@@ -322,7 +322,8 @@ private[sources] class ManifestChangeFeedScan(path: String, from: Int,
     to: Option[Int], fullSchema: StructType, required: StructType,
     conf: SerializableHadoopConf,
     maxFilesPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None) extends Scan with Batch {
+    maxBytesPerTrigger: Option[Long] = None,
+    maxRowsPerTrigger: Option[Long] = None) extends Scan with Batch {
 
   import ManifestChangeFeed._
 
@@ -355,13 +356,14 @@ private[sources] class ManifestChangeFeedScan(path: String, from: Int,
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new ManifestChangeFeedStream(path, from, fullSchema, required, conf,
-      maxFilesPerTrigger, maxBytesPerTrigger)
+      maxFilesPerTrigger, maxBytesPerTrigger, maxRowsPerTrigger)
 }
 
 private[sources] class ManifestChangeFeedStream(path: String, startAt: Int,
     fullSchema: StructType, required: StructType, conf: SerializableHadoopConf,
     maxFilesPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    maxRowsPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -377,7 +379,8 @@ private[sources] class ManifestChangeFeedStream(path: String, startAt: Int,
     availableEnd.getOrElse(ManifestFiles.latestVersion(fs, dir))
 
   override def getDefaultReadLimit: ReadLimit =
-    ManifestAdmission.defaultLimit(maxFilesPerTrigger, maxBytesPerTrigger)
+    ManifestAdmission.defaultLimit(maxFilesPerTrigger, maxBytesPerTrigger,
+      maxRowsPerTrigger)
 
   override def initialOffset(): Offset = ManifestOffset(startAt)
   override def latestOffset(): Offset =
@@ -388,9 +391,9 @@ private[sources] class ManifestChangeFeedStream(path: String, startAt: Int,
   // (delete legs), so they price against the caps too.
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[ManifestOffset].version
-    val (mf, mb) = ManifestAdmission.capsOf(limit)
+    val (mf, mb, mr) = ManifestAdmission.capsOf(limit)
     ManifestOffset(ManifestFiles.admittedEnd(fs, dir, from, head, mf, mb,
-      countRemovals = true))
+      countRemovals = true, maxRows = mr))
   }
   override def reportLatestOffset(): Offset = ManifestOffset(head)
   override def deserializeOffset(json: String): Offset =

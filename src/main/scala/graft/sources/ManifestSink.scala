@@ -387,6 +387,11 @@ private[sources] class ManifestTable(schema0: StructType,
         val b = s.trim.toLong
         require(b > 0, s"maxBytesPerTrigger must be positive, got $b")
         b
+      },
+      maxRowsPerTrigger = opt("maxRowsPerTrigger").map { s =>
+        val r = s.trim.toLong
+        require(r > 0, s"maxRowsPerTrigger must be positive, got $r")
+        r
       })
   }
   /** Per-field type diff for the append-mismatch error (simpleString

@@ -1246,8 +1246,10 @@ object ManifestFiles {
     * entries fall back to one `getFileStatus` each. */
   def admittedEnd(fs: FileSystem, dir: Path, from: Int, head: Int,
       maxFiles: Option[Int], maxBytes: Option[Long],
-      countRemovals: Boolean = false): Int = {
-    if (head <= from || (maxFiles.isEmpty && maxBytes.isEmpty)) return head
+      countRemovals: Boolean = false,
+      maxRows: Option[Long] = None): Int = {
+    if (head <= from ||
+      (maxFiles.isEmpty && maxBytes.isEmpty && maxRows.isEmpty)) return head
     def linesAt(v: Int): Array[String] =
       if (v <= 0) Array.empty
       else if (!fs.exists(new Path(dir, s"_MANIFEST.v$v"))) {
@@ -1266,6 +1268,7 @@ object ManifestFiles {
     var prevNames = entriesFromLines(prevLines).map(_._1).toSet
     var files = 0L
     var bytes = 0L
+    var rows = 0L
     var end = from
     var v = from + 1
     // a FRESH stream (from = 0) on a vacuumed table: the history below
@@ -1280,7 +1283,8 @@ object ManifestFiles {
     }
     while (v <= head) {
       val curLines = linesAt(v)
-      val curNames = entriesFromLines(curLines).map(_._1).toSet
+      val curEntries = entriesFromLines(curLines)
+      val curNames = curEntries.map(_._1).toSet
       val added = curNames -- prevNames
       val removed = if (countRemovals) prevNames -- curNames
         else Set.empty[String]
@@ -1292,11 +1296,21 @@ object ManifestFiles {
          else added.iterator.map(bytesOf(_, curStats)).sum +
            removed.iterator.map(bytesOf(_, prevStats)).sum)
       }
+      // entry lines carry EXACT row counts, so a rows cap is exact too
+      // (removed entries price their full row count — a delete leg is
+      // at most that many rows)
+      val stepRows = if (maxRows.isEmpty) 0L else {
+        lazy val prevRows = entriesFromLines(prevLines).toMap
+        curEntries.iterator.filter(e => added(e._1)).map(_._2).sum +
+          removed.iterator.map(n => prevRows.getOrElse(n, 0L)).sum
+      }
       val wouldExceed = maxFiles.exists(files + stepFiles > _) ||
-        maxBytes.exists(bytes + stepBytes > _)
+        maxBytes.exists(bytes + stepBytes > _) ||
+        maxRows.exists(rows + stepRows > _)
       if (end > from && wouldExceed) return end
       files += stepFiles
       bytes += stepBytes
+      rows += stepRows
       end = v
       prevLines = curLines
       prevNames = curNames
@@ -1728,7 +1742,8 @@ private[sources] class ManifestScanBuilder(path: String, version: Option[Int],
     filesSubset: Option[Set[String]] = None,
     // streaming admission control caps (see ManifestFiles.admittedEnd)
     maxFilesPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    maxRowsPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
 
@@ -1768,14 +1783,16 @@ private[sources] class ManifestScanBuilder(path: String, version: Option[Int],
         changes.flatMap(_._2),
         ManifestChangeFeed.stripCdf(fullSchema), required, conf,
         maxFilesPerTrigger = maxFilesPerTrigger,
-        maxBytesPerTrigger = maxBytesPerTrigger)
+        maxBytesPerTrigger = maxBytesPerTrigger,
+        maxRowsPerTrigger = maxRowsPerTrigger)
     else new ManifestScan(path, version, fullSchema,
       required, conf, onPlanned, changes, accepted.toArray,
       runtimeKeyPrune = statsSkip, columnar = columnar,
       ignoreDeletes = ignoreDeletes, branch = branch,
       filesSubset = filesSubset,
       maxFilesPerTrigger = maxFilesPerTrigger,
-      maxBytesPerTrigger = maxBytesPerTrigger)
+      maxBytesPerTrigger = maxBytesPerTrigger,
+      maxRowsPerTrigger = maxRowsPerTrigger)
 
 }
 
@@ -1808,7 +1825,8 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
     branch: Option[String] = None,
     filesSubset: Option[Set[String]] = None,
     maxFilesPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    maxRowsPerTrigger: Option[Long] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -2355,7 +2373,8 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
       "graft-manifest: streaming tails follow MAIN only — fast-forward " +
         "the branch to stream its rows")
     new ManifestMicroBatchStream(path, fullSchema, required, conf,
-      ignoreDeletes, maxFilesPerTrigger, maxBytesPerTrigger)
+      ignoreDeletes, maxFilesPerTrigger, maxBytesPerTrigger,
+      maxRowsPerTrigger)
   }
 }
 
@@ -2416,9 +2435,11 @@ private[sources] case class ManifestOffset(version: Int)
 private[sources] object ManifestAdmission {
   import org.apache.spark.sql.connector.read.streaming._
 
-  def defaultLimit(maxFiles: Option[Int], maxBytes: Option[Long]): ReadLimit = {
+  def defaultLimit(maxFiles: Option[Int], maxBytes: Option[Long],
+      maxRows: Option[Long] = None): ReadLimit = {
     val lims = maxFiles.map(ReadLimit.maxFiles).toSeq ++
-      maxBytes.map(ReadLimit.maxBytes).toSeq
+      maxBytes.map(ReadLimit.maxBytes).toSeq ++
+      maxRows.map(ReadLimit.maxRows).toSeq
     lims match {
       case Seq() => ReadLimit.allAvailable()
       case Seq(one) => one
@@ -2426,24 +2447,29 @@ private[sources] object ManifestAdmission {
     }
   }
 
-  /** (maxFiles, maxBytes) caps carried by an engine-supplied limit. */
-  def capsOf(limit: ReadLimit): (Option[Int], Option[Long]) = limit match {
-    case f: ReadMaxFiles => (Some(f.maxFiles()), None)
-    case b: ReadMaxBytes => (None, Some(b.maxBytes()))
-    case c: CompositeReadLimit =>
-      c.getReadLimits.map(capsOf).foldLeft(
-        (Option.empty[Int], Option.empty[Long])) { case ((f, b), (f2, b2)) =>
-        (f.orElse(f2), b.orElse(b2))
-      }
-    case _ => (None, None)
-  }
+  /** (maxFiles, maxBytes, maxRows) caps carried by an engine-supplied
+    * limit. */
+  def capsOf(limit: ReadLimit): (Option[Int], Option[Long], Option[Long]) =
+    limit match {
+      case f: ReadMaxFiles => (Some(f.maxFiles()), None, None)
+      case b: ReadMaxBytes => (None, Some(b.maxBytes()), None)
+      case r: ReadMaxRows => (None, None, Some(r.maxRows()))
+      case c: CompositeReadLimit =>
+        c.getReadLimits.map(capsOf).foldLeft((Option.empty[Int],
+          Option.empty[Long], Option.empty[Long])) {
+          case ((f, b, r), (f2, b2, r2)) =>
+            (f.orElse(f2), b.orElse(b2), r.orElse(r2))
+        }
+      case _ => (None, None, None)
+    }
 }
 
 private[sources] class ManifestMicroBatchStream(path: String,
     fullSchema: StructType, required: StructType, conf: SerializableHadoopConf,
     ignoreDeletes: Boolean = false,
     maxFilesPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    maxRowsPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -2463,20 +2489,22 @@ private[sources] class ManifestMicroBatchStream(path: String,
     availableEnd.getOrElse(ManifestFiles.latestVersion(fs, dir))
 
   override def getDefaultReadLimit: ReadLimit =
-    ManifestAdmission.defaultLimit(maxFilesPerTrigger, maxBytesPerTrigger)
+    ManifestAdmission.defaultLimit(maxFilesPerTrigger, maxBytesPerTrigger,
+      maxRowsPerTrigger)
 
   override def initialOffset(): Offset = ManifestOffset(0)
   override def latestOffset(): Offset =
     ManifestOffset(ManifestFiles.latestVersion(fs, dir))
   // ADMISSION CONTROL (SupportsAdmissionControl): each micro-batch takes
-  // versions up to the file/byte caps instead of the whole backlog —
+  // versions up to the file/byte/row caps instead of the whole backlog —
   // a consumer restarting after downtime drains history in bounded
   // batches (bounded task sets, bounded watermark steps) rather than
   // one giant catch-up batch.
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[ManifestOffset].version
-    val (mf, mb) = ManifestAdmission.capsOf(limit)
-    ManifestOffset(ManifestFiles.admittedEnd(fs, dir, from, head, mf, mb))
+    val (mf, mb, mr) = ManifestAdmission.capsOf(limit)
+    ManifestOffset(ManifestFiles.admittedEnd(fs, dir, from, head, mf, mb,
+      maxRows = mr))
   }
   override def reportLatestOffset(): Offset = ManifestOffset(head)
   override def deserializeOffset(json: String): Offset =

@@ -231,6 +231,23 @@ class ManifestAdmissionSpec extends AnyFunSuite {
     assert(b2.flatten.sorted == (0L until 60L))
   }
 
+  test("maxRowsPerTrigger: the entry lines' EXACT row counts bound each " +
+    "batch; a rows cap composes with the others as the tightest wins") {
+    val (_, root) = freshCat("rows")
+    val path = s"$root/t"
+    (0 until 6).foreach(i => append(path, i * 10, (i + 1) * 10)) // 10 rows/commit
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_adm_rw").toString
+    val (n, batches) = drain(path, ckpt, Map("maxRowsPerTrigger" -> "20"))
+    assert(n == 3, s"60 rows at 20 rows/trigger should drain in 3, got $n")
+    assert(batches.forall(_.size == 20))
+    assert(batches.flatten.sorted == (0L until 60L))
+    // composed with a looser file cap, rows still governs
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_adm_rw2").toString
+    val (n2, b2) = drain(path, ckpt2,
+      Map("maxRowsPerTrigger" -> "10", "maxFilesPerTrigger" -> "4"))
+    assert(n2 == 6 && b2.flatten.sorted == (0L until 60L))
+  }
+
   test("admittedEnd walk: oversized single versions go alone, " +
     "metadata-only versions ride free, no caps = head") {
     val (cat, root) = freshCat("walk")
