@@ -4146,6 +4146,7 @@ class GraftManifestCatalog extends TableCatalog
       case "create_view" => ManifestProcedures.createView(this, dirFor)
       case "drop_view" => ManifestProcedures.dropView(this)
       case "show_views" => ManifestProcedures.showViews(this, dirFor)
+      case "describe_view" => ManifestProcedures.describeView(this, dirFor)
     }
   }
 }
@@ -4459,7 +4460,7 @@ private[sources] object ManifestProcedures {
       "rollback", "create_tag", "drop_tag",
       "create_branch", "drop_branch", "fast_forward", "cherry_pick",
       "add_files", "remove_orphan_files", "create_view", "drop_view",
-      "show_views")
+      "show_views", "describe_view")
 
   private def param(n: String, dt: org.apache.spark.sql.types.DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -5055,6 +5056,39 @@ private[sources] object ManifestProcedures {
         override def readSchema(): StructType = schema
         override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
           viewRows
+      }).iterator()
+    }
+
+  /** `describe_view(view)` — the definition HISTORY (the `t$snapshots`
+    * twin for views): one row per `_VIEW.v<N>` with its creation time
+    * (claim mtime, the clock `VERSION AS OF` pairs with) and stored
+    * SQL, newest first. */
+  def describeView(cat: GraftManifestCatalog, dirFor: String => Path):
+      UnboundProcedure =
+    proc("describe_view", Array(param("view", StringType))) { input =>
+      val name = input.getUTF8String(0).toString
+      val dir = dirFor(name)
+      val fs = dir.getFileSystem(
+        SparkSession.active.sessionState.newHadoopConf())
+      val vs = ManifestViews.versions(fs, dir).sorted.reverse
+      require(vs.nonEmpty, s"no view '$name' (views: " +
+        cat.listViews().map(_.name).sorted.mkString(", ") + ")")
+      val schema = new StructType().add("version", IntegerType)
+        .add("created_at", TimestampType).add("sql", StringType)
+      // NB: never name this `rows` — the anon LocalScan's rows() method
+      // would shadow it and scalac turns the self-tail-call into an
+      // infinite LOOP (not even a stack overflow)
+      val histRows = vs.map { v =>
+        val p = new Path(dir, s"_VIEW.v$v")
+        new GenericInternalRow(Array[Any](v,
+          fs.getFileStatus(p).getModificationTime * 1000L,
+          UTF8String.fromString(ManifestViews.read(fs, dir, Some(v)).sql))):
+          org.apache.spark.sql.catalyst.InternalRow
+      }.toArray
+      java.util.List.of[Scan](new LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+          histRows
       }).iterator()
     }
 

@@ -52,6 +52,12 @@ class ManifestViewSpec extends AnyFunSuite {
     val v1 = spark.sql(s"SELECT * FROM $cat.agg VERSION AS OF 1 ORDER BY v")
     assert(v1.columns.toSeq == Seq("v", "n"))
     assert(v1.count() == 3L)
+    // definition history introspects, newest first (t$snapshots' twin)
+    val hist = spark.sql(s"CALL $cat.system.describe_view('agg')").collect()
+    assert(hist.map(_.getInt(0)).toSeq == Seq(2, 1))
+    assert(hist.head.getString(2).contains("sum(k)"))
+    assert(hist.last.getString(2).contains("count(*)"))
+    assert(hist.forall(r => !r.isNullAt(1)))
     // the view updates live with its base table (a definition, not a copy)
     spark.range(100, 110).select($"id".as("k"), lit("x0").as("v"))
       .writeTo(s"$cat.t").append()
