@@ -323,7 +323,9 @@ private[sources] class ManifestChangeFeedScan(path: String, from: Int,
     conf: SerializableHadoopConf,
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None,
-    maxRowsPerTrigger: Option[Long] = None) extends Scan with Batch {
+    maxRowsPerTrigger: Option[Long] = None,
+    minRowsPerTrigger: Option[Long] = None,
+    maxTriggerDelayMs: Long = 15000L) extends Scan with Batch {
 
   import ManifestChangeFeed._
 
@@ -356,14 +358,17 @@ private[sources] class ManifestChangeFeedScan(path: String, from: Int,
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new ManifestChangeFeedStream(path, from, fullSchema, required, conf,
-      maxFilesPerTrigger, maxBytesPerTrigger, maxRowsPerTrigger)
+      maxFilesPerTrigger, maxBytesPerTrigger, maxRowsPerTrigger,
+      minRowsPerTrigger, maxTriggerDelayMs)
 }
 
 private[sources] class ManifestChangeFeedStream(path: String, startAt: Int,
     fullSchema: StructType, required: StructType, conf: SerializableHadoopConf,
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None,
-    maxRowsPerTrigger: Option[Long] = None)
+    maxRowsPerTrigger: Option[Long] = None,
+    minRowsPerTrigger: Option[Long] = None,
+    maxTriggerDelayMs: Long = 15000L)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -380,7 +385,9 @@ private[sources] class ManifestChangeFeedStream(path: String, startAt: Int,
 
   override def getDefaultReadLimit: ReadLimit =
     ManifestAdmission.defaultLimit(maxFilesPerTrigger, maxBytesPerTrigger,
-      maxRowsPerTrigger)
+      maxRowsPerTrigger, minRowsPerTrigger, maxTriggerDelayMs)
+
+  @volatile private var lastTriggerMs = 0L
 
   override def initialOffset(): Offset = ManifestOffset(startAt)
   override def latestOffset(): Offset =
@@ -391,9 +398,10 @@ private[sources] class ManifestChangeFeedStream(path: String, startAt: Int,
   // (delete legs), so they price against the caps too.
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[ManifestOffset].version
-    val (mf, mb, mr) = ManifestAdmission.capsOf(limit)
-    ManifestOffset(ManifestFiles.admittedEnd(fs, dir, from, head, mf, mb,
-      countRemovals = true, maxRows = mr))
+    ManifestOffset(ManifestAdmission.decide(fs, dir, from, head,
+      ManifestAdmission.capsOf(limit), countRemovals = true,
+      draining = availableEnd.isDefined,
+      () => lastTriggerMs, lastTriggerMs = _))
   }
   override def reportLatestOffset(): Offset = ManifestOffset(head)
   override def deserializeOffset(json: String): Offset =

@@ -392,7 +392,17 @@ private[sources] class ManifestTable(schema0: StructType,
         val r = s.trim.toLong
         require(r > 0, s"maxRowsPerTrigger must be positive, got $r")
         r
-      })
+      },
+      minRowsPerTrigger = opt("minRowsPerTrigger").map { s =>
+        val r = s.trim.toLong
+        require(r > 0, s"minRowsPerTrigger must be positive, got $r")
+        r
+      },
+      maxTriggerDelayMs = opt("maxTriggerDelayMs").map { s =>
+        val d = s.trim.toLong
+        require(d >= 0, s"maxTriggerDelayMs must be >= 0, got $d")
+        d
+      }.getOrElse(15000L))
   }
   /** Per-field type diff for the append-mismatch error (simpleString
     * hides nullability flags, which are part of dataType equality). */

@@ -1319,6 +1319,48 @@ object ManifestFiles {
     end
   }
 
+  /** Rows AVAILABLE in `(from, head]`, stopping early once `atLeast` is
+    * reached — the go/no-go probe for `minRowsPerTrigger` (a deep
+    * backlog never walks past the threshold). Same expired-version and
+    * fresh-stream-on-vacuumed-table semantics as [[admittedEnd]]. */
+  def availableRows(fs: FileSystem, dir: Path, from: Int, head: Int,
+      atLeast: Long, countRemovals: Boolean = false): Long = {
+    if (head <= from) return 0L
+    def linesAt(v: Int): Array[String] =
+      if (v <= 0) Array.empty
+      else if (!fs.exists(new Path(dir, s"_MANIFEST.v$v"))) {
+        val have = versions(fs, dir).sorted
+        throw new IllegalStateException(
+          s"graft-manifest at $dir: version $v has expired (vacuumed); " +
+            s"retained versions: ${have.mkString(",")} — restart the " +
+            "incremental read from a retained version")
+      } else linesOf(fs, dir, Some(v))
+    var prevLines = linesAt(from)
+    var prevNames = entriesFromLines(prevLines).map(_._1).toSet
+    var rows = 0L
+    var v = from + 1
+    if (from == 0) {
+      val retained = versions(fs, dir)
+      if (retained.nonEmpty && retained.min > 1) v = retained.min
+    }
+    while (v <= head && rows < atLeast) {
+      val curLines = linesAt(v)
+      val curEntries = entriesFromLines(curLines)
+      val curNames = curEntries.map(_._1).toSet
+      val added = curNames -- prevNames
+      rows += curEntries.iterator.filter(e => added(e._1)).map(_._2).sum
+      if (countRemovals) {
+        lazy val prevRows = entriesFromLines(prevLines).toMap
+        rows += (prevNames -- curNames).iterator
+          .map(n => prevRows.getOrElse(n, 0L)).sum
+      }
+      prevLines = curLines
+      prevNames = curNames
+      v += 1
+    }
+    rows
+  }
+
   def schemaFor(fs: FileSystem, dir: Path, version: Option[Int]): StructType =
     schemaFor(fs, dir, version, None)
 
@@ -1743,7 +1785,9 @@ private[sources] class ManifestScanBuilder(path: String, version: Option[Int],
     // streaming admission control caps (see ManifestFiles.admittedEnd)
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None,
-    maxRowsPerTrigger: Option[Long] = None)
+    maxRowsPerTrigger: Option[Long] = None,
+    minRowsPerTrigger: Option[Long] = None,
+    maxTriggerDelayMs: Long = 15000L)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
 
@@ -1784,7 +1828,9 @@ private[sources] class ManifestScanBuilder(path: String, version: Option[Int],
         ManifestChangeFeed.stripCdf(fullSchema), required, conf,
         maxFilesPerTrigger = maxFilesPerTrigger,
         maxBytesPerTrigger = maxBytesPerTrigger,
-        maxRowsPerTrigger = maxRowsPerTrigger)
+        maxRowsPerTrigger = maxRowsPerTrigger,
+        minRowsPerTrigger = minRowsPerTrigger,
+        maxTriggerDelayMs = maxTriggerDelayMs)
     else new ManifestScan(path, version, fullSchema,
       required, conf, onPlanned, changes, accepted.toArray,
       runtimeKeyPrune = statsSkip, columnar = columnar,
@@ -1792,7 +1838,9 @@ private[sources] class ManifestScanBuilder(path: String, version: Option[Int],
       filesSubset = filesSubset,
       maxFilesPerTrigger = maxFilesPerTrigger,
       maxBytesPerTrigger = maxBytesPerTrigger,
-      maxRowsPerTrigger = maxRowsPerTrigger)
+      maxRowsPerTrigger = maxRowsPerTrigger,
+      minRowsPerTrigger = minRowsPerTrigger,
+      maxTriggerDelayMs = maxTriggerDelayMs)
 
 }
 
@@ -1826,7 +1874,9 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
     filesSubset: Option[Set[String]] = None,
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None,
-    maxRowsPerTrigger: Option[Long] = None)
+    maxRowsPerTrigger: Option[Long] = None,
+    minRowsPerTrigger: Option[Long] = None,
+    maxTriggerDelayMs: Long = 15000L)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -2374,7 +2424,7 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
         "the branch to stream its rows")
     new ManifestMicroBatchStream(path, fullSchema, required, conf,
       ignoreDeletes, maxFilesPerTrigger, maxBytesPerTrigger,
-      maxRowsPerTrigger)
+      maxRowsPerTrigger, minRowsPerTrigger, maxTriggerDelayMs)
   }
 }
 
@@ -2435,11 +2485,27 @@ private[sources] case class ManifestOffset(version: Int)
 private[sources] object ManifestAdmission {
   import org.apache.spark.sql.connector.read.streaming._
 
+  /** The caps an engine-supplied ReadLimit carries. `minRows` +
+    * `delayMs` are the anti-small-batch pair (Kafka's
+    * minOffsetsPerTrigger / maxTriggerDelay): withhold a batch until at
+    * least `minRows` are available OR `delayMs` has passed since the
+    * last batch. */
+  final case class Caps(maxFiles: Option[Int] = None,
+      maxBytes: Option[Long] = None, maxRows: Option[Long] = None,
+      minRows: Option[Long] = None, delayMs: Long = 0L) {
+    def merge(o: Caps): Caps = Caps(
+      maxFiles.orElse(o.maxFiles), maxBytes.orElse(o.maxBytes),
+      maxRows.orElse(o.maxRows), minRows.orElse(o.minRows),
+      math.max(delayMs, o.delayMs))
+  }
+
   def defaultLimit(maxFiles: Option[Int], maxBytes: Option[Long],
-      maxRows: Option[Long] = None): ReadLimit = {
+      maxRows: Option[Long] = None, minRows: Option[Long] = None,
+      delayMs: Long = 15000L): ReadLimit = {
     val lims = maxFiles.map(ReadLimit.maxFiles).toSeq ++
       maxBytes.map(ReadLimit.maxBytes).toSeq ++
-      maxRows.map(ReadLimit.maxRows).toSeq
+      maxRows.map(ReadLimit.maxRows).toSeq ++
+      minRows.map(ReadLimit.minRows(_, delayMs)).toSeq
     lims match {
       case Seq() => ReadLimit.allAvailable()
       case Seq(one) => one
@@ -2447,21 +2513,41 @@ private[sources] object ManifestAdmission {
     }
   }
 
-  /** (maxFiles, maxBytes, maxRows) caps carried by an engine-supplied
-    * limit. */
-  def capsOf(limit: ReadLimit): (Option[Int], Option[Long], Option[Long]) =
-    limit match {
-      case f: ReadMaxFiles => (Some(f.maxFiles()), None, None)
-      case b: ReadMaxBytes => (None, Some(b.maxBytes()), None)
-      case r: ReadMaxRows => (None, None, Some(r.maxRows()))
-      case c: CompositeReadLimit =>
-        c.getReadLimits.map(capsOf).foldLeft((Option.empty[Int],
-          Option.empty[Long], Option.empty[Long])) {
-          case ((f, b, r), (f2, b2, r2)) =>
-            (f.orElse(f2), b.orElse(b2), r.orElse(r2))
-        }
-      case _ => (None, None, None)
+  def capsOf(limit: ReadLimit): Caps = limit match {
+    case f: ReadMaxFiles => Caps(maxFiles = Some(f.maxFiles()))
+    case b: ReadMaxBytes => Caps(maxBytes = Some(b.maxBytes()))
+    case r: ReadMaxRows => Caps(maxRows = Some(r.maxRows()))
+    case m: ReadMinRows =>
+      Caps(minRows = Some(m.minRows()), delayMs = m.maxTriggerDelayMs())
+    case c: CompositeReadLimit =>
+      c.getReadLimits.map(capsOf).foldLeft(Caps())(_.merge(_))
+    case _ => Caps()
+  }
+
+  /** Shared go/no-go + admitted-end decision for both manifest streams.
+    * Returns the offset to report; advances `lastTriggerMs` through the
+    * callbacks so each stream keeps its own batch clock. AvailableNow
+    * drains ignore `minRows` — the trigger's contract is "process
+    * everything that exists now", and withholding would stall the final
+    * partial batch against a stopped producer. */
+  def decide(fs: FileSystem, dir: Path, from: Int, head: Int, caps: Caps,
+      countRemovals: Boolean, draining: Boolean,
+      lastTriggerMs: () => Long, setTriggerMs: Long => Unit): Int = {
+    val now = System.currentTimeMillis()
+    if (lastTriggerMs() == 0L) setTriggerMs(now)
+    val withhold = !draining && caps.minRows.exists { mr =>
+      now - lastTriggerMs() < caps.delayMs &&
+        ManifestFiles.availableRows(fs, dir, from, head, mr,
+          countRemovals) < mr
     }
+    if (withhold) from
+    else {
+      val end = ManifestFiles.admittedEnd(fs, dir, from, head,
+        caps.maxFiles, caps.maxBytes, countRemovals, caps.maxRows)
+      if (end > from) setTriggerMs(System.currentTimeMillis())
+      end
+    }
+  }
 }
 
 private[sources] class ManifestMicroBatchStream(path: String,
@@ -2469,7 +2555,9 @@ private[sources] class ManifestMicroBatchStream(path: String,
     ignoreDeletes: Boolean = false,
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None,
-    maxRowsPerTrigger: Option[Long] = None)
+    maxRowsPerTrigger: Option[Long] = None,
+    minRowsPerTrigger: Option[Long] = None,
+    maxTriggerDelayMs: Long = 15000L)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -2490,7 +2578,9 @@ private[sources] class ManifestMicroBatchStream(path: String,
 
   override def getDefaultReadLimit: ReadLimit =
     ManifestAdmission.defaultLimit(maxFilesPerTrigger, maxBytesPerTrigger,
-      maxRowsPerTrigger)
+      maxRowsPerTrigger, minRowsPerTrigger, maxTriggerDelayMs)
+
+  @volatile private var lastTriggerMs = 0L
 
   override def initialOffset(): Offset = ManifestOffset(0)
   override def latestOffset(): Offset =
@@ -2499,12 +2589,14 @@ private[sources] class ManifestMicroBatchStream(path: String,
   // versions up to the file/byte/row caps instead of the whole backlog —
   // a consumer restarting after downtime drains history in bounded
   // batches (bounded task sets, bounded watermark steps) rather than
-  // one giant catch-up batch.
+  // one giant catch-up batch — and minRows withholds tiny batches until
+  // enough rows accumulate or the trigger delay passes.
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[ManifestOffset].version
-    val (mf, mb, mr) = ManifestAdmission.capsOf(limit)
-    ManifestOffset(ManifestFiles.admittedEnd(fs, dir, from, head, mf, mb,
-      maxRows = mr))
+    ManifestOffset(ManifestAdmission.decide(fs, dir, from, head,
+      ManifestAdmission.capsOf(limit), countRemovals = false,
+      draining = availableEnd.isDefined,
+      () => lastTriggerMs, lastTriggerMs = _))
   }
   override def reportLatestOffset(): Offset = ManifestOffset(head)
   override def deserializeOffset(json: String): Offset =

@@ -248,6 +248,56 @@ class ManifestAdmissionSpec extends AnyFunSuite {
     assert(n2 == 6 && b2.flatten.sorted == (0L until 60L))
   }
 
+  test("minRowsPerTrigger withholds small batches until enough rows " +
+    "accumulate or the trigger delay passes; AvailableNow drains " +
+    "regardless") {
+    import org.apache.spark.sql.streaming.Trigger
+    val (_, root) = freshCat("minr")
+    val path = s"$root/t"
+    val sizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def stream(ckpt: String, minRows: Long, delayMs: Long) =
+      spark.readStream.format("graft-manifest").option("path", path)
+        .option("minRowsPerTrigger", minRows.toString)
+        .option("maxTriggerDelayMs", delayMs.toString)
+        .load()
+        .writeStream.trigger(Trigger.ProcessingTime(50L))
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          // the engine may run an empty batch 0 at start; withholding
+          // is about DATA batches, so count only those
+          val n = df.count(); if (n > 0) sizes.add(n); ()
+        }
+        .start()
+    append(path, 0, 10) // v1: 10 rows, below the 25-row floor
+    val ck1 = java.nio.file.Files.createTempDirectory("graft_adm_mn1").toString
+    val q = stream(ck1, minRows = 25, delayMs = 600000)
+    try {
+      q.processAllAvailable()
+      assert(sizes.isEmpty, s"10 rows below minRows must be withheld, " +
+        s"got batches ${sizes.toArray.mkString(",")}")
+      append(path, 10, 30) // 30 rows available now
+      q.processAllAvailable()
+      assert(sizes.toArray.toSeq == Seq(30L),
+        "crossing the floor must release ONE batch with everything")
+    } finally q.stop()
+    // the DELAY path: a tiny max delay pushes a sub-floor batch out
+    sizes.clear()
+    val ck2 = java.nio.file.Files.createTempDirectory("graft_adm_mn2").toString
+    val q2 = stream(ck2, minRows = 100000, delayMs = 1)
+    try {
+      q2.processAllAvailable()
+      Thread.sleep(150) // let the 1ms delay provably pass a trigger tick
+      q2.processAllAvailable()
+      assert(sizes.toArray.toSeq == Seq(30L),
+        "an expired trigger delay must release the sub-floor batch")
+    } finally q2.stop()
+    // AvailableNow ignores the floor: its contract is drain-what-exists
+    val ck3 = java.nio.file.Files.createTempDirectory("graft_adm_mn3").toString
+    val (n3, b3) = drain(path, ck3, Map("minRowsPerTrigger" -> "100000",
+      "maxTriggerDelayMs" -> "600000"))
+    assert(n3 == 1 && b3.flatten.sorted == (0L until 30L))
+  }
+
   test("admittedEnd walk: oversized single versions go alone, " +
     "metadata-only versions ride free, no caps = head") {
     val (cat, root) = freshCat("walk")
