@@ -139,6 +139,16 @@ object ManifestChangeFeed {
     var prevNames = ManifestFiles.entriesFromLines(prevLines).map(_._1).toSet
     var prevDels = delsOf(prevLines)
     var v = from + 1
+    // FULL-HISTORY feeds (from = 0) on a vacuumed table: the history
+    // below the oldest retained version is observable only as that
+    // snapshot, so the walk starts there and its entries surface as
+    // inserts at that version — the same contract the plain tail's
+    // admission walk keeps. A NON-zero expired `from` still fails
+    // loudly above (the checkpoint outlived retention).
+    if (from == 0) {
+      val retained = ManifestFiles.versions(fs, dir)
+      if (retained.nonEmpty && retained.min > 1) v = retained.min
+    }
     while (v <= end) {
       val curLines = linesAt(v)
       val curNames = ManifestFiles.entriesFromLines(curLines).map(_._1).toSet

@@ -1296,13 +1296,20 @@ object ManifestFiles {
          else added.iterator.map(bytesOf(_, curStats)).sum +
            removed.iterator.map(bytesOf(_, prevStats)).sum)
       }
-      // entry lines carry EXACT row counts, so a rows cap is exact too
-      // (removed entries price their full row count — a delete leg is
-      // at most that many rows)
+      // entry lines carry EXACT row counts for added/unlisted entries.
+      // A CDF step can ALSO carry delete state against SURVIVING
+      // entries (fresh MOR delete-vector ordinals, new equality-delete
+      // sets) whose leg volume no manifest line prices — such a version
+      // is conservatively priced UNBOUNDED: it is admitted ALONE, never
+      // coalesced under a rows cap with neighbors (the tail never emits
+      // those legs, so only countRemovals walks pay this).
+      val unpricedDeleteState = countRemovals && (maxRows.isDefined) &&
+        newDeleteState(prevLines, curLines)
       val stepRows = if (maxRows.isEmpty) 0L else {
         lazy val prevRows = entriesFromLines(prevLines).toMap
         curEntries.iterator.filter(e => added(e._1)).map(_._2).sum +
-          removed.iterator.map(n => prevRows.getOrElse(n, 0L)).sum
+          removed.iterator.map(n => prevRows.getOrElse(n, 0L)).sum +
+          (if (unpricedDeleteState) Long.MaxValue / 4 else 0L)
       }
       val wouldExceed = maxFiles.exists(files + stepFiles > _) ||
         maxBytes.exists(bytes + stepBytes > _) ||
@@ -1318,6 +1325,21 @@ object ManifestFiles {
     }
     end
   }
+
+  /** A version step that lands NEW delete state (MOR delete-vector
+    * files or equality-delete sets) against surviving entries: the
+    * change feed emits delete legs for it whose row volume no manifest
+    * line prices — admission treats such steps as unbounded-rows
+    * (admit alone; any floor is met). Shared by [[admittedEnd]] and
+    * [[availableRows]] so the go/no-go probe and the pricing can never
+    * disagree. */
+  private[sources] def newDeleteState(prevLines: Array[String],
+      curLines: Array[String]): Boolean =
+    (deleteFilesFromLines(curLines).toSet --
+      deleteFilesFromLines(prevLines)).nonEmpty || {
+      val prevEq = prevLines.filter(_.startsWith("#eqdels,")).toSet
+      curLines.exists(l => l.startsWith("#eqdels,") && !prevEq.contains(l))
+    }
 
   /** Rows AVAILABLE in `(from, head]`, stopping early once `atLeast` is
     * reached — the go/no-go probe for `minRowsPerTrigger` (a deep
@@ -1353,6 +1375,8 @@ object ManifestFiles {
         lazy val prevRows = entriesFromLines(prevLines).toMap
         rows += (prevNames -- curNames).iterator
           .map(n => prevRows.getOrElse(n, 0L)).sum
+        // un-priced delete legs (see newDeleteState): the floor is met
+        if (newDeleteState(prevLines, curLines)) return atLeast
       }
       prevLines = curLines
       prevNames = curNames
@@ -2477,11 +2501,12 @@ private[sources] case class ManifestOffset(version: Int)
 }
 
 /** ReadLimit plumbing shared by the manifest tail and the streaming
-  * change feed: `option("maxFilesPerTrigger", n)` /
-  * `option("maxBytesPerTrigger", b)` become the stream's default
-  * `ReadLimit` (composite when both are set), and whatever limit the
-  * engine hands back is decoded into the two caps
-  * [[ManifestFiles.admittedEnd]] walks with. */
+  * change feed: the `maxFilesPerTrigger` / `maxBytesPerTrigger` /
+  * `maxRowsPerTrigger` / `minRowsPerTrigger`+`maxTriggerDelayMs` read
+  * options become the stream's default `ReadLimit` (composite when
+  * several are set), and whatever limit the engine hands back is
+  * decoded into the [[ManifestAdmission.Caps]] that
+  * [[ManifestAdmission.decide]] prices each micro-batch with. */
 private[sources] object ManifestAdmission {
   import org.apache.spark.sql.connector.read.streaming._
 
@@ -2542,10 +2567,14 @@ private[sources] object ManifestAdmission {
     }
     if (withhold) from
     else {
-      val end = ManifestFiles.admittedEnd(fs, dir, from, head,
+      // the clock resets on every RELEASE decision, data or not —
+      // Kafka's delayBatch does the same, so an idle stream refreshes
+      // once per delay window and the first sub-floor commit of a
+      // burst is still withheld (not dumped because the stream was
+      // quiet for a while)
+      if (caps.minRows.isDefined) setTriggerMs(now)
+      ManifestFiles.admittedEnd(fs, dir, from, head,
         caps.maxFiles, caps.maxBytes, countRemovals, caps.maxRows)
-      if (end > from) setTriggerMs(System.currentTimeMillis())
-      end
     }
   }
 }
@@ -5172,9 +5201,12 @@ private[sources] object ManifestProcedures {
       // infinite LOOP (not even a stack overflow)
       val histRows = vs.map { v =>
         val p = new Path(dir, s"_VIEW.v$v")
+        // decode the file directly: read() would re-list the directory
+        // per version (V+1 listings on object storage for V versions)
+        val d = ManifestViews.decode(ManifestFiles.readManifest(fs, p))
         new GenericInternalRow(Array[Any](v,
           fs.getFileStatus(p).getModificationTime * 1000L,
-          UTF8String.fromString(ManifestViews.read(fs, dir, Some(v)).sql))):
+          UTF8String.fromString(d.sql))):
           org.apache.spark.sql.catalyst.InternalRow
       }.toArray
       java.util.List.of[Scan](new LocalScan {

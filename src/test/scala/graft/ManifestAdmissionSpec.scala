@@ -185,6 +185,24 @@ class ManifestAdmissionSpec extends AnyFunSuite {
       .select("k", "_change_type", "_commit_version")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sorted
     assert(streamed.toSeq == batch.toSeq)
+    // a MOR-delete version's leg volume is UNPRICED by manifest lines:
+    // under a rows cap it must admit ALONE (never coalesce), and the
+    // minRows floor must treat it as met — the probe and the pricing
+    // share one delete-state detector
+    val dir = new Path(s"$root/t")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(ManifestFiles.admittedEnd(fs, dir, 1, 6, None, None,
+      countRemovals = true, maxRows = Some(1000)) == 5,
+      "a rows-capped CDF walk must stop BEFORE the delete-state version")
+    assert(ManifestFiles.admittedEnd(fs, dir, 5, 6, None, None,
+      countRemovals = true, maxRows = Some(1)) == 6,
+      "the delete-state version goes alone as its own batch")
+    assert(ManifestFiles.availableRows(fs, dir, 5, 6, 1000L,
+      countRemovals = true) >= 1000L,
+      "delete legs satisfy any minRows floor")
+    assert(ManifestFiles.availableRows(fs, dir, 5, 6, 1000L,
+      countRemovals = false) == 0L,
+      "the plain tail never emits those legs, so it prices them zero")
   }
 
   test("a FRESH capped stream on a VACUUMED table starts at the oldest " +
@@ -208,6 +226,17 @@ class ManifestAdmissionSpec extends AnyFunSuite {
       ManifestFiles.admittedEnd(fs, dir, 2, 8, Some(1), None)
     }
     assert(ex.getMessage.contains("expired"))
+    // the CHANGE FEED keeps the same contract: a fresh full-history
+    // feed starts at the oldest retained snapshot (its rows surface as
+    // inserts AT that version) instead of dying on the vacuumed prefix
+    val feed = spark.read.format("graft-manifest")
+      .option("path", path).option("changeFeed", "true")
+      .option("changesFrom", "0").load()
+      .select($"k", $"_change_type", $"_commit_version").collect()
+    assert(feed.length == 80 &&
+      feed.forall(_.getString(1) == "insert"))
+    assert(feed.filter(_.getInt(2) == 5).map(_.getLong(0)).sorted.toSeq
+      == (0L until 50L))
   }
 
   test("COMPOSITE limits: maxFilesPerTrigger and maxBytesPerTrigger " +
