@@ -50,6 +50,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the _VIEW.v<N> definition chain (plans/GovernedViews.scala) —
     // Spark 4.1 ships ViewCatalog without an engine consumer.
     ext.injectResolutionRule(s => graft.plans.ResolveGovernedViews(s))
+    // MATERIALIZED-VIEW query rewriting (round 14): resolved aggregates
+    // over governed sources answer from exactly-consistent MVs
+    // (plans/MvRewrite.scala); SET spark.graft.mv.rewrite=false disables.
+    ext.injectPostHocResolutionRule(s => graft.plans.MvRewrite(s))
     // Columnar kernel: hamming64 projections over columnar children run
     // batch-at-a-time (ColumnarKernel.scala).
     ext.injectColumnar(_ => graft.plans.GraftColumnarRule)

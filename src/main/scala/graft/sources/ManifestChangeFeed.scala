@@ -506,7 +506,10 @@ private[sources] class ManifestChangeReaderFactory(fullSchema: StructType,
             case -1 => typeConst
             case -2 => part.version
             case -3 => part.commitTsMicros
-            case j => in.get(j, dts(i))
+            // the inner identity path surfaces ColumnarBatchRow, whose
+            // get() does NOT null-check (it reads the vector slot raw) —
+            // an unguarded get fabricated values for NULL fields
+            case j => if (in.isNullAt(j)) null else in.get(j, dts(i))
           })
           i += 1
         }

@@ -1,0 +1,525 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** INCREMENTAL MATERIALIZED VIEWS over governed tables (round 14 — the
+  * capstone over governed views + the change feed): a materialized view
+  * is a real graft-manifest table (the materialization, with snapshots,
+  * time travel, and row-level ops like any other) plus a versioned
+  * definition-and-checkpoint chain (`_MV.v<N>` files in the MV table's
+  * own directory, claimed exactly like snapshot versions). REFRESH
+  * never rescans the source: it reads the source's CHANGE FEED from the
+  * checkpointed version, folds the delta into the touched groups only,
+  * and lands the result as one CDC upsert — cost tracks the CHANGES and
+  * the touched-group count, never the source or the MV size. The
+  * reference has no MV machinery at all (2.1 views are definitions
+  * only); Delta Live Tables / Iceberg materialized views are the
+  * contemporary equivalents.
+  *
+  * Supported definition shape: `SELECT <groupBy>, <aggs> FROM <source>
+  * [WHERE <filter>] GROUP BY <groupBy>` with aggs drawn from count(*) /
+  * count(e) / sum(e) / avg(e) / min(e) / max(e), where `e` is any
+  * deterministic scalar expression over source columns. The
+  * count/sum/avg family folds pure deltas; MIN/MAX fold inserts
+  * (least/greatest) and fall back to a PER-GROUP recompute only when a
+  * retracted value ties or beats the stored extremum — the textbook
+  * bounded-recompute strategy, with the recompute restricted to exactly
+  * the affected groups via a key semi-join the source's pruning bounds.
+  *
+  * EXACTNESS: fractional sums accumulate in DECIMAL(38,6) (per-row cast
+  * to DECIMAL(18,6)), never in floating point, so the incremental fold
+  * is order-independent and bit-identical to a direct recompute — avg
+  * derives at read time as one double division of exact operands.
+  *
+  * CRASH SAFETY (the design's one non-obvious invariant): every refresh
+  * computes the new absolute group values from `MV AS OF
+  * checkpoint.mvVersion` — the PINNED pre-state — never from the MV's
+  * current head. The data commit (upsert + vanished-group delete) and
+  * the checkpoint publish are separate atomic steps, so a crash between
+  * them leaves an orphan data commit; the next refresh, still reading
+  * the OLD checkpoint, recomputes the SAME absolute values from the
+  * same pinned inputs and replaces the orphan's rows with identical
+  * ones. Replays converge; nothing double-counts. (Concurrent refreshes
+  * are likewise safe — wasteful, not wrong.)
+  *
+  * Group-key caveat: keys ride the upsert's equality-delete path, so
+  * they must be exact-equality primitives and NON-NULL (a null group
+  * key would never match its own delete leg); create() enforces the
+  * type rule and documents the null rule.
+  *
+  * Operations notes: (a) each refresh lands one CDC upsert, and stacked
+  * equality-delete sets degrade the MV's own read path conservatively
+  * (columnar batching off) until `CALL compact` materializes them —
+  * schedule compaction like any CDC-ingested table; (b) the checkpoint
+  * references a SOURCE version, so source vacuum retention must cover
+  * the refresh cadence — an expired checkpoint fails loudly with the
+  * format's expired-version surface, and the remedy is drop+create. */
+object ManifestMaterializedView {
+
+  /** One aggregate column: `func` ∈ count_star | count | sum | avg |
+    * min | max; `expr` is SQL text over source columns (ignored for
+    * count_star); `alias` is the user-visible output column. */
+  final case class AggSpec(func: String, expr: String, alias: String) {
+    def isMinMax: Boolean = func == "min" || func == "max"
+  }
+
+  final case class MvDef(source: String, filterSql: Option[String],
+      groupBy: Seq[String], aggs: Seq[AggSpec],
+      sourceVersion: Int, mvVersion: Int)
+
+  /** Parse `"count:*:n,sum:floor(x):sx,avg:y:ay"` — `func:expr:alias`
+    * triples, comma-split on TOP-LEVEL commas only (the expr may contain
+    * commas inside parens, e.g. `coalesce(a, 0)`). */
+  def parseAggs(s: String): Seq[AggSpec] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; val cur = new StringBuilder
+    s.foreach {
+      case ',' if depth == 0 => out += cur.result(); cur.clear()
+      case c =>
+        if (c == '(') depth += 1 else if (c == ')') depth -= 1
+        cur += c
+    }
+    out += cur.result()
+    out.toSeq.map(_.trim).filter(_.nonEmpty).map { part =>
+      val bits = part.split(":", 3).map(_.trim)
+      require(bits.length == 3,
+        s"agg spec '$part' must be func:expr:alias")
+      val func = bits(0).toLowerCase match {
+        case "count" if bits(1) == "*" => "count_star"
+        case f @ ("count" | "sum" | "avg" | "min" | "max") => f
+        case f => throw new IllegalArgumentException(
+          s"unsupported MV aggregate '$f' — count/sum/avg/min/max only")
+      }
+      AggSpec(func, bits(1), bits(2))
+    }
+  }
+
+  // ---- definition codec (`_MV.v<N>`, one field per line, b64) --------
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s),
+      java.nio.charset.StandardCharsets.UTF_8)
+
+  def encode(d: MvDef): Array[String] =
+    Array("#mv,1",
+      s"#source,${b64(d.source)}",
+      s"#filter,${d.filterSql.map(b64).getOrElse("-")}",
+      s"#srcver,${d.sourceVersion}",
+      s"#mvver,${d.mvVersion}") ++
+      d.groupBy.map(k => s"#key,${b64(k)}") ++
+      d.aggs.map(a => s"#agg,${b64(a.func)},${b64(a.expr)},${b64(a.alias)}")
+
+  def decode(lines: Array[String]): MvDef = {
+    require(lines.headOption.contains("#mv,1"),
+      s"not a graft materialized-view definition (${lines.headOption})")
+    def one(tag: String): String = lines
+      .collectFirst { case l if l.startsWith(s"#$tag,") =>
+        l.substring(tag.length + 2) }
+      .getOrElse(throw new IllegalStateException(s"mv missing #$tag"))
+    MvDef(
+      source = unb64(one("source")),
+      filterSql = one("filter") match {
+        case "-" => None; case f => Some(unb64(f)) },
+      groupBy = lines.filter(_.startsWith("#key,"))
+        .map(l => unb64(l.substring(5))).toSeq,
+      aggs = lines.filter(_.startsWith("#agg,")).map { l =>
+        val p = l.split(",", 4)
+        AggSpec(unb64(p(1)), unb64(p(2)), unb64(p(3)))
+      }.toSeq,
+      sourceVersion = one("srcver").toInt,
+      mvVersion = one("mvver").toInt)
+  }
+
+  def versions(fs: FileSystem, dir: Path): Seq[Int] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("_MV.v"))
+      .flatMap(_.stripPrefix("_MV.v").toIntOption)
+
+  def isMaterializedView(fs: FileSystem, dir: Path): Boolean =
+    versions(fs, dir).nonEmpty
+
+  def readDef(fs: FileSystem, dir: Path): MvDef = {
+    val vs = versions(fs, dir)
+    require(vs.nonEmpty, s"no materialized view at $dir")
+    decode(ManifestFiles.readManifest(fs, new Path(dir, s"_MV.v${vs.max}")))
+  }
+
+  /** Claim the next `_MV.v<N>` — the view/snapshot claim discipline
+    * (stage + rename-if-absent under a same-process lock; see
+    * ManifestViews.publish). Returns the landed version. */
+  def publishDef(fs: FileSystem, dir: Path, d: MvDef,
+      expectFresh: Boolean): Int = {
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val lock = (dir.toUri.toString + "#graft-mv-claim").intern()
+    lock.synchronized {
+      var attempt = 0
+      while (true) {
+        attempt += 1
+        require(attempt <= 64, s"mv claim at $dir starved after 64 attempts")
+        val vs = versions(fs, dir)
+        if (expectFresh && vs.nonEmpty)
+          throw new IllegalStateException(
+            s"materialized view at $dir already exists " +
+              s"(versions ${vs.sorted.mkString(",")})")
+        val v = (0 +: vs).max + 1
+        val tmp = new Path(dir, s"._mvclaim-$token")
+        val out = fs.create(tmp, true)
+        try out.write((encode(d).mkString("\n") + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        val ok = !fs.exists(new Path(dir, s"_MV.v$v")) &&
+          (try fs.rename(tmp, new Path(dir, s"_MV.v$v"))
+           catch { case _: java.io.IOException => false })
+        if (ok) return v
+        fs.delete(tmp, false)
+      }
+      -1 // unreachable
+    }
+  }
+
+  // ---- storage plan ---------------------------------------------------
+
+  /** Hidden liveness counter: a group exists iff its signed row count is
+    * positive; refresh deletes rows that fold to zero. Always stored. */
+  val CntCol = "__mv_cnt"
+  private def nnCol(a: AggSpec) = s"__mv_nn_${a.alias}"
+  private def sumCol(a: AggSpec) = s"__mv_sum_${a.alias}"
+  private def extCol(a: AggSpec) = s"__mv_ext_${a.alias}"
+  // delta-only companions for min/max (never stored): the insert legs'
+  // extremum folds in; the delete legs' extremum decides recompute
+  private def insCol(a: AggSpec) = s"__mv_ins_${a.alias}"
+  private def retCol(a: AggSpec) = s"__mv_ret_${a.alias}"
+
+  /** Decimal accumulation type for non-integral sums: per-row cast to
+    * (18,6) — the repo-wide exact-double-sum idiom — accumulated at
+    * (38,6) so adds never widen the stored type. */
+  private val RowDec = DecimalType(18, 6)
+  private val AccDec = DecimalType(38, 6)
+
+  private def sumStorageType(in: DataType): DataType = in match {
+    case ByteType | ShortType | IntegerType | LongType => LongType
+    case FloatType | DoubleType => AccDec
+    case d: DecimalType => DecimalType(38, d.scale)
+    case other => throw new IllegalArgumentException(
+      s"MV sum/avg over ${other.sql} is unsupported (numeric only)")
+  }
+
+  private def orderableOk(dt: DataType): Boolean = dt match {
+    case _: NumericType | StringType | BooleanType | DateType |
+        TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  /** The shared signed fold columns (count/sum families) — ONE formula
+    * serving the full build (sign = +1) and the delta (sign = ±1), so
+    * the two paths cannot drift. */
+  private def foldAggCols(df: DataFrame, d: MvDef, sign: Column):
+      scala.collection.mutable.LinkedHashMap[String, Column] = {
+    val sgn = sign.cast(LongType)
+    def exprType(e: String): DataType =
+      df.select(expr(e).as("_t")).schema.head.dataType
+    val cols = scala.collection.mutable.LinkedHashMap.empty[String, Column]
+    cols(CntCol) = sum(sgn).cast(LongType).as(CntCol)
+    d.aggs.foreach { a =>
+      val e = expr(a.expr)
+      a.func match {
+        case "count_star" => // derived from CntCol at read time
+        case "count" =>
+          cols.getOrElseUpdate(nnCol(a),
+            sum(when(e.isNotNull, sgn).otherwise(lit(0L)))
+              .cast(LongType).as(nnCol(a)))
+        case "sum" | "avg" =>
+          val st = sumStorageType(exprType(a.expr))
+          val rowType: DataType = st match {
+            case AccDec => RowDec
+            case dec: DecimalType => dec
+            case _ => LongType
+          }
+          cols.getOrElseUpdate(sumCol(a),
+            sum(sgn * coalesce(e.cast(rowType), lit(0).cast(rowType)))
+              .cast(st).as(sumCol(a)))
+          cols.getOrElseUpdate(nnCol(a),
+            sum(when(e.isNotNull, sgn).otherwise(lit(0L)))
+              .cast(LongType).as(nnCol(a)))
+        case "min" | "max" =>
+          require(orderableOk(exprType(a.expr)),
+            s"MV ${a.func}(${a.expr}) is ${exprType(a.expr).sql} — " +
+              "min/max need an orderable primitive")
+        // stored by the caller (full build: the plain extremum; delta:
+        // split into insert-leg fold + delete-leg recompute trigger)
+      }
+    }
+    cols
+  }
+
+  private def extExpr(a: AggSpec, e: Column): Column =
+    if (a.func == "min") min(e) else max(e)
+
+  /** The MV's FULL storage shape over complete data — the initial build
+    * and the per-group recompute path (sign = +1 throughout). */
+  def aggRows(df: DataFrame, d: MvDef): DataFrame = {
+    val cols = foldAggCols(df, d, lit(1L))
+    d.aggs.filter(_.isMinMax).foreach { a =>
+      cols.getOrElseUpdate(extCol(a),
+        extExpr(a, expr(a.expr)).as(extCol(a)))
+    }
+    val aggCols = cols.values.toSeq
+    df.groupBy(d.groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** The DELTA shape over a change-feed slice: the signed fold columns
+    * plus, per min/max agg, the insert legs' extremum (folds in via
+    * least/greatest — adding a value never needs history) and the
+    * delete legs' extremum (a retraction can only change min/max if it
+    * TIES OR BEATS the stored bound — that group recomputes). */
+  def deltaRows(feed: DataFrame, d: MvDef): DataFrame = {
+    val sign = when(col(ManifestChangeFeed.TypeCol) === "insert", lit(1L))
+      .otherwise(lit(-1L))
+    val cols = foldAggCols(feed, d, sign)
+    d.aggs.filter(_.isMinMax).foreach { a =>
+      val e = expr(a.expr)
+      cols.getOrElseUpdate(insCol(a),
+        extExpr(a, when(sign > 0, e)).as(insCol(a)))
+      cols.getOrElseUpdate(retCol(a),
+        extExpr(a, when(sign < 0, e)).as(retCol(a)))
+    }
+    val aggCols = cols.values.toSeq
+    feed.groupBy(d.groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** The user-facing projection over the storage columns. Sums and avgs
+    * surface null when the group holds no non-null inputs (ANSI
+    * semantics); avg is a single double division of exact operands. */
+  private def readCols(d: MvDef, storage: StructType): Seq[Column] =
+    d.groupBy.map(col) ++ d.aggs.map { a =>
+      a.func match {
+        case "count_star" => col(CntCol).as(a.alias)
+        case "count" => col(nnCol(a)).as(a.alias)
+        case "sum" =>
+          val st = storage(sumCol(a)).dataType
+          val v = if (st == AccDec)
+            col(sumCol(a)).cast(DoubleType) else col(sumCol(a))
+          when(col(nnCol(a)) > 0, v).as(a.alias)
+        case "avg" =>
+          when(col(nnCol(a)) > 0,
+            col(sumCol(a)).cast(DoubleType) / col(nnCol(a))).as(a.alias)
+        case "min" | "max" => col(extCol(a)).as(a.alias)
+      }
+    }
+
+  // ---- lifecycle -------------------------------------------------------
+
+  private def catRoot(spark: SparkSession, catalog: String): String =
+    spark.conf.get(s"spark.sql.catalog.$catalog.root")
+
+  private def fsFor(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Create the MV: one full aggregate of the source AS OF its current
+    * version (pinned — commits racing the build cannot leak in), landed
+    * as the MV table's first snapshot, then the definition+checkpoint
+    * claims `_MV.v1`. The MV table is merge-on-read so refreshes apply
+    * as CDC upserts (KB-scale delete metadata, zero rewrite). */
+  def create(spark: SparkSession, catalog: String, mv: String,
+      source: String, filterSql: Option[String], groupBy: Seq[String],
+      aggs: Seq[AggSpec]): MvDef = {
+    require(groupBy.nonEmpty, "MV needs at least one group-by column")
+    require(aggs.nonEmpty, "MV needs at least one aggregate")
+    require(aggs.map(_.alias).distinct.length == aggs.length,
+      "duplicate MV aggregate alias")
+    val root = catRoot(spark, catalog)
+    val srcDir = new Path(root, source)
+    val mvDir = new Path(root, mv)
+    val fs = fsFor(spark, srcDir)
+    require(fs.exists(new Path(srcDir, "_MANIFEST")),
+      s"MV source '$source' is not a graft-manifest table at $srcDir")
+    val srcVer = ManifestFiles.latestComplete(fs, srcDir)
+    val d0 = MvDef(source, filterSql, groupBy, aggs, srcVer, 0)
+    val src = spark.read.format("graft-manifest")
+      .option("path", srcDir.toString)
+      .option("versionAsOf", srcVer.toString).load()
+    val rows = aggRows(filterSql.map(f => src.filter(expr(f)))
+      .getOrElse(src), d0)
+    groupBy.foreach { k =>
+      val f = rows.schema.fields(rows.schema.fieldIndex(k))
+      require(ManifestEqDeletes.keyTypeOk(f.dataType),
+        s"MV group key '$k' is ${f.dataType.sql} — keys ride the CDC " +
+          "upsert path and must be exact-equality primitives")
+    }
+    spark.sql(s"CREATE TABLE $catalog.$mv (${rows.schema.toDDL}) " +
+      "TBLPROPERTIES('delete.mode'='merge-on-read')")
+    rows.write.mode("append").format("graft-manifest")
+      .option("path", mvDir.toString).save()
+    val d = d0.copy(mvVersion = ManifestFiles.latestComplete(fs, mvDir))
+    publishDef(fs, mvDir, d, expectFresh = true)
+    d
+  }
+
+  /** Incremental refresh: fold the source's change feed
+    * (checkpoint.sourceVersion, head] into the touched groups. Absolute
+    * new values come from `MV AS OF checkpoint.mvVersion` ⋈ delta —
+    * a join sized by the TOUCHED groups, never the MV (Catalyst prunes
+    * the MV side through the join's runtime filter at scale; the feed
+    * side is diff-sized by construction). Returns the new checkpoint
+    * (or the old one unchanged when the source has not moved). */
+  def refresh(spark: SparkSession, catalog: String, mv: String): MvDef = {
+    val root = catRoot(spark, catalog)
+    val mvDir = new Path(root, mv)
+    val fs = fsFor(spark, mvDir)
+    val d = readDef(fs, mvDir)
+    val srcDir = new Path(root, d.source)
+    val head = ManifestFiles.latestComplete(fs, srcDir)
+    if (head <= d.sourceVersion) return d
+
+    val feed = spark.read.format("graft-manifest")
+      .option("path", srcDir.toString).option("changeFeed", "true")
+      .option("changesFrom", d.sourceVersion.toString)
+      .option("changesTo", head.toString).load()
+    val delta = deltaRows(
+      d.filterSql.map(f => feed.filter(expr(f))).getOrElse(feed), d)
+
+    val pre = spark.read.format("graft-manifest")
+      .option("path", mvDir.toString)
+      .option("versionAsOf", d.mvVersion.toString).load()
+    val storage = pre.schema
+    val minmax = d.aggs.filter(_.isMinMax)
+    val foldCols = storage.fieldNames.toSeq
+      .filterNot(d.groupBy.contains)
+      .filterNot(minmax.map(extCol).contains)
+    val deltaCols = delta.schema.fieldNames.toSeq
+      .filterNot(d.groupBy.contains)
+    val dAliased = delta.select(
+      (d.groupBy.map(col) ++ deltaCols.map(c => col(c).as(s"__d_$c"))): _*)
+    // right join: only TOUCHED groups surface; untouched MV rows are
+    // never rewritten (and never read past the join's key filter)
+    val joined = pre.join(dAliased, d.groupBy, "right")
+    // a retraction forces a group recompute ONLY when it ties or beats
+    // the stored extremum (dropping an interior value never moves
+    // min/max); a missing pre row with a retraction is drift — the
+    // recompute path absorbs it with authoritative source truth
+    val needR: Column = minmax.map { a =>
+      val ret = col(s"__d_${retCol(a)}")
+      val preE = col(extCol(a))
+      ret.isNotNull && (preE.isNull ||
+        (if (a.func == "min") ret <= preE else ret >= preE))
+    }.foldLeft(lit(false))(_ || _)
+    val foldRow = d.groupBy.map(col) ++ storage.fieldNames.toSeq
+      .filterNot(d.groupBy.contains).map { c =>
+        if (foldCols.contains(c)) {
+          val zero = lit(0).cast(storage(c).dataType)
+          (coalesce(col(c), zero) + col(s"__d_$c"))
+            .cast(storage(c).dataType).as(c)
+        } else { // min/max storage: fold the insert legs' extremum in
+          val a = minmax.find(x => extCol(x) == c).get
+          val ins = col(s"__d_${insCol(a)}")
+          (if (a.func == "min") least(col(c), ins)
+           else greatest(col(c), ins)).as(c)
+        }
+      }
+    val folded = joined.filter(!needR).select(foldRow: _*)
+
+    val negative = folded.filter(col(CntCol) < 0).count()
+    require(negative == 0,
+      s"MV '$mv' fold produced $negative negative group counts — the " +
+        "change feed and the definition disagree (source rewritten " +
+        "outside the feed, or a non-deterministic agg expression?)")
+
+    // groups whose extremum retracted: recompute from the source AS OF
+    // the range end, restricted to EXACTLY those groups (a semi-join the
+    // source's partition/stats pruning and runtime filters bound) —
+    // triggered only by extremal retractions, never by appends
+    val recompute = joined.filter(needR).select(d.groupBy.map(col): _*)
+    // gate on a diff-sized probe: an append-only (or interior-delete)
+    // refresh must never scan the source at all
+    val recomputed = if (minmax.isEmpty || recompute.take(1).isEmpty) None
+    else {
+      val srcHead = spark.read.format("graft-manifest")
+        .option("path", srcDir.toString)
+        .option("versionAsOf", head.toString).load()
+      val filtered = d.filterSql.map(f => srcHead.filter(expr(f)))
+        .getOrElse(srcHead)
+      Some(aggRows(filtered.join(recompute, d.groupBy, "left_semi"), d)
+        .select((d.groupBy.map(col) ++ storage.fieldNames.toSeq
+          .filterNot(d.groupBy.contains).map(col)): _*))
+    }
+
+    val live = recomputed.foldLeft(folded.filter(col(CntCol) > 0))(_ unionAll _)
+    if (live.take(1).nonEmpty)
+      live.write.mode("append").format("graft-manifest")
+        .option("path", mvDir.toString)
+        .option("upsertKeys", d.groupBy.mkString(",")).save()
+    // dead = fold-path groups at zero, plus recompute-path groups the
+    // source no longer holds (the recompute returned no row for them)
+    val deadFold = folded.filter(col(CntCol) === 0)
+      .select(d.groupBy.map(col): _*)
+    val dead = recomputed match {
+      case None => deadFold
+      case Some(r) => deadFold.unionAll(
+        recompute.join(r.select(d.groupBy.map(col): _*),
+          d.groupBy, "left_anti"))
+    }
+    if (dead.take(1).nonEmpty) {
+      val view = "graft_mv_dead_" + java.lang.Long.toUnsignedString(
+        Thread.currentThread().getId)
+      dead.createOrReplaceTempView(view)
+      val keyTuple = d.groupBy.mkString("(", ", ", ")")
+      spark.sql(s"DELETE FROM $catalog.$mv WHERE $keyTuple IN " +
+        s"(SELECT ${d.groupBy.mkString(", ")} FROM $view)")
+      spark.catalog.dropTempView(view)
+    }
+    val next = d.copy(sourceVersion = head,
+      mvVersion = ManifestFiles.latestComplete(fs, mvDir))
+    publishDef(fs, mvDir, next, expectFresh = false)
+    next
+  }
+
+  /** Read the MV through its definition: derived user-facing columns
+    * (count/sum/avg aliases) over the storage table. */
+  def read(spark: SparkSession, catalog: String, mv: String): DataFrame = {
+    val mvDir = new Path(catRoot(spark, catalog), mv)
+    val d = readDef(fsFor(spark, mvDir), mvDir)
+    val t = spark.table(s"$catalog.$mv")
+    t.select(readCols(d, t.schema): _*)
+  }
+
+  /** 24/7 refresh: the source's STREAMING change feed is the SCHEDULER —
+    * each non-empty micro-batch triggers one [[refresh]], which reads
+    * its own delta from its own `_MV` checkpoint. Exactly-once comes
+    * from the MV chain (pinned pre-state + absolute upserts), NOT the
+    * stream's checkpoint, so replayed epochs and even a deleted stream
+    * checkpoint cannot double-apply. Admission caps
+    * (`maxFilesPerTrigger`/`maxBytesPerTrigger`) bound each batch, which
+    * bounds each refresh's delta in turn. */
+  def refreshStream(spark: SparkSession, catalog: String, mv: String,
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      options: Map[String, String] = Map.empty):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val root = catRoot(spark, catalog)
+    val mvDir = new Path(root, mv)
+    val d = readDef(fsFor(spark, mvDir), mvDir)
+    var reader = spark.readStream.format("graft-manifest")
+      .option("path", new Path(root, d.source).toString)
+      .option("changeFeed", "true")
+    options.foreach { case (k, v) => reader = reader.option(k, v) }
+    reader.load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (batch.take(1).nonEmpty)
+          refresh(batch.sparkSession, catalog, mv)
+        () // Unit: keeps the Scala-2.13 foreachBatch overload unambiguous
+      }
+      .start()
+  }
+}

@@ -2848,8 +2848,11 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
           val out = new GenericInternalRow(dts.length)
           var i = 0
           while (i < dts.length) {
+            // ColumnarBatchRow.get (the inner identity path) does not
+            // null-check — guard, or NULL fields surface vector residue
             out.update(i, missing.getOrElse(i,
-              in.get(innerIdxOf(i), dts(i))))
+              if (in.isNullAt(innerIdxOf(i))) null
+              else in.get(innerIdxOf(i), dts(i))))
             i += 1
           }
           out
@@ -4268,6 +4271,12 @@ class GraftManifestCatalog extends TableCatalog
       case "drop_view" => ManifestProcedures.dropView(this)
       case "show_views" => ManifestProcedures.showViews(this, dirFor)
       case "describe_view" => ManifestProcedures.describeView(this, dirFor)
+      case "create_materialized_view" =>
+        ManifestProcedures.createMaterializedView(this)
+      case "refresh_materialized_view" =>
+        ManifestProcedures.refreshMaterializedView(this)
+      case "describe_materialized_view" =>
+        ManifestProcedures.describeMaterializedView(this, dirFor)
     }
   }
 }
@@ -4581,7 +4590,8 @@ private[sources] object ManifestProcedures {
       "rollback", "create_tag", "drop_tag",
       "create_branch", "drop_branch", "fast_forward", "cherry_pick",
       "add_files", "remove_orphan_files", "create_view", "drop_view",
-      "show_views", "describe_view")
+      "show_views", "describe_view", "create_materialized_view",
+      "refresh_materialized_view", "describe_materialized_view")
 
   private def param(n: String, dt: org.apache.spark.sql.types.DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -5207,6 +5217,94 @@ private[sources] object ManifestProcedures {
         new GenericInternalRow(Array[Any](v,
           fs.getFileStatus(p).getModificationTime * 1000L,
           UTF8String.fromString(d.sql))):
+          org.apache.spark.sql.catalyst.InternalRow
+      }.toArray
+      java.util.List.of[Scan](new LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+          histRows
+      }).iterator()
+    }
+
+  /** `create_materialized_view(mv, source, group_by, aggs[, filter])` —
+    * INCREMENTAL MV DDL (round 14, sources/ManifestMaterializedView
+    * .scala): `group_by` is a comma-separated key list; `aggs` is
+    * `func:expr:alias` triples (count/sum/avg — the incrementally
+    * maintainable algebra); `filter` an optional WHERE over the source.
+    * The initial build is one pinned full aggregate; every later
+    * `refresh_materialized_view` folds only the source's CHANGE FEED
+    * into the touched groups. */
+  def createMaterializedView(cat: GraftManifestCatalog): UnboundProcedure =
+    proc("create_materialized_view", Array(param("mv", StringType),
+        param("source", StringType),
+        param("group_by", StringType),
+        param("aggs", StringType),
+        paramDefault("filter", StringType, "''"))) { input =>
+      val spark = SparkSession.active
+      val mv = input.getUTF8String(0).toString
+      val source = input.getUTF8String(1).toString
+      val keys = input.getUTF8String(2).toString.split(",")
+        .map(_.trim).filter(_.nonEmpty).toSeq
+      val aggs = ManifestMaterializedView.parseAggs(
+        input.getUTF8String(3).toString)
+      val filter = input.getUTF8String(4).toString match {
+        case "" => None; case f => Some(f)
+      }
+      val d = ManifestMaterializedView.create(
+        spark, cat.name(), mv, source, filter, keys, aggs)
+      result(new StructType().add("mv", StringType)
+          .add("source_version", IntegerType)
+          .add("mv_version", IntegerType),
+        Array(UTF8String.fromString(mv), d.sourceVersion, d.mvVersion))
+    }
+
+  /** `refresh_materialized_view(mv)` — fold the source's change feed
+    * since the stored checkpoint into the MV (see
+    * ManifestMaterializedView.refresh for the crash-safety contract);
+    * a no-op when the source has not moved. */
+  def refreshMaterializedView(cat: GraftManifestCatalog): UnboundProcedure =
+    proc("refresh_materialized_view", Array(param("mv", StringType))) {
+      input =>
+      val spark = SparkSession.active
+      val mv = input.getUTF8String(0).toString
+      val d = ManifestMaterializedView.refresh(spark, cat.name(), mv)
+      result(new StructType().add("mv", StringType)
+          .add("source_version", IntegerType)
+          .add("mv_version", IntegerType),
+        Array(UTF8String.fromString(mv), d.sourceVersion, d.mvVersion))
+    }
+
+  /** `describe_materialized_view(mv)` — the checkpoint HISTORY (the
+    * describe_view twin): one row per `_MV.v<N>` with the source
+    * version the materialization was consistent with and the MV table
+    * version that carried it, newest first — the staleness audit trail
+    * (compare the newest source_version against the source's head). */
+  def describeMaterializedView(cat: GraftManifestCatalog,
+      dirFor: String => Path): UnboundProcedure =
+    proc("describe_materialized_view", Array(param("mv", StringType))) {
+      input =>
+      val name = input.getUTF8String(0).toString
+      val dir = dirFor(name)
+      val fs = dir.getFileSystem(
+        SparkSession.active.sessionState.newHadoopConf())
+      val vs = ManifestMaterializedView.versions(fs, dir).sorted.reverse
+      require(vs.nonEmpty, s"no materialized view '$name' at $dir")
+      val schema = new StructType().add("version", IntegerType)
+        .add("created_at", TimestampType).add("source", StringType)
+        .add("source_version", IntegerType).add("mv_version", IntegerType)
+        .add("definition", StringType)
+      val histRows = vs.map { v =>
+        val p = new Path(dir, s"_MV.v$v")
+        val d = ManifestMaterializedView.decode(
+          ManifestFiles.readManifest(fs, p))
+        val defn = d.groupBy.mkString("GROUP BY ", ", ", "") + "; " +
+          d.aggs.map(a => s"${a.func}(${a.expr}) AS ${a.alias}")
+            .mkString(", ") +
+          d.filterSql.map(f => s"; WHERE $f").getOrElse("")
+        new GenericInternalRow(Array[Any](v,
+          fs.getFileStatus(p).getModificationTime * 1000L,
+          UTF8String.fromString(d.source), d.sourceVersion, d.mvVersion,
+          UTF8String.fromString(defn))):
           org.apache.spark.sql.catalyst.InternalRow
       }.toArray
       java.util.List.of[Scan](new LocalScan {

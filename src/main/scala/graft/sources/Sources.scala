@@ -1908,6 +1908,149 @@ object Sources extends QueryModule {
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
       FROM orders GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** INCREMENTAL MATERIALIZED VIEW end to end (round 14 —
+    * sources/ManifestMaterializedView.scala, the capstone over governed
+    * views + the change feed): a filtered revenue rollup materializes
+    * over a governed orders slice, then the source takes an append, a
+    * takedown (MOR delete vectors), and a re-pricing CDC upsert whose
+    * +5000 moves rows ACROSS the MV's `o_totalprice > 1000` filter; ONE
+    * `refresh_materialized_view` folds the change feed into the touched
+    * groups (never rescanning the source), and the MV read hash-matches
+    * the oracle recomputing the definition over the replayed final
+    * state. Exactness is structural: fractional sums accumulate in
+    * decimals (never floats), so incremental ≡ direct recompute
+    * bit-for-bit; avg derives as one double division of exact operands;
+    * min/max fold inserts and recompute ONLY the groups whose extremum
+    * retracted (the takedown here forces that path; the +5000 upserts
+    * exercise the pure greatest() fold).
+    * The reference has no MV machinery (2.1 views are definitions
+    * only); at 100 TB the refresh prices the DIFF — a takedown lands as
+    * KB-scale delete metadata and the MV follows at feed cost. */
+  val qMaterializedView: QueryDef = QueryDef(
+    "q263_materialized_view",
+    (s, d) => {
+      import s.implicits._
+      val root = tmp(d, "mv")
+      val dir = new org.apache.hadoop.fs.Path(root)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      val cat = "graft_mvq_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE TABLE $cat.ord (o_orderkey BIGINT, o_custkey BIGINT, " +
+        "o_orderstatus STRING, o_orderpriority STRING, o_totalprice DOUBLE) " +
+        "TBLPROPERTIES('delete.mode'='merge-on-read')")
+      val src = Tables.df(s, d, "orders").select($"o_orderkey", $"o_custkey",
+        $"o_orderstatus", $"o_orderpriority", $"o_totalprice")
+      src.filter(pmod($"o_orderkey", lit(3)) === 0)
+        .writeTo(s"$cat.ord").append()                            // v2
+      s.sql(s"CALL $cat.system.create_materialized_view('rev', 'ord', " +
+        "'o_orderstatus,o_orderpriority', " +
+        "'count:*:n_orders," +
+        "count:CASE WHEN o_custkey % 5 = 0 THEN o_custkey END:n_c5," +
+        "sum:floor(o_totalprice):f_total,avg:o_totalprice:avg_price," +
+        "min:o_totalprice:min_price,max:o_totalprice:max_price', " +
+        "'o_totalprice > 1000')")
+      src.filter(pmod($"o_orderkey", lit(3)) === 1)
+        .writeTo(s"$cat.ord").append()                            // v3
+      s.sql(s"DELETE FROM $cat.ord WHERE o_custkey % 7 = 2")      // v4
+      src.filter(pmod($"o_orderkey", lit(3)) < 2 &&
+          pmod($"o_custkey", lit(7)) =!= 2 &&
+          pmod($"o_orderkey", lit(50)) === 0)
+        .withColumn("o_totalprice", $"o_totalprice" + 5000.0)
+        .write.mode("append").format("graft-manifest")
+        .option("path", s"$root/ord")
+        .option("upsertKeys", "o_orderkey").save()                // v5
+      s.sql(s"CALL $cat.system.refresh_materialized_view('rev')")
+      ManifestMaterializedView.read(s, cat, "rev")
+        .orderBy($"o_orderstatus", $"o_orderpriority")
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+               o_totalprice
+        FROM orders WHERE o_orderkey % 3 IN (0, 1)),
+      survived AS (SELECT * FROM base WHERE o_custkey % 7 <> 2),
+      final AS (
+        SELECT o_orderstatus, o_orderpriority, o_custkey,
+               CASE WHEN o_orderkey % 50 = 0 THEN o_totalprice + 5000
+                    ELSE o_totalprice END AS o_totalprice
+        FROM survived)
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(COUNT(CASE WHEN o_custkey % 5 = 0 THEN o_custkey END)
+                  AS BIGINT) AS n_c5,
+             CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT)
+               AS f_total,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(o_totalprice) AS avg_price,
+             MIN(o_totalprice) AS min_price,
+             MAX(o_totalprice) AS max_price
+      FROM final WHERE o_totalprice > 1000
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** TRANSPARENT MV REWRITING end to end (round 14 —
+    * plans/MvRewrite.scala, injected via GraftExtensions): a plain SQL
+    * aggregate over the governed source silently answers from the
+    * exactly-fresh materialized view — the classic OLAP acceleration,
+    * absent from the 2.1 reference. The entry REQUIRES the optimized
+    * plan to scan the MV (so the hash rides the rewritten path), limits
+    * itself to the drift-free aggregate family (count / min / max /
+    * integral sum — bit-identical by construction), and hash-matches
+    * the oracle recomputing the same aggregate from the source rows.
+    * The source then takes one more commit and the entry REQUIRES the
+    * rewrite to stop (staleness gate) with the re-run still matching —
+    * both the acceleration and its soundness guard ride the hash. */
+  val qMvRewrite: QueryDef = QueryDef(
+    "q264_mv_rewrite",
+    (s, d) => {
+      import s.implicits._
+      val root = tmp(d, "mv_rewrite")
+      val dir = new org.apache.hadoop.fs.Path(root)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      val cat = "graft_mvrw_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE TABLE $cat.li (l_orderkey BIGINT, l_returnflag STRING, " +
+        "l_linestatus STRING, l_quantity DOUBLE, l_linenumber BIGINT)")
+      Tables.df(s, d, "lineitem").select($"l_orderkey", $"l_returnflag",
+        $"l_linestatus", $"l_quantity", $"l_linenumber".cast("long"))
+        .writeTo(s"$cat.li").append()
+      s.sql(s"CALL $cat.system.create_materialized_view('li_mv', 'li', " +
+        "'l_returnflag,l_linestatus', " +
+        "'count:*:n,sum:l_linenumber:sln,min:l_quantity:mnq,max:l_quantity:mxq')")
+      val q = s"SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+        "sum(l_linenumber) AS sln, min(l_quantity) AS mnq, " +
+        s"max(l_quantity) AS mxq FROM $cat.li " +
+        "GROUP BY l_returnflag, l_linestatus"
+      val accelerated = s.sql(q)
+      require(accelerated.queryExecution.optimizedPlan.toString
+          .contains(".li_mv"),
+        "the aggregate must answer from the materialized view:\n" +
+          accelerated.queryExecution.optimizedPlan.toString)
+      val viaMv = accelerated.orderBy($"l_returnflag", $"l_linestatus").collect()
+      // one more source commit: the MV is stale now — the rewrite MUST
+      // stop, and the direct plan must agree with the accelerated one on
+      // the rows both can see
+      Seq((-1L, "Z", "Z", 1.0, 1L))
+        .toDF("l_orderkey", "l_returnflag", "l_linestatus", "l_quantity",
+          "l_linenumber")
+        .writeTo(s"$cat.li").append()
+      val direct = s.sql(q)
+      require(!direct.queryExecution.optimizedPlan.toString
+          .contains(".li_mv"),
+        "a stale MV must never answer a current-head aggregate")
+      val fromSource = direct.filter($"l_returnflag" =!= "Z")
+        .orderBy($"l_returnflag", $"l_linestatus").collect()
+      require(viaMv.sameElements(fromSource),
+        "accelerated and direct answers must be identical")
+      accelerated.orderBy($"l_returnflag", $"l_linestatus")
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sln,
+             MIN(l_quantity) AS mnq, MAX(l_quantity) AS mxq
+      FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   override def defs: Seq[QueryDef] =
     Seq(qCsv, qJson, qOrc, qText, qPartitioned, qSynthSource, qSynthColumnar,
       qSchemaEvolution, qManifestTimeTravel, qManifestMerge, qManifestStream,
@@ -1918,5 +2061,5 @@ object Sources extends QueryModule {
       qCdfIndexMaint, qBloomProbe, qScopedCompact, qColumnDefaults,
       qSortOrder, qAddFiles, qUpsert, qCdfUpsertMaint, qReplaceTable,
       qWidened, qCdfImages, qAnnIndex, qHoursRetention, qCappedStream,
-      qGovernedView)
+      qGovernedView, qMaterializedView, qMvRewrite)
 }

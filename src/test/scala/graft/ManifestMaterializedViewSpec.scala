@@ -1,0 +1,291 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+
+/** INCREMENTAL MATERIALIZED VIEWS (round 14): the MV is a governed
+  * manifest table + an `_MV.v<N>` definition/checkpoint chain; refresh
+  * folds the source's CHANGE FEED into the touched groups only. The
+  * invariant under test everywhere: after any mutation sequence and any
+  * refresh/replay schedule, `read(mv)` equals a DIRECT recompute of the
+  * definition over the source's current state — bit-identical, because
+  * fractional sums accumulate in decimals, never floats. */
+class ManifestMaterializedViewSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.local(4)
+
+  private def tmpDir() =
+    java.nio.file.Files.createTempDirectory("graft_mv").toString
+
+  private def register(root: String): String = {
+    val cat = "graft_mv_" + math.abs(root.hashCode).toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    cat
+  }
+
+  private def fsOf(dir: Path) =
+    dir.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Direct recompute of the MV definition over the source's CURRENT
+    * state — the oracle every test compares against. Uses the same
+    * exact-decimal sum idiom as the MV storage, so doubles compare
+    * bit-identically. */
+  private def direct(cat: String, source: String, filter: Option[String],
+      keys: Seq[String], sel: String): DataFrame = {
+    val where = filter.map(f => s"WHERE $f").getOrElse("")
+    spark.sql(s"SELECT ${keys.mkString(", ")}, $sel FROM $cat.$source " +
+      s"$where GROUP BY ${keys.mkString(", ")}")
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def seedSource(cat: String): Unit = {
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.src (k BIGINT, grp STRING, sub STRING, " +
+      "v DOUBLE, w BIGINT) TBLPROPERTIES('delete.mode'='merge-on-read')")
+    (1L to 400L).map(i => (i, s"g${i % 5}", s"s${i % 3}",
+        i * 1.25 + (i % 7) * 0.01, if (i % 4 == 0) null else s"${i % 11}"))
+      .toDF("k", "grp", "sub", "v", "ws")
+      .select($"k", $"grp", $"sub", $"v",
+        $"ws".cast("long").as("w"))
+      .writeTo(s"$cat.src").append() // v2
+  }
+
+  private val aggSel =
+    """CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(w) AS BIGINT) AS nw,
+       CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+       CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(v) AS av,
+       CAST(SUM(w) AS BIGINT) AS sw""".replaceAll("\\s+", " ")
+
+  private val aggSpecs = "count:*:n,count:w:nw,sum:v:sv,avg:v:av,sum:w:sw"
+
+  private def readMv(cat: String, mv: String): DataFrame = {
+    // sum(long) surfaces null when a group has only null inputs; the
+    // direct oracle's SUM(w) does the same — but the MV's sw is
+    // when(nn>0) guarded, so align the null semantics via the guard
+    ManifestMaterializedView.read(spark, cat, mv)
+  }
+
+  private def assertMatches(cat: String, mv: String,
+      filter: Option[String]): Unit = {
+    val got = sortedRows(readMv(cat, mv))
+    val want = sortedRows(direct(cat, "src", filter, Seq("grp"), aggSel))
+    assert(got == want, s"MV drifted from direct recompute:\n" +
+      s"got  ${got.take(5).mkString(" | ")}\n" +
+      s"want ${want.take(5).mkString(" | ")}")
+  }
+
+  test("create materializes a pinned full aggregate; read derives " +
+    "count/sum/avg exactly; describe reports the checkpoint") {
+    seedSourceIn { (cat, filter) =>
+      ManifestMaterializedView.create(spark, cat, "mv", "src",
+        filter, Seq("grp"), ManifestMaterializedView.parseAggs(aggSpecs))
+      assertMatches(cat, "mv", filter)
+      val hist = spark.sql(
+        s"CALL $cat.system.describe_materialized_view('mv')").collect()
+      assert(hist.length == 1)
+      assert(hist.head.getAs[String]("source") == "src")
+      assert(hist.head.getAs[Int]("source_version") == 2)
+      // commits racing the build pinned OUT: checkpoint says v2 exactly
+      assert(hist.head.getAs[Int]("mv_version") == 2) // CREATE + append
+    }
+  }
+
+  test("append-only refresh folds the feed into touched groups; a " +
+    "source append moves ONLY diff-sized data; no-op refresh does not " +
+    "commit") {
+    import spark.implicits._
+    seedSourceIn { (cat, filter) =>
+      ManifestMaterializedView.create(spark, cat, "mv", "src",
+        filter, Seq("grp"), ManifestMaterializedView.parseAggs(aggSpecs))
+      // touch only groups g0/g1 (k multiples of 5 → grp g0; 401 → g1)
+      Seq((500L, "g0", "s1", 7.5, Option(3L)), (401L, "g1", "s2", 2.25, None))
+        .toDF("k", "grp", "sub", "v", "w").writeTo(s"$cat.src").append()
+      val d = ManifestMaterializedView.refresh(spark, cat, "mv")
+      assert(d.sourceVersion == 3)
+      assertMatches(cat, "mv", filter)
+      // no-op: source unmoved → same checkpoint object, no new _MV claim
+      val mvDir = new Path(spark.conf.get(s"spark.sql.catalog.$cat.root"), "mv")
+      val before = ManifestMaterializedView.versions(fsOf(mvDir), mvDir).max
+      val d2 = ManifestMaterializedView.refresh(spark, cat, "mv")
+      assert(d2 == d)
+      assert(ManifestMaterializedView.versions(fsOf(mvDir), mvDir).max == before)
+    }
+  }
+
+  test("a takedown that erases entire groups vanishes their MV rows " +
+    "(multi-key tuple-IN delete path) and the survivors stay exact") {
+    seedSourceIn { (cat, filter) =>
+      // multi-key MV exercises the (k1, k2) IN (...) vanish delete
+      ManifestMaterializedView.create(spark, cat, "mv2", "src",
+        filter, Seq("grp", "sub"), ManifestMaterializedView.parseAggs(aggSpecs))
+      spark.sql(s"DELETE FROM $cat.src WHERE grp = 'g2'") // whole groups
+      spark.sql(s"DELETE FROM $cat.src WHERE k % 50 = 1") // partial dents
+      ManifestMaterializedView.refresh(spark, cat, "mv2")
+      val got = sortedRows(readMv(cat, "mv2"))
+      val want = sortedRows(direct(cat, "src", filter, Seq("grp", "sub"), aggSel))
+      assert(got == want)
+      assert(!readMv(cat, "mv2").collect().exists(_.getString(0) == "g2"),
+        "vanished groups must be DELETED from the MV, not zeroed")
+    }
+  }
+
+  test("CDC upserts propagate: old-value delete legs retract, new " +
+    "values fold in — including rows crossing the MV filter") {
+    import spark.implicits._
+    seedSourceIn { (cat, filter) =>
+      ManifestMaterializedView.create(spark, cat, "mv", "src",
+        filter, Seq("grp"), ManifestMaterializedView.parseAggs(aggSpecs))
+      // k=2 had v=2.52 (fails v > 3 filter) → now passes; k=100 passes
+      // → re-priced; k=7 passes → drops BELOW the filter
+      Seq((2L, "g2", "s2", 9.75, Option(1L)),
+          (100L, "g0", "s1", 500.5, None),
+          (7L, "g2", "s1", 0.25, Option(2L)))
+        .toDF("k", "grp", "sub", "v", "w")
+        .write.mode("append").format("graft-manifest")
+        .option("path", spark.conf.get(s"spark.sql.catalog.$cat.root") + "/src")
+        .option("upsertKeys", "k").save()
+      ManifestMaterializedView.refresh(spark, cat, "mv")
+      assertMatches(cat, "mv", filter)
+    }
+  }
+
+  test("crash replay converges: a refresh whose checkpoint publish " +
+    "never landed re-applies from the PINNED pre-state and the rows " +
+    "come out identical") {
+    import spark.implicits._
+    seedSourceIn { (cat, filter) =>
+      ManifestMaterializedView.create(spark, cat, "mv", "src",
+        filter, Seq("grp"), ManifestMaterializedView.parseAggs(aggSpecs))
+      Seq((601L, "g1", "s0", 44.5, Option(9L))).toDF("k", "grp", "sub", "v", "w")
+        .writeTo(s"$cat.src").append()
+      spark.sql(s"DELETE FROM $cat.src WHERE grp = 'g3' AND k % 2 = 0")
+      ManifestMaterializedView.refresh(spark, cat, "mv")
+      // simulate the crash: the data commits landed, the checkpoint
+      // claim did not — delete the newest _MV version
+      val mvDir = new Path(spark.conf.get(s"spark.sql.catalog.$cat.root"), "mv")
+      val fs = fsOf(mvDir)
+      val v = ManifestMaterializedView.versions(fs, mvDir).max
+      assert(v == 2)
+      fs.delete(new Path(mvDir, s"_MV.v$v"), false)
+      // the replayed refresh reads the OLD checkpoint and must converge
+      val d = ManifestMaterializedView.refresh(spark, cat, "mv")
+      assert(d.sourceVersion == 4)
+      assertMatches(cat, "mv", filter)
+    }
+  }
+
+  test("streaming refresh: the change feed schedules refreshes; a fresh " +
+    "stream checkpoint cannot double-apply (exactly-once rides the _MV " +
+    "chain, not the stream)") {
+    import spark.implicits._
+    seedSourceIn { (cat, filter) =>
+      ManifestMaterializedView.create(spark, cat, "mv", "src",
+        filter, Seq("grp"), ManifestMaterializedView.parseAggs(aggSpecs))
+      Seq((700L, "g0", "s0", 12.0, Option(4L))).toDF("k", "grp", "sub", "v", "w")
+        .writeTo(s"$cat.src").append()
+      spark.sql(s"DELETE FROM $cat.src WHERE k % 90 = 3")
+      val ck1 = tmpDir()
+      val q1 = ManifestMaterializedView.refreshStream(spark, cat, "mv", ck1)
+      try q1.awaitTermination(120000) finally q1.stop()
+      assertMatches(cat, "mv", filter)
+      // a SECOND stream with a FRESH checkpoint replays the whole feed;
+      // every refresh it triggers is a no-op (checkpoint already at head)
+      val ck2 = tmpDir()
+      val q2 = ManifestMaterializedView.refreshStream(spark, cat, "mv", ck2)
+      try q2.awaitTermination(120000) finally q2.stop()
+      assertMatches(cat, "mv", filter)
+    }
+  }
+
+  test("min/max maintain incrementally: inserts fold via least/greatest " +
+    "(no source scan), extremal retractions recompute ONLY the touched " +
+    "groups, interior deletes skip the recompute, full-group takedowns " +
+    "vanish through the recompute-dead path") {
+    import spark.implicits._
+    seedSourceIn { (cat, filter) =>
+      val aggs = "count:*:n,min:v:mn,max:v:mx,max:w:mw"
+      val sel = """CAST(COUNT(*) AS BIGINT) AS n, MIN(v) AS mn,
+                   MAX(v) AS mx, MAX(w) AS mw""".replaceAll("\\s+", " ")
+      ManifestMaterializedView.create(spark, cat, "mm", "src",
+        filter, Seq("grp"), ManifestMaterializedView.parseAggs(aggs))
+      def check(): Unit = {
+        val got = sortedRows(ManifestMaterializedView.read(spark, cat, "mm"))
+        val want = sortedRows(direct(cat, "src", filter, Seq("grp"), sel))
+        assert(got == want)
+      }
+      check()
+      // append extends g0's max — pure fold, no recompute
+      Seq((1000L, "g0", "s0", 9999.0, Option(99L)))
+        .toDF("k", "grp", "sub", "v", "w").writeTo(s"$cat.src").append()
+      ManifestMaterializedView.refresh(spark, cat, "mm"); check()
+      // interior delete (never the group extremum at either end)
+      spark.sql(s"DELETE FROM $cat.src WHERE k = 102") // g2 interior value
+      ManifestMaterializedView.refresh(spark, cat, "mm"); check()
+      // extremal retraction: the appended 9999 max goes away → recompute
+      spark.sql(s"DELETE FROM $cat.src WHERE k = 1000")
+      ManifestMaterializedView.refresh(spark, cat, "mm"); check()
+      // upsert REPLACES a group's max with a smaller value (retract+insert)
+      val top = spark.sql(s"SELECT k FROM $cat.src WHERE grp = 'g1' " +
+        "ORDER BY v DESC LIMIT 1").collect().head.getLong(0)
+      Seq((top, "g1", "s0", 50.0, Option(1L)))
+        .toDF("k", "grp", "sub", "v", "w")
+        .write.mode("append").format("graft-manifest")
+        .option("path", spark.conf.get(s"spark.sql.catalog.$cat.root") + "/src")
+        .option("upsertKeys", "k").save()
+      ManifestMaterializedView.refresh(spark, cat, "mm"); check()
+      // full-group takedown: g4 vanishes via the recompute-dead path
+      spark.sql(s"DELETE FROM $cat.src WHERE grp = 'g4'")
+      ManifestMaterializedView.refresh(spark, cat, "mm"); check()
+      assert(!ManifestMaterializedView.read(spark, cat, "mm")
+        .collect().exists(_.getString(0) == "g4"))
+    }
+  }
+
+  test("guardrails: unknown aggs rejected, non-primitive keys rejected, " +
+    "duplicate aliases rejected, CALL surface round-trips") {
+    val root = tmpDir()
+    val cat = register(root)
+    seedSource(cat)
+    intercept[IllegalArgumentException] {
+      ManifestMaterializedView.parseAggs("median:v:mv")
+    }
+    intercept[IllegalArgumentException] {
+      ManifestMaterializedView.create(spark, cat, "mvx", "src", None,
+        Seq("grp"), ManifestMaterializedView.parseAggs("sum:v:a,avg:v:a"))
+    }
+    // array key: build a source with one, expect the key-type guard
+    spark.sql(s"CREATE TABLE $cat.arr (ks ARRAY<BIGINT>, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.arr VALUES (array(1,2), 10)")
+    val e = intercept[IllegalArgumentException] {
+      ManifestMaterializedView.create(spark, cat, "mvy", "arr", None,
+        Seq("ks"), ManifestMaterializedView.parseAggs("sum:v:sv"))
+    }
+    assert(e.getMessage.contains("exact-equality"))
+    // the CALL surface end to end
+    spark.sql(s"CALL $cat.system.create_materialized_view('mvz', 'src', " +
+      s"'grp', 'count:*:n,sum:v:sv', 'v > 3')")
+    spark.sql(s"CALL $cat.system.refresh_materialized_view('mvz')")
+    val got = sortedRows(ManifestMaterializedView.read(spark, cat, "mvz"))
+    val want = sortedRows(direct(cat, "src", Some("v > 3"), Seq("grp"),
+      "CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sv"))
+    assert(got == want)
+  }
+
+  /** Fixture: fresh root + catalog + seeded source; runs the body with
+    * the MV filter every test shares (`v > 3` keeps some rows of every
+    * group out, so filters are live in every path). */
+  private def seedSourceIn(body: (String, Option[String]) => Unit): Unit = {
+    val root = tmpDir()
+    val cat = register(root)
+    seedSource(cat)
+    body(cat, Some("v > 3"))
+  }
+}
