@@ -138,6 +138,14 @@ object ManifestChangeFeed {
     var prevLines = linesAt(from)
     var prevNames = ManifestFiles.entriesFromLines(prevLines).map(_._1).toSet
     var prevDels = delsOf(prevLines)
+    // ROW LINEAGE riders (immutable per file while listed): insert legs
+    // resolve against the commit's own snapshot, delete legs against the
+    // predecessor — so a feed consumer sees each leg's `_row_id` exactly
+    // as a reader of that snapshot would
+    def ridsOf(lines: Array[String]): (Map[String, Long], Set[String]) =
+      (ManifestFiles.firstRowFromLines(lines),
+        ManifestFiles.ridColFromLines(lines))
+    var prevRids = ridsOf(prevLines)
     var v = from + 1
     // FULL-HISTORY feeds (from = 0) on a vacuumed table: the history
     // below the oldest retained version is observable only as that
@@ -200,9 +208,15 @@ object ManifestChangeFeed {
           newEqSets.head.keyTypes, newEqSets.flatMap(_.tuples).toArray))
       val ts = fs.getFileStatus(new Path(dir, s"_MANIFEST.v$v"))
         .getModificationTime * 1000L
+      val curRids = ridsOf(curLines)
+      def ridArgs(n: String, of: (Map[String, Long], Set[String])):
+          (Long, Boolean) =
+        (of._1.getOrElse(n, -1L), of._2.contains(n))
       (curNames -- prevNames).toSeq.sorted.foreach { n =>
+        val (fr, rc) = ridArgs(n, curRids)
         out += ManifestChangePartition(new Path(dir, n).toString, n,
-          "insert", v, curDels.getOrElse(n, Array.empty), Array.empty, ts)
+          "insert", v, curDels.getOrElse(n, Array.empty), Array.empty, ts,
+          firstRow = fr, ridCol = rc)
       }
       (prevNames -- curNames).toSeq.sorted.foreach { n =>
         if (!fs.exists(new Path(dir, n))) throw new IllegalStateException(
@@ -210,28 +224,34 @@ object ManifestChangeFeed {
             s"version $v and its bytes were vacuumed — the change feed " +
             "for this range is unavailable; widen retention or restart " +
             "downstream from a full snapshot")
+        val (fr, rc) = ridArgs(n, prevRids)
         out += ManifestChangePartition(new Path(dir, n).toString, n,
           "delete", v, prevDels.getOrElse(n, Array.empty), Array.empty, ts,
-          skipEqs = prevEqApplicable.getOrElse(n, Seq.empty))
+          skipEqs = prevEqApplicable.getOrElse(n, Seq.empty),
+          firstRow = fr, ridCol = rc)
       }
       (curNames & prevNames).toSeq.sorted.foreach { n =>
         val fresh = curDels.getOrElse(n, Array.empty)
           .diff(prevDels.getOrElse(n, Array.empty))
-        if (fresh.nonEmpty)
+        if (fresh.nonEmpty) {
+          val (fr, rc) = ridArgs(n, prevRids)
           out += ManifestChangePartition(new Path(dir, n).toString, n,
-            "delete", v, Array.empty, fresh, ts)
+            "delete", v, Array.empty, fresh, ts, firstRow = fr, ridCol = rc)
+        }
       }
       mergedNew.foreach { st =>
         val bornCur = ManifestFiles.bornFromLines(curLines)
         (curNames & prevNames).toSeq.sorted
           .filter(n => bornCur.getOrElse(n, 0) < v).foreach { n =>
+            val (fr, rc) = ridArgs(n, prevRids)
             out += ManifestChangePartition(new Path(dir, n).toString, n,
               "delete", v, prevDels.getOrElse(n, Array.empty), Array.empty,
               ts, skipEqs = prevEqApplicable.getOrElse(n, Seq.empty),
-              keepEq = Some(st))
+              keepEq = Some(st), firstRow = fr, ridCol = rc)
           }
       }
       prevLines = curLines; prevNames = curNames; prevDels = curDels
+      prevRids = curRids
       v += 1
     }
     out.result()
@@ -325,7 +345,10 @@ private[sources] case class ManifestChangePartition(file: String,
     // equality-delete legs: emit ONLY rows matching `keepEq` (the new
     // delete set), after hiding rows `skipEqs` already deleted
     keepEq: Option[ManifestEqDeletes.EqSet] = None,
-    skipEqs: Seq[ManifestEqDeletes.EqSet] = Seq.empty)
+    skipEqs: Seq[ManifestEqDeletes.EqSet] = Seq.empty,
+    // row lineage: the file's first row id / materialized-`_rid` marker
+    // AT THIS LEG'S snapshot, so feed rows surface their `_row_id`
+    firstRow: Long = -1L, ridCol: Boolean = false)
     extends InputPartition
 
 private[sources] class ManifestChangeFeedScan(path: String, from: Int,
@@ -467,7 +490,11 @@ private[sources] class ManifestChangeReaderFactory(fullSchema: StructType,
       new ManifestEqDeletes.Probe(Seq(st), innerReq)).orNull
     val inner = new ManifestReaderFactory(fullSchema, innerReq, conf,
       columnar = false, maxPhysArity = maxPhysArity, defaults = defaults,
-      imports = imports)
+      imports = imports,
+      rowIds =
+        if (part.firstRow >= 0 || part.ridCol)
+          Map(part.name -> (part.firstRow, part.ridCol))
+        else Map.empty)
       .createReader(ManifestInputPartition(part.file, part.name,
         part.skipOrdinals))
     val posIdx = innerReq.fieldNames.indexOf("_pos")

@@ -109,7 +109,7 @@ private[sources] object ManifestChecks {
       schema: StructType): DataWriter[InternalRow] =
     if (checks.isEmpty) inner
     else new DataWriter[InternalRow] {
-      override def write(row: InternalRow): Unit = {
+      private def check(row: InternalRow): Unit = {
         var i = 0
         while (i < checks.length) {
           val (name, text, expr) = checks(i)
@@ -124,7 +124,16 @@ private[sources] object ManifestChecks {
           }
           i += 1
         }
+      }
+      override def write(row: InternalRow): Unit = {
+        check(row)
         inner.write(row)
+      }
+      // COW metadata channel (row lineage): forward the metadata row —
+      // the interface's 1-arg default would silently drop carried ids
+      override def write(meta: InternalRow, row: InternalRow): Unit = {
+        check(row)
+        inner.write(meta, row)
       }
       override def commit(): WriterCommitMessage = inner.commit()
       override def abort(): Unit = inner.abort()

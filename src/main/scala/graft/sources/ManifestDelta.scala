@@ -112,9 +112,11 @@ private[sources] class ManifestDeltaBatchWrite(path: String, queryId: String,
       fin
     }
     val fresh = messages.flatMap { case DeltaCommitted(data, del, _) =>
-      data.toSeq.flatMap { case FileCommitted(tmp, rows, bytes, stats, _, _, nested) =>
-        val fin = land(tmp)
-        Seq(s"$fin,$rows", ManifestFiles.statsLine(fin, bytes, stats, nested))
+      data.toSeq.flatMap { (m: FileCommitted) =>
+        val fin = land(m.name)
+        Seq(s"$fin,${m.rows}",
+          ManifestFiles.statsLine(fin, m.bytes, m.stats, m.nestedStats)) ++
+          (if (m.ndv.nonEmpty) Seq(ManifestNdv.line(fin, m.ndv)) else Nil)
       } ++ del.map(d => s"#dels,${land(d)}")
     }
     // Data files the staged delete vectors point INTO (the Iceberg

@@ -87,9 +87,14 @@ private[sources] object ManifestParquet {
     * storage layout of manifest data files is the FORMAT's contract, not
     * the writing session's (and a session conf copied into the Hadoop
     * conf as the literal string "null" would crash `.toBoolean`). */
-  private def writerConf(base: Configuration, schema: StructType): Configuration = {
+  private def writerConf(base: Configuration, schema: StructType,
+      withRid: Boolean = false): Configuration = {
     val conf = new Configuration(base)
-    ParquetWriteSupport.setSchema(storedSchema(schema), conf)
+    val stored =
+      if (!withRid) storedSchema(schema)
+      else StructType(storedSchema(schema).fields :+
+        StructField(RidColName, LongType, nullable = true))
+    ParquetWriteSupport.setSchema(stored, conf)
     conf.set("spark.sql.parquet.writeLegacyFormat", "false")
     conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
@@ -121,8 +126,12 @@ private[sources] object ManifestParquet {
     * bloom columns (see [[setBloomCols]]) get a chunk-level bloom
     * filter, the point-lookup complement of min/max stats. */
   def createWriter(file: Path, schema: StructType,
-      base: Configuration): org.apache.parquet.hadoop.ParquetWriter[InternalRow] = {
-    val conf = writerConf(base, schema)
+      base: Configuration,
+      // row lineage: rewrite files append the materialized `_rid` long
+      // column (rows arrive with the carried id LAST, after the data
+      // columns — NULL for rewrite-inserted rows)
+      withRid: Boolean = false): org.apache.parquet.hadoop.ParquetWriter[InternalRow] = {
+    val conf = writerConf(base, schema, withRid)
     var b = new RowWriterBuilder(
         org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(file, conf))
       .withConf(conf)
@@ -342,10 +351,16 @@ private[sources] object ManifestParquet {
       // without rewrite): physical position → the file's OWN field name,
       // recorded at import time. Positions absent from the map (columns
       // added after the import) keep their positional name and null-fill.
-      importedNames: Map[Int, String] = Map.empty):
+      importedNames: Map[Int, String] = Map.empty,
+      // ROW LINEAGE: `#ridcol` files additionally project their
+      // materialized `_rid` column (a RESERVED literal name — positional
+      // `c<pos>` names can never collide with it)
+      ridCol: Boolean = false):
       (VectorizedParquetRecordReader, Array[Int]) = {
     val dataFields = required.fields
-      .filter(f => f.name != "_file" && f.name != "_pos")
+      .filter(f => f.name != "_file" && f.name != "_pos" &&
+        f.name != "_row_id")
+    val wantRid = ridCol && required.fieldNames.contains("_row_id")
     // Positional nested names come from the field's index in the TABLE
     // schema, not the (possibly nested-pruned) required struct — a
     // pruned struct<b> of a table struct<a,b> must request c1, not c0.
@@ -370,7 +385,8 @@ private[sources] object ManifestParquet {
         storedRequested(f.dataType,
           fullSchema(fullSchema.fieldIndex(f.name)).dataType),
         nullable = true)
-    })
+    } ++ (if (wantRid) Seq(StructField(RidColName, LongType, nullable = true))
+          else Seq.empty))
     def confFor(withFilter: Boolean): Configuration = {
       val conf = readerConf(base, requested)
       // imported files: row-group pushdown stays OFF — the translated
@@ -418,30 +434,50 @@ private[sources] object ManifestParquet {
           open(confFor(withFilter = false))._1
       }
     // Batch column j of the reader ↔ output position outMap.indexOf(j):
-    // reader columns are the data fields in `required` order, then _file;
-    // -2 marks `_pos` (computed by the wrapping reader, no batch column).
+    // reader columns are the data fields in `required` order, then the
+    // `_rid` column when requested, then the `_file` constant; -2 marks
+    // `_pos` and -3 marks `_row_id` (computed by the wrapping reader —
+    // for -3 with a rid batch column, coalesced against it).
     var di = 0
     val outMap = required.fields.map { f =>
-      if (f.name == "_file") dataFields.length
+      if (f.name == "_file") dataFields.length + (if (wantRid) 1 else 0)
       else if (f.name == "_pos") -2
+      else if (f.name == "_row_id") -3
       else { val j = di; di += 1; j }
     }
     (reader, outMap)
   }
 
+  /** Reserved stored name of the materialized row-id column rewrite
+    * files carry (row lineage). Never collides with positional `c<pos>`
+    * data names. */
+  val RidColName = "_rid"
+
   def rowReader(part: ManifestInputPartition, fullSchema: StructType,
       required: StructType, conf: SerializableHadoopConf,
       filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-      importedNames: Map[Int, String] = Map.empty):
+      importedNames: Map[Int, String] = Map.empty,
+      // ROW LINEAGE: the file's assigned first row id (-1 = none) and
+      // whether it carries a materialized `_rid` column
+      firstRow: Long = -1L, ridCol: Boolean = false):
       PartitionReader[InternalRow] = {
-    // `_pos` and merge-on-read deletes need FILE-ABSOLUTE ordinals, so
-    // row-group skipping (which hides whole position ranges) must stay
-    // off for those reads
+    // `_pos`, `_row_id` (= first + position, even under a materialized
+    // coalesce) and merge-on-read deletes need FILE-ABSOLUTE ordinals,
+    // so row-group skipping (which hides whole position ranges) must
+    // stay off for those reads
     val needOrdinals =
-      required.fieldNames.contains("_pos") || part.deletes.nonEmpty
+      required.fieldNames.contains("_pos") ||
+        required.fieldNames.contains("_row_id") || part.deletes.nonEmpty
     val (reader, outMap) = openVectorized(part, fullSchema, required,
       conf.value, 4096, if (needOrdinals) Array.empty else filters,
-      importedNames)
+      importedNames, ridCol = ridCol)
+    // batch index of the materialized `_rid` column (right after the
+    // data fields) when this file carries one and `_row_id` is requested
+    val ridIdx =
+      if (ridCol && required.fieldNames.contains("_row_id"))
+        required.fields.count(f => f.name != "_file" && f.name != "_pos" &&
+          f.name != "_row_id")
+      else -1
     val identity = outMap.sameElements(outMap.indices)
     val types = required.fields.map(_.dataType)
     new PartitionReader[InternalRow] {
@@ -456,6 +492,10 @@ private[sources] object ManifestParquet {
         }
         false
       }
+      private def rowId(row: InternalRow): Any =
+        if (ridIdx >= 0 && !row.isNullAt(ridIdx)) row.getLong(ridIdx)
+        else if (firstRow >= 0) firstRow + ordinal
+        else null
       override def get(): InternalRow = {
         val row = reader.getCurrentValue.asInstanceOf[InternalRow]
         if (identity) row
@@ -465,6 +505,7 @@ private[sources] object ManifestParquet {
           while (i < outMap.length) {
             out.update(i,
               if (outMap(i) == -2) ordinal
+              else if (outMap(i) == -3) rowId(row)
               else if (row.isNullAt(outMap(i))) null
               else row.get(outMap(i), types(i)))
             i += 1

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, MetadataBuilder, ShortType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Custom DataSource V2 WRITE path with the two-phase commit protocol
@@ -59,8 +59,11 @@ private[sources] object ManifestSink {
     if (line.startsWith("#stats,")) line.split(",", 4).lift(1)
     else if (line.startsWith("#bucket,") || line.startsWith("#sorted,"))
       line.split(",", 3).lift(1) // drop layout marks with their entry
-    else if (line.startsWith("#import,") || line.startsWith("#born,"))
-      line.split(",", 3).lift(1) // name maps / birth marks ride their file
+    else if (line.startsWith("#import,") || line.startsWith("#born,") ||
+        line.startsWith("#ndv,") || line.startsWith("#firstrow,") ||
+        line.startsWith("#ridcol,"))
+      line.split(",", 3).lift(1) // name maps / birth marks / sketches /
+                                 // row-id riders travel with their file
     else if (line.startsWith("#")) None
     else Some(line.substring(0, line.lastIndexOf(',')))
 
@@ -119,10 +122,22 @@ class ManifestSink extends TableProvider
             .map(ManifestFiles.resolveVersionStr(fs, dir, _)),
           Option(options.get("branch")))
         // change-feed reads surface the table's columns PLUS the
-        // _change_type/_commit_version constants
-        if (Option(options.get("changeFeed")).exists(_.toBoolean))
-          ManifestChangeFeed.outputSchema(base)
-        else base
+        // _change_type/_commit_version constants — and on row-lineage
+        // tables, each leg's `_row_id` (COW rewrites PRESERVE ids, so
+        // update legs pair on pure identity with no business key). The
+        // gpos=-1 marker keeps the appended field out of the physical-
+        // position namespace (it is computed, never stored positionally).
+        if (Option(options.get("changeFeed")).exists(_.toBoolean)) {
+          val lineage =
+            try ManifestFiles.isLineage(ManifestFiles.latestLines(fs, dir))
+            catch { case _: Exception => false }
+          val withRid =
+            if (!lineage) base
+            else base.add(StructField("_row_id",
+              org.apache.spark.sql.types.LongType, nullable = true,
+              new MetadataBuilder().putLong("gpos", -1L).build()))
+          ManifestChangeFeed.outputSchema(withRid)
+        } else base
       } else new StructType()
     }.getOrElse(new StructType())
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -306,6 +321,15 @@ private[sources] class ManifestTable(schema0: StructType,
         override def dataType(): org.apache.spark.sql.types.DataType =
           org.apache.spark.sql.types.LongType
         override def isNullable: Boolean = false
+      },
+      // ROW LINEAGE (round 14): the row's stable identity across
+      // compaction / Z-order / copy-on-write rewrites — NULL on tables
+      // that never enabled `row.lineage`
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_row_id"
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = true
       })
 
   // DELETE FROM / UPDATE / MERGE INTO, group-based COPY_ON_WRITE (the
@@ -685,10 +709,27 @@ private[sources] class ManifestTable(schema0: StructType,
           // column names verbatim — a SQL `INSERT ... VALUES` arrives as
           // col1/col2/... — so the commit republishes the names already
           // on disk); truncate may legitimately rewrite the schema.
-          val incoming = info.schema()
+          val incoming0 = info.schema()
           val hconf = new SerializableHadoopConf(
             SparkSession.active.sessionState.newHadoopConf())
           val fs = path.getFileSystem(hconf.value)
+          // ROW LINEAGE rewrite carry: a write whose LAST column is the
+          // reserved `_row_id` (compact / Z-order re-selecting the
+          // metadata column) materializes it per-file instead of storing
+          // it as data — the name is reserved, so this can never
+          // misread a user column
+          val carriesRid = incoming0.fields.lastOption.exists(f =>
+            f.name == "_row_id" && f.dataType == LongType)
+          if (carriesRid)
+            require(ManifestFiles.isLineage(
+                try ManifestFiles.latestLines(fs, path)
+                catch { case _: Exception => Array.empty[String] }),
+              "writing a _row_id column requires " +
+                "TBLPROPERTIES('row.lineage'='true') on the target table " +
+                "(the name is reserved for row lineage)")
+          val incoming =
+            if (carriesRid) StructType(incoming0.fields.dropRight(1))
+            else incoming0
           // BRANCH writes (write-audit-publish): the commit lands on the
           // branch's own chain; the branch must exist (create_branch)
           val branch = Option(info.options.get("branch"))
@@ -756,7 +797,8 @@ private[sources] class ManifestTable(schema0: StructType,
             upsertKeys = upsertKeys,
             replaceConf = replaceConf.isDefined,
             requireFresh = Option(properties.get("requireFreshTable"))
-              .contains("true"))
+              .contains("true"),
+            ridIdx = if (carriesRid) incoming.length else -1)
         }
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
           if (truncateRequested) throw new UnsupportedOperationException(
@@ -838,19 +880,45 @@ private[sources] class ManifestRowLevelOperation(
           truncate = false,
           new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
           dropFromPrevious = () => scanned.toSet,
-          format = Option(info.options.get("format")).getOrElse(tableFormat))
+          format = Option(info.options.get("format")).getOrElse(tableFormat),
+          // ROW LINEAGE through copy-on-write: the operation asked for
+          // `_row_id` (see requiredMetadataAttributes), so Spark's
+          // DataAndMetadataWritingSparkTask hands each replacement row's
+          // [_file, _row_id] metadata projection to the writer's 2-arg
+          // write — carried from the target for surviving/updated rows,
+          // NULL for MERGE-inserted ones — and the rewrite files
+          // materialize it as their `_rid` column
+          ridFromMeta = lineage)
       }
     }
 
-  override def requiredMetadataAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
+  private lazy val lineage: Boolean =
+    try ManifestFiles.isLineage(ManifestFiles.latestLines(
+      new Path(path).getFileSystem(
+        SparkSession.active.sessionState.newHadoopConf()), new Path(path)))
+    catch { case _: Exception => false }
+
+  override def requiredMetadataAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val base = Array(
+      org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
+    if (lineage)
+      base :+
+        org.apache.spark.sql.connector.expressions.Expressions.column("_row_id")
+    else base
+  }
 }
 
 private[sources] case class FileCommitted(name: String, rows: Long,
     bytes: Long = -1L, stats: Seq[(Int, ManifestFiles.ColStats)] = Nil,
     bucket: Int = -1, sortedOk: Boolean = false,
     // struct LEAF stats, keyed by dotted position paths (round 12)
-    nestedStats: Seq[(String, ManifestFiles.ColStats)] = Nil)
+    nestedStats: Seq[(String, ManifestFiles.ColStats)] = Nil,
+    // per-file HLL registers for declared stats.ndv.columns, keyed by
+    // PHYSICAL position (round 14 — ManifestNdv)
+    ndv: Seq[(Int, Array[Byte])] = Nil,
+    // row lineage: this file carries a materialized `_rid` column
+    // (rewrite output) — the commit marks it `#ridcol`
+    ridCol: Boolean = false)
   extends WriterCommitMessage
 
 /** A partition-split task's commit: one staged file per partition value
@@ -892,7 +960,12 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
     // staged CREATE (atomic CTAS): this commit must BE version 1 — a
     // concurrent CREATE that claimed first aborts this one loudly
     // instead of silently merging two tables
-    requireFresh: Boolean = false) extends BatchWrite {
+    requireFresh: Boolean = false,
+    // row lineage: index in the incoming row carrying the `_row_id` to
+    // materialize per file (-1 = plain write)
+    ridIdx: Int = -1,
+    // row lineage via the COW metadata channel (write(meta, row))
+    ridFromMeta: Boolean = false) extends BatchWrite {
 
   // Per-job staging namespace: concurrent writes (or an overlapping retry
   // of another job) can never see or delete each other's in-flight files.
@@ -924,7 +997,10 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
       partSpec = partSpec,
       checks = ManifestChecks.bind(SparkSession.active, schema,
         ManifestFiles.checksFromLines(lines)),
-      upsertKeys = upsertKeys.toArray)
+      upsertKeys = upsertKeys.toArray,
+      ndvPos = ManifestFiles.ndvFromLines(lines)
+        .flatMap(ManifestFiles.fieldAtPhys(schema, _)).toArray,
+      ridIdx = ridIdx, ridFromMeta = ridFromMeta)
   }
 
   // Driver-side, exactly once, only after EVERY task committed: publish.
@@ -940,17 +1016,19 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.value)
     val staging = new Path(dir, stagingName)
-    def landOne(m: FileCommitted): Seq[String] = m match {
-      case FileCommitted(tmp, rows, bytes, stats, bucket, sortedOk, nested) =>
-        val fin = tmp.stripSuffix(".tmp")
-        val ok = fs.rename(new Path(staging, tmp), new Path(dir, fin))
-        require(ok, s"staged file $tmp vanished before commit")
-        Seq(s"$fin,$rows", ManifestFiles.statsLine(fin, bytes, stats, nested)) ++
-          bucketSpec.map { case (pos, n) =>
-            ManifestFiles.bucketLine(fin, pos, n, bucket) } ++
-          (sortPos.filter(_ => sortedOk).map { case (p, desc, nullsLast) =>
-            ManifestFiles.sortedLine(fin, ManifestFiles.physPos(schema, p),
-              desc, nullsLast) })
+    def landOne(m: FileCommitted): Seq[String] = {
+      val fin = m.name.stripSuffix(".tmp")
+      val ok = fs.rename(new Path(staging, m.name), new Path(dir, fin))
+      require(ok, s"staged file ${m.name} vanished before commit")
+      Seq(s"$fin,${m.rows}",
+        ManifestFiles.statsLine(fin, m.bytes, m.stats, m.nestedStats)) ++
+        (if (m.ndv.nonEmpty) Seq(ManifestNdv.line(fin, m.ndv)) else Nil) ++
+        (if (m.ridCol) Seq(ManifestFiles.ridColLine(fin)) else Nil) ++
+        bucketSpec.map { case (pos, n) =>
+          ManifestFiles.bucketLine(fin, pos, n, m.bucket) } ++
+        (sortPos.filter(_ => m.sortedOk).map { case (p, desc, nullsLast) =>
+          ManifestFiles.sortedLine(fin, ManifestFiles.physPos(schema, p),
+            desc, nullsLast) })
     }
     // unwrap upsert tees: their staged equality-delete files land now;
     // the `#eqdels` lines are built inside the claim closure, where the
@@ -1040,16 +1118,43 @@ private[sources] object ManifestWriters {
   def create(path: String, stagingName: String, name: String,
       schema: StructType, conf: SerializableHadoopConf,
       injectFailure: Boolean, bucket: Int = -1,
-      sortPos: Option[(Int, Boolean, Boolean)] = None): DataWriter[InternalRow] =
+      sortPos: Option[(Int, Boolean, Boolean)] = None,
+      // schema indices of declared stats.ndv.columns — each tracks a
+      // per-file HLL as rows stream (ManifestNdv)
+      ndvPos: Array[Int] = Array.empty,
+      // row lineage REWRITE: index in the incoming row holding the
+      // carried `_row_id` (after the data columns); >= 0 materializes it
+      // into the file's `_rid` column and marks the commit `#ridcol`
+      ridIdx: Int = -1,
+      // row lineage through COPY-ON-WRITE row-level plans: Spark's
+      // DataAndMetadataWritingSparkTask delivers each row's projected
+      // METADATA row through the two-argument `write(metadata, row)` —
+      // our requiredMetadataAttributes order puts `_row_id` at slot 1
+      // (after `_file`); true materializes it exactly like ridIdx
+      ridFromMeta: Boolean = false): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val file = new Path(new Path(path, stagingName), name)
       private val fs: FileSystem = file.getFileSystem(conf.value)
       private val parquet = ManifestParquet.isParquet(name.stripSuffix(".tmp"))
+      private val withRid = ridIdx >= 0 || ridFromMeta
+      require(!withRid || parquet,
+        "row-id materialization needs the parquet payload (lineage " +
+          "tables pin it at enable time)")
       private val csvOut =
         if (parquet) null else new java.io.PrintWriter(fs.create(file, true))
       private val pqOut =
-        if (parquet) ManifestParquet.createWriter(file, schema, conf.value)
+        if (parquet) ManifestParquet.createWriter(file, schema, conf.value,
+          withRid = withRid)
         else null
+      // projection [data columns…, carried _row_id] → the writer's
+      // (stored schema + _rid) layout
+      private val ridProj: org.apache.spark.sql.catalyst.ProjectingInternalRow =
+        if (ridIdx < 0) null
+        else org.apache.spark.sql.catalyst.ProjectingInternalRow(
+          StructType(schema.fields :+
+            org.apache.spark.sql.types.StructField("_rid", LongType,
+              nullable = true)),
+          (0 until schema.length) :+ ridIdx)
       private var closed = false
       private val csvArity =
         schema.indices.map(ManifestFiles.physPos(schema, _))
@@ -1136,6 +1241,22 @@ private[sources] object ManifestWriters {
           li += 1
         }
       }
+      // declared-NDV sketches: one register set per tracked column
+      private val ndvRegs: Array[Array[Byte]] =
+        Array.fill(ndvPos.length)(ManifestNdv.emptyRegisters())
+
+      private def trackNdv(r: InternalRow): Unit = {
+        var ni = 0
+        while (ni < ndvPos.length) {
+          val i = ndvPos(ni)
+          if (!r.isNullAt(i)) {
+            val dt = schema(i).dataType
+            ManifestNdv.add(ndvRegs(ni), ManifestNdv.hash(dt, r.get(i, dt)))
+          }
+          ni += 1
+        }
+      }
+
       // sortedBy verification: rows must arrive non-decreasing in the
       // sort column (nulls first, matching ASC NULLS FIRST) for the file
       // to earn its `#sorted` mark
@@ -1169,7 +1290,35 @@ private[sources] object ManifestWriters {
         s0
       }
 
-      override def write(r: InternalRow): Unit = {
+      // carried-id holder for the COW metadata path: [data…] ++ [rid]
+      private val ridHolder =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      private val metaJoined =
+        new org.apache.spark.sql.catalyst.expressions.JoinedRow
+
+      /** COW row-level plans (ReplaceData with metadata attrs): `meta`
+        * is the [_file, _row_id] projection of this row — materialize
+        * slot 1 as the file's `_rid` (NULL for MERGE-inserted rows,
+        * which later resolve to the file's own fresh range). */
+      override def write(meta: InternalRow, r: InternalRow): Unit =
+        if (!ridFromMeta || meta == null || meta.numFields < 2) write(r)
+        else {
+          ridHolder.update(0,
+            if (meta.isNullAt(1)) null
+            else java.lang.Long.valueOf(meta.getLong(1)))
+          writeRow(r, metaJoined(r, ridHolder))
+        }
+
+      override def write(r: InternalRow): Unit =
+        writeRow(r,
+          if (ridIdx >= 0) { ridProj.project(r); ridProj }
+          else if (ridFromMeta) {
+            // no metadata delivered for this row: mint-at-read semantics
+            ridHolder.update(0, null)
+            metaJoined(r, ridHolder)
+          } else r)
+
+      private def writeRow(r: InternalRow, out: InternalRow): Unit = {
         if (injectFailure && attempt == 0 && rows == 2)
           throw new RuntimeException("injected write failure")
         if (parquet) {
@@ -1180,7 +1329,7 @@ private[sources] object ManifestWriters {
               schema(i).dataType, needRaw = false)
             i += 1
           }
-          pqOut.write(r)
+          pqOut.write(out)
         } else {
           // One slot per PHYSICAL position (== schema index until a DROP
           // diverges them; a dropped column's slot stays `\N` so old and
@@ -1203,6 +1352,7 @@ private[sources] object ManifestWriters {
           csvOut.println(slots.mkString(","))
         }
         if (leaves.nonEmpty) trackLeaves(r)
+        if (ndvPos.nonEmpty) trackNdv(r)
         sortPos.foreach { case (p, desc, nullsLast) =>
           if (sortedOk) {
             if (r.isNullAt(p)) {
@@ -1273,7 +1423,10 @@ private[sources] object ManifestWriters {
             else (Option(leafRawMins(li)), Option(leafRawMaxs(li)))
           leaves(li)._1 -> ManifestFiles.ColStats(leafNulls(li), mn, mx)
         }
-        FileCommitted(name, rows, bytes, stats, bucket, sortedOk, nested)
+        val ndv = ndvPos.indices.map(ni =>
+          ManifestFiles.physPos(schema, ndvPos(ni)) -> ndvRegs(ni))
+        FileCommitted(name, rows, bytes, stats, bucket, sortedOk, nested, ndv,
+          ridCol = withRid)
       }
       override def abort(): Unit = {
         try closeOut() catch { case _: Exception => }
@@ -1293,7 +1446,8 @@ private[sources] class ManifestStreamWriterFactory(path: String,
     partSpec: Seq[(Int, String)] = Seq.empty,
     checks: Seq[(String, String,
       org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty,
-    upsertKeys: Array[Int] = Array.empty)
+    upsertKeys: Array[Int] = Array.empty,
+    ndvPos: Array[Int] = Array.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] = {
@@ -1301,12 +1455,13 @@ private[sources] class ManifestStreamWriterFactory(path: String,
       if (partSpec.isEmpty)
         ManifestWriters.create(path, stagingName,
           f"part-e$epochId-$partitionId%05d-$taskId${ManifestWriters.ext(format)}.tmp",
-          schema, conf, injectFailure = false)
+          schema, conf, injectFailure = false, ndvPos = ndvPos)
       else
         new PartitionSplitWriter(path, stagingName, schema, conf, format,
           f"part-e$epochId-$partitionId%05d-$taskId",
           partSpec.map { case (idx, kind) =>
-            (idx, kind, schema(idx).dataType) })
+            (idx, kind, schema(idx).dataType) },
+          ndvPos = ndvPos)
     val teed =
       if (upsertKeys.isEmpty) base
       // the epoch-prefixed staged name keeps abort's per-epoch sweep
@@ -1335,7 +1490,13 @@ private[sources] class ManifestWriterFactory(path: String, stagingName: String,
       org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty,
     // CDC upsert key indices — wraps each writer with the equality-
     // delete tee (see ManifestEqDeletes.tee)
-    upsertKeys: Array[Int] = Array.empty)
+    upsertKeys: Array[Int] = Array.empty,
+    // declared stats.ndv.columns as schema indices (per-file sketches)
+    ndvPos: Array[Int] = Array.empty,
+    // row lineage: incoming-row index of the carried `_row_id` (-1 none)
+    ridIdx: Int = -1,
+    // row lineage via the COW metadata channel
+    ridFromMeta: Boolean = false)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int,
@@ -1347,7 +1508,8 @@ private[sources] class ManifestWriterFactory(path: String, stagingName: String,
           schema, conf,
           injectFailure = partitionId == failPartition,
           bucket = if (recordBucket) partitionId else -1,
-          sortPos = sortPos)
+          sortPos = sortPos, ndvPos = ndvPos, ridIdx = ridIdx,
+          ridFromMeta = ridFromMeta)
       else
         new PartitionSplitWriter(path, stagingName, schema, conf, format,
           f"part-$partitionId%05d-$taskId",
@@ -1357,7 +1519,8 @@ private[sources] class ManifestWriterFactory(path: String, stagingName: String,
           // MIXED layout (bucket + transforms): each task IS one bucket
           // (clustered distribution), so every split file inherits the
           // task's bucket id — files land pure on both dimensions
-          bucket = if (recordBucket) partitionId else -1)
+          bucket = if (recordBucket) partitionId else -1,
+          ndvPos = ndvPos, ridIdx = ridIdx, ridFromMeta = ridFromMeta)
     val teed =
       if (upsertKeys.isEmpty) base
       else ManifestEqDeletes.tee(base, schema, upsertKeys, path, stagingName,
@@ -1388,7 +1551,10 @@ private[sources] class PartitionSplitWriter(path: String, stagingName: String,
     sortPos: Option[(Int, Boolean, Boolean)] = None,
     // ≥0 on a mixed bucket+transform layout: the task's bucket id, which
     // every split file records via its `#bucket` line
-    bucket: Int = -1) extends DataWriter[InternalRow] {
+    bucket: Int = -1,
+    ndvPos: Array[Int] = Array.empty,
+    ridIdx: Int = -1,
+    ridFromMeta: Boolean = false) extends DataWriter[InternalRow] {
 
   private val writers = scala.collection.mutable
     .LinkedHashMap.empty[List[Long], DataWriter[InternalRow]]
@@ -1454,16 +1620,23 @@ private[sources] class PartitionSplitWriter(path: String, stagingName: String,
   private def key(row: InternalRow): List[Long] =
     specsArr.map { case (i, k, dt) => keyAt(row, i, k, dt) }.toList
 
-  override def write(row: InternalRow): Unit = {
-    val k = key(row)
-    writers.getOrElseUpdate(k, {
+  private def writerFor(row: InternalRow): DataWriter[InternalRow] =
+    writers.getOrElseUpdate(key(row), {
       val seq = writers.size
       ManifestWriters.create(path, stagingName,
         s"$namePrefix-s$seq${ManifestWriters.ext(format)}.tmp",
         schema, conf, injectFailure = false, bucket = bucket,
-        sortPos = sortPos)
-    }).write(row)
-  }
+        sortPos = sortPos, ndvPos = ndvPos, ridIdx = ridIdx,
+        ridFromMeta = ridFromMeta)
+    })
+
+  override def write(row: InternalRow): Unit = writerFor(row).write(row)
+
+  // COW metadata channel (row lineage): route by the DATA row, forward
+  // the metadata row to the inner writer — the default 1-arg fallback
+  // would silently drop every carried id
+  override def write(meta: InternalRow, row: InternalRow): Unit =
+    writerFor(row).write(meta, row)
 
   override def commit(): WriterCommitMessage =
     FilesCommitted(writers.values.toSeq.map(
@@ -1520,7 +1693,9 @@ private[sources] class ManifestStreamingWrite(path: String, queryId: String,
       partSpec,
       checks = ManifestChecks.bind(SparkSession.active, schema,
         ManifestFiles.checksFromLines(lines)),
-      upsertKeys = upsertKeys.toArray)
+      upsertKeys = upsertKeys.toArray,
+      ndvPos = ManifestFiles.ndvFromLines(lines)
+        .flatMap(ManifestFiles.fieldAtPhys(schema, _)).toArray)
   }
 
   override def commit(epochId: Long,
@@ -1533,8 +1708,8 @@ private[sources] class ManifestStreamingWrite(path: String, queryId: String,
       else ManifestFiles.latestLines(fs, dir), queryId).exists(_ >= epochId)
     if (already) {
       def sweep(m: WriterCommitMessage): Unit = m match {
-        case FileCommitted(tmp, _, _, _, _, _, _) =>
-          fs.delete(new Path(staging, tmp), false)
+        case f: FileCommitted =>
+          fs.delete(new Path(staging, f.name), false)
         case FilesCommitted(files) => files.foreach(sweep)
         case ManifestEqDeletes.UpsertCommitted(inner, del, _) =>
           sweep(inner)
@@ -1543,12 +1718,13 @@ private[sources] class ManifestStreamingWrite(path: String, queryId: String,
       messages.foreach(sweep)
       return
     }
-    def landOne(m: FileCommitted): Seq[String] = m match {
-      case FileCommitted(tmp, rows, bytes, stats, _, _, nested) =>
-        val fin = tmp.stripSuffix(".tmp")
-        val ok = fs.rename(new Path(staging, tmp), new Path(dir, fin))
-        require(ok, s"staged file $tmp vanished before commit")
-        Seq(s"$fin,$rows", ManifestFiles.statsLine(fin, bytes, stats, nested))
+    def landOne(m: FileCommitted): Seq[String] = {
+      val fin = m.name.stripSuffix(".tmp")
+      val ok = fs.rename(new Path(staging, m.name), new Path(dir, fin))
+      require(ok, s"staged file ${m.name} vanished before commit")
+      Seq(s"$fin,${m.rows}",
+        ManifestFiles.statsLine(fin, m.bytes, m.stats, m.nestedStats)) ++
+        (if (m.ndv.nonEmpty) Seq(ManifestNdv.line(fin, m.ndv)) else Nil)
     }
     val eqdelFins = messages.collect {
       case ManifestEqDeletes.UpsertCommitted(_, Some(tmp), _) =>

@@ -84,7 +84,9 @@ object ManifestFiles {
   private def isDataLine(l: String): Boolean =
     !l.startsWith("#") || l.startsWith("#stats,") ||
       l.startsWith("#bucket,") || l.startsWith("#sorted,") ||
-      l.startsWith("#born,") || l.startsWith("#import,")
+      l.startsWith("#born,") || l.startsWith("#import,") ||
+      l.startsWith("#ndv,") || l.startsWith("#firstrow,") ||
+      l.startsWith("#ridcol,")
 
   def isListFormat(raw: Array[String]): Boolean = raw.contains(ListHeader)
 
@@ -695,6 +697,18 @@ object ManifestFiles {
         .flatMap(_.toIntOption)
     }
 
+  /** Declared NDV-sketch columns (`TBLPROPERTIES('stats.ndv.columns'=
+    * 'a,b')`): physical positions whose writes track a per-file
+    * HyperLogLog (ManifestNdv) for the scan's CBO column statistics. */
+  def ndvConfLine(positions: Seq[Int]): String =
+    s"#tableconf,ndv,${positions.mkString(";")}"
+
+  def ndvFromLines(lines: Array[String]): Seq[Int] =
+    lines.find(_.startsWith("#tableconf,ndv,")).toSeq.flatMap { l =>
+      l.stripPrefix("#tableconf,ndv,").split(";").toSeq
+        .flatMap(_.toIntOption)
+    }
+
   /** Declared WRITE SORT ORDER (round 12 — Iceberg's `write.sort-order`
     * table property / SortOrder spec, ASC NULLS FIRST): physical column
     * positions, in declared order, as `#tableconf,sortorder,<p0>;<p1>`.
@@ -926,6 +940,67 @@ object ManifestFiles {
       }
     }.toMap
 
+  // ---- ROW LINEAGE (round 14 — Iceberg v3's row-id model) -------------
+  // `#tableconf,lineage` enables it; every commit then assigns each data
+  // entry a FIRST ROW ID (`#firstrow,<file>,<id>`) from the table-level
+  // high-water mark (`#tableconf,rowidnext,<n>` — survives truncate, so
+  // ids are never reused for different rows). A row's stable identity is
+  // `first_row_id + position`, surfaced as the `_row_id` metadata
+  // column; files REWRITTEN from existing rows (compaction, Z-order,
+  // copy-on-write row-level ops) carry the old ids in a materialized
+  // `_rid` parquet column (`#ridcol,<file>` marks them) so identity
+  // survives reordering — rows the rewrite INSERTED hold NULL there and
+  // resolve to the file's own fresh `first_row_id + position`, exactly
+  // Iceberg v3's null-_row_id inheritance rule.
+
+  val LineageLine = "#tableconf,lineage"
+  private val RowIdNextPrefix = "#tableconf,rowidnext,"
+
+  def isLineage(lines: Array[String]): Boolean = lines.contains(LineageLine)
+
+  def firstRowLine(name: String, first: Long): String = s"#firstrow,$name,$first"
+  def ridColLine(name: String): String = s"#ridcol,$name"
+
+  def firstRowFromLines(lines: Array[String]): Map[String, Long] =
+    lines.filter(_.startsWith("#firstrow,")).flatMap { l =>
+      l.split(",", 3) match {
+        case Array(_, n, v) => v.toLongOption.map(n -> _)
+        case _ => None
+      }
+    }.toMap
+
+  def ridColFromLines(lines: Array[String]): Set[String] =
+    lines.filter(_.startsWith("#ridcol,"))
+      .flatMap(_.split(",", 3).lift(1)).toSet
+
+  def rowIdNextFromLines(lines: Array[String]): Long =
+    lines.find(_.startsWith(RowIdNextPrefix))
+      .flatMap(_.stripPrefix(RowIdNextPrefix).toLongOption).getOrElse(0L)
+
+  /** The ONE row-id assignment point, applied by [[publishSnapshotV]] to
+    * every commit closure's output: entries without a `#firstrow` rider
+    * get ids from the high-water mark in DETERMINISTIC (sorted-name)
+    * order, and the mark advances by each file's row count. Rewrite
+    * routes pre-mark their files `#ridcol` and STILL get a fresh
+    * `#firstrow` (the Iceberg v3 rule: a materialized null resolves to
+    * the file's own range, so COW-inserted rows need one) — ids are
+    * never reassigned, only minted. Runs inside the claim loop, so a
+    * rebase re-reads the winner's high-water and never double-assigns. */
+  def assignRowIds(built: Array[String]): Array[String] = {
+    if (!built.contains(LineageLine)) return built
+    val have = firstRowFromLines(built).keySet
+    val fresh = entriesFromLines(built).filterNot(e => have(e._1)).sortBy(_._1)
+    if (fresh.isEmpty) return built
+    var next = rowIdNextFromLines(built)
+    val minted = fresh.map { case (n, rows) =>
+      val l = firstRowLine(n, next)
+      next += math.max(0L, rows)
+      l
+    }
+    built.filterNot(_.startsWith(RowIdNextPrefix)) ++ minted :+
+      s"$RowIdNextPrefix$next"
+  }
+
   /** (bucket colPos, n, sort colPos) declared by DDL, if any. */
   def tableConf(fs: FileSystem, dir: Path,
       version: Option[Int]): Option[(Int, Int, Option[Int])] =
@@ -1068,8 +1143,10 @@ object ManifestFiles {
       startAt: Int = 0): Int =
     publishRawV(fs, conf, dir, (prevRaw, version) => {
       val previous = materialize(fs, dir, prevRaw)
+      // row-lineage choke point: EVERY snapshot commit (append, rewrite,
+      // truncate, import, procedure) mints ids here, inside the claim
       encodeSnapshot(fs, dir, prevRaw,
-        dedupeTxn(buildEntries(previous, version)), version,
+        dedupeTxn(assignRowIds(buildEntries(previous, version))), version,
         java.util.UUID.randomUUID().toString.take(8), schema)
     }, schema, branch, startAt)
 
@@ -2030,12 +2107,115 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
       }
     }.sum
     val nRows = kept.flatMap(rows.get).sum
+    val scan = this
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(math.max(1L, bytes))
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.of(nRows)
+      // COLUMN-LEVEL stats for Spark's CBO (SPARK-41378 seam): merged
+      // post-pruning from the KEPT files only, so a filtered scan's
+      // attributeStats describe what actually flows — fresher than any
+      // ANALYZE because they ride every commit. Lazy: the merge only
+      // runs when something reads columnStats().
+      private lazy val cols = scan.buildColumnStats(kept, stats)
+      override def columnStats(): JMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = cols
     }
+  }
+
+  /** Merge per-file `#stats` bounds/null counts and `#ndv` HLL sketches
+    * into DSv2 column statistics, per REQUIRED (projected) column.
+    * Soundness rules: a column reports a stat only when EVERY kept file
+    * contributes it (a pre-stats or pre-evolution file degrades that
+    * column to no-stats, never to a wrong number); widened columns
+    * report nothing (their historical raw text re-decodes drifted —
+    * the same suppression the skip evaluator applies); string bounds
+    * never report (they are TRUNCATED, an artificial upper bound is not
+    * a max — strings still report nullCount + distinctCount). */
+  private def buildColumnStats(kept: Array[String],
+      stats: Map[String, ManifestFiles.FileStats]): JMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+    import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+    val out = new java.util.HashMap[NamedReference, ColumnStatistics]
+    if (kept.isEmpty) return out
+    val ndvByFile = ManifestNdv.fromLines(snapshotLines)
+    val names = required.fieldNames.filter(n =>
+      n != "_file" && n != "_pos" && fullSchema.fieldNames.contains(n))
+    names.foreach { name =>
+      val i = fullSchema.fieldIndex(name)
+      val dt = fullSchema(i).dataType
+      if (ManifestSkip.statsCapable(dt) && !widenedByName.contains(name)) {
+        val pos = ManifestFiles.physPos(fullSchema, i)
+        val per = kept.map(n => stats.get(n).flatMap(_.cols.get(pos)))
+        val (nullCount, minRaw, maxRaw) =
+          if (per.forall(_.isDefined)) {
+            val cs = per.map(_.get)
+            var mnRaw: String = null; var mn: Any = null
+            var mxRaw: String = null; var mx: Any = null
+            cs.foreach { c =>
+              c.min.foreach { raw =>
+                ManifestSkip.decodeRaw(dt, raw)
+                  .flatMap(ManifestSkip.normalize(dt, _)).foreach { v =>
+                  if (mn == null || ManifestSkip.cmp(v, mn) < 0) {
+                    mn = v; mnRaw = raw
+                  }
+                }
+              }
+              c.max.foreach { raw =>
+                ManifestSkip.decodeRaw(dt, raw)
+                  .flatMap(ManifestSkip.normalize(dt, _)).foreach { v =>
+                  if (mx == null || ManifestSkip.cmp(v, mx) > 0) {
+                    mx = v; mxRaw = raw
+                  }
+                }
+              }
+            }
+            (Some(cs.map(_.nulls).sum), Option(mnRaw), Option(mxRaw))
+          } else (None, None, None)
+        // numeric/temporal bounds as INTERNAL values (what catalyst
+        // ColumnStat holds); strings/booleans skip bounds
+        def cboValue(raw: String): Option[Any] = dt match {
+          case StringType | BooleanType => None
+          case d: DecimalType => ManifestSkip.decodeRaw(d, raw).map(v =>
+            org.apache.spark.sql.types.Decimal(
+              v.asInstanceOf[java.math.BigDecimal]))
+          case _ => ManifestSkip.decodeRaw(dt, raw)
+        }
+        val mnV = minRaw.flatMap(cboValue)
+        val mxV = maxRaw.flatMap(cboValue)
+        val distinct: Option[Long] = {
+          val sketches = kept.map(n => ndvByFile.get(n).flatMap(_.get(pos)))
+          if (sketches.nonEmpty && sketches.forall(_.isDefined)) {
+            val merged = ManifestNdv.emptyRegisters()
+            sketches.foreach(s => ManifestNdv.merge(merged, s.get))
+            Some(ManifestNdv.estimate(merged))
+          } else None
+        }
+        if (nullCount.isDefined || distinct.isDefined) {
+          val nullsV = nullCount
+          val distinctV = distinct
+          out.put(Expressions.column(name), new ColumnStatistics {
+            override def nullCount(): java.util.OptionalLong =
+              nullsV.fold(java.util.OptionalLong.empty())(n =>
+                java.util.OptionalLong.of(n))
+            override def distinctCount(): java.util.OptionalLong =
+              distinctV.fold(java.util.OptionalLong.empty())(n =>
+                java.util.OptionalLong.of(n))
+            override def min(): java.util.Optional[Object] =
+              mnV.fold(java.util.Optional.empty[Object]())(v =>
+                java.util.Optional.of(v.asInstanceOf[Object]))
+            override def max(): java.util.Optional[Object] =
+              mxV.fold(java.util.Optional.empty[Object]())(v =>
+                java.util.Optional.of(v.asInstanceOf[Object]))
+          })
+        }
+      }
+    }
+    out
   }
 
   /** Runtime-filterable attributes: `_file` (group filter) and the data
@@ -2439,7 +2619,8 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
       defaults = ManifestChecks.existsDefaults(
         org.apache.spark.sql.SparkSession.active, required),
       imports = ManifestFiles.importsFromLines(snapshotLines),
-      eqDeletes = eqDeleteMap)
+      eqDeletes = eqDeleteMap,
+      rowIds = ManifestReaderFactory.rowIdsOf(snapshotLines, required))
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -2638,14 +2819,16 @@ private[sources] class ManifestMicroBatchStream(path: String,
       ManifestInputPartition(new Path(dir, n).toString, n): InputPartition)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val latest = ManifestFiles.latestLines(fs, dir)
     new ManifestReaderFactory(fullSchema, required, conf,
       maxPhysArity = ManifestReaderFactory.maxPhysArity(fullSchema,
-        ManifestFiles.droppedFromLines(ManifestFiles.latestLines(fs, dir))),
+        ManifestFiles.droppedFromLines(latest)),
       defaults = ManifestChecks.existsDefaults(
         org.apache.spark.sql.SparkSession.active, required),
-      imports = ManifestFiles.importsFromLines(
-        ManifestFiles.latestLines(fs, dir)))
+      imports = ManifestFiles.importsFromLines(latest),
+      rowIds = ManifestReaderFactory.rowIdsOf(latest, required))
+  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -2688,6 +2871,19 @@ private[sources] object ManifestReaderFactory {
   def maxPhysArity(schema: StructType, dropped: Set[Int]): Int =
     ((schema.indices.map(ManifestFiles.physPos(schema, _)) ++ dropped)
       .maxOption.getOrElse(-1)) + 1
+
+  /** Row-lineage resolution map for one snapshot — built only when the
+    * projection actually asks for `_row_id` (every other scan pays
+    * nothing). */
+  def rowIdsOf(lines: Array[String],
+      required: StructType): Map[String, (Long, Boolean)] =
+    if (!required.fieldNames.contains("_row_id")) Map.empty
+    else {
+      val rid = ManifestFiles.ridColFromLines(lines)
+      ManifestFiles.firstRowFromLines(lines).map { case (n, first) =>
+        n -> (first, rid(n))
+      }
+    }
 }
 
 private[sources] class ManifestReaderFactory(fullSchema: StructType,
@@ -2716,7 +2912,11 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
     imports: Map[String, ManifestFiles.ImportMap] = Map.empty,
     // equality deletes: file → the delete sets that apply to it; the
     // row reader wraps with a key-tuple filter (see ManifestEqDeletes)
-    eqDeletes: Map[String, Seq[ManifestEqDeletes.EqSet]] = Map.empty)
+    eqDeletes: Map[String, Seq[ManifestEqDeletes.EqSet]] = Map.empty,
+    // ROW LINEAGE: file → (first_row_id, has materialized _rid column);
+    // `_row_id` resolves as coalesce(_rid, first + position), NULL when
+    // the file predates lineage (never assigned) or lineage is off
+    rowIds: Map[String, (Long, Boolean)] = Map.empty)
     extends PartitionReaderFactory {
 
   // projection-index → default, for fields a projection carries
@@ -2731,6 +2931,7 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
       imports.values.forall(_.consts.isEmpty) &&
       p.isInstanceOf[ManifestInputPartition] &&
       !required.fieldNames.contains("_pos") &&
+      !required.fieldNames.contains("_row_id") &&
       required.fields.forall(f =>
         if (parquetOnly) ManifestColumnarReader.parquetSupports(f.dataType)
         else ManifestColumnarReader.supports(f.dataType))
@@ -2812,9 +3013,10 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
           ManifestCsv.parse(r, req.fields(i).dataType)).orNull)
       }
     }
+    val (rid0, ridCol0) = rowIds.getOrElse(part.name, (-1L, false))
     def plain() =
       ManifestParquet.rowReader(part, fullSchema, req, conf, filters,
-        importedNames)
+        importedNames, firstRow = rid0, ridCol = ridCol0)
     if (defAt.isEmpty && constAt.isEmpty) return plain()
     val (fileFields, rowCount) = ManifestParquet.fileInfo(part.file, conf.value)
     def presentInFile(n: String): Boolean = {
@@ -2826,19 +3028,20 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
     // override any global EXISTS_DEFAULT for the same slot
     val missing = defAt.filter { case (i, _) =>
       val n = req.fields(i).name
-      n != "_file" && n != "_pos" && !presentInFile(n)
+      n != "_file" && n != "_pos" && n != "_row_id" && !presentInFile(n)
     } ++ constAt
     if (missing.isEmpty) return plain()
     val innerFields = req.fields.zipWithIndex
       .filterNot { case (_, i) => missing.contains(i) }
     val dts = req.fields.map(_.dataType)
     if (innerFields.exists { case (f, _) =>
-        f.name != "_file" && f.name != "_pos" }) {
+        f.name != "_file" && f.name != "_pos" && f.name != "_row_id" }) {
       // at least one REAL column to drive the inner read
       val innerReq = StructType(innerFields.map(_._1))
       val inner = ManifestParquet.rowReader(
         ManifestInputPartition(part.file, part.name, part.deletes),
-        fullSchema, innerReq, conf, filters, importedNames)
+        fullSchema, innerReq, conf, filters, importedNames,
+        firstRow = rid0, ridCol = ridCol0)
       val innerIdxOf: Map[Int, Int] =
         innerFields.map(_._2).zipWithIndex.toMap
       new PartitionReader[InternalRow] {
@@ -2879,8 +3082,11 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
           val out = new GenericInternalRow(dts.length)
           var i = 0
           while (i < dts.length) {
-            out.update(i, missing.getOrElse(i,
-              if (req.fields(i).name == "_file") fileName else ordinal))
+            out.update(i, missing.getOrElse(i, req.fields(i).name match {
+              case "_file" => fileName
+              case "_row_id" => if (rid0 >= 0) rid0 + ordinal else null
+              case _ => ordinal
+            }))
             i += 1
           }
           out
@@ -2907,9 +3113,14 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
     val picks: Array[(Int, DataType)] = req.fields.map { f =>
       if (f.name == "_file") (-1, StringType)
       else if (f.name == "_pos") (-2, LongType)
+      else if (f.name == "_row_id") (-3, LongType)
       else (ManifestFiles.physPos(fullSchema,
         fullSchema.fieldIndex(f.name)), f.dataType)
     }
+    // CSV files never materialize `_rid` (rewrites on lineage tables are
+    // parquet-only by the enable-time format guard); position math is
+    // all a CSV file needs
+    val (csvRid, _) = rowIds.getOrElse(part.name, (-1L, false))
     val fileName = UTF8String.fromString(part.name)
     // With a clean layout (no drops) the split limit is the arity, which
     // tolerates commas in a LAST string field; once positions diverge the
@@ -2958,6 +3169,7 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
           out.update(i,
             if (src == -1) fileName
             else if (src == -2) ordinal
+            else if (src == -3) { if (csvRid >= 0) csvRid + ordinal else null }
             else if (src >= cols.length) defAt.getOrElse(i, null)
             else parse(cols(src), dt))
           i += 1
@@ -3180,6 +3392,12 @@ class GraftManifestCatalog extends TableCatalog
       .flatMap(ManifestFiles.fieldAtPhys(schema, _)).map(schema(_).name)
     if (bloomNames.nonEmpty)
       props.put("bloom.columns", bloomNames.mkString(","))
+    val ndvNames = ManifestFiles.ndvFromLines(confLines)
+      .flatMap(ManifestFiles.fieldAtPhys(schema, _)).map(schema(_).name)
+    if (ndvNames.nonEmpty)
+      props.put("stats.ndv.columns", ndvNames.mkString(","))
+    if (ManifestFiles.isLineage(confLines))
+      props.put("row.lineage", "true")
     val sortNames = ManifestFiles.sortKeysFromLines(confLines).flatMap { k =>
       ManifestFiles.fieldAtPhys(schema, k.pos).map { i =>
         schema(i).name + (if (k.desc) " DESC" else "") +
@@ -3463,6 +3681,31 @@ class GraftManifestCatalog extends TableCatalog
       require(positions.nonEmpty, "bloom.columns must name at least one column")
       ManifestFiles.bloomLine(positions)
     }.toArray
+    val ndv = Option(properties.get("stats.ndv.columns")).map { cs =>
+      val positions = cs.split(",").map(_.trim).filter(_.nonEmpty).map { c =>
+        require(schema.fieldNames.contains(c),
+          s"stats.ndv.columns column '$c' not in " +
+            schema.fieldNames.mkString(","))
+        require(ManifestNdv.capable(schema(schema.fieldIndex(c)).dataType),
+          s"stats.ndv.columns column '$c' has type " +
+            s"${schema(schema.fieldIndex(c)).dataType.simpleString}, which " +
+            "has no stable sketch identity")
+        schema.fieldIndex(c)
+      }.toSeq
+      require(positions.nonEmpty,
+        "stats.ndv.columns must name at least one column")
+      ManifestFiles.ndvConfLine(positions)
+    }.toArray
+    val lineage = Option(properties.get("row.lineage")) match {
+      case Some("true") =>
+        require(!Option(properties.get("format")).contains("csv"),
+          "row.lineage needs the parquet payload — rewrites preserve ids " +
+            "through a materialized _rid column the CSV codec cannot carry")
+        Array(ManifestFiles.LineageLine)
+      case Some("false") | None => Array.empty[String]
+      case Some(other) => throw new IllegalArgumentException(
+        s"row.lineage must be 'true', got '$other'")
+    }
     val sortOrder = Option(properties.get("write.sort-order")).map { cs =>
       require(!bucketLaid,
         "write.sort-order conflicts with a bucket layout — sorted " +
@@ -3480,7 +3723,7 @@ class GraftManifestCatalog extends TableCatalog
       case Some(other) => throw new IllegalArgumentException(
         s"write.distribution-mode must be 'none' or 'range', got '$other'")
     }
-    mor ++ fmt ++ bloom ++ sortOrder ++ distMode ++ checks
+    mor ++ fmt ++ bloom ++ ndv ++ lineage ++ sortOrder ++ distMode ++ checks
   }
 
   // ---- StagingTableCatalog: atomic CTAS / RTAS ------------------------
@@ -3623,6 +3866,8 @@ class GraftManifestCatalog extends TableCatalog
     var morFlip: Option[Boolean] = None
     var partFlip: Option[Seq[(Int, String)]] = None
     var bloomFlip: Option[Seq[Int]] = None
+    var ndvFlip: Option[Seq[Int]] = None
+    var lineageFlip: Boolean = false
     var sortFlip: Option[Seq[ManifestFiles.SortKey]] = None
     var distFlip: Option[Boolean] = None
     var widenFlip: List[(Int, DataType)] = Nil
@@ -3931,6 +4176,35 @@ class GraftManifestCatalog extends TableCatalog
           case "" | "none" => Seq.empty
           case v => parseSortOrder(schema, v)
         })
+      // row lineage: enable-only (disabling would strand ids readers
+      // already depend on — Iceberg v3 makes the same one-way choice);
+      // the commit closure's assignRowIds then backfills #firstrow for
+      // EVERY existing entry in this same metadata-only commit
+      case sp: TableChange.SetProperty if sp.property == "row.lineage" =>
+        require(sp.value.trim == "true",
+          "row.lineage can only be enabled ('true'); ids already handed " +
+            "to readers cannot be revoked")
+        require(!ManifestFiles.formatFromLines(priorLines).contains("csv"),
+          "row.lineage needs the parquet payload — rewrites preserve ids " +
+            "through a materialized _rid column the CSV codec cannot carry")
+        lineageFlip = true
+      // NDV evolution: future files carry (or stop carrying) sketches;
+      // the scan reports distinctCount only while EVERY kept file has
+      // one, so partial coverage degrades to no-NDV, never a wrong one
+      case sp: TableChange.SetProperty if sp.property == "stats.ndv.columns" =>
+        ndvFlip = Some(sp.value.trim match {
+          case "" | "none" => Seq.empty
+          case v => v.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { c =>
+            require(schema.fieldNames.contains(c),
+              s"stats.ndv.columns column '$c' not in " +
+                schema.fieldNames.mkString(","))
+            require(ManifestNdv.capable(schema(schema.fieldIndex(c)).dataType),
+              s"stats.ndv.columns column '$c' has type " +
+                s"${schema(schema.fieldIndex(c)).dataType.simpleString}, " +
+                "which has no stable sketch identity")
+            ManifestFiles.physPos(schema, schema.fieldIndex(c))
+          }
+        })
       case sp: TableChange.SetProperty
           if sp.property == "write.distribution-mode" =>
         distFlip = Some(sp.value.trim match {
@@ -3948,7 +4222,7 @@ class GraftManifestCatalog extends TableCatalog
         "graft-manifest supports ADD COLUMN (appended, nullable), " +
           "RENAME COLUMN, DROP COLUMN, and SET " +
           "TBLPROPERTIES('delete.mode'|'partition.layout'|'bloom.columns'|" +
-          "'write.sort-order'|'write.distribution-mode') " +
+          "'stats.ndv.columns'|'write.sort-order'|'write.distribution-mode') " +
           s"only, got $other")
     }
     val drops = newDropLines.reverse.toArray
@@ -3970,13 +4244,25 @@ class GraftManifestCatalog extends TableCatalog
                 ManifestFiles.partConfLine(pos, kind) }
           case None => base0
         }
-        val base2 = bloomFlip match {
+        val base2b = bloomFlip match {
           case Some(positions) =>
             base1.filterNot(_.startsWith("#tableconf,bloom,")) ++
               (if (positions.nonEmpty) Seq(ManifestFiles.bloomLine(positions))
                else Seq.empty)
           case None => base1
         }
+        val base2n = ndvFlip match {
+          case Some(positions) =>
+            base2b.filterNot(_.startsWith("#tableconf,ndv,")) ++
+              (if (positions.nonEmpty)
+                 Seq(ManifestFiles.ndvConfLine(positions))
+               else Seq.empty)
+          case None => base2b
+        }
+        val base2 =
+          if (lineageFlip && !base2n.contains(ManifestFiles.LineageLine))
+            base2n :+ ManifestFiles.LineageLine
+          else base2n
         val base2s0 = sortFlip match {
           case Some(keys) =>
             base2.filterNot(_.startsWith("#tableconf,sortorder,")) ++
@@ -4662,8 +4948,17 @@ private[sources] object ManifestProcedures {
   private def compactFull(spark: SparkSession, dir: Path,
       fs: FileSystem, target: Int, sortBy: String): java.util.Iterator[Scan] = {
       val before = ManifestFiles.entries(fs, dir, None).length
-      val live = spark.read.format("graft-manifest")
+      val live0 = spark.read.format("graft-manifest")
         .option("path", dir.toString).load()
+      // ROW LINEAGE: the rewrite carries every row's `_row_id` through
+      // (trailing reserved column → the writer materializes it as the
+      // files' `_rid`), so compaction/Z-order reordering never re-mints
+      // identities
+      val live =
+        if (ManifestFiles.isLineage(ManifestFiles.latestLines(fs, dir)))
+          live0.select(org.apache.spark.sql.functions.col("*"),
+            live0.metadataColumn("_row_id"))
+        else live0
       val sortCols = sortBy.split(',').map(_.trim).filter(_.nonEmpty).toSeq
       sortCols.foreach(c => require(live.columns.contains(c),
         s"sort_by column '$c' not in ${live.columns.mkString(",")}"))
@@ -4854,9 +5149,15 @@ private[sources] object ManifestProcedures {
       sortCols.foreach(c => require(schemaNow.fieldNames.contains(c),
         s"sort_by column '$c' not in ${schemaNow.fieldNames.mkString(",")}"))
       import org.apache.spark.sql.functions.col
-      val subset = spark.read.format("graft-manifest")
+      val subset0 = spark.read.format("graft-manifest")
         .option("path", dir.toString)
         .option("filesSubset", sel.mkString(",")).load()
+      val lineage = ManifestFiles.isLineage(lines)
+      // lineage: carry `_row_id` through the scoped rewrite (trailing
+      // reserved column, materialized per file below)
+      val subset =
+        if (lineage) subset0.select(col("*"), subset0.metadataColumn("_row_id"))
+        else subset0
       val arranged = sortCols match {
         case Seq() => subset.coalesce(target)
         case Seq(one) =>
@@ -4879,6 +5180,9 @@ private[sources] object ManifestProcedures {
         ManifestFiles.bloomFromLines(lines))
       val dirStr = dir.toString
       val schemaB = schemaNow
+      val ndvPos = ManifestFiles.ndvFromLines(lines)
+        .flatMap(ManifestFiles.fieldAtPhys(schemaB, _)).toArray
+      val ridAt = if (lineage) schemaB.length else -1
       val msgs: Array[FileCommitted] =
         arranged.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
           if (!rows.hasNext) Iterator.empty
@@ -4887,9 +5191,11 @@ private[sources] object ManifestProcedures {
               if (partSpec.isEmpty)
                 ManifestWriters.create(dirStr, stagingName,
                   f"part-cw$token-$pid%05d${ManifestWriters.ext(fmt)}.tmp",
-                  schemaB, serConf, injectFailure = false)
+                  schemaB, serConf, injectFailure = false, ndvPos = ndvPos,
+                  ridIdx = ridAt)
               else new PartitionSplitWriter(dirStr, stagingName, schemaB,
-                serConf, fmt, f"part-cw$token-$pid%05d", partSpec)
+                serConf, fmt, f"part-cw$token-$pid%05d", partSpec,
+                ndvPos = ndvPos, ridIdx = ridAt)
             try {
               rows.foreach(w.write)
               w.commit() match {
@@ -4900,12 +5206,14 @@ private[sources] object ManifestProcedures {
           }
         }.collect()
       val staging = new Path(dir, stagingName)
-      val fresh = msgs.flatMap {
-        case FileCommitted(tmp, rows, bytes, st, _, _, nested) =>
-          val fin = tmp.stripSuffix(".tmp")
-          require(fs.rename(new Path(staging, tmp), new Path(dir, fin)),
-            s"staged file $tmp vanished before commit")
-          Seq(s"$fin,$rows", ManifestFiles.statsLine(fin, bytes, st, nested))
+      val fresh = msgs.flatMap { (m: FileCommitted) =>
+        val fin = m.name.stripSuffix(".tmp")
+        require(fs.rename(new Path(staging, m.name), new Path(dir, fin)),
+          s"staged file ${m.name} vanished before commit")
+        Seq(s"$fin,${m.rows}",
+          ManifestFiles.statsLine(fin, m.bytes, m.stats, m.nestedStats)) ++
+          (if (m.ndv.nonEmpty) Seq(ManifestNdv.line(fin, m.ndv)) else Nil) ++
+          (if (m.ridCol) Seq(ManifestFiles.ridColLine(fin)) else Nil)
       }
       val selSet = sel.toSet
       val v = ManifestFiles.publishSnapshot(fs, hconf, dir, previous => {
@@ -5603,11 +5911,15 @@ private[sources] object ManifestProcedures {
         require(addedNames.forall(!mainNames.contains(_)),
           s"main already lists ${addedNames.count(mainNames.contains)} of " +
             s"version $v's files — already fast-forwarded or picked?")
-        // source-chain birth markers carry SOURCE version numbers —
-        // strip them and re-mark at the grafted version
+        // source-chain birth markers carry SOURCE version numbers, and
+        // source-chain #firstrow ids were minted against the SOURCE
+        // chain's high-water mark (they could collide with ids main
+        // minted after the fork) — strip both; assignRowIds re-mints
+        // from MAIN's mark inside this same claim
         previous ++
           delta.filterNot(l => previous.contains(l) ||
-            l.startsWith("#born,")) ++
+            l.startsWith("#born,") || l.startsWith("#firstrow,") ||
+            l.startsWith("#ridcol,")) ++
           (if (ManifestFiles.isMergeOnRead(previous))
              addedNames.map(n => ManifestFiles.bornLine(n, version))
            else Seq.empty[String])

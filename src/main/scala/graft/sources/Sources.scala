@@ -2051,6 +2051,121 @@ object Sources extends QueryModule {
              MIN(l_quantity) AS mnq, MAX(l_quantity) AS mxq
       FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** `MERGE … WHEN NOT MATCHED BY SOURCE` (Spark 3.4+ SQL surface, the
+    * one MERGE clause family q219/q238 left unexercised): the source
+    * feed is the full intended state, so target rows the feed no longer
+    * carries are retired — matched rows re-price, unmatched feed rows
+    * insert, and target rows ABSENT from the feed delete when their
+    * balance is small (conditional NOT-MATCHED-BY-SOURCE) or survive
+    * otherwise. Planned through the same group-based COPY_ON_WRITE
+    * operation as q219; because every target row is a candidate (the
+    * clause fires on source ABSENCE), Spark cannot runtime-group-filter
+    * the scan — the full-table rewrite here is the semantically
+    * required shape, not a missed optimization. The oracle replays the
+    * three clause outcomes relationally. */
+  val qMergeNotMatchedBySource: QueryDef = QueryDef(
+    "q265_merge_not_matched_by_source",
+    (s, d) => {
+      import s.implicits._
+      val cat = "graft_nmbs_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val root = tmp(d, "manifest_nmbs")
+      val dir = new org.apache.hadoop.fs.Path(root)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val cust = Tables.df(s, d, "customer")
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+      cust.filter($"c_custkey" % 7 === 0)
+        .write.mode("append").format("graft-manifest")
+        .option("path", s"$root/accounts").save()
+      cust.filter($"c_custkey" % 5 === 0)
+        .withColumn("c_acctbal", $"c_acctbal" + lit(1000.0))
+        .createOrReplaceTempView("q265_src")
+      s.sql(s"""
+        MERGE INTO $cat.accounts AS t USING q265_src AS s
+        ON t.c_custkey = s.c_custkey
+        WHEN MATCHED THEN UPDATE SET c_acctbal = s.c_acctbal
+        WHEN NOT MATCHED THEN
+          INSERT (c_custkey, c_name, c_acctbal)
+          VALUES (s.c_custkey, s.c_name, s.c_acctbal)
+        WHEN NOT MATCHED BY SOURCE AND t.c_acctbal < 3000.0 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN
+          UPDATE SET c_acctbal = t.c_acctbal - 100.0""")
+      s.sql(s"SELECT c_custkey, c_name, c_acctbal FROM $cat.accounts " +
+        "ORDER BY c_custkey")
+    },
+    Some("""
+      WITH tgt AS (
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        WHERE c_custkey % 7 = 0),
+      feed AS (
+        SELECT c_custkey, c_name, c_acctbal + 1000.0 AS c_acctbal
+        FROM customer WHERE c_custkey % 5 = 0)
+      SELECT t.c_custkey, t.c_name,
+             CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+                  ELSE t.c_acctbal - 100.0 END AS c_acctbal
+      FROM tgt t LEFT JOIN feed s ON t.c_custkey = s.c_custkey
+      WHERE s.c_custkey IS NOT NULL OR NOT (t.c_acctbal < 3000.0)
+      UNION ALL
+      SELECT s.c_custkey, s.c_name, s.c_acctbal
+      FROM feed s
+      WHERE s.c_custkey NOT IN (SELECT c_custkey FROM tgt)
+      ORDER BY c_custkey"""))
+
+  /** ROW LINEAGE end to end (round 14 — Iceberg v3's row-id model,
+    * sources/ManifestSource.scala `assignRowIds` + the `_rid`
+    * materialization channel): an accounts table with
+    * `row.lineage='true'` takes a COPY-ON-WRITE re-pricing UPDATE and a
+    * multi-column compaction (maximal row reordering across files), and
+    * every row's `_row_id` SURVIVES both — proven inside the query by
+    * joining the pre-image to the post-image ON `_row_id` and emitting
+    * both sides' business keys plus the final balance. Identity held
+    * ⇔ the key columns agree row-for-row, which is exactly what the
+    * DuckDB oracle (which recomputes the final state relationally and
+    * emits the key twice) hash-checks. At 100 TB stable row identity is
+    * what keeps downstream incremental consumers (SCD trackers, feature
+    * stores, audit joins) valid across maintenance — without it every
+    * compaction invalidates every consumer. */
+  val qRowLineage: QueryDef = QueryDef(
+    "q266_row_lineage",
+    (s, d) => {
+      import s.implicits._
+      val cat = "graft_rlq_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val root = tmp(d, "manifest_lineage")
+      val dir = new org.apache.hadoop.fs.Path(root)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE TABLE $cat.accounts (c_custkey BIGINT, " +
+        "c_acctbal DOUBLE, grp BIGINT) " +
+        "TBLPROPERTIES('row.lineage'='true')")
+      Tables.df(s, d, "customer")
+        .select($"c_custkey", $"c_acctbal",
+          ($"c_custkey" % 7).cast("long").as("grp"))
+        .repartition(4)
+        .writeTo(s"$cat.accounts").append()
+      // copy-on-write re-pricing + a reordering compaction: both rewrite
+      // files; neither may re-mint identity
+      s.sql(s"UPDATE $cat.accounts SET c_acctbal = c_acctbal + 1000.0 " +
+        "WHERE c_custkey % 3 = 0")
+      s.sql(s"CALL $cat.system.compact('accounts', 2, 'grp,c_custkey')")
+      // the PRE-image reads through time travel (v2 = the initial
+      // append) — `_row_id` composes with VERSION AS OF, so the join
+      // below crosses a snapshot boundary on pure identity
+      val pre = s.sql(s"SELECT c_custkey AS k_before, _row_id AS rid " +
+        s"FROM $cat.accounts VERSION AS OF 2")
+      val post = s.sql(s"SELECT c_custkey AS k_after, c_acctbal, " +
+        s"_row_id AS rid FROM $cat.accounts")
+      pre.join(post, "rid")
+        .select($"k_before", $"k_after", $"c_acctbal")
+        .orderBy($"k_before")
+    },
+    Some("""
+      SELECT c_custkey AS k_before, c_custkey AS k_after,
+             c_acctbal + CASE WHEN c_custkey % 3 = 0
+                              THEN 1000.0 ELSE 0.0 END AS c_acctbal
+      FROM customer ORDER BY c_custkey"""))
+
   override def defs: Seq[QueryDef] =
     Seq(qCsv, qJson, qOrc, qText, qPartitioned, qSynthSource, qSynthColumnar,
       qSchemaEvolution, qManifestTimeTravel, qManifestMerge, qManifestStream,
@@ -2061,5 +2176,6 @@ object Sources extends QueryModule {
       qCdfIndexMaint, qBloomProbe, qScopedCompact, qColumnDefaults,
       qSortOrder, qAddFiles, qUpsert, qCdfUpsertMaint, qReplaceTable,
       qWidened, qCdfImages, qAnnIndex, qHoursRetention, qCappedStream,
-      qGovernedView, qMaterializedView, qMvRewrite)
+      qGovernedView, qMaterializedView, qMvRewrite,
+      qMergeNotMatchedBySource, qRowLineage)
 }

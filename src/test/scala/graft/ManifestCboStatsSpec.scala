@@ -1,0 +1,215 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+
+/** COLUMN-LEVEL statistics for Spark's cost-based optimizer, live from
+  * the manifest (round 14): declared `stats.ndv.columns` track a
+  * per-file HyperLogLog as rows are written (`#ndv` rider lines,
+  * ManifestNdv), and every scan merges the KEPT files' sketches plus
+  * the exact `#stats` min/max/null counts into DSv2
+  * `Statistics.columnStats()` — the SPARK-41378 seam `transformV2Stats`
+  * turns into catalyst attributeStats. Unlike ANALYZE TABLE (the
+  * reference's only column-stats source,
+  * `sql/core/.../command/AnalyzeColumnCommand.scala` in 2.1-era Spark),
+  * these never go stale: they ride every commit, and they are
+  * POST-PRUNING — a filtered scan reports the statistics of the files
+  * that survive, which is what join planning actually needs. At 100 TB
+  * a wrong first join is the difference between a 10⁶- and a
+  * 10¹²-row intermediate; this is the machinery that prevents it on
+  * governed tables without any ANALYZE job. */
+class ManifestCboStatsSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.local(4)
+  import spark.implicits._
+
+  private def freshCat(tag: String): (String, String) = {
+    val root = java.nio.file.Files.createTempDirectory(s"graft_cbo_$tag").toString
+    val cat = s"graft_cbo_${tag}_" + math.abs(root.hashCode).toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    (cat, root)
+  }
+
+  private def attrStats(df: DataFrame):
+      Map[String, org.apache.spark.sql.catalyst.plans.logical.ColumnStat] = {
+    val rel = df.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r
+    }
+    assert(rel.nonEmpty, "no DSv2 scan relation in:\n" +
+      df.queryExecution.optimizedPlan)
+    rel.head.stats.attributeStats.map { case (a, s) => a.name -> s }.toMap
+  }
+
+  private def withCbo[A](f: => A): A = {
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try f finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
+
+  test("declared stats.ndv.columns surface distinctCount/nullCount/" +
+    "min/max as catalyst attributeStats — ndv within HLL tolerance, " +
+    "the rest exact") {
+    val (cat, _) = freshCat("basic")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, grp STRING, v DOUBLE) " +
+      "TBLPROPERTIES('stats.ndv.columns'='k,grp')")
+    // 3 files, 30k rows, k distinct = 30k, grp distinct = 100, nulls in v
+    (0 until 3).foreach { c =>
+      spark.range(c * 10000, (c + 1) * 10000)
+        .select($"id".as("k"),
+          concat(lit("g"), ($"id" % 100).cast("string")).as("grp"),
+          when($"id" % 10 === 0, lit(null)).otherwise($"id" * 0.5)
+            .cast("double").as("v"))
+        .repartition(2)
+        .writeTo(s"$cat.t").append()
+    }
+    val st = withCbo(attrStats(spark.table(s"$cat.t")
+      .select($"k", $"grp", $"v")))
+    val k = st("k")
+    assert(k.distinctCount.isDefined)
+    val ndvK = k.distinctCount.get.toDouble
+    assert(math.abs(ndvK - 30000.0) / 30000.0 < 0.15,
+      s"k ndv $ndvK not within 15% of 30000")
+    assert(k.nullCount.contains(BigInt(0)))
+    assert(k.min.contains(0L) && k.max.contains(29999L),
+      s"k bounds ${k.min}/${k.max}")
+    val g = st("grp")
+    assert(g.distinctCount.isDefined)
+    val ndvG = g.distinctCount.get.toDouble
+    assert(math.abs(ndvG - 100.0) / 100.0 < 0.15, s"grp ndv $ndvG")
+    // strings never report truncated bounds as exact min/max
+    assert(g.min.isEmpty && g.max.isEmpty)
+    // v is NOT a declared ndv column: null count + bounds still report
+    val v = st("v")
+    assert(v.distinctCount.isEmpty)
+    assert(v.nullCount.contains(BigInt(3000)), s"v nulls ${v.nullCount}")
+  }
+
+  test("column stats are POST-PRUNING: a filtered scan reports the " +
+    "surviving files' ndv and bounds, not the table's") {
+    val (cat, _) = freshCat("pruned")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, grp STRING) " +
+      "TBLPROPERTIES('stats.ndv.columns'='k')")
+    // two value-disjoint files
+    spark.range(0, 5000).select($"id".as("k"),
+      lit("lo").as("grp")).coalesce(1).writeTo(s"$cat.t").append()
+    spark.range(100000, 101000).select($"id".as("k"),
+      lit("hi").as("grp")).coalesce(1).writeTo(s"$cat.t").append()
+    val st = withCbo(attrStats(
+      spark.table(s"$cat.t").filter($"k" >= 100000L)))
+    val k = st("k")
+    assert(k.min.contains(100000L) && k.max.contains(100999L),
+      s"post-pruning bounds ${k.min}/${k.max}")
+    val ndv = k.distinctCount.get.toDouble
+    assert(math.abs(ndv - 1000.0) / 1000.0 < 0.15,
+      s"post-pruning ndv $ndv should track the surviving file (1000), " +
+        "not the table (6000)")
+  }
+
+  test("partial sketch coverage degrades to NO distinctCount (never a " +
+    "wrong one): files written before ALTER..SET stats.ndv.columns " +
+    "suppress ndv until a rewrite; nullCount/bounds still report") {
+    val (cat, _) = freshCat("degrade")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
+    spark.range(0, 1000).select($"id".as("k"))
+      .coalesce(1).writeTo(s"$cat.t").append() // no sketch
+    spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES(" +
+      "'stats.ndv.columns'='k')")
+    spark.range(1000, 2000).select($"id".as("k"))
+      .coalesce(1).writeTo(s"$cat.t").append() // sketched
+    val st = withCbo(attrStats(spark.table(s"$cat.t")))
+    val k = st("k")
+    assert(k.distinctCount.isEmpty,
+      "a kept file without a sketch must suppress distinctCount")
+    assert(k.nullCount.contains(BigInt(0)))
+    assert(k.min.contains(0L) && k.max.contains(1999L))
+    // CALL compact rewrites every byte under the declared conf — the
+    // rewritten files carry sketches, ndv returns
+    spark.sql(s"CALL $cat.system.compact('t')")
+    val st2 = withCbo(attrStats(spark.table(s"$cat.t")))
+    assert(st2("k").distinctCount.isDefined,
+      "compaction under the declared ndv conf must restore distinctCount")
+    val ndv = st2("k").distinctCount.get.toDouble
+    assert(math.abs(ndv - 2000.0) / 2000.0 < 0.15, s"post-compact ndv $ndv")
+  }
+
+  test("live manifest stats drive cbo.joinReorder: the selective small " +
+    "table moves first with NO ANALYZE ever run") {
+    val (cat, _) = freshCat("reorder")
+    val dir = "/root/testdata/sf0.01"
+    val ndvCols = Map(
+      "lineitem" -> "l_orderkey",
+      "orders" -> "o_orderkey,o_custkey",
+      "customer" -> "c_custkey,c_acctbal")
+    for (t <- Seq("lineitem", "orders", "customer")) {
+      val src = graft.Tables.df(spark, dir, t)
+      val cols = src.schema.fieldNames
+        .map(n => s"$n ${src.schema(n).dataType.sql}").mkString(", ")
+      spark.sql(s"CREATE TABLE $cat.$t ($cols) " +
+        s"TBLPROPERTIES('stats.ndv.columns'='${ndvCols(t)}')")
+      src.writeTo(s"$cat.$t").append()
+    }
+    val sql = s"""
+      SELECT c.c_mktsegment, COUNT(*) AS n
+      FROM $cat.lineitem l
+      JOIN $cat.orders o ON l.l_orderkey = o.o_orderkey
+      JOIN $cat.customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_acctbal > 9900.0
+      GROUP BY c.c_mktsegment"""
+    def leaves(plan: LogicalPlan): Seq[String] = plan.collectLeaves().collect {
+      case r: DataSourceV2ScanRelation =>
+        "(lineitem|orders|customer)".r
+          .findFirstIn(r.scan.description()).getOrElse("?")
+    }
+    def leavesWith(cbo: Boolean): Seq[String] = {
+      spark.conf.set("spark.sql.cbo.enabled", cbo.toString)
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", cbo.toString)
+      try leaves(spark.sql(sql).queryExecution.optimizedPlan)
+      finally {
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      }
+    }
+    val plain = leavesWith(cbo = false)
+    val reordered = leavesWith(cbo = true)
+    assert(plain.indexOf("customer") == 2,
+      s"textual order should join customer last, got $plain")
+    assert(reordered.indexOf("customer") < 2,
+      s"CBO over live manifest stats should pull the filtered customer " +
+        s"earlier: $reordered (textual $plain)")
+    // and the reordered plan still answers correctly
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    val a = try spark.sql(sql).collect().map(r =>
+        (r.getString(0), r.getLong(1))).toMap
+      finally {
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      }
+    val b = spark.sql(sql).collect().map(r =>
+      (r.getString(0), r.getLong(1))).toMap
+    assert(a == b, "reordered plan changed the answer")
+  }
+
+  test("type widening suppresses the widened column's stats (stale " +
+    "float text / re-hashed sketches can never mislead the optimizer)") {
+    val (cat, _) = freshCat("widen")
+    spark.sql(s"CREATE TABLE $cat.t (k INT, v FLOAT) " +
+      "TBLPROPERTIES('stats.ndv.columns'='k,v')")
+    spark.range(0, 100).select($"id".cast("int").as("k"),
+      ($"id" * 0.1f).cast("float").as("v"))
+      .coalesce(1).writeTo(s"$cat.t").append()
+    spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN v TYPE DOUBLE")
+    spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN k TYPE BIGINT")
+    val st = withCbo(attrStats(spark.table(s"$cat.t")))
+    assert(!st.contains("v") || (st("v").distinctCount.isEmpty &&
+      st("v").min.isEmpty && st("v").max.isEmpty),
+      s"widened float column must report no stats, got ${st.get("v")}")
+    assert(!st.contains("k") || st("k").distinctCount.isEmpty,
+      s"widened int column must report no stats, got ${st.get("k")}")
+  }
+}

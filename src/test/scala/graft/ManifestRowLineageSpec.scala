@@ -1,0 +1,255 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+
+/** ROW LINEAGE (round 14 — Iceberg v3's row-id model on the manifest
+  * format): `TBLPROPERTIES('row.lineage'='true')` gives every row a
+  * STABLE identity. Commit-time assignment mints `#firstrow,<file>,<id>`
+  * riders from a `#tableconf,rowidnext` high-water mark inside the claim
+  * loop (publishSnapshotV — one choke point, every commit route);
+  * `_row_id` reads as first_row_id + position; rewrites (compaction,
+  * Z-order, copy-on-write UPDATE/DELETE/MERGE) carry ids through a
+  * materialized `_rid` parquet column (`#ridcol` marker) with the
+  * Iceberg null-inheritance rule for rewrite-inserted rows. Identity
+  * that survives maintenance is what makes downstream incremental
+  * consumers (SCD trackers, feature stores, audit joins) possible at
+  * 100 TB — without it every compaction invalidates every consumer. */
+class ManifestRowLineageSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.local(4)
+  import spark.implicits._
+
+  private def freshCat(tag: String): (String, String) = {
+    val root = java.nio.file.Files.createTempDirectory(s"graft_rl_$tag").toString
+    val cat = s"graft_rl_${tag}_" + math.abs(root.hashCode).toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    (cat, root)
+  }
+
+  private def idsOf(df: DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def withIds(cat: String, t: String = "t"): DataFrame =
+    spark.sql(s"SELECT k, _row_id FROM $cat.$t")
+
+  test("appends assign dense, duplicate-free ids that continue across " +
+    "commits; a non-lineage table reads NULL") {
+    val (cat, _) = freshCat("assign")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES('row.lineage'='true')")
+    spark.range(0, 1000).select($"id".as("k"), lit("a").as("v"))
+      .repartition(4).writeTo(s"$cat.t").append()
+    val first = idsOf(withIds(cat))
+    assert(first.size == 1000)
+    assert(first.values.toSeq.distinct.size == 1000, "ids must be unique")
+    assert(first.values.min == 0L && first.values.max == 999L,
+      s"first commit should use ids 0..999, got " +
+        s"[${first.values.min}, ${first.values.max}]")
+    // stable across reads
+    assert(idsOf(withIds(cat)) == first)
+    spark.range(1000, 1500).select($"id".as("k"), lit("b").as("v"))
+      .repartition(3).writeTo(s"$cat.t").append()
+    val second = idsOf(withIds(cat))
+    assert(second.size == 1500 && second.values.toSeq.distinct.size == 1500)
+    // old rows keep their ids; new rows continue above the mark
+    first.foreach { case (k, id) => assert(second(k) == id) }
+    assert(second.filterNot(kv => first.contains(kv._1)).values.min >= 1000L)
+    // a table that never enabled lineage answers NULL
+    val (cat2, _) = freshCat("off")
+    spark.sql(s"CREATE TABLE $cat2.t (k BIGINT)")
+    spark.range(0, 5).select($"id".as("k")).writeTo(s"$cat2.t").append()
+    val rows = spark.sql(s"SELECT k, _row_id FROM $cat2.t").collect()
+    assert(rows.forall(_.isNullAt(1)), "_row_id must be NULL without lineage")
+  }
+
+  test("copy-on-write UPDATE preserves every row's id — updated and " +
+    "untouched alike — through the file rewrite") {
+    val (cat, root) = freshCat("cow")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES('row.lineage'='true')")
+    spark.range(0, 2000).select($"id".as("k"), ($"id" * 1.0).as("v"))
+      .repartition(4).writeTo(s"$cat.t").append()
+    val before = idsOf(withIds(cat))
+    spark.sql(s"UPDATE $cat.t SET v = v + 1000000.0 WHERE k % 3 = 0")
+    val after = idsOf(withIds(cat))
+    assert(after.size == 2000)
+    before.foreach { case (k, id) =>
+      assert(after(k) == id, s"row k=$k changed identity across UPDATE")
+    }
+    // the updated values actually landed
+    val updated = spark.sql(
+      s"SELECT count(*) FROM $cat.t WHERE v >= 1000000.0").collect()(0).getLong(0)
+    assert(updated == before.keys.count(_ % 3 == 0))
+    // and the rewrite files are marked #ridcol
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val lines = ManifestFiles.latestLines(fs, new Path(s"$root/t"))
+    assert(ManifestFiles.ridColFromLines(lines).nonEmpty,
+      "COW rewrite files must carry the materialized _rid marker")
+  }
+
+  test("MERGE preserves matched rows' ids and mints fresh ones for " +
+    "inserted rows (the Iceberg null-inheritance rule)") {
+    val (cat, _) = freshCat("merge")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES('row.lineage'='true')")
+    spark.range(0, 1000).select($"id".as("k"), ($"id" * 1.0).as("v"))
+      .repartition(2).writeTo(s"$cat.t").append()
+    val before = idsOf(withIds(cat))
+    spark.range(500, 1500).select($"id".as("k"), lit(-1.0).as("v"))
+      .createOrReplaceTempView("rl_merge_src")
+    spark.sql(s"""
+      MERGE INTO $cat.t AS t USING rl_merge_src AS s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    val after = idsOf(withIds(cat))
+    assert(after.size == 1500)
+    assert(after.values.toSeq.distinct.size == 1500, "ids must stay unique")
+    before.foreach { case (k, id) =>
+      assert(after(k) == id, s"matched row k=$k changed identity")
+    }
+    val minted = after.filterNot(kv => before.contains(kv._1)).values
+    assert(minted.forall(_ >= 1000L),
+      "inserted rows must mint ids above the pre-merge high-water mark")
+  }
+
+  test("compaction and Z-order reorder rows across files but never " +
+    "re-mint identities; DELETE keeps survivors' ids") {
+    val (cat, root) = freshCat("compact")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('row.lineage'='true')")
+    (0 until 3).foreach { c =>
+      spark.range(c * 500, (c + 1) * 500)
+        .select($"id".as("k"), ($"id" % 7).as("v"))
+        .repartition(3).writeTo(s"$cat.t").append()
+    }
+    val before = idsOf(withIds(cat))
+    // Z-order style multi-column compact: maximal reordering
+    spark.sql(s"CALL $cat.system.compact('t', 2, 'v,k')")
+    val after = idsOf(withIds(cat))
+    assert(after == before, "compaction re-minted row identities")
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val lines = ManifestFiles.latestLines(fs, new Path(s"$root/t"))
+    val entries = ManifestFiles.entriesFromLines(lines).map(_._1).toSet
+    assert(entries.subsetOf(ManifestFiles.ridColFromLines(lines)),
+      "every compacted file must be #ridcol-marked")
+    // follow-up DELETE over the materialized-rid files
+    spark.sql(s"DELETE FROM $cat.t WHERE k % 2 = 0")
+    val survivors = idsOf(withIds(cat))
+    survivors.foreach { case (k, id) =>
+      assert(before(k) == id, s"survivor k=$k changed identity after DELETE")
+    }
+    assert(survivors.size == before.size / 2)
+  }
+
+  test("enabling lineage on an EXISTING table backfills ids " +
+    "metadata-only; INSERT OVERWRITE never reuses retired ids") {
+    val (cat, root) = freshCat("enable")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
+    spark.range(0, 600).select($"id".as("k"))
+      .repartition(2).writeTo(s"$cat.t").append()
+    assert(spark.sql(s"SELECT _row_id FROM $cat.t").collect()
+      .forall(_.isNullAt(0)))
+    val dir = new Path(s"$root/t")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val dataBytes = fs.listStatus(dir)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES('row.lineage'='true')")
+    // metadata-only: not one data byte moved
+    assert(fs.listStatus(dir)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+      == dataBytes)
+    val ids = idsOf(withIds(cat))
+    assert(ids.size == 600 && ids.values.toSeq.distinct.size == 600)
+    // truncate retires ids 0..599; the mark never rewinds
+    spark.range(0, 10).select($"id".as("k"))
+      .write.mode("overwrite").format("graft-manifest")
+      .option("path", s"$root/t").save()
+    val fresh = idsOf(withIds(cat))
+    assert(fresh.values.min >= 600L,
+      s"overwrite reused retired ids: min=${fresh.values.min}")
+  }
+
+  test("lineage refuses the CSV payload loudly (enable-time, both DDL " +
+    "and ALTER)") {
+    val (cat, _) = freshCat("csv")
+    val e1 = intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.c (k BIGINT) " +
+        "TBLPROPERTIES('format'='csv', 'row.lineage'='true')"))
+    assert(e1.getMessage.contains("parquet"))
+    spark.sql(s"CREATE TABLE $cat.c2 (k BIGINT) TBLPROPERTIES('format'='csv')")
+    val e2 = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.c2 SET TBLPROPERTIES('row.lineage'='true')"))
+    assert(e2.getMessage.contains("parquet"))
+    // and disabling is refused once on
+    spark.sql(s"CREATE TABLE $cat.on (k BIGINT) " +
+      "TBLPROPERTIES('row.lineage'='true')")
+    val e3 = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.on SET TBLPROPERTIES('row.lineage'='false')"))
+    assert(e3.getMessage.contains("enable"))
+  }
+
+  test("the change feed carries `_row_id` per leg, and COW update legs " +
+    "pair into update images on PURE IDENTITY — no business key needed") {
+    val (cat, root) = freshCat("cdc")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES('row.lineage'='true')")
+    spark.range(0, 300).select($"id".as("k"), ($"id" * 1.0).as("v"))
+      .repartition(2).writeTo(s"$cat.t").append()          // v2
+    val tableIds = idsOf(withIds(cat))
+    spark.sql(s"UPDATE $cat.t SET v = v + 500.0 WHERE k % 5 = 0") // v3
+    val feed = spark.read.format("graft-manifest")
+      .option("path", s"$root/t").option("changeFeed", "true")
+      .option("changesFrom", "0").load()
+    assert(feed.schema.fieldNames.contains("_row_id"))
+    // insert legs of the initial append surface the SAME ids a table
+    // read resolves
+    val insertIds = feed
+      .filter($"_commit_version" === 2 && $"_change_type" === "insert")
+      .select($"k", $"_row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(insertIds == tableIds)
+    // the COW update's delete+insert legs share each row's identity —
+    // withUpdateImages keyed ONLY on _row_id reconstructs pre/post pairs
+    val images = ManifestChangeFeed.withUpdateImages(
+      feed.filter($"_commit_version" === 3), Seq("_row_id"))
+    val pre = images.filter($"_change_type" === "update_preimage")
+      .select($"_row_id", $"v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val post = images.filter($"_change_type" === "update_postimage")
+      .select($"_row_id", $"v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // COW rewrites the touched FILES: every rewritten row has a pre/post
+    // pair keyed by its id; the 500-shift shows on exactly the k%5 rows
+    assert(pre.keySet == post.keySet && pre.nonEmpty)
+    val shifted = pre.count { case (rid, v0) => post(rid) == v0 + 500.0 }
+    val same = pre.count { case (rid, v0) => post(rid) == v0 }
+    assert(shifted == tableIds.keys.count(_ % 5 == 0),
+      s"expected ${tableIds.keys.count(_ % 5 == 0)} shifted rows, " +
+        s"got $shifted")
+    assert(shifted + same == pre.size, "a pair changed by a wrong delta")
+  }
+
+  test("merge-on-read row-level ops keep ids positional: a MOR delete " +
+    "hides rows without disturbing the others' identities") {
+    val (cat, _) = freshCat("mor")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('row.lineage'='true', 'delete.mode'='merge-on-read')")
+    spark.range(0, 800).select($"id".as("k"), ($"id" * 2).as("v"))
+      .repartition(2).writeTo(s"$cat.t").append()
+    val before = idsOf(withIds(cat))
+    spark.sql(s"DELETE FROM $cat.t WHERE k >= 600")
+    val after = idsOf(withIds(cat))
+    assert(after.size == 600)
+    after.foreach { case (k, id) => assert(before(k) == id) }
+    // a full compact then materializes the deletes AND preserves ids
+    spark.sql(s"CALL $cat.system.compact('t')")
+    assert(idsOf(withIds(cat)) == after,
+      "compacting away MOR delete vectors changed identities")
+  }
+}
