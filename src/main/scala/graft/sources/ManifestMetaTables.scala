@@ -178,6 +178,11 @@ private[sources] class ManifestMetaTable(kind: String, dir: Path,
       .add("born", IntegerType, nullable = true)
       .add("imported", BooleanType, nullable = false)
       .add("eq_delete_sets", IntegerType, nullable = false)
+      // round 14: row-lineage observability — the file's assigned first
+      // row id (null before lineage enablement) and whether it carries
+      // a materialized `_rid` column (rewrite output)
+      .add("first_row_id", LongType, nullable = true)
+      .add("rid_column", BooleanType, nullable = false)
     case "snapshots" => new StructType()
       .add("version", IntegerType, nullable = false)
       .add("committed_at", TimestampType, nullable = false)
@@ -236,6 +241,8 @@ private[sources] class ManifestMetaTable(kind: String, dir: Path,
           }.groupBy(identity).map { case (f, hits) => f -> hits.length.toLong }
         val specs3 = layout.map { case (n, k, dt, pos) => (pos, k, dt) }
         val names3 = layout.map { case (n, k, dt, _) => (n, k, dt) }
+        val firstRows = ManifestFiles.firstRowFromLines(lines)
+        val ridCols = ManifestFiles.ridColFromLines(lines)
         entries.map { case (file, rows) =>
           val key =
             if (layout.isEmpty) None
@@ -258,7 +265,9 @@ private[sources] class ManifestMetaTable(kind: String, dir: Path,
               renderPath(names3, k)): Any).orNull,
             born.get(file).map(v => v: Any).orNull,
             imported.contains(file),
-            eqVersions.count(_ > born.getOrElse(file, 0)))): InternalRow
+            eqVersions.count(_ > born.getOrElse(file, 0)),
+            firstRows.get(file).map(v => v: Any).orNull,
+            ridCols.contains(file))): InternalRow
         }
       case "snapshots" =>
         val vs = ManifestFiles.versions(fs, dir).sorted

@@ -857,6 +857,12 @@ private[sources] class ManifestRowLevelOperation(
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
 
   @volatile private var scanned: Array[String] = Array.empty
+  // the delete-state lines (#dels/#eqdels) of the snapshot the scan
+  // planned — the replacing commit validates none appeared since (a
+  // concurrent MOR delete / CDC upsert would otherwise RESURRECT its
+  // deleted rows: this rewrite's files were computed without the new
+  // state, and post-rewrite files are born past an eqdel's version)
+  @volatile private var scannedDeleteState: Set[String] = Set.empty
 
   override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
   override def description(): String = s"graft-manifest COPY_ON_WRITE $cmd $path"
@@ -868,7 +874,8 @@ private[sources] class ManifestRowLevelOperation(
     // fully-deleted file would keep it alive (see ManifestScanBuilder).
     new ManifestScanBuilder(path, None, tableSchema,
       new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
-      onPlanned = names => scanned = names, statsSkip = false)
+      onPlanned = names => scanned = names, statsSkip = false,
+      onDeleteState = state => scannedDeleteState = state)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -880,6 +887,7 @@ private[sources] class ManifestRowLevelOperation(
           truncate = false,
           new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
           dropFromPrevious = () => scanned.toSet,
+          scannedDeleteState = () => Some(scannedDeleteState),
           format = Option(info.options.get("format")).getOrElse(tableFormat),
           // ROW LINEAGE through copy-on-write: the operation asked for
           // `_row_id` (see requiredMetadataAttributes), so Spark's
@@ -935,6 +943,10 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
     // Old versions keep referencing the dropped files — time travel
     // still reads the pre-image.
     dropFromPrevious: () => Set[String] = () => Set.empty,
+    // Some(state) on a replacing commit: the #dels/#eqdels lines of the
+    // snapshot the operation SCANNED — the claim closure validates the
+    // rewrite against concurrent commits (see below)
+    scannedDeleteState: () => Option[Set[String]] = () => None,
     // (colPos, n) when this write was bucket-clustered — each commit
     // message's partitionId IS the file's bucket id.
     bucketSpec: Option[(Int, Int)] = None,
@@ -1056,6 +1068,7 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
     val eqPositions = upsertKeys.map(k =>
       ManifestFiles.physPos(schema, k)).mkString(";")
     val drop = dropFromPrevious()
+    val scanState = scannedDeleteState()
     // The base snapshot is supplied by publishSnapshot's claim loop (the
     // immediate predecessor version, re-read on every retry), so a
     // concurrent committer's files are never lost from the merge.
@@ -1064,6 +1077,37 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
         s"graft-manifest at $path: a concurrent committer published a " +
           "version while this CREATE TABLE AS SELECT was staging — " +
           "aborting instead of appending to someone else's table")
+      // WRITE-CONFLICT VALIDATION for replacing commits (the COW twin of
+      // the MOR guard in ManifestDelta): (a) every file this rewrite
+      // replaces must still be listed — a concurrent rewrite/compaction
+      // of the same file would otherwise DOUBLE its surviving rows (both
+      // rewrites land) and resurrect the winner's deletions; (b) no
+      // delete state (#dels vectors, #eqdels upsert sets) may have
+      // landed since the scan — the rewrite was computed without it, and
+      // rewrite files are born past an eqdel's version, so committing
+      // anyway would resurrect concurrently-deleted rows. Blind APPENDS
+      // racing a row-level op stay fine (their files are neither dropped
+      // nor delete state) — snapshot-isolation semantics, matching
+      // Delta's WriteSerializable and Iceberg's overwrite validation.
+      if (drop.nonEmpty) {
+        val live = ManifestFiles.entriesFromLines(previous).map(_._1).toSet
+        val gone = drop -- live
+        if (gone.nonEmpty) throw new IllegalStateException(
+          s"graft-manifest at $path: this row-level operation rewrites " +
+            s"${gone.size} file(s) a concurrent commit already rewrote " +
+            s"or removed (e.g. ${gone.head}); retry the operation " +
+            "against the current snapshot")
+        scanState.foreach { known =>
+          val newState = previous.filter(l => l.startsWith("#dels,") ||
+            l.startsWith("#eqdels,")).filterNot(known)
+          if (newState.nonEmpty) throw new IllegalStateException(
+            s"graft-manifest at $path: a concurrent commit landed new " +
+              s"row-level delete state (e.g. ${newState.head}) after " +
+              "this operation's scan — committing the rewrite would " +
+              "resurrect those deleted rows; retry the operation " +
+              "against the current snapshot")
+        }
+      }
       // DDL intent (#tableconf) persists until DROP TABLE: truncation
       // replaces the DATA, not the declared layout — and a branch's
       // fork-point marker (#branchbase) must survive both shapes, or

@@ -1888,7 +1888,11 @@ private[sources] class ManifestScanBuilder(path: String, version: Option[Int],
     maxBytesPerTrigger: Option[Long] = None,
     maxRowsPerTrigger: Option[Long] = None,
     minRowsPerTrigger: Option[Long] = None,
-    maxTriggerDelayMs: Long = 15000L)
+    maxTriggerDelayMs: Long = 15000L,
+    // row-level COPY_ON_WRITE: receives the planned snapshot's
+    // delete-state lines (#dels/#eqdels) — the replacing commit's
+    // write-conflict validation compares against them
+    onDeleteState: Set[String] => Unit = _ => ())
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
 
@@ -1941,7 +1945,8 @@ private[sources] class ManifestScanBuilder(path: String, version: Option[Int],
       maxBytesPerTrigger = maxBytesPerTrigger,
       maxRowsPerTrigger = maxRowsPerTrigger,
       minRowsPerTrigger = minRowsPerTrigger,
-      maxTriggerDelayMs = maxTriggerDelayMs)
+      maxTriggerDelayMs = maxTriggerDelayMs,
+      onDeleteState = onDeleteState)
 
 }
 
@@ -1977,7 +1982,8 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
     maxBytesPerTrigger: Option[Long] = None,
     maxRowsPerTrigger: Option[Long] = None,
     minRowsPerTrigger: Option[Long] = None,
-    maxTriggerDelayMs: Long = 15000L)
+    maxTriggerDelayMs: Long = 15000L,
+    onDeleteState: Set[String] => Unit = _ => ())
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -2539,6 +2545,8 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
       deleteFilesApplied +=
         names.flatMap(eqDeleteMap.get).flatten.distinct.length.toLong
     onPlanned(names)
+    onDeleteState(snapshotLines.filter(l => l.startsWith("#dels,") ||
+      l.startsWith("#eqdels,")).toSet)
     bucketLayout match {
       case Some((_, n)) =>
         val byBucket = names.groupBy(f => bucketIds(f)._3)

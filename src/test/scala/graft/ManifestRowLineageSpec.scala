@@ -138,6 +138,11 @@ class ManifestRowLineageSpec extends AnyFunSuite {
     val entries = ManifestFiles.entriesFromLines(lines).map(_._1).toSet
     assert(entries.subsetOf(ManifestFiles.ridColFromLines(lines)),
       "every compacted file must be #ridcol-marked")
+    // observability: t$files surfaces the lineage columns
+    val meta = spark.sql(
+      s"SELECT first_row_id, rid_column FROM $cat.`t$$files`").collect()
+    assert(meta.nonEmpty && meta.forall(r => !r.isNullAt(0) && r.getBoolean(1)),
+      "t\\$files must report first_row_id + rid_column on compacted files")
     // follow-up DELETE over the materialized-rid files
     spark.sql(s"DELETE FROM $cat.t WHERE k % 2 = 0")
     val survivors = idsOf(withIds(cat))
