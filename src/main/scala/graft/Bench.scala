@@ -79,7 +79,8 @@ object Bench {
     "q258_ann_governed_index", "q259_hours_retention",
     "q260_capped_stream_drain", "q261_governed_band_index",
     "q262_governed_view", "q263_materialized_view", "q264_mv_rewrite",
-    "q265_merge_not_matched_by_source", "q266_row_lineage")
+    "q265_merge_not_matched_by_source", "q266_row_lineage",
+    "q267_agg_pushdown")
 
   private val sentinelName = "q97_compute_pi"
   private val stragglerQueries =

@@ -1894,11 +1894,37 @@ private[sources] class ManifestScanBuilder(path: String, version: Option[Int],
     // write-conflict validation compares against them
     onDeleteState: Set[String] => Unit = _ => ())
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private val accepted =
     scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.sources.Filter]
+  private var pushedAgg: Option[ManifestAggPushdown.Pushed] = None
+
+  // METADATA-ONLY aggregate pushdown (see ManifestAggPushdown): global
+  // COUNT/MIN/MAX answer from the snapshot's own entry counts + #stats
+  // without opening a data file. `supportCompletePushDown` and
+  // `pushAggregation` evaluate the SAME gates, so a pushed aggregation
+  // is always COMPLETE (we never emit partial rows); any gate failure
+  // returns false and Spark aggregates normally.
+  private def evalAgg(agg: org.apache.spark.sql.connector.expressions
+      .aggregate.Aggregation): Option[ManifestAggPushdown.Pushed] = {
+    if (changeFeed || changes.isDefined || filesSubset.isDefined ||
+        accepted.nonEmpty) return None
+    val dir = new Path(path)
+    ManifestAggPushdown.tryPush(dir.getFileSystem(conf.value), dir,
+      version, branch, fullSchema, agg)
+  }
+
+  override def supportCompletePushDown(agg: org.apache.spark.sql.connector
+      .expressions.aggregate.Aggregation): Boolean = evalAgg(agg).isDefined
+
+  override def pushAggregation(agg: org.apache.spark.sql.connector
+      .expressions.aggregate.Aggregation): Boolean = {
+    pushedAgg = evalAgg(agg)
+    pushedAgg.isDefined
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -1923,7 +1949,9 @@ private[sources] class ManifestScanBuilder(path: String, version: Option[Int],
     accepted.toArray
 
   override def build(): Scan =
-    if (changeFeed)
+    if (pushedAgg.isDefined)
+      new ManifestAggScan(path, pushedAgg.get.schema, pushedAgg.get.values)
+    else if (changeFeed)
       // fullSchema here carries the CDF output columns (inferSchema
       // appended them); the scan reads data through the bare table
       // schema and attaches the constants itself. No changesFrom =
@@ -5666,8 +5694,18 @@ private[sources] object ManifestProcedures {
       // version N's segments; rollback of any table size is O(1) metadata
       val raw = ManifestFiles.rawLinesOf(fs, dir, Some(to))
       val schema = ManifestFiles.schemaFor(fs, dir, Some(to))
-      val v = ManifestFiles.publishRawV(fs, conf, dir, (_, _) => (raw, Nil),
-        schema)
+      val v = ManifestFiles.publishRawV(fs, conf, dir, (prevRaw, _) => {
+        // ROW LINEAGE: the high-water mark NEVER rewinds — replaying
+        // version N's (smaller) mark would re-mint ids the disavowed
+        // versions already handed to readers, for DIFFERENT rows.
+        // `#tableconf,rowidnext` is an inline control line in both the
+        // list and legacy encodings, so raw-level patching is exact.
+        val cur = ManifestFiles.rowIdNextFromLines(prevRaw)
+        val tgt = ManifestFiles.rowIdNextFromLines(raw)
+        (if (cur <= tgt) raw
+         else raw.filterNot(_.startsWith("#tableconf,rowidnext,")) :+
+           s"#tableconf,rowidnext,$cur", Nil)
+      }, schema)
       result(new StructType().add("from_version", IntegerType)
           .add("rolled_back_to", IntegerType).add("new_version", IntegerType),
         Array(from, to, v))

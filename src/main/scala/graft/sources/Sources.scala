@@ -2166,6 +2166,58 @@ object Sources extends QueryModule {
                               THEN 1000.0 ELSE 0.0 END AS c_acctbal
       FROM customer ORDER BY c_custkey"""))
 
+  /** METADATA-ONLY AGGREGATE PUSHDOWN (round 14 —
+    * sources/ManifestAggPushdown.scala, DSv2 SupportsPushDownAggregates,
+    * the seam Iceberg/JDBC plug): an unfiltered global
+    * COUNT(*)/COUNT(col)/MIN/MAX over the governed table answers from
+    * the snapshot's entry row counts and `#stats` bounds — the query
+    * REQUIRES the pushed plan (no data file opens; the spec twin proves
+    * it by deleting the bytes), and the oracle recomputes the same
+    * aggregates relationally. At 100 TB "how many rows / what's the key
+    * range" becomes a sub-second driver read instead of a table scan. */
+  val qAggPushdown: QueryDef = QueryDef(
+    "q267_agg_pushdown",
+    (s, d) => {
+      import s.implicits._
+      val cat = "graft_agp_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val root = tmp(d, "manifest_aggpush")
+      val dir = new org.apache.hadoop.fs.Path(root)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE TABLE $cat.li (l_orderkey BIGINT, l_linenumber BIGINT, " +
+        "l_quantity DOUBLE, l_tax_q BIGINT)")
+      Tables.df(s, d, "lineitem")
+        .select($"l_orderkey", $"l_linenumber".cast("long"),
+          $"l_quantity",
+          when($"l_linenumber" % 4 === 0, lit(null))
+            .otherwise(($"l_quantity" * 100).cast("long")).as("l_tax_q"))
+        .repartition(4)
+        .writeTo(s"$cat.li").append()
+      val q = s.sql(s"SELECT count(*) AS n, count(l_tax_q) AS nq, " +
+        s"min(l_orderkey) AS mn, max(l_orderkey) AS mx, " +
+        s"max(l_tax_q) AS mxq FROM $cat.li")
+      val pushed = q.queryExecution.executedPlan.collectWithSubqueries {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.description()
+      }
+      require(pushed.exists(_.contains("AGGREGATE-PUSHDOWN")),
+        "the global aggregate must answer from metadata:\n" +
+          q.queryExecution.executedPlan)
+      q
+    },
+    Some("""
+      WITH src AS (
+        SELECT l_orderkey,
+               CASE WHEN l_linenumber % 4 = 0 THEN NULL
+                    ELSE CAST(l_quantity * 100 AS BIGINT) END AS l_tax_q
+        FROM lineitem)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(l_tax_q) AS BIGINT) AS nq,
+             MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx,
+             MAX(l_tax_q) AS mxq
+      FROM src"""))
+
   override def defs: Seq[QueryDef] =
     Seq(qCsv, qJson, qOrc, qText, qPartitioned, qSynthSource, qSynthColumnar,
       qSchemaEvolution, qManifestTimeTravel, qManifestMerge, qManifestStream,
@@ -2177,5 +2229,5 @@ object Sources extends QueryModule {
       qSortOrder, qAddFiles, qUpsert, qCdfUpsertMaint, qReplaceTable,
       qWidened, qCdfImages, qAnnIndex, qHoursRetention, qCappedStream,
       qGovernedView, qMaterializedView, qMvRewrite,
-      qMergeNotMatchedBySource, qRowLineage)
+      qMergeNotMatchedBySource, qRowLineage, qAggPushdown)
 }

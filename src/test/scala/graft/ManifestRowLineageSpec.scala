@@ -180,6 +180,26 @@ class ManifestRowLineageSpec extends AnyFunSuite {
       s"overwrite reused retired ids: min=${fresh.values.min}")
   }
 
+  test("rollback never rewinds the row-id mark: post-rollback appends " +
+    "mint ABOVE everything the disavowed history handed out") {
+    val (cat, _) = freshCat("rb")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT) " +
+      "TBLPROPERTIES('row.lineage'='true')")
+    spark.range(0, 100).select($"id".as("k")).writeTo(s"$cat.t").append()
+    val v2Ids = idsOf(withIds(cat))
+    spark.range(100, 400).select($"id".as("k")).writeTo(s"$cat.t").append()
+    // disavow the second append, then append anew
+    spark.sql(s"CALL $cat.system.rollback('t', 2)")
+    spark.range(1000, 1050).select($"id".as("k")).writeTo(s"$cat.t").append()
+    val ids = idsOf(withIds(cat))
+    // surviving rows keep their ids; fresh rows mint ABOVE the
+    // disavowed history's mark (400), never inside it
+    v2Ids.foreach { case (k, id) => assert(ids(k) == id) }
+    val minted = ids.filterNot(kv => v2Ids.contains(kv._1)).values
+    assert(minted.forall(_ >= 400L),
+      s"rollback re-minted disavowed ids: min=${minted.min}")
+  }
+
   test("lineage refuses the CSV payload loudly (enable-time, both DDL " +
     "and ALTER)") {
     val (cat, _) = freshCat("csv")
