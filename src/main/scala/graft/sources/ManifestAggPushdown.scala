@@ -121,30 +121,21 @@ object ManifestAggPushdown {
     Some(Pushed(StructType(fields.result()), values.result()))
   }
 
-  /** Decode and fold raw bounds. Outer None = an undecodable bound
+  /** Fold raw bounds via the shared merge (ManifestSkip.bestBound — one
+    * comparator for pushdown AND the CBO stats) and decode the winner
+    * to its INTERNAL row value. Outer None = an undecodable bound
     * (refuse pushdown); inner None = every file all-null (SQL NULL). */
   private def bound(raws: Seq[String], dt: DataType,
-      isMin: Boolean): Option[Option[Any]] = {
-    if (raws.isEmpty) return Some(None) // all files all-null
-    var best: Any = null
-    var bestNorm: Any = null
-    raws.foreach { raw =>
-      val v0 = ManifestSkip.decodeRaw(dt, raw).getOrElse(return None)
-      // decodeRaw hands decimals back as java BigDecimal; rows carry
-      // catalyst Decimal
-      val v = v0 match {
-        case b: java.math.BigDecimal => Decimal(b)
-        case other => other
-      }
-      val n = ManifestSkip.normalize(dt, v0).getOrElse(return None)
-      if (bestNorm == null ||
-          (if (isMin) ManifestSkip.cmp(n, bestNorm) < 0
-           else ManifestSkip.cmp(n, bestNorm) > 0)) {
-        best = v; bestNorm = n
+      isMin: Boolean): Option[Option[Any]] =
+    ManifestSkip.bestBound(raws, dt, isMin).flatMap {
+      case None => Some(None)
+      case Some(raw) => ManifestSkip.decodeRaw(dt, raw).map {
+        // decodeRaw hands decimals back as java BigDecimal; rows carry
+        // catalyst Decimal
+        case b: java.math.BigDecimal => Some(Decimal(b))
+        case other => Some(other)
       }
     }
-    Some(Some(best))
-  }
 }
 
 /** The pushed-aggregate scan: ONE partition, ONE precomputed row. The

@@ -60,7 +60,26 @@ private[sources] class ManifestDeltaOperation(
     Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"),
       org.apache.spark.sql.connector.expressions.Expressions.column("_pos"))
 
-  override def representUpdateAsDeleteAndInsert(): Boolean = true
+  private lazy val lineage: Boolean =
+    try ManifestFiles.isLineage(ManifestFiles.latestLines(
+      new Path(path).getFileSystem(
+        SparkSession.active.sessionState.newHadoopConf()), new Path(path)))
+    catch { case _: Exception => false }
+
+  /** ROW LINEAGE through merge-on-read updates: with lineage on, an
+    * UPDATE stays an UPDATE (not delete+insert), so `update(metadata,
+    * id, row)` receives the target row's [_file, _row_id] metadata and
+    * the replacement row lands in a `#ridcol` file CARRYING the id —
+    * the same stable-identity contract the COW path keeps. Without
+    * lineage the delete+insert representation stays (no plan churn). */
+  override def representUpdateAsDeleteAndInsert(): Boolean = !lineage
+
+  override def requiredMetadataAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (lineage)
+      Array(
+        org.apache.spark.sql.connector.expressions.Expressions.column("_file"),
+        org.apache.spark.sql.connector.expressions.Expressions.column("_row_id"))
+    else Array.empty
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
@@ -71,13 +90,14 @@ private[sources] class ManifestDeltaOperation(
           new SerializableHadoopConf(
             SparkSession.active.sessionState.newHadoopConf()),
           // same precedence as any append: write option, then table pin
-          Option(info.options.get("format")).getOrElse(tableFormat))
+          Option(info.options.get("format")).getOrElse(tableFormat),
+          carryRowIds = lineage)
       }
     }
 }
 
 private[sources] case class DeltaCommitted(
-    data: Option[FileCommitted], delFile: Option[String], delRows: Long)
+    data: Seq[FileCommitted], delFile: Option[String], delRows: Long)
   extends WriterCommitMessage
 
 /** Driver half: rename staged data + delete files, publish ONE snapshot
@@ -86,19 +106,26 @@ private[sources] case class DeltaCommitted(
   * whole point of merge-on-read. */
 private[sources] class ManifestDeltaBatchWrite(path: String, queryId: String,
     schema: StructType, conf: SerializableHadoopConf,
-    format: String = "parquet") extends DeltaBatchWrite {
+    format: String = "parquet",
+    // row lineage: updates carry their target row's id into `#ridcol`
+    // insert files (see ManifestDeltaOperation.requiredMetadataAttributes)
+    carryRowIds: Boolean = false) extends DeltaBatchWrite {
 
   private val stagingName = s".staging-$queryId"
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DeltaWriterFactory = {
+    val lines = ManifestFiles.latestLines(
+      new Path(path).getFileSystem(conf.value), new Path(path))
     // no catch: a bind failure must fail the write, not skip validation
     val checks = ManifestChecks.bind(
       org.apache.spark.sql.SparkSession.active, schema,
-      ManifestFiles.checksFromLines(ManifestFiles.latestLines(
-        new Path(path).getFileSystem(conf.value), new Path(path))))
+      ManifestFiles.checksFromLines(lines))
     new ManifestDeltaWriterFactory(path, stagingName, schema, conf, format,
-      checks)
+      checks,
+      ndvPos = ManifestFiles.ndvFromLines(lines)
+        .flatMap(ManifestFiles.fieldAtPhys(schema, _)).toArray,
+      carryRowIds = carryRowIds)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -112,11 +139,12 @@ private[sources] class ManifestDeltaBatchWrite(path: String, queryId: String,
       fin
     }
     val fresh = messages.flatMap { case DeltaCommitted(data, del, _) =>
-      data.toSeq.flatMap { (m: FileCommitted) =>
+      data.flatMap { (m: FileCommitted) =>
         val fin = land(m.name)
         Seq(s"$fin,${m.rows}",
           ManifestFiles.statsLine(fin, m.bytes, m.stats, m.nestedStats)) ++
-          (if (m.ndv.nonEmpty) Seq(ManifestNdv.line(fin, m.ndv)) else Nil)
+          (if (m.ndv.nonEmpty) Seq(ManifestNdv.line(fin, m.ndv)) else Nil) ++
+          (if (m.ridCol) Seq(ManifestFiles.ridColLine(fin)) else Nil)
       } ++ del.map(d => s"#dels,${land(d)}")
     }
     // Data files the staged delete vectors point INTO (the Iceberg
@@ -163,7 +191,14 @@ private[sources] class ManifestDeltaWriterFactory(path: String,
     // bound CHECK constraints: a merge-on-read UPDATE/MERGE can insert
     // brand-new rows, so the delta route validates like every other
     checks: Seq[(String, String,
-      org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty,
+    // declared stats.ndv.columns — MOR insert files carry sketches like
+    // every other write route, or CBO's forall-coverage gate would
+    // silently suppress distinctCount after the first upsert
+    ndvPos: Array[Int] = Array.empty,
+    // row lineage: update() carries the target row's [_file, _row_id]
+    // metadata into a second, `#ridcol` insert file
+    carryRowIds: Boolean = false)
     extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int,
@@ -179,9 +214,25 @@ private[sources] class ManifestDeltaWriterFactory(path: String,
           dataName = f"part-$partitionId%05d-$taskId${ManifestWriters.ext(format)}.tmp"
           dataWriter = ManifestChecks.wrap(
             ManifestWriters.create(path, stagingName, dataName,
-              schema, conf, injectFailure = false), checks, schema)
+              schema, conf, injectFailure = false, ndvPos = ndvPos),
+            checks, schema)
         }
         dataWriter
+      }
+      // UPDATE legs on a lineage table: replacement rows land in their
+      // own `#ridcol` file, the carried id materialized (the metadata
+      // row is [_file, _row_id] — exactly the 2-arg writer's contract)
+      private var updWriter: DataWriter[InternalRow] = _
+      private def upd(): DataWriter[InternalRow] = {
+        if (updWriter == null) {
+          updWriter = ManifestChecks.wrap(
+            ManifestWriters.create(path, stagingName,
+              f"part-u$partitionId%05d-$taskId${ManifestWriters.ext(format)}.tmp",
+              schema, conf, injectFailure = false, ndvPos = ndvPos,
+              ridFromMeta = true),
+            checks, schema)
+        }
+        updWriter
       }
       // Deleted (file, ordinal) pairs stage as a tiny line file.
       private val delName = f"delete-$partitionId%05d-$taskId.del.tmp"
@@ -206,15 +257,18 @@ private[sources] class ManifestDeltaWriterFactory(path: String,
 
       override def update(meta: InternalRow, id: InternalRow,
           row: InternalRow): Unit = {
-        // unreachable with representUpdateAsDeleteAndInsert=true, but
-        // delete+insert is exactly what it would mean
         delete(meta, id)
-        insert(row)
+        // lineage (representUpdateAsDeleteAndInsert=false): the target
+        // row's [_file, _row_id] metadata rides into the replacement —
+        // identity survives the update, exactly like the COW path
+        if (carryRowIds && meta != null && meta.numFields >= 2)
+          upd().write(meta, row)
+        else insert(row)
       }
 
       override def commit(): WriterCommitMessage = {
-        val dataMsg = Option(dataWriter).map(
-          _.commit().asInstanceOf[FileCommitted])
+        val dataMsg = Seq(Option(dataWriter), Option(updWriter)).flatten
+          .map(_.commit().asInstanceOf[FileCommitted])
         if (delOut != null) delOut.close()
         DeltaCommitted(dataMsg,
           if (delRows > 0) Some(delName) else {
@@ -229,6 +283,7 @@ private[sources] class ManifestDeltaWriterFactory(path: String,
 
       override def abort(): Unit = {
         if (dataWriter != null) dataWriter.abort()
+        if (updWriter != null) updWriter.abort()
         if (delOut != null) {
           delOut.close()
           val f = new Path(new Path(path, stagingName), delName)
@@ -238,6 +293,7 @@ private[sources] class ManifestDeltaWriterFactory(path: String,
 
       override def close(): Unit = {
         if (dataWriter != null) dataWriter.close()
+        if (updWriter != null) updWriter.close()
         if (delOut != null) delOut.close()
       }
     }

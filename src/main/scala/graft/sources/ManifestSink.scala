@@ -798,7 +798,13 @@ private[sources] class ManifestTable(schema0: StructType,
             replaceConf = replaceConf.isDefined,
             requireFresh = Option(properties.get("requireFreshTable"))
               .contains("true"),
-            ridIdx = if (carriesRid) incoming.length else -1)
+            ridIdx = if (carriesRid) incoming.length else -1,
+            // compaction declares the delete state its scan saw; the
+            // claim validates nothing newer landed (rewrites derive
+            // from the scan — see the commit closure)
+            scannedDeleteState = () =>
+              Option(info.options.get("scannedDeleteState")).map(v =>
+                if (v.isEmpty) Set.empty[String] else v.split("\n").toSet))
         }
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
           if (truncateRequested) throw new UnsupportedOperationException(
@@ -1097,16 +1103,19 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
             s"${gone.size} file(s) a concurrent commit already rewrote " +
             s"or removed (e.g. ${gone.head}); retry the operation " +
             "against the current snapshot")
-        scanState.foreach { known =>
-          val newState = previous.filter(l => l.startsWith("#dels,") ||
-            l.startsWith("#eqdels,")).filterNot(known)
-          if (newState.nonEmpty) throw new IllegalStateException(
-            s"graft-manifest at $path: a concurrent commit landed new " +
-              s"row-level delete state (e.g. ${newState.head}) after " +
-              "this operation's scan — committing the rewrite would " +
-              "resurrect those deleted rows; retry the operation " +
-              "against the current snapshot")
-        }
+      }
+      // delete-state validation runs for EVERY commit that declared a
+      // scanned state — row-level COW ops (drop-based) AND compaction's
+      // truncating rewrite, whose content equally derives from the scan
+      scanState.foreach { known =>
+        val newState = previous.filter(l => l.startsWith("#dels,") ||
+          l.startsWith("#eqdels,")).filterNot(known)
+        if (newState.nonEmpty) throw new IllegalStateException(
+          s"graft-manifest at $path: a concurrent commit landed new " +
+            s"row-level delete state (e.g. ${newState.head}) after " +
+            "this operation's scan — committing the rewrite would " +
+            "resurrect those deleted rows; retry the operation " +
+            "against the current snapshot")
       }
       // DDL intent (#tableconf) persists until DROP TABLE: truncation
       // replaces the DATA, not the declared layout — and a branch's

@@ -1713,6 +1713,29 @@ private[sources] object ManifestSkip {
   private[sources] def decodeRaw(dt: DataType, s: String): Option[Any] =
     parseStat(s, dt)
 
+  /** Fold per-file raw bounds to the WINNING raw string under the
+    * canonical comparison domain — the one merge shared by the CBO
+    * column statistics and the metadata-only aggregate pushdown, so the
+    * two can never disagree on what a table's min/max is. Outer None =
+    * some bound failed to decode (callers must refuse — a skipped
+    * contribution could hide the true extremum); inner None = every
+    * file recorded the column all-null. */
+  private[sources] def bestBound(raws: Seq[String], dt: DataType,
+      isMin: Boolean): Option[Option[String]] = {
+    if (raws.isEmpty) return Some(None)
+    var bestRaw: String = null
+    var bestNorm: Any = null
+    raws.foreach { raw =>
+      val n = decodeRaw(dt, raw).flatMap(normalize(dt, _))
+        .getOrElse(return None)
+      if (bestNorm == null ||
+          (if (isMin) cmp(n, bestNorm) < 0 else cmp(n, bestNorm) > 0)) {
+        bestRaw = raw; bestNorm = n
+      }
+    }
+    Some(Some(bestRaw))
+  }
+
   private def bounds(schema: StructType, st: ManifestFiles.FileStats,
       col: String): Option[(Option[Any], Option[Any], Long)] =
     fieldIndex(schema, col)
@@ -1908,13 +1931,28 @@ private[sources] class ManifestScanBuilder(path: String, version: Option[Int],
   // `pushAggregation` evaluate the SAME gates, so a pushed aggregation
   // is always COMPLETE (we never emit partial rows); any gate failure
   // returns false and Spark aggregates normally.
+  // memoized per Aggregation instance: Spark calls
+  // supportCompletePushDown then pushAggregation with the same object —
+  // evaluating twice would double plan-time metadata reads AND open a
+  // latest-resolution race between the two calls
+  private var aggEval: Option[(org.apache.spark.sql.connector.expressions
+    .aggregate.Aggregation, Option[ManifestAggPushdown.Pushed])] = None
   private def evalAgg(agg: org.apache.spark.sql.connector.expressions
       .aggregate.Aggregation): Option[ManifestAggPushdown.Pushed] = {
-    if (changeFeed || changes.isDefined || filesSubset.isDefined ||
-        accepted.nonEmpty) return None
-    val dir = new Path(path)
-    ManifestAggPushdown.tryPush(dir.getFileSystem(conf.value), dir,
-      version, branch, fullSchema, agg)
+    aggEval match {
+      case Some((a, r)) if a eq agg => r
+      case _ =>
+        val r =
+          if (changeFeed || changes.isDefined || filesSubset.isDefined ||
+              accepted.nonEmpty) None
+          else {
+            val dir = new Path(path)
+            ManifestAggPushdown.tryPush(dir.getFileSystem(conf.value), dir,
+              version, branch, fullSchema, agg)
+          }
+        aggEval = Some((agg, r))
+        r
+    }
   }
 
   override def supportCompletePushDown(agg: org.apache.spark.sql.connector
@@ -2188,27 +2226,14 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
         val (nullCount, minRaw, maxRaw) =
           if (per.forall(_.isDefined)) {
             val cs = per.map(_.get)
-            var mnRaw: String = null; var mn: Any = null
-            var mxRaw: String = null; var mx: Any = null
-            cs.foreach { c =>
-              c.min.foreach { raw =>
-                ManifestSkip.decodeRaw(dt, raw)
-                  .flatMap(ManifestSkip.normalize(dt, _)).foreach { v =>
-                  if (mn == null || ManifestSkip.cmp(v, mn) < 0) {
-                    mn = v; mnRaw = raw
-                  }
-                }
-              }
-              c.max.foreach { raw =>
-                ManifestSkip.decodeRaw(dt, raw)
-                  .flatMap(ManifestSkip.normalize(dt, _)).foreach { v =>
-                  if (mx == null || ManifestSkip.cmp(v, mx) > 0) {
-                    mx = v; mxRaw = raw
-                  }
-                }
-              }
-            }
-            (Some(cs.map(_.nulls).sum), Option(mnRaw), Option(mxRaw))
+            // shared fold (bestBound) — one comparator with the
+            // aggregate pushdown; an undecodable bound yields NO bound
+            // (a skipped contribution could hide the true extremum)
+            val mnRaw = ManifestSkip.bestBound(
+              cs.flatMap(_.min).toSeq, dt, isMin = true).flatten
+            val mxRaw = ManifestSkip.bestBound(
+              cs.flatMap(_.max).toSeq, dt, isMin = false).flatten
+            (Some(cs.map(_.nulls).sum), mnRaw, mxRaw)
           } else (None, None, None)
         // numeric/temporal bounds as INTERNAL values (what catalyst
         // ColumnStat holds); strings/booleans skip bounds
@@ -2851,8 +2876,22 @@ private[sources] class ManifestMicroBatchStream(path: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[ManifestOffset].version
     val e = end.asInstanceOf[ManifestOffset].version
+    // row lineage resolves against THIS BATCH's end version — "latest"
+    // could already have compacted these files away (their ids would
+    // null out) while the batch legitimately reads their bytes
+    val (rids, ridCols) =
+      if (!required.fieldNames.contains("_row_id"))
+        (Map.empty[String, Long], Set.empty[String])
+      else {
+        val ls = ManifestFiles.linesOf(fs, dir, Some(e))
+        // ignoreDeletes tails can surface COW-rewrite files, which
+        // carry materialized ids — the coalesce marker rides along
+        (ManifestFiles.firstRowFromLines(ls), ManifestFiles.ridColFromLines(ls))
+      }
     ManifestFiles.addedBetween(fs, dir, s, e, ignoreDeletes).map(n =>
-      ManifestInputPartition(new Path(dir, n).toString, n): InputPartition)
+      ManifestInputPartition(new Path(dir, n).toString, n,
+        firstRow = rids.getOrElse(n, -1L),
+        ridCol = ridCols.contains(n)): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -2862,8 +2901,7 @@ private[sources] class ManifestMicroBatchStream(path: String,
         ManifestFiles.droppedFromLines(latest)),
       defaults = ManifestChecks.existsDefaults(
         org.apache.spark.sql.SparkSession.active, required),
-      imports = ManifestFiles.importsFromLines(latest),
-      rowIds = ManifestReaderFactory.rowIdsOf(latest, required))
+      imports = ManifestFiles.importsFromLines(latest))
   }
 
   override def commit(end: Offset): Unit = ()
@@ -2873,7 +2911,12 @@ private[sources] class ManifestMicroBatchStream(path: String,
 private[sources] case class ManifestInputPartition(file: String, name: String,
     // sorted row ordinals DELETED from this file by merge-on-read delete
     // files (empty for copy-on-write-only history)
-    deletes: Array[Long] = Array.empty)
+    deletes: Array[Long] = Array.empty,
+    // row lineage, resolved AT PLAN TIME against the snapshot this
+    // partition reads (streaming batches pin their offset version —
+    // resolving from "latest" would null ids when a compaction races
+    // the stream); -1/false defers to the factory-level map
+    firstRow: Long = -1L, ridCol: Boolean = false)
   extends InputPartition
 
 /** One bucket of a bucketed snapshot: every file whose rows satisfy
@@ -3049,7 +3092,9 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
           ManifestCsv.parse(r, req.fields(i).dataType)).orNull)
       }
     }
-    val (rid0, ridCol0) = rowIds.getOrElse(part.name, (-1L, false))
+    val (rid0, ridCol0) =
+      if (part.firstRow >= 0 || part.ridCol) (part.firstRow, part.ridCol)
+      else rowIds.getOrElse(part.name, (-1L, false))
     def plain() =
       ManifestParquet.rowReader(part, fullSchema, req, conf, filters,
         importedNames, firstRow = rid0, ridCol = ridCol0)
@@ -3070,8 +3115,13 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
     val innerFields = req.fields.zipWithIndex
       .filterNot { case (_, i) => missing.contains(i) }
     val dts = req.fields.map(_.dataType)
+    // `_row_id` on a `#ridcol` file is a REAL stored column (the
+    // materialized `_rid` must coalesce) — the constant-only shortcut
+    // below would compute firstRow + ordinal and silently re-mint
+    // rewritten rows' identities under default-heavy projections
     if (innerFields.exists { case (f, _) =>
-        f.name != "_file" && f.name != "_pos" && f.name != "_row_id" }) {
+        (f.name != "_file" && f.name != "_pos" && f.name != "_row_id") ||
+          (f.name == "_row_id" && ridCol0) }) {
       // at least one REAL column to drive the inner read
       val innerReq = StructType(innerFields.map(_._1))
       val inner = ManifestParquet.rowReader(
@@ -3156,7 +3206,9 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
     // CSV files never materialize `_rid` (rewrites on lineage tables are
     // parquet-only by the enable-time format guard); position math is
     // all a CSV file needs
-    val (csvRid, _) = rowIds.getOrElse(part.name, (-1L, false))
+    val csvRid =
+      if (part.firstRow >= 0) part.firstRow
+      else rowIds.getOrElse(part.name, (-1L, false))._1
     val fileName = UTF8String.fromString(part.name)
     // With a clean layout (no drops) the split limit is the arity, which
     // tolerates commas in a LAST string field; once positions diverge the
@@ -4990,11 +5042,17 @@ private[sources] object ManifestProcedures {
       // (trailing reserved column → the writer materializes it as the
       // files' `_rid`), so compaction/Z-order reordering never re-mints
       // identities
+      val scanLines = ManifestFiles.latestLines(fs, dir)
       val live =
-        if (ManifestFiles.isLineage(ManifestFiles.latestLines(fs, dir)))
+        if (ManifestFiles.isLineage(scanLines))
           live0.select(org.apache.spark.sql.functions.col("*"),
             live0.metadataColumn("_row_id"))
         else live0
+      // the rewrite derives from THIS state; the commit validates no
+      // newer #dels/#eqdels landed concurrently (a racing row-level
+      // delete would otherwise silently resurrect)
+      val scanState = scanLines.filter(l => l.startsWith("#dels,") ||
+        l.startsWith("#eqdels,")).mkString("\n")
       val sortCols = sortBy.split(',').map(_.trim).filter(_.nonEmpty).toSeq
       sortCols.foreach(c => require(live.columns.contains(c),
         s"sort_by column '$c' not in ${live.columns.mkString(",")}"))
@@ -5019,6 +5077,7 @@ private[sources] object ManifestProcedures {
               "the layout already governs file organization")
           live.write.mode("overwrite").format("graft-manifest")
             .option("path", dir.toString)
+            .option("scannedDeleteState", scanState)
             .option("bucketBy", bucketName)
             .option("buckets", n.toString)
             .options(sp.flatMap(p => ManifestFiles.fieldAtPhys(schemaNow, p))
@@ -5066,6 +5125,7 @@ private[sources] object ManifestProcedures {
           }
           arranged.write.mode("overwrite").format("graft-manifest")
             .option("path", dir.toString)
+            .option("scannedDeleteState", scanState)
             // compact arranges its own exact-target layout; a declared
             // range mode must not re-shuffle it to the session default
             .option("distributionMode", "none").save()
@@ -5257,6 +5317,14 @@ private[sources] object ManifestProcedures {
         require(selSet.subsetOf(present),
           "a concurrent commit rewrote files in the compaction scope — " +
             "retry the scoped compact")
+        // the scan REFUSED pre-existing delete state up front, so ANY
+        // #dels/#eqdels in the rebased predecessor landed concurrently
+        // — the folded files were computed without it; committing would
+        // resurrect those deleted rows
+        require(!previous.exists(l => l.startsWith("#dels,") ||
+            l.startsWith("#eqdels,")),
+          "a concurrent commit landed row-level delete state during the " +
+            "scoped compact — retry against the current snapshot")
         previous.filterNot(l =>
           ManifestSink.entryName(l).exists(selSet)) ++ fresh
       }, schemaNow)

@@ -74,7 +74,7 @@ class ManifestAdviceFixesSpec extends AnyFunSuite {
       "compact should have rewritten the original file out of the snapshot")
     val err = intercept[IllegalStateException] {
       doomed.commit(Array(
-        DeltaCommitted(None, Some("delete-advq1-0.del.tmp"), 1L)))
+        DeltaCommitted(Nil, Some("delete-advq1-0.del.tmp"), 1L)))
     }
     assert(err.getMessage.contains("concurrent"), err.getMessage)
     assert(err.getMessage.contains(victim), err.getMessage)
@@ -84,7 +84,7 @@ class ManifestAdviceFixesSpec extends AnyFunSuite {
     // positive control: a vector against the POST-compact file commits
     val live = ManifestFiles.entries(fs, new Path(dir), None).map(_._1).head
     val ok = stageDelete("advq2", "delete-advq2-0.del", live)
-    ok.commit(Array(DeltaCommitted(None, Some("delete-advq2-0.del.tmp"), 1L)))
+    ok.commit(Array(DeltaCommitted(Nil, Some("delete-advq2-0.del.tmp"), 1L)))
     assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 49L)
   }
 

@@ -277,4 +277,37 @@ class ManifestRowLineageSpec extends AnyFunSuite {
     assert(idsOf(withIds(cat)) == after,
       "compacting away MOR delete vectors changed identities")
   }
+
+  test("merge-on-read UPDATE preserves identity: the replacement row " +
+    "lands in a #ridcol file carrying the target's id (update stays an " +
+    "update, not delete+insert, on lineage tables)") {
+    val (cat, root) = freshCat("morupd")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES('row.lineage'='true', 'delete.mode'='merge-on-read')")
+    spark.range(0, 500).select($"id".as("k"), ($"id" * 1.0).as("v"))
+      .repartition(2).writeTo(s"$cat.t").append()
+    val before = idsOf(withIds(cat))
+    spark.sql(s"UPDATE $cat.t SET v = v + 7000.0 WHERE k % 4 = 0")
+    val after = idsOf(withIds(cat))
+    assert(after.size == 500)
+    before.foreach { case (k, id) =>
+      assert(after(k) == id, s"MOR update changed identity of k=$k")
+    }
+    // the values moved, the insert leg is #ridcol-marked
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t WHERE v >= 7000.0")
+      .collect()(0).getLong(0) == 125)
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val lines = ManifestFiles.latestLines(fs, new Path(s"$root/t"))
+    assert(ManifestFiles.ridColFromLines(lines).nonEmpty,
+      "the MOR update's replacement file must carry the materialized ids")
+    // and the CDF pairs the update legs on PURE identity
+    val feed = spark.read.format("graft-manifest")
+      .option("path", s"$root/t").option("changeFeed", "true")
+      .option("changesFrom", "2").load()
+    val images = ManifestChangeFeed.withUpdateImages(feed, Seq("_row_id"))
+    val pre = images.filter($"_change_type" === "update_preimage").count()
+    val post = images.filter($"_change_type" === "update_postimage").count()
+    assert(pre == 125 && post == 125,
+      s"MOR update legs must pair on _row_id: pre=$pre post=$post")
+  }
 }
