@@ -80,7 +80,7 @@ object Bench {
     "q260_capped_stream_drain", "q261_governed_band_index",
     "q262_governed_view", "q263_materialized_view", "q264_mv_rewrite",
     "q265_merge_not_matched_by_source", "q266_row_lineage",
-    "q267_agg_pushdown")
+    "q267_agg_pushdown", "q268_cbo_live_stats_reorder")
 
   private val sentinelName = "q97_compute_pi"
   private val stragglerQueries =

@@ -60,11 +60,8 @@ private[sources] class ManifestDeltaOperation(
     Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"),
       org.apache.spark.sql.connector.expressions.Expressions.column("_pos"))
 
-  private lazy val lineage: Boolean =
-    try ManifestFiles.isLineage(ManifestFiles.latestLines(
-      new Path(path).getFileSystem(
-        SparkSession.active.sessionState.newHadoopConf()), new Path(path)))
-    catch { case _: Exception => false }
+  private lazy val lineage: Boolean = ManifestFiles.isLineageAt(
+    new Path(path), SparkSession.active.sessionState.newHadoopConf())
 
   /** ROW LINEAGE through merge-on-read updates: with lineage on, an
     * UPDATE stays an UPDATE (not delete+insert), so `update(metadata,

@@ -799,11 +799,14 @@ private[sources] class ManifestTable(schema0: StructType,
             requireFresh = Option(properties.get("requireFreshTable"))
               .contains("true"),
             ridIdx = if (carriesRid) incoming.length else -1,
-            // compaction declares the delete state its scan saw; the
-            // claim validates nothing newer landed (rewrites derive
+            // compaction declares the state its scan saw; the claim
+            // validates nothing conflicting landed (rewrites derive
             // from the scan — see the commit closure)
             scannedDeleteState = () =>
               Option(info.options.get("scannedDeleteState")).map(v =>
+                if (v.isEmpty) Set.empty[String] else v.split("\n").toSet),
+            scannedEntries = () =>
+              Option(info.options.get("scannedEntries")).map(v =>
                 if (v.isEmpty) Set.empty[String] else v.split("\n").toSet))
         }
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
@@ -906,11 +909,8 @@ private[sources] class ManifestRowLevelOperation(
       }
     }
 
-  private lazy val lineage: Boolean =
-    try ManifestFiles.isLineage(ManifestFiles.latestLines(
-      new Path(path).getFileSystem(
-        SparkSession.active.sessionState.newHadoopConf()), new Path(path)))
-    catch { case _: Exception => false }
+  private lazy val lineage: Boolean = ManifestFiles.isLineageAt(
+    new Path(path), SparkSession.active.sessionState.newHadoopConf())
 
   override def requiredMetadataAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
     val base = Array(
@@ -953,6 +953,12 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
     // snapshot the operation SCANNED — the claim closure validates the
     // rewrite against concurrent commits (see below)
     scannedDeleteState: () => Option[Set[String]] = () => None,
+    // Some(names) on a TRUNCATING rewrite that derives from a scan
+    // (full compaction): the entries the scan saw. The closure keeps
+    // entries a concurrent commit ADDED since (blind appends commute
+    // with a compaction) and aborts if a scanned entry vanished (a
+    // concurrent rewrite — landing both outputs would double rows)
+    scannedEntries: () => Option[Set[String]] = () => None,
     // (colPos, n) when this write was bucket-clustered — each commit
     // message's partitionId IS the file's bucket id.
     bucketSpec: Option[(Int, Int)] = None,
@@ -1075,6 +1081,7 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
       ManifestFiles.physPos(schema, k)).mkString(";")
     val drop = dropFromPrevious()
     val scanState = scannedDeleteState()
+    val scanEntries = scannedEntries()
     // The base snapshot is supplied by publishSnapshot's claim loop (the
     // immediate predecessor version, re-read on every retry), so a
     // concurrent committer's files are never lost from the merge.
@@ -1122,12 +1129,33 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
       // fork-point marker (#branchbase) must survive both shapes, or
       // fast_forward loses its divergence check.
       val base =
-        if (truncate) previous.filter(l =>
-          (!replaceConf && l.startsWith("#tableconf,") &&
-            // a truncating rewrite replaces EVERY byte at the current
-            // type — the narrow-history widening markers clear with it
-            !l.startsWith("#tableconf,widened,")) ||
-            l.startsWith("#branchbase,"))
+        if (truncate) {
+          val conf0 = previous.filter(l =>
+            (!replaceConf && l.startsWith("#tableconf,") &&
+              // a truncating rewrite replaces EVERY byte at the current
+              // type — the narrow-history widening markers clear with it
+              !l.startsWith("#tableconf,widened,")) ||
+              l.startsWith("#branchbase,"))
+          scanEntries match {
+            case None => conf0 // plain INSERT OVERWRITE: last writer wins
+            case Some(scanned) =>
+              // compaction: its output REPLACES exactly the scanned
+              // entries. A scanned entry already gone = a concurrent
+              // rewrite raced us (landing both outputs doubles rows);
+              // entries ADDED since the scan are blind appends — they
+              // commute, keep them (and their riders) verbatim.
+              val present = ManifestFiles.entriesFromLines(previous)
+                .map(_._1).toSet
+              val gone = scanned -- present
+              if (gone.nonEmpty) throw new IllegalStateException(
+                s"graft-manifest at $path: a concurrent commit rewrote " +
+                  s"or removed ${gone.size} file(s) this compaction " +
+                  s"derives from (e.g. ${gone.head}); retry against the " +
+                  "current snapshot")
+              conf0 ++ previous.filter(l =>
+                ManifestSink.entryName(l).exists(n => !scanned(n)))
+          }
+        }
         else previous.filterNot(line => ManifestSink.entryName(line).exists(drop))
       val conf0 = confLines.filterNot(base.contains)
       val eqdels = eqdelFins.map(f => s"#eqdels,$f,$eqPositions,$version")

@@ -958,6 +958,18 @@ object ManifestFiles {
 
   def isLineage(lines: Array[String]): Boolean = lines.contains(LineageLine)
 
+  /** Shared "is this table path lineage-enabled" probe for the row-level
+    * operation builders (COW and MOR alike). An ABSENT table is not
+    * lineage; an IO failure reading an existing one PROPAGATES — quietly
+    * deciding false would silently re-mint every updated row's identity,
+    * the exact corruption the feature exists to prevent. */
+  def isLineageAt(dir: Path,
+      conf: org.apache.hadoop.conf.Configuration): Boolean = {
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir) || latestVersion(fs, dir) <= 0) false
+    else isLineage(latestLines(fs, dir))
+  }
+
   def firstRowLine(name: String, first: Long): String = s"#firstrow,$name,$first"
   def ridColLine(name: String): String = s"#ridcol,$name"
 
@@ -2876,9 +2888,13 @@ private[sources] class ManifestMicroBatchStream(path: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[ManifestOffset].version
     val e = end.asInstanceOf[ManifestOffset].version
+    // addedBetween runs FIRST: a vacuumed range must surface its
+    // deliberate expired-version error, not a generic missing-file one
+    val added = ManifestFiles.addedBetween(fs, dir, s, e, ignoreDeletes)
     // row lineage resolves against THIS BATCH's end version — "latest"
     // could already have compacted these files away (their ids would
-    // null out) while the batch legitimately reads their bytes
+    // null out) while the batch legitimately reads their bytes; the
+    // re-read of version e is segment-cached, so the cost is memory
     val (rids, ridCols) =
       if (!required.fieldNames.contains("_row_id"))
         (Map.empty[String, Long], Set.empty[String])
@@ -2888,7 +2904,7 @@ private[sources] class ManifestMicroBatchStream(path: String,
         // carry materialized ids — the coalesce marker rides along
         (ManifestFiles.firstRowFromLines(ls), ManifestFiles.ridColFromLines(ls))
       }
-    ManifestFiles.addedBetween(fs, dir, s, e, ignoreDeletes).map(n =>
+    added.map(n =>
       ManifestInputPartition(new Path(dir, n).toString, n,
         firstRow = rids.getOrElse(n, -1L),
         ridCol = ridCols.contains(n)): InputPartition)
@@ -5050,9 +5066,14 @@ private[sources] object ManifestProcedures {
         else live0
       // the rewrite derives from THIS state; the commit validates no
       // newer #dels/#eqdels landed concurrently (a racing row-level
-      // delete would otherwise silently resurrect)
+      // delete would otherwise silently resurrect), keeps entries a
+      // concurrent blind append landed (they commute), and aborts if a
+      // scanned entry was concurrently rewritten (both outputs landing
+      // would double rows)
       val scanState = scanLines.filter(l => l.startsWith("#dels,") ||
         l.startsWith("#eqdels,")).mkString("\n")
+      val scanEntries = ManifestFiles.entriesFromLines(scanLines)
+        .map(_._1).mkString("\n")
       val sortCols = sortBy.split(',').map(_.trim).filter(_.nonEmpty).toSeq
       sortCols.foreach(c => require(live.columns.contains(c),
         s"sort_by column '$c' not in ${live.columns.mkString(",")}"))
@@ -5078,6 +5099,7 @@ private[sources] object ManifestProcedures {
           live.write.mode("overwrite").format("graft-manifest")
             .option("path", dir.toString)
             .option("scannedDeleteState", scanState)
+            .option("scannedEntries", scanEntries)
             .option("bucketBy", bucketName)
             .option("buckets", n.toString)
             .options(sp.flatMap(p => ManifestFiles.fieldAtPhys(schemaNow, p))
@@ -5096,8 +5118,9 @@ private[sources] object ManifestProcedures {
           // latest-first)
           val declared: Seq[org.apache.spark.sql.Column] =
             if (sortCols.nonEmpty) Seq.empty
-            else ManifestFiles.sortKeysFromLines(
-                ManifestFiles.latestLines(fs, dir))
+            // scanLines, not a re-read: the clustering decision must
+            // come from the same snapshot the commit validates against
+            else ManifestFiles.sortKeysFromLines(scanLines)
               .flatMap { k =>
                 ManifestFiles.fieldAtPhys(schemaNow, k.pos).map { i =>
                   val c = col(schemaNow(i).name)
@@ -5126,6 +5149,7 @@ private[sources] object ManifestProcedures {
           arranged.write.mode("overwrite").format("graft-manifest")
             .option("path", dir.toString)
             .option("scannedDeleteState", scanState)
+            .option("scannedEntries", scanEntries)
             // compact arranges its own exact-target layout; a declared
             // range mode must not re-shuffle it to the session default
             .option("distributionMode", "none").save()
@@ -5318,13 +5342,23 @@ private[sources] object ManifestProcedures {
           "a concurrent commit rewrote files in the compaction scope — " +
             "retry the scoped compact")
         // the scan REFUSED pre-existing delete state up front, so ANY
-        // #dels/#eqdels in the rebased predecessor landed concurrently
-        // — the folded files were computed without it; committing would
-        // resurrect those deleted rows
-        require(!previous.exists(l => l.startsWith("#dels,") ||
-            l.startsWith("#eqdels,")),
-          "a concurrent commit landed row-level delete state during the " +
+        // #dels/#eqdels here landed concurrently. Equality deletes
+        // apply value-keyed to everything born before them — always a
+        // conflict. Positional vectors conflict only when they point
+        // INTO the folded scope (the folded files were computed without
+        // them); vectors on out-of-scope files ride through untouched
+        // and commute — a steadily-deleting 100 TB table must not make
+        // scoped compaction un-commitable.
+        require(!previous.exists(_.startsWith("#eqdels,")),
+          "a concurrent commit landed equality deletes during the " +
             "scoped compact — retry against the current snapshot")
+        val vectored = ManifestFiles.deleteFilesFromLines(previous)
+          .flatMap(dn => ManifestFiles.readManifest(fs, new Path(dir, dn))
+            .map(l => l.substring(0, l.lastIndexOf(','))))
+        require(!vectored.exists(selSet.contains),
+          "a concurrent commit landed delete vectors INTO the scoped " +
+            "compaction's files — committing would resurrect those " +
+            "rows; retry against the current snapshot")
         previous.filterNot(l =>
           ManifestSink.entryName(l).exists(selSet)) ++ fresh
       }, schemaNow)

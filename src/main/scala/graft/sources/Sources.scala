@@ -2218,6 +2218,69 @@ object Sources extends QueryModule {
              MAX(l_tax_q) AS mxq
       FROM src"""))
 
+  /** LIVE CBO COLUMN STATISTICS driving join reorder (round 14 —
+    * ManifestNdv + the scan's DSv2 columnStats): three governed tables
+    * declare `stats.ndv.columns`, every append lands per-file
+    * HyperLogLog sketches, and with cbo.joinReorder enabled Catalyst
+    * moves the filter-shrunk customer table FIRST in a 3-way join whose
+    * textual order joins the two big facts — the query REQUIRES the
+    * reordered plan (no ANALYZE ever runs; the stats ride the commits
+    * and are post-pruning), then hash-matches the join's rollup against
+    * DuckDB. At 100 TB a wrong first join is a 10⁶-vs-10¹²-row
+    * intermediate; this is the machinery that prevents it on governed
+    * tables with zero stats jobs. */
+  val qCboReorder: QueryDef = QueryDef(
+    "q268_cbo_live_stats_reorder",
+    (s, d) => {
+      import s.implicits._
+      val cat = "graft_cbo_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val root = tmp(d, "manifest_cbo")
+      val dir = new org.apache.hadoop.fs.Path(root)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val ndv = Map(
+        "lineitem" -> "l_orderkey",
+        "orders" -> "o_orderkey,o_custkey",
+        "customer" -> "c_custkey,c_acctbal")
+      for (t <- Seq("lineitem", "orders", "customer")) {
+        val src = Tables.df(s, d, t)
+        val cols = src.schema.fieldNames
+          .map(n => s"$n ${src.schema(n).dataType.sql}").mkString(", ")
+        s.sql(s"CREATE TABLE $cat.$t ($cols) " +
+          s"TBLPROPERTIES('stats.ndv.columns'='${ndv(t)}')")
+        src.writeTo(s"$cat.$t").append()
+      }
+      val sqlText = s"""
+        SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+        FROM $cat.lineitem l
+        JOIN $cat.orders o ON l.l_orderkey = o.o_orderkey
+        JOIN $cat.customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_acctbal > 9000.0
+        GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"""
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val q = s.sql(sqlText)
+      def leaves = q.queryExecution.optimizedPlan.collectLeaves().collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          "(lineitem|orders|customer)".r
+            .findFirstIn(r.scan.description()).getOrElse("?")
+      }
+      require(leaves.indexOf("customer") < 2,
+        s"live manifest stats must pull the filtered customer table " +
+          s"earlier in the join tree, got $leaves")
+      q
+    },
+    Some("""
+      SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_acctbal > 9000.0
+      GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"""))
+
   override def defs: Seq[QueryDef] =
     Seq(qCsv, qJson, qOrc, qText, qPartitioned, qSynthSource, qSynthColumnar,
       qSchemaEvolution, qManifestTimeTravel, qManifestMerge, qManifestStream,
@@ -2229,5 +2292,5 @@ object Sources extends QueryModule {
       qSortOrder, qAddFiles, qUpsert, qCdfUpsertMaint, qReplaceTable,
       qWidened, qCdfImages, qAnnIndex, qHoursRetention, qCappedStream,
       qGovernedView, qMaterializedView, qMvRewrite,
-      qMergeNotMatchedBySource, qRowLineage, qAggPushdown)
+      qMergeNotMatchedBySource, qRowLineage, qAggPushdown, qCboReorder)
 }

@@ -140,6 +140,62 @@ class ManifestWriteConflictSpec extends AnyFunSuite {
       "the rewrite's survivors landed exactly once")
   }
 
+  /** Stage a COMPACTION-style truncating rewrite (folded output derived
+    * from `scanned`), exactly as compactFull's write does. */
+  private def stageCompacting(path: String, scanned: Set[String],
+      scannedState: Set[String], ks: Seq[Long]):
+      (ManifestBatchWrite, Array[WriterCommitMessage]) = {
+    val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val write = new ManifestBatchWrite(path, s"wcc-${ks.hashCode}", -1,
+      schema, truncate = true, conf,
+      scannedDeleteState = () => Some(scannedState),
+      scannedEntries = () => Some(scanned))
+    val factory = write.createBatchWriterFactory(new PhysicalWriteInfo {
+      override def numPartitions(): Int = 1
+    })
+    val ksLocal = ks.toArray
+    val tid = 900000L + ManifestWriteConflictSpec.seq.incrementAndGet()
+    val msgs = spark.sparkContext.parallelize(Seq(0), 1).map { _ =>
+      val w = factory.createWriter(0, tid)
+      ksLocal.foreach { k =>
+        val r = new GenericInternalRow(1)
+        r.update(0, k)
+        w.write(r.asInstanceOf[InternalRow])
+      }
+      w.commit()
+    }.collect()
+    (write, msgs.toArray[WriterCommitMessage])
+  }
+
+  test("a compaction racing a BLIND APPEND keeps the append's rows " +
+    "(they commute); racing a concurrent REWRITE of its inputs it " +
+    "ABORTS (both outputs landing would double rows)") {
+    val (cat, root) = freshCat("cmp")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
+    spark.range(0, 100).select($"id".as("k")).coalesce(1)
+      .writeTo(s"$cat.t").append()
+    val dir = new Path(s"$root/t")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val scanned = ManifestFiles.entries(fs, dir, None).map(_._1).toSet
+    // compaction staged from the scanned snapshot...
+    val (w1, m1) = stageCompacting(s"$root/t", scanned,
+      deleteState(fs, dir), 0L until 100L)
+    // ...a blind append races it
+    spark.range(5000, 5010).select($"id".as("k")).writeTo(s"$cat.t").append()
+    w1.commit(m1)
+    val ks = spark.table(s"$cat.t").collect().map(_.getLong(0)).sorted
+    assert(ks.length == 110, s"append rows must survive: ${ks.length}")
+    assert(ks.count(_ >= 5000) == 10)
+    // round 2: a concurrent rewrite of the compaction's INPUT aborts it
+    val scanned2 = ManifestFiles.entries(fs, dir, None).map(_._1).toSet
+    val (w2, m2) = stageCompacting(s"$root/t", scanned2,
+      deleteState(fs, dir), 0L until 110L)
+    spark.sql(s"CALL $cat.system.compact('t')") // steals every input
+    val e = intercept[IllegalStateException](w2.commit(m2))
+    assert(e.getMessage.contains("rewrote or removed"))
+    assert(spark.table(s"$cat.t").count() == 110, "nothing may land")
+  }
+
   test("end to end: SQL UPDATE and DELETE still work and validate " +
     "cleanly when nothing races") {
     val (cat, _) = freshCat("clean")
