@@ -128,9 +128,13 @@ class ManifestSink extends TableProvider
         // gpos=-1 marker keeps the appended field out of the physical-
         // position namespace (it is computed, never stored positionally).
         if (Option(options.get("changeFeed")).exists(_.toBoolean)) {
+          // IO failures PROPAGATE (round-15 advice): quietly deciding
+          // "not lineage" on a transient FS error would drop _row_id
+          // from the CDF schema — the silent-corruption mode the
+          // isLineageAt policy exists to prevent. An empty chain reads
+          // as Array.empty → false, the one legitimate no-lineage case.
           val lineage =
-            try ManifestFiles.isLineage(ManifestFiles.latestLines(fs, dir))
-            catch { case _: Exception => false }
+            ManifestFiles.isLineage(ManifestFiles.latestLines(fs, dir))
           val withRid =
             if (!lineage) base
             else base.add(StructField("_row_id",
@@ -720,10 +724,11 @@ private[sources] class ManifestTable(schema0: StructType,
           // misread a user column
           val carriesRid = incoming0.fields.lastOption.exists(f =>
             f.name == "_row_id" && f.dataType == LongType)
+          // IO failures PROPAGATE (round-15 advice): a swallowed read
+          // here would reject a legitimate lineage rewrite on a blip
           if (carriesRid)
             require(ManifestFiles.isLineage(
-                try ManifestFiles.latestLines(fs, path)
-                catch { case _: Exception => Array.empty[String] }),
+                ManifestFiles.latestLines(fs, path)),
               "writing a _row_id column requires " +
                 "TBLPROPERTIES('row.lineage'='true') on the target table " +
                 "(the name is reserved for row lineage)")
@@ -1127,11 +1132,16 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
       // DDL intent (#tableconf) persists until DROP TABLE: truncation
       // replaces the DATA, not the declared layout — and a branch's
       // fork-point marker (#branchbase) must survive both shapes, or
-      // fast_forward loses its divergence check.
+      // fast_forward loses its divergence check. The row-id high-water
+      // mark (#tableconf,rowidnext) survives even a CREATE OR REPLACE
+      // that drops every other conf line: ids already handed to readers
+      // must never be re-minted for different rows, and a replacement
+      // that re-declares row.lineage would otherwise restart from 0.
       val base =
         if (truncate) {
           val conf0 = previous.filter(l =>
-            (!replaceConf && l.startsWith("#tableconf,") &&
+            ((!replaceConf || l.startsWith("#tableconf,rowidnext,")) &&
+              l.startsWith("#tableconf,") &&
               // a truncating rewrite replaces EVERY byte at the current
               // type — the narrow-history widening markers clear with it
               !l.startsWith("#tableconf,widened,")) ||

@@ -137,6 +137,36 @@ class ManifestCboStatsSpec extends AnyFunSuite {
     assert(math.abs(ndv - 2000.0) / 2000.0 < 0.15, s"post-compact ndv $ndv")
   }
 
+  test("live delete state degrades COUNT-class stats (round-15 advice): " +
+    "MOR vectors / equality deletes hide rows the per-file counts still " +
+    "include, so nullCount/distinctCount go absent while min/max keep " +
+    "reporting the sound envelope; CALL compact restores the counts") {
+    val (cat, _) = freshCat("dels")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES('stats.ndv.columns'='k', " +
+      "'delete.mode'='merge-on-read')")
+    spark.range(0, 2000)
+      .select($"id".as("k"), when($"id" % 10 === 0, lit(null))
+        .otherwise($"id" * 1.0).as("v"))
+      .coalesce(2).writeTo(s"$cat.t").append()
+    val clean = withCbo(attrStats(spark.table(s"$cat.t")))
+    assert(clean("k").distinctCount.isDefined &&
+      clean("v").nullCount.contains(BigInt(200)))
+    spark.sql(s"DELETE FROM $cat.t WHERE k % 4 = 1") // MOR vectors
+    val degraded = withCbo(attrStats(spark.table(s"$cat.t")))
+    assert(degraded("k").distinctCount.isEmpty,
+      "live delete vectors must suppress distinctCount (it overcounts)")
+    assert(degraded("v").nullCount.isEmpty,
+      "live delete vectors must suppress nullCount (it overcounts)")
+    assert(degraded("k").min.contains(0L) && degraded("k").max.contains(1999L),
+      "bounds stay: deletes only remove rows, the envelope remains sound")
+    spark.sql(s"CALL $cat.system.compact('t')")
+    val restored = withCbo(attrStats(spark.table(s"$cat.t")))
+    assert(restored("k").distinctCount.isDefined &&
+      restored("v").nullCount.isDefined,
+      "compaction materializes the deletes and restores exact counts")
+  }
+
   test("live manifest stats drive cbo.joinReorder: the selective small " +
     "table moves first with NO ANALYZE ever run") {
     val (cat, _) = freshCat("reorder")

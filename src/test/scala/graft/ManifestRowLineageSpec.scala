@@ -310,4 +310,40 @@ class ManifestRowLineageSpec extends AnyFunSuite {
     assert(pre == 125 && post == 125,
       s"MOR update legs must pair on _row_id: pre=$pre post=$post")
   }
+
+  test("CREATE OR REPLACE keeps the row-id high-water mark: a " +
+    "replacement that re-declares lineage mints ABOVE the old table's " +
+    "ids, never reusing ids already handed to readers (both the RTAS " +
+    "data path and the no-write REPLACE TABLE path)") {
+    val (cat, root) = freshCat("replace")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES('row.lineage'='true')")
+    spark.range(0, 300).select($"id".as("k"), lit("a").as("v"))
+      .writeTo(s"$cat.t").append()
+    assert(idsOf(withIds(cat)).values.max == 299L)
+    // RTAS: the staged replace truncates data AND #tableconf — the mark
+    // must survive, so the replacement's 100 rows start at >= 300
+    spark.sql(s"CREATE OR REPLACE TABLE $cat.t " +
+      "TBLPROPERTIES('row.lineage'='true') AS " +
+      "SELECT id AS k, 'b' AS v FROM range(1000, 1100)")
+    val afterRtas = idsOf(withIds(cat))
+    assert(afterRtas.size == 100)
+    assert(afterRtas.values.min >= 300L,
+      s"RTAS re-minted ids below the old mark: min=${afterRtas.values.min}")
+    val markAfterRtas = afterRtas.values.max + 1
+    // no-write REPLACE TABLE: the empty replacement still carries the
+    // mark, so the next append continues above everything ever minted
+    spark.sql(s"REPLACE TABLE $cat.t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES('row.lineage'='true')")
+    spark.range(0, 50).select($"id".as("k"), lit("c").as("v"))
+      .writeTo(s"$cat.t").append()
+    val afterEmpty = idsOf(withIds(cat))
+    assert(afterEmpty.size == 50)
+    assert(afterEmpty.values.min >= markAfterRtas,
+      s"REPLACE TABLE rewound the mark: min=${afterEmpty.values.min} " +
+        s"< $markAfterRtas")
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val lines = ManifestFiles.latestLines(fs, new Path(s"$root/t"))
+    assert(ManifestFiles.rowIdNextFromLines(lines) >= markAfterRtas + 50)
+  }
 }
