@@ -80,7 +80,9 @@ object Bench {
     "q260_capped_stream_drain", "q261_governed_band_index",
     "q262_governed_view", "q263_materialized_view", "q264_mv_rewrite",
     "q265_merge_not_matched_by_source", "q266_row_lineage",
-    "q267_agg_pushdown", "q268_cbo_live_stats_reorder")
+    "q267_agg_pushdown", "q268_cbo_live_stats_reorder",
+    "q269_star_join_mv", "q270_stale_mv_compensation",
+    "q271_variant_governed")
 
   private val sentinelName = "q97_compute_pi"
   private val stragglerQueries =

@@ -4,53 +4,70 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.types._
 
-import graft.sources.{GraftManifestCatalog, ManifestFiles, ManifestMaterializedView}
+import graft.sources.{GraftManifestCatalog, ManifestChangeFeed, ManifestFiles, ManifestMaterializedView}
 
-/** TRANSPARENT MATERIALIZED-VIEW REWRITING (round 14): a resolved
-  * aggregate over a governed source table silently answers from a
-  * matching, EXACTLY-CONSISTENT materialized view — the classic OLAP
-  * acceleration (Oracle query rewrite / Calcite materialized views;
-  * nothing of the kind exists in the 2.1 reference). Wired through
+/** TRANSPARENT MATERIALIZED-VIEW REWRITING (round 14; star joins +
+  * staleness compensation round 15): a resolved aggregate over a
+  * governed source table — or over a STAR JOIN of a fact to pinned
+  * dimensions — silently answers from a matching materialized view,
+  * the classic OLAP acceleration (Oracle query rewrite / Calcite
+  * materialized views; nothing of the kind exists in the 2.1
+  * reference). Wired through
   * `SparkSessionExtensions.injectPostHocResolutionRule` so it sees
   * fully-resolved plans; `SET spark.graft.mv.rewrite=false` disables.
   *
   * SOUNDNESS RULES (each individually conservative):
-  *   - The scan's version must EQUAL the MV checkpoint's sourceVersion —
-  *     a current-head read rewrites only while the MV is exactly fresh,
-  *     and a `VERSION AS OF <checkpoint>` read rewrites even after the
-  *     source moved on (the MV answers exactly that snapshot). Branch
-  *     reads never rewrite. The check costs one metadata read
-  *     (segment-cached). Same plan-time isolation as any two-table read.
+  *   - SHAPE: group-bys must be plain columns matching the MV keys as a
+  *     set; every output must be a group key or a bare
+  *     count/sum/avg/min/max whose argument semantically equals a
+  *     declared MV aggregate (resolved against the query's OWN child
+  *     plan, so casts and exprIds align); `count(*)` matches any MV on
+  *     the source. The plan under the aggregate may be one manifest
+  *     relation or a tree of INNER joins over manifest relations of the
+  *     same catalog; the join-condition SET must biject semantically to
+  *     the MV's declared dim conditions (inner joins reassociate
+  *     freely, so tree shape is irrelevant). Filters must match the
+  *     MV's filter semantically; a query filter over GROUP KEYS ONLY on
+  *     a filterless MV is applied to the MV read instead (group-level
+  *     pruning is always legal).
+  *   - FRESHNESS: every DIM scan must sit exactly at its pinned
+  *     version. The FACT scan must equal the checkpoint's
+  *     sourceVersion — or, under `spark.graft.mv.rewrite.allowStale`,
+  *     may be AHEAD of it: the rewrite then answers
+  *     `MV@checkpoint ⊎ signed-fold(fact CDF tail ⋈ pinned dims)` — the
+  *     refresh's own algebra applied at plan time (DELTA COMPENSATION),
+  *     so the answer is EXACT at the scanned version, not approximately
+  *     fresh. Min/max compensate only over an append-only tail
+  *     (metadata-proven); count and sums fold signed legs exactly.
+  *     Branch reads never rewrite; a fact pinned BEFORE the checkpoint
+  *     never rewrites (the feed cannot run backwards).
   *   - The replacement reads the MV AS OF checkpoint.mvVersion, so a
-  *     crashed refresh's orphan data commits (ahead of the checkpoint)
-  *     can never leak into answers.
-  *   - Group-bys must be plain columns matching the MV keys as a set;
-  *     every output must be a group key or a bare count/sum/avg/min/max
-  *     whose argument semantically equals a declared MV aggregate
-  *     (resolved against the SAME relation, so casts and exprIds align);
-  *     `count(*)` matches any MV on the source (the liveness counter
-  *     serves it). Filters must match the MV's filter semantically; a
-  *     query filter over GROUP KEYS ONLY on a filterless MV is applied
-  *     to the MV read instead (group-level pruning is always legal).
+  *     crashed refresh's orphan data commits can never leak into
+  *     answers.
   *   - VALUE-DRIFT GATE: count/min/max/integral-sum rewrite freely
   *     (bit-identical by construction). Fractional sums and every avg
   *     answer from the MV's decimal-exact accumulation, which can
   *     differ from native float summation in the last bits — those
-  *     rewrite only under `spark.graft.mv.rewrite.allowNumericDrift`
-  *     (the MV's answer is the MORE exact one, but plans must not
-  *     change answers by default).
+  *     rewrite only under `spark.graft.mv.rewrite.allowNumericDrift`.
+  *
+  * DISCOVERY is per-source, not per-catalog (round 15): candidates come
+  * from the fact table's own `_mvreg/` registry directory (written by
+  * create), so plan-time FS operations stay FLAT as the catalog grows —
+  * the round-14 implementation listed every sibling of the catalog
+  * root on every aggregate plan (~1,000 LISTs on a 1,000-table
+  * catalog).
   *
   * The rule never fires on the MV machinery's own reads: create /
-  * refresh / recompute all read the source BY PATH (no catalog on the
-  * relation), and their fold expressions are signed sums a user query
-  * never produces. Output attribute ids and types are preserved
-  * exactly, so parent operators are untouched. */
+  * refresh / compensate all read the source BY PATH (no catalog on the
+  * relation). Output attribute ids and types are preserved exactly, so
+  * parent operators are untouched. */
 case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def enabled: Boolean =
@@ -58,6 +75,8 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def allowDrift: Boolean =
     spark.conf.get("spark.graft.mv.rewrite.allowNumericDrift", "false")
       .toBoolean
+  private def allowStale: Boolean =
+    spark.conf.get("spark.graft.mv.rewrite.allowStale", "false").toBoolean
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan
@@ -67,69 +86,93 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         catch { case _: Exception => agg } // never break a valid plan
     }
 
-  /** Strip aliases; collect at most one conjunction of filters above a
-    * catalog-bound manifest relation. */
-  private def unwrap(p: LogicalPlan):
-      Option[(Option[Expression], DataSourceV2Relation,
-          GraftManifestCatalog, Identifier)] = p match {
-    case SubqueryAlias(_, c) => unwrap(c)
-    case Filter(cond, c) => unwrap(c).map {
-      case (None, r, cat, id) => (Some(cond), r, cat, id)
-      case (Some(c2), r, cat, id) => (Some(And(cond, c2)), r, cat, id)
+  /** One manifest relation at the bottom of the query tree, with its
+    * resolved scan version. */
+  private case class Leaf(rel: DataSourceV2Relation,
+      cat: GraftManifestCatalog, ident: Identifier, version: Int)
+
+  /** Strip aliases; collect the conjunction of all Filters, the set of
+    * INNER-join conditions, and the manifest-relation leaves. Inner
+    * joins commute with filters and reassociate, so flattening to
+    * (filters, conditions, leaves) preserves semantics exactly. Any
+    * other operator (outer join, project, branch read) bails. */
+  private def unwrapShape(p: LogicalPlan):
+      Option[(Option[Expression], Seq[Expression], Seq[Leaf])] = p match {
+    case SubqueryAlias(_, c) => unwrapShape(c)
+    case Filter(cond, c) => unwrapShape(c).map {
+      case (f, cs, ls) =>
+        (Some(f.map(And(cond, _)).getOrElse(cond)), cs, ls)
     }
+    case Join(l, r, Inner, Some(cond), _) =>
+      for ((fl, cl, ll) <- unwrapShape(l); (fr, cr, lr) <- unwrapShape(r))
+        yield {
+          val fs = (fl.toSeq ++ fr.toSeq).reduceOption(And)
+          (fs, (cl :+ cond) ++ cr, ll ++ lr)
+        }
     case r: DataSourceV2Relation =>
       (r.catalog, r.identifier) match {
         case (Some(cat: GraftManifestCatalog), Some(id))
-            if id.namespace.isEmpty => Some((None, r, cat, id))
+            if id.namespace.isEmpty =>
+          val props = r.table.properties()
+          if (props.containsKey("branch")) None
+          else {
+            val root = spark.conf.get(s"spark.sql.catalog.${cat.name()}.root")
+            val dir = new Path(root, id.name)
+            val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+            val v = Option(props.get("versionAsOf"))
+              .flatMap(_.toIntOption)
+              .getOrElse(ManifestFiles.latestComplete(fs, dir))
+            Some((None, Seq.empty, Seq(Leaf(r, cat, id, v))))
+          }
         case _ => None
       }
     case _ => None
   }
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
-    val (queryFilter, relation, cat, ident) = unwrap(agg.child) match {
+    val (queryFilter, joinConds, leaves) = unwrapShape(agg.child) match {
       case Some(x) => x
       case None => return None
     }
-    // group-bys must be bare columns of the relation
-    val groupAttrs = agg.groupingExpressions.map {
-      case a: AttributeReference => a
+    if (leaves.isEmpty) return None
+    val cat = leaves.head.cat
+    if (!leaves.forall(_.cat.name() == cat.name())) return None
+    if (leaves.map(_.ident.name).distinct.length != leaves.length)
+      return None // self-joins don't match the star algebra
+    // group-bys must be bare columns
+    agg.groupingExpressions.foreach {
+      case _: AttributeReference => ()
       case _ => return None
     }
     val root = spark.conf.get(s"spark.sql.catalog.${cat.name()}.root")
-    val srcDir = new Path(root, ident.name)
-    val fs = srcDir.getFileSystem(spark.sessionState.newHadoopConf())
-    // the version this scan answers: an explicit pin, or the current
-    // head; branch reads never rewrite
-    val props = relation.table.properties()
-    if (props.containsKey("branch")) return None
-    val scanVersion = Option(props.get("versionAsOf")).flatMap(_.toIntOption)
-      .getOrElse(ManifestFiles.latestComplete(fs, srcDir))
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = new Path(root).getFileSystem(hconf)
 
-    // candidate MVs: sibling dirs carrying an _MV chain over this source
-    val candidates = fs.listStatus(new Path(root)).toSeq
-      .filter(_.isDirectory).map(_.getPath)
-      .filter(p => ManifestMaterializedView.isMaterializedView(fs, p))
-      .flatMap { p =>
-        val d = ManifestMaterializedView.readDef(fs, p)
-        if (d.source == ident.name && d.sourceVersion == scanVersion)
-          Some((p.getName, d))
-        else None
-      }
+    // candidates: each leaf's own _mvreg registry (flat in catalog size)
+    val candidates = leaves.flatMap { leaf =>
+      ManifestMaterializedView.registered(fs, new Path(root, leaf.ident.name))
+    }.distinct.flatMap { mvName =>
+      try {
+        val p = new Path(root, mvName)
+        if (ManifestMaterializedView.isMaterializedView(fs, p))
+          Some((mvName, ManifestMaterializedView.readDef(fs, p)))
+        else None // stale registry marker: MV dropped by hand
+      } catch { case _: Exception => None }
+    }
     candidates.view.flatMap { case (mvName, d) =>
       // a per-candidate failure (storage drift, unreadable MV) skips
       // that candidate, never the query
-      try tryOne(agg, queryFilter, relation, cat, mvName, d)
+      try tryOne(agg, queryFilter, joinConds, leaves, cat, mvName, d)
       catch { case _: Exception => None }
     }.headOption
   }
 
-  /** Resolve an MV definition expression against the query's own
-    * relation (same attribute ids), so semanticEquals is meaningful. */
-  private def resolveAgainst(relation: DataSourceV2Relation,
+  /** Resolve an MV definition expression against the query's own child
+    * plan (same attribute ids), so semanticEquals is meaningful. */
+  private def resolveAgainst(child: LogicalPlan,
       sql: String): Option[Expression] =
     try {
-      val df = org.apache.spark.sql.graft.ColumnBridge.ofRows(spark, relation)
+      val df = org.apache.spark.sql.graft.ColumnBridge.ofRows(spark, child)
       df.select(org.apache.spark.sql.functions.expr(sql))
         .queryExecution.analyzed match {
         case Project(Seq(Alias(e, _)), _) => Some(e)
@@ -139,16 +182,50 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     } catch { case _: Exception => None }
 
   private def tryOne(agg: Aggregate, queryFilter: Option[Expression],
-      relation: DataSourceV2Relation, cat: GraftManifestCatalog,
-      mvName: String, d: ManifestMaterializedView.MvDef):
-      Option[LogicalPlan] = {
+      joinConds: Seq[Expression], leaves: Seq[Leaf],
+      cat: GraftManifestCatalog, mvName: String,
+      d: ManifestMaterializedView.MvDef): Option[LogicalPlan] = {
     val groupNames = agg.groupingExpressions
       .map(_.asInstanceOf[AttributeReference].name)
     if (groupNames.toSet != d.groupBy.toSet) return None
 
+    // ---- star shape: fact + dims biject to the leaves ----
+    val factLeaf = leaves.find(_.ident.name == d.source).getOrElse(return None)
+    val dimLeaves = leaves.filterNot(_.ident.name == d.source)
+    if (dimLeaves.map(_.ident.name).toSet != d.dims.map(_.table).toSet)
+      return None
+    d.dims.foreach { ds =>
+      val leaf = dimLeaves.find(_.ident.name == ds.table).get
+      if (leaf.version != ds.version) return None // dim moved / repinned
+    }
+    // join-condition sets biject semantically
+    if (joinConds.length != d.dims.length) return None
+    val defConds = d.dims.map(ds =>
+      resolveAgainst(agg.child, ds.onSql).getOrElse(return None))
+    val unmatched = defConds.foldLeft(joinConds) { (remaining, dc) =>
+      val i = remaining.indexWhere(_.semanticEquals(dc))
+      if (i < 0) return None
+      remaining.patch(i, Nil, 1)
+    }
+    if (unmatched.nonEmpty) return None
+
+    // ---- freshness: exact, or compensable-ahead under allowStale ----
+    val stale = factLeaf.version != d.sourceVersion
+    if (stale && (!allowStale || factLeaf.version < d.sourceVersion))
+      return None
+    val root = spark.conf.get(s"spark.sql.catalog.${cat.name()}.root")
+    val srcDir = new Path(root, d.source)
+    val hfs = srcDir.getFileSystem(spark.sessionState.newHadoopConf())
+    lazy val tailRetained = (math.max(1, d.sourceVersion) to factLeaf.version)
+      .toSet.subsetOf(ManifestFiles.versions(hfs, srcDir).toSet)
+    lazy val tailAppendOnly = ManifestChangeFeed.rangeAppendOnly(
+      hfs, srcDir, d.sourceVersion, factLeaf.version)
+    if (stale && !tailRetained) return None // vacuumed past the checkpoint
+    val extremaOk = !stale || tailAppendOnly
+
     // ---- filters ----
     val mvFilter = d.filterSql.map(f =>
-      resolveAgainst(relation, f).getOrElse(return None))
+      resolveAgainst(agg.child, f).getOrElse(return None))
     val extraKeyFilter: Option[Expression] = (queryFilter, mvFilter) match {
       case (None, None) => None
       case (Some(q), Some(m)) => if (q.semanticEquals(m)) None else return None
@@ -165,7 +242,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     def findSpec(funcs: Seq[String], e: Expression):
         Option[ManifestMaterializedView.AggSpec] =
       funcs.flatMap(f => specByFunc.getOrElse(f, Seq.empty)).find(a =>
-        resolveAgainst(relation, a.expr).exists(_.semanticEquals(e)))
+        resolveAgainst(agg.child, a.expr).exists(_.semanticEquals(e)))
 
     // name of the MV storage column(s) + the derivation over them,
     // deferred until the MV plan's attributes exist
@@ -200,8 +277,10 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             if (!allowDrift) return None
             AvgD(findSpec(Seq("sum", "avg"), av.child).getOrElse(return None))
           case m: Min =>
+            if (!extremaOk) return None // tail retractions can beat it
             ExtD(findSpec(Seq("min"), m.child).getOrElse(return None))
           case m: Max =>
+            if (!extremaOk) return None
             ExtD(findSpec(Seq("max"), m.child).getOrElse(return None))
           case _ => return None
         }
@@ -211,12 +290,22 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => return None
     }
 
-    // ---- the replacement: MV AS OF checkpoint.mvVersion ----
-    val mvIdent = Identifier.of(Array.empty, mvName)
-    val mvTable = cat.loadTable(mvIdent, d.mvVersion.toString)
-    val mvRel = DataSourceV2Relation.create(mvTable, Some(cat), Some(mvIdent))
+    // ---- the replacement base: MV AS OF checkpoint.mvVersion, or the
+    // delta-compensated fold of it when the fact scan is ahead ----
+    val needExt = derivs.exists(_._2.isInstanceOf[ExtD])
+    val base0: LogicalPlan =
+      if (!stale) {
+        val mvIdent = Identifier.of(Array.empty, mvName)
+        val mvTable = cat.loadTable(mvIdent, d.mvVersion.toString)
+        DataSourceV2Relation.create(mvTable, Some(cat), Some(mvIdent))
+      } else {
+        val df = ManifestMaterializedView.compensate(
+          spark, cat.name(), mvName, d, factLeaf.version,
+          withExtrema = needExt && tailAppendOnly)
+        df.queryExecution.analyzed
+      }
     def attr(n: String): AttributeReference =
-      mvRel.output.find(_.name == n).map(_.asInstanceOf[AttributeReference])
+      base0.output.find(_.name == n).map(_.asInstanceOf[AttributeReference])
         .getOrElse(throw new NoSuchElementException(
           s"MV $mvName lacks storage column $n")) // skips this candidate
     def cnt = attr(ManifestMaterializedView.CntCol)
@@ -241,16 +330,21 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       Alias(e, orig.name)(exprId = orig.exprId)
     }
     val base = extraKeyFilter match {
-      case None => mvRel
+      case None => base0
       case Some(c) =>
         val remapped = c.transform {
           case a: AttributeReference => attr(a.name)
         }
-        Filter(remapped, mvRel)
+        Filter(remapped, base0)
     }
     logInfo(s"graft MV rewrite: aggregate over " +
-      s"${cat.name()}.${d.source} v${d.sourceVersion} answered by " +
-      s"materialized view $mvName (as of mv v${d.mvVersion})")
+      s"${cat.name()}.${d.source} v${factLeaf.version}" +
+      (if (d.dims.nonEmpty)
+        d.dims.map(_.table).mkString(" ⋈ {", ",", "}") else "") +
+      s" answered by materialized view $mvName (as of mv " +
+      s"v${d.mvVersion}" +
+      (if (stale) s", delta-compensated from source " +
+        s"v${d.sourceVersion}" else "") + ")")
     Some(Project(projList, base))
   }
 }

@@ -82,6 +82,31 @@ object ManifestChangeFeed {
   /** The step walk, shared by the batch scan and the streaming source:
     * one ManifestChangePartition per changed file per commit in
     * (from, end]. Driver metadata I/O only. */
+  /** Metadata-only probe: is the commit range `(from, end]` pure
+    * APPENDS — no entries removed or rewritten, no delete state
+    * (positional vectors / equality sets) landed? Powers the stale MV
+    * rewrite's extrema gate (a retraction can beat a stored min/max;
+    * appends can only fold in via least/greatest). O(range) snapshot
+    * line reads, segment-cached like every plan-path read. */
+  def rangeAppendOnly(fs: FileSystem, dir: Path, from: Int,
+      end: Int): Boolean = {
+    def delState(lines: Array[String]): Set[String] =
+      lines.filter(l => l.startsWith("#dels,") ||
+        l.startsWith("#eqdels,")).toSet
+    var prev =
+      if (from <= 0) Array.empty[String]
+      else ManifestFiles.linesOf(fs, dir, Some(from))
+    (from + 1 to end).forall { v =>
+      val cur = ManifestFiles.linesOf(fs, dir, Some(v))
+      val prevNames = ManifestFiles.entriesFromLines(prev).map(_._1).toSet
+      val curNames = ManifestFiles.entriesFromLines(cur).map(_._1).toSet
+      val ok = prevNames.subsetOf(curNames) &&
+        (delState(cur) -- delState(prev)).isEmpty
+      prev = cur
+      ok
+    }
+  }
+
   def planRange(fs: FileSystem, dir: Path, from: Int,
       end: Int, schema: StructType,
       conf: org.apache.hadoop.conf.Configuration): Array[InputPartition] = {

@@ -66,14 +66,23 @@ object ManifestMaterializedView {
     def isMinMax: Boolean = func == "min" || func == "max"
   }
 
+  /** One JOINED DIMENSION (round 15 — star-join MVs): a governed table
+    * inner-joined to the fact via `onSql`, PINNED at `version` in the
+    * checkpoint. Pinning is what makes the incremental fold exact: a
+    * fact delta joined to the same dim rows contributes exactly its
+    * signed share — insert and delete legs of an update join
+    * identically. A dim that moves re-pins through the documented full
+    * recompute (see [[refresh]]). */
+  final case class DimSpec(table: String, onSql: String, version: Int)
+
   final case class MvDef(source: String, filterSql: Option[String],
       groupBy: Seq[String], aggs: Seq[AggSpec],
-      sourceVersion: Int, mvVersion: Int)
+      sourceVersion: Int, mvVersion: Int,
+      dims: Seq[DimSpec] = Seq.empty)
 
-  /** Parse `"count:*:n,sum:floor(x):sx,avg:y:ay"` — `func:expr:alias`
-    * triples, comma-split on TOP-LEVEL commas only (the expr may contain
-    * commas inside parens, e.g. `coalesce(a, 0)`). */
-  def parseAggs(s: String): Seq[AggSpec] = {
+  /** Split on TOP-LEVEL commas only (an entry may contain commas inside
+    * parens, e.g. `coalesce(a, 0)`). */
+  private def splitTopLevel(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0; val cur = new StringBuilder
     s.foreach {
@@ -83,7 +92,13 @@ object ManifestMaterializedView {
         cur += c
     }
     out += cur.result()
-    out.toSeq.map(_.trim).filter(_.nonEmpty).map { part =>
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Parse `"count:*:n,sum:floor(x):sx,avg:y:ay"` — `func:expr:alias`
+    * triples. */
+  def parseAggs(s: String): Seq[AggSpec] =
+    splitTopLevel(s).map { part =>
       val bits = part.split(":", 3).map(_.trim)
       require(bits.length == 3,
         s"agg spec '$part' must be func:expr:alias")
@@ -95,7 +110,16 @@ object ManifestMaterializedView {
       }
       AggSpec(func, bits(1), bits(2))
     }
-  }
+
+  /** Parse `"orders ON l_orderkey = o_orderkey,customer ON ..."` —
+    * `table ON condition` entries (versions pin at create time). */
+  def parseDims(s: String): Seq[(String, String)] =
+    splitTopLevel(s).map { part =>
+      val i = part.toUpperCase.indexOf(" ON ")
+      require(i > 0,
+        s"dim spec '$part' must be '<table> ON <join condition>'")
+      (part.substring(0, i).trim, part.substring(i + 4).trim)
+    }
 
   // ---- definition codec (`_MV.v<N>`, one field per line, b64) --------
 
@@ -112,6 +136,7 @@ object ManifestMaterializedView {
       s"#filter,${d.filterSql.map(b64).getOrElse("-")}",
       s"#srcver,${d.sourceVersion}",
       s"#mvver,${d.mvVersion}") ++
+      d.dims.map(ds => s"#dim,${b64(ds.table)},${b64(ds.onSql)},${ds.version}") ++
       d.groupBy.map(k => s"#key,${b64(k)}") ++
       d.aggs.map(a => s"#agg,${b64(a.func)},${b64(a.expr)},${b64(a.alias)}")
 
@@ -133,7 +158,11 @@ object ManifestMaterializedView {
         AggSpec(unb64(p(1)), unb64(p(2)), unb64(p(3)))
       }.toSeq,
       sourceVersion = one("srcver").toInt,
-      mvVersion = one("mvver").toInt)
+      mvVersion = one("mvver").toInt,
+      dims = lines.filter(_.startsWith("#dim,")).map { l =>
+        val p = l.split(",", 4)
+        DimSpec(unb64(p(1)), unb64(p(2)), p(3).toInt)
+      }.toSeq)
   }
 
   def versions(fs: FileSystem, dir: Path): Seq[Int] =
@@ -145,7 +174,13 @@ object ManifestMaterializedView {
   def isMaterializedView(fs: FileSystem, dir: Path): Boolean =
     versions(fs, dir).nonEmpty
 
+  /** Test-visible observability: definition reads performed (the
+    * plan-scale spec asserts MvRewrite's discovery probes only the
+    * fact's OWN registry, flat in catalog size). */
+  val defReads = new java.util.concurrent.atomic.AtomicLong
+
   def readDef(fs: FileSystem, dir: Path): MvDef = {
+    defReads.incrementAndGet()
     val vs = versions(fs, dir)
     require(vs.nonEmpty, s"no materialized view at $dir")
     decode(ManifestFiles.readManifest(fs, new Path(dir, s"_MV.v${vs.max}")))
@@ -185,18 +220,62 @@ object ManifestMaterializedView {
     }
   }
 
+  // ---- per-source MV registry (round 15 — kills MvRewrite's
+  // O(catalog) discovery) ------------------------------------------------
+
+  /** `<sourceTableDir>/_mvreg/<mvName>` marker files: create() registers
+    * the MV under its FACT source, and MvRewrite lists only this small
+    * directory instead of every sibling of the catalog root — plan-time
+    * FS operations stay flat in catalog size. Advisory: a stale marker
+    * (MV dir later deleted by hand) is skipped by the rewrite's
+    * per-candidate guard; vacuum/remove_orphan_files never touch it
+    * (they sweep files, not `_`-prefixed directories). */
+  def registryDir(srcDir: Path): Path = new Path(srcDir, "_mvreg")
+
+  def register(fs: FileSystem, srcDir: Path, mv: String): Unit = {
+    val d = registryDir(srcDir)
+    if (!fs.exists(d)) fs.mkdirs(d)
+    val out = fs.create(new Path(d, mv), true)
+    out.close()
+  }
+
+  def registered(fs: FileSystem, srcDir: Path): Seq[String] = {
+    val d = registryDir(srcDir)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq.map(_.getPath.getName)
+  }
+
+  // ---- dimension joins (round 15 — star-join MVs) ----------------------
+
+  private def tableAt(spark: SparkSession, root: String, table: String,
+      version: Int): DataFrame =
+    spark.read.format("graft-manifest")
+      .option("path", new Path(root, table).toString)
+      .option("versionAsOf", version.toString).load()
+
+  /** Join the fact (or its change feed — extra CDF columns ride along
+    * untouched) to every dim at its PINNED version. Inner joins only:
+    * the incremental algebra needs each fact row's dim match set to be
+    * a pure function of the pinned dim state. */
+  def withDims(spark: SparkSession, root: String, d: MvDef,
+      fact: DataFrame): DataFrame =
+    d.dims.foldLeft(fact) { (df, ds) =>
+      df.join(tableAt(spark, root, ds.table, ds.version),
+        expr(ds.onSql), "inner")
+    }
+
   // ---- storage plan ---------------------------------------------------
 
   /** Hidden liveness counter: a group exists iff its signed row count is
     * positive; refresh deletes rows that fold to zero. Always stored. */
   val CntCol = "__mv_cnt"
-  private def nnCol(a: AggSpec) = s"__mv_nn_${a.alias}"
-  private def sumCol(a: AggSpec) = s"__mv_sum_${a.alias}"
-  private def extCol(a: AggSpec) = s"__mv_ext_${a.alias}"
+  private[graft] def nnCol(a: AggSpec) = s"__mv_nn_${a.alias}"
+  private[graft] def sumCol(a: AggSpec) = s"__mv_sum_${a.alias}"
+  private[graft] def extCol(a: AggSpec) = s"__mv_ext_${a.alias}"
   // delta-only companions for min/max (never stored): the insert legs'
   // extremum folds in; the delete legs' extremum decides recompute
-  private def insCol(a: AggSpec) = s"__mv_ins_${a.alias}"
-  private def retCol(a: AggSpec) = s"__mv_ret_${a.alias}"
+  private[graft] def insCol(a: AggSpec) = s"__mv_ins_${a.alias}"
+  private[graft] def retCol(a: AggSpec) = s"__mv_ret_${a.alias}"
 
   /** Decimal accumulation type for non-integral sums: per-row cast to
     * (18,6) — the repo-wide exact-double-sum idiom — accumulated at
@@ -324,13 +403,17 @@ object ManifestMaterializedView {
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
   /** Create the MV: one full aggregate of the source AS OF its current
-    * version (pinned — commits racing the build cannot leak in), landed
-    * as the MV table's first snapshot, then the definition+checkpoint
-    * claims `_MV.v1`. The MV table is merge-on-read so refreshes apply
-    * as CDC upserts (KB-scale delete metadata, zero rewrite). */
+    * version (pinned — commits racing the build cannot leak in) joined
+    * to each dim AS OF its current version, landed as the MV table's
+    * first snapshot, then the definition+checkpoint claims `_MV.v1`.
+    * The MV table is merge-on-read so refreshes apply as CDC upserts
+    * (KB-scale delete metadata, zero rewrite). Star-join definitions
+    * require globally unique column names across fact and dims (the
+    * definition's expressions are bare-name SQL over the join). */
   def create(spark: SparkSession, catalog: String, mv: String,
       source: String, filterSql: Option[String], groupBy: Seq[String],
-      aggs: Seq[AggSpec]): MvDef = {
+      aggs: Seq[AggSpec],
+      dims: Seq[(String, String)] = Seq.empty): MvDef = {
     require(groupBy.nonEmpty, "MV needs at least one group-by column")
     require(aggs.nonEmpty, "MV needs at least one aggregate")
     require(aggs.map(_.alias).distinct.length == aggs.length,
@@ -341,13 +424,32 @@ object ManifestMaterializedView {
     val fs = fsFor(spark, srcDir)
     require(fs.exists(new Path(srcDir, "_MANIFEST")),
       s"MV source '$source' is not a graft-manifest table at $srcDir")
+    require(dims.map(_._1).distinct.length == dims.length &&
+      !dims.map(_._1).contains(source),
+      "MV dims must be distinct tables, none of them the fact source")
+    val dimSpecs = dims.map { case (t, on) =>
+      val dDir = new Path(root, t)
+      require(fs.exists(new Path(dDir, "_MANIFEST")),
+        s"MV dim '$t' is not a graft-manifest table at $dDir")
+      DimSpec(t, on, ManifestFiles.latestComplete(fs, dDir))
+    }
     val srcVer = ManifestFiles.latestComplete(fs, srcDir)
-    val d0 = MvDef(source, filterSql, groupBy, aggs, srcVer, 0)
-    val src = spark.read.format("graft-manifest")
-      .option("path", srcDir.toString)
-      .option("versionAsOf", srcVer.toString).load()
-    val rows = aggRows(filterSql.map(f => src.filter(expr(f)))
-      .getOrElse(src), d0)
+    val d0 = MvDef(source, filterSql, groupBy, aggs, srcVer, 0, dimSpecs)
+    val src = tableAt(spark, root, source, srcVer)
+    if (dimSpecs.nonEmpty) {
+      val all = src.schema.fieldNames ++ dimSpecs.flatMap(ds =>
+        tableAt(spark, root, ds.table, ds.version).schema.fieldNames)
+      val dup = all.groupBy(identity).collect { case (n, g) if g.length > 1 => n }
+      require(dup.isEmpty,
+        s"star-join MV needs globally unique column names; duplicated: " +
+          dup.toSeq.sorted.mkString(", "))
+      require(!all.exists(n => n == ManifestChangeFeed.TypeCol ||
+          n == ManifestChangeFeed.VersionCol),
+        "MV fact/dim columns must not shadow the change-feed columns")
+    }
+    val joined = withDims(spark, root, d0, src)
+    val rows = aggRows(filterSql.map(f => joined.filter(expr(f)))
+      .getOrElse(joined), d0)
     groupBy.foreach { k =>
       val f = rows.schema.fields(rows.schema.fieldIndex(k))
       require(ManifestEqDeletes.keyTypeOk(f.dataType),
@@ -360,6 +462,7 @@ object ManifestMaterializedView {
       .option("path", mvDir.toString).save()
     val d = d0.copy(mvVersion = ManifestFiles.latestComplete(fs, mvDir))
     publishDef(fs, mvDir, d, expectFresh = true)
+    register(fs, srcDir, mv)
     d
   }
 
@@ -377,12 +480,28 @@ object ManifestMaterializedView {
     val d = readDef(fs, mvDir)
     val srcDir = new Path(root, d.source)
     val head = ManifestFiles.latestComplete(fs, srcDir)
+    // DIM MOVEMENT (round 15): the incremental algebra folds the FACT's
+    // change feed against PINNED dims, so a dim that advanced makes the
+    // pinned join state stale for every group that touches the changed
+    // rows — the documented remedy is a FULL RECOMPUTE that re-pins all
+    // inputs at their heads (dims are slowly-changing by design; the
+    // fact path below stays diff-cost). Upsert semantics keep it one
+    // atomic-looking cycle: recomputed groups replace, vanished groups
+    // delete, the checkpoint publishes last (crash replay converges —
+    // absolute values from authoritative inputs).
+    val dimHeads = d.dims.map(ds =>
+      ds -> ManifestFiles.latestComplete(fs, new Path(root, ds.table)))
+    if (dimHeads.exists { case (ds, h) => h > ds.version })
+      return recomputeFull(spark, catalog, mv,
+        d.copy(sourceVersion = head,
+          dims = dimHeads.map { case (ds, h) => ds.copy(version = h) }))
     if (head <= d.sourceVersion) return d
 
-    val feed = spark.read.format("graft-manifest")
+    val feed0 = spark.read.format("graft-manifest")
       .option("path", srcDir.toString).option("changeFeed", "true")
       .option("changesFrom", d.sourceVersion.toString)
       .option("changesTo", head.toString).load()
+    val feed = withDims(spark, root, d, feed0)
     val delta = deltaRows(
       d.filterSql.map(f => feed.filter(expr(f))).getOrElse(feed), d)
 
@@ -441,9 +560,8 @@ object ManifestMaterializedView {
     // refresh must never scan the source at all
     val recomputed = if (minmax.isEmpty || recompute.take(1).isEmpty) None
     else {
-      val srcHead = spark.read.format("graft-manifest")
-        .option("path", srcDir.toString)
-        .option("versionAsOf", head.toString).load()
+      val srcHead = withDims(spark, root, d,
+        tableAt(spark, root, d.source, head))
       val filtered = d.filterSql.map(f => srcHead.filter(expr(f)))
         .getOrElse(srcHead)
       Some(aggRows(filtered.join(recompute, d.groupBy, "left_semi"), d)
@@ -481,6 +599,48 @@ object ManifestMaterializedView {
     next
   }
 
+  /** FULL recompute at the pins already set in `pinned` (dim movement,
+    * or any drift remedy): re-aggregate the joined inputs, upsert every
+    * live group, delete groups the recompute no longer produces
+    * (diffed against `MV AS OF` the OLD checkpoint — pinned pre-state,
+    * same crash-replay convergence as the incremental path). Costs one
+    * scan of the joined inputs — the documented price of a dim change;
+    * fact-only movement never lands here. */
+  private def recomputeFull(spark: SparkSession, catalog: String,
+      mv: String, pinned: MvDef): MvDef = {
+    val root = catRoot(spark, catalog)
+    val mvDir = new Path(root, mv)
+    val fs = fsFor(spark, mvDir)
+    val old = readDef(fs, mvDir)
+    val joined = withDims(spark, root, pinned,
+      tableAt(spark, root, pinned.source, pinned.sourceVersion))
+    val rows = aggRows(pinned.filterSql.map(f => joined.filter(expr(f)))
+      .getOrElse(joined), pinned)
+    if (rows.take(1).nonEmpty)
+      rows.write.mode("append").format("graft-manifest")
+        .option("path", mvDir.toString)
+        .option("upsertKeys", pinned.groupBy.mkString(",")).save()
+    val pre = spark.read.format("graft-manifest")
+      .option("path", mvDir.toString)
+      .option("versionAsOf", old.mvVersion.toString).load()
+    val dead = pre.select(pinned.groupBy.map(col): _*)
+      .join(rows.select(pinned.groupBy.map(col): _*),
+        pinned.groupBy, "left_anti")
+    if (dead.take(1).nonEmpty) {
+      val view = "graft_mv_dead_" + java.lang.Long.toUnsignedString(
+        Thread.currentThread().getId)
+      dead.createOrReplaceTempView(view)
+      val keyTuple = pinned.groupBy.mkString("(", ", ", ")")
+      spark.sql(s"DELETE FROM $catalog.$mv WHERE $keyTuple IN " +
+        s"(SELECT ${pinned.groupBy.mkString(", ")} FROM $view)")
+      spark.catalog.dropTempView(view)
+    }
+    val next = pinned.copy(
+      mvVersion = ManifestFiles.latestComplete(fs, mvDir))
+    publishDef(fs, mvDir, next, expectFresh = false)
+    next
+  }
+
   /** Read the MV through its definition: derived user-facing columns
     * (count/sum/avg aliases) over the storage table. */
   def read(spark: SparkSession, catalog: String, mv: String): DataFrame = {
@@ -488,6 +648,50 @@ object ManifestMaterializedView {
     val d = readDef(fsFor(spark, mvDir), mvDir)
     val t = spark.table(s"$catalog.$mv")
     t.select(readCols(d, t.schema): _*)
+  }
+
+  /** DELTA COMPENSATION (round 15 — stale-tolerant MV rewrite): the
+    * group-level state the MV WOULD hold at `factVersion`, computed as
+    * `MV AS OF checkpoint.mvVersion ⊎ signed-fold(fact CDF
+    * (checkpoint.sourceVersion, factVersion] ⋈ pinned dims)` — the same
+    * algebra [[refresh]] trusts, applied at PLAN time so a head read N
+    * commits past the checkpoint still answers from the MV plus a
+    * diff-sized feed instead of rescanning the source. Storage-shaped
+    * output (keys + fold columns [+ extrema iff `withExtrema`]), dead
+    * groups filtered. Extrema compensate only over an APPEND-ONLY tail
+    * (the caller proves it via [[ManifestChangeFeed.rangeAppendOnly]]):
+    * a retraction can beat a stored extremum, and the bounded-recompute
+    * remedy belongs to refresh, not to a read-path rewrite. */
+  def compensate(spark: SparkSession, catalog: String, mv: String,
+      d: MvDef, factVersion: Int, withExtrema: Boolean): DataFrame = {
+    val root = catRoot(spark, catalog)
+    val mvDir = new Path(root, mv)
+    val srcDir = new Path(root, d.source)
+    val pre = spark.read.format("graft-manifest")
+      .option("path", mvDir.toString)
+      .option("versionAsOf", d.mvVersion.toString).load()
+    val feed0 = spark.read.format("graft-manifest")
+      .option("path", srcDir.toString).option("changeFeed", "true")
+      .option("changesFrom", d.sourceVersion.toString)
+      .option("changesTo", factVersion.toString).load()
+    val feed = withDims(spark, root, d, feed0)
+    val delta = deltaRows(
+      d.filterSql.map(f => feed.filter(expr(f))).getOrElse(feed), d)
+    val minmax = if (withExtrema) d.aggs.filter(_.isMinMax) else Seq.empty
+    val foldCols = pre.schema.fieldNames.toSeq
+      .filterNot(d.groupBy.contains)
+      .filterNot(d.aggs.filter(_.isMinMax).map(extCol).contains)
+    def shaped(df: DataFrame, ext: AggSpec => Column): DataFrame =
+      df.select((d.groupBy.map(col) ++ foldCols.map(col) ++
+        minmax.map(a => ext(a).as(extCol(a)))): _*)
+    val both = shaped(pre, a => col(extCol(a)))
+      .unionByName(shaped(delta, a => col(insCol(a))))
+    val aggCols = foldCols.map(c =>
+      sum(col(c)).cast(pre.schema(c).dataType).as(c)) ++
+      minmax.map(a => extExpr(a, col(extCol(a))).as(extCol(a)))
+    both.groupBy(d.groupBy.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .filter(col(CntCol) > 0)
   }
 
   /** 24/7 refresh: the source's STREAMING change feed is the SCHEDULER —

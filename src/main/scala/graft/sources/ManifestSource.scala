@@ -952,6 +952,18 @@ object ManifestFiles {
   // survives reordering — rows the rewrite INSERTED hold NULL there and
   // resolve to the file's own fresh `first_row_id + position`, exactly
   // Iceberg v3's null-_row_id inheritance rule.
+  //
+  // BRANCH CAVEAT (round-15 advice, documented contract): a branch
+  // chain mints ids from its own copy of the mark taken at fork, so
+  // while main also advances, a branch commit and a main commit can
+  // assign the same id to DIFFERENT rows. Branch-side `_row_id` values
+  // are therefore PROVISIONAL until publish: fast_forward's twin check
+  // only admits branches whose ids main never competed with (verbatim
+  // replay keeps main unique), and cherry_pick strips `#firstrow` and
+  // re-mints from main's mark. Consumers keying on `_row_id` must read
+  // main (or a published branch), never a still-diverged branch —
+  // the same posture as Iceberg's WAP, where audit-branch snapshots
+  // are not yet table state.
 
   val LineageLine = "#tableconf,lineage"
   private val RowIdNextPrefix = "#tableconf,rowidnext,"
@@ -2226,6 +2238,17 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
     import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
     val out = new java.util.HashMap[NamedReference, ColumnStatistics]
     if (kept.isEmpty) return out
+    // LIVE DELETE STATE degrade (round-15 advice): MOR delete vectors
+    // and equality-delete sets hide rows the per-file stats still
+    // count, so nullCount/distinctCount would OVERCOUNT — degrade both
+    // to absent (the agg-pushdown rule, applied to estimates; scoping
+    // to kept files would need the vector files' contents, so the
+    // check stays line-level conservative). min/max stay: deletes only
+    // remove rows, so the recorded bounds remain a sound (possibly
+    // loose) envelope — exactly what a selectivity estimate needs.
+    // `CALL compact` materializes deletes and restores the counts.
+    val liveDeleteState = snapshotLines.exists(l =>
+      l.startsWith("#eqdels,") || l.startsWith("#dels,"))
     val ndvByFile = ManifestNdv.fromLines(snapshotLines)
     val names = required.fieldNames.filter(n =>
       n != "_file" && n != "_pos" && fullSchema.fieldNames.contains(n))
@@ -2235,7 +2258,7 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
       if (ManifestSkip.statsCapable(dt) && !widenedByName.contains(name)) {
         val pos = ManifestFiles.physPos(fullSchema, i)
         val per = kept.map(n => stats.get(n).flatMap(_.cols.get(pos)))
-        val (nullCount, minRaw, maxRaw) =
+        val (nullCountRaw, minRaw, maxRaw) =
           if (per.forall(_.isDefined)) {
             val cs = per.map(_.get)
             // shared fold (bestBound) — one comparator with the
@@ -2258,7 +2281,8 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
         }
         val mnV = minRaw.flatMap(cboValue)
         val mxV = maxRaw.flatMap(cboValue)
-        val distinct: Option[Long] = {
+        val nullCount = if (liveDeleteState) None else nullCountRaw
+        val distinct: Option[Long] = if (liveDeleteState) None else {
           val sketches = kept.map(n => ndvByFile.get(n).flatMap(_.get(pos)))
           if (sketches.nonEmpty && sketches.forall(_.isDefined)) {
             val merged = ManifestNdv.emptyRegisters()
@@ -2266,7 +2290,8 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
             Some(ManifestNdv.estimate(merged))
           } else None
         }
-        if (nullCount.isDefined || distinct.isDefined) {
+        if (nullCount.isDefined || distinct.isDefined ||
+            mnV.isDefined || mxV.isDefined) {
           val nullsV = nullCount
           val distinctV = distinct
           out.put(Expressions.column(name), new ColumnStatistics {
@@ -3936,8 +3961,12 @@ class GraftManifestCatalog extends TableCatalog
       // a plain `REPLACE TABLE t (cols…)` runs NO write — the commit
       // itself must publish the empty replacement then
       commitFn = () => {
+        // #branchbase (divergence check) and #tableconf,rowidnext (the
+        // row-id high-water mark — ids handed to readers are never
+        // reused, even across CREATE OR REPLACE) survive the replacement
         ManifestFiles.publishSnapshot(f, hconf, dir, previous =>
-          previous.filter(_.startsWith("#branchbase,")) ++ confLines,
+          previous.filter(l => l.startsWith("#branchbase,") ||
+            l.startsWith("#tableconf,rowidnext,")) ++ confLines,
           ManifestTable.nullableSchema(schema))
       },
       abortFn = _ => ())
@@ -5343,8 +5372,16 @@ private[sources] object ManifestProcedures {
             "retry the scoped compact")
         // the scan REFUSED pre-existing delete state up front, so ANY
         // #dels/#eqdels here landed concurrently. Equality deletes
-        // apply value-keyed to everything born before them — always a
-        // conflict. Positional vectors conflict only when they point
+        // apply value-keyed to everything born before them; the folded
+        // output is born AFTER the eqdel, so committing would resurrect
+        // any matching rows that moved into it — abort. DELIBERATELY
+        // COARSE (round-15 advice, documented trade): an eqdel whose
+        // keys live only in out-of-scope files is also aborted, because
+        // proving disjointness means reading the eqdel key sets and
+        // probing them against the fresh output's bounds mid-claim —
+        // retry cost on busy CDC tables is the accepted price for a
+        // race-path check that stays metadata-only and obviously sound.
+        // Positional vectors conflict only when they point
         // INTO the folded scope (the folded files were computed without
         // them); vectors on out-of-scope files ride through untouched
         // and commute — a steadily-deleting 100 TB table must not make
@@ -5672,20 +5709,25 @@ private[sources] object ManifestProcedures {
       }).iterator()
     }
 
-  /** `create_materialized_view(mv, source, group_by, aggs[, filter])` —
-    * INCREMENTAL MV DDL (round 14, sources/ManifestMaterializedView
-    * .scala): `group_by` is a comma-separated key list; `aggs` is
-    * `func:expr:alias` triples (count/sum/avg — the incrementally
-    * maintainable algebra); `filter` an optional WHERE over the source.
-    * The initial build is one pinned full aggregate; every later
-    * `refresh_materialized_view` folds only the source's CHANGE FEED
-    * into the touched groups. */
+  /** `create_materialized_view(mv, source, group_by, aggs[, filter]
+    * [, dims])` — INCREMENTAL MV DDL (round 14; star joins round 15 —
+    * sources/ManifestMaterializedView.scala): `group_by` is a
+    * comma-separated key list; `aggs` is `func:expr:alias` triples
+    * (count/sum/avg/min/max — the incrementally maintainable algebra);
+    * `filter` an optional WHERE; `dims` optional `table ON condition`
+    * entries inner-joining slowly-changing dimensions to the fact
+    * `source`, pinned at their current versions. The initial build is
+    * one pinned full aggregate; every later
+    * `refresh_materialized_view` folds only the FACT's CHANGE FEED
+    * (joined to the pinned dims) into the touched groups — a dim that
+    * moved triggers the documented full recompute and re-pin. */
   def createMaterializedView(cat: GraftManifestCatalog): UnboundProcedure =
     proc("create_materialized_view", Array(param("mv", StringType),
         param("source", StringType),
         param("group_by", StringType),
         param("aggs", StringType),
-        paramDefault("filter", StringType, "''"))) { input =>
+        paramDefault("filter", StringType, "''"),
+        paramDefault("dims", StringType, "''"))) { input =>
       val spark = SparkSession.active
       val mv = input.getUTF8String(0).toString
       val source = input.getUTF8String(1).toString
@@ -5696,8 +5738,12 @@ private[sources] object ManifestProcedures {
       val filter = input.getUTF8String(4).toString match {
         case "" => None; case f => Some(f)
       }
+      val dims = input.getUTF8String(5).toString match {
+        case "" => Seq.empty[(String, String)]
+        case s => ManifestMaterializedView.parseDims(s)
+      }
       val d = ManifestMaterializedView.create(
-        spark, cat.name(), mv, source, filter, keys, aggs)
+        spark, cat.name(), mv, source, filter, keys, aggs, dims)
       result(new StructType().add("mv", StringType)
           .add("source_version", IntegerType)
           .add("mv_version", IntegerType),
@@ -5746,7 +5792,10 @@ private[sources] object ManifestProcedures {
         val defn = d.groupBy.mkString("GROUP BY ", ", ", "") + "; " +
           d.aggs.map(a => s"${a.func}(${a.expr}) AS ${a.alias}")
             .mkString(", ") +
-          d.filterSql.map(f => s"; WHERE $f").getOrElse("")
+          d.filterSql.map(f => s"; WHERE $f").getOrElse("") +
+          (if (d.dims.isEmpty) "" else d.dims.map(ds =>
+            s"JOIN ${ds.table}@v${ds.version} ON ${ds.onSql}")
+            .mkString("; ", ", ", ""))
         new GenericInternalRow(Array[Any](v,
           fs.getFileStatus(p).getModificationTime * 1000L,
           UTF8String.fromString(d.source), d.sourceVersion, d.mvVersion,

@@ -288,4 +288,147 @@ class ManifestMaterializedViewSpec extends AnyFunSuite {
     seedSource(cat)
     body(cat, Some("v > 3"))
   }
+
+  // ---- STAR-JOIN MVs (round 15) ----------------------------------------
+
+  /** Fixture: fact(sk, f_c, f_i, amt) ⋈ dimc(c_id, c_seg) ⋈
+    * dimi(i_id, i_cat) — group keys come from the DIMS (the q268 star
+    * rollup shape), fact is merge-on-read for CDC paths. */
+  private def seedStar(cat: String): Unit = {
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.fact (sk BIGINT, f_c BIGINT, " +
+      "f_i BIGINT, amt DOUBLE) " +
+      "TBLPROPERTIES('delete.mode'='merge-on-read')")
+    spark.sql(s"CREATE TABLE $cat.dimc (c_id BIGINT, c_seg STRING)")
+    spark.sql(s"CREATE TABLE $cat.dimi (i_id BIGINT, i_cat STRING)")
+    (0L to 19L).map(i => (i, s"seg${i % 4}")).toDF("c_id", "c_seg")
+      .writeTo(s"$cat.dimc").append()
+    (0L to 9L).map(i => (i, s"cat${i % 3}")).toDF("i_id", "i_cat")
+      .writeTo(s"$cat.dimi").append()
+    (1L to 300L).map(k => (k, k % 20, k % 10, k * 0.5 + (k % 13) * 0.01))
+      .toDF("sk", "f_c", "f_i", "amt").writeTo(s"$cat.fact").append()
+  }
+
+  private val starSel =
+    """CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(amt AS DECIMAL(18,6))) AS DOUBLE) AS sa,
+       MIN(amt) AS mn, MAX(amt) AS mx""".replaceAll("\\s+", " ")
+
+  private def starDirect(cat: String): DataFrame =
+    spark.sql(s"SELECT c_seg, i_cat, $starSel FROM $cat.fact " +
+      s"JOIN $cat.dimc ON f_c = c_id JOIN $cat.dimi ON f_i = i_id " +
+      "WHERE amt > 5.0 GROUP BY c_seg, i_cat")
+
+  private def starCheck(cat: String): Unit = {
+    val got = sortedRows(readMv(cat, "star"))
+    val want = sortedRows(starDirect(cat))
+    assert(got == want, s"star MV drifted from direct recompute:\n" +
+      s"got  ${got.take(4).mkString(" | ")}\nwant ${want.take(4).mkString(" | ")}")
+  }
+
+  test("STAR-JOIN MV: dim-keyed rollup materializes, and fact " +
+    "appends/takedowns/upserts refresh incrementally from the fact CDF " +
+    "joined to PINNED dims — incremental == recompute at every step") {
+    import spark.implicits._
+    val root = tmpDir()
+    val cat = register(root)
+    seedStar(cat)
+    ManifestMaterializedView.create(spark, cat, "star", "fact",
+      Some("amt > 5.0"), Seq("c_seg", "i_cat"),
+      ManifestMaterializedView.parseAggs(
+        "count:*:n,sum:amt:sa,min:amt:mn,max:amt:mx"),
+      Seq("dimc" -> "f_c = c_id", "dimi" -> "f_i = i_id"))
+    starCheck(cat)
+    // the MV registered under its FACT source
+    val factDir = new Path(root, "fact")
+    assert(ManifestMaterializedView
+      .registered(fsOf(factDir), factDir).contains("star"))
+    // fact append touching a few (seg, cat) cells
+    Seq((301L, 3L, 4L, 999.0), (302L, 7L, 4L, 8.5))
+      .toDF("sk", "f_c", "f_i", "amt").writeTo(s"$cat.fact").append()
+    ManifestMaterializedView.refresh(spark, cat, "star")
+    starCheck(cat)
+    // takedown that retracts the max of its group → joined recompute path
+    spark.sql(s"DELETE FROM $cat.fact WHERE sk = 301")
+    ManifestMaterializedView.refresh(spark, cat, "star")
+    starCheck(cat)
+    // CDC upsert re-pricing rows across the filter boundary
+    Seq((5L, 5L, 5L, 1.0), (250L, 10L, 0L, 777.0))
+      .toDF("sk", "f_c", "f_i", "amt")
+      .write.mode("append").format("graft-manifest")
+      .option("path", s"$root/fact").option("upsertKeys", "sk").save()
+    ManifestMaterializedView.refresh(spark, cat, "star")
+    starCheck(cat)
+    // fact-only movement must NOT have re-pinned the dims
+    val mvDir = new Path(root, "star")
+    val d = ManifestMaterializedView.readDef(fsOf(mvDir), mvDir)
+    assert(d.dims.map(_.version) == Seq(2, 2),
+      s"fact-only refreshes must keep dim pins, got ${d.dims}")
+  }
+
+  test("STAR-JOIN MV: a DIM change triggers the documented full " +
+    "recompute — the checkpoint re-pins every input and the rows match " +
+    "a direct recompute at the new heads") {
+    import spark.implicits._
+    val root = tmpDir()
+    val cat = register(root)
+    seedStar(cat)
+    ManifestMaterializedView.create(spark, cat, "star", "fact",
+      Some("amt > 5.0"), Seq("c_seg", "i_cat"),
+      ManifestMaterializedView.parseAggs(
+        "count:*:n,sum:amt:sa,min:amt:mn,max:amt:mx"),
+      Seq("dimc" -> "f_c = c_id", "dimi" -> "f_i = i_id"))
+    // a dim RESEGMENTATION (new customer rows + a segment rename via
+    // upsert-free append of re-keyed rows is not possible on a plain
+    // table — use a new customer landing, which changes join results
+    // for facts pointing at previously-unmatched ids)
+    Seq((20L, "seg9")).toDF("c_id", "c_seg").writeTo(s"$cat.dimc").append()
+    Seq((400L, 20L, 1L, 42.0)).toDF("sk", "f_c", "f_i", "amt")
+      .writeTo(s"$cat.fact").append()
+    val d = ManifestMaterializedView.refresh(spark, cat, "star")
+    starCheck(cat)
+    assert(d.dims.find(_.table == "dimc").get.version == 3,
+      s"dim movement must re-pin, got ${d.dims}")
+    assert(readMv(cat, "star").collect()
+      .exists(_.getString(0) == "seg9"), "the new dim segment must appear")
+    // and a dim takedown erasing a whole segment deletes its MV groups
+    // (recompute path's vanished-group diff)
+    spark.sql(s"DELETE FROM $cat.dimc WHERE c_seg = 'seg9'")
+    ManifestMaterializedView.refresh(spark, cat, "star")
+    starCheck(cat)
+    assert(!readMv(cat, "star").collect().exists(_.getString(0) == "seg9"),
+      "groups of the vanished dim segment must be DELETED from the MV")
+  }
+
+  test("STAR-JOIN MV guardrails: duplicate column names across " +
+    "fact/dims reject at create; unknown dim table rejects; the CALL " +
+    "surface round-trips dims") {
+    import spark.implicits._
+    val root = tmpDir()
+    val cat = register(root)
+    seedStar(cat)
+    spark.sql(s"CREATE TABLE $cat.clash (sk BIGINT, note STRING)")
+    spark.sql(s"INSERT INTO $cat.clash VALUES (1, 'x')")
+    val e = intercept[IllegalArgumentException] {
+      ManifestMaterializedView.create(spark, cat, "bad", "fact", None,
+        Seq("note"), ManifestMaterializedView.parseAggs("count:*:n"),
+        Seq("clash" -> "f_c = sk"))
+    }
+    assert(e.getMessage.contains("unique column names"))
+    intercept[IllegalArgumentException] {
+      ManifestMaterializedView.create(spark, cat, "bad2", "fact", None,
+        Seq("c_seg"), ManifestMaterializedView.parseAggs("count:*:n"),
+        Seq("nosuch" -> "f_c = c_id"))
+    }
+    spark.sql(s"CALL $cat.system.create_materialized_view('starz', " +
+      "'fact', 'c_seg', 'count:*:n,sum:amt:sa', 'amt > 5.0', " +
+      "'dimc ON f_c = c_id')")
+    val got = sortedRows(ManifestMaterializedView.read(spark, cat, "starz"))
+    val want = sortedRows(spark.sql(
+      s"SELECT c_seg, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"CAST(SUM(CAST(amt AS DECIMAL(18,6))) AS DOUBLE) AS sa " +
+        s"FROM $cat.fact JOIN $cat.dimc ON f_c = c_id " +
+        "WHERE amt > 5.0 GROUP BY c_seg"))
+    assert(got == want)
+  }
 }

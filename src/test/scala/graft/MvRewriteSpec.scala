@@ -161,4 +161,188 @@ class MvRewriteSpec extends AnyFunSuite {
     assertSame(s"SELECT grp, count(*) AS c FROM $cat.src GROUP BY grp",
       "agg6", expectRewrite = false)
   }
+
+  // ---- STAR-JOIN rewriting + staleness compensation (round 15) --------
+
+  private def seedStar(cat: String): Unit = {
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.fact (sk BIGINT, f_c BIGINT, " +
+      "f_i BIGINT, amt DOUBLE, qty BIGINT) " +
+      "TBLPROPERTIES('delete.mode'='merge-on-read')")
+    spark.sql(s"CREATE TABLE $cat.dimc (c_id BIGINT, c_seg STRING)")
+    spark.sql(s"CREATE TABLE $cat.dimi (i_id BIGINT, i_cat STRING)")
+    (0L to 19L).map(i => (i, s"seg${i % 4}")).toDF("c_id", "c_seg")
+      .writeTo(s"$cat.dimc").append()
+    (0L to 9L).map(i => (i, s"cat${i % 3}")).toDF("i_id", "i_cat")
+      .writeTo(s"$cat.dimi").append()
+    (1L to 300L).map(k => (k, k % 20, k % 10, k * 0.5, k % 7))
+      .toDF("sk", "f_c", "f_i", "amt", "qty").writeTo(s"$cat.fact").append()
+  }
+
+  test("STAR-JOIN rewrite: an aggregate over fact ⋈ dims answers from " +
+    "the join MV when keys, join-condition SET, filter, and every pin " +
+    "line up — reordered joins and flipped equality operands included; " +
+    "a different ON condition, an outer join, or a time-traveled dim " +
+    "kill it") {
+    val (cat, _) = freshCat()
+    seedStar(cat)
+    spark.sql(s"CALL $cat.system.create_materialized_view('starmv', " +
+      "'fact', 'c_seg,i_cat', " +
+      "'count:*:n,sum:qty:sq,min:amt:mn,max:amt:mx', '', " +
+      "'dimc ON f_c = c_id,dimi ON f_i = i_id')")
+    val sel = "count(*) AS n, sum(qty) AS sq, min(amt) AS mn, max(amt) AS mx"
+    assertSame(s"SELECT c_seg, i_cat, $sel FROM $cat.fact " +
+      s"JOIN $cat.dimc ON f_c = c_id JOIN $cat.dimi ON f_i = i_id " +
+      "GROUP BY c_seg, i_cat", "starmv", expectRewrite = true)
+    // join order permuted + equality operands flipped: same condition SET
+    assertSame(s"SELECT c_seg, i_cat, $sel FROM $cat.dimi " +
+      s"JOIN $cat.fact ON i_id = f_i JOIN $cat.dimc ON c_id = f_c " +
+      "GROUP BY c_seg, i_cat", "starmv", expectRewrite = true)
+    // a DIFFERENT join condition is a different query — never rewrite
+    assertSame(s"SELECT c_seg, i_cat, $sel FROM $cat.fact " +
+      s"JOIN $cat.dimc ON f_c = c_id JOIN $cat.dimi ON f_c = i_id " +
+      "GROUP BY c_seg, i_cat", "starmv", expectRewrite = false)
+    // outer joins change semantics — never rewrite
+    assertSame(s"SELECT c_seg, i_cat, $sel FROM $cat.fact " +
+      s"LEFT JOIN $cat.dimc ON f_c = c_id JOIN $cat.dimi ON f_i = i_id " +
+      "GROUP BY c_seg, i_cat", "starmv", expectRewrite = false)
+    // a dim read at a non-pinned version — never rewrite
+    assertSame(s"SELECT c_seg, i_cat, $sel FROM $cat.fact " +
+      s"JOIN $cat.dimc VERSION AS OF 1 ON f_c = c_id " +
+      s"JOIN $cat.dimi ON f_i = i_id " +
+      "GROUP BY c_seg, i_cat", "starmv", expectRewrite = false)
+    // a key-only filter on the filterless MV prunes groups instead
+    assertSame(s"SELECT c_seg, i_cat, $sel FROM $cat.fact " +
+      s"JOIN $cat.dimc ON f_c = c_id JOIN $cat.dimi ON f_i = i_id " +
+      "WHERE c_seg = 'seg1' GROUP BY c_seg, i_cat", "starmv",
+      expectRewrite = true)
+  }
+
+  /** Stale-compensation plan probe: the PHYSICAL plan must read BOTH
+    * the MV storage (by path — the name rides the scan description) and
+    * the fact's change feed. */
+  private def compensated(df: DataFrame, mv: String): Boolean = {
+    val p = df.queryExecution.executedPlan.toString
+    p.contains(mv) && p.contains("graft-manifest-changefeed")
+  }
+
+  private def withStale[T](body: => T): T = {
+    spark.conf.set("spark.graft.mv.rewrite.allowStale", "true")
+    try body
+    finally spark.conf.set("spark.graft.mv.rewrite.allowStale", "false")
+  }
+
+  test("STALE-TOLERANT rewrite (delta compensation): commits past the " +
+    "checkpoint no longer kill the rewrite under allowStale — the plan " +
+    "answers MV ⊎ fold(CDF tail) and matches the direct plan exactly; " +
+    "min/max ride only an append-only tail; off by default") {
+    import spark.implicits._
+    val (cat, _) = freshCat()
+    seed(cat)
+    spark.sql(s"CALL $cat.system.create_materialized_view('agg7', 'src', " +
+      "'grp', 'count:*:c,sum:n:sn,min:v:mn,max:v:mx')")
+    // two commits past the checkpoint: an append and another append
+    Seq((901L, "g1", 9999.5, 40L), (902L, "g9", 1.0, 2L))
+      .toDF("k", "grp", "v", "n").writeTo(s"$cat.src").append()
+    Seq((903L, "g2", -7.0, 3L)).toDF("k", "grp", "v", "n")
+      .writeTo(s"$cat.src").append()
+    val q = s"SELECT grp, count(*) AS c, sum(n) AS sn, min(v) AS mn, " +
+      s"max(v) AS mx FROM $cat.src GROUP BY grp"
+    // default: staleness still refuses
+    assert(!compensated(spark.sql(q), "agg7") && !scansMv(spark.sql(q), "agg7"))
+    withStale {
+      val df = spark.sql(q)
+      assert(compensated(df, "agg7"),
+        "stale rewrite must read the MV + the change-feed tail:\n" +
+          df.queryExecution.optimizedPlan.toString)
+      val got = df.collect().map(_.toString).sorted.toSeq
+      val want = withoutRewrite(spark.sql(q).collect()
+        .map(_.toString).sorted.toSeq)
+      assert(got == want, "compensated answer drifted from direct")
+      // new group g9 appears, injected purely from the tail
+      assert(df.collect().exists(_.getString(0) == "g9"))
+    }
+    // a DELETE lands in the tail: extrema can no longer compensate
+    spark.sql(s"DELETE FROM $cat.src WHERE k = 901")
+    withStale {
+      assert(!compensated(spark.sql(q), "agg7") &&
+        !scansMv(spark.sql(q), "agg7"),
+        "min/max must refuse a tail with retractions")
+      val qCnt = s"SELECT grp, count(*) AS c, sum(n) AS sn FROM $cat.src " +
+        "GROUP BY grp"
+      val df = spark.sql(qCnt)
+      assert(compensated(df, "agg7"),
+        "count/sum fold signed legs — deletes in the tail are fine:\n" +
+          df.queryExecution.optimizedPlan.toString)
+      val got = df.collect().map(_.toString).sorted.toSeq
+      val want = withoutRewrite(spark.sql(qCnt).collect()
+        .map(_.toString).sorted.toSeq)
+      assert(got == want)
+      // g9's lone row survived; g1 lost one row vs the MV state
+      assert(df.collect().exists(_.getString(0) == "g9"))
+    }
+    // refresh catches the MV up: the plain exact rewrite returns
+    spark.sql(s"CALL $cat.system.refresh_materialized_view('agg7')")
+    assertSame(q, "agg7", expectRewrite = true)
+  }
+
+  test("STALE compensation composes with STAR joins: the tail folds " +
+    "through the pinned dims; a moved dim still kills the rewrite") {
+    import spark.implicits._
+    val (cat, _) = freshCat()
+    seedStar(cat)
+    spark.sql(s"CALL $cat.system.create_materialized_view('starc', " +
+      "'fact', 'c_seg', 'count:*:n,sum:qty:sq', '', " +
+      "'dimc ON f_c = c_id')")
+    Seq((400L, 3L, 1L, 50.0, 9L), (401L, 8L, 2L, 60.0, 4L))
+      .toDF("sk", "f_c", "f_i", "amt", "qty").writeTo(s"$cat.fact").append()
+    val q = s"SELECT c_seg, count(*) AS n, sum(qty) AS sq FROM $cat.fact " +
+      s"JOIN $cat.dimc ON f_c = c_id GROUP BY c_seg"
+    withStale {
+      val df = spark.sql(q)
+      assert(compensated(df, "starc"),
+        df.queryExecution.optimizedPlan.toString)
+      val got = df.collect().map(_.toString).sorted.toSeq
+      val want = withoutRewrite(spark.sql(q).collect()
+        .map(_.toString).sorted.toSeq)
+      assert(got == want)
+      // dim moves: pinned-dim compensation is no longer the query
+      Seq((20L, "seg7")).toDF("c_id", "c_seg").writeTo(s"$cat.dimc").append()
+      assert(!compensated(spark.sql(q), "starc") &&
+        !scansMv(spark.sql(q), "starc"),
+        "a dim past its pin must kill the rewrite entirely")
+    }
+  }
+
+  test("DISCOVERY is per-source (round 15): candidates come from the " +
+    "fact's own _mvreg registry, so planning reads ONE definition no " +
+    "matter how many sibling MVs exist in the catalog — the round-14 " +
+    "implementation probed every sibling directory") {
+    val (cat, root) = freshCat()
+    seed(cat)
+    spark.sql(s"CALL $cat.system.create_materialized_view('agg8', 'src', " +
+      "'grp', 'count:*:c')")
+    // 40 sibling directories that LOOK like MVs over other sources (the
+    // old catalog-wide sweep would probe every one of them)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    (0 until 40).foreach { i =>
+      val d = new org.apache.hadoop.fs.Path(root, s"side_mv_$i")
+      fs.mkdirs(d)
+      val lines = ManifestMaterializedView.encode(
+        ManifestMaterializedView.MvDef(s"other_$i", None, Seq("x"),
+          Seq(ManifestMaterializedView.AggSpec("count_star", "*", "n")),
+          1, 1))
+      val out = fs.create(new org.apache.hadoop.fs.Path(d, "_MV.v1"), true)
+      out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      out.close()
+    }
+    val before = ManifestMaterializedView.defReads.get()
+    val df = spark.sql(
+      s"SELECT grp, count(*) AS c FROM $cat.src GROUP BY grp")
+    assert(scansMv(df, "agg8"))
+    val reads = ManifestMaterializedView.defReads.get() - before
+    assert(reads <= 2,
+      s"plan-time definition reads must be flat in catalog size, got $reads")
+  }
 }
