@@ -79,9 +79,6 @@ object ManifestChangeFeed {
     StructType(s.fields.filterNot(f =>
       f.name == TypeCol || f.name == VersionCol || f.name == TimestampCol))
 
-  /** The step walk, shared by the batch scan and the streaming source:
-    * one ManifestChangePartition per changed file per commit in
-    * (from, end]. Driver metadata I/O only. */
   /** Metadata-only probe: is the commit range `(from, end]` pure
     * APPENDS — no entries removed or rewritten, no delete state
     * (positional vectors / equality sets) landed? Powers the stale MV
@@ -107,6 +104,9 @@ object ManifestChangeFeed {
     }
   }
 
+  /** The step walk, shared by the batch scan and the streaming source:
+    * one ManifestChangePartition per changed file per commit in
+    * (from, end]. Driver metadata I/O only. */
   def planRange(fs: FileSystem, dir: Path, from: Int,
       end: Int, schema: StructType,
       conf: org.apache.hadoop.conf.Configuration): Array[InputPartition] = {
@@ -167,9 +167,12 @@ object ManifestChangeFeed {
     // resolve against the commit's own snapshot, delete legs against the
     // predecessor — so a feed consumer sees each leg's `_row_id` exactly
     // as a reader of that snapshot would
-    def ridsOf(lines: Array[String]): (Map[String, Long], Set[String]) =
+    def ridsOf(lines: Array[String]):
+        (Map[String, Long], Set[String], Map[String, Int], Set[String]) =
       (ManifestFiles.firstRowFromLines(lines),
-        ManifestFiles.ridColFromLines(lines))
+        ManifestFiles.ridColFromLines(lines),
+        ManifestFiles.luvFromLines(lines),
+        ManifestFiles.luvColFromLines(lines))
     var prevRids = ridsOf(prevLines)
     var v = from + 1
     // FULL-HISTORY feeds (from = 0) on a vacuumed table: the history
@@ -234,14 +237,16 @@ object ManifestChangeFeed {
       val ts = fs.getFileStatus(new Path(dir, s"_MANIFEST.v$v"))
         .getModificationTime * 1000L
       val curRids = ridsOf(curLines)
-      def ridArgs(n: String, of: (Map[String, Long], Set[String])):
-          (Long, Boolean) =
-        (of._1.getOrElse(n, -1L), of._2.contains(n))
+      def ridArgs(n: String,
+          of: (Map[String, Long], Set[String], Map[String, Int], Set[String])):
+          (Long, Boolean, Int, Boolean) =
+        (of._1.getOrElse(n, -1L), of._2.contains(n),
+          of._3.getOrElse(n, -1), of._4.contains(n))
       (curNames -- prevNames).toSeq.sorted.foreach { n =>
-        val (fr, rc) = ridArgs(n, curRids)
+        val (fr, rc, lv, lc) = ridArgs(n, curRids)
         out += ManifestChangePartition(new Path(dir, n).toString, n,
           "insert", v, curDels.getOrElse(n, Array.empty), Array.empty, ts,
-          firstRow = fr, ridCol = rc)
+          firstRow = fr, ridCol = rc, luv = lv, luvCol = lc)
       }
       (prevNames -- curNames).toSeq.sorted.foreach { n =>
         if (!fs.exists(new Path(dir, n))) throw new IllegalStateException(
@@ -249,30 +254,32 @@ object ManifestChangeFeed {
             s"version $v and its bytes were vacuumed — the change feed " +
             "for this range is unavailable; widen retention or restart " +
             "downstream from a full snapshot")
-        val (fr, rc) = ridArgs(n, prevRids)
+        val (fr, rc, lv, lc) = ridArgs(n, prevRids)
         out += ManifestChangePartition(new Path(dir, n).toString, n,
           "delete", v, prevDels.getOrElse(n, Array.empty), Array.empty, ts,
           skipEqs = prevEqApplicable.getOrElse(n, Seq.empty),
-          firstRow = fr, ridCol = rc)
+          firstRow = fr, ridCol = rc, luv = lv, luvCol = lc)
       }
       (curNames & prevNames).toSeq.sorted.foreach { n =>
         val fresh = curDels.getOrElse(n, Array.empty)
           .diff(prevDels.getOrElse(n, Array.empty))
         if (fresh.nonEmpty) {
-          val (fr, rc) = ridArgs(n, prevRids)
+          val (fr, rc, lv, lc) = ridArgs(n, prevRids)
           out += ManifestChangePartition(new Path(dir, n).toString, n,
-            "delete", v, Array.empty, fresh, ts, firstRow = fr, ridCol = rc)
+            "delete", v, Array.empty, fresh, ts, firstRow = fr, ridCol = rc,
+            luv = lv, luvCol = lc)
         }
       }
       mergedNew.foreach { st =>
         val bornCur = ManifestFiles.bornFromLines(curLines)
         (curNames & prevNames).toSeq.sorted
           .filter(n => bornCur.getOrElse(n, 0) < v).foreach { n =>
-            val (fr, rc) = ridArgs(n, prevRids)
+            val (fr, rc, lv, lc) = ridArgs(n, prevRids)
             out += ManifestChangePartition(new Path(dir, n).toString, n,
               "delete", v, prevDels.getOrElse(n, Array.empty), Array.empty,
               ts, skipEqs = prevEqApplicable.getOrElse(n, Seq.empty),
-              keepEq = Some(st), firstRow = fr, ridCol = rc)
+              keepEq = Some(st), firstRow = fr, ridCol = rc,
+              luv = lv, luvCol = lc)
           }
       }
       prevLines = curLines; prevNames = curNames; prevDels = curDels
@@ -373,7 +380,9 @@ private[sources] case class ManifestChangePartition(file: String,
     skipEqs: Seq[ManifestEqDeletes.EqSet] = Seq.empty,
     // row lineage: the file's first row id / materialized-`_rid` marker
     // AT THIS LEG'S snapshot, so feed rows surface their `_row_id`
-    firstRow: Long = -1L, ridCol: Boolean = false)
+    firstRow: Long = -1L, ridCol: Boolean = false,
+    // `_last_updated_version` riders, same resolution discipline
+    luv: Int = -1, luvCol: Boolean = false)
     extends InputPartition
 
 private[sources] class ManifestChangeFeedScan(path: String, from: Int,
@@ -519,6 +528,10 @@ private[sources] class ManifestChangeReaderFactory(fullSchema: StructType,
       rowIds =
         if (part.firstRow >= 0 || part.ridCol)
           Map(part.name -> (part.firstRow, part.ridCol))
+        else Map.empty,
+      luvs =
+        if (part.luv >= 0 || part.luvCol)
+          Map(part.name -> (part.luv, part.luvCol))
         else Map.empty)
       .createReader(ManifestInputPartition(part.file, part.name,
         part.skipOrdinals))

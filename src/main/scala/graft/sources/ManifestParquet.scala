@@ -88,12 +88,14 @@ private[sources] object ManifestParquet {
     * the writing session's (and a session conf copied into the Hadoop
     * conf as the literal string "null" would crash `.toBoolean`). */
   private def writerConf(base: Configuration, schema: StructType,
-      withRid: Boolean = false): Configuration = {
+      withRid: Boolean = false, withLuv: Boolean = false): Configuration = {
     val conf = new Configuration(base)
-    val stored =
-      if (!withRid) storedSchema(schema)
-      else StructType(storedSchema(schema).fields :+
-        StructField(RidColName, LongType, nullable = true))
+    val stored = StructType(storedSchema(schema).fields ++
+      (if (withRid) Seq(StructField(RidColName, LongType, nullable = true))
+       else Seq.empty) ++
+      (if (withLuv)
+        Seq(StructField(LuvColName, IntegerType, nullable = true))
+       else Seq.empty))
     ParquetWriteSupport.setSchema(stored, conf)
     conf.set("spark.sql.parquet.writeLegacyFormat", "false")
     conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
@@ -129,9 +131,12 @@ private[sources] object ManifestParquet {
       base: Configuration,
       // row lineage: rewrite files append the materialized `_rid` long
       // column (rows arrive with the carried id LAST, after the data
-      // columns — NULL for rewrite-inserted rows)
-      withRid: Boolean = false): org.apache.parquet.hadoop.ParquetWriter[InternalRow] = {
-    val conf = writerConf(base, schema, withRid)
+      // columns — NULL for rewrite-inserted rows), then the `_luv` int
+      // column (NULL for updated/inserted rows — they resolve to the
+      // rewriting commit's version)
+      withRid: Boolean = false,
+      withLuv: Boolean = false): org.apache.parquet.hadoop.ParquetWriter[InternalRow] = {
+    val conf = writerConf(base, schema, withRid, withLuv)
     var b = new RowWriterBuilder(
         org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(file, conf))
       .withConf(conf)
@@ -355,12 +360,16 @@ private[sources] object ManifestParquet {
       // ROW LINEAGE: `#ridcol` files additionally project their
       // materialized `_rid` column (a RESERVED literal name — positional
       // `c<pos>` names can never collide with it)
-      ridCol: Boolean = false):
+      ridCol: Boolean = false,
+      // `#luvcol` files likewise project the materialized `_luv` column
+      luvCol: Boolean = false):
       (VectorizedParquetRecordReader, Array[Int]) = {
     val dataFields = required.fields
       .filter(f => f.name != "_file" && f.name != "_pos" &&
-        f.name != "_row_id")
+        f.name != "_row_id" && f.name != "_last_updated_version")
     val wantRid = ridCol && required.fieldNames.contains("_row_id")
+    val wantLuv = luvCol &&
+      required.fieldNames.contains("_last_updated_version")
     // Positional nested names come from the field's index in the TABLE
     // schema, not the (possibly nested-pruned) required struct — a
     // pruned struct<b> of a table struct<a,b> must request c1, not c0.
@@ -386,7 +395,10 @@ private[sources] object ManifestParquet {
           fullSchema(fullSchema.fieldIndex(f.name)).dataType),
         nullable = true)
     } ++ (if (wantRid) Seq(StructField(RidColName, LongType, nullable = true))
-          else Seq.empty))
+          else Seq.empty) ++
+      (if (wantLuv)
+        Seq(StructField(LuvColName, IntegerType, nullable = true))
+       else Seq.empty))
     def confFor(withFilter: Boolean): Configuration = {
       val conf = readerConf(base, requested)
       // imported files: row-group pushdown stays OFF — the translated
@@ -435,14 +447,17 @@ private[sources] object ManifestParquet {
       }
     // Batch column j of the reader ↔ output position outMap.indexOf(j):
     // reader columns are the data fields in `required` order, then the
-    // `_rid` column when requested, then the `_file` constant; -2 marks
-    // `_pos` and -3 marks `_row_id` (computed by the wrapping reader —
-    // for -3 with a rid batch column, coalesced against it).
+    // `_rid` column when requested, then `_luv`, then the `_file`
+    // constant; -2 marks `_pos`, -3 `_row_id`, -4
+    // `_last_updated_version` (computed by the wrapping reader — with a
+    // materialized batch column, coalesced against it).
     var di = 0
     val outMap = required.fields.map { f =>
-      if (f.name == "_file") dataFields.length + (if (wantRid) 1 else 0)
+      if (f.name == "_file")
+        dataFields.length + (if (wantRid) 1 else 0) + (if (wantLuv) 1 else 0)
       else if (f.name == "_pos") -2
       else if (f.name == "_row_id") -3
+      else if (f.name == "_last_updated_version") -4
       else { val j = di; di += 1; j }
     }
     (reader, outMap)
@@ -453,30 +468,42 @@ private[sources] object ManifestParquet {
     * data names. */
   val RidColName = "_rid"
 
+  /** Reserved stored name of the materialized last-updated-version
+    * column (round 15 — the second Iceberg-v3 lineage field). */
+  val LuvColName = "_luv"
+
   def rowReader(part: ManifestInputPartition, fullSchema: StructType,
       required: StructType, conf: SerializableHadoopConf,
       filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
       importedNames: Map[Int, String] = Map.empty,
       // ROW LINEAGE: the file's assigned first row id (-1 = none) and
       // whether it carries a materialized `_rid` column
-      firstRow: Long = -1L, ridCol: Boolean = false):
+      firstRow: Long = -1L, ridCol: Boolean = false,
+      // `_last_updated_version`: the file's `#luv` default (-1 = none)
+      // and whether it carries a materialized `_luv` column
+      luv: Int = -1, luvCol: Boolean = false):
       PartitionReader[InternalRow] = {
     // `_pos`, `_row_id` (= first + position, even under a materialized
     // coalesce) and merge-on-read deletes need FILE-ABSOLUTE ordinals,
     // so row-group skipping (which hides whole position ranges) must
-    // stay off for those reads
+    // stay off for those reads (`_luv` is position-free: a materialized
+    // column or a per-file constant)
     val needOrdinals =
       required.fieldNames.contains("_pos") ||
         required.fieldNames.contains("_row_id") || part.deletes.nonEmpty
     val (reader, outMap) = openVectorized(part, fullSchema, required,
       conf.value, 4096, if (needOrdinals) Array.empty else filters,
-      importedNames, ridCol = ridCol)
+      importedNames, ridCol = ridCol, luvCol = luvCol)
     // batch index of the materialized `_rid` column (right after the
     // data fields) when this file carries one and `_row_id` is requested
+    val nData = required.fields.count(f =>
+      f.name != "_file" && f.name != "_pos" && f.name != "_row_id" &&
+        f.name != "_last_updated_version")
     val ridIdx =
-      if (ridCol && required.fieldNames.contains("_row_id"))
-        required.fields.count(f => f.name != "_file" && f.name != "_pos" &&
-          f.name != "_row_id")
+      if (ridCol && required.fieldNames.contains("_row_id")) nData else -1
+    val luvIdx =
+      if (luvCol && required.fieldNames.contains("_last_updated_version"))
+        nData + (if (ridIdx >= 0) 1 else 0)
       else -1
     val identity = outMap.sameElements(outMap.indices)
     val types = required.fields.map(_.dataType)
@@ -496,6 +523,10 @@ private[sources] object ManifestParquet {
         if (ridIdx >= 0 && !row.isNullAt(ridIdx)) row.getLong(ridIdx)
         else if (firstRow >= 0) firstRow + ordinal
         else null
+      private def luvOf(row: InternalRow): Any =
+        if (luvIdx >= 0 && !row.isNullAt(luvIdx)) row.getInt(luvIdx)
+        else if (luv >= 0) luv
+        else null
       override def get(): InternalRow = {
         val row = reader.getCurrentValue.asInstanceOf[InternalRow]
         if (identity) row
@@ -506,6 +537,7 @@ private[sources] object ManifestParquet {
             out.update(i,
               if (outMap(i) == -2) ordinal
               else if (outMap(i) == -3) rowId(row)
+              else if (outMap(i) == -4) luvOf(row)
               else if (row.isNullAt(outMap(i))) null
               else row.get(outMap(i), types(i)))
             i += 1

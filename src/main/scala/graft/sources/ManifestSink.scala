@@ -140,6 +140,9 @@ class ManifestSink extends TableProvider
             else base.add(StructField("_row_id",
               org.apache.spark.sql.types.LongType, nullable = true,
               new MetadataBuilder().putLong("gpos", -1L).build()))
+              .add(StructField("_last_updated_version",
+                org.apache.spark.sql.types.IntegerType, nullable = true,
+                new MetadataBuilder().putLong("gpos", -1L).build()))
           ManifestChangeFeed.outputSchema(withRid)
         } else base
       } else new StructType()
@@ -334,6 +337,25 @@ private[sources] class ManifestTable(schema0: StructType,
         override def dataType(): org.apache.spark.sql.types.DataType =
           org.apache.spark.sql.types.LongType
         override def isNullable: Boolean = true
+      },
+      // `_last_updated_version` (round 15 — Iceberg v3's second lineage
+      // field): the commit version that last WROTE this row. The
+      // preservation contract is Spark's own metadata seam
+      // (MetadataColumn.PRESERVE_ON_UPDATE): row-level UPDATE/MERGE
+      // plans NULLIFY the carried value for updated rows — they resolve
+      // to the rewriting commit's version — while copied rows keep
+      // theirs; maintenance rewrites (compact/Z-order) materialize
+      // everything verbatim, so maintenance never reads as an update.
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_last_updated_version"
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.IntegerType
+        override def isNullable: Boolean = true
+        override def metadataInJSON(): String =
+          s"""{"${org.apache.spark.sql.connector.catalog.MetadataColumn
+            .PRESERVE_ON_UPDATE}": false,
+              "${org.apache.spark.sql.connector.catalog.MetadataColumn
+            .PRESERVE_ON_REINSERT}": false}"""
       })
 
   // DELETE FROM / UPDATE / MERGE INTO, group-based COPY_ON_WRITE (the
@@ -717,13 +739,23 @@ private[sources] class ManifestTable(schema0: StructType,
           val hconf = new SerializableHadoopConf(
             SparkSession.active.sessionState.newHadoopConf())
           val fs = path.getFileSystem(hconf.value)
-          // ROW LINEAGE rewrite carry: a write whose LAST column is the
-          // reserved `_row_id` (compact / Z-order re-selecting the
-          // metadata column) materializes it per-file instead of storing
-          // it as data — the name is reserved, so this can never
-          // misread a user column
-          val carriesRid = incoming0.fields.lastOption.exists(f =>
-            f.name == "_row_id" && f.dataType == LongType)
+          // ROW LINEAGE rewrite carry: a write whose TRAILING columns
+          // are the reserved `_row_id` [+ `_last_updated_version`]
+          // (compact / Z-order re-selecting the metadata columns)
+          // materializes them per-file instead of storing them as data —
+          // the names are reserved, so this can never misread a user
+          // column
+          val carriesLuv = incoming0.fields.lastOption.exists(f =>
+            f.name == "_last_updated_version" &&
+              f.dataType == org.apache.spark.sql.types.IntegerType)
+          val ridSlot = incoming0.length - 1 - (if (carriesLuv) 1 else 0)
+          val carriesRid = ridSlot >= 0 && {
+            val f = incoming0.fields(ridSlot)
+            f.name == "_row_id" && f.dataType == LongType
+          }
+          require(!carriesLuv || carriesRid,
+            "_last_updated_version carries only alongside _row_id " +
+              "(both names are reserved for row lineage)")
           // IO failures PROPAGATE (round-15 advice): a swallowed read
           // here would reject a legitimate lineage rewrite on a blip
           if (carriesRid)
@@ -733,7 +765,8 @@ private[sources] class ManifestTable(schema0: StructType,
                 "TBLPROPERTIES('row.lineage'='true') on the target table " +
                 "(the name is reserved for row lineage)")
           val incoming =
-            if (carriesRid) StructType(incoming0.fields.dropRight(1))
+            if (carriesRid)
+              StructType(incoming0.fields.dropRight(if (carriesLuv) 2 else 1))
             else incoming0
           // BRANCH writes (write-audit-publish): the commit lands on the
           // branch's own chain; the branch must exist (create_branch)
@@ -804,6 +837,7 @@ private[sources] class ManifestTable(schema0: StructType,
             requireFresh = Option(properties.get("requireFreshTable"))
               .contains("true"),
             ridIdx = if (carriesRid) incoming.length else -1,
+            luvIdx = if (carriesLuv) incoming.length + 1 else -1,
             // compaction declares the state its scan saw; the claim
             // validates nothing conflicting landed (rewrites derive
             // from the scan — see the commit closure)
@@ -921,8 +955,10 @@ private[sources] class ManifestRowLevelOperation(
     val base = Array(
       org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
     if (lineage)
-      base :+
-        org.apache.spark.sql.connector.expressions.Expressions.column("_row_id")
+      base ++ Array(
+        org.apache.spark.sql.connector.expressions.Expressions.column("_row_id"),
+        org.apache.spark.sql.connector.expressions.Expressions
+          .column("_last_updated_version"))
     else base
   }
 }
@@ -937,7 +973,9 @@ private[sources] case class FileCommitted(name: String, rows: Long,
     ndv: Seq[(Int, Array[Byte])] = Nil,
     // row lineage: this file carries a materialized `_rid` column
     // (rewrite output) — the commit marks it `#ridcol`
-    ridCol: Boolean = false)
+    ridCol: Boolean = false,
+    // and a materialized `_luv` column — the commit marks it `#luvcol`
+    luvCol: Boolean = false)
   extends WriterCommitMessage
 
 /** A partition-split task's commit: one staged file per partition value
@@ -994,7 +1032,9 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
     // materialize per file (-1 = plain write)
     ridIdx: Int = -1,
     // row lineage via the COW metadata channel (write(meta, row))
-    ridFromMeta: Boolean = false) extends BatchWrite {
+    ridFromMeta: Boolean = false,
+    // `_last_updated_version`: index of the carried value (-1 = none)
+    luvIdx: Int = -1) extends BatchWrite {
 
   // Per-job staging namespace: concurrent writes (or an overlapping retry
   // of another job) can never see or delete each other's in-flight files.
@@ -1029,7 +1069,7 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
       upsertKeys = upsertKeys.toArray,
       ndvPos = ManifestFiles.ndvFromLines(lines)
         .flatMap(ManifestFiles.fieldAtPhys(schema, _)).toArray,
-      ridIdx = ridIdx, ridFromMeta = ridFromMeta)
+      ridIdx = ridIdx, ridFromMeta = ridFromMeta, luvIdx = luvIdx)
   }
 
   // Driver-side, exactly once, only after EVERY task committed: publish.
@@ -1053,6 +1093,7 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
         ManifestFiles.statsLine(fin, m.bytes, m.stats, m.nestedStats)) ++
         (if (m.ndv.nonEmpty) Seq(ManifestNdv.line(fin, m.ndv)) else Nil) ++
         (if (m.ridCol) Seq(ManifestFiles.ridColLine(fin)) else Nil) ++
+        (if (m.luvCol) Seq(ManifestFiles.luvColLine(fin)) else Nil) ++
         bucketSpec.map { case (pos, n) =>
           ManifestFiles.bucketLine(fin, pos, n, m.bucket) } ++
         (sortPos.filter(_ => m.sortedOk).map { case (p, desc, nullsLast) =>
@@ -1221,31 +1262,42 @@ private[sources] object ManifestWriters {
       // DataAndMetadataWritingSparkTask delivers each row's projected
       // METADATA row through the two-argument `write(metadata, row)` —
       // our requiredMetadataAttributes order puts `_row_id` at slot 1
-      // (after `_file`); true materializes it exactly like ridIdx
-      ridFromMeta: Boolean = false): DataWriter[InternalRow] =
+      // (after `_file`) and `_last_updated_version` at slot 2; true
+      // materializes both exactly like ridIdx/luvIdx
+      ridFromMeta: Boolean = false,
+      // `_last_updated_version` carry: index in the incoming row (after
+      // the data columns and the carried `_row_id`); >= 0 materializes
+      // it into the file's `_luv` column and marks the commit `#luvcol`
+      luvIdx: Int = -1): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val file = new Path(new Path(path, stagingName), name)
       private val fs: FileSystem = file.getFileSystem(conf.value)
       private val parquet = ManifestParquet.isParquet(name.stripSuffix(".tmp"))
       private val withRid = ridIdx >= 0 || ridFromMeta
-      require(!withRid || parquet,
+      private val withLuv = luvIdx >= 0 || ridFromMeta
+      require((!withRid && !withLuv) || parquet,
         "row-id materialization needs the parquet payload (lineage " +
           "tables pin it at enable time)")
       private val csvOut =
         if (parquet) null else new java.io.PrintWriter(fs.create(file, true))
       private val pqOut =
         if (parquet) ManifestParquet.createWriter(file, schema, conf.value,
-          withRid = withRid)
+          withRid = withRid, withLuv = withLuv)
         else null
-      // projection [data columns…, carried _row_id] → the writer's
-      // (stored schema + _rid) layout
+      // projection [data columns…, carried _row_id, carried _luv] → the
+      // writer's (stored schema + _rid [+ _luv]) layout
       private val ridProj: org.apache.spark.sql.catalyst.ProjectingInternalRow =
         if (ridIdx < 0) null
         else org.apache.spark.sql.catalyst.ProjectingInternalRow(
-          StructType(schema.fields :+
+          StructType((schema.fields :+
             org.apache.spark.sql.types.StructField("_rid", LongType,
-              nullable = true)),
-          (0 until schema.length) :+ ridIdx)
+              nullable = true)) ++
+            (if (luvIdx >= 0)
+              Seq(org.apache.spark.sql.types.StructField("_luv",
+                org.apache.spark.sql.types.IntegerType, nullable = true))
+             else Seq.empty)),
+          ((0 until schema.length) :+ ridIdx) ++
+            (if (luvIdx >= 0) Seq(luvIdx) else Seq.empty))
       private var closed = false
       private val csvArity =
         schema.indices.map(ManifestFiles.physPos(schema, _))
@@ -1383,20 +1435,26 @@ private[sources] object ManifestWriters {
 
       // carried-id holder for the COW metadata path: [data…] ++ [rid]
       private val ridHolder =
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
       private val metaJoined =
         new org.apache.spark.sql.catalyst.expressions.JoinedRow
 
       /** COW row-level plans (ReplaceData with metadata attrs): `meta`
-        * is the [_file, _row_id] projection of this row — materialize
-        * slot 1 as the file's `_rid` (NULL for MERGE-inserted rows,
-        * which later resolve to the file's own fresh range). */
+        * is the [_file, _row_id, _last_updated_version] projection of
+        * this row — materialize slot 1 as the file's `_rid` (NULL for
+        * MERGE-inserted rows, which later resolve to the file's own
+        * fresh range) and slot 2 as `_luv` (NULLIFIED by Spark's
+        * preserve-on-update seam for UPDATED rows, which resolve to
+        * this commit's version). */
       override def write(meta: InternalRow, r: InternalRow): Unit =
         if (!ridFromMeta || meta == null || meta.numFields < 2) write(r)
         else {
           ridHolder.update(0,
             if (meta.isNullAt(1)) null
             else java.lang.Long.valueOf(meta.getLong(1)))
+          ridHolder.update(1,
+            if (meta.numFields < 3 || meta.isNullAt(2)) null
+            else java.lang.Integer.valueOf(meta.getInt(2)))
           writeRow(r, metaJoined(r, ridHolder))
         }
 
@@ -1406,6 +1464,7 @@ private[sources] object ManifestWriters {
           else if (ridFromMeta) {
             // no metadata delivered for this row: mint-at-read semantics
             ridHolder.update(0, null)
+            ridHolder.update(1, null)
             metaJoined(r, ridHolder)
           } else r)
 
@@ -1517,7 +1576,7 @@ private[sources] object ManifestWriters {
         val ndv = ndvPos.indices.map(ni =>
           ManifestFiles.physPos(schema, ndvPos(ni)) -> ndvRegs(ni))
         FileCommitted(name, rows, bytes, stats, bucket, sortedOk, nested, ndv,
-          ridCol = withRid)
+          ridCol = withRid, luvCol = withLuv)
       }
       override def abort(): Unit = {
         try closeOut() catch { case _: Exception => }
@@ -1587,7 +1646,9 @@ private[sources] class ManifestWriterFactory(path: String, stagingName: String,
     // row lineage: incoming-row index of the carried `_row_id` (-1 none)
     ridIdx: Int = -1,
     // row lineage via the COW metadata channel
-    ridFromMeta: Boolean = false)
+    ridFromMeta: Boolean = false,
+    // `_last_updated_version`: incoming-row index of the carried value
+    luvIdx: Int = -1)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int,
@@ -1600,7 +1661,7 @@ private[sources] class ManifestWriterFactory(path: String, stagingName: String,
           injectFailure = partitionId == failPartition,
           bucket = if (recordBucket) partitionId else -1,
           sortPos = sortPos, ndvPos = ndvPos, ridIdx = ridIdx,
-          ridFromMeta = ridFromMeta)
+          ridFromMeta = ridFromMeta, luvIdx = luvIdx)
       else
         new PartitionSplitWriter(path, stagingName, schema, conf, format,
           f"part-$partitionId%05d-$taskId",
@@ -1611,7 +1672,8 @@ private[sources] class ManifestWriterFactory(path: String, stagingName: String,
           // (clustered distribution), so every split file inherits the
           // task's bucket id — files land pure on both dimensions
           bucket = if (recordBucket) partitionId else -1,
-          ndvPos = ndvPos, ridIdx = ridIdx, ridFromMeta = ridFromMeta)
+          ndvPos = ndvPos, ridIdx = ridIdx, ridFromMeta = ridFromMeta,
+          luvIdx = luvIdx)
     val teed =
       if (upsertKeys.isEmpty) base
       else ManifestEqDeletes.tee(base, schema, upsertKeys, path, stagingName,
@@ -1645,7 +1707,8 @@ private[sources] class PartitionSplitWriter(path: String, stagingName: String,
     bucket: Int = -1,
     ndvPos: Array[Int] = Array.empty,
     ridIdx: Int = -1,
-    ridFromMeta: Boolean = false) extends DataWriter[InternalRow] {
+    ridFromMeta: Boolean = false,
+    luvIdx: Int = -1) extends DataWriter[InternalRow] {
 
   private val writers = scala.collection.mutable
     .LinkedHashMap.empty[List[Long], DataWriter[InternalRow]]
@@ -1718,7 +1781,7 @@ private[sources] class PartitionSplitWriter(path: String, stagingName: String,
         s"$namePrefix-s$seq${ManifestWriters.ext(format)}.tmp",
         schema, conf, injectFailure = false, bucket = bucket,
         sortPos = sortPos, ndvPos = ndvPos, ridIdx = ridIdx,
-        ridFromMeta = ridFromMeta)
+        ridFromMeta = ridFromMeta, luvIdx = luvIdx)
     })
 
   override def write(row: InternalRow): Unit = writerFor(row).write(row)

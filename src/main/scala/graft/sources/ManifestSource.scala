@@ -86,7 +86,8 @@ object ManifestFiles {
       l.startsWith("#bucket,") || l.startsWith("#sorted,") ||
       l.startsWith("#born,") || l.startsWith("#import,") ||
       l.startsWith("#ndv,") || l.startsWith("#firstrow,") ||
-      l.startsWith("#ridcol,")
+      l.startsWith("#ridcol,") || l.startsWith("#luv,") ||
+      l.startsWith("#luvcol,")
 
   def isListFormat(raw: Array[String]): Boolean = raw.contains(ListHeader)
 
@@ -997,6 +998,34 @@ object ManifestFiles {
     lines.filter(_.startsWith("#ridcol,"))
       .flatMap(_.split(",", 3).lift(1)).toSet
 
+  // ---- `_last_updated_version` (round 15 — Iceberg v3's SECOND lineage
+  // field, last_updated_sequence_number): the commit version that last
+  // WROTE each row. Per-file default rides a `#luv,<file>,<version>`
+  // rider minted at the same choke point as `#firstrow`; files REWRITTEN
+  // from existing rows carry the old values in a materialized `_luv`
+  // parquet column (`#luvcol,<file>`) with the same null-inheritance
+  // rule as `_rid` — but OPPOSITE update polarity, enforced by Spark's
+  // own metadata-preservation seam (MetadataColumn.PRESERVE_ON_UPDATE =
+  // false): an UPDATED row's carried value nullifies in the rewrite
+  // plan, so it resolves to the rewriting commit's version, while
+  // carried rows keep theirs. Compaction/Z-order materialize everything
+  // verbatim — maintenance is not an update.
+
+  def luvLine(name: String, v: Int): String = s"#luv,$name,$v"
+  def luvColLine(name: String): String = s"#luvcol,$name"
+
+  def luvFromLines(lines: Array[String]): Map[String, Int] =
+    lines.filter(_.startsWith("#luv,")).flatMap { l =>
+      l.split(",", 3) match {
+        case Array(_, n, v) => v.toIntOption.map(n -> _)
+        case _ => None
+      }
+    }.toMap
+
+  def luvColFromLines(lines: Array[String]): Set[String] =
+    lines.filter(_.startsWith("#luvcol,"))
+      .flatMap(_.split(",", 3).lift(1)).toSet
+
   def rowIdNextFromLines(lines: Array[String]): Long =
     lines.find(_.startsWith(RowIdNextPrefix))
       .flatMap(_.stripPrefix(RowIdNextPrefix).toLongOption).getOrElse(0L)
@@ -1010,18 +1039,24 @@ object ManifestFiles {
     * the file's own range, so COW-inserted rows need one) — ids are
     * never reassigned, only minted. Runs inside the claim loop, so a
     * rebase re-reads the winner's high-water and never double-assigns. */
-  def assignRowIds(built: Array[String]): Array[String] = {
+  def assignRowIds(built: Array[String], version: Int): Array[String] = {
     if (!built.contains(LineageLine)) return built
+    val entries = entriesFromLines(built)
+    // `#luv` default: files first listed by THIS commit were written (or
+    // backfilled, for enable-on-existing) at this version
+    val haveLuv = luvFromLines(built).keySet
+    val luvs = entries.filterNot(e => haveLuv(e._1))
+      .map(e => luvLine(e._1, version))
     val have = firstRowFromLines(built).keySet
-    val fresh = entriesFromLines(built).filterNot(e => have(e._1)).sortBy(_._1)
-    if (fresh.isEmpty) return built
+    val fresh = entries.filterNot(e => have(e._1)).sortBy(_._1)
+    if (fresh.isEmpty) return built ++ luvs
     var next = rowIdNextFromLines(built)
     val minted = fresh.map { case (n, rows) =>
       val l = firstRowLine(n, next)
       next += math.max(0L, rows)
       l
     }
-    built.filterNot(_.startsWith(RowIdNextPrefix)) ++ minted :+
+    built.filterNot(_.startsWith(RowIdNextPrefix)) ++ luvs ++ minted :+
       s"$RowIdNextPrefix$next"
   }
 
@@ -1170,7 +1205,8 @@ object ManifestFiles {
       // row-lineage choke point: EVERY snapshot commit (append, rewrite,
       // truncate, import, procedure) mints ids here, inside the claim
       encodeSnapshot(fs, dir, prevRaw,
-        dedupeTxn(assignRowIds(buildEntries(previous, version))), version,
+        dedupeTxn(assignRowIds(buildEntries(previous, version), version)),
+        version,
         java.util.UUID.randomUUID().toString.take(8), schema)
     }, schema, branch, startAt)
 
@@ -2718,7 +2754,8 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
         org.apache.spark.sql.SparkSession.active, required),
       imports = ManifestFiles.importsFromLines(snapshotLines),
       eqDeletes = eqDeleteMap,
-      rowIds = ManifestReaderFactory.rowIdsOf(snapshotLines, required))
+      rowIds = ManifestReaderFactory.rowIdsOf(snapshotLines, required),
+      luvs = ManifestReaderFactory.luvsOf(snapshotLines, required))
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -2920,19 +2957,26 @@ private[sources] class ManifestMicroBatchStream(path: String,
     // could already have compacted these files away (their ids would
     // null out) while the batch legitimately reads their bytes; the
     // re-read of version e is segment-cached, so the cost is memory
+    val wantRid = required.fieldNames.contains("_row_id")
+    val wantLuv = required.fieldNames.contains("_last_updated_version")
+    val ls =
+      if (wantRid || wantLuv) ManifestFiles.linesOf(fs, dir, Some(e))
+      else Array.empty[String]
     val (rids, ridCols) =
-      if (!required.fieldNames.contains("_row_id"))
-        (Map.empty[String, Long], Set.empty[String])
-      else {
-        val ls = ManifestFiles.linesOf(fs, dir, Some(e))
+      if (!wantRid) (Map.empty[String, Long], Set.empty[String])
+      else
         // ignoreDeletes tails can surface COW-rewrite files, which
         // carry materialized ids — the coalesce marker rides along
         (ManifestFiles.firstRowFromLines(ls), ManifestFiles.ridColFromLines(ls))
-      }
+    val (luvsM, luvCols) =
+      if (!wantLuv) (Map.empty[String, Int], Set.empty[String])
+      else (ManifestFiles.luvFromLines(ls), ManifestFiles.luvColFromLines(ls))
     added.map(n =>
       ManifestInputPartition(new Path(dir, n).toString, n,
         firstRow = rids.getOrElse(n, -1L),
-        ridCol = ridCols.contains(n)): InputPartition)
+        ridCol = ridCols.contains(n),
+        luv = luvsM.getOrElse(n, -1),
+        luvCol = luvCols.contains(n)): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -2957,7 +3001,10 @@ private[sources] case class ManifestInputPartition(file: String, name: String,
     // partition reads (streaming batches pin their offset version —
     // resolving from "latest" would null ids when a compaction races
     // the stream); -1/false defers to the factory-level map
-    firstRow: Long = -1L, ridCol: Boolean = false)
+    firstRow: Long = -1L, ridCol: Boolean = false,
+    // `_last_updated_version`: the file's `#luv` default and whether it
+    // carries a materialized `_luv` column
+    luv: Int = -1, luvCol: Boolean = false)
   extends InputPartition
 
 /** One bucket of a bucketed snapshot: every file whose rows satisfy
@@ -3004,6 +3051,17 @@ private[sources] object ManifestReaderFactory {
         n -> (first, rid(n))
       }
     }
+
+  /** `_last_updated_version` resolution map — same shape. */
+  def luvsOf(lines: Array[String],
+      required: StructType): Map[String, (Int, Boolean)] =
+    if (!required.fieldNames.contains("_last_updated_version")) Map.empty
+    else {
+      val lc = ManifestFiles.luvColFromLines(lines)
+      ManifestFiles.luvFromLines(lines).map { case (n, v) =>
+        n -> (v, lc(n))
+      }
+    }
 }
 
 private[sources] class ManifestReaderFactory(fullSchema: StructType,
@@ -3036,7 +3094,10 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
     // ROW LINEAGE: file → (first_row_id, has materialized _rid column);
     // `_row_id` resolves as coalesce(_rid, first + position), NULL when
     // the file predates lineage (never assigned) or lineage is off
-    rowIds: Map[String, (Long, Boolean)] = Map.empty)
+    rowIds: Map[String, (Long, Boolean)] = Map.empty,
+    // `_last_updated_version`: file → (#luv default, has materialized
+    // _luv column); resolves as coalesce(_luv, #luv), NULL pre-lineage
+    luvs: Map[String, (Int, Boolean)] = Map.empty)
     extends PartitionReaderFactory {
 
   // projection-index → default, for fields a projection carries
@@ -3052,6 +3113,7 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
       p.isInstanceOf[ManifestInputPartition] &&
       !required.fieldNames.contains("_pos") &&
       !required.fieldNames.contains("_row_id") &&
+      !required.fieldNames.contains("_last_updated_version") &&
       required.fields.forall(f =>
         if (parquetOnly) ManifestColumnarReader.parquetSupports(f.dataType)
         else ManifestColumnarReader.supports(f.dataType))
@@ -3136,9 +3198,13 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
     val (rid0, ridCol0) =
       if (part.firstRow >= 0 || part.ridCol) (part.firstRow, part.ridCol)
       else rowIds.getOrElse(part.name, (-1L, false))
+    val (luv0, luvCol0) =
+      if (part.luv >= 0 || part.luvCol) (part.luv, part.luvCol)
+      else luvs.getOrElse(part.name, (-1, false))
     def plain() =
       ManifestParquet.rowReader(part, fullSchema, req, conf, filters,
-        importedNames, firstRow = rid0, ridCol = ridCol0)
+        importedNames, firstRow = rid0, ridCol = ridCol0,
+        luv = luv0, luvCol = luvCol0)
     if (defAt.isEmpty && constAt.isEmpty) return plain()
     val (fileFields, rowCount) = ManifestParquet.fileInfo(part.file, conf.value)
     def presentInFile(n: String): Boolean = {
@@ -3150,7 +3216,8 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
     // override any global EXISTS_DEFAULT for the same slot
     val missing = defAt.filter { case (i, _) =>
       val n = req.fields(i).name
-      n != "_file" && n != "_pos" && n != "_row_id" && !presentInFile(n)
+      n != "_file" && n != "_pos" && n != "_row_id" &&
+        n != "_last_updated_version" && !presentInFile(n)
     } ++ constAt
     if (missing.isEmpty) return plain()
     val innerFields = req.fields.zipWithIndex
@@ -3159,16 +3226,19 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
     // `_row_id` on a `#ridcol` file is a REAL stored column (the
     // materialized `_rid` must coalesce) — the constant-only shortcut
     // below would compute firstRow + ordinal and silently re-mint
-    // rewritten rows' identities under default-heavy projections
+    // rewritten rows' identities under default-heavy projections; the
+    // materialized `_luv` is the same shape
     if (innerFields.exists { case (f, _) =>
-        (f.name != "_file" && f.name != "_pos" && f.name != "_row_id") ||
-          (f.name == "_row_id" && ridCol0) }) {
+        (f.name != "_file" && f.name != "_pos" && f.name != "_row_id" &&
+          f.name != "_last_updated_version") ||
+          (f.name == "_row_id" && ridCol0) ||
+          (f.name == "_last_updated_version" && luvCol0) }) {
       // at least one REAL column to drive the inner read
       val innerReq = StructType(innerFields.map(_._1))
       val inner = ManifestParquet.rowReader(
         ManifestInputPartition(part.file, part.name, part.deletes),
         fullSchema, innerReq, conf, filters, importedNames,
-        firstRow = rid0, ridCol = ridCol0)
+        firstRow = rid0, ridCol = ridCol0, luv = luv0, luvCol = luvCol0)
       val innerIdxOf: Map[Int, Int] =
         innerFields.map(_._2).zipWithIndex.toMap
       new PartitionReader[InternalRow] {
@@ -3212,6 +3282,7 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
             out.update(i, missing.getOrElse(i, req.fields(i).name match {
               case "_file" => fileName
               case "_row_id" => if (rid0 >= 0) rid0 + ordinal else null
+              case "_last_updated_version" => if (luv0 >= 0) luv0 else null
               case _ => ordinal
             }))
             i += 1
@@ -3241,15 +3312,19 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
       if (f.name == "_file") (-1, StringType)
       else if (f.name == "_pos") (-2, LongType)
       else if (f.name == "_row_id") (-3, LongType)
+      else if (f.name == "_last_updated_version") (-4, IntegerType)
       else (ManifestFiles.physPos(fullSchema,
         fullSchema.fieldIndex(f.name)), f.dataType)
     }
-    // CSV files never materialize `_rid` (rewrites on lineage tables are
-    // parquet-only by the enable-time format guard); position math is
-    // all a CSV file needs
+    // CSV files never materialize `_rid`/`_luv` (rewrites on lineage
+    // tables are parquet-only by the enable-time format guard);
+    // position math / the per-file constant is all a CSV file needs
     val csvRid =
       if (part.firstRow >= 0) part.firstRow
       else rowIds.getOrElse(part.name, (-1L, false))._1
+    val csvLuv =
+      if (part.luv >= 0) part.luv
+      else luvs.getOrElse(part.name, (-1, false))._1
     val fileName = UTF8String.fromString(part.name)
     // With a clean layout (no drops) the split limit is the arity, which
     // tolerates commas in a LAST string field; once positions diverge the
@@ -3299,6 +3374,7 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
             if (src == -1) fileName
             else if (src == -2) ordinal
             else if (src == -3) { if (csvRid >= 0) csvRid + ordinal else null }
+            else if (src == -4) { if (csvLuv >= 0) csvLuv else null }
             else if (src >= cols.length) defAt.getOrElse(i, null)
             else parse(cols(src), dt))
           i += 1
@@ -5083,15 +5159,17 @@ private[sources] object ManifestProcedures {
       val before = ManifestFiles.entries(fs, dir, None).length
       val live0 = spark.read.format("graft-manifest")
         .option("path", dir.toString).load()
-      // ROW LINEAGE: the rewrite carries every row's `_row_id` through
-      // (trailing reserved column → the writer materializes it as the
-      // files' `_rid`), so compaction/Z-order reordering never re-mints
-      // identities
+      // ROW LINEAGE: the rewrite carries every row's `_row_id` AND its
+      // `_last_updated_version` through (trailing reserved columns → the
+      // writer materializes them as the files' `_rid`/`_luv`), so
+      // compaction/Z-order reordering never re-mints identities and
+      // never reads as an update
       val scanLines = ManifestFiles.latestLines(fs, dir)
       val live =
         if (ManifestFiles.isLineage(scanLines))
           live0.select(org.apache.spark.sql.functions.col("*"),
-            live0.metadataColumn("_row_id"))
+            live0.metadataColumn("_row_id"),
+            live0.metadataColumn("_last_updated_version"))
         else live0
       // the rewrite derives from THIS state; the commit validates no
       // newer #dels/#eqdels landed concurrently (a racing row-level
@@ -5302,10 +5380,13 @@ private[sources] object ManifestProcedures {
         .option("path", dir.toString)
         .option("filesSubset", sel.mkString(",")).load()
       val lineage = ManifestFiles.isLineage(lines)
-      // lineage: carry `_row_id` through the scoped rewrite (trailing
-      // reserved column, materialized per file below)
+      // lineage: carry `_row_id` + `_last_updated_version` through the
+      // scoped rewrite (trailing reserved columns, materialized per
+      // file below — maintenance never reads as an update)
       val subset =
-        if (lineage) subset0.select(col("*"), subset0.metadataColumn("_row_id"))
+        if (lineage) subset0.select(col("*"),
+          subset0.metadataColumn("_row_id"),
+          subset0.metadataColumn("_last_updated_version"))
         else subset0
       val arranged = sortCols match {
         case Seq() => subset.coalesce(target)
@@ -5332,6 +5413,7 @@ private[sources] object ManifestProcedures {
       val ndvPos = ManifestFiles.ndvFromLines(lines)
         .flatMap(ManifestFiles.fieldAtPhys(schemaB, _)).toArray
       val ridAt = if (lineage) schemaB.length else -1
+      val luvAt = if (lineage) schemaB.length + 1 else -1
       val msgs: Array[FileCommitted] =
         arranged.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
           if (!rows.hasNext) Iterator.empty
@@ -5341,10 +5423,10 @@ private[sources] object ManifestProcedures {
                 ManifestWriters.create(dirStr, stagingName,
                   f"part-cw$token-$pid%05d${ManifestWriters.ext(fmt)}.tmp",
                   schemaB, serConf, injectFailure = false, ndvPos = ndvPos,
-                  ridIdx = ridAt)
+                  ridIdx = ridAt, luvIdx = luvAt)
               else new PartitionSplitWriter(dirStr, stagingName, schemaB,
                 serConf, fmt, f"part-cw$token-$pid%05d", partSpec,
-                ndvPos = ndvPos, ridIdx = ridAt)
+                ndvPos = ndvPos, ridIdx = ridAt, luvIdx = luvAt)
             try {
               rows.foreach(w.write)
               w.commit() match {
@@ -5362,7 +5444,8 @@ private[sources] object ManifestProcedures {
         Seq(s"$fin,${m.rows}",
           ManifestFiles.statsLine(fin, m.bytes, m.stats, m.nestedStats)) ++
           (if (m.ndv.nonEmpty) Seq(ManifestNdv.line(fin, m.ndv)) else Nil) ++
-          (if (m.ridCol) Seq(ManifestFiles.ridColLine(fin)) else Nil)
+          (if (m.ridCol) Seq(ManifestFiles.ridColLine(fin)) else Nil) ++
+          (if (m.luvCol) Seq(ManifestFiles.luvColLine(fin)) else Nil)
       }
       val selSet = sel.toSet
       val v = ManifestFiles.publishSnapshot(fs, hconf, dir, previous => {
@@ -6116,7 +6199,8 @@ private[sources] object ManifestProcedures {
         previous ++
           delta.filterNot(l => previous.contains(l) ||
             l.startsWith("#born,") || l.startsWith("#firstrow,") ||
-            l.startsWith("#ridcol,")) ++
+            l.startsWith("#ridcol,") || l.startsWith("#luv,") ||
+            l.startsWith("#luvcol,")) ++
           (if (ManifestFiles.isMergeOnRead(previous))
              addedNames.map(n => ManifestFiles.bornLine(n, version))
            else Seq.empty[String])

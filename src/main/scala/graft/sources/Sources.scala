@@ -2149,6 +2149,16 @@ object Sources extends QueryModule {
       s.sql(s"UPDATE $cat.accounts SET c_acctbal = c_acctbal + 1000.0 " +
         "WHERE c_custkey % 3 = 0")
       s.sql(s"CALL $cat.system.compact('accounts', 2, 'grp,c_custkey')")
+      // RECENCY (round 15 — `_last_updated_version`, Iceberg v3's
+      // second lineage field): the COW update (v3) bumped EXACTLY the
+      // re-priced rows; the compaction (v4) bumped NOTHING — an SCD
+      // consumer reads which commit last wrote each row with no CDF join
+      val luvRows = s.sql(s"SELECT c_custkey % 3 = 0 AS updated, " +
+        s"_last_updated_version AS luv FROM $cat.accounts").collect()
+      require(luvRows.forall(r =>
+          r.getInt(1) == (if (r.getBoolean(0)) 3 else 2)),
+        "_last_updated_version must read 3 for updated rows and 2 for " +
+          "carried ones — and compaction must bump neither")
       // the PRE-image reads through time travel (v2 = the initial
       // append) — `_row_id` composes with VERSION AS OF, so the join
       // below crosses a snapshot boundary on pure identity

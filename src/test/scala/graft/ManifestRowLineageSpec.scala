@@ -346,4 +346,95 @@ class ManifestRowLineageSpec extends AnyFunSuite {
     val lines = ManifestFiles.latestLines(fs, new Path(s"$root/t"))
     assert(ManifestFiles.rowIdNextFromLines(lines) >= markAfterRtas + 50)
   }
+
+  // ---- `_last_updated_version` (round 15 — Iceberg v3's second
+  // lineage field) -------------------------------------------------------
+
+  private def luvs(cat: String, t: String = "t"): Map[Long, Int] =
+    spark.sql(s"SELECT k, _last_updated_version FROM $cat.$t").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  test("_last_updated_version: appends stamp their commit version; a " +
+    "copy-on-write UPDATE bumps EXACTLY the updated rows (carried " +
+    "rows in the same rewritten files keep theirs); compaction bumps " +
+    "NOTHING (maintenance is not an update); non-lineage reads NULL") {
+    val (cat, _) = freshCat("luv")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES('row.lineage'='true')")
+    spark.range(0, 300).select($"id".as("k"), ($"id" * 1.0).as("v"))
+      .repartition(2).writeTo(s"$cat.t").append()                  // v2
+    spark.range(300, 400).select($"id".as("k"), ($"id" * 1.0).as("v"))
+      .writeTo(s"$cat.t").append()                                 // v3
+    val afterAppends = luvs(cat)
+    assert((0L until 300L).forall(afterAppends(_) == 2) &&
+      (300L until 400L).forall(afterAppends(_) == 3),
+      "append rows must stamp their own commit version")
+    spark.sql(s"UPDATE $cat.t SET v = v + 1000.0 WHERE k % 5 = 0") // v4
+    val afterUpdate = luvs(cat)
+    afterUpdate.foreach { case (k, luv) =>
+      if (k % 5 == 0) assert(luv == 4, s"updated k=$k must bump, got $luv")
+      else assert(luv == afterAppends(k),
+        s"carried k=$k must keep its version, got $luv")
+    }
+    spark.sql(s"CALL $cat.system.compact('t', 1)")                 // v5
+    assert(luvs(cat) == afterUpdate,
+      "compaction re-materializes every file but bumps no row")
+    // identity + recency compose: _row_id stable, luv as before
+    val both = spark.sql(s"SELECT k, _row_id, _last_updated_version " +
+      s"FROM $cat.t").collect()
+    assert(both.forall(r => !r.isNullAt(1) && !r.isNullAt(2)))
+    // a non-lineage table answers NULL
+    val (cat2, _) = freshCat("luvoff")
+    spark.sql(s"CREATE TABLE $cat2.t (k BIGINT)")
+    spark.range(0, 5).select($"id".as("k")).writeTo(s"$cat2.t").append()
+    assert(spark.sql(s"SELECT _last_updated_version FROM $cat2.t")
+      .collect().forall(_.isNullAt(0)))
+  }
+
+  test("_last_updated_version: MERGE bumps matched-updated rows and " +
+    "stamps inserted rows; merge-on-read UPDATE bumps through the " +
+    "delta path; the CHANGE FEED carries the column per leg") {
+    import spark.implicits._
+    val (cat, root) = freshCat("luvmor")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES('row.lineage'='true')")
+    spark.range(0, 100).select($"id".as("k"), ($"id" * 1.0).as("v"))
+      .writeTo(s"$cat.t").append()                                 // v2
+    Seq((7L, 700.0), (500L, 1.0)).toDF("k", "v")
+      .createOrReplaceTempView("luv_src")
+    spark.sql(s"""
+      MERGE INTO $cat.t AS t USING luv_src AS s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")    // v3
+    val m = luvs(cat)
+    assert(m(7L) == 3 && m(500L) == 3,
+      s"merge-updated and merge-inserted rows must stamp v3, got " +
+        s"${m(7L)}/${m(500L)}")
+    assert(m(8L) == 2, s"untouched k=8 must keep v2, got ${m(8L)}")
+    // MOR path: update legs land in fresh files → new version
+    val (catM, rootM) = freshCat("luvdelta")
+    spark.sql(s"CREATE TABLE $catM.t (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES('row.lineage'='true', 'delete.mode'='merge-on-read')")
+    spark.range(0, 100).select($"id".as("k"), ($"id" * 1.0).as("v"))
+      .writeTo(s"$catM.t").append()                                // v2
+    spark.sql(s"UPDATE $catM.t SET v = v + 50.0 WHERE k % 10 = 1") // v3
+    val mm = luvs(catM)
+    mm.foreach { case (k, luv) =>
+      assert(luv == (if (k % 10 == 1) 3 else 2),
+        s"MOR k=$k expected ${if (k % 10 == 1) 3 else 2}, got $luv")
+    }
+    // MOR delete leaves survivors untouched
+    spark.sql(s"DELETE FROM $catM.t WHERE k % 10 = 2")             // v4
+    assert(luvs(catM) == mm.filter { case (k, _) => k % 10 != 2 })
+    // the change feed surfaces the column on every leg
+    val feed = spark.read.format("graft-manifest")
+      .option("path", s"$rootM/t").option("changeFeed", "true")
+      .option("changesFrom", "2").load()
+    val legs = feed.select($"k", $"_last_updated_version", $"_change_type")
+      .collect()
+    assert(legs.nonEmpty && legs.forall(!_.isNullAt(1)))
+    val insLegs = legs.filter(_.getString(2) == "insert")
+    assert(insLegs.nonEmpty && insLegs.forall(r => r.getInt(1) == 3),
+      "update-insert legs must carry the updating version")
+  }
 }
