@@ -120,7 +120,10 @@ private[sources] class ManifestDeltaBatchWrite(path: String, queryId: String,
       ManifestFiles.checksFromLines(lines))
     new ManifestDeltaWriterFactory(path, stagingName, schema, conf, format,
       checks,
-      ndvPos = ManifestFiles.ndvFromLines(lines)
+      histPos = ManifestFiles.histDeclFromLines(lines)
+        .flatMap(ManifestFiles.fieldAtPhys(schema, _)).toArray,
+      ndvPos = (ManifestFiles.ndvFromLines(lines) ++
+          ManifestFiles.histDeclFromLines(lines)).distinct
         .flatMap(ManifestFiles.fieldAtPhys(schema, _)).toArray,
       carryRowIds = carryRowIds)
   }
@@ -194,6 +197,8 @@ private[sources] class ManifestDeltaWriterFactory(path: String,
     // every other write route, or CBO's forall-coverage gate would
     // silently suppress distinctCount after the first upsert
     ndvPos: Array[Int] = Array.empty,
+    // declared stats.histogram.columns, same coverage rationale
+    histPos: Array[Int] = Array.empty,
     // row lineage: update() carries the target row's [_file, _row_id]
     // metadata into a second, `#ridcol` insert file
     carryRowIds: Boolean = false)
@@ -212,7 +217,8 @@ private[sources] class ManifestDeltaWriterFactory(path: String,
           dataName = f"part-$partitionId%05d-$taskId${ManifestWriters.ext(format)}.tmp"
           dataWriter = ManifestChecks.wrap(
             ManifestWriters.create(path, stagingName, dataName,
-              schema, conf, injectFailure = false, ndvPos = ndvPos),
+              schema, conf, injectFailure = false, ndvPos = ndvPos,
+              histPos = histPos),
             checks, schema)
         }
         dataWriter
@@ -227,6 +233,7 @@ private[sources] class ManifestDeltaWriterFactory(path: String,
             ManifestWriters.create(path, stagingName,
               f"part-u$partitionId%05d-$taskId${ManifestWriters.ext(format)}.tmp",
               schema, conf, injectFailure = false, ndvPos = ndvPos,
+              histPos = histPos,
               ridFromMeta = true),
             checks, schema)
         }

@@ -971,6 +971,9 @@ private[sources] case class FileCommitted(name: String, rows: Long,
     // per-file HLL registers for declared stats.ndv.columns, keyed by
     // PHYSICAL position (round 14 — ManifestNdv)
     ndv: Seq[(Int, Array[Byte])] = Nil,
+    // per-file histogram samples for declared stats.histogram.columns
+    // (round 15 — ManifestHist): (physical pos, (sorted sample, nonNull))
+    hist: Seq[(Int, (Array[Double], Long))] = Nil,
     // row lineage: this file carries a materialized `_rid` column
     // (rewrite output) — the commit marks it `#ridcol`
     ridCol: Boolean = false,
@@ -1067,7 +1070,13 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
       checks = ManifestChecks.bind(SparkSession.active, schema,
         ManifestFiles.checksFromLines(lines)),
       upsertKeys = upsertKeys.toArray,
-      ndvPos = ManifestFiles.ndvFromLines(lines)
+      // histogram columns track NDV sketches too: catalyst's
+      // FilterEstimation refuses a histogram without count stats
+      // (hasCountStats), so a histogram-only declaration would never fire
+      ndvPos = (ManifestFiles.ndvFromLines(lines) ++
+          ManifestFiles.histDeclFromLines(lines)).distinct
+        .flatMap(ManifestFiles.fieldAtPhys(schema, _)).toArray,
+      histPos = ManifestFiles.histDeclFromLines(lines)
         .flatMap(ManifestFiles.fieldAtPhys(schema, _)).toArray,
       ridIdx = ridIdx, ridFromMeta = ridFromMeta, luvIdx = luvIdx)
   }
@@ -1092,6 +1101,7 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
       Seq(s"$fin,${m.rows}",
         ManifestFiles.statsLine(fin, m.bytes, m.stats, m.nestedStats)) ++
         (if (m.ndv.nonEmpty) Seq(ManifestNdv.line(fin, m.ndv)) else Nil) ++
+        (if (m.hist.nonEmpty) Seq(ManifestHist.line(fin, m.hist)) else Nil) ++
         (if (m.ridCol) Seq(ManifestFiles.ridColLine(fin)) else Nil) ++
         (if (m.luvCol) Seq(ManifestFiles.luvColLine(fin)) else Nil) ++
         bucketSpec.map { case (pos, n) =>
@@ -1254,6 +1264,9 @@ private[sources] object ManifestWriters {
       // schema indices of declared stats.ndv.columns — each tracks a
       // per-file HLL as rows stream (ManifestNdv)
       ndvPos: Array[Int] = Array.empty,
+      // schema indices of declared stats.histogram.columns — each
+      // tracks a per-file deterministic sample (ManifestHist)
+      histPos: Array[Int] = Array.empty,
       // row lineage REWRITE: index in the incoming row holding the
       // carried `_row_id` (after the data columns); >= 0 materializes it
       // into the file's `_rid` column and marks the commit `#ridcol`
@@ -1388,6 +1401,21 @@ private[sources] object ManifestWriters {
       private val ndvRegs: Array[Array[Byte]] =
         Array.fill(ndvPos.length)(ManifestNdv.emptyRegisters())
 
+      private val histTrackers: Array[ManifestHist.Tracker] =
+        Array.fill(histPos.length)(new ManifestHist.Tracker)
+
+      private def trackHist(r: InternalRow): Unit = {
+        var hi = 0
+        while (hi < histPos.length) {
+          val i = histPos(hi)
+          if (!r.isNullAt(i)) {
+            val dt = schema(i).dataType
+            histTrackers(hi).add(ManifestHist.toDouble(dt, r.get(i, dt)))
+          }
+          hi += 1
+        }
+      }
+
       private def trackNdv(r: InternalRow): Unit = {
         var ni = 0
         while (ni < ndvPos.length) {
@@ -1503,6 +1531,7 @@ private[sources] object ManifestWriters {
         }
         if (leaves.nonEmpty) trackLeaves(r)
         if (ndvPos.nonEmpty) trackNdv(r)
+        if (histPos.nonEmpty) trackHist(r)
         sortPos.foreach { case (p, desc, nullsLast) =>
           if (sortedOk) {
             if (r.isNullAt(p)) {
@@ -1575,8 +1604,13 @@ private[sources] object ManifestWriters {
         }
         val ndv = ndvPos.indices.map(ni =>
           ManifestFiles.physPos(schema, ndvPos(ni)) -> ndvRegs(ni))
+        val hist = histPos.indices.collect {
+          case hi if !histTrackers(hi).isEmpty =>
+            ManifestFiles.physPos(schema, histPos(hi)) ->
+              histTrackers(hi).result()
+        }
         FileCommitted(name, rows, bytes, stats, bucket, sortedOk, nested, ndv,
-          ridCol = withRid, luvCol = withLuv)
+          hist, ridCol = withRid, luvCol = withLuv)
       }
       override def abort(): Unit = {
         try closeOut() catch { case _: Exception => }
@@ -1643,6 +1677,8 @@ private[sources] class ManifestWriterFactory(path: String, stagingName: String,
     upsertKeys: Array[Int] = Array.empty,
     // declared stats.ndv.columns as schema indices (per-file sketches)
     ndvPos: Array[Int] = Array.empty,
+    // declared stats.histogram.columns as schema indices (ManifestHist)
+    histPos: Array[Int] = Array.empty,
     // row lineage: incoming-row index of the carried `_row_id` (-1 none)
     ridIdx: Int = -1,
     // row lineage via the COW metadata channel
@@ -1660,8 +1696,8 @@ private[sources] class ManifestWriterFactory(path: String, stagingName: String,
           schema, conf,
           injectFailure = partitionId == failPartition,
           bucket = if (recordBucket) partitionId else -1,
-          sortPos = sortPos, ndvPos = ndvPos, ridIdx = ridIdx,
-          ridFromMeta = ridFromMeta, luvIdx = luvIdx)
+          sortPos = sortPos, ndvPos = ndvPos, histPos = histPos,
+          ridIdx = ridIdx, ridFromMeta = ridFromMeta, luvIdx = luvIdx)
       else
         new PartitionSplitWriter(path, stagingName, schema, conf, format,
           f"part-$partitionId%05d-$taskId",
@@ -1672,8 +1708,8 @@ private[sources] class ManifestWriterFactory(path: String, stagingName: String,
           // (clustered distribution), so every split file inherits the
           // task's bucket id — files land pure on both dimensions
           bucket = if (recordBucket) partitionId else -1,
-          ndvPos = ndvPos, ridIdx = ridIdx, ridFromMeta = ridFromMeta,
-          luvIdx = luvIdx)
+          ndvPos = ndvPos, histPos = histPos, ridIdx = ridIdx,
+          ridFromMeta = ridFromMeta, luvIdx = luvIdx)
     val teed =
       if (upsertKeys.isEmpty) base
       else ManifestEqDeletes.tee(base, schema, upsertKeys, path, stagingName,
@@ -1706,6 +1742,7 @@ private[sources] class PartitionSplitWriter(path: String, stagingName: String,
     // every split file records via its `#bucket` line
     bucket: Int = -1,
     ndvPos: Array[Int] = Array.empty,
+    histPos: Array[Int] = Array.empty,
     ridIdx: Int = -1,
     ridFromMeta: Boolean = false,
     luvIdx: Int = -1) extends DataWriter[InternalRow] {
@@ -1780,8 +1817,8 @@ private[sources] class PartitionSplitWriter(path: String, stagingName: String,
       ManifestWriters.create(path, stagingName,
         s"$namePrefix-s$seq${ManifestWriters.ext(format)}.tmp",
         schema, conf, injectFailure = false, bucket = bucket,
-        sortPos = sortPos, ndvPos = ndvPos, ridIdx = ridIdx,
-        ridFromMeta = ridFromMeta, luvIdx = luvIdx)
+        sortPos = sortPos, ndvPos = ndvPos, histPos = histPos,
+        ridIdx = ridIdx, ridFromMeta = ridFromMeta, luvIdx = luvIdx)
     })
 
   override def write(row: InternalRow): Unit = writerFor(row).write(row)

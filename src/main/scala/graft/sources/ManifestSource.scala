@@ -87,7 +87,7 @@ object ManifestFiles {
       l.startsWith("#born,") || l.startsWith("#import,") ||
       l.startsWith("#ndv,") || l.startsWith("#firstrow,") ||
       l.startsWith("#ridcol,") || l.startsWith("#luv,") ||
-      l.startsWith("#luvcol,")
+      l.startsWith("#luvcol,") || l.startsWith("#hist,")
 
   def isListFormat(raw: Array[String]): Boolean = raw.contains(ListHeader)
 
@@ -707,6 +707,19 @@ object ManifestFiles {
   def ndvFromLines(lines: Array[String]): Seq[Int] =
     lines.find(_.startsWith("#tableconf,ndv,")).toSeq.flatMap { l =>
       l.stripPrefix("#tableconf,ndv,").split(";").toSeq
+        .flatMap(_.toIntOption)
+    }
+
+  /** Declared HISTOGRAM columns (`TBLPROPERTIES(
+    * 'stats.histogram.columns'='a,b')`): physical positions whose
+    * writes track a per-file equi-height sample (ManifestHist) for the
+    * scan's CBO range-selectivity estimation. */
+  def histConfLine(positions: Seq[Int]): String =
+    s"#tableconf,hist,${positions.mkString(";")}"
+
+  def histDeclFromLines(lines: Array[String]): Seq[Int] =
+    lines.find(_.startsWith("#tableconf,hist,")).toSeq.flatMap { l =>
+      l.stripPrefix("#tableconf,hist,").split(";").toSeq
         .flatMap(_.toIntOption)
     }
 
@@ -2286,6 +2299,8 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
     val liveDeleteState = snapshotLines.exists(l =>
       l.startsWith("#eqdels,") || l.startsWith("#dels,"))
     val ndvByFile = ManifestNdv.fromLines(snapshotLines)
+    val histByFile = ManifestHist.fromLines(snapshotLines)
+    val rowsByFile = ManifestFiles.entriesFromLines(snapshotLines).toMap
     val names = required.fieldNames.filter(n =>
       n != "_file" && n != "_pos" && fullSchema.fieldNames.contains(n))
     names.foreach { name =>
@@ -2326,11 +2341,73 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
             Some(ManifestNdv.estimate(merged))
           } else None
         }
+        // EQUI-HEIGHT HISTOGRAM (round 15 — ManifestHist): merged from
+        // the kept files' per-file samples, weighted by their non-null
+        // counts. Same soundness gates as the counts: every kept file
+        // must contribute (an all-null file writes no sample — its
+        // `#stats` nulls==rows proves it adds no mass), and live delete
+        // state degrades (the mass would overcount hidden rows).
+        val histo: Option[(Double, Array[(Double, Double, Long)])] =
+          if (liveDeleteState || !ManifestHist.capable(dt) ||
+              mnV.isEmpty || mxV.isEmpty) None
+          else {
+            val per = kept.map { n =>
+              histByFile.get(n).flatMap(_.get(pos)).orElse {
+                // no sample: sound only if the file provably holds no
+                // non-null values of this column
+                val allNull = for {
+                  fileRows <- rowsByFile.get(n)
+                  cs <- stats.get(n).flatMap(_.cols.get(pos))
+                } yield cs.nulls == fileRows
+                if (allNull.contains(true))
+                  Some((Array.empty[Double], 0L)) else None
+              }
+            }
+            if (per.nonEmpty && per.forall(_.isDefined))
+              ManifestHist.merge(per.map(_.get).toSeq).map {
+                case (h, bins) =>
+                  // the SAMPLE's extremes can undershoot the exact
+                  // `#stats` bounds, and catalyst's estimator asserts
+                  // the queried range fits inside the bins — stretch
+                  // the outer bins to the exact min/max (estimation
+                  // mass unchanged, coverage exact)
+                  val lo = math.min(bins.head._1,
+                    ManifestHist.toDouble(dt, mnV.get))
+                  val hi = math.max(bins.last._2,
+                    ManifestHist.toDouble(dt, mxV.get))
+                  val stretched = bins.clone()
+                  stretched(0) = (lo, stretched(0)._2, stretched(0)._3)
+                  val li = stretched.length - 1
+                  stretched(li) = (stretched(li)._1, hi, stretched(li)._3)
+                  (h, stretched)
+              }
+            else None
+          }
         if (nullCount.isDefined || distinct.isDefined ||
-            mnV.isDefined || mxV.isDefined) {
+            mnV.isDefined || mxV.isDefined || histo.isDefined) {
           val nullsV = nullCount
           val distinctV = distinct
+          val histoV = histo
           out.put(Expressions.column(name), new ColumnStatistics {
+            override def histogram(): java.util.Optional[
+                org.apache.spark.sql.connector.read.colstats.Histogram] =
+              histoV.fold(java.util.Optional.empty[
+                  org.apache.spark.sql.connector.read.colstats.Histogram]()) {
+                case (h, bs) =>
+                  java.util.Optional.of(
+                    new org.apache.spark.sql.connector.read.colstats.Histogram {
+                      override def height(): Double = h
+                      override def bins(): Array[
+                          org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+                        bs.map { case (l, u, nd) =>
+                          new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                            override def lo(): Double = l
+                            override def hi(): Double = u
+                            override def ndv(): Long = nd
+                          }: org.apache.spark.sql.connector.read.colstats.HistogramBin
+                        }
+                    })
+              }
             override def nullCount(): java.util.OptionalLong =
               nullsV.fold(java.util.OptionalLong.empty())(n =>
                 java.util.OptionalLong.of(n))
@@ -3601,6 +3678,10 @@ class GraftManifestCatalog extends TableCatalog
       .flatMap(ManifestFiles.fieldAtPhys(schema, _)).map(schema(_).name)
     if (ndvNames.nonEmpty)
       props.put("stats.ndv.columns", ndvNames.mkString(","))
+    val histNames = ManifestFiles.histDeclFromLines(confLines)
+      .flatMap(ManifestFiles.fieldAtPhys(schema, _)).map(schema(_).name)
+    if (histNames.nonEmpty)
+      props.put("stats.histogram.columns", histNames.mkString(","))
     if (ManifestFiles.isLineage(confLines))
       props.put("row.lineage", "true")
     val sortNames = ManifestFiles.sortKeysFromLines(confLines).flatMap { k =>
@@ -3901,6 +3982,21 @@ class GraftManifestCatalog extends TableCatalog
         "stats.ndv.columns must name at least one column")
       ManifestFiles.ndvConfLine(positions)
     }.toArray
+    val hist = Option(properties.get("stats.histogram.columns")).map { cs =>
+      val positions = cs.split(",").map(_.trim).filter(_.nonEmpty).map { c =>
+        require(schema.fieldNames.contains(c),
+          s"stats.histogram.columns column '$c' not in " +
+            schema.fieldNames.mkString(","))
+        require(ManifestHist.capable(schema(schema.fieldIndex(c)).dataType),
+          s"stats.histogram.columns column '$c' has type " +
+            s"${schema(schema.fieldIndex(c)).dataType.simpleString}, " +
+            "which has no histogram domain (numeric/temporal only)")
+        schema.fieldIndex(c)
+      }.toSeq
+      require(positions.nonEmpty,
+        "stats.histogram.columns must name at least one column")
+      ManifestFiles.histConfLine(positions)
+    }.toArray
     val lineage = Option(properties.get("row.lineage")) match {
       case Some("true") =>
         require(!Option(properties.get("format")).contains("csv"),
@@ -3928,7 +4024,7 @@ class GraftManifestCatalog extends TableCatalog
       case Some(other) => throw new IllegalArgumentException(
         s"write.distribution-mode must be 'none' or 'range', got '$other'")
     }
-    mor ++ fmt ++ bloom ++ ndv ++ lineage ++ sortOrder ++ distMode ++ checks
+    mor ++ fmt ++ bloom ++ ndv ++ hist ++ lineage ++ sortOrder ++ distMode ++ checks
   }
 
   // ---- StagingTableCatalog: atomic CTAS / RTAS ------------------------
@@ -4076,6 +4172,7 @@ class GraftManifestCatalog extends TableCatalog
     var partFlip: Option[Seq[(Int, String)]] = None
     var bloomFlip: Option[Seq[Int]] = None
     var ndvFlip: Option[Seq[Int]] = None
+    var histFlip: Option[Seq[Int]] = None
     var lineageFlip: Boolean = false
     var sortFlip: Option[Seq[ManifestFiles.SortKey]] = None
     var distFlip: Option[Boolean] = None
@@ -4415,6 +4512,21 @@ class GraftManifestCatalog extends TableCatalog
           }
         })
       case sp: TableChange.SetProperty
+          if sp.property == "stats.histogram.columns" =>
+        histFlip = Some(sp.value.trim match {
+          case "" | "none" => Seq.empty
+          case v => v.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { c =>
+            require(schema.fieldNames.contains(c),
+              s"stats.histogram.columns column '$c' not in " +
+                schema.fieldNames.mkString(","))
+            require(ManifestHist.capable(schema(schema.fieldIndex(c)).dataType),
+              s"stats.histogram.columns column '$c' has type " +
+                s"${schema(schema.fieldIndex(c)).dataType.simpleString}, " +
+                "which has no histogram domain (numeric/temporal only)")
+            ManifestFiles.physPos(schema, schema.fieldIndex(c))
+          }
+        })
+      case sp: TableChange.SetProperty
           if sp.property == "write.distribution-mode" =>
         distFlip = Some(sp.value.trim match {
           case "range" =>
@@ -4460,13 +4572,21 @@ class GraftManifestCatalog extends TableCatalog
                else Seq.empty)
           case None => base1
         }
-        val base2n = ndvFlip match {
+        val base2n0 = ndvFlip match {
           case Some(positions) =>
             base2b.filterNot(_.startsWith("#tableconf,ndv,")) ++
               (if (positions.nonEmpty)
                  Seq(ManifestFiles.ndvConfLine(positions))
                else Seq.empty)
           case None => base2b
+        }
+        val base2n = histFlip match {
+          case Some(positions) =>
+            base2n0.filterNot(_.startsWith("#tableconf,hist,")) ++
+              (if (positions.nonEmpty)
+                 Seq(ManifestFiles.histConfLine(positions))
+               else Seq.empty)
+          case None => base2n0
         }
         val base2 =
           if (lineageFlip && !base2n.contains(ManifestFiles.LineageLine))
@@ -5410,7 +5530,10 @@ private[sources] object ManifestProcedures {
         ManifestFiles.bloomFromLines(lines))
       val dirStr = dir.toString
       val schemaB = schemaNow
-      val ndvPos = ManifestFiles.ndvFromLines(lines)
+      val ndvPos = (ManifestFiles.ndvFromLines(lines) ++
+          ManifestFiles.histDeclFromLines(lines)).distinct
+        .flatMap(ManifestFiles.fieldAtPhys(schemaB, _)).toArray
+      val histPosC = ManifestFiles.histDeclFromLines(lines)
         .flatMap(ManifestFiles.fieldAtPhys(schemaB, _)).toArray
       val ridAt = if (lineage) schemaB.length else -1
       val luvAt = if (lineage) schemaB.length + 1 else -1
@@ -5423,10 +5546,11 @@ private[sources] object ManifestProcedures {
                 ManifestWriters.create(dirStr, stagingName,
                   f"part-cw$token-$pid%05d${ManifestWriters.ext(fmt)}.tmp",
                   schemaB, serConf, injectFailure = false, ndvPos = ndvPos,
-                  ridIdx = ridAt, luvIdx = luvAt)
+                  histPos = histPosC, ridIdx = ridAt, luvIdx = luvAt)
               else new PartitionSplitWriter(dirStr, stagingName, schemaB,
                 serConf, fmt, f"part-cw$token-$pid%05d", partSpec,
-                ndvPos = ndvPos, ridIdx = ridAt, luvIdx = luvAt)
+                ndvPos = ndvPos, histPos = histPosC,
+                ridIdx = ridAt, luvIdx = luvAt)
             try {
               rows.foreach(w.write)
               w.commit() match {

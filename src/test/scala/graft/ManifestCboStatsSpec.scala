@@ -167,6 +167,93 @@ class ManifestCboStatsSpec extends AnyFunSuite {
       "compaction materializes the deletes and restores exact counts")
   }
 
+  test("EQUI-HEIGHT HISTOGRAMS ride commits (round 15): a declared " +
+    "stats.histogram.columns column corrects range-predicate " +
+    "selectivity that NDV+bounds gets catastrophically wrong on skew — " +
+    "and the corrected estimate flips the join's broadcast side") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val (cat, _) = freshCat("hist")
+    // 100k rows; 99% of x in [0,10), 1% spread across (10, ~100k] —
+    // uniformity over the [0, 100010] bounds estimates `x > 10` at ~99%
+    // of rows; the histogram knows it is ~1%
+    def seedSkew(t: String, props: String): Unit = {
+      spark.sql(s"CREATE TABLE $cat.$t (k BIGINT, x DOUBLE) $props")
+      spark.range(0, 100000).selectExpr("id AS k",
+        "CASE WHEN id % 100 = 0 THEN 10.0 + id ELSE CAST(id % 10 AS DOUBLE) " +
+          "END AS x")
+        .coalesce(2).writeTo(s"$cat.$t").append()
+    }
+    seedSkew("skew_h", "TBLPROPERTIES('stats.histogram.columns'='x')")
+    seedSkew("skew_p", "")
+    spark.sql(s"CREATE TABLE $cat.mid (k BIGINT, pay STRING)")
+    spark.range(0, 20000).selectExpr("id AS k",
+      "repeat('m', 20) AS pay").writeTo(s"$cat.mid").append()
+    withCbo {
+      val hs = attrStats(spark.table(s"$cat.skew_h"))
+      assert(hs("x").histogram.isDefined,
+        "declared histogram column must surface catalyst bins")
+      val bins = hs("x").histogram.get.bins
+      assert(bins.length > 8 && bins.head.lo == 0.0 &&
+        bins.last.hi > 10000.0, s"bins malformed: ${bins.take(3).toSeq}")
+      def estRows(t: String): BigInt =
+        spark.table(s"$cat.$t").filter(col("x") > 10.0)
+          .queryExecution.optimizedPlan.stats.rowCount
+          .getOrElse(sys.error("CBO must produce a rowCount"))
+      val withHist = estRows("skew_h")
+      val uniform = estRows("skew_p")
+      assert(withHist < 5000,
+        s"histogram must price the skewed tail at ~1%, got $withHist")
+      assert(uniform > 50000,
+        s"the uniformity heuristic should misprice this at ~99% " +
+          s"(sanity check of the contrast), got $uniform")
+      // the estimate flips a physical decision: under a 100 KB
+      // broadcast threshold the correctly-priced filtered fact (~1k
+      // rows) broadcasts, the mispriced one (~99k rows) cannot
+      val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "100000")
+      try {
+        def broadcastsSkew(t: String): Boolean = {
+          val q = spark.table(s"$cat.$t").filter(col("x") > 10.0)
+            .join(spark.table(s"$cat.mid"), "k")
+            .groupBy().count()
+          val plan = q.queryExecution.executedPlan match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              a.executedPlan
+            case p => p
+          }
+          plan.exists {
+            case b: BroadcastHashJoinExec =>
+              val build = b.buildSide match {
+                case org.apache.spark.sql.catalyst.optimizer.BuildLeft =>
+                  b.left
+                case org.apache.spark.sql.catalyst.optimizer.BuildRight =>
+                  b.right
+              }
+              build.toString.contains(t)
+            case _ => false
+          }
+        }
+        assert(broadcastsSkew("skew_h"),
+          "the histogram-priced filtered fact must broadcast")
+        assert(!broadcastsSkew("skew_p"),
+          "the uniformity-priced fact must NOT broadcast (too big)")
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+    // coverage gates: a takedown (delete state) degrades the histogram;
+    // compaction rebuilds coverage and it returns
+    spark.sql(s"ALTER TABLE $cat.skew_h SET TBLPROPERTIES(" +
+      "'delete.mode'='merge-on-read')")
+    spark.sql(s"DELETE FROM $cat.skew_h WHERE k % 1000 = 7")
+    val degraded = withCbo(attrStats(spark.table(s"$cat.skew_h")))
+    assert(degraded("x").histogram.isEmpty,
+      "live delete state must suppress the histogram (mass overcounts)")
+    spark.sql(s"CALL $cat.system.compact('skew_h')")
+    val restored = withCbo(attrStats(spark.table(s"$cat.skew_h")))
+    assert(restored("x").histogram.isDefined,
+      "compaction materializes deletes and restores the histogram")
+  }
+
   test("live manifest stats drive cbo.joinReorder: the selective small " +
     "table moves first with NO ANALYZE ever run") {
     val (cat, _) = freshCat("reorder")
