@@ -144,6 +144,7 @@ private[sources] class ManifestDeltaBatchWrite(path: String, queryId: String,
         Seq(s"$fin,${m.rows}",
           ManifestFiles.statsLine(fin, m.bytes, m.stats, m.nestedStats)) ++
           (if (m.ndv.nonEmpty) Seq(ManifestNdv.line(fin, m.ndv)) else Nil) ++
+          (if (m.hist.nonEmpty) Seq(ManifestHist.line(fin, m.hist)) else Nil) ++
           (if (m.ridCol) Seq(ManifestFiles.ridColLine(fin)) else Nil) ++
           (if (m.luvCol) Seq(ManifestFiles.luvColLine(fin)) else Nil)
       } ++ del.map(d => s"#dels,${land(d)}")

@@ -32,8 +32,16 @@ object ManifestHist {
 
   /** Merged bins served to the optimizer. */
   val Buckets = 64
-  /** Per-file per-column sample capacity (doubles). */
+  /** Per-file per-column in-memory sample capacity (doubles). */
   val SampleCap = 1024
+  /** Per-file per-column EMITTED order statistics: the sorted sample
+    * downsamples to evenly-spaced ranks before landing in the `#hist`
+    * line, bounding metadata at ~1 KB per file per declared column — a
+    * 10⁶-file corpus pays ~1 GB of segment bytes per histogram column,
+    * not the raw sample's ~8 GB. Rank-downsampling a sorted sample is
+    * itself a quantile sketch, so merge quality is unchanged at the
+    * optimizer's 64-bin resolution. */
+  val EmitCap = 128
 
   /** Histogram-capable = losslessly-enough double-convertible and
     * range-comparable (catalyst HistogramBin bounds are doubles). */
@@ -92,9 +100,21 @@ object ManifestHist {
       seen += 1
     }
     def isEmpty: Boolean = buf.isEmpty
-    /** (sorted sample, non-null count it represents). */
-    def result(): (Array[Double], Long) =
-      (buf.map(_._2).toArray.sorted, nonNull)
+    /** (sorted order statistics, non-null count they represent). */
+    def result(): (Array[Double], Long) = {
+      val sorted = buf.map(_._2).toArray.sorted
+      if (sorted.length <= EmitCap) (sorted, nonNull)
+      else {
+        val out = new Array[Double](EmitCap)
+        var i = 0
+        while (i < EmitCap) {
+          out(i) = sorted((i.toLong * (sorted.length - 1) /
+            (EmitCap - 1)).toInt)
+          i += 1
+        }
+        (out, nonNull)
+      }
+    }
   }
 
   // ---- `#hist,<file>,<pos>:<nonNull>:<b64 doubles>;...` codec ---------

@@ -19,15 +19,23 @@ import org.apache.spark.sql.types._
   * only); Delta Live Tables / Iceberg materialized views are the
   * contemporary equivalents.
   *
-  * Supported definition shape: `SELECT <groupBy>, <aggs> FROM <source>
-  * [WHERE <filter>] GROUP BY <groupBy>` with aggs drawn from count(*) /
-  * count(e) / sum(e) / avg(e) / min(e) / max(e), where `e` is any
-  * deterministic scalar expression over source columns. The
-  * count/sum/avg family folds pure deltas; MIN/MAX fold inserts
+  * Supported definition shape (star joins round 15): `SELECT <groupBy>,
+  * <aggs> FROM <source> [JOIN <dim> ON <cond>]* [WHERE <filter>] GROUP
+  * BY <groupBy>` with aggs drawn from count(*) / count(e) / sum(e) /
+  * avg(e) / min(e) / max(e), where `e` is any deterministic scalar
+  * expression over the joined columns and group keys may come from the
+  * DIMS (the canonical star rollup). Dims are INNER-joined
+  * slowly-changing tables PINNED at a version in the checkpoint — the
+  * pinning is what keeps the incremental fold exact (a fact delta
+  * joined to the same dim rows contributes exactly its signed share);
+  * a dim that moved triggers the documented full recompute + re-pin.
+  * The count/sum/avg family folds pure deltas; MIN/MAX fold inserts
   * (least/greatest) and fall back to a PER-GROUP recompute only when a
   * retracted value ties or beats the stored extremum — the textbook
   * bounded-recompute strategy, with the recompute restricted to exactly
   * the affected groups via a key semi-join the source's pruning bounds.
+  * [[compensate]] applies the same signed fold at PLAN time for the
+  * stale-tolerant rewrite (plans/MvRewrite.scala).
   *
   * EXACTNESS: fractional sums accumulate in DECIMAL(38,6) (per-row cast
   * to DECIMAL(18,6)), never in floating point, so the incremental fold

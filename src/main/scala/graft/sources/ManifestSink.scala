@@ -1631,7 +1631,8 @@ private[sources] class ManifestStreamWriterFactory(path: String,
     checks: Seq[(String, String,
       org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty,
     upsertKeys: Array[Int] = Array.empty,
-    ndvPos: Array[Int] = Array.empty)
+    ndvPos: Array[Int] = Array.empty,
+    histPos: Array[Int] = Array.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] = {
@@ -1639,13 +1640,14 @@ private[sources] class ManifestStreamWriterFactory(path: String,
       if (partSpec.isEmpty)
         ManifestWriters.create(path, stagingName,
           f"part-e$epochId-$partitionId%05d-$taskId${ManifestWriters.ext(format)}.tmp",
-          schema, conf, injectFailure = false, ndvPos = ndvPos)
+          schema, conf, injectFailure = false, ndvPos = ndvPos,
+          histPos = histPos)
       else
         new PartitionSplitWriter(path, stagingName, schema, conf, format,
           f"part-e$epochId-$partitionId%05d-$taskId",
           partSpec.map { case (idx, kind) =>
             (idx, kind, schema(idx).dataType) },
-          ndvPos = ndvPos)
+          ndvPos = ndvPos, histPos = histPos)
     val teed =
       if (upsertKeys.isEmpty) base
       // the epoch-prefixed staged name keeps abort's per-epoch sweep
@@ -1885,7 +1887,10 @@ private[sources] class ManifestStreamingWrite(path: String, queryId: String,
       checks = ManifestChecks.bind(SparkSession.active, schema,
         ManifestFiles.checksFromLines(lines)),
       upsertKeys = upsertKeys.toArray,
-      ndvPos = ManifestFiles.ndvFromLines(lines)
+      ndvPos = (ManifestFiles.ndvFromLines(lines) ++
+          ManifestFiles.histDeclFromLines(lines)).distinct
+        .flatMap(ManifestFiles.fieldAtPhys(schema, _)).toArray,
+      histPos = ManifestFiles.histDeclFromLines(lines)
         .flatMap(ManifestFiles.fieldAtPhys(schema, _)).toArray)
   }
 
@@ -1915,7 +1920,8 @@ private[sources] class ManifestStreamingWrite(path: String, queryId: String,
       require(ok, s"staged file ${m.name} vanished before commit")
       Seq(s"$fin,${m.rows}",
         ManifestFiles.statsLine(fin, m.bytes, m.stats, m.nestedStats)) ++
-        (if (m.ndv.nonEmpty) Seq(ManifestNdv.line(fin, m.ndv)) else Nil)
+        (if (m.ndv.nonEmpty) Seq(ManifestNdv.line(fin, m.ndv)) else Nil) ++
+        (if (m.hist.nonEmpty) Seq(ManifestHist.line(fin, m.hist)) else Nil)
     }
     val eqdelFins = messages.collect {
       case ManifestEqDeletes.UpsertCommitted(_, Some(tmp), _) =>
