@@ -2500,6 +2500,98 @@ object Sources extends QueryModule {
       FROM events WHERE event_id % 7 <> 3
       GROUP BY 1 ORDER BY 1"""))
 
+  /** HISTOGRAM-DRIVEN PLAN FLIP end to end (round 15 —
+    * sources/ManifestHist.scala + the DSv2 histogram seam): two
+    * identical governed copies of a SKEWED column (99% of x under 51,
+    * 1% in the thousands) differ only in
+    * `stats.histogram.columns='x'`; under CBO with a 500 KB broadcast
+    * threshold the entry REQUIRES the histogram copy's filtered scan to
+    * BROADCAST (the percentile bins price `x > 60` at ~1%) and REQUIRES
+    * the undeclared copy NOT to (the uniformity heuristic prices the
+    * same predicate at ~99% — megabytes). The returned rows ride the
+    * histogram-planned join and hash-match DuckDB. At 100 TB this
+    * selectivity error is the difference between a map-side join and a
+    * full shuffle of the fact table — and unlike ANALYZE histograms,
+    * these ride every commit. */
+  val qHistogramFlip: QueryDef = QueryDef(
+    "q272_histogram_broadcast_flip",
+    (s, d) => {
+      import s.implicits._
+      val root = tmp(d, "hist_flip")
+      val dir = new org.apache.hadoop.fs.Path(root)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      val cat = "graft_hst_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val src = Tables.df(s, d, "lineitem").select(
+        $"l_orderkey".as("k"),
+        when($"l_orderkey" % 97 === 0, lit(1000.0) + $"l_extendedprice")
+          .otherwise($"l_quantity").as("x"),
+        $"l_linenumber".cast("long").as("ln"))
+      s.sql(s"CREATE TABLE $cat.li_h (k BIGINT, x DOUBLE, ln BIGINT) " +
+        "TBLPROPERTIES('stats.histogram.columns'='x')")
+      s.sql(s"CREATE TABLE $cat.li_p (k BIGINT, x DOUBLE, ln BIGINT)")
+      src.writeTo(s"$cat.li_h").append()
+      src.writeTo(s"$cat.li_p").append()
+      s.sql(s"CREATE TABLE $cat.ord (o_orderkey BIGINT, " +
+        "o_orderstatus STRING)")
+      Tables.df(s, d, "orders").select($"o_orderkey", $"o_orderstatus")
+        .writeTo(s"$cat.ord").append()
+      val prevCbo = s.conf.get("spark.sql.cbo.enabled", "false")
+      val prevThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      // the threshold sits at ~20% of the UNFILTERED fact's estimated
+      // bytes (3 fixed-width cols ≈ 32 B/row), so the contrast holds at
+      // every test scale: a ~99% uniform estimate always exceeds it, a
+      // ~1% histogram estimate never does
+      val factRows = s.table(s"$cat.li_h").count()
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        math.max(1000L, factRows * 32 / 5).toString)
+      try {
+        def q(t: String) = s.sql(
+          s"SELECT o_orderstatus, count(*) AS n, sum(ln) AS sl " +
+            s"FROM $cat.$t JOIN $cat.ord ON k = o_orderkey " +
+            "WHERE x > 60.0 GROUP BY o_orderstatus")
+        def broadcastsFact(t: String): Boolean = {
+          val plan = q(t).queryExecution.executedPlan match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              a.executedPlan
+            case p => p
+          }
+          plan.exists {
+            case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+              (b.buildSide match {
+                case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+                case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
+              }).toString.contains(t)
+            case _ => false
+          }
+        }
+        require(broadcastsFact("li_h"),
+          "the histogram-priced skewed filter (~1%) must broadcast the " +
+            "fact side:\n" + q("li_h").queryExecution.executedPlan)
+        require(!broadcastsFact("li_p"),
+          "the uniformity-priced twin (~99% estimate) must NOT broadcast")
+        q("li_h").orderBy($"o_orderstatus")
+      } finally {
+        s.conf.set("spark.sql.cbo.enabled", prevCbo)
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      }
+    },
+    Some("""
+      WITH li AS (
+        SELECT l_orderkey AS k,
+               CASE WHEN l_orderkey % 97 = 0
+                    THEN 1000.0 + l_extendedprice
+                    ELSE l_quantity END AS x,
+               CAST(l_linenumber AS BIGINT) AS ln
+        FROM lineitem)
+      SELECT o.o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(ln) AS BIGINT) AS sl
+      FROM li JOIN orders o ON li.k = o.o_orderkey
+      WHERE li.x > 60.0
+      GROUP BY 1 ORDER BY 1"""))
+
   override def defs: Seq[QueryDef] =
     Seq(qCsv, qJson, qOrc, qText, qPartitioned, qSynthSource, qSynthColumnar,
       qSchemaEvolution, qManifestTimeTravel, qManifestMerge, qManifestStream,
@@ -2512,5 +2604,5 @@ object Sources extends QueryModule {
       qWidened, qCdfImages, qAnnIndex, qHoursRetention, qCappedStream,
       qGovernedView, qMaterializedView, qMvRewrite,
       qMergeNotMatchedBySource, qRowLineage, qAggPushdown, qCboReorder,
-      qStarMv, qStaleMv, qVariantGoverned)
+      qStarMv, qStaleMv, qVariantGoverned, qHistogramFlip)
 }
