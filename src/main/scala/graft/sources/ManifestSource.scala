@@ -4888,6 +4888,8 @@ class GraftManifestCatalog extends TableCatalog
       case "describe_view" => ManifestProcedures.describeView(this, dirFor)
       case "create_materialized_view" =>
         ManifestProcedures.createMaterializedView(this)
+      case "drop_materialized_view" =>
+        ManifestProcedures.dropMaterializedView(this, dirFor)
       case "refresh_materialized_view" =>
         ManifestProcedures.refreshMaterializedView(this)
       case "describe_materialized_view" =>
@@ -5206,6 +5208,7 @@ private[sources] object ManifestProcedures {
       "create_branch", "drop_branch", "fast_forward", "cherry_pick",
       "add_files", "remove_orphan_files", "create_view", "drop_view",
       "show_views", "describe_view", "create_materialized_view",
+      "drop_materialized_view",
       "refresh_materialized_view", "describe_materialized_view")
 
   private def param(n: String, dt: org.apache.spark.sql.types.DataType) =
@@ -5957,6 +5960,34 @@ private[sources] object ManifestProcedures {
           .add("source_version", IntegerType)
           .add("mv_version", IntegerType),
         Array(UTF8String.fromString(mv), d.sourceVersion, d.mvVersion))
+    }
+
+  /** `drop_materialized_view(mv)` — drops the materialization table,
+    * its `_MV` chain (they share the directory), and the registry
+    * marker under the fact source (so MvRewrite stops probing it; a
+    * leftover marker would only cost one failed probe, but clean is
+    * clean). Fails loudly on a non-MV directory — `DROP TABLE` is the
+    * tool for plain tables. */
+  def dropMaterializedView(cat: GraftManifestCatalog,
+      dirFor: String => Path): UnboundProcedure =
+    proc("drop_materialized_view", Array(param("mv", StringType))) { input =>
+      val spark = SparkSession.active
+      val mv = input.getUTF8String(0).toString
+      val dir = dirFor(mv)
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      require(ManifestMaterializedView.isMaterializedView(fs, dir),
+        s"no materialized view '$mv' at $dir (plain tables drop via " +
+          "DROP TABLE)")
+      val d = ManifestMaterializedView.readDef(fs, dir)
+      val reg = new Path(
+        ManifestMaterializedView.registryDir(dirFor(d.source)), mv)
+      try fs.delete(reg, false)
+      catch { case _: java.io.IOException => () } // marker is advisory
+      require(cat.dropTable(Identifier.of(Array.empty, mv)),
+        s"failed to remove $dir")
+      result(new StructType().add("mv", StringType)
+          .add("dropped", IntegerType),
+        Array(UTF8String.fromString(mv), 1))
     }
 
   /** `refresh_materialized_view(mv)` — fold the source's change feed

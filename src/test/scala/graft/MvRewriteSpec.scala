@@ -314,6 +314,35 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("drop_materialized_view removes the materialization, its " +
+    "checkpoint chain, and the registry marker — the rewrite stops and " +
+    "direct answers continue; a plain table refuses the procedure") {
+    val (cat, root) = freshCat()
+    seed(cat)
+    spark.sql(s"CALL $cat.system.create_materialized_view('agg9', 'src', " +
+      "'grp', 'count:*:c')")
+    val q = s"SELECT grp, count(*) AS c FROM $cat.src GROUP BY grp"
+    assert(scansMv(spark.sql(q), "agg9"))
+    val want = withoutRewrite(spark.sql(q).collect()
+      .map(_.toString).sorted.toSeq)
+    spark.sql(s"CALL $cat.system.drop_materialized_view('agg9')")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "agg9")))
+    assert(!graft.sources.ManifestMaterializedView
+      .registered(fs, new org.apache.hadoop.fs.Path(root, "src"))
+      .contains("agg9"), "the registry marker must go with the MV")
+    val after = spark.sql(q)
+    assert(!scansMv(after, "agg9"))
+    assert(after.collect().map(_.toString).sorted.toSeq == want)
+    // a plain table refuses — DROP TABLE is the tool
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.drop_materialized_view('src')")
+    }
+    assert(e.getMessage.contains("no materialized view"))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "src")))
+  }
+
   test("DISCOVERY is per-source (round 15): candidates come from the " +
     "fact's own _mvreg registry, so planning reads ONE definition no " +
     "matter how many sibling MVs exist in the catalog — the round-14 " +
