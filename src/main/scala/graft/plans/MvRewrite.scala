@@ -221,7 +221,10 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     lazy val tailAppendOnly = ManifestChangeFeed.rangeAppendOnly(
       hfs, srcDir, d.sourceVersion, factLeaf.version)
     if (stale && !tailRetained) return None // vacuumed past the checkpoint
-    val extremaOk = !stale || tailAppendOnly
+    // lazy: the O(tail) append-only walk runs only when the query
+    // actually asks for min/max (the common count/sum dashboard query
+    // never pays it)
+    lazy val extremaOk = !stale || tailAppendOnly
 
     // ---- filters ----
     val mvFilter = d.filterSql.map(f =>

@@ -69,14 +69,10 @@ object ManifestHist {
       s"no histogram domain for ${other.sql}")
   }
 
-  /** SplitMix64 — the textbook 64-bit finalizer (public domain, Steele
-    * et al.); deterministic position hash for the sampler. */
-  private def splitmix64(x0: Long): Long = {
-    var x = x0 + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
+  /** Deterministic position hash for the sampler — the repo-wide
+    * splitmix64 mixer (graft.functions.Kernels.mix64). */
+  private def splitmix64(x0: Long): Long =
+    graft.functions.Kernels.mix64(x0)
 
   /** Streaming deterministic threshold sampler (one per declared column
     * per task writer). */
@@ -177,20 +173,22 @@ object ManifestHist {
       boundaries(k) = pts(math.min(i, pts.length) - 1)._1
       k += 1
     }
+    // per-bin distinct counts in ONE monotone walk (pts and boundaries
+    // are both sorted): advance j once across all bins
     val out = new Array[(Double, Double, Long)](nBins)
     var b = 0
+    var j = 0
+    var prev = Double.NaN
     while (b < nBins) {
       val lo = boundaries(b)
       val hi = boundaries(b + 1)
-      // distinct sample values in (lo, hi] (first bin: [lo, hi])
       var d = 0L
-      var prev = Double.NaN
-      var j = 0
-      while (j < pts.length) {
-        val v = pts(j)._1
-        if ((v > lo || (b == 0 && v >= lo)) && v <= hi && v != prev) {
-          d += 1; prev = v
-        }
+      // skip points at or below lo (they belong to earlier bins),
+      // except the very first bin which includes its lower endpoint
+      while (j < pts.length && (pts(j)._1 < lo ||
+          (b > 0 && pts(j)._1 == lo))) j += 1
+      while (j < pts.length && pts(j)._1 <= hi) {
+        if (pts(j)._1 != prev) { d += 1; prev = pts(j)._1 }
         j += 1
       }
       out(b) = (lo, hi, math.max(1L, d))

@@ -451,9 +451,16 @@ object ManifestMaterializedView {
       require(dup.isEmpty,
         s"star-join MV needs globally unique column names; duplicated: " +
           dup.toSeq.sorted.mkString(", "))
-      require(!all.exists(n => n == ManifestChangeFeed.TypeCol ||
-          n == ManifestChangeFeed.VersionCol),
-        "MV fact/dim columns must not shadow the change-feed columns")
+      // the refresh joins the fact's CHANGE FEED to the dims, and on
+      // lineage facts the feed also carries the row-lineage columns —
+      // a dim column with any of these names would make the joined
+      // frame ambiguous at the FIRST REFRESH (after a clean create)
+      val reserved = Set(ManifestChangeFeed.TypeCol,
+        ManifestChangeFeed.VersionCol, ManifestChangeFeed.TimestampCol,
+        "_row_id", "_last_updated_version")
+      require(!all.exists(reserved.contains),
+        "MV fact/dim columns must not shadow the change-feed or " +
+          s"row-lineage columns (${reserved.mkString(", ")})")
     }
     val joined = withDims(spark, root, d0, src)
     val rows = aggRows(filterSql.map(f => joined.filter(expr(f)))
@@ -622,27 +629,31 @@ object ManifestMaterializedView {
     val old = readDef(fs, mvDir)
     val joined = withDims(spark, root, pinned,
       tableAt(spark, root, pinned.source, pinned.sourceVersion))
+    // ONE evaluation of the joined aggregate (self-review: take(1), the
+    // upsert write, and the dead-group anti-join each re-ran it)
     val rows = aggRows(pinned.filterSql.map(f => joined.filter(expr(f)))
-      .getOrElse(joined), pinned)
-    if (rows.take(1).nonEmpty)
-      rows.write.mode("append").format("graft-manifest")
+      .getOrElse(joined), pinned).persist()
+    try {
+      if (rows.take(1).nonEmpty)
+        rows.write.mode("append").format("graft-manifest")
+          .option("path", mvDir.toString)
+          .option("upsertKeys", pinned.groupBy.mkString(",")).save()
+      val pre = spark.read.format("graft-manifest")
         .option("path", mvDir.toString)
-        .option("upsertKeys", pinned.groupBy.mkString(",")).save()
-    val pre = spark.read.format("graft-manifest")
-      .option("path", mvDir.toString)
-      .option("versionAsOf", old.mvVersion.toString).load()
-    val dead = pre.select(pinned.groupBy.map(col): _*)
-      .join(rows.select(pinned.groupBy.map(col): _*),
-        pinned.groupBy, "left_anti")
-    if (dead.take(1).nonEmpty) {
-      val view = "graft_mv_dead_" + java.lang.Long.toUnsignedString(
-        Thread.currentThread().getId)
-      dead.createOrReplaceTempView(view)
-      val keyTuple = pinned.groupBy.mkString("(", ", ", ")")
-      spark.sql(s"DELETE FROM $catalog.$mv WHERE $keyTuple IN " +
-        s"(SELECT ${pinned.groupBy.mkString(", ")} FROM $view)")
-      spark.catalog.dropTempView(view)
-    }
+        .option("versionAsOf", old.mvVersion.toString).load()
+      val dead = pre.select(pinned.groupBy.map(col): _*)
+        .join(rows.select(pinned.groupBy.map(col): _*),
+          pinned.groupBy, "left_anti")
+      if (dead.take(1).nonEmpty) {
+        val view = "graft_mv_dead_" + java.lang.Long.toUnsignedString(
+          Thread.currentThread().getId)
+        dead.createOrReplaceTempView(view)
+        val keyTuple = pinned.groupBy.mkString("(", ", ", ")")
+        spark.sql(s"DELETE FROM $catalog.$mv WHERE $keyTuple IN " +
+          s"(SELECT ${pinned.groupBy.mkString(", ")} FROM $view)")
+        spark.catalog.dropTempView(view)
+      }
+    } finally rows.unpersist()
     val next = pinned.copy(
       mvVersion = ManifestFiles.latestComplete(fs, mvDir))
     publishDef(fs, mvDir, next, expectFresh = false)

@@ -61,9 +61,11 @@ private[sources] object ManifestSink {
       line.split(",", 3).lift(1) // drop layout marks with their entry
     else if (line.startsWith("#import,") || line.startsWith("#born,") ||
         line.startsWith("#ndv,") || line.startsWith("#firstrow,") ||
-        line.startsWith("#ridcol,"))
+        line.startsWith("#ridcol,") || line.startsWith("#luv,") ||
+        line.startsWith("#luvcol,") || line.startsWith("#hist,"))
       line.split(",", 3).lift(1) // name maps / birth marks / sketches /
-                                 // row-id riders travel with their file
+                                 // lineage + histogram riders travel
+                                 // with their file
     else if (line.startsWith("#")) None
     else Some(line.substring(0, line.lastIndexOf(',')))
 

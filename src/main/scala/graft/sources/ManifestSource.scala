@@ -5979,12 +5979,16 @@ private[sources] object ManifestProcedures {
         s"no materialized view '$mv' at $dir (plain tables drop via " +
           "DROP TABLE)")
       val d = ManifestMaterializedView.readDef(fs, dir)
+      // order matters (round-15 self-review): the table drop goes FIRST —
+      // a failed drop then leaves a fully-working, still-discoverable MV,
+      // whereas deleting the marker first would strand a live MV the
+      // rewrite could never find again (no re-register path)
+      require(cat.dropTable(Identifier.of(Array.empty, mv)),
+        s"failed to remove $dir")
       val reg = new Path(
         ManifestMaterializedView.registryDir(dirFor(d.source)), mv)
       try fs.delete(reg, false)
       catch { case _: java.io.IOException => () } // marker is advisory
-      require(cat.dropTable(Identifier.of(Array.empty, mv)),
-        s"failed to remove $dir")
       result(new StructType().add("mv", StringType)
           .add("dropped", IntegerType),
         Array(UTF8String.fromString(mv), 1))

@@ -196,6 +196,44 @@ class ManifestWriteConflictSpec extends AnyFunSuite {
     assert(spark.table(s"$cat.t").count() == 110, "nothing may land")
   }
 
+  test("a blind append's RIDER LINES survive the racing compaction " +
+    "verbatim (round-15 self-review: entryName must know #luv/#luvcol/" +
+    "#hist, or the keep-filter drops them and assignRowIds backfills " +
+    "#luv at the COMPACTION's version — maintenance reading as an " +
+    "update, the exact q266 invariant)") {
+    val (cat, root) = freshCat("rid")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT) " +
+      "TBLPROPERTIES('row.lineage'='true', " +
+      "'stats.histogram.columns'='k')")
+    spark.range(0, 100).select($"id".as("k")).coalesce(1)
+      .writeTo(s"$cat.t").append() // v2
+    val dir = new Path(s"$root/t")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val scanned = ManifestFiles.entries(fs, dir, None).map(_._1).toSet
+    val (w1, m1) = stageCompacting(s"$root/t", scanned,
+      deleteState(fs, dir), 0L until 100L)
+    spark.range(5000, 5010).select($"id".as("k"))
+      .writeTo(s"$cat.t").append() // v3, the blind append
+    w1.commit(m1) // v4, the compaction
+    val lines = ManifestFiles.latestLines(fs, dir)
+    val appendFile = ManifestFiles.luvFromLines(lines)
+      .collectFirst { case (n, 3) => n }
+    assert(appendFile.isDefined,
+      s"the append's #luv,<file>,3 must survive the compaction " +
+        s"verbatim; luvs now: ${ManifestFiles.luvFromLines(lines)}")
+    assert(ManifestHist.fromLines(lines).contains(appendFile.get),
+      "the append's #hist sample must survive too")
+    assert(ManifestFiles.firstRowFromLines(lines).contains(appendFile.get))
+    // row-level truth: appended rows still read luv = 3, compacted = 4
+    val luvs = spark.sql(s"SELECT k, _last_updated_version FROM $cat.t")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert((5000L until 5010L).forall(luvs(_) == 3),
+      s"append rows must keep THEIR commit version, got " +
+        s"${luvs.filter(_._1 >= 5000)}")
+    assert((0L until 100L).forall(luvs(_) == 4),
+      "the staged rewrite output (no carried _luv) stamps its own commit")
+  }
+
   test("end to end: SQL UPDATE and DELETE still work and validate " +
     "cleanly when nothing races") {
     val (cat, _) = freshCat("clean")
