@@ -28,7 +28,10 @@ import org.apache.spark.sql.types._
   * slowly-changing tables PINNED at a version in the checkpoint — the
   * pinning is what keeps the incremental fold exact (a fact delta
   * joined to the same dim rows contributes exactly its signed share);
-  * a dim that moved triggers the documented full recompute + re-pin.
+  * a dim that moved folds its OWN change feed through the fixed fact
+  * (the joined multiset is linear in every input — round-15 stretch),
+  * falling back to a full recompute only when the dim's history is
+  * unexpressable (vacuumed past the pin).
   * The count/sum/avg family folds pure deltas; MIN/MAX fold inserts
   * (least/greatest) and fall back to a PER-GROUP recompute only when a
   * retracted value ties or beats the stored extremum — the textbook
@@ -79,8 +82,9 @@ object ManifestMaterializedView {
     * checkpoint. Pinning is what makes the incremental fold exact: a
     * fact delta joined to the same dim rows contributes exactly its
     * signed share — insert and delete legs of an update join
-    * identically. A dim that moves re-pins through the documented full
-    * recompute (see [[refresh]]). */
+    * identically. A dim that moves re-pins through an exact DIM-DELTA
+    * step (see [[refresh]]); only unexpressable dim history (vacuumed
+    * past the pin) pays the authoritative full recompute. */
   final case class DimSpec(table: String, onSql: String, version: Int)
 
   final case class MvDef(source: String, filterSql: Option[String],
@@ -492,33 +496,97 @@ object ManifestMaterializedView {
     val root = catRoot(spark, catalog)
     val mvDir = new Path(root, mv)
     val fs = fsFor(spark, mvDir)
-    val d = readDef(fs, mvDir)
+    var d = readDef(fs, mvDir)
     val srcDir = new Path(root, d.source)
     val head = ManifestFiles.latestComplete(fs, srcDir)
-    // DIM MOVEMENT (round 15): the incremental algebra folds the FACT's
-    // change feed against PINNED dims, so a dim that advanced makes the
-    // pinned join state stale for every group that touches the changed
-    // rows — the documented remedy is a FULL RECOMPUTE that re-pins all
-    // inputs at their heads (dims are slowly-changing by design; the
-    // fact path below stays diff-cost). Upsert semantics keep it one
-    // atomic-looking cycle: recomputed groups replace, vanished groups
-    // delete, the checkpoint publishes last (crash replay converges —
-    // absolute values from authoritative inputs).
-    val dimHeads = d.dims.map(ds =>
-      ds -> ManifestFiles.latestComplete(fs, new Path(root, ds.table)))
-    if (dimHeads.exists { case (ds, h) => h > ds.version })
-      return recomputeFull(spark, catalog, mv,
-        d.copy(sourceVersion = head,
-          dims = dimHeads.map { case (ds, h) => ds.copy(version = h) }))
-    if (head <= d.sourceVersion) return d
+    // RETENTION PRE-CHECK: every incremental step reads PINNED state
+    // (the fact CDF from its pin, each dim at its pin) — if any pin was
+    // vacuumed past retention, incremental history is unexpressable and
+    // the authoritative full recompute at the heads is the remedy
+    // (documented: source/dim vacuum retention should cover the refresh
+    // cadence).
+    def retained(table: String, pin: Int): Boolean =
+      pin <= 0 || ManifestFiles.versions(fs, new Path(root, table))
+        .contains(pin)
+    if (!retained(d.source, d.sourceVersion) ||
+        d.dims.exists(ds => !retained(ds.table, ds.version)))
+      return recomputeFull(spark, catalog, mv, d.copy(
+        sourceVersion = head,
+        dims = d.dims.map(x => x.copy(version =
+          ManifestFiles.latestComplete(fs, new Path(root, x.table))))))
+    // FACT STEP: fold the fact's change feed against the PINNED dims —
+    // exact because the pinned join state is identical on both sides of
+    // the fold (an update's delete and insert legs join the same rows).
+    if (head > d.sourceVersion) {
+      val feed0 = spark.read.format("graft-manifest")
+        .option("path", srcDir.toString).option("changeFeed", "true")
+        .option("changesFrom", d.sourceVersion.toString)
+        .option("changesTo", head.toString).load()
+      d = applyStep(spark, catalog, mv, d,
+        withDims(spark, root, d, feed0), d.copy(sourceVersion = head))
+    }
+    // DIM STEPS (round 15 stretch — the bounded alternative to a full
+    // recompute): the joined multiset is LINEAR in each input, so one
+    // dim moving pin→head with everything else fixed contributes
+    // exactly fold(fact ⋈ dimCDF ⋈ otherDims@pins) — the SAME signed
+    // fold, with the sign riding the DIM's change-feed legs. Dims step
+    // one at a time (each step re-pins that dim in the checkpoint, so
+    // crash replay converges per step, and later steps see earlier
+    // advances); cost tracks the DIM's diff joined through the fact —
+    // the fact scan prunes by the changed join keys via runtime
+    // filters, so a one-customer re-segmentation touches the matching
+    // files, not the corpus. A dim whose pinned version expired
+    // (vacuumed past retention) falls back to the authoritative full
+    // recompute.
+    d.dims.map(_.table).foreach { t =>
+      val ds = d.dims.find(_.table == t).get
+      val dimHead = ManifestFiles.latestComplete(fs, new Path(root, t))
+      if (dimHead > ds.version) {
+        val stepNext = d.copy(dims = d.dims.map(x =>
+          if (x.table == t) x.copy(version = dimHead) else x))
+        val feed = d.dims.foldLeft(
+          tableAt(spark, root, d.source, d.sourceVersion)) { (df, x) =>
+          val right =
+            if (x.table == t)
+              spark.read.format("graft-manifest")
+                .option("path", new Path(root, t).toString)
+                .option("changeFeed", "true")
+                .option("changesFrom", ds.version.toString)
+                .option("changesTo", dimHead.toString).load()
+            else tableAt(spark, root, x.table, x.version)
+          df.join(right, expr(x.onSql), "inner")
+        }
+        d =
+          try applyStep(spark, catalog, mv, d, feed, stepNext)
+          catch {
+            case e: IllegalStateException =>
+              // expired/unexpressable dim history (vacuumed range,
+              // rollback past delete state): recompute from truth
+              Console.err.println(s"graft MV '$mv': dim '$t' delta-step " +
+                s"fell back to a full recompute (${e.getMessage.take(120)})")
+              return recomputeFull(spark, catalog, mv, d.copy(
+                dims = d.dims.map(x => x.copy(version =
+                  ManifestFiles.latestComplete(fs, new Path(root, x.table))))))
+          }
+      }
+    }
+    d
+  }
 
-    val feed0 = spark.read.format("graft-manifest")
-      .option("path", srcDir.toString).option("changeFeed", "true")
-      .option("changesFrom", d.sourceVersion.toString)
-      .option("changesTo", head.toString).load()
-    val feed = withDims(spark, root, d, feed0)
+  /** One EXACT incremental step: fold `feedJoined` (a signed change
+    * feed joined through the other, FIXED inputs) into the MV pinned at
+    * `d`, land the touched groups, and publish `next` as the new
+    * checkpoint. Shared by the fact step and each dim step — the
+    * algebra is identical because the joined multiset is linear in
+    * every input. */
+  private def applyStep(spark: SparkSession, catalog: String, mv: String,
+      d: MvDef, feedJoined: DataFrame, next: MvDef): MvDef = {
+    val root = catRoot(spark, catalog)
+    val mvDir = new Path(root, mv)
+    val fs = fsFor(spark, mvDir)
     val delta = deltaRows(
-      d.filterSql.map(f => feed.filter(expr(f))).getOrElse(feed), d)
+      d.filterSql.map(f => feedJoined.filter(expr(f)))
+        .getOrElse(feedJoined), d)
 
     val pre = spark.read.format("graft-manifest")
       .option("path", mvDir.toString)
@@ -575,8 +643,8 @@ object ManifestMaterializedView {
     // refresh must never scan the source at all
     val recomputed = if (minmax.isEmpty || recompute.take(1).isEmpty) None
     else {
-      val srcHead = withDims(spark, root, d,
-        tableAt(spark, root, d.source, head))
+      val srcHead = withDims(spark, root, next,
+        tableAt(spark, root, next.source, next.sourceVersion))
       val filtered = d.filterSql.map(f => srcHead.filter(expr(f)))
         .getOrElse(srcHead)
       Some(aggRows(filtered.join(recompute, d.groupBy, "left_semi"), d)
@@ -608,10 +676,10 @@ object ManifestMaterializedView {
         s"(SELECT ${d.groupBy.mkString(", ")} FROM $view)")
       spark.catalog.dropTempView(view)
     }
-    val next = d.copy(sourceVersion = head,
+    val landed = next.copy(
       mvVersion = ManifestFiles.latestComplete(fs, mvDir))
-    publishDef(fs, mvDir, next, expectFresh = false)
-    next
+    publishDef(fs, mvDir, landed, expectFresh = false)
+    landed
   }
 
   /** FULL recompute at the pins already set in `pinned` (dim movement,
@@ -621,8 +689,13 @@ object ManifestMaterializedView {
     * same crash-replay convergence as the incremental path). Costs one
     * scan of the joined inputs — the documented price of a dim change;
     * fact-only movement never lands here. */
+  /** Test-visible: full recomputes taken (the dim-delta spec asserts
+    * dim movement does NOT land here). */
+  val fullRecomputes = new java.util.concurrent.atomic.AtomicLong
+
   private def recomputeFull(spark: SparkSession, catalog: String,
       mv: String, pinned: MvDef): MvDef = {
+    fullRecomputes.incrementAndGet()
     val root = catRoot(spark, catalog)
     val mvDir = new Path(root, mv)
     val fs = fsFor(spark, mvDir)

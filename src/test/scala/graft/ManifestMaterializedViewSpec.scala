@@ -366,38 +366,64 @@ class ManifestMaterializedViewSpec extends AnyFunSuite {
       s"fact-only refreshes must keep dim pins, got ${d.dims}")
   }
 
-  test("STAR-JOIN MV: a DIM change triggers the documented full " +
-    "recompute — the checkpoint re-pins every input and the rows match " +
-    "a direct recompute at the new heads") {
+  test("STAR-JOIN MV: a DIM change refreshes through the exact " +
+    "DIM-DELTA step (the dim's own change feed folds through the fixed " +
+    "fact — NEVER a full recompute), re-pins the checkpoint, and " +
+    "matches a direct recompute at the new heads — including a dim " +
+    "UPSERT that MOVES groups") {
     import spark.implicits._
     val root = tmpDir()
     val cat = register(root)
     seedStar(cat)
+    // merge-on-read dim so upserts exercise the CDC legs in the dim CDF
+    spark.sql(s"ALTER TABLE $cat.dimc SET TBLPROPERTIES(" +
+      "'delete.mode'='merge-on-read')")
     ManifestMaterializedView.create(spark, cat, "star", "fact",
       Some("amt > 5.0"), Seq("c_seg", "i_cat"),
       ManifestMaterializedView.parseAggs(
         "count:*:n,sum:amt:sa,min:amt:mn,max:amt:mx"),
       Seq("dimc" -> "f_c = c_id", "dimi" -> "f_i = i_id"))
-    // a dim RESEGMENTATION (new customer rows + a segment rename via
-    // upsert-free append of re-keyed rows is not possible on a plain
-    // table — use a new customer landing, which changes join results
-    // for facts pointing at previously-unmatched ids)
+    val fullBefore = ManifestMaterializedView.fullRecomputes.get()
+    // a new customer lands + a fact row pointing at it (fact AND dim
+    // moved: both steps run in one refresh)
     Seq((20L, "seg9")).toDF("c_id", "c_seg").writeTo(s"$cat.dimc").append()
     Seq((400L, 20L, 1L, 42.0)).toDF("sk", "f_c", "f_i", "amt")
       .writeTo(s"$cat.fact").append()
     val d = ManifestMaterializedView.refresh(spark, cat, "star")
     starCheck(cat)
-    assert(d.dims.find(_.table == "dimc").get.version == 3,
+    assert(d.dims.find(_.table == "dimc").get.version >= 3,
       s"dim movement must re-pin, got ${d.dims}")
     assert(readMv(cat, "star").collect()
       .exists(_.getString(0) == "seg9"), "the new dim segment must appear")
-    // and a dim takedown erasing a whole segment deletes its MV groups
-    // (recompute path's vanished-group diff)
+    // dim UPSERT re-segments customer 3: every fact row of c_id=3 MOVES
+    // from seg3 to seg_moved — the dim CDF's delete leg retracts the old
+    // group's contributions (min/max retraction recompute path through
+    // the JOIN) and the insert leg builds the new group
+    Seq((3L, "seg_moved")).toDF("c_id", "c_seg")
+      .write.mode("append").format("graft-manifest")
+      .option("path", s"$root/dimc").option("upsertKeys", "c_id").save()
+    ManifestMaterializedView.refresh(spark, cat, "star")
+    starCheck(cat)
+    assert(readMv(cat, "star").collect()
+      .exists(_.getString(0) == "seg_moved"))
+    // a dim takedown erasing a whole segment deletes its MV groups
     spark.sql(s"DELETE FROM $cat.dimc WHERE c_seg = 'seg9'")
     ManifestMaterializedView.refresh(spark, cat, "star")
     starCheck(cat)
     assert(!readMv(cat, "star").collect().exists(_.getString(0) == "seg9"),
       "groups of the vanished dim segment must be DELETED from the MV")
+    assert(ManifestMaterializedView.fullRecomputes.get() == fullBefore,
+      "every dim change above must ride the DELTA step, not a recompute")
+    // the FALLBACK is real: vacuum the dim past the pin and move it —
+    // the refresh recomputes from truth instead of failing
+    Seq((21L, "segX")).toDF("c_id", "c_seg").writeTo(s"$cat.dimc").append()
+    spark.sql(s"CALL $cat.system.vacuum('dimc', 1)")
+    Seq((401L, 21L, 2L, 50.0)).toDF("sk", "f_c", "f_i", "amt")
+      .writeTo(s"$cat.fact").append()
+    ManifestMaterializedView.refresh(spark, cat, "star")
+    starCheck(cat)
+    assert(ManifestMaterializedView.fullRecomputes.get() > fullBefore,
+      "an expired dim pin must fall back to the authoritative recompute")
   }
 
   test("STAR-JOIN MV guardrails: duplicate column names across " +
