@@ -196,6 +196,11 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       return None
     d.dims.foreach { ds =>
       val leaf = dimLeaves.find(_.ident.name == ds.table).get
+      // dim staleness is deliberately NOT compensated (unlike the
+      // fact's): folding a dim's CDF tail requires joining it through
+      // the FACT at plan time — a fact scan inside the "accelerated"
+      // plan defeats the MV entirely. Refresh's dim-delta step is the
+      // right place for that work; the read path just refuses.
       if (leaf.version != ds.version) return None // dim moved / repinned
     }
     // join-condition sets biject semantically
