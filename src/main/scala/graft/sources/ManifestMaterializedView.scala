@@ -268,11 +268,15 @@ object ManifestMaterializedView {
   /** Join the fact (or its change feed — extra CDF columns ride along
     * untouched) to every dim at its PINNED version. Inner joins only:
     * the incremental algebra needs each fact row's dim match set to be
-    * a pure function of the pinned dim state. */
+    * a pure function of the pinned dim state. `substitute` swaps one
+    * dim's read for another frame (the dim-delta step's CDF) while
+    * keeping the join construction in ONE place. */
   def withDims(spark: SparkSession, root: String, d: MvDef,
-      fact: DataFrame): DataFrame =
+      fact: DataFrame,
+      substitute: Map[String, DataFrame] = Map.empty): DataFrame =
     d.dims.foldLeft(fact) { (df, ds) =>
-      df.join(tableAt(spark, root, ds.table, ds.version),
+      df.join(substitute.getOrElse(ds.table,
+          tableAt(spark, root, ds.table, ds.version)),
         expr(ds.onSql), "inner")
     }
 
@@ -499,21 +503,39 @@ object ManifestMaterializedView {
     var d = readDef(fs, mvDir)
     val srcDir = new Path(root, d.source)
     val head = ManifestFiles.latestComplete(fs, srcDir)
-    // RETENTION PRE-CHECK: every incremental step reads PINNED state
-    // (the fact CDF from its pin, each dim at its pin) — if any pin was
-    // vacuumed past retention, incremental history is unexpressable and
-    // the authoritative full recompute at the heads is the remedy
-    // (documented: source/dim vacuum retention should cover the refresh
-    // cadence).
+    val dimHeads: Map[String, Int] = d.dims.map(ds =>
+      ds.table -> ManifestFiles.latestComplete(fs, new Path(root, ds.table)))
+      .toMap
+    // RETENTION PRE-CHECK, on MOVED inputs only (an unmoved input's pin
+    // IS its retained head, and the common no-op refresh must stay two
+    // metadata reads): every incremental step reads PINNED state — a
+    // pin vacuumed past retention makes incremental history
+    // unexpressable, and the authoritative full recompute at the heads
+    // is the remedy.
     def retained(table: String, pin: Int): Boolean =
       pin <= 0 || ManifestFiles.versions(fs, new Path(root, table))
         .contains(pin)
-    if (!retained(d.source, d.sourceVersion) ||
-        d.dims.exists(ds => !retained(ds.table, ds.version)))
-      return recomputeFull(spark, catalog, mv, d.copy(
+    def recomputeAtHeads(cur: MvDef): MvDef =
+      recomputeFull(spark, catalog, mv, cur.copy(
         sourceVersion = head,
-        dims = d.dims.map(x => x.copy(version =
-          ManifestFiles.latestComplete(fs, new Path(root, x.table))))))
+        dims = cur.dims.map(x => x.copy(version = dimHeads(x.table)))))
+    if ((head > d.sourceVersion && !retained(d.source, d.sourceVersion)) ||
+        d.dims.exists(ds => dimHeads(ds.table) > ds.version &&
+          !retained(ds.table, ds.version)))
+      return recomputeAtHeads(d)
+    // Any step whose history the change feed cannot EXPRESS (rollback
+    // past row-level delete state resurrects rows no diff can carry)
+    // also falls back to the authoritative recompute — cost, never
+    // correctness (recomputeFull converges from any intermediate step).
+    def stepOrRecompute(cur: MvDef, what: String,
+        feed: => DataFrame, next: MvDef): Option[MvDef] =
+      try Some(applyStep(spark, catalog, mv, cur, feed, next))
+      catch {
+        case e: IllegalStateException =>
+          Console.err.println(s"graft MV '$mv': $what delta-step fell " +
+            s"back to a full recompute (${e.getMessage.take(120)})")
+          None
+      }
     // FACT STEP: fold the fact's change feed against the PINNED dims —
     // exact because the pinned join state is identical on both sides of
     // the fold (an update's delete and insert legs join the same rows).
@@ -522,8 +544,12 @@ object ManifestMaterializedView {
         .option("path", srcDir.toString).option("changeFeed", "true")
         .option("changesFrom", d.sourceVersion.toString)
         .option("changesTo", head.toString).load()
-      d = applyStep(spark, catalog, mv, d,
-        withDims(spark, root, d, feed0), d.copy(sourceVersion = head))
+      d = stepOrRecompute(d, s"fact '${d.source}'",
+        withDims(spark, root, d, feed0),
+        d.copy(sourceVersion = head)) match {
+        case Some(next) => next
+        case None => return recomputeAtHeads(d)
+      }
     }
     // DIM STEPS (round 15 stretch — the bounded alternative to a full
     // recompute): the joined multiset is LINEAR in each input, so one
@@ -535,39 +561,25 @@ object ManifestMaterializedView {
     // advances); cost tracks the DIM's diff joined through the fact —
     // the fact scan prunes by the changed join keys via runtime
     // filters, so a one-customer re-segmentation touches the matching
-    // files, not the corpus. A dim whose pinned version expired
-    // (vacuumed past retention) falls back to the authoritative full
-    // recompute.
+    // files, not the corpus.
     d.dims.map(_.table).foreach { t =>
       val ds = d.dims.find(_.table == t).get
-      val dimHead = ManifestFiles.latestComplete(fs, new Path(root, t))
+      val dimHead = dimHeads(t)
       if (dimHead > ds.version) {
         val stepNext = d.copy(dims = d.dims.map(x =>
           if (x.table == t) x.copy(version = dimHead) else x))
-        val feed = d.dims.foldLeft(
-          tableAt(spark, root, d.source, d.sourceVersion)) { (df, x) =>
-          val right =
-            if (x.table == t)
-              spark.read.format("graft-manifest")
-                .option("path", new Path(root, t).toString)
-                .option("changeFeed", "true")
-                .option("changesFrom", ds.version.toString)
-                .option("changesTo", dimHead.toString).load()
-            else tableAt(spark, root, x.table, x.version)
-          df.join(right, expr(x.onSql), "inner")
+        val dimCdf = spark.read.format("graft-manifest")
+          .option("path", new Path(root, t).toString)
+          .option("changeFeed", "true")
+          .option("changesFrom", ds.version.toString)
+          .option("changesTo", dimHead.toString).load()
+        val feed = withDims(spark, root, d,
+          tableAt(spark, root, d.source, d.sourceVersion),
+          substitute = Map(t -> dimCdf))
+        d = stepOrRecompute(d, s"dim '$t'", feed, stepNext) match {
+          case Some(next) => next
+          case None => return recomputeAtHeads(d)
         }
-        d =
-          try applyStep(spark, catalog, mv, d, feed, stepNext)
-          catch {
-            case e: IllegalStateException =>
-              // expired/unexpressable dim history (vacuumed range,
-              // rollback past delete state): recompute from truth
-              Console.err.println(s"graft MV '$mv': dim '$t' delta-step " +
-                s"fell back to a full recompute (${e.getMessage.take(120)})")
-              return recomputeFull(spark, catalog, mv, d.copy(
-                dims = d.dims.map(x => x.copy(version =
-                  ManifestFiles.latestComplete(fs, new Path(root, x.table))))))
-          }
       }
     }
     d
@@ -584,9 +596,13 @@ object ManifestMaterializedView {
     val root = catRoot(spark, catalog)
     val mvDir = new Path(root, mv)
     val fs = fsFor(spark, mvDir)
+    // ONE evaluation of the CDF-join-aggregate: the fold's consumers
+    // (negative-count guard, recompute probe, live write, dead diff)
+    // would otherwise each re-run it (self-review, the recomputeFull
+    // lesson applied to the hot path)
     val delta = deltaRows(
       d.filterSql.map(f => feedJoined.filter(expr(f)))
-        .getOrElse(feedJoined), d)
+        .getOrElse(feedJoined), d).persist()
 
     val pre = spark.read.format("graft-manifest")
       .option("path", mvDir.toString)
@@ -626,7 +642,10 @@ object ManifestMaterializedView {
            else greatest(col(c), ins)).as(c)
         }
       }
-    val folded = joined.filter(!needR).select(foldRow: _*)
+    val folded = joined.filter(!needR).select(foldRow: _*).persist()
+    val recompute = joined.filter(needR)
+      .select(d.groupBy.map(col): _*).persist()
+    try {
 
     val negative = folded.filter(col(CntCol) < 0).count()
     require(negative == 0,
@@ -634,13 +653,12 @@ object ManifestMaterializedView {
         "change feed and the definition disagree (source rewritten " +
         "outside the feed, or a non-deterministic agg expression?)")
 
-    // groups whose extremum retracted: recompute from the source AS OF
-    // the range end, restricted to EXACTLY those groups (a semi-join the
-    // source's partition/stats pruning and runtime filters bound) —
-    // triggered only by extremal retractions, never by appends
-    val recompute = joined.filter(needR).select(d.groupBy.map(col): _*)
-    // gate on a diff-sized probe: an append-only (or interior-delete)
-    // refresh must never scan the source at all
+    // groups whose extremum retracted (`recompute` above): recompute
+    // from the step's END state, restricted to EXACTLY those groups (a
+    // semi-join the source's partition/stats pruning and runtime
+    // filters bound) — triggered only by extremal retractions, never
+    // by appends; gate on a diff-sized probe so an append-only (or
+    // interior-delete) refresh never scans the source at all
     val recomputed = if (minmax.isEmpty || recompute.take(1).isEmpty) None
     else {
       val srcHead = withDims(spark, root, next,
@@ -680,19 +698,20 @@ object ManifestMaterializedView {
       mvVersion = ManifestFiles.latestComplete(fs, mvDir))
     publishDef(fs, mvDir, landed, expectFresh = false)
     landed
+    } finally { folded.unpersist(); recompute.unpersist(); delta.unpersist() }
   }
 
-  /** FULL recompute at the pins already set in `pinned` (dim movement,
-    * or any drift remedy): re-aggregate the joined inputs, upsert every
-    * live group, delete groups the recompute no longer produces
-    * (diffed against `MV AS OF` the OLD checkpoint — pinned pre-state,
-    * same crash-replay convergence as the incremental path). Costs one
-    * scan of the joined inputs — the documented price of a dim change;
-    * fact-only movement never lands here. */
   /** Test-visible: full recomputes taken (the dim-delta spec asserts
     * dim movement does NOT land here). */
   val fullRecomputes = new java.util.concurrent.atomic.AtomicLong
 
+  /** FULL recompute at the pins already set in `pinned` (unexpressable
+    * history, or any drift remedy): re-aggregate the joined inputs,
+    * upsert every live group, delete groups the recompute no longer
+    * produces (diffed against `MV AS OF` the OLD checkpoint — pinned
+    * pre-state, same crash-replay convergence as the incremental
+    * path). Costs one scan of the joined inputs; ordinary fact and dim
+    * movement never lands here. */
   private def recomputeFull(spark: SparkSession, catalog: String,
       mv: String, pinned: MvDef): MvDef = {
     fullRecomputes.incrementAndGet()
