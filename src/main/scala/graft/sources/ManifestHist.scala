@@ -77,14 +77,18 @@ object ManifestHist {
   /** Streaming deterministic threshold sampler (one per declared column
     * per task writer). */
   final class Tracker {
-    // (position hash, value): the hash decides survival on re-filter
+    // (position hash, value): the hash — over the FINITE NON-NULL value
+    // ordinal — decides survival on re-filter
     private var buf = new scala.collection.mutable.ArrayBuffer[(Long, Double)](
       SampleCap + 1)
     private var threshold = Long.MaxValue
     private var seen = 0L
-    private var nonNull = 0L
     def add(d: Double): Unit = {
-      nonNull += 1
+      // non-finite values sample like nulls: a NaN/∞ HistogramBin bound
+      // feeds garbage into catalyst's range-selectivity arithmetic (the
+      // agg-pushdown path refuses non-finite float/double bounds for the
+      // same reason)
+      if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) return
       val h = splitmix64(seen) & Long.MaxValue // non-negative
       if (h < threshold) {
         buf += ((h, d))
@@ -96,8 +100,10 @@ object ManifestHist {
       seen += 1
     }
     def isEmpty: Boolean = buf.isEmpty
-    /** (sorted order statistics, non-null count they represent). */
+    /** (sorted order statistics, the finite non-null count they
+      * represent). */
     def result(): (Array[Double], Long) = {
+      val nonNull = seen
       val sorted = buf.map(_._2).toArray.sorted
       if (sorted.length <= EmitCap) (sorted, nonNull)
       else {
@@ -115,12 +121,31 @@ object ManifestHist {
 
   // ---- `#hist,<file>,<pos>:<nonNull>:<b64 doubles>;...` codec ---------
 
-  def line(name: String, samples: Seq[(Int, (Array[Double], Long))]): String =
-    s"#hist,$name," + samples.map { case (pos, (vs, nn)) =>
+  def payload(samples: Seq[(Int, (Array[Double], Long))]): String =
+    samples.map { case (pos, (vs, nn)) =>
       val bb = java.nio.ByteBuffer.allocate(vs.length * 8)
       vs.foreach(bb.putDouble)
       s"$pos:$nn:${java.util.Base64.getEncoder.encodeToString(bb.array())}"
     }.mkString(";")
+
+  def parsePayload(payload: String): Map[Int, (Array[Double], Long)] =
+    payload.split(";").flatMap { s =>
+      s.split(":", 3) match {
+        case Array(p, nn, b64) =>
+          for (pos <- p.toIntOption; n <- nn.toLongOption) yield {
+            val bytes = java.util.Base64.getDecoder.decode(b64)
+            val bb = java.nio.ByteBuffer.wrap(bytes)
+            val vs = new Array[Double](bytes.length / 8)
+            var i = 0
+            while (i < vs.length) { vs(i) = bb.getDouble(); i += 1 }
+            pos -> (vs, n)
+          }
+        case _ => None
+      }
+    }.toMap
+
+  def line(name: String, samples: Seq[(Int, (Array[Double], Long))]): String =
+    s"#hist,$name,${payload(samples)}"
 
   /** file → (pos → (sorted sample, non-null count)). */
   def fromLines(lines: Array[String]):
@@ -128,20 +153,7 @@ object ManifestHist {
     lines.filter(_.startsWith("#hist,")).flatMap { l =>
       val parts = l.split(",", 3)
       if (parts.length < 3) None
-      else Some(parts(1) -> parts(2).split(";").flatMap { s =>
-        s.split(":", 3) match {
-          case Array(p, nn, b64) =>
-            for (pos <- p.toIntOption; n <- nn.toLongOption) yield {
-              val bytes = java.util.Base64.getDecoder.decode(b64)
-              val bb = java.nio.ByteBuffer.wrap(bytes)
-              val vs = new Array[Double](bytes.length / 8)
-              var i = 0
-              while (i < vs.length) { vs(i) = bb.getDouble(); i += 1 }
-              pos -> (vs, n)
-            }
-          case _ => None
-        }
-      }.toMap)
+      else Some(parts(1) -> parsePayload(parts(2)))
     }.toMap
 
   /** Merge per-file (sample, weight) into `buckets` equi-height bins —
@@ -151,29 +163,122 @@ object ManifestHist {
     * bins, which is precisely how the estimator prices point mass.
     * Each sample point carries weight nonNull/|sample|; bin ndv counts
     * the distinct sample values inside (min 1). */
-  def merge(perFile: Seq[(Array[Double], Long)], buckets: Int = Buckets):
-      Option[(Double, Array[(Double, Double, Long)])] = {
-    val pts = perFile.filter(f => f._1.nonEmpty && f._2 > 0L).flatMap {
-      case (vs, nn) =>
-        val w = nn.toDouble / vs.length
-        vs.iterator.map(v => (v, w))
-    }.sortBy(_._1)
-    if (pts.isEmpty) return None
-    val total = pts.iterator.map(_._2).sum
-    val nBins = math.min(buckets, pts.length)
-    // weighted quantile at cumulative targets k/B, by one walk
-    val boundaries = new Array[Double](nBins + 1)
-    boundaries(0) = pts.head._1
+  /** K-way merge of SORTED per-file samples (result() sorts before
+    * emit; the codec preserves order) into parallel primitive arrays —
+    * values ascending, each with its file's per-point weight. No boxed
+    * tuples, no O(n log n) re-sort of already-ordered runs on the
+    * driver's plan path. */
+  private def mergedArrays(files: Array[(Array[Double], Long)]):
+      (Array[Double], Array[Double]) = {
+    val k = files.length
+    val n = {
+      var s = 0L; files.foreach(s += _._1.length)
+      require(s <= Int.MaxValue, "histogram sample pool overflow")
+      s.toInt
+    }
+    val vals = new Array[Double](n)
+    val wts = new Array[Double](n)
+    val perW = files.map(f => f._2.toDouble / f._1.length)
+    val idx = new Array[Int](k)
+    // binary min-heap of file indices keyed by each file's current head;
+    // equal heads pop in unspecified order, which cannot change the
+    // result (consumers read VALUES and ranks, never provenance)
+    val heap = new Array[Int](k)
+    var hs = 0
+    @inline def head(f: Int): Double = files(f)._1(idx(f))
+    def siftDown(): Unit = {
+      var i = 0
+      while (true) {
+        val l = 2 * i + 1; val r = l + 1; var m = i
+        if (l < hs && head(heap(l)) < head(heap(m))) m = l
+        if (r < hs && head(heap(r)) < head(heap(m))) m = r
+        if (m == i) return
+        val t = heap(i); heap(i) = heap(m); heap(m) = t; i = m
+      }
+    }
+    var fi = 0
+    while (fi < k) { // insert with sift-up
+      heap(hs) = fi; var i = hs; hs += 1
+      while (i > 0 && head(heap(i)) < head(heap((i - 1) / 2))) {
+        val p = (i - 1) / 2
+        val t = heap(i); heap(i) = heap(p); heap(p) = t; i = p
+      }
+      fi += 1
+    }
+    var o = 0
+    while (hs > 0) {
+      val f = heap(0)
+      vals(o) = head(f); wts(o) = perW(f); o += 1
+      idx(f) += 1
+      if (idx(f) >= files(f)._1.length) { hs -= 1; heap(0) = heap(hs) }
+      siftDown()
+    }
+    (vals, wts)
+  }
+
+  /** Per-SEGMENT summary capacity: one segment may pool thousands of
+    * files' samples, so its pre-merged summary keeps more order
+    * statistics than a single file's 128 — resolution loss from the
+    * double downsampling stays negligible at the optimizer's 64-bin
+    * grain. */
+  val SegEmitCap = 512
+
+  /** Compress pooled per-file samples into ONE uniform-weight summary
+    * of ≤ cap order statistics representing their total non-null mass —
+    * the segment-level pre-merge that makes plan-time histogram
+    * assembly O(live segments) instead of O(kept files). Downsampling a
+    * weighted merged sample at evenly spaced cumulative-weight ranks is
+    * itself a quantile sketch, the same argument as EmitCap. */
+  def compress(perFile: Seq[(Array[Double], Long)], cap: Int = SegEmitCap):
+      Option[(Array[Double], Long)] = {
+    val files = perFile.filter(f => f._1.nonEmpty && f._2 > 0L).toArray
+    if (files.isEmpty) return None
+    val (vals, wts) = mergedArrays(files)
+    val n = vals.length
+    var nn = 0L
+    files.foreach(nn += _._2)
+    val total = wts.sum
+    val m = math.min(cap, n)
+    if (m == n && files.forall(f => f._1.length.toLong * files(0)._2 ==
+        f._2 * files(0)._1.length))
+      return Some((vals, nn)) // uniform weights already: verbatim
+    val out = new Array[Double](m)
+    out(0) = vals(0)
+    out(m - 1) = vals(n - 1)
     var i = 0
     var acc = 0.0
-    var k = 1
-    while (k <= nBins) {
-      val target = total * k / nBins
-      while (acc < target && i < pts.length) { acc += pts(i)._2; i += 1 }
-      boundaries(k) = pts(math.min(i, pts.length) - 1)._1
-      k += 1
+    var q = 1
+    while (q < m - 1) {
+      val target = total * q / (m - 1)
+      while (acc < target && i < n) { acc += wts(i); i += 1 }
+      out(q) = vals(math.min(i, n) - 1)
+      q += 1
     }
-    // per-bin distinct counts in ONE monotone walk (pts and boundaries
+    Some((out, nn))
+  }
+
+  def merge(perFile: Seq[(Array[Double], Long)], buckets: Int = Buckets):
+      Option[(Double, Array[(Double, Double, Long)])] = {
+    val files = perFile.filter(f => f._1.nonEmpty && f._2 > 0L).toArray
+    if (files.isEmpty) return None
+    val (vals, wts) = mergedArrays(files)
+    val n = vals.length
+    var total = 0.0
+    files.foreach(total += _._2.toDouble)
+    val nBins = math.min(buckets, n)
+    // weighted quantile at cumulative targets k/B, by one walk
+    val boundaries = new Array[Double](nBins + 1)
+    boundaries(0) = vals(0)
+    var i = 0
+    var acc = 0.0
+    var q = 1
+    while (q <= nBins) {
+      val target = total * q / nBins
+      while (acc < target && i < n) { acc += wts(i); i += 1 }
+      boundaries(q) = vals(math.min(i, n) - 1)
+      q += 1
+    }
+    // per-bin distinct counts in ONE monotone walk (vals and boundaries
     // are both sorted): advance j once across all bins
     val out = new Array[(Double, Double, Long)](nBins)
     var b = 0
@@ -185,10 +290,9 @@ object ManifestHist {
       var d = 0L
       // skip points at or below lo (they belong to earlier bins),
       // except the very first bin which includes its lower endpoint
-      while (j < pts.length && (pts(j)._1 < lo ||
-          (b > 0 && pts(j)._1 == lo))) j += 1
-      while (j < pts.length && pts(j)._1 <= hi) {
-        if (pts(j)._1 != prev) { d += 1; prev = pts(j)._1 }
+      while (j < n && (vals(j) < lo || (b > 0 && vals(j) == lo))) j += 1
+      while (j < n && vals(j) <= hi) {
+        if (vals(j) != prev) { d += 1; prev = vals(j) }
         j += 1
       }
       out(b) = (lo, hi, math.max(1L, d))

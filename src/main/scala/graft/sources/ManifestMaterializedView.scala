@@ -603,6 +603,12 @@ object ManifestMaterializedView {
     val delta = deltaRows(
       d.filterSql.map(f => feedJoined.filter(expr(f)))
         .getOrElse(feedJoined), d).persist()
+    // the try opens HERE (round-16 advice): an exception while reading
+    // the MV pre-state or constructing the join must still unpersist —
+    // a leaked block in a long-lived session never ages out
+    var folded: DataFrame = null
+    var recompute: DataFrame = null
+    try {
 
     val pre = spark.read.format("graft-manifest")
       .option("path", mvDir.toString)
@@ -642,10 +648,9 @@ object ManifestMaterializedView {
            else greatest(col(c), ins)).as(c)
         }
       }
-    val folded = joined.filter(!needR).select(foldRow: _*).persist()
-    val recompute = joined.filter(needR)
+    folded = joined.filter(!needR).select(foldRow: _*).persist()
+    recompute = joined.filter(needR)
       .select(d.groupBy.map(col): _*).persist()
-    try {
 
     val negative = folded.filter(col(CntCol) < 0).count()
     require(negative == 0,
@@ -698,7 +703,11 @@ object ManifestMaterializedView {
       mvVersion = ManifestFiles.latestComplete(fs, mvDir))
     publishDef(fs, mvDir, landed, expectFresh = false)
     landed
-    } finally { folded.unpersist(); recompute.unpersist(); delta.unpersist() }
+    } finally {
+      if (folded != null) folded.unpersist()
+      if (recompute != null) recompute.unpersist()
+      delta.unpersist()
+    }
   }
 
   /** Test-visible: full recomputes taken (the dim-delta spec asserts

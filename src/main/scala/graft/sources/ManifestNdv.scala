@@ -120,22 +120,25 @@ object ManifestNdv {
   private def unb64(s: String): Array[Byte] =
     java.util.Base64.getDecoder.decode(s)
 
+  def payload(sketches: Seq[(Int, Array[Byte])]): String =
+    sketches.map { case (p, r) => s"$p=${b64(r)}" }.mkString(";")
+
+  def parsePayload(payload: String): Map[Int, Array[Byte]] =
+    payload.split(";").flatMap { kv =>
+      val eq = kv.indexOf('=')
+      if (eq <= 0) None
+      else kv.substring(0, eq).toIntOption.map(_ -> unb64(kv.substring(eq + 1)))
+    }.toMap
+
   /** `#ndv,<file>,<pos>=<b64>;<pos>=<b64>` — position-keyed like
     * `#stats`, so RENAME COLUMN keeps sketches valid. */
   def line(name: String, sketches: Seq[(Int, Array[Byte])]): String =
-    s"#ndv,$name," +
-      sketches.map { case (p, r) => s"$p=${b64(r)}" }.mkString(";")
+    s"#ndv,$name,${payload(sketches)}"
 
   def fromLines(lines: Array[String]): Map[String, Map[Int, Array[Byte]]] =
     lines.filter(_.startsWith("#ndv,")).flatMap { l =>
       l.split(",", 3) match {
-        case Array(_, name, payload) =>
-          val m = payload.split(";").flatMap { kv =>
-            val eq = kv.indexOf('=')
-            if (eq <= 0) None
-            else kv.substring(0, eq).toIntOption.map(_ -> unb64(kv.substring(eq + 1)))
-          }.toMap
-          Some(name -> m)
+        case Array(_, name, p) => Some(name -> parsePayload(p))
         case _ => None
       }
     }.toMap

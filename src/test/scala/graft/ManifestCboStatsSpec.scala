@@ -329,4 +329,64 @@ class ManifestCboStatsSpec extends AnyFunSuite {
     assert(!st.contains("k") || st("k").distinctCount.isEmpty,
       s"widened int column must report no stats, got ${st.get("k")}")
   }
+
+  test("non-finite doubles sample like nulls (round-16 advice): NaN/∞ " +
+    "never become HistogramBin bounds — catalyst's range arithmetic " +
+    "over them produces garbage estimates") {
+    val (cat, _) = freshCat("nonfinite")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, x DOUBLE) " +
+      "TBLPROPERTIES('stats.histogram.columns'='x')")
+    spark.range(0, 10000).selectExpr("id AS k",
+      "CASE WHEN id % 7 = 0 THEN double('NaN') " +
+        "WHEN id % 11 = 0 THEN double('Infinity') " +
+        "WHEN id % 13 = 0 THEN double('-Infinity') " +
+        "ELSE CAST(id % 50 AS DOUBLE) END AS x")
+      .coalesce(2).writeTo(s"$cat.t").append()
+    // ±∞ live in the exact `#stats` bounds, so stretching an outer bin
+    // to them would mint an infinite bound — the scan must REFUSE the
+    // histogram instead
+    val st = withCbo(attrStats(spark.table(s"$cat.t")))
+    assert(st.get("x").forall(_.histogram.isEmpty),
+      "infinite exact bounds must suppress the histogram entirely")
+    // NaN alone: NaN orders GREATEST in the canonical double order, so
+    // the exact `#stats` max is NaN — the histogram is refused rather
+    // than anchored on a bound range arithmetic cannot price
+    spark.sql(s"CREATE TABLE $cat.nanonly (k BIGINT, x DOUBLE) " +
+      "TBLPROPERTIES('stats.histogram.columns'='x')")
+    spark.range(0, 10000).selectExpr("id AS k",
+      "CASE WHEN id % 7 = 0 THEN double('NaN') " +
+        "ELSE CAST(id % 50 AS DOUBLE) END AS x")
+      .coalesce(2).writeTo(s"$cat.nanonly").append()
+    val stN = withCbo(attrStats(spark.table(s"$cat.nanonly")))
+    assert(stN.get("x").forall(_.histogram.isEmpty),
+      "a NaN exact max must suppress the histogram")
+    // an all-finite sibling written the same way DOES surface one —
+    // the refusal is about the bounds, not the declaration
+    spark.sql(s"CREATE TABLE $cat.finite (k BIGINT, x DOUBLE) " +
+      "TBLPROPERTIES('stats.histogram.columns'='x')")
+    spark.range(0, 10000).selectExpr("id AS k",
+      "CAST(id % 50 AS DOUBLE) AS x")
+      .coalesce(2).writeTo(s"$cat.finite").append()
+    val hF = withCbo(attrStats(spark.table(s"$cat.finite")))
+      .get("x").flatMap(_.histogram)
+    assert(hF.isDefined, "finite column must surface a histogram")
+    hF.get.bins.foreach { b =>
+      assert(java.lang.Double.isFinite(b.lo) &&
+        java.lang.Double.isFinite(b.hi),
+        s"non-finite histogram bound: [${b.lo}, ${b.hi}]")
+    }
+    // and the emitted per-file samples themselves carry only finite
+    // values (the guard is at the sampler, not a read-time patch)
+    val root = spark.conf.get(s"spark.sql.catalog.$cat.root")
+    val dir = new org.apache.hadoop.fs.Path(root, "t")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val lines = ManifestFiles.linesOf(fs, dir, None)
+    val hist = ManifestHist.fromLines(lines)
+    assert(hist.nonEmpty, "histogram samples must still be emitted")
+    hist.values.flatMap(_.values).foreach { case (vs, nn) =>
+      assert(vs.forall(java.lang.Double.isFinite),
+        "non-finite value leaked into a #hist sample")
+      assert(nn > 0, "finite-value count must be positive")
+    }
+  }
 }

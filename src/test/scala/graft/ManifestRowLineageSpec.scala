@@ -391,6 +391,52 @@ class ManifestRowLineageSpec extends AnyFunSuite {
       .collect().forall(_.isNullAt(0)))
   }
 
+  test("_last_updated_version on enable-on-existing (round-16 advice): " +
+    "pre-existing COW files read NULL (their write version is " +
+    "unrecoverable — Iceberg v3 null-inheritance); pre-existing MOR " +
+    "files resolve their true birth version through #born; rows " +
+    "written AFTER the flip stamp their own commit") {
+    // copy-on-write: no birth markers exist, so history reads NULL
+    val (cat, _) = freshCat("luvflip")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
+    spark.range(0, 50).select($"id".as("k")).coalesce(1)
+      .writeTo(s"$cat.t").append()                                 // v2
+    spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES('row.lineage'='true')")
+    val flipped = spark.sql(
+      s"SELECT k, _last_updated_version FROM $cat.t").collect()
+    assert(flipped.forall(_.isNullAt(1)),
+      "enable-on-existing must NOT stamp old rows at the enable commit")
+    spark.range(50, 60).select($"id".as("k")).coalesce(1)
+      .writeTo(s"$cat.t").append()                                 // v4
+    val after = spark.sql(
+      s"SELECT k, _last_updated_version FROM $cat.t").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert((0L until 50L).forall(after(_).isEmpty),
+      "pre-flip rows stay NULL after later commits re-carry them")
+    assert((50L until 60L).forall(after(_).contains(4)),
+      s"post-flip appends stamp their own version, got ${after(55L)}")
+    // merge-on-read: #born markers recover each file's birth version
+    val (cat2, _) = freshCat("luvborn")
+    spark.sql(s"CREATE TABLE $cat2.t (k BIGINT) " +
+      "TBLPROPERTIES('delete.mode'='merge-on-read')")
+    spark.range(0, 30).select($"id".as("k")).coalesce(1)
+      .writeTo(s"$cat2.t").append()                                // v2
+    spark.sql(s"DELETE FROM $cat2.t WHERE k = 0")                  // v3 (MOR)
+    spark.range(30, 40).select($"id".as("k")).coalesce(1)
+      .writeTo(s"$cat2.t").append()                                // v4
+    spark.sql(s"ALTER TABLE $cat2.t SET TBLPROPERTIES('row.lineage'='true')")
+    val born = spark.sql(
+      s"SELECT k, _last_updated_version FROM $cat2.t").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert((1L until 30L).forall(born(_).contains(2)),
+      s"MOR pre-flip rows must resolve their #born version 2, " +
+        s"got ${born(1L)}")
+    assert((30L until 40L).forall(born(_).contains(4)),
+      s"second append's rows must resolve #born version 4, got ${born(35L)}")
+  }
+
   test("_last_updated_version: MERGE bumps matched-updated rows and " +
     "stamps inserted rows; merge-on-read UPDATE bumps through the " +
     "delta path; the CHANGE FEED carries the column per leg") {
