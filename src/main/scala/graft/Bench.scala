@@ -82,7 +82,8 @@ object Bench {
     "q265_merge_not_matched_by_source", "q266_row_lineage",
     "q267_agg_pushdown", "q268_cbo_live_stats_reorder",
     "q269_star_join_mv", "q270_stale_mv_compensation",
-    "q271_variant_governed", "q272_histogram_broadcast_flip")
+    "q271_variant_governed", "q272_histogram_broadcast_flip",
+    "q273_mv_rollup_rewrite")
 
   private val sentinelName = "q97_compute_pi"
   private val stragglerQueries =

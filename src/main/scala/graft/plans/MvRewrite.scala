@@ -24,12 +24,22 @@ import graft.sources.{GraftManifestCatalog, ManifestChangeFeed, ManifestFiles, M
   * fully-resolved plans; `SET spark.graft.mv.rewrite=false` disables.
   *
   * SOUNDNESS RULES (each individually conservative):
-  *   - SHAPE: group-bys must be plain columns matching the MV keys as a
-  *     set; every output must be a group key or a bare
-  *     count/sum/avg/min/max whose argument semantically equals a
-  *     declared MV aggregate (resolved against the query's OWN child
-  *     plan, so casts and exprIds align); `count(*)` matches any MV on
-  *     the source. The plan under the aggregate may be one manifest
+  *   - SHAPE: group-bys must be plain columns forming the MV keys as a
+  *     set — or a SUBSET of them (ROLLUP MATCHING, round 16: the
+  *     Calcite/Oracle partial group-by rewrite, the reason one
+  *     `(day, segment)` cube serves every coarser dashboard
+  *     granularity). An exact match answers with a PROJECT over the MV;
+  *     a subset re-AGGREGATES the MV's storage columns, which is sound
+  *     because every supported aggregate re-aggregates losslessly:
+  *     counts and sums FOLD (sum of per-group signed counts/exact
+  *     sums), min/max RE-EXTREMIZE (min of per-group minima), and avg
+  *     derives from the folded exact sum/count pair — never from
+  *     averaging averages. Exact candidates are preferred over rollup
+  *     ones (no re-aggregation work at read time). Every output must
+  *     be a group key or a bare count/sum/avg/min/max whose argument
+  *     semantically equals a declared MV aggregate (resolved against
+  *     the query's OWN child plan, so casts and exprIds align);
+  *     `count(*)` matches any MV on the source. The plan under the aggregate may be one manifest
   *     relation or a tree of INNER joins over manifest relations of the
   *     same catalog; the join-condition SET must biject semantically to
   *     the MV's declared dim conditions (inner joins reassociate
@@ -159,12 +169,17 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         else None // stale registry marker: MV dropped by hand
       } catch { case _: Exception => None }
     }
-    candidates.view.flatMap { case (mvName, d) =>
-      // a per-candidate failure (storage drift, unreadable MV) skips
-      // that candidate, never the query
-      try tryOne(agg, queryFilter, joinConds, leaves, cat, mvName, d)
-      catch { case _: Exception => None }
-    }.headOption
+    // exact-key candidates first (a Project beats a re-aggregation),
+    // then rollup candidates (query keys ⊂ MV keys)
+    def pass(rollup: Boolean): Option[LogicalPlan] =
+      candidates.view.flatMap { case (mvName, d) =>
+        // a per-candidate failure (storage drift, unreadable MV) skips
+        // that candidate, never the query
+        try tryOne(agg, queryFilter, joinConds, leaves, cat, mvName, d,
+          rollup)
+        catch { case _: Exception => None }
+      }.headOption
+    pass(rollup = false).orElse(pass(rollup = true))
   }
 
   /** Resolve an MV definition expression against the query's own child
@@ -184,10 +199,16 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def tryOne(agg: Aggregate, queryFilter: Option[Expression],
       joinConds: Seq[Expression], leaves: Seq[Leaf],
       cat: GraftManifestCatalog, mvName: String,
-      d: ManifestMaterializedView.MvDef): Option[LogicalPlan] = {
+      d: ManifestMaterializedView.MvDef,
+      rollup: Boolean): Option[LogicalPlan] = {
     val groupNames = agg.groupingExpressions
       .map(_.asInstanceOf[AttributeReference].name)
-    if (groupNames.toSet != d.groupBy.toSet) return None
+    if (rollup) {
+      // ROLLUP: query keys must be a STRICT subset of the MV keys (the
+      // exact pass already handled equality); the rewrite re-aggregates
+      if (groupNames.toSet == d.groupBy.toSet ||
+          !groupNames.toSet.subsetOf(d.groupBy.toSet)) return None
+    } else if (groupNames.toSet != d.groupBy.toSet) return None
 
     // ---- star shape: fact + dims biject to the leaves ----
     val factLeaf = leaves.find(_.ident.name == d.source).getOrElse(return None)
@@ -324,19 +345,6 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     def guard(a: ManifestMaterializedView.AggSpec, v: Expression) =
       If(GreaterThan(nn(a), Literal(0L)), v, Literal(null, v.dataType))
 
-    val projList: Seq[NamedExpression] = derivs.map { case (orig, dv) =>
-      val e: Expression = dv match {
-        case KeyCol(n) => attr(n)
-        case CntStar() => cnt
-        case NnCol(a) => nn(a)
-        case SumD(a, out) => guard(a, Cast(sumc(a), out))
-        case AvgD(a) => guard(a,
-          Divide(Cast(sumc(a), DoubleType), Cast(nn(a), DoubleType)))
-        case ExtD(a) => attr(s"__mv_ext_${a.alias}")
-      }
-      if (e.dataType != orig.dataType) return None // exact types only
-      Alias(e, orig.name)(exprId = orig.exprId)
-    }
     val base = extraKeyFilter match {
       case None => base0
       case Some(c) =>
@@ -345,14 +353,66 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         Filter(remapped, base0)
     }
+    val replacement: LogicalPlan = if (!rollup) {
+      val projList: Seq[NamedExpression] = derivs.map { case (orig, dv) =>
+        val e: Expression = dv match {
+          case KeyCol(n) => attr(n)
+          case CntStar() => cnt
+          case NnCol(a) => nn(a)
+          case SumD(a, out) => guard(a, Cast(sumc(a), out))
+          case AvgD(a) => guard(a,
+            Divide(Cast(sumc(a), DoubleType), Cast(nn(a), DoubleType)))
+          case ExtD(a) => attr(s"__mv_ext_${a.alias}")
+        }
+        if (e.dataType != orig.dataType) return None // exact types only
+        Alias(e, orig.name)(exprId = orig.exprId)
+      }
+      Project(projList, base)
+    } else {
+      // ROLLUP: one Aggregate over the MV's storage — counts/sums FOLD,
+      // min/max RE-EXTREMIZE, avg derives from the folded exact pair.
+      // Null discipline: a merged group's sum/avg is null iff its total
+      // non-null input count is zero (ANSI), and the fold-based counts
+      // coalesce to 0 so a GLOBAL rollup over an empty MV still answers
+      // count = 0 the way a real aggregate would.
+      def fold(f: AggregateFunction): Expression =
+        AggregateExpression(f, Complete, isDistinct = false)
+      def nnTotal(a: ManifestMaterializedView.AggSpec): Expression =
+        fold(Sum(nn(a)))
+      val aggList: Seq[NamedExpression] = derivs.map { case (orig, dv) =>
+        val e: Expression = dv match {
+          case KeyCol(n) => attr(n)
+          case CntStar() =>
+            Coalesce(Seq(Cast(fold(Sum(cnt)), LongType), Literal(0L)))
+          case NnCol(a) =>
+            Coalesce(Seq(Cast(fold(Sum(nn(a))), LongType), Literal(0L)))
+          case SumD(a, out) =>
+            If(GreaterThan(nnTotal(a), Literal(0L)),
+              Cast(fold(Sum(sumc(a))), out), Literal.create(null, out))
+          case AvgD(a) =>
+            If(GreaterThan(nnTotal(a), Literal(0L)),
+              Divide(Cast(fold(Sum(sumc(a))), DoubleType),
+                Cast(nnTotal(a), DoubleType)),
+              Literal.create(null, DoubleType))
+          case ExtD(a) =>
+            val ext = attr(s"__mv_ext_${a.alias}")
+            fold(if (a.func == "min") Min(ext) else Max(ext))
+        }
+        if (e.dataType != orig.dataType) return None // exact types only
+        Alias(e, orig.name)(exprId = orig.exprId)
+      }
+      Aggregate(groupNames.map(attr), aggList, base)
+    }
     logInfo(s"graft MV rewrite: aggregate over " +
       s"${cat.name()}.${d.source} v${factLeaf.version}" +
       (if (d.dims.nonEmpty)
         d.dims.map(_.table).mkString(" ⋈ {", ",", "}") else "") +
       s" answered by materialized view $mvName (as of mv " +
       s"v${d.mvVersion}" +
+      (if (rollup) s", ROLLED UP ${d.groupBy.mkString("(", ",", ")")}→" +
+        groupNames.mkString("(", ",", ")") else "") +
       (if (stale) s", delta-compensated from source " +
         s"v${d.sourceVersion}" else "") + ")")
-    Some(Project(projList, base))
+    Some(replacement)
   }
 }

@@ -2592,6 +2592,68 @@ object Sources extends QueryModule {
       WHERE li.x > 60.0
       GROUP BY 1 ORDER BY 1"""))
 
+  /** MV ROLLUP REWRITE (round 16 — partial group-by matching, the core
+    * of Calcite/Oracle materialized-view rollup and the reason BI cubes
+    * work): one `(status, cseg)` MV answers EVERY coarser granularity —
+    * the entry REQUIRES a `GROUP BY status` query to answer from the MV
+    * (and to never touch the fact), re-aggregating its storage: counts
+    * and sums FOLD, min/max RE-EXTREMIZE, all losslessly. Previously
+    * each dashboard granularity needed its own MV + its own refresh
+    * stream; at 100 TB this is the difference between one maintained
+    * cube and one per pivot. The exact-key query still answers with a
+    * plain Project (no re-aggregation), and the GLOBAL rollup (no keys)
+    * folds to one row. Final hash rides the rolled-up plan vs DuckDB
+    * aggregating the raw table. */
+  val qMvRollup: QueryDef = QueryDef(
+    "q273_mv_rollup_rewrite",
+    (s, d) => {
+      import s.implicits._
+      val root = tmp(d, "mv_rollup")
+      val dir = new org.apache.hadoop.fs.Path(root)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      val cat = "graft_mvru_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE TABLE $cat.ord (status STRING, cseg BIGINT, tp BIGINT)")
+      Tables.df(s, d, "orders").select($"o_orderstatus".as("status"),
+        ($"o_custkey" % 8).as("cseg"),
+        floor($"o_totalprice").cast("long").as("tp"))
+        .writeTo(s"$cat.ord").append()
+      s.sql(s"CALL $cat.system.create_materialized_view('cube_mv', 'ord', " +
+        "'status,cseg', 'count:*:n,sum:tp:sp,min:tp:mn,max:tp:mx')")
+      // exact keys: a Project over the MV (round-14/15 behavior intact)
+      val exactPlan = s.sql(s"SELECT status, cseg, count(*) AS n FROM " +
+        s"$cat.ord GROUP BY status, cseg").queryExecution.optimizedPlan
+      require(exactPlan.toString.contains(".cube_mv"),
+        s"the exact-key aggregate must answer from the MV:\n$exactPlan")
+      // the rollup: a coarser GROUP BY re-aggregates the MV's storage
+      val qRoll = s"SELECT status, count(*) AS n, sum(tp) AS sp, " +
+        s"min(tp) AS mn, max(tp) AS mx FROM $cat.ord GROUP BY status"
+      val ps = s.sql(qRoll).queryExecution.optimizedPlan.toString
+      require(ps.contains(".cube_mv"),
+        s"the coarser GROUP BY must ROLL UP from the (status,cseg) MV:\n$ps")
+      require(!ps.contains(s"$cat.ord"),
+        s"the rolled-up plan must never touch the fact:\n$ps")
+      // the GLOBAL rollup folds the whole cube to one row, still exact
+      val g = s.sql(s"SELECT count(*) AS n, sum(tp) AS sp FROM $cat.ord")
+      require(g.queryExecution.optimizedPlan.toString.contains(".cube_mv"),
+        "the global aggregate must roll up from the MV")
+      val direct = s.conf
+      direct.set("spark.graft.mv.rewrite", "false")
+      val want =
+        try s.sql(s"SELECT count(*) FROM $cat.ord").head().getLong(0)
+        finally direct.set("spark.graft.mv.rewrite", "true")
+      require(g.head().getLong(0) == want,
+        "global rollup count drifted from the direct scan")
+      s.sql(qRoll).orderBy($"status")
+    },
+    Some("""
+      SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS sp,
+             CAST(MIN(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS mn,
+             CAST(MAX(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS mx
+      FROM orders GROUP BY 1 ORDER BY 1"""))
+
   override def defs: Seq[QueryDef] =
     Seq(qCsv, qJson, qOrc, qText, qPartitioned, qSynthSource, qSynthColumnar,
       qSchemaEvolution, qManifestTimeTravel, qManifestMerge, qManifestStream,
@@ -2604,5 +2666,5 @@ object Sources extends QueryModule {
       qWidened, qCdfImages, qAnnIndex, qHoursRetention, qCappedStream,
       qGovernedView, qMaterializedView, qMvRewrite,
       qMergeNotMatchedBySource, qRowLineage, qAggPushdown, qCboReorder,
-      qStarMv, qStaleMv, qVariantGoverned, qHistogramFlip)
+      qStarMv, qStaleMv, qVariantGoverned, qHistogramFlip, qMvRollup)
 }

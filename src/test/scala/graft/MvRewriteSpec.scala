@@ -374,4 +374,111 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(reads <= 2,
       s"plan-time definition reads must be flat in catalog size, got $reads")
   }
+
+  // ---- ROLLUP matching (round 16): query keys ⊂ MV keys ---------------
+
+  test("ROLLUP rewrite: a query grouping by a SUBSET of the MV keys " +
+    "re-aggregates the MV — counts/sums fold, min/max re-extremize — " +
+    "including the GLOBAL (no keys) rollup; a filter over MV keys " +
+    "prunes groups before the re-aggregation") {
+    val (cat, _) = freshCat()
+    seed(cat)
+    spark.sql(s"CALL $cat.system.create_materialized_view('cube1', 'src', " +
+      "'grp,n', 'count:*:c,count:v:cv,sum:n:sn,min:v:mn,max:v:mx')")
+    assertSame(s"SELECT grp, count(*) AS c, count(v) AS cv, " +
+      s"sum(n) AS sn, min(v) AS mn, max(v) AS mx FROM $cat.src " +
+      "GROUP BY grp", "cube1", expectRewrite = true)
+    // the other key
+    assertSame(s"SELECT n, count(*) AS c, max(v) AS mx FROM $cat.src " +
+      "GROUP BY n", "cube1", expectRewrite = true)
+    // global rollup: no group keys at all
+    assertSame(s"SELECT count(*) AS c, min(v) AS mn FROM $cat.src",
+      "cube1", expectRewrite = true)
+    // a filter over an MV key that is NOT a query key prunes MV groups
+    // before the fold (legal: groups partition rows)
+    assertSame(s"SELECT grp, count(*) AS c FROM $cat.src " +
+      "WHERE n IN (1, 2, 3) GROUP BY grp", "cube1", expectRewrite = true)
+    // non-subset keys never roll up
+    assertSame(s"SELECT grp, k, count(*) AS c FROM $cat.src " +
+      "GROUP BY grp, k", "cube1", expectRewrite = false)
+  }
+
+  test("ROLLUP null discipline: a merged group whose total non-null " +
+    "input count is zero answers NULL for sum (ANSI), and counts " +
+    "coalesce to 0 on the empty global rollup") {
+    import spark.implicits._
+    val (cat, _) = freshCat()
+    spark.sql(s"CREATE TABLE $cat.nsrc (g STRING, h BIGINT, x BIGINT)")
+    Seq(("a", 0L, None), ("a", 1L, Some(5L)), ("a", 1L, Some(7L)),
+      ("b", 0L, None), ("b", 0L, None))
+      .map { case (g, h, x) => (g, h, x.map(java.lang.Long.valueOf).orNull) }
+      .toDF("g", "h", "x").writeTo(s"$cat.nsrc").append()
+    spark.sql(s"CALL $cat.system.create_materialized_view('ncube', " +
+      "'nsrc', 'g,h', 'count:*:c,count:x:cx,sum:x:sx')")
+    val q = s"SELECT g, count(*) AS c, count(x) AS cx, sum(x) AS sx " +
+      s"FROM $cat.nsrc GROUP BY g"
+    assertSame(q, "ncube", expectRewrite = true)
+    val rows = spark.sql(q).collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(rows("a") == ((3L, 2L, Some(12L))))
+    assert(rows("b") == ((2L, 0L, None)),
+      "an all-null merged group must answer NULL sum, 0 count")
+  }
+
+  test("ROLLUP preference and drift gates: an exact-key MV beats a " +
+    "rollup candidate; fractional sum/avg roll up only under " +
+    "allowNumericDrift; rollup composes with stale-tail compensation") {
+    import spark.implicits._
+    val (cat, _) = freshCat()
+    seed(cat)
+    spark.sql(s"CALL $cat.system.create_materialized_view('cube2', 'src', " +
+      "'grp,n', 'count:*:c,sum:v:sv,avg:v:av')")
+    spark.sql(s"CALL $cat.system.create_materialized_view('flat2', 'src', " +
+      "'grp', 'count:*:c')")
+    // exact match wins: no re-aggregation when a Project suffices
+    val dfExact = spark.sql(
+      s"SELECT grp, count(*) AS c FROM $cat.src GROUP BY grp")
+    assert(scansMv(dfExact, "flat2") && !scansMv(dfExact, "cube2"),
+      "exact-key candidates must be preferred over rollups:\n" +
+        dfExact.queryExecution.optimizedPlan.toString)
+    // fractional sum/avg: the same drift gate as the exact path
+    val qd = s"SELECT grp, sum(v) AS sv, avg(v) AS av FROM $cat.src " +
+      "GROUP BY grp"
+    assert(!scansMv(spark.sql(qd), "cube2"),
+      "fractional rollup must NOT rewrite by default")
+    spark.conf.set("spark.graft.mv.rewrite.allowNumericDrift", "true")
+    try {
+      val df = spark.sql(qd)
+      assert(scansMv(df, "cube2"))
+      val got = df.collect().map(r => (r.getString(0),
+        math.round(r.getDouble(1) * 1e9), math.round(r.getDouble(2) * 1e9)))
+        .sortBy(_._1).toSeq
+      val want = withoutRewrite(spark.sql(qd).collect().map(r =>
+        (r.getString(0), math.round(r.getDouble(1) * 1e9),
+          math.round(r.getDouble(2) * 1e9))).sortBy(_._1).toSeq)
+      assert(got == want)
+    } finally
+      spark.conf.set("spark.graft.mv.rewrite.allowNumericDrift", "false")
+    // stale tail + rollup: the Aggregate folds over the COMPENSATED base
+    Seq((901L, "g2", 7.0, 3L)).toDF("k", "grp", "v", "n")
+      .writeTo(s"$cat.src").append()
+    spark.sql(s"CALL $cat.system.drop_materialized_view('flat2')")
+    val qc = s"SELECT grp, count(*) AS c FROM $cat.src GROUP BY grp"
+    assert(!scansMv(spark.sql(qc), "cube2"),
+      "stale rollup must refuse without allowStale")
+    spark.conf.set("spark.graft.mv.rewrite.allowStale", "true")
+    try {
+      // the compensated base reads the MV BY PATH (no catalog ident),
+      // so assert the q270 way: executed plan = MV storage + CDF tail
+      val df = spark.sql(qc)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("cube2") && p.contains("graft-manifest-changefeed"),
+        s"stale rollup must fold the compensated base:\n$p")
+      val got = df.collect().map(_.toString).sorted.toSeq
+      val want = withoutRewrite(
+        spark.sql(qc).collect().map(_.toString).sorted.toSeq)
+      assert(got == want, "compensated rollup drifted from direct")
+    } finally spark.conf.set("spark.graft.mv.rewrite.allowStale", "false")
+  }
 }
