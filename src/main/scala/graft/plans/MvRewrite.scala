@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.Identifier
@@ -101,13 +101,24 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private case class Leaf(rel: DataSourceV2Relation,
       cat: GraftManifestCatalog, ident: Identifier, version: Int)
 
-  /** Strip aliases; collect the conjunction of all Filters, the set of
-    * INNER-join conditions, and the manifest-relation leaves. Inner
-    * joins commute with filters and reassociate, so flattening to
-    * (filters, conditions, leaves) preserves semantics exactly. Any
-    * other operator (outer join, project, branch read) bails. */
+  /** One join condition plus its kind: `leftDim = None` for an INNER
+    * condition (reassociates freely), `Some(dimTable)` for a LEFT-OUTER
+    * condition attached to that null-supplying dim leaf. */
+  private type Cond = (Expression, Option[String])
+
+  /** Strip aliases; collect the conjunction of all Filters, the tagged
+    * join conditions, and the manifest-relation leaves. Inner joins
+    * commute with filters and reassociate, so flattening preserves
+    * semantics exactly. A LEFT join is accepted only in the star shape
+    * that actually commutes: the null-supplying side must be ONE bare
+    * dim relation (a filtered or joined right side does not commute
+    * with the outer join), and filters collect only from the PRESERVED
+    * side, which the left join keeps intact. tryOne further requires
+    * each left condition to reference only the fact and its own dim, so
+    * left joins reorder soundly among themselves and across the inner
+    * ones. Any other operator (project, branch read) bails. */
   private def unwrapShape(p: LogicalPlan):
-      Option[(Option[Expression], Seq[Expression], Seq[Leaf])] = p match {
+      Option[(Option[Expression], Seq[Cond], Seq[Leaf])] = p match {
     case SubqueryAlias(_, c) => unwrapShape(c)
     case Filter(cond, c) => unwrapShape(c).map {
       case (f, cs, ls) =>
@@ -117,8 +128,16 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       for ((fl, cl, ll) <- unwrapShape(l); (fr, cr, lr) <- unwrapShape(r))
         yield {
           val fs = (fl.toSeq ++ fr.toSeq).reduceOption(And)
-          (fs, (cl :+ cond) ++ cr, ll ++ lr)
+          (fs, (cl :+ ((cond, None: Option[String]))) ++ cr, ll ++ lr)
         }
+    case Join(l, r, LeftOuter, Some(cond), _) =>
+      unwrapShape(r) match {
+        case Some((None, Seq(), Seq(dim))) =>
+          unwrapShape(l).map { case (fl, cl, ll) =>
+            (fl, cl :+ ((cond, Some(dim.ident.name))), ll :+ dim)
+          }
+        case _ => None
+      }
     case r: DataSourceV2Relation =>
       (r.catalog, r.identifier) match {
         case (Some(cat: GraftManifestCatalog), Some(id))
@@ -197,7 +216,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     } catch { case _: Exception => None }
 
   private def tryOne(agg: Aggregate, queryFilter: Option[Expression],
-      joinConds: Seq[Expression], leaves: Seq[Leaf],
+      joinConds: Seq[Cond], leaves: Seq[Leaf],
       cat: GraftManifestCatalog, mvName: String,
       d: ManifestMaterializedView.MvDef,
       rollup: Boolean): Option[LogicalPlan] = {
@@ -224,13 +243,25 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       // right place for that work; the read path just refuses.
       if (leaf.version != ds.version) return None // dim moved / repinned
     }
-    // join-condition sets biject semantically
+    // join-condition sets biject semantically, kind-for-kind: an INNER
+    // spec matches only an untagged condition, a LEFT spec only a
+    // left-tagged condition on the same dim (an inner query over a
+    // left-dim MV — or vice versa — computes a different multiset)
     if (joinConds.length != d.dims.length) return None
-    val defConds = d.dims.map(ds =>
-      resolveAgainst(agg.child, ds.onSql).getOrElse(return None))
-    val unmatched = defConds.foldLeft(joinConds) { (remaining, dc) =>
-      val i = remaining.indexWhere(_.semanticEquals(dc))
+    val unmatched = d.dims.foldLeft(joinConds) { (remaining, ds) =>
+      val dc = resolveAgainst(agg.child, ds.onSql).getOrElse(return None)
+      val want = if (ds.isLeft) Some(ds.table) else None
+      val i = remaining.indexWhere { case (c, tag) =>
+        tag == want && c.semanticEquals(dc) }
       if (i < 0) return None
+      if (ds.isLeft) {
+        // commutation guard: a left condition must see only the fact
+        // and its own dim, or reordering the flattened joins is unsound
+        val dimLeaf = dimLeaves.find(_.ident.name == ds.table).get
+        val allowed = factLeaf.rel.outputSet ++ dimLeaf.rel.outputSet
+        if (!remaining(i)._1.references.subsetOf(allowed) ||
+            !dc.references.subsetOf(allowed)) return None
+      }
       remaining.patch(i, Nil, 1)
     }
     if (unmatched.nonEmpty) return None

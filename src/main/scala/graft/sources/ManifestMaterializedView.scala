@@ -77,15 +77,25 @@ object ManifestMaterializedView {
     def isMinMax: Boolean = func == "min" || func == "max"
   }
 
-  /** One JOINED DIMENSION (round 15 — star-join MVs): a governed table
-    * inner-joined to the fact via `onSql`, PINNED at `version` in the
-    * checkpoint. Pinning is what makes the incremental fold exact: a
-    * fact delta joined to the same dim rows contributes exactly its
-    * signed share — insert and delete legs of an update join
-    * identically. A dim that moves re-pins through an exact DIM-DELTA
-    * step (see [[refresh]]); only unexpressable dim history (vacuumed
-    * past the pin) pays the authoritative full recompute. */
-  final case class DimSpec(table: String, onSql: String, version: Int)
+  /** One JOINED DIMENSION (round 15 — star-join MVs; LEFT joins round
+    * 16): a governed table joined to the fact via `onSql`, PINNED at
+    * `version` in the checkpoint. Pinning is what makes the incremental
+    * fold exact: a fact delta joined to the same dim rows contributes
+    * exactly its signed share — insert and delete legs of an update
+    * join identically, for INNER and LEFT kinds alike (the fact row's
+    * match set — or its null-padding — is a pure function of the pinned
+    * dim state). A dim that moves re-pins through an exact DIM-DELTA
+    * step (see [[refresh]]): linear matched-row legs for both kinds,
+    * plus null-pad CORRECTION legs for a LEFT dim whose fact rows
+    * crossed the matched/unmatched boundary; only unexpressable dim
+    * history (vacuumed past the pin) pays the authoritative full
+    * recompute. `kind` ∈ inner | left — the SCD idiom (LEFT JOIN dim,
+    * incomplete metadata keeps the fact row with null dim columns) is
+    * the shape governed corpora actually use. */
+  final case class DimSpec(table: String, onSql: String, version: Int,
+      kind: String = "inner") {
+    def isLeft: Boolean = kind == "left"
+  }
 
   final case class MvDef(source: String, filterSql: Option[String],
       groupBy: Seq[String], aggs: Seq[AggSpec],
@@ -123,14 +133,21 @@ object ManifestMaterializedView {
       AggSpec(func, bits(1), bits(2))
     }
 
-  /** Parse `"orders ON l_orderkey = o_orderkey,customer ON ..."` —
-    * `table ON condition` entries (versions pin at create time). */
-  def parseDims(s: String): Seq[(String, String)] =
+  /** Parse `"orders ON l_orderkey = o_orderkey,customer LEFT ON ..."` —
+    * `table [LEFT] ON condition` entries (versions pin at create
+    * time); `LEFT` declares a left-outer dim. */
+  def parseDims(s: String): Seq[(String, String, Boolean)] =
     splitTopLevel(s).map { part =>
-      val i = part.toUpperCase.indexOf(" ON ")
-      require(i > 0,
-        s"dim spec '$part' must be '<table> ON <join condition>'")
-      (part.substring(0, i).trim, part.substring(i + 4).trim)
+      val u = part.toUpperCase
+      val li = u.indexOf(" LEFT ON ")
+      if (li > 0)
+        (part.substring(0, li).trim, part.substring(li + 9).trim, true)
+      else {
+        val i = u.indexOf(" ON ")
+        require(i > 0,
+          s"dim spec '$part' must be '<table> [LEFT] ON <join condition>'")
+        (part.substring(0, i).trim, part.substring(i + 4).trim, false)
+      }
     }
 
   // ---- definition codec (`_MV.v<N>`, one field per line, b64) --------
@@ -148,7 +165,8 @@ object ManifestMaterializedView {
       s"#filter,${d.filterSql.map(b64).getOrElse("-")}",
       s"#srcver,${d.sourceVersion}",
       s"#mvver,${d.mvVersion}") ++
-      d.dims.map(ds => s"#dim,${b64(ds.table)},${b64(ds.onSql)},${ds.version}") ++
+      d.dims.map(ds => s"#dim,${b64(ds.table)},${b64(ds.onSql)},${ds.version}" +
+        (if (ds.isLeft) ",left" else "")) ++
       d.groupBy.map(k => s"#key,${b64(k)}") ++
       d.aggs.map(a => s"#agg,${b64(a.func)},${b64(a.expr)},${b64(a.alias)}")
 
@@ -172,8 +190,9 @@ object ManifestMaterializedView {
       sourceVersion = one("srcver").toInt,
       mvVersion = one("mvver").toInt,
       dims = lines.filter(_.startsWith("#dim,")).map { l =>
-        val p = l.split(",", 4)
-        DimSpec(unb64(p(1)), unb64(p(2)), p(3).toInt)
+        val p = l.split(",", 5)
+        DimSpec(unb64(p(1)), unb64(p(2)), p(3).toInt,
+          if (p.length == 5 && p(4) == "left") "left" else "inner")
       }.toSeq)
   }
 
@@ -266,18 +285,24 @@ object ManifestMaterializedView {
       .option("versionAsOf", version.toString).load()
 
   /** Join the fact (or its change feed — extra CDF columns ride along
-    * untouched) to every dim at its PINNED version. Inner joins only:
-    * the incremental algebra needs each fact row's dim match set to be
-    * a pure function of the pinned dim state. `substitute` swaps one
-    * dim's read for another frame (the dim-delta step's CDF) while
-    * keeping the join construction in ONE place. */
+    * untouched) to every dim at its PINNED version, each per its
+    * declared kind (inner or left): the incremental algebra needs each
+    * fact row's dim match set — or its null-padding — to be a pure
+    * function of the pinned dim state, which pinning guarantees for
+    * both kinds. `substitute` swaps one dim's read for another frame
+    * (the dim-delta step's CDF) while keeping the join construction in
+    * ONE place; a SUBSTITUTED dim always joins INNER — only matched
+    * rows flow through a delta leg, and the null-pad corrections for a
+    * moved LEFT dim are separate signed legs (see [[refresh]]). */
   def withDims(spark: SparkSession, root: String, d: MvDef,
       fact: DataFrame,
       substitute: Map[String, DataFrame] = Map.empty): DataFrame =
     d.dims.foldLeft(fact) { (df, ds) =>
-      df.join(substitute.getOrElse(ds.table,
+      val sub = substitute.get(ds.table)
+      df.join(sub.getOrElse(
           tableAt(spark, root, ds.table, ds.version)),
-        expr(ds.onSql), "inner")
+        expr(ds.onSql),
+        if (sub.isDefined || !ds.isLeft) "inner" else "left")
     }
 
   // ---- storage plan ---------------------------------------------------
@@ -429,7 +454,7 @@ object ManifestMaterializedView {
   def create(spark: SparkSession, catalog: String, mv: String,
       source: String, filterSql: Option[String], groupBy: Seq[String],
       aggs: Seq[AggSpec],
-      dims: Seq[(String, String)] = Seq.empty): MvDef = {
+      dims: Seq[(String, String, Boolean)] = Seq.empty): MvDef = {
     require(groupBy.nonEmpty, "MV needs at least one group-by column")
     require(aggs.nonEmpty, "MV needs at least one aggregate")
     require(aggs.map(_.alias).distinct.length == aggs.length,
@@ -443,11 +468,25 @@ object ManifestMaterializedView {
     require(dims.map(_._1).distinct.length == dims.length &&
       !dims.map(_._1).contains(source),
       "MV dims must be distinct tables, none of them the fact source")
-    val dimSpecs = dims.map { case (t, on) =>
+    val dimSpecs = dims.map { case (t, on, left) =>
       val dDir = new Path(root, t)
       require(fs.exists(new Path(dDir, "_MANIFEST")),
         s"MV dim '$t' is not a graft-manifest table at $dDir")
-      DimSpec(t, on, ManifestFiles.latestComplete(fs, dDir))
+      DimSpec(t, on, ManifestFiles.latestComplete(fs, dDir),
+        if (left) "left" else "inner")
+    }
+    // a LEFT dim's columns are NULL for unmatched fact rows, and group
+    // keys ride the CDC upsert's equality-delete path, which cannot
+    // express null keys — group by fact (or inner-dim) columns and let
+    // the left dim feed null-safe AGGREGATES instead
+    dimSpecs.filter(_.isLeft).foreach { ds =>
+      val dimCols = tableAt(spark, root, ds.table, ds.version)
+        .schema.fieldNames.toSet
+      val bad = groupBy.filter(dimCols.contains)
+      require(bad.isEmpty,
+        s"MV group key(s) ${bad.mkString(", ")} come from LEFT dim " +
+          s"'${ds.table}' — left-dim columns are nullable and null " +
+          "group keys cannot ride the CDC upsert path")
     }
     val srcVer = ManifestFiles.latestComplete(fs, srcDir)
     val d0 = MvDef(source, filterSql, groupBy, aggs, srcVer, 0, dimSpecs)
@@ -573,9 +612,38 @@ object ManifestMaterializedView {
           .option("changeFeed", "true")
           .option("changesFrom", ds.version.toString)
           .option("changesTo", dimHead.toString).load()
-        val feed = withDims(spark, root, d,
-          tableAt(spark, root, d.source, d.sourceVersion),
+        val fact = tableAt(spark, root, d.source, d.sourceVersion)
+        val matched = withDims(spark, root, d, fact,
           substitute = Map(t -> dimCdf))
+        // a LEFT dim's delta additionally needs NULL-PAD CORRECTION
+        // legs: only fact rows that join a CHANGED dim row can cross
+        // the matched/unmatched boundary, so candidates are one
+        // semi-join against the diff, and each side's match status is
+        // one semi/anti join against the dim's pinned old/new state —
+        // a row that GAINED its first match retracts its null-padded
+        // contribution (the matched legs added the real one), a row
+        // that LOST its last match inserts it back. Rows whose match
+        // count changed without crossing zero carry no null-pad either
+        // side and need no correction.
+        val feed = if (!ds.isLeft) matched else {
+          val dimOld = tableAt(spark, root, t, ds.version)
+          val dimNew = tableAt(spark, root, t, dimHead)
+          val cand = fact.join(dimCdf, expr(ds.onSql), "left_semi")
+          val gained = cand.join(dimNew, expr(ds.onSql), "left_semi")
+            .join(dimOld, expr(ds.onSql), "left_anti")
+          val lost = cand.join(dimOld, expr(ds.onSql), "left_semi")
+            .join(dimNew, expr(ds.onSql), "left_anti")
+          def pad(rows: DataFrame, sign: String): DataFrame = {
+            val withNulls = dimNew.schema.fields.foldLeft(rows)((df, f) =>
+              df.withColumn(f.name, lit(null).cast(f.dataType)))
+            withDims(spark, root,
+              d.copy(dims = d.dims.filterNot(_.table == t)), withNulls)
+              .withColumn(ManifestChangeFeed.TypeCol, lit(sign))
+          }
+          matched
+            .unionByName(pad(gained, "delete"), allowMissingColumns = true)
+            .unionByName(pad(lost, "insert"), allowMissingColumns = true)
+        }
         d = stepOrRecompute(d, s"dim '$t'", feed, stepNext) match {
           case Some(next) => next
           case None => return recomputeAtHeads(d)

@@ -337,7 +337,7 @@ class ManifestMaterializedViewSpec extends AnyFunSuite {
       Some("amt > 5.0"), Seq("c_seg", "i_cat"),
       ManifestMaterializedView.parseAggs(
         "count:*:n,sum:amt:sa,min:amt:mn,max:amt:mx"),
-      Seq("dimc" -> "f_c = c_id", "dimi" -> "f_i = i_id"))
+      Seq(("dimc", "f_c = c_id", false), ("dimi", "f_i = i_id", false)))
     starCheck(cat)
     // the MV registered under its FACT source
     val factDir = new Path(root, "fact")
@@ -382,7 +382,7 @@ class ManifestMaterializedViewSpec extends AnyFunSuite {
       Some("amt > 5.0"), Seq("c_seg", "i_cat"),
       ManifestMaterializedView.parseAggs(
         "count:*:n,sum:amt:sa,min:amt:mn,max:amt:mx"),
-      Seq("dimc" -> "f_c = c_id", "dimi" -> "f_i = i_id"))
+      Seq(("dimc", "f_c = c_id", false), ("dimi", "f_i = i_id", false)))
     val fullBefore = ManifestMaterializedView.fullRecomputes.get()
     // a new customer lands + a fact row pointing at it (fact AND dim
     // moved: both steps run in one refresh)
@@ -426,6 +426,149 @@ class ManifestMaterializedViewSpec extends AnyFunSuite {
       "an expired dim pin must fall back to the authoritative recompute")
   }
 
+  // ---- LEFT-JOIN dims (round 16) ---------------------------------------
+
+  /** Fixture: fact(sk, fb, f_c, amt) LEFT JOIN dimc(c_id, c_seg) where
+    * dimc covers only HALF the fact's f_c domain — the SCD
+    * incomplete-metadata idiom: unmatched fact rows keep their group
+    * (keyed by the FACT column fb) with null dim aggregates. */
+  private def seedLeft(cat: String): Unit = {
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.fact (sk BIGINT, fb BIGINT, " +
+      "f_c BIGINT, amt DOUBLE) " +
+      "TBLPROPERTIES('delete.mode'='merge-on-read')")
+    spark.sql(s"CREATE TABLE $cat.dimc (c_id BIGINT, c_seg STRING) " +
+      "TBLPROPERTIES('delete.mode'='merge-on-read')")
+    (0L to 9L).map(i => (i, s"seg${i % 3}")).toDF("c_id", "c_seg")
+      .writeTo(s"$cat.dimc").append()
+    (1L to 200L).map(k => (k, k % 5, k % 20, k * 0.5 + (k % 7) * 0.01))
+      .toDF("sk", "fb", "f_c", "amt").writeTo(s"$cat.fact").append()
+  }
+
+  private def leftDirect(cat: String): DataFrame =
+    spark.sql(s"SELECT fb, CAST(COUNT(*) AS BIGINT) AS n, " +
+      "CAST(SUM(CAST(amt AS DECIMAL(18,6))) AS DOUBLE) AS sa, " +
+      "CAST(COUNT(c_seg) AS BIGINT) AS nc, MIN(c_seg) AS mns " +
+      s"FROM $cat.fact LEFT JOIN $cat.dimc ON f_c = c_id GROUP BY fb")
+
+  private def leftCheck(cat: String): Unit = {
+    val got = sortedRows(readMv(cat, "lmv"))
+    val want = sortedRows(leftDirect(cat))
+    assert(got == want, s"left-dim MV drifted from direct recompute:\n" +
+      s"got  ${got.take(4).mkString(" | ")}\nwant ${want.take(4).mkString(" | ")}")
+  }
+
+  test("LEFT-JOIN dim MV (round 16 — the SCD incomplete-metadata " +
+    "idiom): unmatched fact rows KEEP their group with null dim " +
+    "aggregates; fact appends refresh from the CDF against the pinned " +
+    "left dim; a moved LEFT dim refreshes through the delta step with " +
+    "NULL-PAD CORRECTION legs when rows cross the matched/unmatched " +
+    "boundary — never a full recompute") {
+    import spark.implicits._
+    val root = tmpDir()
+    val cat = register(root)
+    seedLeft(cat)
+    ManifestMaterializedView.create(spark, cat, "lmv", "fact", None,
+      Seq("fb"), ManifestMaterializedView.parseAggs(
+        "count:*:n,sum:amt:sa,count:c_seg:nc,min:c_seg:mns"),
+      Seq(("dimc", "f_c = c_id", true)))
+    leftCheck(cat)
+    // the unmatched half is IN the MV: total count spans all 200 rows
+    assert(readMv(cat, "lmv").agg(sum($"n")).head().getLong(0) == 200L,
+      "unmatched fact rows must not vanish from a left-dim MV")
+    val fullBefore = ManifestMaterializedView.fullRecomputes.get()
+    // fact append with BOTH matched and unmatched rows
+    Seq((301L, 1L, 3L, 10.0), (302L, 2L, 15L, 20.0))
+      .toDF("sk", "fb", "f_c", "amt").writeTo(s"$cat.fact").append()
+    ManifestMaterializedView.refresh(spark, cat, "lmv")
+    leftCheck(cat)
+    // dim movement WITHOUT boundary crossing: re-segment c_id=3 (its
+    // fact rows stay matched — pure matched-leg delta)
+    Seq((3L, "seg_moved")).toDF("c_id", "c_seg")
+      .write.mode("append").format("graft-manifest")
+      .option("path", s"$root/dimc").option("upsertKeys", "c_id").save()
+    ManifestMaterializedView.refresh(spark, cat, "lmv")
+    leftCheck(cat)
+    // GAINED: a brand-new dim row matches previously-unmatched fact
+    // rows (f_c = 15) — their null-pad contributions must retract
+    Seq((15L, "seg_new")).toDF("c_id", "c_seg").writeTo(s"$cat.dimc").append()
+    ManifestMaterializedView.refresh(spark, cat, "lmv")
+    leftCheck(cat)
+    // LOST: a dim takedown unmatches f_c = 2's rows — their null-pad
+    // contributions must come back (count stays, dim aggregates shrink)
+    spark.sql(s"DELETE FROM $cat.dimc WHERE c_id = 2")
+    ManifestMaterializedView.refresh(spark, cat, "lmv")
+    leftCheck(cat)
+    assert(readMv(cat, "lmv").agg(sum($"n")).head().getLong(0) == 202L,
+      "a lost dim match must never drop fact rows")
+    assert(ManifestMaterializedView.fullRecomputes.get() == fullBefore,
+      "every left-dim change above must ride the DELTA step")
+    // guardrail: group keys may not come from a LEFT dim (nullable keys
+    // cannot ride the CDC upsert path)
+    val e = intercept[IllegalArgumentException] {
+      ManifestMaterializedView.create(spark, cat, "bad", "fact", None,
+        Seq("c_seg"), ManifestMaterializedView.parseAggs("count:*:n"),
+        Seq(("dimc", "f_c = c_id", true)))
+    }
+    assert(e.getMessage.contains("LEFT dim"))
+    // the CALL surface round-trips the LEFT kind
+    spark.sql(s"CALL $cat.system.create_materialized_view('lmv2', " +
+      "'fact', 'fb', 'count:*:n', '', 'dimc LEFT ON f_c = c_id')")
+    val mvDir = new Path(root, "lmv2")
+    val d2 = ManifestMaterializedView.readDef(fsOf(mvDir), mvDir)
+    assert(d2.dims.head.isLeft, s"CALL must parse LEFT ON, got ${d2.dims}")
+  }
+
+  test("LEFT-dim MV with a DIM-side filter: null-padded rows evaluate " +
+    "the filter over null dim columns consistently in the build, the " +
+    "fact step, and both null-pad correction legs") {
+    import spark.implicits._
+    val root = tmpDir()
+    val cat = register(root)
+    seedLeft(cat)
+    // keeps null-pads (unmatched rows) AND matched rows outside seg0 —
+    // the filter must see NULL dim columns on every path identically
+    val f = "coalesce(c_seg, '?') <> 'seg0'"
+    ManifestMaterializedView.create(spark, cat, "lfm", "fact", Some(f),
+      Seq("fb"), ManifestMaterializedView.parseAggs(
+        "count:*:n,sum:amt:sa,count:c_seg:nc"),
+      Seq(("dimc", "f_c = c_id", true)))
+    def check(): Unit = {
+      val got = sortedRows(readMv(cat, "lfm"))
+      val want = sortedRows(spark.sql(
+        s"SELECT fb, CAST(COUNT(*) AS BIGINT) AS n, " +
+          "CAST(SUM(CAST(amt AS DECIMAL(18,6))) AS DOUBLE) AS sa, " +
+          "CAST(COUNT(c_seg) AS BIGINT) AS nc " +
+          s"FROM $cat.fact LEFT JOIN $cat.dimc ON f_c = c_id " +
+          s"WHERE $f GROUP BY fb"))
+      assert(got == want, s"filtered left-dim MV drifted:\ngot  " +
+        s"${got.take(4).mkString(" | ")}\nwant ${want.take(4).mkString(" | ")}")
+    }
+    check()
+    val fullBefore = ManifestMaterializedView.fullRecomputes.get()
+    Seq((401L, 4L, 17L, 9.0)).toDF("sk", "fb", "f_c", "amt")
+      .writeTo(s"$cat.fact").append()
+    ManifestMaterializedView.refresh(spark, cat, "lfm")
+    check()
+    // GAINED under the filter: f_c=17 rows move from null-pad (kept by
+    // the filter) to seg2 matches (also kept) — both legs filter-true
+    Seq((17L, "seg2")).toDF("c_id", "c_seg").writeTo(s"$cat.dimc").append()
+    ManifestMaterializedView.refresh(spark, cat, "lfm")
+    check()
+    // GAINED into a FILTERED-OUT segment: f_c=18 rows leave the kept
+    // null-pad state and their matched rows FAIL the filter — the MV
+    // must shrink by exactly those rows
+    Seq((18L, "seg0")).toDF("c_id", "c_seg").writeTo(s"$cat.dimc").append()
+    ManifestMaterializedView.refresh(spark, cat, "lfm")
+    check()
+    // LOST from the filtered-out segment: rows return as null-pads
+    spark.sql(s"DELETE FROM $cat.dimc WHERE c_id = 18")
+    ManifestMaterializedView.refresh(spark, cat, "lfm")
+    check()
+    assert(ManifestMaterializedView.fullRecomputes.get() == fullBefore,
+      "every step above must ride the DELTA path")
+  }
+
   test("STAR-JOIN MV guardrails: duplicate column names across " +
     "fact/dims reject at create; unknown dim table rejects; the CALL " +
     "surface round-trips dims") {
@@ -438,13 +581,13 @@ class ManifestMaterializedViewSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] {
       ManifestMaterializedView.create(spark, cat, "bad", "fact", None,
         Seq("note"), ManifestMaterializedView.parseAggs("count:*:n"),
-        Seq("clash" -> "f_c = sk"))
+        Seq(("clash", "f_c = sk", false)))
     }
     assert(e.getMessage.contains("unique column names"))
     intercept[IllegalArgumentException] {
       ManifestMaterializedView.create(spark, cat, "bad2", "fact", None,
         Seq("c_seg"), ManifestMaterializedView.parseAggs("count:*:n"),
-        Seq("nosuch" -> "f_c = c_id"))
+        Seq(("nosuch", "f_c = c_id", false)))
     }
     spark.sql(s"CALL $cat.system.create_materialized_view('starz', " +
       "'fact', 'c_seg', 'count:*:n,sum:amt:sa', 'amt > 5.0', " +

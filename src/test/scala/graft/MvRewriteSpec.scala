@@ -375,6 +375,42 @@ class MvRewriteSpec extends AnyFunSuite {
       s"plan-time definition reads must be flat in catalog size, got $reads")
   }
 
+  test("LEFT-JOIN dim rewrite (round 16): a LEFT JOIN aggregate answers " +
+    "from a left-dim MV; kind mismatches never match (inner query vs " +
+    "left MV and vice versa compute different multisets); rollup " +
+    "composes") {
+    import spark.implicits._
+    val (cat, _) = freshCat()
+    spark.sql(s"CREATE TABLE $cat.fact (sk BIGINT, fb BIGINT, " +
+      "f_c BIGINT, amt BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.dimc (c_id BIGINT, c_seg STRING)")
+    (0L to 9L).map(i => (i, s"seg${i % 3}")).toDF("c_id", "c_seg")
+      .writeTo(s"$cat.dimc").append()
+    (1L to 200L).map(k => (k, k % 5, k % 20, k % 11))
+      .toDF("sk", "fb", "f_c", "amt").writeTo(s"$cat.fact").append()
+    spark.sql(s"CALL $cat.system.create_materialized_view('lstar', " +
+      "'fact', 'fb,f_c', 'count:*:n,sum:amt:sa,count:c_seg:nc', '', " +
+      "'dimc LEFT ON f_c = c_id')")
+    val qLeft = s"SELECT fb, f_c, count(*) AS n, sum(amt) AS sa, " +
+      s"count(c_seg) AS nc FROM $cat.fact " +
+      s"LEFT JOIN $cat.dimc ON f_c = c_id GROUP BY fb, f_c"
+    assertSame(qLeft, "lstar", expectRewrite = true)
+    // INNER query over the LEFT MV: different multiset, never matches
+    assertSame(s"SELECT fb, f_c, count(*) AS n FROM $cat.fact " +
+      s"JOIN $cat.dimc ON f_c = c_id GROUP BY fb, f_c", "lstar",
+      expectRewrite = false)
+    // LEFT query over an INNER MV: same refusal, other direction
+    spark.sql(s"CALL $cat.system.create_materialized_view('istar', " +
+      "'fact', 'fb', 'count:*:n', '', 'dimc ON f_c = c_id')")
+    assertSame(s"SELECT fb, count(*) AS n FROM $cat.fact " +
+      s"LEFT JOIN $cat.dimc ON f_c = c_id GROUP BY fb", "istar",
+      expectRewrite = false)
+    // ...but the LEFT rollup (fb ⊂ {fb, f_c}) folds from the left MV
+    assertSame(s"SELECT fb, count(*) AS n, count(c_seg) AS nc " +
+      s"FROM $cat.fact LEFT JOIN $cat.dimc ON f_c = c_id GROUP BY fb",
+      "lstar", expectRewrite = true)
+  }
+
   // ---- ROLLUP matching (round 16): query keys ⊂ MV keys ---------------
 
   test("ROLLUP rewrite: a query grouping by a SUBSET of the MV keys " +
