@@ -83,7 +83,8 @@ object Bench {
     "q267_agg_pushdown", "q268_cbo_live_stats_reorder",
     "q269_star_join_mv", "q270_stale_mv_compensation",
     "q271_variant_governed", "q272_histogram_broadcast_flip",
-    "q273_mv_rollup_rewrite")
+    "q273_mv_rollup_rewrite", "q274_left_dim_mv",
+    "q275_variant_shred_skipping")
 
   private val sentinelName = "q97_compute_pi"
   private val stragglerQueries =

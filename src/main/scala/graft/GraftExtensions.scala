@@ -54,6 +54,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // over governed sources answer from exactly-consistent MVs
     // (plans/MvRewrite.scala); SET spark.graft.mv.rewrite=false disables.
     ext.injectPostHocResolutionRule(s => graft.plans.MvRewrite(s))
+    // SHREDDED-VARIANT file skipping (round 16): comparable variant_get
+    // conjuncts lift into manifest relation options, where the scan
+    // prunes files against declared shred-path bounds (ManifestShred).
+    ext.injectOptimizerRule(s => graft.sources.VariantSkipRule(s))
     // Columnar kernel: hamming64 projections over columnar children run
     // batch-at-a-time (ColumnarKernel.scala).
     ext.injectColumnar(_ => graft.plans.GraftColumnarRule)

@@ -44,7 +44,17 @@ object ManifestHist {
   val EmitCap = 128
 
   /** Histogram-capable = losslessly-enough double-convertible and
-    * range-comparable (catalyst HistogramBin bounds are doubles). */
+    * range-comparable (catalyst HistogramBin bounds are doubles).
+    *
+    * STRINGS are deliberately excluded (round 16, after the r15 review
+    * suggested a Z-order-style 8-byte prefix proxy): catalyst's
+    * FilterEstimation prices range predicates from histograms only for
+    * numeric/date/timestamp/boolean attributes — a string comparison
+    * routes to default selectivity before the histogram is ever
+    * consulted (EstimationUtils.toDouble has no string domain), so an
+    * emitted string histogram would be metadata nobody reads. String
+    * EQUALITY selectivity already prices from the `#ndv` distinct
+    * counts, which strings do carry. */
   def capable(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | ShortType | ByteType | DoubleType |
          FloatType | DateType | TimestampType | TimestampNTZType => true

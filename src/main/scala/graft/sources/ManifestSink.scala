@@ -454,7 +454,8 @@ private[sources] class ManifestTable(schema0: StructType,
         val d = s.trim.toLong
         require(d >= 0, s"maxTriggerDelayMs must be >= 0, got $d")
         d
-      }.getOrElse(15000L))
+      }.getOrElse(15000L),
+      variantSkip = opt("variantSkip"))
   }
   /** Per-field type diff for the append-mismatch error (simpleString
     * hides nullability flags, which are part of dataType equality). */
@@ -1080,7 +1081,12 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
         .flatMap(ManifestFiles.fieldAtPhys(schema, _)).toArray,
       histPos = ManifestFiles.histDeclFromLines(lines)
         .flatMap(ManifestFiles.fieldAtPhys(schema, _)).toArray,
-      ridIdx = ridIdx, ridFromMeta = ridFromMeta, luvIdx = luvIdx)
+      ridIdx = ridIdx, ridFromMeta = ridFromMeta, luvIdx = luvIdx,
+      // declared variant.shred paths whose column exists in THIS write's
+      // schema (a rewrite of a pre-shred file set simply lacks them)
+      shred = ManifestShred.fromLines(lines).flatMap(sp =>
+        ManifestFiles.fieldAtPhys(schema, sp.pos)
+          .map(idx => (idx, sp.i, sp.path, sp.dt))).toArray)
   }
 
   // Driver-side, exactly once, only after EVERY task committed: publish.
@@ -1283,7 +1289,12 @@ private[sources] object ManifestWriters {
       // `_last_updated_version` carry: index in the incoming row (after
       // the data columns and the carried `_row_id`); >= 0 materializes
       // it into the file's `_luv` column and marks the commit `#luvcol`
-      luvIdx: Int = -1): DataWriter[InternalRow] =
+      luvIdx: Int = -1,
+      // declared variant.shred paths: (schema idx of the variant column,
+      // spec index for the synthetic #stats position, JSON path, typed
+      // extraction domain) — see ManifestShred
+      shred: Array[(Int, Int, String, DataType)] = Array.empty):
+      DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val file = new Path(new Path(path, stagingName), name)
       private val fs: FileSystem = file.getFileSystem(conf.value)
@@ -1405,6 +1416,59 @@ private[sources] object ManifestWriters {
 
       private val histTrackers: Array[ManifestHist.Tracker] =
         Array.fill(histPos.length)(new ManifestHist.Tracker)
+
+      // VARIANT SHREDDING (round 16 — ManifestShred): one bound
+      // variant_get per declared path, evaluated per row with
+      // failOnError so a file whose data would THROW at query time
+      // records NO stats (skipping must never swallow an error); a
+      // missing path / true null counts as null, exactly what the
+      // query's comparison sees
+      private val shredEvals:
+          Array[org.apache.spark.sql.catalyst.expressions.Expression] =
+        shred.map { case (idx, _, path, dt) =>
+          org.apache.spark.sql.catalyst.expressions.variant.VariantGet(
+            org.apache.spark.sql.catalyst.expressions.BoundReference(
+              idx, org.apache.spark.sql.types.VariantType, nullable = true),
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              org.apache.spark.unsafe.types.UTF8String.fromString(path),
+              StringType),
+            dt, failOnError = true, timeZoneId = Some("UTC"))
+        }
+      private val shredNulls = new Array[Long](shred.length)
+      private val shredMins = new Array[Any](shred.length)
+      private val shredMaxs = new Array[Any](shred.length)
+      private val shredRawMins = new Array[String](shred.length)
+      private val shredRawMaxs = new Array[String](shred.length)
+      private val shredDirty = new Array[Boolean](shred.length)
+
+      private def trackShred(r: InternalRow): Unit = {
+        var si = 0
+        while (si < shred.length) {
+          if (!shredDirty(si)) {
+            val dt = shred(si)._4
+            val v = try shredEvals(si).eval(r)
+              catch { case _: Exception => shredDirty(si) = true; null }
+            if (!shredDirty(si)) {
+              if (v == null) shredNulls(si) += 1
+              else ManifestSkip.normalize(dt, v).foreach { nv =>
+                val kept = nv match {
+                  case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
+                  case other => other
+                }
+                if (shredMins(si) == null || ordered(kept, shredMins(si)) < 0) {
+                  shredMins(si) = kept
+                  shredRawMins(si) = String.valueOf(v)
+                }
+                if (shredMaxs(si) == null || ordered(kept, shredMaxs(si)) > 0) {
+                  shredMaxs(si) = kept
+                  shredRawMaxs(si) = String.valueOf(v)
+                }
+              }
+            }
+          }
+          si += 1
+        }
+      }
 
       private def trackHist(r: InternalRow): Unit = {
         var hi = 0
@@ -1534,6 +1598,7 @@ private[sources] object ManifestWriters {
         if (leaves.nonEmpty) trackLeaves(r)
         if (ndvPos.nonEmpty) trackNdv(r)
         if (histPos.nonEmpty) trackHist(r)
+        if (shred.nonEmpty) trackShred(r)
         sortPos.foreach { case (p, desc, nullsLast) =>
           if (sortedOk) {
             if (r.isNullAt(p)) {
@@ -1595,6 +1660,17 @@ private[sources] object ManifestWriters {
           ManifestFiles.physPos(schema, i) ->
             ManifestFiles.ColStats(nulls(i), mn, mx)
         }
+        val shredStats = shred.indices.collect {
+          case si if !shredDirty(si) =>
+            val dt = shred(si)._4
+            val (mn, mx) =
+              if (dt == StringType)
+                (Option(shredRawMins(si)).map(ManifestFiles.truncLower),
+                  Option(shredRawMaxs(si)).flatMap(ManifestFiles.truncUpper))
+              else (Option(shredRawMins(si)), Option(shredRawMaxs(si)))
+            (ManifestShred.PosBase + shred(si)._2) ->
+              ManifestFiles.ColStats(shredNulls(si), mn, mx)
+        }
         val nested = leaves.indices.map { li =>
           val dt = leaves(li)._4
           val (mn, mx) =
@@ -1611,8 +1687,8 @@ private[sources] object ManifestWriters {
             ManifestFiles.physPos(schema, histPos(hi)) ->
               histTrackers(hi).result()
         }
-        FileCommitted(name, rows, bytes, stats, bucket, sortedOk, nested, ndv,
-          hist, ridCol = withRid, luvCol = withLuv)
+        FileCommitted(name, rows, bytes, stats ++ shredStats, bucket,
+          sortedOk, nested, ndv, hist, ridCol = withRid, luvCol = withLuv)
       }
       override def abort(): Unit = {
         try closeOut() catch { case _: Exception => }
@@ -1634,7 +1710,8 @@ private[sources] class ManifestStreamWriterFactory(path: String,
       org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty,
     upsertKeys: Array[Int] = Array.empty,
     ndvPos: Array[Int] = Array.empty,
-    histPos: Array[Int] = Array.empty)
+    histPos: Array[Int] = Array.empty,
+    shred: Array[(Int, Int, String, DataType)] = Array.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] = {
@@ -1643,13 +1720,13 @@ private[sources] class ManifestStreamWriterFactory(path: String,
         ManifestWriters.create(path, stagingName,
           f"part-e$epochId-$partitionId%05d-$taskId${ManifestWriters.ext(format)}.tmp",
           schema, conf, injectFailure = false, ndvPos = ndvPos,
-          histPos = histPos)
+          histPos = histPos, shred = shred)
       else
         new PartitionSplitWriter(path, stagingName, schema, conf, format,
           f"part-e$epochId-$partitionId%05d-$taskId",
           partSpec.map { case (idx, kind) =>
             (idx, kind, schema(idx).dataType) },
-          ndvPos = ndvPos, histPos = histPos)
+          ndvPos = ndvPos, histPos = histPos, shred = shred)
     val teed =
       if (upsertKeys.isEmpty) base
       // the epoch-prefixed staged name keeps abort's per-epoch sweep
@@ -1688,7 +1765,9 @@ private[sources] class ManifestWriterFactory(path: String, stagingName: String,
     // row lineage via the COW metadata channel
     ridFromMeta: Boolean = false,
     // `_last_updated_version`: incoming-row index of the carried value
-    luvIdx: Int = -1)
+    luvIdx: Int = -1,
+    // declared variant.shred paths (ManifestShred)
+    shred: Array[(Int, Int, String, DataType)] = Array.empty)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int,
@@ -1701,7 +1780,8 @@ private[sources] class ManifestWriterFactory(path: String, stagingName: String,
           injectFailure = partitionId == failPartition,
           bucket = if (recordBucket) partitionId else -1,
           sortPos = sortPos, ndvPos = ndvPos, histPos = histPos,
-          ridIdx = ridIdx, ridFromMeta = ridFromMeta, luvIdx = luvIdx)
+          ridIdx = ridIdx, ridFromMeta = ridFromMeta, luvIdx = luvIdx,
+          shred = shred)
       else
         new PartitionSplitWriter(path, stagingName, schema, conf, format,
           f"part-$partitionId%05d-$taskId",
@@ -1713,7 +1793,7 @@ private[sources] class ManifestWriterFactory(path: String, stagingName: String,
           // task's bucket id — files land pure on both dimensions
           bucket = if (recordBucket) partitionId else -1,
           ndvPos = ndvPos, histPos = histPos, ridIdx = ridIdx,
-          ridFromMeta = ridFromMeta, luvIdx = luvIdx)
+          ridFromMeta = ridFromMeta, luvIdx = luvIdx, shred = shred)
     val teed =
       if (upsertKeys.isEmpty) base
       else ManifestEqDeletes.tee(base, schema, upsertKeys, path, stagingName,
@@ -1749,7 +1829,9 @@ private[sources] class PartitionSplitWriter(path: String, stagingName: String,
     histPos: Array[Int] = Array.empty,
     ridIdx: Int = -1,
     ridFromMeta: Boolean = false,
-    luvIdx: Int = -1) extends DataWriter[InternalRow] {
+    luvIdx: Int = -1,
+    shred: Array[(Int, Int, String, DataType)] = Array.empty)
+    extends DataWriter[InternalRow] {
 
   private val writers = scala.collection.mutable
     .LinkedHashMap.empty[List[Long], DataWriter[InternalRow]]
@@ -1822,7 +1904,8 @@ private[sources] class PartitionSplitWriter(path: String, stagingName: String,
         s"$namePrefix-s$seq${ManifestWriters.ext(format)}.tmp",
         schema, conf, injectFailure = false, bucket = bucket,
         sortPos = sortPos, ndvPos = ndvPos, histPos = histPos,
-        ridIdx = ridIdx, ridFromMeta = ridFromMeta, luvIdx = luvIdx)
+        ridIdx = ridIdx, ridFromMeta = ridFromMeta, luvIdx = luvIdx,
+        shred = shred)
     })
 
   override def write(row: InternalRow): Unit = writerFor(row).write(row)
@@ -1893,7 +1976,10 @@ private[sources] class ManifestStreamingWrite(path: String, queryId: String,
           ManifestFiles.histDeclFromLines(lines)).distinct
         .flatMap(ManifestFiles.fieldAtPhys(schema, _)).toArray,
       histPos = ManifestFiles.histDeclFromLines(lines)
-        .flatMap(ManifestFiles.fieldAtPhys(schema, _)).toArray)
+        .flatMap(ManifestFiles.fieldAtPhys(schema, _)).toArray,
+      shred = ManifestShred.fromLines(lines).flatMap(sp =>
+        ManifestFiles.fieldAtPhys(schema, sp.pos)
+          .map(idx => (idx, sp.i, sp.path, sp.dt))).toArray)
   }
 
   override def commit(epochId: Long,

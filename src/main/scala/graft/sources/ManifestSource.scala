@@ -290,7 +290,8 @@ object ManifestFiles {
     * `#segstats` line, or None when any entry lacks stats. Top-level
     * positions only (nested predicates keep their file-level skipping). */
   private def segSummaryLine(name: String, data: Array[String],
-      schema: StructType): Option[String] = {
+      schema: StructType,
+      shredTypes: Map[Int, DataType] = Map.empty): Option[String] = {
     val entries = entriesFromLines(data)
     if (entries.isEmpty) return None
     val stats = statsFromLines(data)
@@ -298,7 +299,10 @@ object ManifestFiles {
     val all = entries.map(e => stats(e._1)).toSeq
     val keys = all.map(_.cols.keySet).reduce(_ intersect _)
     val cols = keys.toSeq.sorted.flatMap { pos =>
+      // shredded variant paths live at synthetic positions; their type
+      // comes from the table's shred conf, not the schema (round 16)
       fieldAtPhys(schema, pos).map(schema(_).dataType)
+        .orElse(shredTypes.get(pos))
         .filter(ManifestSkip.statsCapable)
         .flatMap(dt => unionCol(dt, all.map(_.cols(pos))))
         .map(pos -> _)
@@ -441,8 +445,10 @@ object ManifestFiles {
         segCache.put(s"${dir.toUri}#$segName", data.sorted)
         written += p
         kept ::= ((segName, data.length))
-        newSummary = segSummaryLine(segName, data, schema).toList :::
-          segSketchLines(segName, data)
+        newSummary = segSummaryLine(segName, data, schema,
+            ManifestShred.fromLines(full)
+              .map(sp => (ManifestShred.PosBase + sp.i) -> sp.dt).toMap)
+          .toList ::: segSketchLines(segName, data)
       }
     }
     // kept segments carry their existing summaries forward verbatim
@@ -2093,7 +2099,10 @@ private[sources] class ManifestScanBuilder(path: String, version: Option[Int],
     // row-level COPY_ON_WRITE: receives the planned snapshot's
     // delete-state lines (#dels/#eqdels) — the replacing commit's
     // write-conflict validation compares against them
-    onDeleteState: Set[String] => Unit = _ => ())
+    onDeleteState: Set[String] => Unit = _ => (),
+    // round 16: encoded comparable variant_get conjuncts the injected
+    // VariantSkipRule lifted off the query's Filter (see ManifestShred)
+    variantSkip: Option[String] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -2190,7 +2199,8 @@ private[sources] class ManifestScanBuilder(path: String, version: Option[Int],
       maxRowsPerTrigger = maxRowsPerTrigger,
       minRowsPerTrigger = minRowsPerTrigger,
       maxTriggerDelayMs = maxTriggerDelayMs,
-      onDeleteState = onDeleteState)
+      onDeleteState = onDeleteState,
+      variantSkip = if (statsSkip) variantSkip else None)
 
 }
 
@@ -2235,7 +2245,8 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
     maxRowsPerTrigger: Option[Long] = None,
     minRowsPerTrigger: Option[Long] = None,
     maxTriggerDelayMs: Long = 15000L,
-    onDeleteState: Set[String] => Unit = _ => ())
+    onDeleteState: Set[String] => Unit = _ => (),
+    variantSkip: Option[String] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -2299,18 +2310,24 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
     val segSafe =
       if (widenedFloatCols.isEmpty) skipFilters
       else skipFilters.filterNot(_.references.exists(widenedFloatCols.contains))
+    // round 16: lifted variant_get predicates prune against shredded
+    // bounds — segment summaries carry the synthetic positions too
+    val shredSegs = variantSkip.map(enc => ManifestShred.skipFilters(enc,
+      ManifestShred.fromLines(raw), fullSchema)).getOrElse(Seq.empty)
     if (changes.isDefined || filesSubset.isDefined)
       // incremental/CDF and group-filtered scans keep the per-file
       // column-stat path (their file lists come from elsewhere)
       (ManifestFiles.materialize(fs, dir, raw), 0L, 0L, Array.empty, raw)
-    else if (segSafe.isEmpty)
+    else if (segSafe.isEmpty && shredSegs.isEmpty)
       (ManifestFiles.materialize(fs, dir, raw), 0L, 0L,
         ManifestFiles.segmentRefsFromRaw(raw).toArray, raw)
     else {
       val (lines, pruned, prunedSegs, surviving) =
         ManifestFiles.materializePruned(fs, dir, raw, (files, rows, st) =>
           segSafe.exists(f =>
-            ManifestSkip.canSkip(f, fullSchema, Some(st), Some(rows))))
+            ManifestSkip.canSkip(f, fullSchema, Some(st), Some(rows))) ||
+          shredSegs.exists { case (f, ss) =>
+            ManifestSkip.canSkip(f, ss, Some(st), Some(rows)) })
       (lines, pruned, prunedSegs, surviving, raw)
     }
   }
@@ -2370,6 +2387,16 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
     if (widenedByName.isEmpty) skipFilters
     else skipFilters.filterNot(_.references.exists(widenedByName.contains))
 
+  /** Lifted variant_get predicates resolved against the snapshot's
+    * declared shred specs (round 16 — ManifestShred): each evaluates
+    * through the ordinary skip machinery over a synthetic one-field
+    * schema whose gpos metadata is the shred's #stats position. */
+  private lazy val shredSkips: Seq[(org.apache.spark.sql.sources.Filter,
+      StructType)] =
+    variantSkip.map(enc => ManifestShred.skipFilters(enc,
+      ManifestShred.fromLines(snapshotLines), fullSchema))
+      .getOrElse(Seq.empty)
+
   private lazy val staticPlan: (Array[String], Map[String, Long],
       Map[String, ManifestFiles.FileStats]) = {
     val allEntries = ManifestFiles.entriesFromLines(snapshotLines)
@@ -2383,8 +2410,12 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
       case None => allEntries.map(_._1)
     }
     val listed = filesSubset.fold(listed0)(s => listed0.filter(s.contains))
-    val kept = listed.filterNot(n => statsSafeFilters.exists(f =>
-      ManifestSkip.canSkip(f, fullSchema, stats.get(n), rows.get(n))))
+    val kept = listed.filterNot { n =>
+      statsSafeFilters.exists(f =>
+        ManifestSkip.canSkip(f, fullSchema, stats.get(n), rows.get(n))) ||
+      shredSkips.exists { case (f, ss) =>
+        ManifestSkip.canSkip(f, ss, stats.get(n), rows.get(n)) }
+    }
     filesListed = listed.length + snapshotView._2
     filesSkipped = (listed.length - kept.length).toLong + snapshotView._2
     (kept, rows, stats)
@@ -3899,6 +3930,14 @@ class GraftManifestCatalog extends TableCatalog
       .flatMap(ManifestFiles.fieldAtPhys(schema, _)).map(schema(_).name)
     if (histNames.nonEmpty)
       props.put("stats.histogram.columns", histNames.mkString(","))
+    val shredDecl = ManifestShred.fromLines(confLines).flatMap { sp =>
+      ManifestFiles.fieldAtPhys(schema, sp.pos).map { i =>
+        s"${schema(i).name}:${sp.path}:" + ManifestShred.SupportedTypes
+          .collectFirst { case (n, d) if d == sp.dt => n }.get
+      }
+    }
+    if (shredDecl.nonEmpty)
+      props.put("variant.shred", shredDecl.mkString(","))
     if (ManifestFiles.isLineage(confLines))
       props.put("row.lineage", "true")
     val sortNames = ManifestFiles.sortKeysFromLines(confLines).flatMap { k =>
@@ -4224,6 +4263,9 @@ class GraftManifestCatalog extends TableCatalog
       case Some(other) => throw new IllegalArgumentException(
         s"row.lineage must be 'true', got '$other'")
     }
+    val shred = Option(properties.get("variant.shred")).map { v =>
+      ManifestShred.confLines(ManifestShred.parseDecl(schema, v))
+    }.getOrElse(Seq.empty).toArray
     val sortOrder = Option(properties.get("write.sort-order")).map { cs =>
       require(!bucketLaid,
         "write.sort-order conflicts with a bucket layout — sorted " +
@@ -4241,7 +4283,8 @@ class GraftManifestCatalog extends TableCatalog
       case Some(other) => throw new IllegalArgumentException(
         s"write.distribution-mode must be 'none' or 'range', got '$other'")
     }
-    mor ++ fmt ++ bloom ++ ndv ++ hist ++ lineage ++ sortOrder ++ distMode ++ checks
+    mor ++ fmt ++ bloom ++ ndv ++ hist ++ shred ++ lineage ++ sortOrder ++
+      distMode ++ checks
   }
 
   // ---- StagingTableCatalog: atomic CTAS / RTAS ------------------------
@@ -4390,6 +4433,7 @@ class GraftManifestCatalog extends TableCatalog
     var bloomFlip: Option[Seq[Int]] = None
     var ndvFlip: Option[Seq[Int]] = None
     var histFlip: Option[Seq[Int]] = None
+    var shredFlip: Option[Seq[ManifestShred.Spec]] = None
     var lineageFlip: Boolean = false
     var sortFlip: Option[Seq[ManifestFiles.SortKey]] = None
     var distFlip: Option[Boolean] = None
@@ -4743,6 +4787,14 @@ class GraftManifestCatalog extends TableCatalog
             ManifestFiles.physPos(schema, schema.fieldIndex(c))
           }
         })
+      // VARIANT SHREDDING evolution (round 16): future files carry (or
+      // stop carrying) shredded-path bounds; old files simply lack the
+      // synthetic #stats position and are never skipped — conservative
+      case sp: TableChange.SetProperty if sp.property == "variant.shred" =>
+        shredFlip = Some(sp.value.trim match {
+          case "" | "none" => Seq.empty
+          case v => ManifestShred.parseDecl(schema, v)
+        })
       case sp: TableChange.SetProperty
           if sp.property == "write.distribution-mode" =>
         distFlip = Some(sp.value.trim match {
@@ -4760,7 +4812,8 @@ class GraftManifestCatalog extends TableCatalog
         "graft-manifest supports ADD COLUMN (appended, nullable), " +
           "RENAME COLUMN, DROP COLUMN, and SET " +
           "TBLPROPERTIES('delete.mode'|'partition.layout'|'bloom.columns'|" +
-          "'stats.ndv.columns'|'write.sort-order'|'write.distribution-mode') " +
+          "'stats.ndv.columns'|'variant.shred'|'write.sort-order'|" +
+          "'write.distribution-mode') " +
           s"only, got $other")
     }
     val drops = newDropLines.reverse.toArray
@@ -4805,10 +4858,16 @@ class GraftManifestCatalog extends TableCatalog
                else Seq.empty)
           case None => base2n0
         }
+        val base2v = shredFlip match {
+          case Some(specs) =>
+            base2n.filterNot(_.startsWith("#tableconf,shred,")) ++
+              ManifestShred.confLines(specs)
+          case None => base2n
+        }
         val base2 =
-          if (lineageFlip && !base2n.contains(ManifestFiles.LineageLine))
-            base2n :+ ManifestFiles.LineageLine
-          else base2n
+          if (lineageFlip && !base2v.contains(ManifestFiles.LineageLine))
+            base2v :+ ManifestFiles.LineageLine
+          else base2v
         val base2s0 = sortFlip match {
           case Some(keys) =>
             base2.filterNot(_.startsWith("#tableconf,sortorder,")) ++
@@ -6168,7 +6227,7 @@ private[sources] object ManifestProcedures {
         case "" => None; case f => Some(f)
       }
       val dims = input.getUTF8String(5).toString match {
-        case "" => Seq.empty[(String, String)]
+        case "" => Seq.empty[(String, String, Boolean)]
         case s => ManifestMaterializedView.parseDims(s)
       }
       val d = ManifestMaterializedView.create(
