@@ -168,10 +168,11 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!leaves.forall(_.cat.name() == cat.name())) return None
     if (leaves.map(_.ident.name).distinct.length != leaves.length)
       return None // self-joins don't match the star algebra
-    // group-bys must be bare columns
-    agg.groupingExpressions.foreach {
-      case _: AttributeReference => ()
-      case _ => return None
+    // group-bys must be bare columns (exact match) or deterministic
+    // expressions over them (rollup) — tryOne enforces per pass; here
+    // only non-determinism disqualifies outright
+    agg.groupingExpressions.foreach { ge =>
+      if (!ge.deterministic) return None
     }
     val root = spark.conf.get(s"spark.sql.catalog.${cat.name()}.root")
     val hconf = spark.sessionState.newHadoopConf()
@@ -220,14 +221,25 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       cat: GraftManifestCatalog, mvName: String,
       d: ManifestMaterializedView.MvDef,
       rollup: Boolean): Option[LogicalPlan] = {
-    val groupNames = agg.groupingExpressions
-      .map(_.asInstanceOf[AttributeReference].name)
+    val groupingExprs = agg.groupingExpressions
+    val bareNames: Option[Seq[String]] =
+      if (groupingExprs.forall(_.isInstanceOf[AttributeReference]))
+        Some(groupingExprs.map(_.asInstanceOf[AttributeReference].name))
+      else None
     if (rollup) {
-      // ROLLUP: query keys must be a STRICT subset of the MV keys (the
-      // exact pass already handled equality); the rewrite re-aggregates
-      if (groupNames.toSet == d.groupBy.toSet ||
-          !groupNames.toSet.subsetOf(d.groupBy.toSet)) return None
-    } else if (groupNames.toSet != d.groupBy.toSet) return None
+      // ROLLUP: every grouping expression must be a deterministic
+      // function of MV KEY columns only — re-grouping pre-aggregated
+      // rows by f(keys) is exact because f is CONSTANT within each
+      // full-key group. Covers bare-column subsets, the global (empty)
+      // set, and expression granularities (month(day), k % 4, …).
+      groupingExprs.foreach { ge =>
+        if (!ge.deterministic) return None
+        if (!ge.references.forall(a => d.groupBy.contains(a.name)))
+          return None
+      }
+      // equality of bare keys is the exact pass's (cheaper) job
+      if (bareNames.exists(_.toSet == d.groupBy.toSet)) return None
+    } else if (!bareNames.exists(_.toSet == d.groupBy.toSet)) return None
 
     // ---- star shape: fact + dims biject to the leaves ----
     val factLeaf = leaves.find(_.ident.name == d.source).getOrElse(return None)
@@ -307,7 +319,9 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // name of the MV storage column(s) + the derivation over them,
     // deferred until the MV plan's attributes exist
     sealed trait Deriv
-    case class KeyCol(name: String) extends Deriv
+    // a grouping expression (bare key column, or — rollup only — any
+    // deterministic expression over key columns)
+    case class KeyExpr(e: Expression) extends Deriv
     case class CntStar() extends Deriv
     case class NnCol(a: ManifestMaterializedView.AggSpec) extends Deriv
     case class SumD(a: ManifestMaterializedView.AggSpec, out: DataType)
@@ -315,9 +329,11 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case class AvgD(a: ManifestMaterializedView.AggSpec) extends Deriv
     case class ExtD(a: ManifestMaterializedView.AggSpec) extends Deriv
 
+    def keyExprOf(ne: NamedExpression): Option[Expression] = {
+      val e = ne match { case Alias(e0, _) => e0; case other => other }
+      if (groupingExprs.exists(_.semanticEquals(e))) Some(e) else None
+    }
     val derivs: Seq[(NamedExpression, Deriv)] = agg.aggregateExpressions.map {
-      case ar: AttributeReference if groupNames.contains(ar.name) =>
-        (ar, KeyCol(ar.name))
       case al @ Alias(ae: AggregateExpression, _)
           if !ae.isDistinct && ae.filter.isEmpty =>
         val dv: Deriv = ae.aggregateFunction match {
@@ -345,8 +361,8 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           case _ => return None
         }
         (al, dv)
-      case al @ Alias(ar: AttributeReference, _)
-          if groupNames.contains(ar.name) => (al, KeyCol(ar.name))
+      case ne: NamedExpression if keyExprOf(ne).isDefined =>
+        (ne, KeyExpr(keyExprOf(ne).get))
       case _ => return None
     }
 
@@ -384,10 +400,16 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         Filter(remapped, base0)
     }
+    // query-side key expressions re-root onto the MV's storage attrs
+    // (every reference is an MV key column by the gates above)
+    def remap(e: Expression): Expression = e.transform {
+      case a: AttributeReference => attr(a.name)
+    }
     val replacement: LogicalPlan = if (!rollup) {
       val projList: Seq[NamedExpression] = derivs.map { case (orig, dv) =>
         val e: Expression = dv match {
-          case KeyCol(n) => attr(n)
+          case KeyExpr(a: AttributeReference) => attr(a.name)
+          case KeyExpr(_) => return None // exact path is bare-keys only
           case CntStar() => cnt
           case NnCol(a) => nn(a)
           case SumD(a, out) => guard(a, Cast(sumc(a), out))
@@ -412,7 +434,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         fold(Sum(nn(a)))
       val aggList: Seq[NamedExpression] = derivs.map { case (orig, dv) =>
         val e: Expression = dv match {
-          case KeyCol(n) => attr(n)
+          case KeyExpr(ke) => remap(ke)
           case CntStar() =>
             Coalesce(Seq(Cast(fold(Sum(cnt)), LongType), Literal(0L)))
           case NnCol(a) =>
@@ -432,7 +454,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         if (e.dataType != orig.dataType) return None // exact types only
         Alias(e, orig.name)(exprId = orig.exprId)
       }
-      Aggregate(groupNames.map(attr), aggList, base)
+      Aggregate(groupingExprs.map(remap), aggList, base)
     }
     logInfo(s"graft MV rewrite: aggregate over " +
       s"${cat.name()}.${d.source} v${factLeaf.version}" +
@@ -441,7 +463,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       s" answered by materialized view $mvName (as of mv " +
       s"v${d.mvVersion}" +
       (if (rollup) s", ROLLED UP ${d.groupBy.mkString("(", ",", ")")}→" +
-        groupNames.mkString("(", ",", ")") else "") +
+        groupingExprs.map(_.sql).mkString("(", ",", ")") else "") +
       (if (stale) s", delta-compensated from source " +
         s"v${d.sourceVersion}" else "") + ")")
     Some(replacement)

@@ -2638,6 +2638,12 @@ object Sources extends QueryModule {
       val g = s.sql(s"SELECT count(*) AS n, sum(tp) AS sp FROM $cat.ord")
       require(g.queryExecution.optimizedPlan.toString.contains(".cube_mv"),
         "the global aggregate must roll up from the MV")
+      // EXPRESSION granularity (the monthly-over-daily shape): grouping
+      // by a deterministic function of MV keys folds from the cube too
+      val ex = s.sql(s"SELECT cseg % 4 AS cb, count(*) AS n " +
+        s"FROM $cat.ord GROUP BY cseg % 4")
+      require(ex.queryExecution.optimizedPlan.toString.contains(".cube_mv"),
+        "an expression-over-keys granularity must roll up from the MV")
       val direct = s.conf
       direct.set("spark.graft.mv.rewrite", "false")
       val want =

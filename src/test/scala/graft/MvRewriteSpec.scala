@@ -439,6 +439,32 @@ class MvRewriteSpec extends AnyFunSuite {
       "GROUP BY grp, k", "cube1", expectRewrite = false)
   }
 
+  test("EXPRESSION rollup: grouping by a deterministic function of MV " +
+    "keys (the monthly-over-daily shape) re-aggregates the cube — " +
+    "f(keys) is constant within each full-key group, so the fold is " +
+    "exact; an expression touching a NON-key column never matches") {
+    val (cat, _) = freshCat()
+    seed(cat)
+    spark.sql(s"CALL $cat.system.create_materialized_view('cube3', 'src', " +
+      "'grp,n', 'count:*:c,sum:n:sn,min:v:mn,max:v:mx')")
+    // coarser granularity derived from a key
+    assertSame(s"SELECT n % 4 AS nb, count(*) AS c, sum(n) AS sn, " +
+      s"max(v) AS mx FROM $cat.src GROUP BY n % 4", "cube3",
+      expectRewrite = true)
+    // expressions over BOTH keys, mixed with a bare key
+    assertSame(s"SELECT grp, concat(grp, '-', CAST(n % 2 AS STRING)) " +
+      s"AS gb, min(v) AS mn FROM $cat.src " +
+      "GROUP BY grp, concat(grp, '-', CAST(n % 2 AS STRING))", "cube3",
+      expectRewrite = true)
+    // an expression referencing a non-key column blocks
+    assertSame(s"SELECT k % 2 AS kb, count(*) AS c FROM $cat.src " +
+      "GROUP BY k % 2", "cube3", expectRewrite = false)
+    // a non-deterministic grouping never matches (shape guard)
+    val nd = spark.sql(s"SELECT count(*) AS c FROM $cat.src " +
+      "GROUP BY grp, rand() > 2")
+    assert(!scansMv(nd, "cube3"))
+  }
+
   test("ROLLUP null discipline: a merged group whose total non-null " +
     "input count is zero answers NULL for sum (ANSI), and counts " +
     "coalesce to 0 on the empty global rollup") {
