@@ -246,14 +246,25 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val dimLeaves = leaves.filterNot(_.ident.name == d.source)
     if (dimLeaves.map(_.ident.name).toSet != d.dims.map(_.table).toSet)
       return None
+    val root = spark.conf.get(s"spark.sql.catalog.${cat.name()}.root")
+    val hconf = spark.sessionState.newHadoopConf()
     d.dims.foreach { ds =>
       val leaf = dimLeaves.find(_.ident.name == ds.table).get
       // dim staleness is deliberately NOT compensated (unlike the
       // fact's): folding a dim's CDF tail requires joining it through
       // the FACT at plan time — a fact scan inside the "accelerated"
       // plan defeats the MV entirely. Refresh's dim-delta step is the
-      // right place for that work; the read path just refuses.
-      if (leaf.version != ds.version) return None // dim moved / repinned
+      // right place for that work; the read path just refuses — UNLESS
+      // the dim moved only by row-preserving MAINTENANCE commits
+      // (compaction / Z-order, proven by their `#maint` markers in one
+      // metadata read), in which case its rows at the scanned version
+      // ARE its rows at the pin and the rewrite stays exact (round 16).
+      if (leaf.version != ds.version) {
+        val dDir = new Path(root, ds.table)
+        if (!ManifestChangeFeed.rangeRowPreserving(
+            dDir.getFileSystem(hconf), dDir, ds.version, leaf.version))
+          return None // dim rows moved / repinned
+      }
     }
     // join-condition sets biject semantically, kind-for-kind: an INNER
     // spec matches only an untagged condition, a LEFT spec only a
@@ -278,13 +289,18 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     if (unmatched.nonEmpty) return None
 
-    // ---- freshness: exact, or compensable-ahead under allowStale ----
-    val stale = factLeaf.version != d.sourceVersion
+    // ---- freshness: exact, maintenance-moved (exact, round 16), or
+    // compensable-ahead under allowStale ----
+    val srcDir = new Path(root, d.source)
+    val hfs = srcDir.getFileSystem(hconf)
+    // a fact that moved ONLY by row-preserving maintenance commits holds
+    // exactly the checkpoint's rows — the MV answers EXACTLY with no
+    // compensation, no allowStale opt-in, and in either direction
+    val stale = factLeaf.version != d.sourceVersion &&
+      !ManifestChangeFeed.rangeRowPreserving(hfs, srcDir,
+        d.sourceVersion, factLeaf.version)
     if (stale && (!allowStale || factLeaf.version < d.sourceVersion))
       return None
-    val root = spark.conf.get(s"spark.sql.catalog.${cat.name()}.root")
-    val srcDir = new Path(root, d.source)
-    val hfs = srcDir.getFileSystem(spark.sessionState.newHadoopConf())
     lazy val tailRetained = (math.max(1, d.sourceVersion) to factLeaf.version)
       .toSet.subsetOf(ManifestFiles.versions(hfs, srcDir).toSet)
     lazy val tailAppendOnly = ManifestChangeFeed.rangeAppendOnly(

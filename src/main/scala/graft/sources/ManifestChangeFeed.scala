@@ -104,6 +104,28 @@ object ManifestChangeFeed {
     }
   }
 
+  /** Did every version step between `a` and `b` (either order) preserve
+    * the table's LOGICAL ROW MULTISET exactly? True only when each step
+    * in the range carries a `#maint` marker (compaction / Z-order /
+    * scoped compaction / delete-file rewrite — see
+    * [[ManifestFiles.maintLine]]). ONE snapshot read at the range's
+    * upper end: markers carry forward commit-over-commit, so the newest
+    * snapshot in the range holds every marker at or below it (subject
+    * to the MaintKeep cap — an aged-out marker answers false,
+    * conservatively). Powers maintenance-transparent MV freshness: a
+    * rewrite or refresh over a maintenance-only tail is EXACT with zero
+    * data I/O, in either direction (the row state at `a` and `b` is
+    * identical). */
+  def rangeRowPreserving(fs: FileSystem, dir: Path, a: Int,
+      b: Int): Boolean = {
+    val lo = math.min(a, b); val hi = math.max(a, b)
+    if (lo == hi) return true
+    if (lo < 0 || !fs.exists(new Path(dir, s"_MANIFEST.v$hi"))) return false
+    val marks = ManifestFiles.maintFromLines(
+      ManifestFiles.linesOf(fs, dir, Some(hi)))
+    ((lo + 1) to hi).forall(marks.contains)
+  }
+
   /** The step walk, shared by the batch scan and the streaming source:
     * one ManifestChangePartition per changed file per commit in
     * (from, end]. Driver metadata I/O only. */

@@ -554,13 +554,21 @@ object ManifestMaterializedView {
     def retained(table: String, pin: Int): Boolean =
       pin <= 0 || ManifestFiles.versions(fs, new Path(root, table))
         .contains(pin)
+    // a vacuumed pin whose tail is maintenance-only still re-pins
+    // exactly (the proof reads only the HEAD snapshot's markers — see
+    // the maintenance re-pin below), so it never forces the recompute
+    def expressable(table: String, pin: Int, to: Int): Boolean =
+      retained(table, pin) ||
+        ManifestChangeFeed.rangeRowPreserving(fs, new Path(root, table),
+          pin, to)
     def recomputeAtHeads(cur: MvDef): MvDef =
       recomputeFull(spark, catalog, mv, cur.copy(
         sourceVersion = head,
         dims = cur.dims.map(x => x.copy(version = dimHeads(x.table)))))
-    if ((head > d.sourceVersion && !retained(d.source, d.sourceVersion)) ||
+    if ((head > d.sourceVersion &&
+          !expressable(d.source, d.sourceVersion, head)) ||
         d.dims.exists(ds => dimHeads(ds.table) > ds.version &&
-          !retained(ds.table, ds.version)))
+          !expressable(ds.table, ds.version, dimHeads(ds.table))))
       return recomputeAtHeads(d)
     // Any step whose history the change feed cannot EXPRESS (rollback
     // past row-level delete state resurrects rows no diff can carry)
@@ -575,19 +583,37 @@ object ManifestMaterializedView {
             s"back to a full recompute (${e.getMessage.take(120)})")
           None
       }
+    // MAINTENANCE RE-PIN (round 16): an input that moved ONLY by
+    // row-preserving maintenance commits (compaction / Z-order /
+    // delete-file rewrites, proven by their `#maint` markers in ONE
+    // metadata read) holds exactly the rows the pin held — the step's
+    // fold would cancel to zero after reading the data twice. Publish
+    // the advanced pin instead: zero data I/O, exact by the marker's
+    // contract. Checked BEFORE the CDF read so nightly maintenance on
+    // a 100 TB fact costs a refresh nothing.
+    def maintOnly(table: String, pin: Int, to: Int): Boolean =
+      ManifestChangeFeed.rangeRowPreserving(fs, new Path(root, table),
+        pin, to)
     // FACT STEP: fold the fact's change feed against the PINNED dims —
     // exact because the pinned join state is identical on both sides of
     // the fold (an update's delete and insert legs join the same rows).
     if (head > d.sourceVersion) {
-      val feed0 = spark.read.format("graft-manifest")
-        .option("path", srcDir.toString).option("changeFeed", "true")
-        .option("changesFrom", d.sourceVersion.toString)
-        .option("changesTo", head.toString).load()
-      d = stepOrRecompute(d, s"fact '${d.source}'",
-        withDims(spark, root, d, feed0),
-        d.copy(sourceVersion = head)) match {
-        case Some(next) => next
-        case None => return recomputeAtHeads(d)
+      if (maintOnly(d.source, d.sourceVersion, head)) {
+        maintRepins.incrementAndGet()
+        val next = d.copy(sourceVersion = head)
+        publishDef(fs, mvDir, next, expectFresh = false)
+        d = next
+      } else {
+        val feed0 = spark.read.format("graft-manifest")
+          .option("path", srcDir.toString).option("changeFeed", "true")
+          .option("changesFrom", d.sourceVersion.toString)
+          .option("changesTo", head.toString).load()
+        d = stepOrRecompute(d, s"fact '${d.source}'",
+          withDims(spark, root, d, feed0),
+          d.copy(sourceVersion = head)) match {
+          case Some(next) => next
+          case None => return recomputeAtHeads(d)
+        }
       }
     }
     // DIM STEPS (round 15 stretch — the bounded alternative to a full
@@ -607,6 +633,14 @@ object ManifestMaterializedView {
       if (dimHead > ds.version) {
         val stepNext = d.copy(dims = d.dims.map(x =>
           if (x.table == t) x.copy(version = dimHead) else x))
+        if (maintOnly(t, ds.version, dimHead)) {
+          // the dim's rows at head ARE its rows at the pin — re-pin
+          // without touching the fact or the dim (zero data I/O),
+          // then continue to the next dim
+          maintRepins.incrementAndGet()
+          publishDef(fs, mvDir, stepNext, expectFresh = false)
+          d = stepNext
+        } else {
         val dimCdf = spark.read.format("graft-manifest")
           .option("path", new Path(root, t).toString)
           .option("changeFeed", "true")
@@ -648,10 +682,16 @@ object ManifestMaterializedView {
           case Some(next) => next
           case None => return recomputeAtHeads(d)
         }
+        }
       }
     }
     d
   }
+
+  /** Test-visible: maintenance-only re-pins taken (the spec asserts a
+    * compaction-only input advance publishes a checkpoint without any
+    * data I/O — no new MV version, no recompute). */
+  val maintRepins = new java.util.concurrent.atomic.AtomicLong
 
   /** One EXACT incremental step: fold `feedJoined` (a signed change
     * feed joined through the other, FIXED inputs) into the MV pinned at

@@ -849,7 +849,9 @@ private[sources] class ManifestTable(schema0: StructType,
                 if (v.isEmpty) Set.empty[String] else v.split("\n").toSet),
             scannedEntries = () =>
               Option(info.options.get("scannedEntries")).map(v =>
-                if (v.isEmpty) Set.empty[String] else v.split("\n").toSet))
+                if (v.isEmpty) Set.empty[String] else v.split("\n").toSet),
+            maintenance = Option(info.options.get("maintenanceRewrite"))
+              .contains("true"))
         }
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
           if (truncateRequested) throw new UnsupportedOperationException(
@@ -1040,7 +1042,10 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
     // row lineage via the COW metadata channel (write(meta, row))
     ridFromMeta: Boolean = false,
     // `_last_updated_version`: index of the carried value (-1 = none)
-    luvIdx: Int = -1) extends BatchWrite {
+    luvIdx: Int = -1,
+    // row-preserving maintenance rewrite (full compaction): the commit
+    // lands a `#maint` marker — see ManifestFiles.maintLine
+    maintenance: Boolean = false) extends BatchWrite {
 
   // Per-job staging namespace: concurrent writes (or an overlapping retry
   // of another job) can never see or delete each other's in-flight files.
@@ -1235,7 +1240,10 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
         if (ManifestFiles.isMergeOnRead(previous) || eqdelFins.nonEmpty)
           freshNames.map(n => ManifestFiles.bornLine(n, version))
         else Array.empty
-      conf0 ++ base ++ eqdels ++ fresh ++ born
+      val maint: Array[String] =
+        if (maintenance) Array(ManifestFiles.maintLine(version))
+        else Array.empty
+      conf0 ++ base ++ eqdels ++ fresh ++ born ++ maint
     }, schema, branch)
     fs.delete(staging, true)
   }

@@ -373,6 +373,39 @@ object ManifestFiles {
     out.result()
   }
 
+  /** ROW-PRESERVING MAINTENANCE markers (round 16): `#maint,<v>` in a
+    * snapshot records that the step (v-1)→v preserved the table's
+    * LOGICAL ROW MULTISET exactly — compaction, Z-order, scoped
+    * compaction, and delete-file rewrites reorganize bytes, never rows.
+    * Markers are facts about version steps (true forever), so every
+    * commit carries its predecessor's forward (see [[publishSnapshotV]])
+    * capped at the newest [[MaintKeep]] — the inline control section
+    * stays bounded over any table lifetime, and consumers degrade
+    * CONSERVATIVELY when a marker has aged out (absence never asserts
+    * anything). The payoff is a metadata-bounded freshness proof:
+    * [[ManifestChangeFeed.rangeRowPreserving]] answers "did any row
+    * change between v₁ and v₂?" from ONE snapshot read, which lets MV
+    * rewrites and refreshes treat nightly maintenance commits as the
+    * row-level no-ops they are instead of folding a compaction's
+    * delete+insert legs (which cancel exactly, but only after reading
+    * the data twice). */
+  val MaintKeep = 512
+  def maintLine(v: Int): String = s"#maint,$v"
+  def maintFromLines(lines: Array[String]): Set[Int] =
+    lines.filter(_.startsWith("#maint,"))
+      .flatMap(_.split(",", 2)(1).toIntOption).toSet
+  private def carryMaint(previous: Array[String],
+      built: Array[String]): Array[String] = {
+    val all = (previous.filter(_.startsWith("#maint,")) ++
+      built.filter(_.startsWith("#maint,"))).distinct
+    if (all.isEmpty) built
+    else {
+      val keep = all.flatMap(l => l.split(",", 2)(1).toIntOption.map(_ -> l))
+        .sortBy(-_._1).take(MaintKeep).map(_._2).toSet
+      built.filterNot(_.startsWith("#maint,")) ++ keep
+    }
+  }
+
   /** Streaming exactly-once markers accumulate one line per committed
     * epoch; only the MAX epoch per query is ever consulted
     * (committedEpoch), so storage keeps just that one — without this the
@@ -1328,8 +1361,9 @@ object ManifestFiles {
       // row-lineage choke point: EVERY snapshot commit (append, rewrite,
       // truncate, import, procedure) mints ids here, inside the claim
       encodeSnapshot(fs, dir, prevRaw,
-        dedupeTxn(assignRowIds(buildEntries(previous, version), version,
-          previous)),
+        carryMaint(previous,
+          dedupeTxn(assignRowIds(buildEntries(previous, version), version,
+            previous))),
         version,
         java.util.UUID.randomUUID().toString.take(8), schema)
     }, schema, branch, startAt)
@@ -5606,6 +5640,7 @@ private[sources] object ManifestProcedures {
             .option("path", dir.toString)
             .option("scannedDeleteState", scanState)
             .option("scannedEntries", scanEntries)
+            .option("maintenanceRewrite", "true")
             .option("bucketBy", bucketName)
             .option("buckets", n.toString)
             .options(sp.flatMap(p => ManifestFiles.fieldAtPhys(schemaNow, p))
@@ -5656,6 +5691,7 @@ private[sources] object ManifestProcedures {
             .option("path", dir.toString)
             .option("scannedDeleteState", scanState)
             .option("scannedEntries", scanEntries)
+            .option("maintenanceRewrite", "true")
             // compact arranges its own exact-target layout; a declared
             // range mode must not re-shuffle it to the session default
             .option("distributionMode", "none").save()
@@ -5853,7 +5889,7 @@ private[sources] object ManifestProcedures {
           (if (m.luvCol) Seq(ManifestFiles.luvColLine(fin)) else Nil)
       }
       val selSet = sel.toSet
-      val v = ManifestFiles.publishSnapshot(fs, hconf, dir, previous => {
+      val v = ManifestFiles.publishSnapshotV(fs, hconf, dir, (previous, version) => {
         val present = previous.flatMap(ManifestSink.entryName).toSet
         require(selSet.subsetOf(present),
           "a concurrent commit rewrote files in the compaction scope — " +
@@ -5885,7 +5921,10 @@ private[sources] object ManifestProcedures {
             "compaction's files — committing would resurrect those " +
             "rows; retry against the current snapshot")
         previous.filterNot(l =>
-          ManifestSink.entryName(l).exists(selSet)) ++ fresh
+          ManifestSink.entryName(l).exists(selSet)) ++ fresh :+
+          // scoped compaction replaces scanned entries with a verbatim
+          // rewrite of their rows — the logical multiset is unchanged
+          ManifestFiles.maintLine(version)
       }, schemaNow)
       fs.delete(staging, true)
       result(new StructType().add("version", IntegerType)
@@ -5911,10 +5950,14 @@ private[sources] object ManifestProcedures {
       val fs = dir.getFileSystem(conf)
       var before = 0
       var pairs = 0L
-      ManifestFiles.publishSnapshot(fs, conf, dir, previous => {
+      ManifestFiles.publishSnapshotV(fs, conf, dir, (previous, version) => {
         val dels = ManifestFiles.deleteFilesFromLines(previous)
         before = dels.length
-        if (dels.length <= 1) previous // nothing to fold; commit is a no-op version
+        // both branches preserve the logical row multiset exactly (a
+        // delete-file fold changes which files carry the pairs, never
+        // which rows are deleted) — mark the commit row-preserving
+        if (dels.length <= 1)
+          previous :+ ManifestFiles.maintLine(version) // no-op version
         else {
           val all = dels.flatMap(dn =>
             ManifestFiles.readManifest(fs, new Path(dir, dn)))
@@ -5932,7 +5975,8 @@ private[sources] object ManifestProcedures {
           finally out.close()
           require(fs.rename(tmp, new Path(dir, merged)),
             s"could not land merged delete file $merged")
-          previous.filterNot(_.startsWith("#dels,")) :+ s"#dels,$merged"
+          previous.filterNot(_.startsWith("#dels,")) ++
+            Array(s"#dels,$merged", ManifestFiles.maintLine(version))
         }
       }, ManifestFiles.schemaFor(fs, dir, None))
       result(new StructType().add("delete_files_before", IntegerType)
@@ -6603,7 +6647,10 @@ private[sources] object ManifestProcedures {
       val prev = if (v <= 1) Array.empty[String]
         else ManifestFiles.linesOf(fs, dir, Some(v - 1), br)
       def payload(ls: Array[String]) = ls.filterNot(l =>
-        l.startsWith("#txn,") || l.startsWith("#branchbase,"))
+        l.startsWith("#txn,") || l.startsWith("#branchbase,") ||
+          // maintenance markers are per-chain commit metadata: main's
+          // version numbering means nothing on the target branch
+          l.startsWith("#maint,"))
       val removed = payload(prev).toSet -- payload(cur).toSet
       require(removed.isEmpty,
         s"cherry_pick supports APPEND-ONLY commits; version $v also " +

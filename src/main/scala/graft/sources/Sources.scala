@@ -2789,6 +2789,82 @@ object Sources extends QueryModule {
       WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
       GROUP BY 1 ORDER BY 1"""))
 
+  /** MAINTENANCE-TRANSPARENT MV FRESHNESS (round 16 — `#maint`
+    * row-preserving markers + ManifestChangeFeed.rangeRowPreserving):
+    * compaction, Z-order, and delete-file rewrites reorganize bytes,
+    * never rows, yet they bump versions — under round 15's exact-pin
+    * gate every nightly maintenance pass silently un-accelerated every
+    * MV until its next refresh. Maintenance commits now land a `#maint`
+    * marker (carried forward, so the proof is ONE head-snapshot read),
+    * and both MvRewrite and refresh treat a marker-proven tail as the
+    * row-level no-op it is: the rewrite stays EXACT (extrema included,
+    * no allowStale opt-in) and refresh re-pins with zero data I/O. The
+    * entry compacts the fact AND Z-orders a dim with NO refresh and
+    * REQUIRES the MV-rewritten plan both times; a real append then
+    * REQUIRES the gate to hold until refresh. Hash rides the
+    * MV-rewritten plan over the final state against DuckDB. At 100 TB
+    * this is the difference between maintenance windows and dashboard
+    * acceleration being mutually exclusive or not. */
+  val qMvMaintenance: QueryDef = QueryDef(
+    "q276_mv_maintenance",
+    (s, d) => {
+      import s.implicits._
+      val root = tmp(d, "mv_maint")
+      val dir = new org.apache.hadoop.fs.Path(root)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      val cat = "graft_mvmt_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE TABLE $cat.li (l_orderkey BIGINT, l_linenumber BIGINT, " +
+        "l_quantity DOUBLE)")
+      s.sql(s"CREATE TABLE $cat.cust (c_custkey BIGINT, c_mktsegment STRING)")
+      val li = Tables.df(s, d, "lineitem")
+        .select($"l_orderkey", $"l_linenumber".cast("long"), $"l_quantity")
+      li.filter($"l_orderkey" % 2 === 0).repartition(4)
+        .writeTo(s"$cat.li").append() // v2, several files → compactable
+      Tables.df(s, d, "customer").select($"c_custkey", $"c_mktsegment")
+        .repartition(3).writeTo(s"$cat.cust").append()
+      s.sql(s"CALL $cat.system.create_materialized_view('seg_mv', 'li', " +
+        "'c_mktsegment', " +
+        "'count:*:n,sum:l_linenumber:sln,min:l_quantity:mnq,max:l_quantity:mxq', " +
+        "'l_quantity > 10.0', " +
+        "'cust ON l_orderkey % 1500 = c_custkey')")
+      val q = s"SELECT c_mktsegment, count(*) AS n, " +
+        "sum(l_linenumber) AS sln, min(l_quantity) AS mnq, " +
+        s"max(l_quantity) AS mxq FROM $cat.li " +
+        s"JOIN $cat.cust ON l_orderkey % 1500 = c_custkey " +
+        "WHERE l_quantity > 10.0 GROUP BY c_mktsegment"
+      def usesMv = s.sql(q).queryExecution.optimizedPlan.toString
+        .contains(".seg_mv")
+      require(usesMv, "the fresh MV must answer the join aggregate")
+      // maintenance moves BOTH inputs — the rewrite must survive with
+      // NO refresh: fact compaction, then a dim Z-order pass
+      s.sql(s"CALL $cat.system.compact('li', 2)")
+      require(usesMv,
+        "fact compaction is row-preserving — the MV must keep answering")
+      s.sql(s"CALL $cat.system.compact('cust', 2, 'c_mktsegment,c_custkey')")
+      require(usesMv,
+        "a dim Z-order pass is row-preserving — the MV must keep answering")
+      // a REAL append is not maintenance: gate until refresh
+      li.filter($"l_orderkey" % 2 === 1).writeTo(s"$cat.li").append()
+      require(!usesMv, "a data commit must gate the rewrite")
+      s.sql(s"CALL $cat.system.refresh_materialized_view('seg_mv')")
+      val accelerated = s.sql(q)
+      require(accelerated.queryExecution.optimizedPlan.toString
+          .contains(".seg_mv"),
+        "the refreshed MV must answer again:\n" +
+          accelerated.queryExecution.optimizedPlan.toString)
+      accelerated.orderBy($"c_mktsegment")
+    },
+    Some("""
+      SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l.l_linenumber AS BIGINT)) AS BIGINT) AS sln,
+             MIN(l.l_quantity) AS mnq, MAX(l.l_quantity) AS mxq
+      FROM lineitem l
+      JOIN customer c ON l.l_orderkey % 1500 = c.c_custkey
+      WHERE l.l_quantity > 10.0
+      GROUP BY 1 ORDER BY 1"""))
+
   override def defs: Seq[QueryDef] =
     Seq(qCsv, qJson, qOrc, qText, qPartitioned, qSynthSource, qSynthColumnar,
       qSchemaEvolution, qManifestTimeTravel, qManifestMerge, qManifestStream,
@@ -2802,5 +2878,5 @@ object Sources extends QueryModule {
       qGovernedView, qMaterializedView, qMvRewrite,
       qMergeNotMatchedBySource, qRowLineage, qAggPushdown, qCboReorder,
       qStarMv, qStaleMv, qVariantGoverned, qHistogramFlip, qMvRollup,
-      qLeftDimMv, qVariantShred)
+      qLeftDimMv, qVariantShred, qMvMaintenance)
 }

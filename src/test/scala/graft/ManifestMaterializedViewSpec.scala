@@ -600,4 +600,47 @@ class ManifestMaterializedViewSpec extends AnyFunSuite {
         "WHERE amt > 5.0 GROUP BY c_seg"))
     assert(got == want)
   }
+
+  test("MAINTENANCE-transparent refresh (round 16): compaction-only " +
+    "movement re-pins the checkpoint with ZERO data work (no MV " +
+    "commit, no recompute), and a vacuumed pin whose tail is " +
+    "maintenance-only still avoids the full recompute") {
+    import spark.implicits._
+    seedSourceIn { (cat, filter) =>
+      ManifestMaterializedView.create(spark, cat, "mvm", "src",
+        filter, Seq("grp"), ManifestMaterializedView.parseAggs(aggSpecs))
+      val root = spark.conf.get(s"spark.sql.catalog.$cat.root")
+      val mvDir = new Path(root, "mvm")
+      spark.sql(s"CALL $cat.system.compact('src', 2)") // v3, row-preserving
+      val repins0 = ManifestMaterializedView.maintRepins.get()
+      val recomp0 = ManifestMaterializedView.fullRecomputes.get()
+      val mvDataV0 = ManifestFiles.latestComplete(fsOf(mvDir), mvDir)
+      val d = ManifestMaterializedView.refresh(spark, cat, "mvm")
+      assert(d.sourceVersion == 3)
+      assert(ManifestMaterializedView.maintRepins.get() == repins0 + 1,
+        "compaction-only movement must take the re-pin fast path")
+      assert(ManifestMaterializedView.fullRecomputes.get() == recomp0)
+      // only the checkpoint advanced — the MV table itself is untouched
+      assert(ManifestFiles.latestComplete(fsOf(mvDir), mvDir) == mvDataV0)
+      assert(d.mvVersion == mvDataV0)
+      assertMatches(cat, "mvm", filter)
+      // vacuum the pin away, with ONLY maintenance in the tail: the
+      // marker proof reads the head snapshot, so no recompute either
+      spark.sql(s"CALL $cat.system.compact('src', 1)") // v4, row-preserving
+      spark.sql(s"CALL $cat.system.vacuum('src', 1)")  // pin v3 expired
+      val recomp1 = ManifestMaterializedView.fullRecomputes.get()
+      val d2 = ManifestMaterializedView.refresh(spark, cat, "mvm")
+      assert(d2.sourceVersion == 4)
+      assert(ManifestMaterializedView.fullRecomputes.get() == recomp1,
+        "a maintenance-only tail past a vacuumed pin must re-pin, not " +
+          "recompute")
+      assertMatches(cat, "mvm", filter)
+      // a REAL data commit after the re-pins folds normally
+      Seq((900L, "g0", "s1", 9.0, Option(5L)))
+        .toDF("k", "grp", "sub", "v", "w").writeTo(s"$cat.src").append()
+      val d3 = ManifestMaterializedView.refresh(spark, cat, "mvm")
+      assert(d3.sourceVersion == 5)
+      assertMatches(cat, "mvm", filter)
+    }
+  }
 }

@@ -543,4 +543,60 @@ class MvRewriteSpec extends AnyFunSuite {
       assert(got == want, "compensated rollup drifted from direct")
     } finally spark.conf.set("spark.graft.mv.rewrite.allowStale", "false")
   }
+
+  test("MAINTENANCE-transparent freshness (round 16): a fact or dim " +
+    "moved only by row-preserving maintenance (compact, Z-order, " +
+    "rewrite_position_deletes) still answers EXACTLY from the MV — " +
+    "extrema included, no allowStale opt-in; a data commit still gates") {
+    import spark.implicits._
+    val (cat, _) = freshCat()
+    seed(cat)
+    spark.sql(s"CALL $cat.system.create_materialized_view('aggm', 'src', " +
+      "'grp', 'count:*:c,sum:n:sn,min:v:mn,max:v:mx')")
+    val q = s"SELECT grp, count(*) AS c, sum(n) AS sn, min(v) AS mn, " +
+      s"max(v) AS mx FROM $cat.src GROUP BY grp"
+    assertSame(q, "aggm", expectRewrite = true)
+    // plain compaction, then a Z-order pass: neither breaks the rewrite
+    spark.sql(s"CALL $cat.system.compact('src', 2)")
+    assertSame(q, "aggm", expectRewrite = true)
+    spark.sql(s"CALL $cat.system.compact('src', 2, 'k,grp')")
+    assertSame(q, "aggm", expectRewrite = true)
+    // a MOR delete + its delete-file rewrite: the DELETE gates (rows
+    // changed), refresh resumes, and rewrite_position_deletes after the
+    // refresh stays transparent
+    spark.sql(s"DELETE FROM $cat.src WHERE k = 7")
+    assertSame(q, "aggm", expectRewrite = false)
+    spark.sql(s"CALL $cat.system.refresh_materialized_view('aggm')")
+    assertSame(q, "aggm", expectRewrite = true)
+    spark.sql(s"CALL $cat.system.rewrite_position_deletes('src')")
+    assertSame(q, "aggm", expectRewrite = true)
+    // a real append still kills exactness until the next refresh
+    Seq((1000L, "g1", 3.5, 4L)).toDF("k", "grp", "v", "n")
+      .writeTo(s"$cat.src").append()
+    assertSame(q, "aggm", expectRewrite = false)
+  }
+
+  test("MAINTENANCE-transparent freshness over STAR joins: a compacted " +
+    "DIM no longer kills the dim-pin gate; a dim DATA change still does") {
+    val (cat, _) = freshCat()
+    seedStar(cat)
+    spark.sql(s"CALL $cat.system.create_materialized_view('starm', " +
+      "'fact', 'c_seg,i_cat', 'count:*:n,sum:qty:sq', '', " +
+      "'dimc ON f_c = c_id,dimi ON f_i = i_id')")
+    val q = s"SELECT c_seg, i_cat, count(*) AS n, sum(qty) AS sq " +
+      s"FROM $cat.fact JOIN $cat.dimc ON f_c = c_id " +
+      s"JOIN $cat.dimi ON f_i = i_id GROUP BY c_seg, i_cat"
+    assertSame(q, "starm", expectRewrite = true)
+    spark.sql(s"CALL $cat.system.compact('dimc', 1)")
+    assertSame(q, "starm", expectRewrite = true)
+    // fact AND dim compacted together: both tails are marker-proven
+    spark.sql(s"CALL $cat.system.compact('fact', 2)")
+    assertSame(q, "starm", expectRewrite = true)
+    // a dim ROW change is not maintenance — the gate holds until refresh
+    import spark.implicits._
+    Seq((20L, "seg9")).toDF("c_id", "c_seg").writeTo(s"$cat.dimc").append()
+    assertSame(q, "starm", expectRewrite = false)
+    spark.sql(s"CALL $cat.system.refresh_materialized_view('starm')")
+    assertSame(q, "starm", expectRewrite = true)
+  }
 }
