@@ -43,10 +43,17 @@ import graft.sources.{GraftManifestCatalog, ManifestChangeFeed, ManifestFiles, M
   *     relation or a tree of INNER joins over manifest relations of the
   *     same catalog; the join-condition SET must biject semantically to
   *     the MV's declared dim conditions (inner joins reassociate
-  *     freely, so tree shape is irrelevant). Filters must match the
-  *     MV's filter semantically; a query filter over GROUP KEYS ONLY on
-  *     a filterless MV is applied to the MV read instead (group-level
-  *     pruning is always legal).
+  *     freely, so tree shape is irrelevant). Filters match by CONJUNCT
+  *     IMPLICATION (round 16): every MV conjunct must be consumed by a
+  *     semantically-equal query conjunct, and leftover query conjuncts
+  *     must reference only group keys — they prune the MV's GROUPS
+  *     (key-only predicates are constant within a group), so `WHERE
+  *     <mv filter> AND seg = 'x'` answers from a filtered MV. In the
+  *     ROLLUP pass, `count(DISTINCT <key cols…>)` additionally derives
+  *     by re-counting distinct key tuples over the MV's rows — sound
+  *     because the MV holds exactly one row per live full-key combo
+  *     (the "active days per segment" dashboard shape, which no fold
+  *     of stored aggregates can answer).
   *   - FRESHNESS: every DIM scan must sit exactly at its pinned
   *     version. The FACT scan must equal the checkpoint's
   *     sourceVersion — or, under `spark.graft.mv.rewrite.allowStale`,
@@ -311,18 +318,36 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // never pays it)
     lazy val extremaOk = !stale || tailAppendOnly
 
-    // ---- filters ----
+    // ---- filters: conjunct-level IMPLICATION (round 16) ----
+    // The query's filter must IMPLY the MV's: every MV conjunct is
+    // consumed by a semantically-equal query conjunct (multiset match,
+    // like the join conditions), and every LEFTOVER query conjunct must
+    // reference only GROUP KEYS — a key-only predicate is constant
+    // within each group, so filtering fact rows by it equals filtering
+    // the MV's (pre-aggregated) groups by it. Subsumes the round-14
+    // exact-equality gate AND the key-only-filter-on-filterless-MV
+    // case: `WHERE <mv filter> AND seg = 'x'` now prunes groups on a
+    // filtered MV instead of refusing. An MV conjunct the query lacks
+    // still refuses (the MV holds a subset of the query's rows).
     val mvFilter = d.filterSql.map(f =>
       resolveAgainst(agg.child, f).getOrElse(return None))
-    val extraKeyFilter: Option[Expression] = (queryFilter, mvFilter) match {
-      case (None, None) => None
-      case (Some(q), Some(m)) => if (q.semanticEquals(m)) None else return None
-      case (Some(q), None) =>
-        // group-level pruning: legal iff the filter sees only group keys
-        val onKeys = q.references.forall(a => d.groupBy.contains(a.name))
-        if (onKeys) Some(q) else return None
-      case (None, Some(_)) => return None
+    def conjunctsOf(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
+      case o => Seq(o)
     }
+    val residual = mvFilter.map(conjunctsOf).getOrElse(Seq.empty)
+      .foldLeft(queryFilter.map(conjunctsOf).getOrElse(Seq.empty)) {
+        (remaining, mc) =>
+          val i = remaining.indexWhere(_.semanticEquals(mc))
+          if (i < 0) return None // query misses an MV conjunct
+          remaining.patch(i, Nil, 1)
+      }
+    residual.foreach { c =>
+      if (!c.deterministic ||
+          !c.references.forall(a => d.groupBy.contains(a.name)))
+        return None // a non-key residual filters ROWS, not groups
+    }
+    val extraKeyFilter: Option[Expression] = residual.reduceOption(And)
 
     // ---- map every output to an MV storage derivation ----
     val specByFunc: Map[String, Seq[ManifestMaterializedView.AggSpec]] =
@@ -338,6 +363,15 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // a grouping expression (bare key column, or — rollup only — any
     // deterministic expression over key columns)
     case class KeyExpr(e: Expression) extends Deriv
+    // count(DISTINCT <key cols…>) in the rollup pass (round 16): the MV
+    // holds exactly ONE row per live group, i.e. per distinct full-key
+    // combination with at least one qualifying source row — so a
+    // distinct count over any subset of the KEY columns re-counts
+    // distinct tuples over the MV's rows, the dashboard "active
+    // days/users per segment" shape no fold of stored aggregates can
+    // answer (distinct counts don't fold; distinct KEYS are the
+    // storage's own row identity).
+    case class DistinctKeys(cols: Seq[Expression]) extends Deriv
     case class CntStar() extends Deriv
     case class NnCol(a: ManifestMaterializedView.AggSpec) extends Deriv
     case class SumD(a: ManifestMaterializedView.AggSpec, out: DataType)
@@ -350,6 +384,16 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       if (groupingExprs.exists(_.semanticEquals(e))) Some(e) else None
     }
     val derivs: Seq[(NamedExpression, Deriv)] = agg.aggregateExpressions.map {
+      case al @ Alias(ae: AggregateExpression, _)
+          if rollup && ae.isDistinct && ae.filter.isEmpty &&
+            (ae.aggregateFunction match {
+              case Count(args) => args.nonEmpty && args.forall {
+                case a: AttributeReference => d.groupBy.contains(a.name)
+                case _ => false
+              }
+              case _ => false
+            }) =>
+        (al, DistinctKeys(ae.aggregateFunction.children))
       case al @ Alias(ae: AggregateExpression, _)
           if !ae.isDistinct && ae.filter.isEmpty =>
         val dv: Deriv = ae.aggregateFunction match {
@@ -426,6 +470,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         val e: Expression = dv match {
           case KeyExpr(a: AttributeReference) => attr(a.name)
           case KeyExpr(_) => return None // exact path is bare-keys only
+          case DistinctKeys(_) => return None // rollup-pass derivation
           case CntStar() => cnt
           case NnCol(a) => nn(a)
           case SumD(a, out) => guard(a, Cast(sumc(a), out))
@@ -451,6 +496,11 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val aggList: Seq[NamedExpression] = derivs.map { case (orig, dv) =>
         val e: Expression = dv match {
           case KeyExpr(ke) => remap(ke)
+          case DistinctKeys(cols) =>
+            // one MV row per live distinct full-key combo → distinct
+            // tuples over key columns re-count over the MV's rows
+            AggregateExpression(Count(cols.map(remap)), Complete,
+              isDistinct = true)
           case CntStar() =>
             Coalesce(Seq(Cast(fold(Sum(cnt)), LongType), Literal(0L)))
           case NnCol(a) =>

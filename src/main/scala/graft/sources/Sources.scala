@@ -2644,6 +2644,28 @@ object Sources extends QueryModule {
         s"FROM $cat.ord GROUP BY cseg % 4")
       require(ex.queryExecution.optimizedPlan.toString.contains(".cube_mv"),
         "an expression-over-keys granularity must roll up from the MV")
+      // COUNT(DISTINCT key col) re-counts the cube's rows (round 16):
+      // the active-segments-per-status dashboard shape
+      val dc = s.sql(s"SELECT status, count(DISTINCT cseg) AS ds " +
+        s"FROM $cat.ord GROUP BY status")
+      require(dc.queryExecution.optimizedPlan.toString.contains(".cube_mv"),
+        "count(DISTINCT cseg) must re-count the cube's rows")
+      val dcDirect = {
+        s.conf.set("spark.graft.mv.rewrite", "false")
+        try s.sql(s"SELECT status, count(DISTINCT cseg) AS ds " +
+          s"FROM $cat.ord GROUP BY status").collect()
+          .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+        finally s.conf.set("spark.graft.mv.rewrite", "true")
+      }
+      require(dc.collect().map(r => (r.getString(0), r.getLong(1)))
+        .sorted.toSeq == dcDirect,
+        "distinct-key rollup drifted from the direct scan")
+      // FILTER IMPLICATION (round 16): a key-only residual conjunct
+      // prunes the cube's groups instead of refusing
+      val fi = s.sql(s"SELECT status, count(*) AS n FROM $cat.ord " +
+        "WHERE cseg IN (1, 3, 5) GROUP BY status")
+      require(fi.queryExecution.optimizedPlan.toString.contains(".cube_mv"),
+        "a key-only residual filter must prune MV groups")
       val direct = s.conf
       direct.set("spark.graft.mv.rewrite", "false")
       val want =

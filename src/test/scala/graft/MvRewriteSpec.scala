@@ -544,6 +544,55 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.mv.rewrite.allowStale", "false")
   }
 
+  test("FILTER IMPLICATION (round 16): a query whose filter is the MV " +
+    "filter AND a key-only residual answers from the filtered MV with " +
+    "group pruning; a non-key residual or a missing MV conjunct refuse") {
+    val (cat, _) = freshCat()
+    seed(cat)
+    spark.sql(s"CALL $cat.system.create_materialized_view('fagg', 'src', " +
+      "'grp', 'count:*:c,sum:n:sn', 'v > 3.0')")
+    // exact filter match still rewrites
+    assertSame(s"SELECT grp, count(*) AS c, sum(n) AS sn FROM $cat.src " +
+      "WHERE v > 3.0 GROUP BY grp", "fagg", expectRewrite = true)
+    // MV filter + key-only residual → rewrite, groups pruned
+    assertSame(s"SELECT grp, count(*) AS c, sum(n) AS sn FROM $cat.src " +
+      "WHERE v > 3.0 AND grp IN ('g1','g2') GROUP BY grp", "fagg",
+      expectRewrite = true)
+    // conjunct order flipped: the match is a set, not a prefix
+    assertSame(s"SELECT grp, count(*) AS c, sum(n) AS sn FROM $cat.src " +
+      "WHERE grp <> 'g0' AND v > 3.0 GROUP BY grp", "fagg",
+      expectRewrite = true)
+    // a NON-key residual filters rows, not groups — refuse
+    assertSame(s"SELECT grp, count(*) AS c, sum(n) AS sn FROM $cat.src " +
+      "WHERE v > 3.0 AND n > 2 GROUP BY grp", "fagg",
+      expectRewrite = false)
+    // the MV conjunct missing from the query — refuse (MV rows ⊂ query)
+    assertSame(s"SELECT grp, count(*) AS c, sum(n) AS sn FROM $cat.src " +
+      "WHERE grp <> 'g0' GROUP BY grp", "fagg", expectRewrite = false)
+    // implication composes with ROLLUP: global aggregate over the
+    // filtered MV with a key residual folds the pruned groups
+    assertSame(s"SELECT count(*) AS c FROM $cat.src " +
+      "WHERE v > 3.0 AND grp = 'g1'", "fagg", expectRewrite = true)
+  }
+
+  test("COUNT(DISTINCT key cols) rollup (round 16): distinct counts " +
+    "over MV key columns re-count the MV's rows — the active-days-per-" +
+    "segment shape; non-key distincts never match") {
+    val (cat, _) = freshCat()
+    seed(cat)
+    // two-key cube: (grp, n) — n plays the "day" role
+    spark.sql(s"CALL $cat.system.create_materialized_view('cube3', 'src', " +
+      "'grp,n', 'count:*:c,sum:k:sk')")
+    assertSame(s"SELECT grp, count(DISTINCT n) AS dn, count(*) AS c " +
+      s"FROM $cat.src GROUP BY grp", "cube3", expectRewrite = true)
+    // multi-arg distinct tuple over keys
+    assertSame(s"SELECT count(DISTINCT grp, n) AS dt FROM $cat.src",
+      "cube3", expectRewrite = true)
+    // a non-key distinct argument cannot derive from the storage
+    assertSame(s"SELECT grp, count(DISTINCT v) AS dv FROM $cat.src " +
+      "GROUP BY grp", "cube3", expectRewrite = false)
+  }
+
   test("MAINTENANCE-transparent freshness (round 16): a fact or dim " +
     "moved only by row-preserving maintenance (compact, Z-order, " +
     "rewrite_position_deletes) still answers EXACTLY from the MV — " +
