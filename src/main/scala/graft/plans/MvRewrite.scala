@@ -85,7 +85,8 @@ import graft.sources.{GraftManifestCatalog, ManifestChangeFeed, ManifestFiles, M
   * refresh / compensate all read the source BY PATH (no catalog on the
   * relation). Output attribute ids and types are preserved exactly, so
   * parent operators are untouched. */
-case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
 
   private def enabled: Boolean =
     spark.conf.get("spark.graft.mv.rewrite", "true").toBoolean
@@ -331,12 +332,9 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // still refuses (the MV holds a subset of the query's rows).
     val mvFilter = d.filterSql.map(f =>
       resolveAgainst(agg.child, f).getOrElse(return None))
-    def conjunctsOf(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
-      case o => Seq(o)
-    }
-    val residual = mvFilter.map(conjunctsOf).getOrElse(Seq.empty)
-      .foldLeft(queryFilter.map(conjunctsOf).getOrElse(Seq.empty)) {
+    val residual = mvFilter.map(splitConjunctivePredicates).getOrElse(Seq.empty)
+      .foldLeft(queryFilter.map(splitConjunctivePredicates)
+        .getOrElse(Seq.empty)) {
         (remaining, mc) =>
           val i = remaining.indexWhere(_.semanticEquals(mc))
           if (i < 0) return None // query misses an MV conjunct

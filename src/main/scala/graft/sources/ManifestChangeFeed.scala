@@ -121,8 +121,11 @@ object ManifestChangeFeed {
     val lo = math.min(a, b); val hi = math.max(a, b)
     if (lo == hi) return true
     if (lo < 0 || !fs.exists(new Path(dir, s"_MANIFEST.v$hi"))) return false
+    // RAW list read, not materialize: `#maint` markers are inline
+    // control lines, so the proof never resolves a segment file — the
+    // plan-path cost is one small-file read however large the table
     val marks = ManifestFiles.maintFromLines(
-      ManifestFiles.linesOf(fs, dir, Some(hi)))
+      ManifestFiles.readManifest(fs, new Path(dir, s"_MANIFEST.v$hi")))
     ((lo + 1) to hi).forall(marks.contains)
   }
 

@@ -554,13 +554,18 @@ object ManifestMaterializedView {
     def retained(table: String, pin: Int): Boolean =
       pin <= 0 || ManifestFiles.versions(fs, new Path(root, table))
         .contains(pin)
+    // memoized marker probe: the retention pre-check and the re-pin
+    // fast path below ask the same (table, pin, head) question
+    val maintCache = scala.collection.mutable.Map.empty[(String, Int, Int), Boolean]
+    def maintOnly(table: String, pin: Int, to: Int): Boolean =
+      maintCache.getOrElseUpdate((table, pin, to),
+        ManifestChangeFeed.rangeRowPreserving(fs, new Path(root, table),
+          pin, to))
     // a vacuumed pin whose tail is maintenance-only still re-pins
     // exactly (the proof reads only the HEAD snapshot's markers — see
     // the maintenance re-pin below), so it never forces the recompute
     def expressable(table: String, pin: Int, to: Int): Boolean =
-      retained(table, pin) ||
-        ManifestChangeFeed.rangeRowPreserving(fs, new Path(root, table),
-          pin, to)
+      retained(table, pin) || maintOnly(table, pin, to)
     def recomputeAtHeads(cur: MvDef): MvDef =
       recomputeFull(spark, catalog, mv, cur.copy(
         sourceVersion = head,
@@ -591,9 +596,6 @@ object ManifestMaterializedView {
     // the advanced pin instead: zero data I/O, exact by the marker's
     // contract. Checked BEFORE the CDF read so nightly maintenance on
     // a 100 TB fact costs a refresh nothing.
-    def maintOnly(table: String, pin: Int, to: Int): Boolean =
-      ManifestChangeFeed.rangeRowPreserving(fs, new Path(root, table),
-        pin, to)
     // FACT STEP: fold the fact's change feed against the PINNED dims —
     // exact because the pinned join state is identical on both sides of
     // the fold (an update's delete and insert legs join the same rows).

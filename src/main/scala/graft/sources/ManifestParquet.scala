@@ -524,7 +524,17 @@ private[sources] object ManifestParquet {
         else if (firstRow >= 0) firstRow + ordinal
         else null
       private def luvOf(row: InternalRow): Any =
-        if (luvIdx >= 0 && !row.isNullAt(luvIdx)) row.getInt(luvIdx)
+        if (luvIdx >= 0 && !row.isNullAt(luvIdx)) {
+          // 0 is the UNKNOWN sentinel (versions start at 1): a
+          // maintenance rewrite carries a pre-lineage row's NULL
+          // `_last_updated_version` as 0 so it keeps reading NULL —
+          // a null column slot means "this commit touched the row"
+          // (PRESERVE_ON_UPDATE=false nulls it on update/insert) and
+          // resolves to the file default, which would wrongly stamp
+          // pre-lineage history at the compaction version
+          val v = row.getInt(luvIdx)
+          if (v == 0) null else v
+        }
         else if (luv >= 0) luv
         else null
       override def get(): InternalRow = {

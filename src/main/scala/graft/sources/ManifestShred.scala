@@ -44,7 +44,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * references, which a `variant_get` expression is not — the skipping
   * half is what a 100 TB semi-structured corpus needs first (takedowns
   * and per-tenant reads touch the matching files, not the corpus). */
-object ManifestShred {
+object ManifestShred extends PredicateHelper {
 
   /** Synthetic `#stats` position space for shredded paths — far above
     * any real physical column position. */
@@ -126,6 +126,48 @@ object ManifestShred {
   def confLines(specs: Seq[Spec]): Seq[String] =
     specs.map(s => confLine(s.i, s.pos, s.path, typeName(s.dt)))
 
+  /** STABLE INDEX assignment across declaration changes (round-16
+    * self-review): a shred's synthetic `#stats` position is PosBase+i
+    * and committed files carry bounds at that position FOREVER, so an
+    * index may never be reused for a different (column, path, type) —
+    * naive zipWithIndex re-numbering on ALTER would reinterpret old
+    * files' `$.a` bounds as `$.b`'s and prune wrongly. Re-declaring
+    * keeps each surviving spec's existing index, new specs draw fresh
+    * indices from the persisted high-water (`#tableconf,shrednext`,
+    * same idea as rowidnext), and a removed spec retires its index
+    * permanently — its orphaned per-file stats are never consulted
+    * because [[skipFilters]] resolves positions only through the
+    * CURRENT snapshot's declared specs. Returns the re-indexed specs
+    * and the new high-water. */
+  def reindex(prior: Array[String], specs: Seq[Spec]): (Seq[Spec], Int) = {
+    val old = fromLines(prior)
+    val byIdent = old.map(s => (s.pos, s.path, s.dt) -> s.i).toMap
+    var next = math.max(nextFromLines(prior), (old.map(_.i + 1) :+ 0).max)
+    val out = specs.map { s =>
+      byIdent.get((s.pos, s.path, s.dt)) match {
+        case Some(i) => s.copy(i = i)
+        case None => val i = next; next += 1; s.copy(i = i)
+      }
+    }
+    (out, next)
+  }
+
+  val NextPrefix = "#tableconf,shrednext,"
+  def nextLine(n: Int): String = s"$NextPrefix$n"
+  def nextFromLines(lines: Array[String]): Int =
+    lines.collectFirst { case l if l.startsWith(NextPrefix) =>
+      l.substring(NextPrefix.length).toIntOption.getOrElse(0) }.getOrElse(0)
+
+  /** Declared shred paths whose variant column exists in THIS write's
+    * schema, as the writer's spec tuples (schema idx, spec index, path,
+    * typed domain) — shared by the batch and streaming factories. A
+    * rewrite of a pre-shred file set simply lacks them. */
+  def writerSpecs(lines: Array[String], schema: StructType):
+      Array[(Int, Int, String, DataType)] =
+    fromLines(lines).flatMap(sp =>
+      ManifestFiles.fieldAtPhys(schema, sp.pos)
+        .map(idx => (idx, sp.i, sp.path, sp.dt))).toArray
+
   // ---- lifted-predicate codec (relation option `variantSkip`) ---------
 
   /** One comparable `variant_get` conjunct: column position is NOT
@@ -178,7 +220,7 @@ object ManifestShred {
       case "gt" => "lt"; case "ge" => "le"
       case "lt" => "gt"; case "le" => "ge"; case other => other
     }
-    splitConjunctive(cond).flatMap {
+    splitConjunctivePredicates(cond).flatMap {
       case GreaterThan(vg, Literal(v, _)) if v != null => one("gt", vg, v)
       case GreaterThanOrEqual(vg, Literal(v, _)) if v != null =>
         one("ge", vg, v)
@@ -198,11 +240,6 @@ object ManifestShred {
       case IsNull(vg) => one("isnull", vg, "")
       case _ => None
     }
-  }
-
-  private def splitConjunctive(e: Expression): Seq[Expression] = e match {
-    case And(l, r) => splitConjunctive(l) ++ splitConjunctive(r)
-    case other => Seq(other)
   }
 
   /** Resolve lifted predicates against a snapshot's declared specs →

@@ -1087,11 +1087,7 @@ private[sources] class ManifestBatchWrite(path: String, queryId: String,
       histPos = ManifestFiles.histDeclFromLines(lines)
         .flatMap(ManifestFiles.fieldAtPhys(schema, _)).toArray,
       ridIdx = ridIdx, ridFromMeta = ridFromMeta, luvIdx = luvIdx,
-      // declared variant.shred paths whose column exists in THIS write's
-      // schema (a rewrite of a pre-shred file set simply lacks them)
-      shred = ManifestShred.fromLines(lines).flatMap(sp =>
-        ManifestFiles.fieldAtPhys(schema, sp.pos)
-          .map(idx => (idx, sp.i, sp.path, sp.dt))).toArray)
+      shred = ManifestShred.writerSpecs(lines, schema))
   }
 
   // Driver-side, exactly once, only after EVERY task committed: publish.
@@ -1985,9 +1981,7 @@ private[sources] class ManifestStreamingWrite(path: String, queryId: String,
         .flatMap(ManifestFiles.fieldAtPhys(schema, _)).toArray,
       histPos = ManifestFiles.histDeclFromLines(lines)
         .flatMap(ManifestFiles.fieldAtPhys(schema, _)).toArray,
-      shred = ManifestShred.fromLines(lines).flatMap(sp =>
-        ManifestFiles.fieldAtPhys(schema, sp.pos)
-          .map(idx => (idx, sp.i, sp.path, sp.dt))).toArray)
+      shred = ManifestShred.writerSpecs(lines, schema))
   }
 
   override def commit(epochId: Long,

@@ -4893,9 +4893,14 @@ class GraftManifestCatalog extends TableCatalog
           case None => base2n0
         }
         val base2v = shredFlip match {
-          case Some(specs) =>
-            base2n.filterNot(_.startsWith("#tableconf,shred,")) ++
-              ManifestShred.confLines(specs)
+          case Some(specs0) =>
+            // stable re-index against the prior declaration (see
+            // ManifestShred.reindex): surviving paths keep their
+            // synthetic #stats position, new paths draw fresh ones
+            val (specs, next) = ManifestShred.reindex(base2n, specs0)
+            base2n.filterNot(l => l.startsWith("#tableconf,shred,") ||
+                l.startsWith(ManifestShred.NextPrefix)) ++
+              ManifestShred.confLines(specs) :+ ManifestShred.nextLine(next)
           case None => base2n
         }
         val base2 =
@@ -5602,7 +5607,14 @@ private[sources] object ManifestProcedures {
         if (ManifestFiles.isLineage(scanLines))
           live0.select(org.apache.spark.sql.functions.col("*"),
             live0.metadataColumn("_row_id"),
-            live0.metadataColumn("_last_updated_version"))
+            // a pre-lineage row's NULL recency carries as the 0
+            // sentinel: a null `_luv` slot means "updated by this
+            // commit" and resolves to the file default — maintenance
+            // must never read as an update (see ManifestParquet.luvOf)
+            org.apache.spark.sql.functions.coalesce(
+              live0.metadataColumn("_last_updated_version"),
+              org.apache.spark.sql.functions.lit(0))
+              .as("_last_updated_version"))
         else live0
       // the rewrite derives from THIS state; the commit validates no
       // newer #dels/#eqdels landed concurrently (a racing row-level
@@ -5821,7 +5833,11 @@ private[sources] object ManifestProcedures {
       val subset =
         if (lineage) subset0.select(col("*"),
           subset0.metadataColumn("_row_id"),
-          subset0.metadataColumn("_last_updated_version"))
+          // pre-lineage NULL recency → 0 sentinel (ManifestParquet.luvOf)
+          org.apache.spark.sql.functions.coalesce(
+            subset0.metadataColumn("_last_updated_version"),
+            org.apache.spark.sql.functions.lit(0))
+            .as("_last_updated_version"))
         else subset0
       val arranged = sortCols match {
         case Seq() => subset.coalesce(target)

@@ -435,6 +435,21 @@ class ManifestRowLineageSpec extends AnyFunSuite {
         s"got ${born(1L)}")
     assert((30L until 40L).forall(born(_).contains(4)),
       s"second append's rows must resolve #born version 4, got ${born(35L)}")
+    // MAINTENANCE must not read as an update (round-16 self-review):
+    // compacting the COW table carries pre-lineage NULLs through as the
+    // 0 sentinel — rows keep reading NULL, not the compaction version,
+    // while post-flip rows keep their true version
+    spark.sql(s"CALL $cat.system.compact('t', 1)")                 // v5
+    val compacted = spark.sql(
+      s"SELECT k, _last_updated_version FROM $cat.t").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert((0L until 50L).forall(compacted(_).isEmpty),
+      s"pre-lineage rows must stay NULL through compaction, " +
+        s"got ${compacted(10L)}")
+    assert((50L until 60L).forall(compacted(_).contains(4)),
+      s"post-flip rows must keep their version through compaction, " +
+        s"got ${compacted(55L)}")
   }
 
   test("_last_updated_version: MERGE bumps matched-updated rows and " +

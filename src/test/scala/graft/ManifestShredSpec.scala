@@ -179,6 +179,48 @@ class ManifestShredSpec extends AnyFunSuite {
     assert(e.getMessage.contains("VARIANT"))
   }
 
+  test("INDEX STABILITY across re-declaration (round-16 self-review): " +
+    "a surviving path keeps its synthetic stats position, a re-added " +
+    "path draws a FRESH index — old files' bounds are never " +
+    "reinterpreted as a different path's") {
+    val (cat, root) = freshCat("reidx")
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, doc VARIANT) " +
+      "TBLPROPERTIES('variant.shred'='doc:$.a:bigint,doc:$.b:bigint')")
+    // one file: $.a ∈ [0,100), $.b ∈ [1000,1100) — disjoint domains
+    spark.range(0, 100).selectExpr("id",
+      """parse_json(concat('{"a":', id, ',"b":', id + 1000, '}')) AS doc""")
+      .coalesce(1).writeTo(s"$cat.t").append()
+    // drop $.a from the declaration: naive re-numbering would hand $.b
+    // index 0 and evaluate the old file's $.a bounds (max 99) for $.b
+    // predicates — wrongly skipping the file and losing all 100 rows
+    spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES(" +
+      "'variant.shred'='doc:$.b:bigint')")
+    val q = checkExact(cat,
+      s"SELECT id FROM $cat.t WHERE variant_get(doc, '$$.b', 'bigint') > 500")
+    assert(q.count() == 100,
+      "the surviving path's bounds must keep answering for $.b")
+    assert(metric(q, "filesPlanned") == 1L && metric(q, "filesSkipped") == 0L)
+    // ... while a genuinely out-of-range $.b predicate still skips via
+    // the file's own $.b bounds at the PRESERVED index
+    val q2 = checkExact(cat,
+      s"SELECT id FROM $cat.t WHERE variant_get(doc, '$$.b', 'bigint') > 5000")
+    assert(metric(q2, "filesSkipped") == 1L)
+    // re-adding $.a draws a FRESH index (2), never reusing retired 0
+    spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES(" +
+      "'variant.shred'='doc:$.b:bigint,doc:$.a:bigint')")
+    val dir = new org.apache.hadoop.fs.Path(root, "t")
+    val specs = ManifestShred.fromLines(ManifestFiles.linesOf(
+      dir.getFileSystem(spark.sessionState.newHadoopConf()), dir, None))
+    assert(specs.map(s => s.path -> s.i).toMap == Map("$.b" -> 1, "$.a" -> 2),
+      s"surviving $$.b keeps index 1, re-added $$.a draws fresh 2: $specs")
+    // the old file's $.a stats live at RETIRED index 0 — a $.a query
+    // must not skip it (no stats at the fresh position), and stays exact
+    val q3 = checkExact(cat,
+      s"SELECT id FROM $cat.t WHERE variant_get(doc, '$$.a', 'bigint') > 5000")
+    assert(metric(q3, "filesSkipped") == 0L,
+      "re-added path must not consult retired-index bounds")
+  }
+
   test("SEGMENT-LEVEL shred pruning: a selective variant_get predicate " +
     "skips whole segments unread (the #segstats union covers the " +
     "synthetic positions)") {
