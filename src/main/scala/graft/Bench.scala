@@ -84,7 +84,8 @@ object Bench {
     "q269_star_join_mv", "q270_stale_mv_compensation",
     "q271_variant_governed", "q272_histogram_broadcast_flip",
     "q273_mv_rollup_rewrite", "q274_left_dim_mv",
-    "q275_variant_shred_skipping", "q276_mv_maintenance")
+    "q275_variant_shred_skipping", "q276_mv_maintenance",
+    "q277_mv_sql_ddl")
 
   private val sentinelName = "q97_compute_pi"
   private val stragglerQueries =

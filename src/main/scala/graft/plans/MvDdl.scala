@@ -1,0 +1,195 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.IntegerType
+
+import graft.sources.{GraftManifestCatalog, ManifestMaterializedView}
+
+/** SQL DDL for INCREMENTAL MATERIALIZED VIEWS (round 16 — the missing
+  * user surface over round 14-16's MV machinery): until now creation
+  * went through the procedure's `func:expr:alias` string codec —
+  * functional, but nobody writes dashboards in a bespoke mini-language.
+  * Through the `injectParser` seam (the DEDUP statement's pattern):
+  *
+  *   CREATE MATERIALIZED VIEW <catalog>.<name> AS
+  *     SELECT <keys…>, <agg AS alias…> FROM <cat>.<fact>
+  *     [ [LEFT] JOIN <cat>.<dim> ON <cond> ]* [WHERE <filter>]
+  *     GROUP BY <keys…>
+  *   REFRESH MATERIALIZED VIEW <catalog>.<name>
+  *   DROP MATERIALIZED VIEW <catalog>.<name>
+  *
+  * REFRESH/DROP desugar at parse time to the existing procedures
+  * (`CALL <catalog>.system.refresh_materialized_view(…)`). CREATE keeps
+  * the SELECT's text and becomes a [[CreateMaterializedViewCommand]]
+  * that ANALYZES it at execution: the resolved plan must be an
+  * Aggregate over a LEFT-DEEP join chain of same-catalog manifest
+  * relations (the standard FROM order — the FIRST table is the FACT the
+  * change-feed refresh follows, each later table a dimension pinned at
+  * create), with group keys as bare columns and aggregates drawn from
+  * count(*) / count / sum / avg / min / max. The pieces decompile to the
+  * definition codec's bare-name SQL (qualifiers stripped — star MVs
+  * require globally unique column names, so bare names are exact), and
+  * [[ManifestMaterializedView.create]] runs unchanged — one surface, two
+  * front doors, zero new semantics. Anything the MV algebra cannot
+  * maintain incrementally (DISTINCT aggregates, expression group keys,
+  * ORDER BY, subqueries, non-equi shapes the analyzer folds away)
+  * REFUSES at CREATE time with the reason, never silently degrades. */
+object MvDdl {
+
+  private val CreateStmt =
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\S+)\s+AS\s+(SELECT\b.+)""".r
+  private val RefreshStmt =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\S+)\s*""".r
+  private val DropStmt =
+    """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(\S+)\s*""".r
+
+  /** Try to parse `sqlText` as an MV DDL statement; None ⇒ not ours. */
+  def parse(sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
+    sqlText.replaceAll("[;\\s]+$", "") match {
+      case CreateStmt(ident, select) =>
+        idParts(ident, delegate).map(CreateMaterializedViewCommand(_, select))
+      case RefreshStmt(ident) =>
+        idParts(ident, delegate).map(p => delegate.parsePlan(
+          s"CALL ${quoted(p.init)}.system.refresh_materialized_view" +
+            s"('${p.last}')"))
+      case DropStmt(ident) =>
+        idParts(ident, delegate).map(p => delegate.parsePlan(
+          s"CALL ${quoted(p.init)}.system.drop_materialized_view" +
+            s"('${p.last}')"))
+      case _ => None
+    }
+
+  private def quoted(parts: Seq[String]): String =
+    parts.map(p => s"`${p.replace("`", "``")}`").mkString(".")
+
+  /** `<catalog>.<name>` (exactly two parts — the MV machinery lives in
+    * a named graft catalog); bad identifiers fall through to the
+    * delegate's own error surface. */
+  private def idParts(ident: String,
+      delegate: ParserInterface): Option[Seq[String]] =
+    try {
+      val parts = delegate.parseMultipartIdentifier(ident.trim)
+      if (parts.length == 2) Some(parts) else None
+    } catch { case _: ParseException => None }
+}
+
+/** Executable CREATE MATERIALIZED VIEW: analyzes the SELECT against the
+  * live session, decompiles the resolved Aggregate into the definition
+  * codec, and delegates to [[ManifestMaterializedView.create]]. */
+case class CreateMaterializedViewCommand(parts: Seq[String],
+    selectText: String) extends LeafRunnableCommand {
+
+  private def fail(why: String): Nothing =
+    throw new IllegalArgumentException(
+      s"CREATE MATERIALIZED VIEW: $why (definition shape: " +
+        "SELECT keys, count/sum/avg/min/max aggregates FROM fact " +
+        "[[LEFT] JOIN dim ON cond]* [WHERE filter] GROUP BY keys)")
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val Seq(catalog, mvName) = parts
+    val analyzed = spark.sql(selectText).queryExecution.analyzed
+    val agg = analyzed match {
+      case a: Aggregate => a
+      case other => fail("the definition must be a plain GROUP BY " +
+        s"aggregate (no ORDER BY / LIMIT / set ops), got ${other.nodeName}")
+    }
+
+    // ---- the FROM shape: left-deep joins over manifest relations ----
+    final case class Leaf(name: String, cat: String)
+    def leafOf(p: LogicalPlan): Option[Leaf] = p match {
+      case SubqueryAlias(_, c) => leafOf(c)
+      case r: DataSourceV2Relation => (r.catalog, r.identifier) match {
+        case (Some(c: GraftManifestCatalog), Some(id))
+            if id.namespace.isEmpty =>
+          val props = r.table.properties()
+          if (props.containsKey("branch") || props.containsKey("versionAsOf"))
+            fail(s"'${id.name}' is read at a branch/version — an MV " +
+              "definition pins its own versions at create")
+          Some(Leaf(id.name, c.name()))
+        case _ => None
+      }
+      case _ => None
+    }
+    // (filters, dims innermost-first, fact)
+    def walk(p: LogicalPlan):
+        (Seq[Expression], Seq[(Leaf, Expression, Boolean)], Leaf) =
+      p match {
+        case SubqueryAlias(_, c) => walk(c)
+        case Filter(cond, c) =>
+          val (fs, ds, f) = walk(c); (fs :+ cond, ds, f)
+        case Join(l, r, jt, Some(cond), _)
+            if jt == Inner || jt == LeftOuter =>
+          val dim = leafOf(r).getOrElse(fail(
+            "each JOIN's right side must be a bare governed table " +
+              "(left-deep FROM chain; no subqueries)"))
+          val (fs, ds, f) = walk(l)
+          (fs, ds :+ ((dim, cond, jt == LeftOuter)), f)
+        case Join(_, _, jt, _, _) =>
+          fail(s"unsupported join ($jt / missing ON) in the definition")
+        case other => leafOf(other) match {
+          case Some(leaf) => (Seq.empty, Seq.empty, leaf)
+          case None => fail(s"unsupported operator ${other.nodeName} in " +
+            "the definition (the FROM must be governed tables of the " +
+            "target catalog)")
+        }
+      }
+    val (filters, dims, fact) = walk(agg.child)
+    (fact +: dims.map(_._1)).foreach { leaf =>
+      if (leaf.cat != catalog)
+        fail(s"'${leaf.name}' lives in catalog '${leaf.cat}', not the " +
+          s"target catalog '$catalog'")
+    }
+
+    // ---- decompile expressions to the codec's bare-name SQL ----
+    def bareSql(e: Expression): String = e.transform {
+      case a: AttributeReference => a.withQualifier(Seq.empty)
+    }.sql
+    val groupBy = agg.groupingExpressions.map {
+      case a: AttributeReference => a.name
+      case other => fail(s"group key '${other.sql}' is not a bare " +
+        "column (the incremental fold stores per-key groups)")
+    }
+    val aggs = agg.aggregateExpressions.flatMap {
+      case al @ Alias(ae: AggregateExpression, _) =>
+        if (ae.isDistinct) fail(s"DISTINCT aggregate '${al.sql}' cannot " +
+          "maintain incrementally (distinct counts don't fold)")
+        if (ae.filter.nonEmpty) fail(s"FILTER clause on '${al.sql}' is " +
+          "unsupported — move it into WHERE")
+        val (func, ex) = ae.aggregateFunction match {
+          case Count(Seq(Literal(1, IntegerType))) => ("count_star", "*")
+          case Count(Seq(e)) => ("count", bareSql(e))
+          case s: Sum => ("sum", bareSql(s.child))
+          case a: Average => ("avg", bareSql(a.child))
+          case m: Min => ("min", bareSql(m.child))
+          case m: Max => ("max", bareSql(m.child))
+          case other => fail(s"aggregate '${other.prettyName}' is outside " +
+            "the incremental algebra (count/sum/avg/min/max)")
+        }
+        Some(ManifestMaterializedView.AggSpec(func, ex, al.name))
+      case ne if ne.references.nonEmpty &&
+          ne.references.forall(a => groupBy.contains(a.name)) &&
+          (ne match {
+            case _: AttributeReference => true
+            case Alias(_: AttributeReference, _) => true
+            case _ => false
+          }) =>
+        None // a group key in the select list — always stored anyway
+      case other => fail(s"output '${other.sql}' is neither a group key " +
+        "nor a supported aggregate")
+    }
+    if (aggs.isEmpty) fail("the definition needs at least one aggregate")
+
+    val filterSql = filters.map(bareSql).reduceOption((a, b) => s"($a) AND ($b)")
+    ManifestMaterializedView.create(spark, catalog, mvName, fact.name,
+      filterSql, groupBy, aggs,
+      dims.map { case (t, cond, left) => (t.name, bareSql(cond), left) })
+    Seq.empty
+  }
+}

@@ -2887,6 +2887,65 @@ object Sources extends QueryModule {
       WHERE l.l_quantity > 10.0
       GROUP BY 1 ORDER BY 1"""))
 
+  /** SQL DDL for materialized views (round 16 — plans/MvDdl.scala): the
+    * MV machinery's missing user surface. `CREATE MATERIALIZED VIEW …
+    * AS SELECT` analyzes the definition and decompiles the resolved
+    * aggregate-over-star-join into the same create() the procedure
+    * calls; `REFRESH`/`DROP MATERIALIZED VIEW` desugar to the
+    * procedures at parse time. The entry creates a star MV purely in
+    * SQL, REQUIRES the transparent rewrite, appends (REQUIRED to gate),
+    * refreshes via the DDL verb, REQUIRES the rewrite back, and
+    * hash-matches DuckDB over the final state — proving both front
+    * doors drive one definition codec. */
+  val qMvSqlDdl: QueryDef = QueryDef(
+    "q277_mv_sql_ddl",
+    (s, d) => {
+      import s.implicits._
+      val root = tmp(d, "mv_ddl")
+      val dir = new org.apache.hadoop.fs.Path(root)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      val cat = "graft_mvdd_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE TABLE $cat.li (l_orderkey BIGINT, l_linenumber BIGINT, " +
+        "l_quantity DOUBLE)")
+      s.sql(s"CREATE TABLE $cat.ord (o_orderkey BIGINT, o_orderstatus STRING)")
+      val li = Tables.df(s, d, "lineitem")
+        .select($"l_orderkey", $"l_linenumber".cast("long"), $"l_quantity")
+      li.filter($"l_orderkey" % 2 === 0).writeTo(s"$cat.li").append()
+      Tables.df(s, d, "orders").select($"o_orderkey", $"o_orderstatus")
+        .writeTo(s"$cat.ord").append()
+      // the definition is PLAIN SQL — no procedure, no codec strings
+      s.sql(s"CREATE MATERIALIZED VIEW $cat.status_mv AS " +
+        s"SELECT o_orderstatus, count(*) AS n, sum(l_linenumber) AS sln, " +
+        s"max(l_quantity) AS mxq FROM $cat.li " +
+        s"JOIN $cat.ord ON l_orderkey = o_orderkey " +
+        "WHERE l_quantity > 5.0 GROUP BY o_orderstatus")
+      val q = s"SELECT o_orderstatus, count(*) AS n, " +
+        s"sum(l_linenumber) AS sln, max(l_quantity) AS mxq FROM $cat.li " +
+        s"JOIN $cat.ord ON l_orderkey = o_orderkey " +
+        "WHERE l_quantity > 5.0 GROUP BY o_orderstatus"
+      def usesMv = s.sql(q).queryExecution.optimizedPlan.toString
+        .contains(".status_mv")
+      require(usesMv, "the SQL-defined MV must serve the rewrite:\n" +
+        s.sql(q).queryExecution.optimizedPlan.toString)
+      li.filter($"l_orderkey" % 2 === 1).writeTo(s"$cat.li").append()
+      require(!usesMv, "a fact append must gate the rewrite")
+      s.sql(s"REFRESH MATERIALIZED VIEW $cat.status_mv")
+      val accelerated = s.sql(q)
+      require(accelerated.queryExecution.optimizedPlan.toString
+          .contains(".status_mv"),
+        "the DDL REFRESH must fold the tail and re-enable the rewrite")
+      accelerated.orderBy($"o_orderstatus")
+    },
+    Some("""
+      SELECT o.o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l.l_linenumber AS BIGINT)) AS BIGINT) AS sln,
+             MAX(l.l_quantity) AS mxq
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_quantity > 5.0
+      GROUP BY 1 ORDER BY 1"""))
+
   override def defs: Seq[QueryDef] =
     Seq(qCsv, qJson, qOrc, qText, qPartitioned, qSynthSource, qSynthColumnar,
       qSchemaEvolution, qManifestTimeTravel, qManifestMerge, qManifestStream,
@@ -2900,5 +2959,5 @@ object Sources extends QueryModule {
       qGovernedView, qMaterializedView, qMvRewrite,
       qMergeNotMatchedBySource, qRowLineage, qAggPushdown, qCboReorder,
       qStarMv, qStaleMv, qVariantGoverned, qHistogramFlip, qMvRollup,
-      qLeftDimMv, qVariantShred, qMvMaintenance)
+      qLeftDimMv, qVariantShred, qMvMaintenance, qMvSqlDdl)
 }
