@@ -124,12 +124,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
     DedupStatement.parse(sqlText, delegate)
       .orElse(MvDdl.parse(sqlText, delegate))
+      .orElse(MaintenanceDdl.parse(sqlText, delegate))
       .getOrElse(delegate.parsePlan(sqlText))
 
   override def parsePlanWithParameters(sqlText: String,
       ctx: ParameterContext): LogicalPlan =
     DedupStatement.parse(sqlText, delegate)
       .orElse(MvDdl.parse(sqlText, delegate))
+      .orElse(MaintenanceDdl.parse(sqlText, delegate))
       .getOrElse(delegate.parsePlanWithParameters(sqlText, ctx))
 
   override def parseQuery(sqlText: String): LogicalPlan =

@@ -80,6 +80,69 @@ object MvDdl {
     } catch { case _: ParseException => None }
 }
 
+/** MAINTENANCE SQL verbs (round 16 — the Delta-lake surface over the
+  * existing procedures, same parser seam):
+  *
+  *   OPTIMIZE <catalog>.<table> [WHERE <cond>]
+  *     [ZORDER BY (col [, col]*)] [INTO <n> FILES]
+  *   VACUUM <catalog>.<table> [RETAIN <n> VERSIONS] [RETAIN <n> HOURS]
+  *
+  * Pure parse-time desugar to `CALL <catalog>.system.compact/vacuum` —
+  * one implementation, two front doors. OPTIMIZE's commits land the
+  * round-16 `#maint` row-preserving marker like any compaction, so the
+  * nightly OPTIMIZE never un-accelerates MV dashboards. The WHERE text
+  * re-embeds as a string literal with backslash escaping (the default
+  * parser's escape discipline); ZORDER BY maps to compact's multi-column
+  * sort_by (the Z-order tiling), INTO n FILES to target_files. */
+object MaintenanceDdl {
+
+  private val OptimizeStmt =
+    ("""(?is)\s*OPTIMIZE\s+(\S+)""" +
+      """(?:\s+WHERE\s+(.+?))?""" +
+      """(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?""" +
+      """(?:\s+INTO\s+(\d+)\s+FILES)?\s*""").r
+  private val VacuumStmt =
+    ("""(?is)\s*VACUUM\s+(\S+)""" +
+      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?""" +
+      """(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*""").r
+
+  def parse(sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
+    sqlText.replaceAll("[;\\s]+$", "") match {
+      case OptimizeStmt(ident, where, zorder, target) =>
+        idParts(ident, delegate).map { p =>
+          val cols = Option(zorder).map(_.split(",").map(_.trim)
+            .filter(_.nonEmpty).mkString(",")).getOrElse("")
+          delegate.parsePlan(
+            s"CALL ${quoted(p.init)}.system.compact('${lit(p.last)}', " +
+              s"${Option(target).getOrElse("1")}, '${lit(cols)}', " +
+              s"'${lit(Option(where).getOrElse(""))}')")
+        }
+      case VacuumStmt(ident, versions, hours) =>
+        idParts(ident, delegate).map { p =>
+          delegate.parsePlan(
+            s"CALL ${quoted(p.init)}.system.vacuum('${lit(p.last)}', " +
+              s"${Option(versions).getOrElse("1")}, " +
+              s"${Option(hours).getOrElse("-1")})")
+        }
+      case _ => None
+    }
+
+  /** Escape for re-embedding inside a single-quoted SQL literal under
+    * the default (backslash-escaping) parser. */
+  private def lit(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "\\'")
+
+  private def quoted(parts: Seq[String]): String =
+    parts.map(p => s"`${p.replace("`", "``")}`").mkString(".")
+
+  private def idParts(ident: String,
+      delegate: ParserInterface): Option[Seq[String]] =
+    try {
+      val parts = delegate.parseMultipartIdentifier(ident.trim)
+      if (parts.length == 2) Some(parts) else None
+    } catch { case _: ParseException => None }
+}
+
 /** Executable CREATE MATERIALIZED VIEW: analyzes the SELECT against the
   * live session, decompiles the resolved Aggregate into the definition
   * codec, and delegates to [[ManifestMaterializedView.create]]. */

@@ -109,6 +109,47 @@ class MvDdlSpec extends AnyFunSuite {
     assert(sortedRows(df) == want)
   }
 
+  test("OPTIMIZE / VACUUM SQL verbs desugar to the maintenance " +
+    "procedures: OPTIMIZE folds files (and, being a marked maintenance " +
+    "commit, never un-accelerates an MV), ZORDER BY clusters, WHERE " +
+    "scopes, VACUUM drops versions") {
+    val cat = freshCat()
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, g STRING)")
+    (0 until 4).foreach { i =>
+      (0L until 50L).map(j => (i * 50L + j, s"g${j % 3}"))
+        .toDF("k", "g").coalesce(1).writeTo(s"$cat.t").append()
+    }
+    val root = spark.conf.get(s"spark.sql.catalog.$cat.root")
+    val dir = new org.apache.hadoop.fs.Path(root, "t")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    def files = graft.sources.ManifestFiles.entries(fs, dir, None).length
+    assert(files == 4)
+    // an MV over the table: OPTIMIZE must not break its rewrite
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.tmv AS " +
+      s"SELECT g, count(*) AS c FROM $cat.t GROUP BY g")
+    val q = s"SELECT g, count(*) AS c FROM $cat.t GROUP BY g"
+    assert(spark.sql(q).queryExecution.optimizedPlan.toString.contains(".tmv"))
+    spark.sql(s"OPTIMIZE $cat.t INTO 2 FILES")
+    assert(files == 2, "OPTIMIZE must fold to the requested file count")
+    assert(spark.sql(q).queryExecution.optimizedPlan.toString.contains(".tmv"),
+      "OPTIMIZE is a marked maintenance commit — the MV must keep serving")
+    // ZORDER BY re-clusters (multi-column sort_by path)
+    spark.sql(s"OPTIMIZE $cat.t ZORDER BY (g, k) INTO 3 FILES")
+    assert(files == 3)
+    // scoped form: WHERE folds only stats-proven files; out-of-scope
+    // rows are untouched and the table stays exact
+    val before = spark.table(s"$cat.t").collect().map(_.toString).sorted.toSeq
+    spark.sql(s"OPTIMIZE $cat.t WHERE k < 0")
+    assert(spark.table(s"$cat.t").collect().map(_.toString).sorted.toSeq
+      == before)
+    // VACUUM RETAIN drops old versions (tags pin — none here)
+    val versionsBefore =
+      graft.sources.ManifestFiles.versions(fs, dir).length
+    assert(versionsBefore > 1)
+    spark.sql(s"VACUUM $cat.t RETAIN 1 VERSIONS")
+    assert(graft.sources.ManifestFiles.versions(fs, dir).length == 1)
+  }
+
   test("refusals carry the reason: DISTINCT aggregates, expression " +
     "group keys, ORDER BY, unsupported aggregates, foreign tables; " +
     "non-MV SQL is untouched") {
