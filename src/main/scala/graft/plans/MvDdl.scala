@@ -50,6 +50,8 @@ object MvDdl {
   private val DropStmt =
     """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(\S+)\s*""".r
 
+  import DdlUtil._
+
   /** Try to parse `sqlText` as an MV DDL statement; None ⇒ not ours. */
   def parse(sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
     sqlText.replaceAll("[;\\s]+$", "") match {
@@ -58,21 +60,29 @@ object MvDdl {
       case RefreshStmt(ident) =>
         idParts(ident, delegate).map(p => delegate.parsePlan(
           s"CALL ${quoted(p.init)}.system.refresh_materialized_view" +
-            s"('${p.last}')"))
+            s"('${lit(p.last)}')"))
       case DropStmt(ident) =>
         idParts(ident, delegate).map(p => delegate.parsePlan(
           s"CALL ${quoted(p.init)}.system.drop_materialized_view" +
-            s"('${p.last}')"))
+            s"('${lit(p.last)}')"))
       case _ => None
     }
+}
 
-  private def quoted(parts: Seq[String]): String =
+/** Shared by the two DDL surfaces: identifier quoting, the two-part
+  * identifier gate, and string-literal escaping for re-embedded text
+  * (the default parser's backslash discipline). */
+private[plans] object DdlUtil {
+  def quoted(parts: Seq[String]): String =
     parts.map(p => s"`${p.replace("`", "``")}`").mkString(".")
 
-  /** `<catalog>.<name>` (exactly two parts — the MV machinery lives in
-    * a named graft catalog); bad identifiers fall through to the
-    * delegate's own error surface. */
-  private def idParts(ident: String,
+  def lit(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "\\'")
+
+  /** `<catalog>.<name>` (exactly two parts — the governed machinery
+    * lives in a named graft catalog); bad identifiers fall through to
+    * the delegate's own error surface. */
+  def idParts(ident: String,
       delegate: ParserInterface): Option[Seq[String]] =
     try {
       val parts = delegate.parseMultipartIdentifier(ident.trim)
@@ -95,6 +105,7 @@ object MvDdl {
   * parser's escape discipline); ZORDER BY maps to compact's multi-column
   * sort_by (the Z-order tiling), INTO n FILES to target_files. */
 object MaintenanceDdl {
+  import DdlUtil._
 
   private val OptimizeStmt =
     ("""(?is)\s*OPTIMIZE\s+(\S+)""" +
@@ -119,28 +130,22 @@ object MaintenanceDdl {
         }
       case VacuumStmt(ident, versions, hours) =>
         idParts(ident, delegate).map { p =>
+          // a BARE `VACUUM t` must not destroy history (round-16
+          // self-review): with no RETAIN clause it keeps 7 days of
+          // versions (Delta's default horizon) — the retention args
+          // compose as the more generous rule, so retain_versions=1
+          // only bites once a version is ALSO older than the window.
+          // An explicit RETAIN n VERSIONS opts into count-only expiry.
+          val h = (Option(versions), Option(hours)) match {
+            case (None, None) => "168"
+            case (_, hh) => hh.getOrElse("-1")
+          }
           delegate.parsePlan(
             s"CALL ${quoted(p.init)}.system.vacuum('${lit(p.last)}', " +
-              s"${Option(versions).getOrElse("1")}, " +
-              s"${Option(hours).getOrElse("-1")})")
+              s"${Option(versions).getOrElse("1")}, $h)")
         }
       case _ => None
     }
-
-  /** Escape for re-embedding inside a single-quoted SQL literal under
-    * the default (backslash-escaping) parser. */
-  private def lit(s: String): String =
-    s.replace("\\", "\\\\").replace("'", "\\'")
-
-  private def quoted(parts: Seq[String]): String =
-    parts.map(p => s"`${p.replace("`", "``")}`").mkString(".")
-
-  private def idParts(ident: String,
-      delegate: ParserInterface): Option[Seq[String]] =
-    try {
-      val parts = delegate.parseMultipartIdentifier(ident.trim)
-      if (parts.length == 2) Some(parts) else None
-    } catch { case _: ParseException => None }
 }
 
 /** Executable CREATE MATERIALIZED VIEW: analyzes the SELECT against the
@@ -236,14 +241,17 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
             "the incremental algebra (count/sum/avg/min/max)")
         }
         Some(ManifestMaterializedView.AggSpec(func, ex, al.name))
-      case ne if ne.references.nonEmpty &&
-          ne.references.forall(a => groupBy.contains(a.name)) &&
-          (ne match {
-            case _: AttributeReference => true
-            case Alias(_: AttributeReference, _) => true
-            case _ => false
-          }) =>
+      case a: AttributeReference if groupBy.contains(a.name) =>
         None // a group key in the select list — always stored anyway
+      case al @ Alias(a: AttributeReference, _)
+          if groupBy.contains(a.name) =>
+        // the MV stores keys under their COLUMN names; silently dropping
+        // a rename would make the created view's schema diverge from
+        // the declared one (round-16 self-review)
+        if (al.name != a.name)
+          fail(s"group key '${a.name}' is aliased to '${al.name}' — " +
+            "the MV stores keys under their column names; drop the alias")
+        None
       case other => fail(s"output '${other.sql}' is neither a group key " +
         "nor a supported aggregate")
     }

@@ -510,6 +510,32 @@ object ManifestMaterializedView {
           s"row-lineage columns (${reserved.mkString(", ")})")
     }
     val joined = withDims(spark, root, d0, src)
+    // STABILITY GATE (round-16 self-review): the definition's filter and
+    // aggregate expressions re-evaluate at EVERY refresh, so a
+    // non-deterministic (rand(), uuid()) or time-dependent
+    // (current_timestamp()) expression makes groups folded at different
+    // refreshes reflect different predicates — the MV silently stops
+    // equaling its defining query. Refuse at create, both front doors.
+    def requireStable(what: String, sql: String): Unit = {
+      val e = joined.select(expr(sql).as("__mv_chk"))
+        .queryExecution.analyzed.expressions.head
+      require(e.deterministic,
+        s"MV $what '$sql' is non-deterministic — refreshes would " +
+          "evaluate it differently each time")
+      import org.apache.spark.sql.catalyst.expressions.{CurrentDate,
+        CurrentTimestamp, CurrentTimeZone, LocalTimestamp, Now}
+      val timeDep = e.collectFirst {
+        case x @ (_: CurrentDate | _: CurrentTimestamp | _: Now |
+            _: LocalTimestamp | _: CurrentTimeZone) => x.prettyName
+      }
+      require(timeDep.isEmpty,
+        s"MV $what '$sql' depends on evaluation time " +
+          s"(${timeDep.get}) — each refresh would apply a different " +
+          "window; materialize the bound as a literal instead")
+    }
+    filterSql.foreach(requireStable("filter", _))
+    aggs.filter(_.func != "count_star")
+      .foreach(a => requireStable(s"aggregate ${a.alias}", a.expr))
     val rows = aggRows(filterSql.map(f => joined.filter(expr(f)))
       .getOrElse(joined), d0)
     groupBy.foreach { k =>

@@ -171,6 +171,20 @@ class MvDdlSpec extends AnyFunSuite {
     rejects(s"CREATE MATERIALIZED VIEW $cat.bad AS SELECT grp, " +
       s"stddev(v) AS s FROM $cat.src GROUP BY grp",
       "outside the incremental algebra")
+    // STABILITY GATE (round-16 self-review): refreshes re-evaluate the
+    // definition, so time-dependent or random expressions refuse — via
+    // BOTH front doors (the gate lives in create itself)
+    rejects(s"CREATE MATERIALIZED VIEW $cat.bad AS SELECT grp, " +
+      s"count(*) AS c FROM $cat.src " +
+      "WHERE v > rand() GROUP BY grp", "non-deterministic")
+    rejects(s"CREATE MATERIALIZED VIEW $cat.bad AS SELECT grp, " +
+      s"sum(k + unix_timestamp(current_timestamp())) AS s " +
+      s"FROM $cat.src GROUP BY grp", "evaluation time")
+    rejects(s"CALL $cat.system.create_materialized_view('bad', 'src', " +
+      "'grp', 'count:*:c', 'v > rand()')", "non-deterministic")
+    // an ALIASED group key would silently change the declared schema
+    rejects(s"CREATE MATERIALIZED VIEW $cat.bad AS SELECT grp AS g, " +
+      s"count(*) AS c FROM $cat.src GROUP BY grp", "aliased")
     // a plain SELECT with the words in a string literal is not claimed
     assert(spark.sql("SELECT 'CREATE MATERIALIZED VIEW x' AS s")
       .head().getString(0).nonEmpty)
