@@ -394,7 +394,7 @@ object ManifestFiles {
   def maintFromLines(lines: Array[String]): Set[Int] =
     lines.filter(_.startsWith("#maint,"))
       .flatMap(_.split(",", 2)(1).toIntOption).toSet
-  private def carryMaint(previous: Array[String],
+  private[sources] def carryMaint(previous: Array[String],
       built: Array[String]): Array[String] = {
     val all = (previous.filter(_.startsWith("#maint,")) ++
       built.filter(_.startsWith("#maint,"))).distinct
@@ -5209,6 +5209,8 @@ class GraftManifestCatalog extends TableCatalog
         ManifestProcedures.refreshMaterializedView(this)
       case "describe_materialized_view" =>
         ManifestProcedures.describeMaterializedView(this, dirFor)
+      case "show_materialized_views" =>
+        ManifestProcedures.showMaterializedViews(this, dirFor)
     }
   }
 }
@@ -5524,7 +5526,8 @@ private[sources] object ManifestProcedures {
       "add_files", "remove_orphan_files", "create_view", "drop_view",
       "show_views", "describe_view", "create_materialized_view",
       "drop_materialized_view",
-      "refresh_materialized_view", "describe_materialized_view")
+      "refresh_materialized_view", "describe_materialized_view",
+      "show_materialized_views")
 
   private def param(n: String, dt: org.apache.spark.sql.types.DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -6386,6 +6389,44 @@ private[sources] object ManifestProcedures {
         override def readSchema(): StructType = schema
         override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
           histRows
+      }).iterator()
+    }
+
+  /** `show_materialized_views()` — every MV in the catalog with its
+    * current checkpoint (name, source, pins, keys, aggregates, dims).
+    * Admin-surface listing: one catalog LIST plus one directory probe
+    * per table — explicitly NOT the plan path (MvRewrite discovers
+    * through the per-source `_mvreg` registry, flat in catalog size). */
+  def showMaterializedViews(cat: GraftManifestCatalog,
+      dirFor: String => Path): UnboundProcedure =
+    proc("show_materialized_views", Array.empty[ProcedureParameter]) { _ =>
+      val conf = SparkSession.active.sessionState.newHadoopConf()
+      val schema = new StructType().add("name", StringType)
+        .add("source", StringType).add("source_version", IntegerType)
+        .add("mv_version", IntegerType).add("keys", StringType)
+        .add("aggregates", StringType).add("dims", StringType)
+      val mvRows = cat.listTables(Array.empty).map(_.name).sorted.flatMap { n =>
+        val dir = dirFor(n)
+        val fs = dir.getFileSystem(conf)
+        if (!ManifestMaterializedView.isMaterializedView(fs, dir)) None
+        else {
+          val d = ManifestMaterializedView.readDef(fs, dir)
+          Some(new GenericInternalRow(Array[Any](
+            UTF8String.fromString(n), UTF8String.fromString(d.source),
+            d.sourceVersion, d.mvVersion,
+            UTF8String.fromString(d.groupBy.mkString(", ")),
+            UTF8String.fromString(d.aggs.map(a =>
+              s"${a.func}(${a.expr}) AS ${a.alias}").mkString(", ")),
+            UTF8String.fromString(d.dims.map(ds =>
+              s"${ds.table}${if (ds.isLeft) " LEFT" else ""}@v${ds.version}")
+              .mkString(", "))))
+            : org.apache.spark.sql.catalyst.InternalRow)
+        }
+      }
+      java.util.List.of[Scan](new LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+          mvRows
       }).iterator()
     }
 

@@ -295,4 +295,32 @@ class ManifestChangeFeedSpec extends AnyFunSuite {
     assert(rows.filter(r => r.getAs[Int]("_commit_version") == 4)
       .forall(r => r.getAs[Long]("k") >= 40))
   }
+
+  test("maintenance markers: rangeRowPreserving proves a compaction " +
+    "tail from ONE raw read; the carry caps at MaintKeep (bounded " +
+    "inline metadata over any table lifetime); a data commit in the " +
+    "range answers false") {
+    val (cat, root) = freshCat("maint")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
+    spark.range(0, 100).select($"id".as("k")).coalesce(1)
+      .writeTo(s"$cat.t").append()                              // v2
+    spark.sql(s"CALL $cat.system.compact('t', 2)")              // v3
+    spark.sql(s"CALL $cat.system.compact('t', 1)")              // v4
+    val dir = new org.apache.hadoop.fs.Path(root, "t")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(ManifestChangeFeed.rangeRowPreserving(fs, dir, 2, 4))
+    assert(ManifestChangeFeed.rangeRowPreserving(fs, dir, 4, 2),
+      "the proof is direction-free (row state identical both ways)")
+    assert(!ManifestChangeFeed.rangeRowPreserving(fs, dir, 1, 4),
+      "the data append at v2 is not row-preserving")
+    assert(ManifestChangeFeed.rangeRowPreserving(fs, dir, 3, 3))
+    // the carry keeps the NEWEST MaintKeep markers — bounded forever
+    val many = (1 to ManifestFiles.MaintKeep + 88)
+      .map(ManifestFiles.maintLine).toArray
+    val carried = ManifestFiles.carryMaint(many, Array("entry.parquet,10"))
+    val kept = ManifestFiles.maintFromLines(carried)
+    assert(kept.size == ManifestFiles.MaintKeep)
+    assert(kept.min == 89 && kept.max == ManifestFiles.MaintKeep + 88,
+      "the cap must retire the OLDEST markers")
+  }
 }

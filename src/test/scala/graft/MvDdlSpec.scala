@@ -101,6 +101,13 @@ class MvDdlSpec extends AnyFunSuite {
       s"WHERE amt > 2.0 GROUP BY c_seg"
     val df = spark.sql(q)
     assert(df.queryExecution.optimizedPlan.toString.contains(".smv"))
+    // the admin listing surfaces the MV with its pins and dim kinds
+    val shown = spark.sql(s"CALL $cat.system.show_materialized_views()")
+      .collect()
+    assert(shown.map(_.getString(0)).toSeq == Seq("smv"))
+    assert(shown.head.getAs[String]("source") == "fact")
+    assert(shown.head.getAs[String]("dims").contains("diml LEFT@v"))
+    assert(shown.head.getAs[String]("keys") == "c_seg")
     val want = {
       spark.conf.set("spark.graft.mv.rewrite", "false")
       try sortedRows(spark.sql(q))
