@@ -309,10 +309,18 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         d.sourceVersion, factLeaf.version)
     if (stale && (!allowStale || factLeaf.version < d.sourceVersion))
       return None
-    lazy val tailRetained = (math.max(1, d.sourceVersion) to factLeaf.version)
+    // freshness proofs anchor at the EFFECTIVE baseline — past any
+    // row-preserving maintenance prefix (round 16): retention only has
+    // to cover the real data tail, and the extrema gate's append-only
+    // walk skips a compaction's unlist/relist steps (which are not
+    // append-only but provably row-identical), so min/max stay
+    // compensable across the nightly compact-then-append pattern
+    lazy val effFrom = ManifestChangeFeed.rowPreservingPrefix(
+      hfs, srcDir, d.sourceVersion, factLeaf.version)
+    lazy val tailRetained = (math.max(1, effFrom) to factLeaf.version)
       .toSet.subsetOf(ManifestFiles.versions(hfs, srcDir).toSet)
     lazy val tailAppendOnly = ManifestChangeFeed.rangeAppendOnly(
-      hfs, srcDir, d.sourceVersion, factLeaf.version)
+      hfs, srcDir, effFrom, factLeaf.version)
     if (stale && !tailRetained) return None // vacuumed past the checkpoint
     // lazy: the O(tail) append-only walk runs only when the query
     // actually asks for min/max (the common count/sum dashboard query

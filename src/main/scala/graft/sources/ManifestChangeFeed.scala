@@ -129,6 +129,28 @@ object ManifestChangeFeed {
     ((lo + 1) to hi).forall(marks.contains)
   }
 
+  /** Highest version `m` in `[from, to]` such that EVERY step in
+    * `(from, m]` is a marked row-preserving maintenance commit — the
+    * row state at `m` is identical to the state at `from`, so any
+    * change-feed consumer whose baseline is `from` may start at `m`
+    * instead. The nightly pattern this pays for: "compact, then
+    * append" — folding from the pin would replay the compaction's
+    * full-table delete+insert legs (they cancel exactly, but only
+    * after reading the table twice); folding from the prefix end reads
+    * just the appends. Same one-raw-read proof as
+    * [[rangeRowPreserving]]; an unmarked (or aged-out) step stops the
+    * advance conservatively. */
+  def rowPreservingPrefix(fs: FileSystem, dir: Path, from: Int,
+      to: Int): Int = {
+    if (to <= from || from < 0 ||
+        !fs.exists(new Path(dir, s"_MANIFEST.v$to"))) return from
+    val marks = ManifestFiles.maintFromLines(
+      ManifestFiles.readManifest(fs, new Path(dir, s"_MANIFEST.v$to")))
+    var m = from
+    while (m < to && marks.contains(m + 1)) m += 1
+    m
+  }
+
   /** The step walk, shared by the batch scan and the streaming source:
     * one ManifestChangePartition per changed file per commit in
     * (from, end]. Driver metadata I/O only. */

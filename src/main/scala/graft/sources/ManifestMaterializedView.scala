@@ -580,18 +580,25 @@ object ManifestMaterializedView {
     def retained(table: String, pin: Int): Boolean =
       pin <= 0 || ManifestFiles.versions(fs, new Path(root, table))
         .contains(pin)
-    // memoized marker probe: the retention pre-check and the re-pin
-    // fast path below ask the same (table, pin, head) question
-    val maintCache = scala.collection.mutable.Map.empty[(String, Int, Int), Boolean]
-    def maintOnly(table: String, pin: Int, to: Int): Boolean =
-      maintCache.getOrElseUpdate((table, pin, to),
-        ManifestChangeFeed.rangeRowPreserving(fs, new Path(root, table),
+    // memoized MAINTENANCE-PREFIX probe (round 16): the highest version
+    // whose row state provably equals the pin's — the retention
+    // pre-check, the re-pin fast path, and each step's CDF baseline all
+    // ask the same (table, pin, head) question. `effFrom == head` means
+    // the whole tail was maintenance (pure re-pin); `pin < effFrom <
+    // head` means the nightly compact-then-append pattern — the fold
+    // starts PAST the compaction instead of replaying its full-table
+    // delete+insert legs (which cancel exactly, but only after reading
+    // the table twice).
+    val prefixCache = scala.collection.mutable.Map.empty[(String, Int, Int), Int]
+    def effFrom(table: String, pin: Int, to: Int): Int =
+      prefixCache.getOrElseUpdate((table, pin, to),
+        ManifestChangeFeed.rowPreservingPrefix(fs, new Path(root, table),
           pin, to))
-    // a vacuumed pin whose tail is maintenance-only still re-pins
-    // exactly (the proof reads only the HEAD snapshot's markers — see
-    // the maintenance re-pin below), so it never forces the recompute
+    // incremental history is expressable iff the EFFECTIVE baseline is
+    // retained — a vacuumed pin behind a maintenance prefix never
+    // forces the recompute (the proof reads only the head's markers)
     def expressable(table: String, pin: Int, to: Int): Boolean =
-      retained(table, pin) || maintOnly(table, pin, to)
+      retained(table, effFrom(table, pin, to))
     def recomputeAtHeads(cur: MvDef): MvDef =
       recomputeFull(spark, catalog, mv, cur.copy(
         sourceVersion = head,
@@ -626,7 +633,8 @@ object ManifestMaterializedView {
     // exact because the pinned join state is identical on both sides of
     // the fold (an update's delete and insert legs join the same rows).
     if (head > d.sourceVersion) {
-      if (maintOnly(d.source, d.sourceVersion, head)) {
+      val from = effFrom(d.source, d.sourceVersion, head)
+      if (from == head) {
         maintRepins.incrementAndGet()
         val next = d.copy(sourceVersion = head)
         publishDef(fs, mvDir, next, expectFresh = false)
@@ -634,7 +642,7 @@ object ManifestMaterializedView {
       } else {
         val feed0 = spark.read.format("graft-manifest")
           .option("path", srcDir.toString).option("changeFeed", "true")
-          .option("changesFrom", d.sourceVersion.toString)
+          .option("changesFrom", from.toString)
           .option("changesTo", head.toString).load()
         d = stepOrRecompute(d, s"fact '${d.source}'",
           withDims(spark, root, d, feed0),
@@ -661,7 +669,8 @@ object ManifestMaterializedView {
       if (dimHead > ds.version) {
         val stepNext = d.copy(dims = d.dims.map(x =>
           if (x.table == t) x.copy(version = dimHead) else x))
-        if (maintOnly(t, ds.version, dimHead)) {
+        val dimFrom = effFrom(t, ds.version, dimHead)
+        if (dimFrom == dimHead) {
           // the dim's rows at head ARE its rows at the pin — re-pin
           // without touching the fact or the dim (zero data I/O),
           // then continue to the next dim
@@ -672,7 +681,7 @@ object ManifestMaterializedView {
         val dimCdf = spark.read.format("graft-manifest")
           .option("path", new Path(root, t).toString)
           .option("changeFeed", "true")
-          .option("changesFrom", ds.version.toString)
+          .option("changesFrom", dimFrom.toString)
           .option("changesTo", dimHead.toString).load()
         val fact = tableAt(spark, root, d.source, d.sourceVersion)
         val matched = withDims(spark, root, d, fact,
@@ -688,7 +697,10 @@ object ManifestMaterializedView {
         // count changed without crossing zero carry no null-pad either
         // side and need no correction.
         val feed = if (!ds.isLeft) matched else {
-          val dimOld = tableAt(spark, root, t, ds.version)
+          // the old-state read anchors at the EFFECTIVE baseline: same
+          // rows as the pin by the marker proof, and still retained
+          // even when the pin itself was vacuumed
+          val dimOld = tableAt(spark, root, t, dimFrom)
           val dimNew = tableAt(spark, root, t, dimHead)
           val cand = fact.join(dimCdf, expr(ds.onSql), "left_semi")
           val gained = cand.join(dimNew, expr(ds.onSql), "left_semi")
@@ -926,9 +938,16 @@ object ManifestMaterializedView {
     val pre = spark.read.format("graft-manifest")
       .option("path", mvDir.toString)
       .option("versionAsOf", d.mvVersion.toString).load()
+    // the fold starts PAST any row-preserving maintenance prefix
+    // (round 16): a compaction between the checkpoint and the scanned
+    // version would otherwise replay its full-table delete+insert legs
+    // at plan time — they cancel exactly, but the "accelerated" read
+    // would have scanned the table twice
+    val effFrom = ManifestChangeFeed.rowPreservingPrefix(
+      fsFor(spark, srcDir), srcDir, d.sourceVersion, factVersion)
     val feed0 = spark.read.format("graft-manifest")
       .option("path", srcDir.toString).option("changeFeed", "true")
-      .option("changesFrom", d.sourceVersion.toString)
+      .option("changesFrom", effFrom.toString)
       .option("changesTo", factVersion.toString).load()
     val feed = withDims(spark, root, d, feed0)
     val delta = deltaRows(

@@ -641,6 +641,22 @@ class ManifestMaterializedViewSpec extends AnyFunSuite {
       val d3 = ManifestMaterializedView.refresh(spark, cat, "mvm")
       assert(d3.sourceVersion == 5)
       assertMatches(cat, "mvm", filter)
+      // COMPACT-THEN-APPEND with the pin vacuumed (round 16 — prefix
+      // skipping): the effective baseline advances past the compaction
+      // (its markers ride the head snapshot), so the refresh folds just
+      // the append's CDF — never a full recompute, even though the pin
+      // itself is gone
+      spark.sql(s"CALL $cat.system.compact('src', 1)")           // v6
+      Seq((901L, "g1", "s2", 8.5, Option(2L)))
+        .toDF("k", "grp", "sub", "v", "w").writeTo(s"$cat.src").append() // v7
+      spark.sql(s"CALL $cat.system.vacuum('src', 2)")  // pin v5 expired
+      val recomp2 = ManifestMaterializedView.fullRecomputes.get()
+      val d4 = ManifestMaterializedView.refresh(spark, cat, "mvm")
+      assert(d4.sourceVersion == 7)
+      assert(ManifestMaterializedView.fullRecomputes.get() == recomp2,
+        "the maintenance prefix must carry the baseline past the " +
+          "vacuumed pin — incremental, not recompute")
+      assertMatches(cat, "mvm", filter)
     }
   }
 }

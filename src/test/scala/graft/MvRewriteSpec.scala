@@ -619,10 +619,28 @@ class MvRewriteSpec extends AnyFunSuite {
     assertSame(q, "aggm", expectRewrite = true)
     spark.sql(s"CALL $cat.system.rewrite_position_deletes('src')")
     assertSame(q, "aggm", expectRewrite = true)
-    // a real append still kills exactness until the next refresh
+    // a COMPACTION (unlists files — decisively not append-only), then
+    // a real append: the append kills exactness until the next refresh
+    spark.sql(s"CALL $cat.system.compact('src', 2)")
+    assertSame(q, "aggm", expectRewrite = true)
     Seq((1000L, "g1", 3.5, 4L)).toDF("k", "grp", "v", "n")
       .writeTo(s"$cat.src").append()
     assertSame(q, "aggm", expectRewrite = false)
+    // …but under allowStale the compensation anchors PAST the
+    // maintenance prefix (round 16): the rpd+compact steps before the
+    // append are not append-only, yet they are provably row-identical,
+    // so even the MIN/MAX query compensates — and the fold reads only
+    // the append's legs, never a replay of the compaction
+    withStale {
+      val df = spark.sql(q)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("aggm") && p.contains("graft-manifest-changefeed"),
+        s"extrema must compensate across the maintenance prefix:\n$p")
+      val got = df.collect().map(_.toString).sorted.toSeq
+      val want = withoutRewrite(
+        spark.sql(q).collect().map(_.toString).sorted.toSeq)
+      assert(got == want, "prefix-skipped compensation drifted")
+    }
   }
 
   test("MAINTENANCE-transparent freshness over STAR joins: a compacted " +
