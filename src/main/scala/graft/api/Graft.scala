@@ -318,8 +318,11 @@ object Graft {
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val latest = graft.sources.ManifestFiles.latestComplete(fs, dir)
     if (latest <= fromVersion) return fromVersion
+    // skipMaintenance: a nightly compaction's full-table cancelling
+    // legs would otherwise re-signature the whole corpus into the index
     val feed = spark.read.format("graft-manifest")
       .option("path", dir.toString).option("changeFeed", "true")
+      .option("skipMaintenance", "true")
       .option("changesFrom", fromVersion.toString)
       .option("changesTo", latest.toString).load()
     applyIndexDelta(catalog, indexTable, idCol, feed,
@@ -369,6 +372,13 @@ object Graft {
       idCol: String, feed: DataFrame,
       buildRows: DataFrame => DataFrame): Unit = {
     val s = feed.sparkSession
+    // an EMPTY feed (e.g. a skipMaintenance pass over a pure-compaction
+    // tail) is a complete no-op: without this gate the empty DELETE and
+    // empty append would still land commits (and the append's write
+    // tasks can register zero-row files) on an index that cannot have
+    // changed. The probe is one limit-1 job over a diff-sized feed.
+    if (feed.filter(col("_change_type").isin("delete", "insert")).isEmpty)
+      return
     val view = "graft_idx_delta_" + java.lang.Long.toUnsignedString(
       Thread.currentThread().getId) + "_" +
       java.lang.Integer.toUnsignedString(indexTable.hashCode)
@@ -409,6 +419,7 @@ object Graft {
     val dir = new org.apache.hadoop.fs.Path(root, corpusTable)
     var reader = spark.readStream.format("graft-manifest")
       .option("path", dir.toString).option("changeFeed", "true")
+      .option("skipMaintenance", "true")
     options.foreach { case (k, v) => reader = reader.option(k, v) }
     reader.load()
       .writeStream
@@ -468,8 +479,11 @@ object Graft {
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val latest = graft.sources.ManifestFiles.latestComplete(fs, dir)
     if (latest <= fromVersion) return fromVersion
+    // skipMaintenance: a nightly compaction's full-table cancelling
+    // legs would otherwise re-signature the whole corpus into the index
     val feed = spark.read.format("graft-manifest")
       .option("path", dir.toString).option("changeFeed", "true")
+      .option("skipMaintenance", "true")
       .option("changesFrom", fromVersion.toString)
       .option("changesTo", latest.toString).load()
     applyIndexDelta(catalog, indexTable, idCol, feed,
@@ -498,6 +512,7 @@ object Graft {
     val dir = new org.apache.hadoop.fs.Path(root, corpusTable)
     var reader = spark.readStream.format("graft-manifest")
       .option("path", dir.toString).option("changeFeed", "true")
+      .option("skipMaintenance", "true")
     options.foreach { case (k, v) => reader = reader.option(k, v) }
     reader.load()
       .writeStream

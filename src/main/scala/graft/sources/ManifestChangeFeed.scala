@@ -79,26 +79,41 @@ object ManifestChangeFeed {
     StructType(s.fields.filterNot(f =>
       f.name == TypeCol || f.name == VersionCol || f.name == TimestampCol))
 
-  /** Metadata-only probe: is the commit range `(from, end]` pure
-    * APPENDS — no entries removed or rewritten, no delete state
-    * (positional vectors / equality sets) landed? Powers the stale MV
-    * rewrite's extrema gate (a retraction can beat a stored min/max;
-    * appends can only fold in via least/greatest). O(range) snapshot
-    * line reads, segment-cached like every plan-path read. */
+  /** Metadata-only probe: did the commit range `(from, end]` only ever
+    * ADD rows — each step either a pure append (no entries removed or
+    * rewritten, no delete state landed) or a marker-proven
+    * row-preserving maintenance commit (which reorganizes files, never
+    * rows)? Powers the stale MV rewrite's extrema gate (a retraction
+    * can beat a stored min/max; appends can only fold in via
+    * least/greatest) — whose compensation fold must then read the feed
+    * with `skipMaintenance` so the marked steps' cancelling legs never
+    * reach the extrema column. O(range) snapshot line reads,
+    * segment-cached like every plan-path read. */
   def rangeAppendOnly(fs: FileSystem, dir: Path, from: Int,
       end: Int): Boolean = {
     def delState(lines: Array[String]): Set[String] =
       lines.filter(l => l.startsWith("#dels,") ||
         l.startsWith("#eqdels,")).toSet
+    // marker-proven row-preserving steps (round 16): a compaction
+    // rewrites FILES, never rows, so it cannot retract a value — the
+    // append-only-in-ROWS property this probe guards survives it. The
+    // walk still advances its baseline through the marked step, so the
+    // next data step diffs against the reorganized listing. This is
+    // what lets min/max compensate across the continuous-ingest shape
+    // "append, nightly compact, append" (not just a leading prefix).
+    val marks = ManifestFiles.maintFromLines(
+      ManifestFiles.readManifest(fs, new Path(dir, s"_MANIFEST.v$end")))
     var prev =
       if (from <= 0) Array.empty[String]
       else ManifestFiles.linesOf(fs, dir, Some(from))
     (from + 1 to end).forall { v =>
       val cur = ManifestFiles.linesOf(fs, dir, Some(v))
-      val prevNames = ManifestFiles.entriesFromLines(prev).map(_._1).toSet
-      val curNames = ManifestFiles.entriesFromLines(cur).map(_._1).toSet
-      val ok = prevNames.subsetOf(curNames) &&
-        (delState(cur) -- delState(prev)).isEmpty
+      val ok = marks.contains(v) || {
+        val prevNames = ManifestFiles.entriesFromLines(prev).map(_._1).toSet
+        val curNames = ManifestFiles.entriesFromLines(cur).map(_._1).toSet
+        prevNames.subsetOf(curNames) &&
+          (delState(cur) -- delState(prev)).isEmpty
+      }
       prev = cur
       ok
     }
@@ -153,10 +168,24 @@ object ManifestChangeFeed {
 
   /** The step walk, shared by the batch scan and the streaming source:
     * one ManifestChangePartition per changed file per commit in
-    * (from, end]. Driver metadata I/O only. */
+    * (from, end]. Driver metadata I/O only.
+    *
+    * `skipMaint` (the `skipMaintenance` read option, round 16): a step
+    * carrying a `#maint` marker is PROVEN to have preserved the logical
+    * row multiset — its delete+insert legs cancel exactly under any
+    * signed fold — so the feed omits them entirely, which is what Delta
+    * CDF and Iceberg's changelog scan do for compactions. This is the
+    * difference, for every 24/7 CDF consumer (MV refresh, governed
+    * ANN/band index maintenance, fingerprint stores), between a nightly
+    * compaction costing a full corpus replay and costing NOTHING.
+    * Marked RUNS are jumped in one hop (the walk reads only the
+    * run-end snapshot), so a vacuumed mid-run version never fails a
+    * feed that skips it; an aged-out marker (MaintKeep cap) simply
+    * emits that step's legs — still exact, they cancel downstream. */
   def planRange(fs: FileSystem, dir: Path, from: Int,
       end: Int, schema: StructType,
-      conf: org.apache.hadoop.conf.Configuration): Array[InputPartition] = {
+      conf: org.apache.hadoop.conf.Configuration,
+      skipMaint: Boolean = false): Array[InputPartition] = {
     require(end >= from, s"changesTo ($end) must be >= changesFrom ($from)")
     def linesAt(v: Int): Array[String] =
       if (v <= 0) Array.empty
@@ -207,9 +236,6 @@ object ManifestChangeFeed {
     }
 
     val out = Array.newBuilder[InputPartition]
-    var prevLines = linesAt(from)
-    var prevNames = ManifestFiles.entriesFromLines(prevLines).map(_._1).toSet
-    var prevDels = delsOf(prevLines)
     // ROW LINEAGE riders (immutable per file while listed): insert legs
     // resolve against the commit's own snapshot, delete legs against the
     // predecessor — so a feed consumer sees each leg's `_row_id` exactly
@@ -220,19 +246,40 @@ object ManifestChangeFeed {
         ManifestFiles.ridColFromLines(lines),
         ManifestFiles.luvFromLines(lines),
         ManifestFiles.luvColFromLines(lines))
-    var prevRids = ridsOf(prevLines)
     var v = from + 1
     // FULL-HISTORY feeds (from = 0) on a vacuumed table: the history
     // below the oldest retained version is observable only as that
     // snapshot, so the walk starts there and its entries surface as
     // inserts at that version — the same contract the plain tail's
     // admission walk keeps. A NON-zero expired `from` still fails
-    // loudly above (the checkpoint outlived retention).
+    // loudly below (the checkpoint outlived retention). That first step
+    // diffs against the EMPTY baseline, not its predecessor, so a
+    // maintenance marker on it must never skip it (`mustEmit`).
+    var mustEmit = -1
     if (from == 0) {
       val retained = ManifestFiles.versions(fs, dir)
-      if (retained.nonEmpty && retained.min > 1) v = retained.min
+      if (retained.nonEmpty && retained.min > 1) {
+        v = retained.min; mustEmit = v
+      }
     }
-    while (v <= end) {
+    // `#maint` markers are inline control lines carried forward by every
+    // commit, so ONE raw read of the range-end list file proves every
+    // skippable step (same read discipline as rangeRowPreserving)
+    val maintMarks: Set[Int] =
+      if (!skipMaint) Set.empty
+      else ManifestFiles.maintFromLines(ManifestFiles.readManifest(
+        fs, new Path(dir, s"_MANIFEST.v$end")))
+    // the baseline read is SKIPPED when the walk's first step is a
+    // marked maintenance step: the jump below replaces the state
+    // wholesale, so a checkpoint whose own snapshot was vacuumed behind
+    // a maintenance run still feeds (the marker proof never reads it)
+    var prevLines =
+      if (from > 0 && maintMarks.contains(v)) Array.empty[String]
+      else linesAt(from)
+    var prevNames = ManifestFiles.entriesFromLines(prevLines).map(_._1).toSet
+    var prevDels = delsOf(prevLines)
+    var prevRids = ridsOf(prevLines)
+    def emitStep(v: Int): Unit = {
       val curLines = linesAt(v)
       val curNames = ManifestFiles.entriesFromLines(curLines).map(_._1).toSet
       val curDels = delsOf(curLines)
@@ -331,7 +378,25 @@ object ManifestChangeFeed {
       }
       prevLines = curLines; prevNames = curNames; prevDels = curDels
       prevRids = curRids
-      v += 1
+    }
+    while (v <= end) {
+      if (maintMarks.contains(v) && v != mustEmit) {
+        // jump the whole marked run in one hop: the row state at its
+        // end equals the state at its start, so the baseline advances
+        // without emitting legs — and without reading (possibly
+        // vacuumed) intermediate snapshots
+        var m = v
+        while (m < end && maintMarks.contains(m + 1)) m += 1
+        val jump = linesAt(m)
+        prevLines = jump
+        prevNames = ManifestFiles.entriesFromLines(jump).map(_._1).toSet
+        prevDels = delsOf(jump)
+        prevRids = ridsOf(jump)
+        v = m + 1
+      } else {
+        emitStep(v)
+        v += 1
+      }
     }
     out.result()
   }
@@ -439,7 +504,8 @@ private[sources] class ManifestChangeFeedScan(path: String, from: Int,
     maxBytesPerTrigger: Option[Long] = None,
     maxRowsPerTrigger: Option[Long] = None,
     minRowsPerTrigger: Option[Long] = None,
-    maxTriggerDelayMs: Long = 15000L) extends Scan with Batch {
+    maxTriggerDelayMs: Long = 15000L,
+    skipMaintenance: Boolean = false) extends Scan with Batch {
 
   import ManifestChangeFeed._
 
@@ -454,7 +520,8 @@ private[sources] class ManifestChangeFeedScan(path: String, from: Int,
     val fs = dir.getFileSystem(conf.value)
     ManifestChangeFeed.planRange(fs, dir, from,
       to.getOrElse(ManifestFiles.latestComplete(fs, dir)),
-      ManifestChangeFeed.stripCdf(fullSchema), conf.value)
+      ManifestChangeFeed.stripCdf(fullSchema), conf.value,
+      skipMaint = skipMaintenance)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -473,7 +540,7 @@ private[sources] class ManifestChangeFeedScan(path: String, from: Int,
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new ManifestChangeFeedStream(path, from, fullSchema, required, conf,
       maxFilesPerTrigger, maxBytesPerTrigger, maxRowsPerTrigger,
-      minRowsPerTrigger, maxTriggerDelayMs)
+      minRowsPerTrigger, maxTriggerDelayMs, skipMaintenance)
 }
 
 private[sources] class ManifestChangeFeedStream(path: String, startAt: Int,
@@ -482,7 +549,8 @@ private[sources] class ManifestChangeFeedStream(path: String, startAt: Int,
     maxBytesPerTrigger: Option[Long] = None,
     maxRowsPerTrigger: Option[Long] = None,
     minRowsPerTrigger: Option[Long] = None,
-    maxTriggerDelayMs: Long = 15000L)
+    maxTriggerDelayMs: Long = 15000L,
+    skipMaintenance: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -515,7 +583,8 @@ private[sources] class ManifestChangeFeedStream(path: String, startAt: Int,
     ManifestOffset(ManifestAdmission.decide(fs, dir, from, head,
       ManifestAdmission.capsOf(limit), countRemovals = true,
       draining = availableEnd.isDefined,
-      () => lastTriggerMs, lastTriggerMs = _))
+      () => lastTriggerMs, lastTriggerMs = _,
+      skipMaint = skipMaintenance))
   }
   override def reportLatestOffset(): Offset = ManifestOffset(head)
   override def deserializeOffset(json: String): Offset =
@@ -525,7 +594,8 @@ private[sources] class ManifestChangeFeedStream(path: String, startAt: Int,
     ManifestChangeFeed.planRange(fs, dir,
       start.asInstanceOf[ManifestOffset].version,
       end.asInstanceOf[ManifestOffset].version,
-      ManifestChangeFeed.stripCdf(fullSchema), conf.value)
+      ManifestChangeFeed.stripCdf(fullSchema), conf.value,
+      skipMaint = skipMaintenance)
 
   override def createReaderFactory(): PartitionReaderFactory =
     ManifestChangeFeed.readerFactory(fs, dir, None, fullSchema, required, conf)

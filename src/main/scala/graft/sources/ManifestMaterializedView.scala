@@ -640,8 +640,12 @@ object ManifestMaterializedView {
         publishDef(fs, mvDir, next, expectFresh = false)
         d = next
       } else {
+        // skipMaintenance (round 16): a mid-tail compaction's cancelling
+        // delete+insert legs never enter the fold — the prefix advance
+        // above handles LEADING maintenance, this handles the rest
         val feed0 = spark.read.format("graft-manifest")
           .option("path", srcDir.toString).option("changeFeed", "true")
+          .option("skipMaintenance", "true")
           .option("changesFrom", from.toString)
           .option("changesTo", head.toString).load()
         d = stepOrRecompute(d, s"fact '${d.source}'",
@@ -681,6 +685,7 @@ object ManifestMaterializedView {
         val dimCdf = spark.read.format("graft-manifest")
           .option("path", new Path(root, t).toString)
           .option("changeFeed", "true")
+          .option("skipMaintenance", "true")
           .option("changesFrom", dimFrom.toString)
           .option("changesTo", dimHead.toString).load()
         val fact = tableAt(spark, root, d.source, d.sourceVersion)
@@ -945,8 +950,13 @@ object ManifestMaterializedView {
     // would have scanned the table twice
     val effFrom = ManifestChangeFeed.rowPreservingPrefix(
       fsFor(spark, srcDir), srcDir, d.sourceVersion, factVersion)
+    // skipMaintenance is REQUIRED here, not just cheaper: the extrema
+    // gate (rangeAppendOnly) accepts marked mid-tail compactions, whose
+    // delete legs this fold's insert-legs-only extrema column could
+    // never retract — skipping them keeps gate and fold in agreement
     val feed0 = spark.read.format("graft-manifest")
       .option("path", srcDir.toString).option("changeFeed", "true")
+      .option("skipMaintenance", "true")
       .option("changesFrom", effFrom.toString)
       .option("changesTo", factVersion.toString).load()
     val feed = withDims(spark, root, d, feed0)
@@ -989,6 +999,10 @@ object ManifestMaterializedView {
     var reader = spark.readStream.format("graft-manifest")
       .option("path", new Path(root, d.source).toString)
       .option("changeFeed", "true")
+      // the stream is only the SCHEDULER: a maintenance-only commit
+      // produces an empty batch and triggers no refresh (plan-time
+      // reads stay exact on a maintenance-moved fact without one)
+      .option("skipMaintenance", "true")
     options.foreach { case (k, v) => reader = reader.option(k, v) }
     reader.load()
       .writeStream

@@ -409,6 +409,10 @@ private[sources] class ManifestTable(schema0: StructType,
       (from, opt("changesTo").map(resolveRef))
     }
     val changeFeed = opt("changeFeed").exists(_.toBoolean)
+    val skipMaintenance = opt("skipMaintenance").exists(_.toBoolean)
+    require(!skipMaintenance || changeFeed,
+      "graft-manifest: skipMaintenance applies to change feed reads — " +
+        "set .option(\"changeFeed\", true)")
     // a catalog-resolved table's schema cannot grow the CDF columns
     // (Table.schema() is fixed at load) — route to the path-based reader
     require(!changeFeed ||
@@ -427,6 +431,7 @@ private[sources] class ManifestTable(schema0: StructType,
       columnar = opt("columnar").map(_.toBoolean),
       ignoreDeletes = opt("ignoreDeletes").exists(_.toBoolean),
       changeFeed = changeFeed,
+      skipMaintenance = skipMaintenance,
       branch = branch,
       filesSubset = opt("filesSubset")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet),

@@ -1542,7 +1542,8 @@ object ManifestFiles {
   def admittedEnd(fs: FileSystem, dir: Path, from: Int, head: Int,
       maxFiles: Option[Int], maxBytes: Option[Long],
       countRemovals: Boolean = false,
-      maxRows: Option[Long] = None): Int = {
+      maxRows: Option[Long] = None,
+      skipMaint: Boolean = false): Int = {
     if (head <= from ||
       (maxFiles.isEmpty && maxBytes.isEmpty && maxRows.isEmpty)) return head
     def linesAt(v: Int): Array[String] =
@@ -1559,8 +1560,6 @@ object ManifestFiles {
         try fs.getFileStatus(new Path(dir, name)).getLen
         catch { case _: java.io.IOException => 0L }
       }
-    var prevLines = linesAt(from)
-    var prevNames = entriesFromLines(prevLines).map(_._1).toSet
     var files = 0L
     var bytes = 0L
     var rows = 0L
@@ -1571,12 +1570,37 @@ object ManifestFiles {
     // full list, so the walk starts THERE and the first step admits it
     // as one unit — exactly the base the uncapped read diffs against.
     // A NON-zero expired `from` still fails loudly above (the
-    // checkpoint outlived retention), matching addedBetween.
+    // checkpoint outlived retention), matching addedBetween. That step
+    // diffs against the EMPTY baseline, so a maintenance marker on it
+    // never zero-prices it (mustEmit — mirrors planRange).
+    var mustEmit = -1
     if (from == 0) {
       val retained = versions(fs, dir)
-      if (retained.nonEmpty && retained.min > 1) v = retained.min
+      if (retained.nonEmpty && retained.min > 1) {
+        v = retained.min; mustEmit = v
+      }
     }
+    // a skipMaintenance feed emits NOTHING for marker-proven
+    // row-preserving steps, so admission prices them at zero and jumps
+    // whole marked runs — otherwise a nightly compaction on a 10⁶-file
+    // table would drain through ~files/cap empty micro-batches before
+    // the stream reached the real commits behind it
+    val maintMarks: Set[Int] =
+      if (!skipMaint) Set.empty
+      else maintFromLines(readManifest(fs, new Path(dir, s"_MANIFEST.v$head")))
+    var prevLines =
+      if (from > 0 && maintMarks.contains(v)) Array.empty[String]
+      else linesAt(from)
+    var prevNames = entriesFromLines(prevLines).map(_._1).toSet
     while (v <= head) {
+      if (maintMarks.contains(v) && v != mustEmit) {
+        var m = v
+        while (m < head && maintMarks.contains(m + 1)) m += 1
+        prevLines = linesAt(m)
+        prevNames = entriesFromLines(prevLines).map(_._1).toSet
+        end = m
+        v = m + 1
+      } else {
       val curLines = linesAt(v)
       val curEntries = entriesFromLines(curLines)
       val curNames = curEntries.map(_._1).toSet
@@ -1617,6 +1641,7 @@ object ManifestFiles {
       prevLines = curLines
       prevNames = curNames
       v += 1
+      }
     }
     end
   }
@@ -1641,7 +1666,8 @@ object ManifestFiles {
     * backlog never walks past the threshold). Same expired-version and
     * fresh-stream-on-vacuumed-table semantics as [[admittedEnd]]. */
   def availableRows(fs: FileSystem, dir: Path, from: Int, head: Int,
-      atLeast: Long, countRemovals: Boolean = false): Long = {
+      atLeast: Long, countRemovals: Boolean = false,
+      skipMaint: Boolean = false): Long = {
     if (head <= from) return 0L
     def linesAt(v: Int): Array[String] =
       if (v <= 0) Array.empty
@@ -1652,30 +1678,49 @@ object ManifestFiles {
             s"retained versions: ${have.mkString(",")} — restart the " +
             "incremental read from a retained version")
       } else linesOf(fs, dir, Some(v))
-    var prevLines = linesAt(from)
-    var prevNames = entriesFromLines(prevLines).map(_._1).toSet
     var rows = 0L
     var v = from + 1
+    var mustEmit = -1
     if (from == 0) {
       val retained = versions(fs, dir)
-      if (retained.nonEmpty && retained.min > 1) v = retained.min
-    }
-    while (v <= head && rows < atLeast) {
-      val curLines = linesAt(v)
-      val curEntries = entriesFromLines(curLines)
-      val curNames = curEntries.map(_._1).toSet
-      val added = curNames -- prevNames
-      rows += curEntries.iterator.filter(e => added(e._1)).map(_._2).sum
-      if (countRemovals) {
-        lazy val prevRows = entriesFromLines(prevLines).toMap
-        rows += (prevNames -- curNames).iterator
-          .map(n => prevRows.getOrElse(n, 0L)).sum
-        // un-priced delete legs (see newDeleteState): the floor is met
-        if (newDeleteState(prevLines, curLines)) return atLeast
+      if (retained.nonEmpty && retained.min > 1) {
+        v = retained.min; mustEmit = v
       }
-      prevLines = curLines
-      prevNames = curNames
-      v += 1
+    }
+    // zero-count marker-proven maintenance steps for a skipMaintenance
+    // feed — a minRows floor must not release a batch whose only
+    // content would have been legs the feed never emits
+    val maintMarks: Set[Int] =
+      if (!skipMaint) Set.empty
+      else maintFromLines(readManifest(fs, new Path(dir, s"_MANIFEST.v$head")))
+    var prevLines =
+      if (from > 0 && maintMarks.contains(v)) Array.empty[String]
+      else linesAt(from)
+    var prevNames = entriesFromLines(prevLines).map(_._1).toSet
+    while (v <= head && rows < atLeast) {
+      if (maintMarks.contains(v) && v != mustEmit) {
+        var m = v
+        while (m < head && maintMarks.contains(m + 1)) m += 1
+        prevLines = linesAt(m)
+        prevNames = entriesFromLines(prevLines).map(_._1).toSet
+        v = m + 1
+      } else {
+        val curLines = linesAt(v)
+        val curEntries = entriesFromLines(curLines)
+        val curNames = curEntries.map(_._1).toSet
+        val added = curNames -- prevNames
+        rows += curEntries.iterator.filter(e => added(e._1)).map(_._2).sum
+        if (countRemovals) {
+          lazy val prevRows = entriesFromLines(prevLines).toMap
+          rows += (prevNames -- curNames).iterator
+            .map(n => prevRows.getOrElse(n, 0L)).sum
+          // un-priced delete legs (see newDeleteState): the floor is met
+          if (newDeleteState(prevLines, curLines)) return atLeast
+        }
+        prevLines = curLines
+        prevNames = curNames
+        v += 1
+      }
     }
     rows
   }
@@ -2119,6 +2164,10 @@ private[sources] class ManifestScanBuilder(path: String, version: Option[Int],
     // deletes) with _change_type/_commit_version columns — the
     // delete-capable superset of the plain incremental read
     changeFeed: Boolean = false,
+    // change feed only: omit marker-proven row-preserving maintenance
+    // steps entirely (their legs cancel exactly — Delta/Iceberg CDC
+    // semantics for compactions). See ManifestChangeFeed.planRange.
+    skipMaintenance: Boolean = false,
     // read a named BRANCH's head (or versionAsOf within its chain)
     branch: Option[String] = None,
     // restrict the scan to EXACTLY these manifest entries (maintenance
@@ -2222,7 +2271,8 @@ private[sources] class ManifestScanBuilder(path: String, version: Option[Int],
         maxBytesPerTrigger = maxBytesPerTrigger,
         maxRowsPerTrigger = maxRowsPerTrigger,
         minRowsPerTrigger = minRowsPerTrigger,
-        maxTriggerDelayMs = maxTriggerDelayMs)
+        maxTriggerDelayMs = maxTriggerDelayMs,
+        skipMaintenance = skipMaintenance)
     else new ManifestScan(path, version, fullSchema,
       required, conf, onPlanned, changes, accepted.toArray,
       runtimeKeyPrune = statsSkip, columnar = columnar,
@@ -3232,13 +3282,14 @@ private[sources] object ManifestAdmission {
     * partial batch against a stopped producer. */
   def decide(fs: FileSystem, dir: Path, from: Int, head: Int, caps: Caps,
       countRemovals: Boolean, draining: Boolean,
-      lastTriggerMs: () => Long, setTriggerMs: Long => Unit): Int = {
+      lastTriggerMs: () => Long, setTriggerMs: Long => Unit,
+      skipMaint: Boolean = false): Int = {
     val now = System.currentTimeMillis()
     if (lastTriggerMs() == 0L) setTriggerMs(now)
     val withhold = !draining && caps.minRows.exists { mr =>
       now - lastTriggerMs() < caps.delayMs &&
         ManifestFiles.availableRows(fs, dir, from, head, mr,
-          countRemovals) < mr
+          countRemovals, skipMaint) < mr
     }
     if (withhold) from
     else {
@@ -3249,7 +3300,8 @@ private[sources] object ManifestAdmission {
       // quiet for a while)
       if (caps.minRows.isDefined) setTriggerMs(now)
       ManifestFiles.admittedEnd(fs, dir, from, head,
-        caps.maxFiles, caps.maxBytes, countRemovals, caps.maxRows)
+        caps.maxFiles, caps.maxBytes, countRemovals, caps.maxRows,
+        skipMaint)
     }
   }
 }

@@ -1138,6 +1138,65 @@ object Sources extends QueryModule {
       SELECT od, ct, CAST(v AS INTEGER) AS v, CAST(COUNT(*) AS BIGINT) AS n
       FROM changes GROUP BY od, ct, v ORDER BY od, ct, v"""))
 
+  /** Maintenance-transparent change feed (round 16): the
+    * insert → MOR-delete → COMPACT → insert history read with
+    * `skipMaintenance` — the compaction's marker-proven cancelling
+    * remove+insert legs are omitted entirely (Delta CDF and Iceberg's
+    * changelog likewise emit nothing for compactions), which is what
+    * keeps every 24/7 CDF consumer (MV refresh, governed index
+    * maintenance, fingerprint stores) from replaying the whole corpus
+    * after each nightly compaction. The oracle reconstructs the feed
+    * from the raw data alone — inserts are the loaded slices at their
+    * commit versions, deletes are the predicate's rows, and version 4
+    * (the compaction) contributes NOTHING — so a regression that leaks
+    * the compaction's legs, or drops a real one, breaks the hash. */
+  val qCdfSkipMaintenance: QueryDef = QueryDef(
+    "q278_cdf_skip_maintenance",
+    (s, d) => {
+      import s.implicits._
+      val root = tmp(d, "manifest_cdf_skipm")
+      val dir = new org.apache.hadoop.fs.Path(root)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      val cat = "graft_cdfm_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE TABLE $cat.t (od DATE, o_orderkey BIGINT) " +
+        "TBLPROPERTIES('delete.mode'='merge-on-read')") // v1
+      def slice(lo: String, hi: String) = Tables.df(s, d, "orders")
+        .filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
+        .select(to_date($"o_orderdate").as("od"), $"o_orderkey")
+      slice("1996-01-01", "1996-02-01").writeTo(s"$cat.t").append() // v2
+      s.sql(s"DELETE FROM $cat.t WHERE o_orderkey % 7 = 0")         // v3
+      s.sql(s"CALL $cat.system.compact('t', 1)")                    // v4
+      slice("1996-02-01", "1996-03-01").writeTo(s"$cat.t").append() // v5
+      s.read.format("graft-manifest").option("path", s"$root/t")
+        .option("changeFeed", "true").option("changesFrom", "0")
+        .option("skipMaintenance", "true").load()
+        .groupBy($"od", $"_change_type".as("ct"),
+          $"_commit_version".as("v"))
+        .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("keysum"))
+        .orderBy($"od", $"ct", $"v")
+        .select($"od", $"ct", $"v", $"n", $"keysum")
+    },
+    Some("""
+      WITH jan AS (
+        SELECT CAST(o_orderdate AS DATE) AS od, o_orderkey FROM orders
+        WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-02-01'),
+      feb AS (
+        SELECT CAST(o_orderdate AS DATE) AS od, o_orderkey FROM orders
+        WHERE o_orderdate >= '1996-02-01' AND o_orderdate < '1996-03-01'),
+      changes AS (
+        SELECT od, o_orderkey, 'insert' AS ct, 2 AS v FROM jan
+        UNION ALL
+        SELECT od, o_orderkey, 'delete' AS ct, 3 AS v FROM jan
+        WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT od, o_orderkey, 'insert' AS ct, 5 AS v FROM feb)
+      SELECT od, ct, CAST(v AS INTEGER) AS v,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(o_orderkey) AS BIGINT) AS keysum
+      FROM changes GROUP BY od, ct, v ORDER BY od, ct, v"""))
+
   /** Write-audit-publish (round 12): February stages on a BRANCH while
     * main serves January untouched; the staged rows pass audit and
     * `fast_forward` publishes them as one atomic main commit. The final
@@ -2959,5 +3018,6 @@ object Sources extends QueryModule {
       qGovernedView, qMaterializedView, qMvRewrite,
       qMergeNotMatchedBySource, qRowLineage, qAggPushdown, qCboReorder,
       qStarMv, qStaleMv, qVariantGoverned, qHistogramFlip, qMvRollup,
-      qLeftDimMv, qVariantShred, qMvMaintenance, qMvSqlDdl)
+      qLeftDimMv, qVariantShred, qMvMaintenance, qMvSqlDdl,
+      qCdfSkipMaintenance)
 }

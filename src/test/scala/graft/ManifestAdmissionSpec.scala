@@ -349,4 +349,33 @@ class ManifestAdmissionSpec extends AnyFunSuite {
     assert(walk(2, 2) == 5)       // v3 + free v4 + v5 = 2 files
     assert(ManifestFiles.admittedEnd(fs, dir, 0, 5, None, None) == 5)
   }
+
+  test("skipMaintenance admission: a compaction's removals price at " +
+    "ZERO for a maintenance-skipping feed — the stream crosses the " +
+    "nightly compaction in one batch instead of files/cap empty ones") {
+    val (cat, root) = freshCat("skipm")
+    val path = s"$root/t"
+    append(path, 0, 10)                                          // v1
+    append(path, 10, 20)                                         // v2
+    append(path, 20, 30)                                         // v3
+    spark.sql(s"CALL $cat.system.compact('t', 1)")               // v4: marked
+    append(path, 30, 40)                                         // v5
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    // CDF pricing (countRemovals): the compaction unlists 3 files and
+    // lists 1 — default admission stops at it; skip-admission rides
+    // straight through to the real append behind it
+    assert(ManifestFiles.admittedEnd(fs, dir, 3, 5, Some(2), None,
+      countRemovals = true) == 4,
+      "default CDF admission prices the compaction (goes alone)")
+    assert(ManifestFiles.admittedEnd(fs, dir, 3, 5, Some(2), None,
+      countRemovals = true, skipMaint = true) == 5,
+      "skip-admission must cross the marked step at zero cost")
+    // the minRows floor likewise ignores legs the feed never emits
+    assert(ManifestFiles.availableRows(fs, dir, 3, 4, 1L,
+      countRemovals = true, skipMaint = true) == 0L,
+      "a maintenance-only tail offers ZERO rows to a skipping feed")
+    assert(ManifestFiles.availableRows(fs, dir, 3, 4, 1L,
+      countRemovals = true) > 0L)
+  }
 }

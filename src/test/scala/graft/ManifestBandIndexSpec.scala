@@ -70,6 +70,30 @@ class ManifestBandIndexSpec extends AnyFunSuite {
     // a no-op maintenance pass is version-free
     assert(graft.api.Graft.maintainMinHashBandIndex(spark, cat,
       "docs", "bidx", "doc_id", "text", fromVersion = v) == v)
+
+    // COMPACTION-TRANSPARENT maintenance (round 16): the nightly
+    // compaction's full-table remove+insert legs never reach the
+    // apply — without skipMaintenance this pass would DELETE and
+    // re-signature the ENTIRE index (exact, but a corpus-sized replay)
+    def idxState(): (Int, Set[String]) = {
+      val d = new org.apache.hadoop.fs.Path(
+        spark.conf.get(s"spark.sql.catalog.$cat.root"), "bidx")
+      val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+      (ManifestFiles.latestComplete(fs, d),
+        ManifestFiles.entriesFromLines(ManifestFiles.latestLines(fs, d))
+          .map(_._1).toSet)
+    }
+    val before = idxState()
+    spark.sql(s"CALL $cat.system.compact('docs', 1)")           // v4
+    val v2 = graft.api.Graft.maintainMinHashBandIndex(spark, cat,
+      "docs", "bidx", "doc_id", "text", fromVersion = v)
+    assert(v2 == v + 1, "the checkpoint advances past the compaction")
+    assert(sameRows(spark.table(s"$cat.bidx"), rebuilt),
+      "a compaction must leave the index bit-identical")
+    assert(idxState() == before,
+      "an empty feed must be a COMPLETE no-op on the index — no new " +
+        "version, no touched data files (a corpus-sized replay would " +
+        "have rewritten all of them)")
   }
 
   test("UPSERTS maintain too: re-texted docs drop their stale band rows " +

@@ -323,4 +323,99 @@ class ManifestChangeFeedSpec extends AnyFunSuite {
     assert(kept.min == 89 && kept.max == ManifestFiles.MaintKeep + 88,
       "the cap must retire the OLDEST markers")
   }
+
+  test("skipMaintenance: a mid-tail compaction's cancelling legs are " +
+    "omitted (Delta/Iceberg CDC semantics — compactions produce no " +
+    "changelog) while the signed fold stays identical; the default " +
+    "feed still carries the full remove+insert pair") {
+    val (cat, root) = freshCat("skipm")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES('delete.mode'='merge-on-read')")             // v1
+    spark.range(0, 60).select($"id".as("k"), lit("a").as("v"))
+      .writeTo(s"$cat.t").append()                                // v2
+    spark.sql(s"DELETE FROM $cat.t WHERE k % 5 = 0")              // v3
+    spark.sql(s"CALL $cat.system.compact('t', 1)")                // v4
+    spark.range(60, 90).select($"id".as("k"), lit("b").as("v"))
+      .writeTo(s"$cat.t").append()                                // v5
+    def rows(skip: Boolean) = {
+      val r = spark.read.format("graft-manifest")
+        .option("path", s"$root/t").option("changeFeed", "true")
+        .option("changesFrom", "2").option("changesTo", "5")
+      (if (skip) r.option("skipMaintenance", "true") else r).load()
+    }
+    val full = rows(skip = false)
+    val slim = rows(skip = true)
+    assert(full.filter($"_commit_version" === 4).count() > 0,
+      "the default feed keeps the compaction's legs (full fidelity)")
+    assert(slim.filter($"_commit_version" === 4).count() === 0,
+      "skipMaintenance must omit the marked step entirely")
+    // the slim feed still carries the REAL changes around the skip
+    assert(slim.filter($"_commit_version" === 3 &&
+      $"_change_type" === "delete").count() === 12)
+    assert(slim.filter($"_commit_version" === 5).count() === 30)
+    def fold(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"k", $"v")
+        .agg(sum(when($"_change_type" === "insert", 1L).otherwise(-1L))
+          .as("n")).filter($"n" =!= 0L).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(fold(full) == fold(slim),
+      "omitting cancelling legs must not change the signed fold")
+    checkInvariant(s"$root/t", 2, 5)
+  }
+
+  test("skipMaintenance: a feed whose baseline snapshot was vacuumed " +
+    "behind a maintenance run still plans — the marker proof never " +
+    "reads the expired version; the default feed fails loudly") {
+    val (cat, root) = freshCat("skipv")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")                  // v1
+    spark.range(0, 40).select($"id".as("k")).coalesce(1)
+      .writeTo(s"$cat.t").append()                                // v2
+    spark.sql(s"CALL $cat.system.compact('t', 1)")                // v3
+    spark.range(40, 50).select($"id".as("k")).coalesce(1)
+      .writeTo(s"$cat.t").append()                                // v4
+    spark.sql(s"CALL $cat.system.vacuum('t', 2)")                 // keeps 3,4
+    val e = intercept[Exception] { feed(s"$root/t", 2, Some(4)).collect() }
+    assert(e.getMessage.contains("expired"), e.getMessage)
+    val slim = spark.read.format("graft-manifest")
+      .option("path", s"$root/t").option("changeFeed", "true")
+      .option("skipMaintenance", "true")
+      .option("changesFrom", "2").option("changesTo", "4").load()
+    assert(slim.filter($"_change_type" === "delete").count() === 0)
+    assert(slim.select($"k").as[Long].collect().sorted.toSeq ==
+      (40L until 50L).toSeq,
+      "only the post-maintenance append's legs surface")
+  }
+
+  test("skipMaintenance: the from=0 oldest-retained snapshot still " +
+    "surfaces as inserts when that version IS a marked maintenance " +
+    "commit — it diffs against the EMPTY baseline, not its predecessor") {
+    val (cat, root) = freshCat("skip0")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")                  // v1
+    spark.range(0, 40).select($"id".as("k")).coalesce(1)
+      .writeTo(s"$cat.t").append()                                // v2
+    spark.sql(s"CALL $cat.system.compact('t', 1)")                // v3
+    spark.range(40, 50).select($"id".as("k")).coalesce(1)
+      .writeTo(s"$cat.t").append()                                // v4
+    spark.sql(s"CALL $cat.system.vacuum('t', 2)")                 // keeps 3,4
+    val slim = spark.read.format("graft-manifest")
+      .option("path", s"$root/t").option("changeFeed", "true")
+      .option("skipMaintenance", "true")
+      .option("changesFrom", "0").option("changesTo", "4").load()
+    assert(slim.filter($"_change_type" === "delete").count() === 0)
+    assert(slim.select($"k").as[Long].collect().sorted.toSeq ==
+      (0L until 50L).toSeq,
+      "the oldest retained snapshot must surface in full")
+    assert(slim.filter($"_commit_version" === 3).count() === 40,
+      "the marked snapshot version carries the initial inserts")
+  }
+
+  test("skipMaintenance refuses outside change-feed reads") {
+    val (cat, root) = freshCat("skipg")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
+    val e = intercept[Exception] {
+      spark.read.format("graft-manifest").option("path", s"$root/t")
+        .option("skipMaintenance", "true").load().collect()
+    }
+    assert(e.getMessage.contains("skipMaintenance"), e.getMessage)
+  }
 }

@@ -643,6 +643,43 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("MID-TAIL maintenance (round 16): append THEN compact — the " +
+    "prefix cannot advance, yet extrema still compensate because the " +
+    "append-only walk skips the marked step and the fold's feed skips " +
+    "its cancelling legs") {
+    import spark.implicits._
+    val (cat, _) = freshCat()
+    seed(cat)
+    spark.sql(s"CALL $cat.system.create_materialized_view('midm', 'src', " +
+      "'grp', 'count:*:c,min:v:mn,max:v:mx')")
+    val q = s"SELECT grp, count(*) AS c, min(v) AS mn, max(v) AS mx " +
+      s"FROM $cat.src GROUP BY grp"
+    assertSame(q, "midm", expectRewrite = true)
+    // the continuous-ingest nightly shape, in the ORDER the prefix
+    // advance cannot help with: real data first, maintenance after
+    Seq((2000L, "g2", 9000.25, 5L), (2001L, "g0", -3.5, 1L))
+      .toDF("k", "grp", "v", "n").writeTo(s"$cat.src").append()   // data
+    spark.sql(s"CALL $cat.system.compact('src', 1)")              // maint
+    assertSame(q, "midm", expectRewrite = false) // exact gate: stale
+    withStale {
+      val df = spark.sql(q)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("midm") && p.contains("graft-manifest-changefeed"),
+        s"extrema must compensate across a MID-TAIL compaction:\n$p")
+      val got = df.collect().map(_.toString).sorted.toSeq
+      val want = withoutRewrite(
+        spark.sql(q).collect().map(_.toString).sorted.toSeq)
+      assert(got == want, "mid-tail-skipped compensation drifted")
+    }
+    // sanity: the new extrema actually came from the compensated legs
+    withStale {
+      val r = spark.sql(q).collect()
+        .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+      assert(r("g2")._2 == 9000.25 && r("g0")._1 == -3.5,
+        "the appended extrema must surface through the fold")
+    }
+  }
+
   test("MAINTENANCE-transparent freshness over STAR joins: a compacted " +
     "DIM no longer kills the dim-pin gate; a dim DATA change still does") {
     val (cat, _) = freshCat()
