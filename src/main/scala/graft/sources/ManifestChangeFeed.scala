@@ -269,13 +269,15 @@ object ManifestChangeFeed {
       if (!skipMaint) Set.empty
       else ManifestFiles.maintFromLines(ManifestFiles.readManifest(
         fs, new Path(dir, s"_MANIFEST.v$end")))
-    // the baseline read is SKIPPED when the walk's first step is a
-    // marked maintenance step: the jump below replaces the state
-    // wholesale, so a checkpoint whose own snapshot was vacuumed behind
-    // a maintenance run still feeds (the marker proof never reads it)
+    // the baseline read is DEFERRED when the walk's first step is a
+    // marked maintenance step: the jump below usually replaces the
+    // state wholesale, so a checkpoint whose own snapshot was vacuumed
+    // behind a maintenance run still feeds (the marker proof never
+    // reads it). If the jump itself cannot land (run-end vacuumed), the
+    // deferred read materializes then — loudly, if it too expired.
+    var baselineDeferred = from > 0 && maintMarks.contains(v)
     var prevLines =
-      if (from > 0 && maintMarks.contains(v)) Array.empty[String]
-      else linesAt(from)
+      if (baselineDeferred) Array.empty[String] else linesAt(from)
     var prevNames = ManifestFiles.entriesFromLines(prevLines).map(_._1).toSet
     var prevDels = delsOf(prevLines)
     var prevRids = ridsOf(prevLines)
@@ -387,11 +389,28 @@ object ManifestChangeFeed {
         // vacuumed) intermediate snapshots
         var m = v
         while (m < end && maintMarks.contains(m + 1)) m += 1
-        val jump = linesAt(m)
-        prevLines = jump
-        prevNames = ManifestFiles.entriesFromLines(jump).map(_._1).toSet
-        prevDels = delsOf(jump)
-        prevRids = ridsOf(jump)
+        if (fs.exists(new Path(dir, s"_MANIFEST.v$m"))) {
+          val jump = linesAt(m)
+          prevLines = jump
+          prevNames = ManifestFiles.entriesFromLines(jump).map(_._1).toSet
+          prevDels = delsOf(jump)
+          prevRids = ridsOf(jump)
+        } else {
+          // run-end vacuumed (a TAG can pin the baseline while untagged
+          // maintenance commits age out): keep the baseline state —
+          // rows(baseline) == rows(m) by the markers, so the next
+          // unmarked step diffs against it EXACTLY; its legs then fold
+          // the run's cancelling reorganization (unskipped, still
+          // exact). A deferred baseline must materialize now.
+          if (baselineDeferred) {
+            prevLines = linesAt(from)
+            prevNames = ManifestFiles.entriesFromLines(prevLines)
+              .map(_._1).toSet
+            prevDels = delsOf(prevLines)
+            prevRids = ridsOf(prevLines)
+          }
+        }
+        baselineDeferred = false
         v = m + 1
       } else {
         emitStep(v)

@@ -481,7 +481,12 @@ private[sources] object ManifestParquet {
       firstRow: Long = -1L, ridCol: Boolean = false,
       // `_last_updated_version`: the file's `#luv` default (-1 = none)
       // and whether it carries a materialized `_luv` column
-      luv: Int = -1, luvCol: Boolean = false):
+      luv: Int = -1, luvCol: Boolean = false,
+      // row-level COW scans: pre-lineage NULL surfaces as the 0
+      // sentinel so the rewrite writer can tell it apart from a
+      // PRESERVE_ON_UPDATE-nulled (updated) row; stored sentinels pass
+      // through unmapped for the same reason (the rewrite re-stores 0)
+      luvSentinel: Boolean = false):
       PartitionReader[InternalRow] = {
     // `_pos`, `_row_id` (= first + position, even under a materialized
     // coalesce) and merge-on-read deletes need FILE-ABSOLUTE ordinals,
@@ -533,9 +538,10 @@ private[sources] object ManifestParquet {
           // resolves to the file default, which would wrongly stamp
           // pre-lineage history at the compaction version
           val v = row.getInt(luvIdx)
-          if (v == 0) null else v
+          if (v == 0 && !luvSentinel) null else v
         }
         else if (luv >= 0) luv
+        else if (luvSentinel) 0
         else null
       override def get(): InternalRow = {
         val row = reader.getCurrentValue.asInstanceOf[InternalRow]

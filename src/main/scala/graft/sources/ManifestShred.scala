@@ -58,7 +58,7 @@ object ManifestShred extends PredicateHelper {
     "bigint" -> LongType, "double" -> DoubleType,
     "string" -> StringType, "boolean" -> BooleanType)
 
-  private def typeName(dt: DataType): String =
+  private[sources] def typeName(dt: DataType): String =
     SupportedTypes.collectFirst { case (n, d) if d == dt => n }.get
 
   private def b64(s: String): String =

@@ -933,7 +933,12 @@ private[sources] class ManifestRowLevelOperation(
     new ManifestScanBuilder(path, None, tableSchema,
       new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
       onPlanned = names => scanned = names, statsSkip = false,
-      onDeleteState = state => scannedDeleteState = state)
+      onDeleteState = state => scannedDeleteState = state,
+      // pre-lineage rows surface the 0 sentinel (not NULL) to the
+      // rewrite, so a COW DELETE/UPDATE/MERGE cannot stamp untouched
+      // pre-lineage survivors with its own version (they must keep
+      // reading NULL — the same contract the compaction rewrite keeps)
+      luvSentinel = lineage)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {

@@ -1588,16 +1588,26 @@ object ManifestFiles {
     val maintMarks: Set[Int] =
       if (!skipMaint) Set.empty
       else maintFromLines(readManifest(fs, new Path(dir, s"_MANIFEST.v$head")))
+    var baselineDeferred = from > 0 && maintMarks.contains(v)
     var prevLines =
-      if (from > 0 && maintMarks.contains(v)) Array.empty[String]
-      else linesAt(from)
+      if (baselineDeferred) Array.empty[String] else linesAt(from)
     var prevNames = entriesFromLines(prevLines).map(_._1).toSet
     while (v <= head) {
       if (maintMarks.contains(v) && v != mustEmit) {
         var m = v
         while (m < head && maintMarks.contains(m + 1)) m += 1
-        prevLines = linesAt(m)
-        prevNames = entriesFromLines(prevLines).map(_._1).toSet
+        // run-end vacuumed (a tag can pin older versions): keep the
+        // baseline — the next step then prices the run's churn too,
+        // conservative; a deferred baseline materializes now (loudly
+        // if it too expired), mirroring planRange
+        if (fs.exists(new Path(dir, s"_MANIFEST.v$m"))) {
+          prevLines = linesAt(m)
+          prevNames = entriesFromLines(prevLines).map(_._1).toSet
+        } else if (baselineDeferred) {
+          prevLines = linesAt(from)
+          prevNames = entriesFromLines(prevLines).map(_._1).toSet
+        }
+        baselineDeferred = false
         end = m
         v = m + 1
       } else {
@@ -1693,16 +1703,23 @@ object ManifestFiles {
     val maintMarks: Set[Int] =
       if (!skipMaint) Set.empty
       else maintFromLines(readManifest(fs, new Path(dir, s"_MANIFEST.v$head")))
+    var baselineDeferred = from > 0 && maintMarks.contains(v)
     var prevLines =
-      if (from > 0 && maintMarks.contains(v)) Array.empty[String]
-      else linesAt(from)
+      if (baselineDeferred) Array.empty[String] else linesAt(from)
     var prevNames = entriesFromLines(prevLines).map(_._1).toSet
     while (v <= head && rows < atLeast) {
       if (maintMarks.contains(v) && v != mustEmit) {
         var m = v
         while (m < head && maintMarks.contains(m + 1)) m += 1
-        prevLines = linesAt(m)
-        prevNames = entriesFromLines(prevLines).map(_._1).toSet
+        // mirror planRange's vacuumed-run-end fallback (see admittedEnd)
+        if (fs.exists(new Path(dir, s"_MANIFEST.v$m"))) {
+          prevLines = linesAt(m)
+          prevNames = entriesFromLines(prevLines).map(_._1).toSet
+        } else if (baselineDeferred) {
+          prevLines = linesAt(from)
+          prevNames = entriesFromLines(prevLines).map(_._1).toSet
+        }
+        baselineDeferred = false
         v = m + 1
       } else {
         val curLines = linesAt(v)
@@ -2185,7 +2202,9 @@ private[sources] class ManifestScanBuilder(path: String, version: Option[Int],
     onDeleteState: Set[String] => Unit = _ => (),
     // round 16: encoded comparable variant_get conjuncts the injected
     // VariantSkipRule lifted off the query's Filter (see ManifestShred)
-    variantSkip: Option[String] = None)
+    variantSkip: Option[String] = None,
+    // row-level COW scans of lineage tables (see ManifestScan.luvSentinel)
+    luvSentinel: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -2284,7 +2303,8 @@ private[sources] class ManifestScanBuilder(path: String, version: Option[Int],
       minRowsPerTrigger = minRowsPerTrigger,
       maxTriggerDelayMs = maxTriggerDelayMs,
       onDeleteState = onDeleteState,
-      variantSkip = if (statsSkip) variantSkip else None)
+      variantSkip = if (statsSkip) variantSkip else None,
+      luvSentinel = luvSentinel)
 
 }
 
@@ -2330,7 +2350,15 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
     minRowsPerTrigger: Option[Long] = None,
     maxTriggerDelayMs: Long = 15000L,
     onDeleteState: Set[String] => Unit = _ => (),
-    variantSkip: Option[String] = None)
+    variantSkip: Option[String] = None,
+    // true ONLY on row-level COPY_ON_WRITE scans of lineage tables: the
+    // reader emits the 0 sentinel (never NULL) for pre-lineage rows'
+    // `_last_updated_version`, so the rewrite writer can distinguish
+    // "pre-lineage, keep reading NULL" (stored 0) from "this operation
+    // updated the row" (PRESERVE_ON_UPDATE nulled it → resolves to the
+    // commit's #luv default). Without it a COW DELETE stamps every
+    // surviving pre-lineage row with the delete's version.
+    luvSentinel: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -2364,7 +2392,8 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
     * layout metadata disagree (and a large manifest is parsed once, not
     * five times). */
   private lazy val snapshotView:
-      (Array[String], Long, Long, Array[(String, Int)], Array[String]) = {
+      (Array[String], Long, Long, Array[(String, Int)], Array[String],
+        Seq[(org.apache.spark.sql.sources.Filter, StructType)]) = {
     val fs = dir.getFileSystem(conf.value)
     val pinned = changes match {
       case Some((_, to)) =>
@@ -2401,10 +2430,11 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
     if (changes.isDefined || filesSubset.isDefined)
       // incremental/CDF and group-filtered scans keep the per-file
       // column-stat path (their file lists come from elsewhere)
-      (ManifestFiles.materialize(fs, dir, raw), 0L, 0L, Array.empty, raw)
+      (ManifestFiles.materialize(fs, dir, raw), 0L, 0L, Array.empty, raw,
+        shredSegs)
     else if (segSafe.isEmpty && shredSegs.isEmpty)
       (ManifestFiles.materialize(fs, dir, raw), 0L, 0L,
-        ManifestFiles.segmentRefsFromRaw(raw).toArray, raw)
+        ManifestFiles.segmentRefsFromRaw(raw).toArray, raw, shredSegs)
     else {
       val (lines, pruned, prunedSegs, surviving) =
         ManifestFiles.materializePruned(fs, dir, raw, (files, rows, st) =>
@@ -2412,7 +2442,7 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
             ManifestSkip.canSkip(f, fullSchema, Some(st), Some(rows))) ||
           shredSegs.exists { case (f, ss) =>
             ManifestSkip.canSkip(f, ss, Some(st), Some(rows)) })
-      (lines, pruned, prunedSegs, surviving, raw)
+      (lines, pruned, prunedSegs, surviving, raw, shredSegs)
     }
   }
 
@@ -2430,7 +2460,7 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
     * come from the segment cache (already materialized by
     * snapshotView), so this adds no storage I/O. */
   private lazy val segSummaries: Array[SegSummary] = {
-    val (_, _, _, surviving, raw) = snapshotView
+    val (_, _, _, surviving, raw, _) = snapshotView
     if (surviving.isEmpty) Array.empty
     else {
       val fs = dir.getFileSystem(conf.value)
@@ -2474,12 +2504,12 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
   /** Lifted variant_get predicates resolved against the snapshot's
     * declared shred specs (round 16 — ManifestShred): each evaluates
     * through the ordinary skip machinery over a synthetic one-field
-    * schema whose gpos metadata is the shred's #stats position. */
+    * schema whose gpos metadata is the shred's #stats position.
+    * Resolved ONCE in snapshotView (shred conf lines are inline control
+    * lines in the raw list) — re-deriving here would re-scan the whole
+    * materialized snapshot per plan (round-16 review pass 3). */
   private lazy val shredSkips: Seq[(org.apache.spark.sql.sources.Filter,
-      StructType)] =
-    variantSkip.map(enc => ManifestShred.skipFilters(enc,
-      ManifestShred.fromLines(snapshotLines), fullSchema))
-      .getOrElse(Seq.empty)
+      StructType)] = snapshotView._6
 
   private lazy val staticPlan: (Array[String], Map[String, Long],
       Map[String, ManifestFiles.FileStats]) = {
@@ -3164,7 +3194,8 @@ private[sources] class ManifestScan(path: String, version: Option[Int],
       imports = ManifestFiles.importsFromLines(snapshotLines),
       eqDeletes = eqDeleteMap,
       rowIds = ManifestReaderFactory.rowIdsOf(snapshotLines, required),
-      luvs = ManifestReaderFactory.luvsOf(snapshotLines, required))
+      luvs = ManifestReaderFactory.luvsOf(snapshotLines, required),
+      luvSentinel = luvSentinel)
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -3508,7 +3539,10 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
     rowIds: Map[String, (Long, Boolean)] = Map.empty,
     // `_last_updated_version`: file → (#luv default, has materialized
     // _luv column); resolves as coalesce(_luv, #luv), NULL pre-lineage
-    luvs: Map[String, (Int, Boolean)] = Map.empty)
+    luvs: Map[String, (Int, Boolean)] = Map.empty,
+    // row-level COW rewrite scans: pre-lineage NULL surfaces as the 0
+    // sentinel instead (see ManifestScan.luvSentinel)
+    luvSentinel: Boolean = false)
     extends PartitionReaderFactory {
 
   // projection-index → default, for fields a projection carries
@@ -3615,7 +3649,7 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
     def plain() =
       ManifestParquet.rowReader(part, fullSchema, req, conf, filters,
         importedNames, firstRow = rid0, ridCol = ridCol0,
-        luv = luv0, luvCol = luvCol0)
+        luv = luv0, luvCol = luvCol0, luvSentinel = luvSentinel)
     if (defAt.isEmpty && constAt.isEmpty) return plain()
     val (fileFields, rowCount) = ManifestParquet.fileInfo(part.file, conf.value)
     def presentInFile(n: String): Boolean = {
@@ -3649,7 +3683,8 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
       val inner = ManifestParquet.rowReader(
         ManifestInputPartition(part.file, part.name, part.deletes),
         fullSchema, innerReq, conf, filters, importedNames,
-        firstRow = rid0, ridCol = ridCol0, luv = luv0, luvCol = luvCol0)
+        firstRow = rid0, ridCol = ridCol0, luv = luv0, luvCol = luvCol0,
+        luvSentinel = luvSentinel)
       val innerIdxOf: Map[Int, Int] =
         innerFields.map(_._2).zipWithIndex.toMap
       new PartitionReader[InternalRow] {
@@ -3693,7 +3728,8 @@ private[sources] class ManifestReaderFactory(fullSchema: StructType,
             out.update(i, missing.getOrElse(i, req.fields(i).name match {
               case "_file" => fileName
               case "_row_id" => if (rid0 >= 0) rid0 + ordinal else null
-              case "_last_updated_version" => if (luv0 >= 0) luv0 else null
+              case "_last_updated_version" =>
+                if (luv0 >= 0) luv0 else if (luvSentinel) 0 else null
               case _ => ordinal
             }))
             i += 1
@@ -4018,8 +4054,7 @@ class GraftManifestCatalog extends TableCatalog
       props.put("stats.histogram.columns", histNames.mkString(","))
     val shredDecl = ManifestShred.fromLines(confLines).flatMap { sp =>
       ManifestFiles.fieldAtPhys(schema, sp.pos).map { i =>
-        s"${schema(i).name}:${sp.path}:" + ManifestShred.SupportedTypes
-          .collectFirst { case (n, d) if d == sp.dt => n }.get
+        s"${schema(i).name}:${sp.path}:" + ManifestShred.typeName(sp.dt)
       }
     }
     if (shredDecl.nonEmpty)

@@ -409,6 +409,38 @@ class ManifestChangeFeedSpec extends AnyFunSuite {
       "the marked snapshot version carries the initial inserts")
   }
 
+  test("skipMaintenance: a TAG-pinned baseline with the marked run-end " +
+    "vacuumed falls back to diffing against the retained baseline — " +
+    "the run's cancelling legs fold back in (unskipped, still exact) " +
+    "instead of crashing on the expired run-end snapshot") {
+    val (cat, root) = freshCat("skipt")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")                  // v1
+    spark.range(0, 30).select($"id".as("k")).coalesce(1)
+      .writeTo(s"$cat.t").append()                                // v2
+    spark.sql(s"CALL $cat.system.create_tag('t', 'base', 2)")
+    spark.sql(s"CALL $cat.system.compact('t', 1)")                // v3
+    spark.range(30, 40).select($"id".as("k")).coalesce(1)
+      .writeTo(s"$cat.t").append()                                // v4
+    spark.range(40, 45).select($"id".as("k")).coalesce(1)
+      .writeTo(s"$cat.t").append()                                // v5
+    spark.sql(s"CALL $cat.system.vacuum('t', 2)") // keeps 2 (tag), 4, 5
+    val dir = new org.apache.hadoop.fs.Path(root, "t")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_MANIFEST.v3")),
+      "precondition: the marked run-end must be vacuumed")
+    val slim = spark.read.format("graft-manifest")
+      .option("path", s"$root/t").option("changeFeed", "true")
+      .option("skipMaintenance", "true")
+      .option("changesFrom", "2").option("changesTo", "5").load()
+    // the signed fold must still apply cleanly: state(2) + legs = state(5)
+    val net = slim.groupBy($"k")
+      .agg(sum(when($"_change_type" === "insert", 1L).otherwise(-1L))
+        .as("n")).filter($"n" =!= 0L)
+      .select($"k").as[Long].collect().sorted.toSeq
+    assert(net == (30L until 45L).toSeq,
+      "fold(baseline-anchored feed) must equal the real data tail")
+  }
+
   test("skipMaintenance refuses outside change-feed reads") {
     val (cat, root) = freshCat("skipg")
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")

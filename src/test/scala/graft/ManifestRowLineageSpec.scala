@@ -450,6 +450,32 @@ class ManifestRowLineageSpec extends AnyFunSuite {
     assert((50L until 60L).forall(compacted(_).contains(4)),
       s"post-flip rows must keep their version through compaction, " +
         s"got ${compacted(55L)}")
+    // COW row-level ops must not read as updates for SURVIVORS either
+    // (round-16 review pass 3): the rewrite scan surfaces pre-lineage
+    // NULL as the 0 sentinel, so a DELETE's untouched survivors keep
+    // reading NULL while genuinely-updated rows stamp the commit
+    spark.sql(s"DELETE FROM $cat.t WHERE k = 10")                  // v6
+    val afterDel = spark.sql(
+      s"SELECT k, _last_updated_version FROM $cat.t").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(!afterDel.contains(10L))
+    assert((0L until 50L).filter(_ != 10L).forall(afterDel(_).isEmpty),
+      s"a COW DELETE must not stamp untouched pre-lineage survivors, " +
+        s"got ${afterDel(11L)}")
+    assert((50L until 60L).forall(afterDel(_).contains(4)),
+      "post-flip survivors keep their version through the COW delete")
+    spark.sql(s"UPDATE $cat.t SET k = k + 1000 WHERE k = 20")      // v7
+    val afterUpd = spark.sql(
+      s"SELECT k, _last_updated_version FROM $cat.t").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(afterUpd(1020L).contains(7),
+      s"the updated row stamps the UPDATE's version, got ${afterUpd(1020L)}")
+    assert((0L until 50L).filterNot(k => k == 10 || k == 20)
+      .forall(afterUpd(_).isEmpty),
+      s"COW UPDATE must not stamp copied pre-lineage rows, " +
+        s"got ${afterUpd(21L)}")
   }
 
   test("_last_updated_version: MERGE bumps matched-updated rows and " +
