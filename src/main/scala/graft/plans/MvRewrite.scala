@@ -317,8 +317,12 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     // compensable across the nightly compact-then-append pattern
     lazy val effFrom = ManifestChangeFeed.rowPreservingPrefix(
       hfs, srcDir, d.sourceVersion, factLeaf.version)
-    lazy val tailRetained = (math.max(1, effFrom) to factLeaf.version)
-      .toSet.subsetOf(ManifestFiles.versions(hfs, srcDir).toSet)
+    // marker-aware retention (round-16 review pass 4): MARKED steps in
+    // the tail need no snapshot — the skipping feed jumps them, and a
+    // vacuumed marked run-end falls back to the retained baseline — so
+    // only the baseline and the UNMARKED (data) steps must be retained
+    lazy val tailRetained = ManifestChangeFeed.tailFoldable(
+      hfs, srcDir, math.max(1, effFrom), factLeaf.version)
     lazy val tailAppendOnly = ManifestChangeFeed.rangeAppendOnly(
       hfs, srcDir, effFrom, factLeaf.version)
     if (stale && !tailRetained) return None // vacuumed past the checkpoint

@@ -107,15 +107,25 @@ object ManifestChangeFeed {
       if (from <= 0) Array.empty[String]
       else ManifestFiles.linesOf(fs, dir, Some(from))
     (from + 1 to end).forall { v =>
-      val cur = ManifestFiles.linesOf(fs, dir, Some(v))
-      val ok = marks.contains(v) || {
+      if (marks.contains(v)) {
+        // a VACUUMED marked version must not poison the baseline: its
+        // empty listing would make the next step's subset check
+        // vacuously true (unsafe) — keep the previous baseline instead
+        // (rows equal by the marker proof; the next data step then
+        // diffs against it, conservatively failing on the run's file
+        // churn rather than silently passing a retraction)
+        if (fs.exists(new Path(dir, s"_MANIFEST.v$v")))
+          prev = ManifestFiles.linesOf(fs, dir, Some(v))
+        true
+      } else {
+        val cur = ManifestFiles.linesOf(fs, dir, Some(v))
         val prevNames = ManifestFiles.entriesFromLines(prev).map(_._1).toSet
         val curNames = ManifestFiles.entriesFromLines(cur).map(_._1).toSet
-        prevNames.subsetOf(curNames) &&
+        val ok = prevNames.subsetOf(curNames) &&
           (delState(cur) -- delState(prev)).isEmpty
+        prev = cur
+        ok
       }
-      prev = cur
-      ok
     }
   }
 
@@ -161,9 +171,58 @@ object ManifestChangeFeed {
         !fs.exists(new Path(dir, s"_MANIFEST.v$to"))) return from
     val marks = ManifestFiles.maintFromLines(
       ManifestFiles.readManifest(fs, new Path(dir, s"_MANIFEST.v$to")))
+    // advance only onto RETAINED versions: a consumer anchors its CDF
+    // baseline at the returned prefix end, and a baseline whose own
+    // snapshot was vacuumed (a tag can pin `from` while untagged
+    // maintenance commits age out) would force refresh's retention
+    // check into a full recompute that the retained `from` can serve
+    // exactly (planRange's deferred-baseline fallback)
     var m = from
-    while (m < to && marks.contains(m + 1)) m += 1
-    m
+    var best = from
+    while (m < to && marks.contains(m + 1)) {
+      m += 1
+      if (fs.exists(new Path(dir, s"_MANIFEST.v$m"))) best = m
+    }
+    best
+  }
+
+  /** Can an incremental fold anchored at `from` express the tail up to
+    * `to`? True when `from`'s snapshot is retained and every UNMARKED
+    * step's snapshot in `(from, to]` is too — marked (row-preserving)
+    * steps need no snapshot: the skipping feed jumps them, and a
+    * vacuumed marked run-end falls back to diffing against the
+    * retained baseline (exact either way). The marker-aware upgrade of
+    * the plain "every version retained" pre-gate. */
+  def tailFoldable(fs: FileSystem, dir: Path, from: Int, to: Int): Boolean = {
+    if (to <= from) return true
+    if (from < 1 || !fs.exists(new Path(dir, s"_MANIFEST.v$from"))) return false
+    if (!fs.exists(new Path(dir, s"_MANIFEST.v$to"))) return false
+    val marks = ManifestFiles.maintFromLines(
+      ManifestFiles.readManifest(fs, new Path(dir, s"_MANIFEST.v$to")))
+    val retained = ManifestFiles.versions(fs, dir).toSet
+    ((from + 1) to to).forall(v => marks.contains(v) || retained.contains(v))
+  }
+
+  /** Shared maintenance-run JUMP for the skipping walks (planRange /
+    * admittedEnd / availableRows — one state machine, three baselines):
+    * from a marked step `v`, find the run end `m`, and resolve the
+    * lines the walk's baseline should advance to — `Some(run-end
+    * lines)` normally; when the run-end snapshot was vacuumed,
+    * `Some(from's lines)` if the baseline read was deferred (loud if it
+    * too expired), else `None` = keep the current baseline (rows equal
+    * by the marker proof; the next unmarked step diffs against it
+    * exactly). Returns (runEnd, state, runEndRetained) — callers that
+    * PUBLISH offsets must not publish an unretained run end. */
+  private[sources] def jumpMaintRun(fs: FileSystem, dir: Path,
+      marks: Set[Int], v: Int, end: Int, from: Int,
+      baselineDeferred: Boolean, linesAt: Int => Array[String]):
+      (Int, Option[Array[String]], Boolean) = {
+    var m = v
+    while (m < end && marks.contains(m + 1)) m += 1
+    if (fs.exists(new Path(dir, s"_MANIFEST.v$m")))
+      (m, Some(linesAt(m)), true)
+    else if (baselineDeferred) (m, Some(linesAt(from)), false)
+    else (m, None, false)
   }
 
   /** The step walk, shared by the batch scan and the streaming source:
@@ -386,29 +445,17 @@ object ManifestChangeFeed {
         // jump the whole marked run in one hop: the row state at its
         // end equals the state at its start, so the baseline advances
         // without emitting legs — and without reading (possibly
-        // vacuumed) intermediate snapshots
-        var m = v
-        while (m < end && maintMarks.contains(m + 1)) m += 1
-        if (fs.exists(new Path(dir, s"_MANIFEST.v$m"))) {
-          val jump = linesAt(m)
+        // vacuumed) intermediate snapshots. A vacuumed run-end keeps
+        // the current baseline (see jumpMaintRun): the next unmarked
+        // step diffs against it EXACTLY, folding the run's cancelling
+        // reorganization back in — unskipped, still exact.
+        val (m, state, _) = jumpMaintRun(fs, dir, maintMarks, v, end,
+          from, baselineDeferred, linesAt)
+        state.foreach { jump =>
           prevLines = jump
           prevNames = ManifestFiles.entriesFromLines(jump).map(_._1).toSet
           prevDels = delsOf(jump)
           prevRids = ridsOf(jump)
-        } else {
-          // run-end vacuumed (a TAG can pin the baseline while untagged
-          // maintenance commits age out): keep the baseline state —
-          // rows(baseline) == rows(m) by the markers, so the next
-          // unmarked step diffs against it EXACTLY; its legs then fold
-          // the run's cancelling reorganization (unskipped, still
-          // exact). A deferred baseline must materialize now.
-          if (baselineDeferred) {
-            prevLines = linesAt(from)
-            prevNames = ManifestFiles.entriesFromLines(prevLines)
-              .map(_._1).toSet
-            prevDels = delsOf(prevLines)
-            prevRids = ridsOf(prevLines)
-          }
         }
         baselineDeferred = false
         v = m + 1

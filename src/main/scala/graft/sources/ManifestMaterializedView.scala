@@ -597,8 +597,17 @@ object ManifestMaterializedView {
     // incremental history is expressable iff the EFFECTIVE baseline is
     // retained — a vacuumed pin behind a maintenance prefix never
     // forces the recompute (the proof reads only the head's markers)
-    def expressable(table: String, pin: Int, to: Int): Boolean =
-      retained(table, effFrom(table, pin, to))
+    def expressable(table: String, pin: Int, to: Int): Boolean = {
+      // marker-aware (round-16 review pass 4): the fold only needs the
+      // effective baseline and the UNMARKED steps' snapshots — marked
+      // steps are jumped by the skipping feed (vacuumed run-ends fall
+      // back to the baseline), so their expiry must not force a
+      // recompute; a vacuumed DATA step still does, before the fold
+      // would fail loudly mid-flight
+      val f = effFrom(table, pin, to)
+      f <= 0 || ManifestChangeFeed.tailFoldable(fs, new Path(root, table),
+        f, to)
+    }
     def recomputeAtHeads(cur: MvDef): MvDef =
       recomputeFull(spark, catalog, mv, cur.copy(
         sourceVersion = head,

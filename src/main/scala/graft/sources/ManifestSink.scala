@@ -937,29 +937,73 @@ private[sources] class ManifestRowLevelOperation(
       // pre-lineage rows surface the 0 sentinel (not NULL) to the
       // rewrite, so a COW DELETE/UPDATE/MERGE cannot stamp untouched
       // pre-lineage survivors with its own version (they must keep
-      // reading NULL — the same contract the compaction rewrite keeps)
+      // reading NULL — the same contract the compaction rewrite keeps).
+      // DOCUMENTED CAVEAT: the sentinel scan also serves the
+      // statement's own WHERE evaluation, so `_last_updated_version`
+      // predicates INSIDE a COW row-level statement see 0 where a
+      // SELECT sees NULL for pre-lineage rows (both encode "never
+      // updated since lineage enabled" — write such conditions as
+      // `coalesce(_last_updated_version, 0) = 0`); pinned by
+      // ManifestRowLineageSpec. The alternative — NULL to predicates,
+      // sentinel to the writer — is unreachable: both read the same
+      // scan output attribute, and Spark's PRESERVE_ON_UPDATE nulling
+      // erases the distinction before the writer could recover it.
       luvSentinel = lineage)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new ManifestBatchWrite(
-          path, info.queryId(), -1,
-          // Replacement rows carry the table's columns; keep its names.
-          if (tableSchema.nonEmpty) tableSchema else info.schema(),
-          truncate = false,
-          new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
-          dropFromPrevious = () => scanned.toSet,
-          scannedDeleteState = () => Some(scannedDeleteState),
-          format = Option(info.options.get("format")).getOrElse(tableFormat),
-          // ROW LINEAGE through copy-on-write: the operation asked for
-          // `_row_id` (see requiredMetadataAttributes), so Spark's
-          // DataAndMetadataWritingSparkTask hands each replacement row's
-          // [_file, _row_id] metadata projection to the writer's 2-arg
-          // write — carried from the target for surviving/updated rows,
-          // NULL for MERGE-inserted ones — and the rewrite files
-          // materialize it as their `_rid` column
-          ridFromMeta = lineage)
+        override def toBatch: BatchWrite = {
+          val inner = new ManifestBatchWrite(
+            path, info.queryId(), -1,
+            // Replacement rows carry the table's columns; keep its names.
+            if (tableSchema.nonEmpty) tableSchema else info.schema(),
+            truncate = false,
+            new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
+            dropFromPrevious = () => scanned.toSet,
+            scannedDeleteState = () => Some(scannedDeleteState),
+            format = Option(info.options.get("format")).getOrElse(tableFormat),
+            // ROW LINEAGE through copy-on-write: the operation asked for
+            // `_row_id` (see requiredMetadataAttributes), so Spark's
+            // DataAndMetadataWritingSparkTask hands each replacement row's
+            // [_file, _row_id] metadata projection to the writer's 2-arg
+            // write — carried from the target for surviving/updated rows,
+            // NULL for MERGE-inserted ones — and the rewrite files
+            // materialize it as their `_rid` column
+            ridFromMeta = lineage)
+          // When the statement's own WHERE references a metadata column
+          // (e.g. `DELETE ... WHERE _last_updated_version IS NULL`),
+          // Spark folds ALL requested metadata columns into the DATA
+          // schema instead of the split metadata projection — the rows
+          // arrive as [table cols…, _file, _pos?, _row_id, _luv]. The
+          // adapter projects the row back to the table schema and
+          // re-routes _row_id/_last_updated_version through the 2-arg
+          // meta channel, so lineage semantics are identical to the
+          // split-task path (round-16 review pass 4: this shape
+          // previously crashed the parquet writer on arity).
+          val in = info.schema()
+          if (tableSchema.isEmpty || in.fieldNames.sameElements(
+              tableSchema.fieldNames)) inner
+          else {
+            val dataIdx = tableSchema.fieldNames
+              .map(n => in.fieldNames.indexOf(n))
+            require(dataIdx.forall(_ >= 0),
+              s"graft-manifest row-level write schema ${in.fieldNames
+                .mkString(",")} is missing table columns " +
+                tableSchema.fieldNames.mkString(","))
+            val extras = in.fieldNames.zipWithIndex
+              .filterNot { case (_, i) => dataIdx.contains(i) }
+            val meta = Set("_file", "_pos", "_row_id",
+              "_last_updated_version")
+            require(extras.forall(e => meta.contains(e._1)),
+              s"graft-manifest row-level write schema carries unexpected " +
+                s"columns: ${extras.map(_._1).mkString(",")}")
+            val ridAt = in.fieldNames.indexOf("_row_id")
+            val luvAt = in.fieldNames.indexOf("_last_updated_version")
+            new RowLevelMetaAdapter(inner, tableSchema, dataIdx, ridAt,
+              luvAt)
+          }
+        }
       }
     }
 
@@ -976,6 +1020,66 @@ private[sources] class ManifestRowLevelOperation(
           .column("_last_updated_version"))
     else base
   }
+}
+
+/** Adapts a COW rewrite whose data rows carry folded-in metadata
+  * columns (the WHERE referenced one) back to the writer's split
+  * contract: project the table columns, hand `_row_id` /
+  * `_last_updated_version` through the 2-arg meta channel. `_file` /
+  * `_pos` are positional bookkeeping of the SOURCE file — the rewrite
+  * assigns fresh ones, so they drop. */
+private[sources] class RowLevelMetaAdapter(
+    inner: BatchWrite, tableSchema: StructType, dataIdx: Array[Int],
+    ridAt: Int, luvAt: Int) extends BatchWrite {
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo):
+      org.apache.spark.sql.connector.write.DataWriterFactory = {
+    val f = inner.createBatchWriterFactory(info)
+    val dts = tableSchema.fields.map(_.dataType)
+    val di = dataIdx
+    val (ra, la) = (ridAt, luvAt)
+    new org.apache.spark.sql.connector.write.DataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long):
+          org.apache.spark.sql.connector.write.DataWriter[InternalRow] = {
+        val d = f.createWriter(partitionId, taskId)
+        new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+          private val meta = new org.apache.spark.sql.catalyst
+            .expressions.GenericInternalRow(3)
+          private val data = new org.apache.spark.sql.catalyst
+            .expressions.GenericInternalRow(di.length)
+          override def write(r: InternalRow): Unit = {
+            var i = 0
+            while (i < di.length) {
+              data.update(i,
+                if (r.isNullAt(di(i))) null else r.get(di(i), dts(i)))
+              i += 1
+            }
+            meta.update(0, null)
+            meta.update(1,
+              if (ra < 0 || r.isNullAt(ra)) null
+              else java.lang.Long.valueOf(r.getLong(ra)))
+            meta.update(2,
+              if (la < 0 || r.isNullAt(la)) null
+              else java.lang.Integer.valueOf(r.getInt(la)))
+            d.write(meta, data)
+          }
+          override def commit():
+              org.apache.spark.sql.connector.write.WriterCommitMessage =
+            d.commit()
+          override def abort(): Unit = d.abort()
+          override def close(): Unit = d.close()
+        }
+      }
+    }
+  }
+  override def commit(messages: Array[
+      org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    inner.commit(messages)
+  override def abort(messages: Array[
+      org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    inner.abort(messages)
+  override def useCommitCoordinator(): Boolean =
+    inner.useCommitCoordinator()
 }
 
 private[sources] case class FileCommitted(name: String, rows: Long,

@@ -1594,21 +1594,21 @@ object ManifestFiles {
     var prevNames = entriesFromLines(prevLines).map(_._1).toSet
     while (v <= head) {
       if (maintMarks.contains(v) && v != mustEmit) {
-        var m = v
-        while (m < head && maintMarks.contains(m + 1)) m += 1
-        // run-end vacuumed (a tag can pin older versions): keep the
-        // baseline — the next step then prices the run's churn too,
-        // conservative; a deferred baseline materializes now (loudly
-        // if it too expired), mirroring planRange
-        if (fs.exists(new Path(dir, s"_MANIFEST.v$m"))) {
-          prevLines = linesAt(m)
-          prevNames = entriesFromLines(prevLines).map(_._1).toSet
-        } else if (baselineDeferred) {
-          prevLines = linesAt(from)
-          prevNames = entriesFromLines(prevLines).map(_._1).toSet
+        // shared jump (ManifestChangeFeed.jumpMaintRun): a vacuumed
+        // run-end keeps the baseline, and — critically — is NEVER
+        // published as the admitted offset: Spark would log it and the
+        // planned batch would die on the expired snapshot at every
+        // replay, wedging the stream on its own checkpoint. The walk
+        // rides through the run and the offset lands on the next
+        // admitted REAL version instead.
+        val (m, state, runEndRetained) = ManifestChangeFeed.jumpMaintRun(
+          fs, dir, maintMarks, v, head, from, baselineDeferred, linesAt)
+        state.foreach { jump =>
+          prevLines = jump
+          prevNames = entriesFromLines(jump).map(_._1).toSet
         }
         baselineDeferred = false
-        end = m
+        if (runEndRetained) end = m
         v = m + 1
       } else {
       val curLines = linesAt(v)
@@ -1709,15 +1709,11 @@ object ManifestFiles {
     var prevNames = entriesFromLines(prevLines).map(_._1).toSet
     while (v <= head && rows < atLeast) {
       if (maintMarks.contains(v) && v != mustEmit) {
-        var m = v
-        while (m < head && maintMarks.contains(m + 1)) m += 1
-        // mirror planRange's vacuumed-run-end fallback (see admittedEnd)
-        if (fs.exists(new Path(dir, s"_MANIFEST.v$m"))) {
-          prevLines = linesAt(m)
-          prevNames = entriesFromLines(prevLines).map(_._1).toSet
-        } else if (baselineDeferred) {
-          prevLines = linesAt(from)
-          prevNames = entriesFromLines(prevLines).map(_._1).toSet
+        val (m, state, _) = ManifestChangeFeed.jumpMaintRun(
+          fs, dir, maintMarks, v, head, from, baselineDeferred, linesAt)
+        state.foreach { jump =>
+          prevLines = jump
+          prevNames = entriesFromLines(jump).map(_._1).toSet
         }
         baselineDeferred = false
         v = m + 1

@@ -441,6 +441,53 @@ class ManifestChangeFeedSpec extends AnyFunSuite {
       "fold(baseline-anchored feed) must equal the real data tail")
   }
 
+  test("vacuumed marked versions: the probes stay conservative and the " +
+    "stream never logs an expired offset (round-16 review pass 4)") {
+    val (cat, root) = freshCat("vacprobe")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")                  // v1
+    spark.range(0, 30).select($"id".as("k")).coalesce(1)
+      .writeTo(s"$cat.t").append()                                // v2
+    spark.sql(s"CALL $cat.system.create_tag('t', 'base', 2)")
+    spark.sql(s"CALL $cat.system.compact('t', 1)")                // v3
+    spark.sql(s"DELETE FROM $cat.t WHERE k < 5")                  // v4 (COW)
+    spark.sql(s"CALL $cat.system.vacuum('t', 1)") // keeps 2 (tag) + 4
+    val dir = new org.apache.hadoop.fs.Path(root, "t")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_MANIFEST.v3")))
+    // rangeAppendOnly must NOT let the vacuumed marked v3 poison its
+    // baseline into an empty listing (which would make v4's subset
+    // check vacuously TRUE and pass a retraction): conservative false
+    assert(!ManifestChangeFeed.rangeAppendOnly(fs, dir, 2, 4),
+      "a COW delete behind a vacuumed compaction must refuse append-only")
+    // rowPreservingPrefix must not advance a CDF baseline onto the
+    // vacuumed version — consumers anchor reads there
+    assert(ManifestChangeFeed.rowPreservingPrefix(fs, dir, 2, 4) == 2)
+    // tailFoldable: marked-vacuumed steps are fine (the feed jumps
+    // them); a vacuumed DATA step is not
+    assert(ManifestChangeFeed.tailFoldable(fs, dir, 2, 4),
+      "marked steps need no snapshot — the fold anchors at the baseline")
+    // admission must never publish the vacuumed version as an offset:
+    // a checkpoint there would wedge the stream on every replay
+    val adm = ManifestFiles.admittedEnd(fs, dir, 2, 4, Some(1), None,
+      countRemovals = true, skipMaint = true)
+    assert(adm != 3, s"admitted offset $adm must never be the vacuumed " +
+      "maintenance version")
+    // a vacuumed DATA step still refuses foldability
+    val (cat2, root2) = freshCat("vacdata")
+    spark.sql(s"CREATE TABLE $cat2.t (k BIGINT)")                 // v1
+    spark.range(0, 10).select($"id".as("k")).coalesce(1)
+      .writeTo(s"$cat2.t").append()                               // v2
+    spark.sql(s"CALL $cat2.system.create_tag('t', 'base', 2)")
+    spark.range(10, 20).select($"id".as("k")).coalesce(1)
+      .writeTo(s"$cat2.t").append()                               // v3
+    spark.range(20, 30).select($"id".as("k")).coalesce(1)
+      .writeTo(s"$cat2.t").append()                               // v4
+    spark.sql(s"CALL $cat2.system.vacuum('t', 1)") // keeps 2 (tag) + 4
+    val dir2 = new org.apache.hadoop.fs.Path(root2, "t")
+    assert(!ManifestChangeFeed.tailFoldable(fs, dir2, 2, 4),
+      "a vacuumed DATA step has no marker proof — must refuse")
+  }
+
   test("skipMaintenance refuses outside change-feed reads") {
     val (cat, root) = freshCat("skipg")
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")

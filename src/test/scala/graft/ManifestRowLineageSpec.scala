@@ -476,6 +476,22 @@ class ManifestRowLineageSpec extends AnyFunSuite {
       .forall(afterUpd(_).isEmpty),
       s"COW UPDATE must not stamp copied pre-lineage rows, " +
         s"got ${afterUpd(21L)}")
+    // DOCUMENTED caveat (see ManifestRowLevelOperation): inside a COW
+    // row-level statement the sentinel scan serves the WHERE too, so a
+    // pre-lineage row's `_last_updated_version` reads 0 there (NULL in
+    // a SELECT) — write `coalesce(_last_updated_version, 0) = 0` for
+    // the portable "never updated" condition
+    spark.sql(s"DELETE FROM $cat.t " +
+      "WHERE _last_updated_version IS NULL AND k = 30")           // no-op
+    assert(afterUpd.keySet.contains(30L) &&
+      spark.table(s"$cat.t").filter("k = 30").count() == 1L,
+      "pre-lineage rows read the 0 sentinel (not NULL) inside COW " +
+        "row-level predicates — the documented caveat moved; update " +
+        "the ManifestRowLevelOperation scaladoc if this changed")
+    spark.sql(s"DELETE FROM $cat.t " +
+      "WHERE coalesce(_last_updated_version, 0) = 0 AND k = 30")
+    assert(spark.table(s"$cat.t").filter("k = 30").count() == 0L,
+      "the portable coalesce condition targets pre-lineage rows")
   }
 
   test("_last_updated_version: MERGE bumps matched-updated rows and " +
