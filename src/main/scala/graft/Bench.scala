@@ -85,7 +85,8 @@ object Bench {
     "q271_variant_governed", "q272_histogram_broadcast_flip",
     "q273_mv_rollup_rewrite", "q274_left_dim_mv",
     "q275_variant_shred_skipping", "q276_mv_maintenance",
-    "q277_mv_sql_ddl", "q278_cdf_skip_maintenance")
+    "q277_mv_sql_ddl", "q278_cdf_skip_maintenance",
+    "q279_shallow_clone")
 
   private val sentinelName = "q97_compute_pi"
   private val stragglerQueries =

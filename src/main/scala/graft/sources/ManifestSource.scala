@@ -5279,6 +5279,7 @@ class GraftManifestCatalog extends TableCatalog
       case "fast_forward" => ManifestProcedures.fastForward(dirFor)
       case "cherry_pick" => ManifestProcedures.cherryPick(dirFor)
       case "add_files" => ManifestProcedures.addFiles(dirFor)
+      case "clone" => ManifestProcedures.cloneTable(dirFor)
       case "remove_orphan_files" => ManifestProcedures.removeOrphanFiles(dirFor)
       case "create_view" => ManifestProcedures.createView(this, dirFor)
       case "drop_view" => ManifestProcedures.dropView(this)
@@ -5606,7 +5607,7 @@ private[sources] object ManifestProcedures {
     Array("compact", "vacuum", "snapshots", "rewrite_position_deletes",
       "rollback", "create_tag", "drop_tag",
       "create_branch", "drop_branch", "fast_forward", "cherry_pick",
-      "add_files", "remove_orphan_files", "create_view", "drop_view",
+      "add_files", "clone", "remove_orphan_files", "create_view", "drop_view",
       "show_views", "describe_view", "create_materialized_view",
       "drop_materialized_view",
       "refresh_materialized_view", "describe_materialized_view",
@@ -6852,6 +6853,105 @@ private[sources] object ManifestProcedures {
         override def readSchema(): StructType = schema
         override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = history
       }).iterator()
+    }
+
+  /** `clone(source, target)` — ZERO-COPY SHALLOW CLONE (Delta's
+    * `CREATE TABLE … SHALLOW CLONE`): the target is a NEW governed
+    * table whose version-1 snapshot REFERENCES the source's current
+    * data files by absolute path — one metadata commit, no bytes
+    * copied, however many terabytes the source holds. The dev/test
+    * sandbox shape at 100 TB: experiment on the clone (appends,
+    * row-level ops, compaction, schema evolution — all land in the
+    * CLONE's directory), drop it when done.
+    *
+    * What carries: the full entry list with per-file `#stats` /
+    * `#sorted` / `#bucket` / `#ndv` / `#hist` / `#import` riders
+    * (re-keyed to the absolute names, so skipping, CBO sketches, SPJ
+    * layouts, and imported-name maps keep working), and every
+    * declarative `#tableconf` (partition/sort/bloom/CHECK/shred/stat
+    * declarations, delete.mode). What does NOT: the source's HISTORY
+    * (the clone starts at version 1 — time travel into pre-clone
+    * states happens on the source), maintenance markers, streaming
+    * `#txn` epochs, and ROW LINEAGE (`_row_id`/`_last_updated_version`
+    * are minted per-history; the clone reads NULL like any
+    * pre-lineage table and can re-enable lineage for ITS history).
+    * A source with LIVE row-level delete state (positional vectors /
+    * equality sets) refuses — those files reference SOURCE-history
+    * versions; `CALL compact` materializes them first.
+    *
+    * THE DOCUMENTED CAVEAT (exactly Delta's): the clone references,
+    * not owns, the shared files. `VACUUM` on the CLONE can never
+    * delete them (its sweep lists only the clone's own directory,
+    * where shared files don't live), but `VACUUM` on the SOURCE may
+    * reclaim files a clone still references once the source's own
+    * retention lets them go — reads then fail LOUDLY on the missing
+    * file. Compacting the clone rewrites its live rows into files it
+    * owns, severing the dependency. */
+  def cloneTable(dirFor: String => Path): UnboundProcedure =
+    proc("clone", Array(param("source", StringType),
+        param("target", StringType))) { input =>
+      val spark = SparkSession.active
+      val hconf = spark.sessionState.newHadoopConf()
+      val src = dirFor(input.getUTF8String(0).toString)
+      val dst = dirFor(input.getUTF8String(1).toString)
+      val fs = src.getFileSystem(hconf)
+      require(ManifestFiles.latestComplete(fs, src) > 0,
+        s"no graft-manifest table at $src")
+      require(!ManifestMaterializedView.isMaterializedView(fs, src),
+        "clone targets plain tables — a materialized view's rows are " +
+          "derived state; clone its SOURCE and re-create the MV")
+      require(!fs.exists(dst) ||
+          (fs.getFileStatus(dst).isDirectory && fs.listStatus(dst).isEmpty),
+        s"clone target $dst already exists")
+      // fully QUALIFY the source (scheme + absolute): catalogs may be
+      // rooted at relative paths, and a relative reference would
+      // re-resolve under the CLONE's directory
+      val srcQ = fs.makeQualified(src)
+      val srcStr = srcQ.toString
+      require(!srcStr.contains(",") && !srcStr.contains(";") &&
+          !srcStr.contains("\n"),
+        s"source path '$srcStr' contains manifest delimiter characters")
+      val lines = ManifestFiles.latestLines(fs, src)
+      require(ManifestFiles.deleteFilesFromLines(lines).isEmpty &&
+          !lines.exists(_.startsWith("#eqdels,")),
+        "clone needs a materialized snapshot — the source carries live " +
+          "row-level delete state (positional vectors or equality " +
+          "sets); CALL compact on the source first")
+      val schema = ManifestFiles.schemaFor(fs, src, None)
+      // absolute entries pass through verbatim: a clone of a clone
+      // keeps referencing the ORIGINAL files (same caveat, same owner)
+      def abs(n: String): String =
+        if (n.startsWith("/") || n.contains(":/")) n
+        else new Path(srcQ, n).toString
+      val renamePfx = Seq("#stats,", "#sorted,", "#bucket,", "#ndv,",
+        "#hist,", "#import,")
+      val dropPfx = Seq("#maint,", "#txn,", "#born,", "#firstrow,",
+        "#ridcol,", "#luv,", "#luvcol,", "#branchbase,",
+        "#tableconf,lineage", "#tableconf,rowidnext,")
+      val cloned = lines.flatMap { l =>
+        if (dropPfx.exists(l.startsWith)) None
+        else if (!l.startsWith("#")) { // data entry: `<name>,<rows>`
+          val i = l.lastIndexOf(',')
+          Some(abs(l.substring(0, i)) + l.substring(i))
+        } else renamePfx.find(l.startsWith) match {
+          case Some(pfx) => // `<pfx><name>[,rest]`
+            val rest = l.substring(pfx.length)
+            val i = rest.indexOf(',')
+            Some(
+              if (i < 0) pfx + abs(rest)
+              else pfx + abs(rest.substring(0, i)) + rest.substring(i))
+          case None => Some(l) // #tableconf and friends: carried verbatim
+        }
+      }
+      val entries = ManifestFiles.entriesFromLines(lines)
+      ManifestFiles.publishSnapshotV(fs, hconf, dst, (previous, _) => {
+        require(previous.isEmpty,
+          s"clone target $dst gained a commit mid-clone — aborting")
+        cloned
+      }, schema)
+      result(new StructType().add("files_referenced", IntegerType)
+          .add("rows", LongType).add("bytes_copied", LongType),
+        Array(entries.length, entries.map(_._2).sum, 0L))
     }
 
   /** `add_files(table, source[, pattern])` — Iceberg's migration path

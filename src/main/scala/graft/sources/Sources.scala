@@ -1197,6 +1197,66 @@ object Sources extends QueryModule {
              CAST(SUM(o_orderkey) AS BIGINT) AS keysum
       FROM changes GROUP BY od, ct, v ORDER BY od, ct, v"""))
 
+  /** ZERO-COPY SHALLOW CLONE (round 16 — Delta's `SHALLOW CLONE`
+    * surface): `CALL clone(src, dst)` lands ONE metadata commit whose
+    * v1 snapshot references the source's files by absolute path — no
+    * bytes move, however big the source. The entry proves INDEPENDENCE
+    * end-to-end: the clone takes an append and a COW delete, the
+    * source stays untouched, and the final result unions per-day
+    * aggregates from BOTH tables — the oracle replays each side from
+    * the raw data, so a clone that shared (or leaked) state with its
+    * source breaks the hash. At 100 TB this is the dev/test sandbox:
+    * experiment on the clone, drop it, never copy the corpus. */
+  val qShallowClone: QueryDef = QueryDef(
+    "q279_shallow_clone",
+    (s, d) => {
+      import s.implicits._
+      val root = tmp(d, "manifest_clone")
+      val dir = new org.apache.hadoop.fs.Path(root)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dir, true)
+      val cat = "graft_clone_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftManifestCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE TABLE $cat.t (od DATE, o_orderkey BIGINT)")   // v1
+      def slice(lo: String, hi: String) = Tables.df(s, d, "orders")
+        .filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
+        .select(to_date($"o_orderdate").as("od"), $"o_orderkey")
+      slice("1996-01-01", "1996-02-01").writeTo(s"$cat.t").append() // v2
+      val res = s.sql(s"CALL $cat.system.clone('t', 'dev')").collect()
+      require(res.head.getLong(2) == 0L, "a shallow clone copies no bytes")
+      // the sandbox diverges: an append and a COW delete on the CLONE
+      slice("1996-02-01", "1996-03-01").writeTo(s"$cat.dev").append()
+      s.sql(s"DELETE FROM $cat.dev WHERE o_orderkey % 3 = 0")
+      s.table(s"$cat.t")
+        .groupBy($"od").agg(count(lit(1)).as("n"),
+          sum($"o_orderkey").as("keysum"))
+        .withColumn("side", lit("src"))
+        .unionByName(s.table(s"$cat.dev")
+          .groupBy($"od").agg(count(lit(1)).as("n"),
+            sum($"o_orderkey").as("keysum"))
+          .withColumn("side", lit("dev")))
+        .orderBy($"side", $"od")
+        .select($"side", $"od", $"n", $"keysum")
+    },
+    Some("""
+      WITH jan AS (
+        SELECT CAST(o_orderdate AS DATE) AS od, o_orderkey FROM orders
+        WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-02-01'),
+      feb AS (
+        SELECT CAST(o_orderdate AS DATE) AS od, o_orderkey FROM orders
+        WHERE o_orderdate >= '1996-02-01' AND o_orderdate < '1996-03-01'),
+      dev AS (
+        SELECT * FROM (SELECT * FROM jan UNION ALL SELECT * FROM feb)
+        WHERE o_orderkey % 3 <> 0)
+      SELECT 'src' AS side, od, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(o_orderkey) AS BIGINT) AS keysum
+      FROM jan GROUP BY od
+      UNION ALL
+      SELECT 'dev' AS side, od, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(o_orderkey) AS BIGINT) AS keysum
+      FROM dev GROUP BY od
+      ORDER BY side, od"""))
+
   /** Write-audit-publish (round 12): February stages on a BRANCH while
     * main serves January untouched; the staged rows pass audit and
     * `fast_forward` publishes them as one atomic main commit. The final
@@ -3019,5 +3079,5 @@ object Sources extends QueryModule {
       qMergeNotMatchedBySource, qRowLineage, qAggPushdown, qCboReorder,
       qStarMv, qStaleMv, qVariantGoverned, qHistogramFlip, qMvRollup,
       qLeftDimMv, qVariantShred, qMvMaintenance, qMvSqlDdl,
-      qCdfSkipMaintenance)
+      qCdfSkipMaintenance, qShallowClone)
 }
