@@ -6911,18 +6911,30 @@ private[sources] object ManifestProcedures {
       require(!srcStr.contains(",") && !srcStr.contains(";") &&
           !srcStr.contains("\n"),
         s"source path '$srcStr' contains manifest delimiter characters")
-      val lines = ManifestFiles.latestLines(fs, src)
+      // ONE pinned version for lines AND schema: two independent
+      // "latest" resolutions could pair version-N lines with a racing
+      // DDL's N+1 schema (a dropped/widened column's files would then
+      // read without their markers) — and unlike other procedures the
+      // clone's claim targets the EMPTY destination, so the mismatch
+      // would never conflict its way to an abort
+      val srcV = ManifestFiles.latestComplete(fs, src)
+      val lines = ManifestFiles.linesOf(fs, src, Some(srcV))
       require(ManifestFiles.deleteFilesFromLines(lines).isEmpty &&
-          !lines.exists(_.startsWith("#eqdels,")),
+          ManifestFiles.eqDeleteFilesFromLines(lines).isEmpty,
         "clone needs a materialized snapshot — the source carries live " +
           "row-level delete state (positional vectors or equality " +
           "sets); CALL compact on the source first")
-      val schema = ManifestFiles.schemaFor(fs, src, None)
+      val schema = ManifestFiles.schemaFor(fs, src, Some(srcV))
       // absolute entries pass through verbatim: a clone of a clone
       // keeps referencing the ORIGINAL files (same caveat, same owner)
       def abs(n: String): String =
         if (n.startsWith("/") || n.contains(":/")) n
         else new Path(srcQ, n).toString
+      // FAIL-CLOSED roster: every '#' line kind must be explicitly
+      // classified — file-keyed riders RENAME, history-bound lines
+      // DROP, '#tableconf' declarations CARRY. An unrecognized kind
+      // (a future round's rider) refuses instead of silently carrying
+      // a relative key the clone's absolute entries would never match.
       val renamePfx = Seq("#stats,", "#sorted,", "#bucket,", "#ndv,",
         "#hist,", "#import,")
       val dropPfx = Seq("#maint,", "#txn,", "#born,", "#firstrow,",
@@ -6940,7 +6952,13 @@ private[sources] object ManifestProcedures {
             Some(
               if (i < 0) pfx + abs(rest)
               else pfx + abs(rest.substring(0, i)) + rest.substring(i))
-          case None => Some(l) // #tableconf and friends: carried verbatim
+          case None =>
+            require(l.startsWith("#tableconf,"),
+              s"clone does not recognize manifest line kind " +
+                s"'${l.takeWhile(_ != ',')}' — it cannot tell whether " +
+                "the line is file-keyed (must re-key) or history-bound " +
+                "(must drop); teach cloneTable its classification")
+            Some(l) // declarative conf: carried verbatim
         }
       }
       val entries = ManifestFiles.entriesFromLines(lines)
