@@ -2,8 +2,9 @@ package graft
 
 import scala.collection.mutable.ArrayBuffer
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerEvent, SparkListenerJobEnd, SparkListenerJobStart}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
 
 /** Optimization-round measurement aid (guide §1): run one or more declared
   * queries through the bench's noop-sink methodology and print a per-JOB
@@ -20,12 +21,28 @@ object ProfileQuery {
   private final class JobLog extends SparkListener {
     case class J(id: Int, desc: String, site: String, start: Long, var end: Long)
     val jobs = new ArrayBuffer[J]()
+    // SQL execution id -> callsite of the root query (jobs spawned on the
+    // broadcast/subquery pool report a lambda as their own callsite)
+    val execSite = scala.collection.concurrent.TrieMap[Long, String]()
     private val open = scala.collection.concurrent.TrieMap[Int, J]()
+    override def onOtherEvent(e: SparkListenerEvent): Unit = e match {
+      case s: SparkListenerSQLExecutionStart =>
+        execSite(s.executionId) = s.description
+      case _ =>
+    }
     override def onJobStart(e: SparkListenerJobStart): Unit = {
       val desc = Option(e.properties)
         .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
-      val site = Option(e.properties)
-        .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("")
+      // stage name carries the callsite (e.g. "save at X.scala:123");
+      // for broadcast/subquery-pool jobs prefer the SQL execution's root
+      val stage = e.stageInfos.lastOption.map(_.name).getOrElse("")
+      val execId = Option(e.properties)
+        .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+        .map(_.toLong)
+      val site =
+        if (stage.contains("withThreadLocalCaptured"))
+          execId.flatMap(execSite.get).map("[exec] " + _).getOrElse(stage)
+        else stage
       val j = J(e.jobId, desc, site, e.time, -1L)
       open(e.jobId) = j
       jobs.synchronized { jobs += j }

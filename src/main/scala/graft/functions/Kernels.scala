@@ -197,4 +197,23 @@ object Kernels {
     while (i < n) { if (a.getLong(i) == b.getLong(i)) same += 1; i += 1 }
     same.toDouble / n
   }
+
+  /** Count of `sorted` entries ≤ `v` (the equi-depth bucket index of `v`
+    * given sorted boundaries) via binary search — O(log n) primitive
+    * comparisons per row vs the O(n) interpreted `aggregate` fold it
+    * replaced in ZOrder.bucket. Matches Spark's nan-safe double ordering
+    * for the values that can reach it: NaN compares greater than every
+    * double (so a NaN value lands past every boundary and a NaN boundary
+    * is counted by nothing finite), matching the old
+    * `when(v >= b, 1).otherwise(0)` fold bound-for-bound. */
+  def upperBound(sorted: Array[Double], v: Double): Int = {
+    if (java.lang.Double.isNaN(v)) return sorted.length
+    var lo = 0
+    var hi = sorted.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (sorted(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
 }

@@ -1,7 +1,14 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
 
 /** Z-order (Morton) clustering value for multi-dimensional data skipping.
   *
@@ -71,13 +78,44 @@ object ZOrder {
   }
 
   /** Equi-depth bucket index of `c` given its sorted boundaries: the
-    * count of boundaries ≤ value, folded over the boundary array with a
-    * higher-order `aggregate` (codegen'd; no UDF, no join). NULLs land in
-    * bucket 0 — they cluster together at the z-curve's origin. */
-  def bucket(c: Column, bounds: Array[Double]): Column = {
-    val arr = array(bounds.map(lit(_)).toIndexedSeq: _*)
-    aggregate(arr, lit(0),
-      (acc, b) => acc + when(c.cast("double") >= b, 1).otherwise(0))
+    * count of boundaries ≤ value. A codegen'd BINARY SEARCH expression
+    * (O(log B) primitive compares/row) — the original higher-order
+    * `aggregate` fold was O(B) per row AND interpreted (`ArrayAggregate`
+    * is CodegenFallback), which dominated z-order compaction: the range
+    * repartition evaluates the z-value once to sample and once to
+    * shuffle, so every clustered row paid 2×255 boxed lambda steps per
+    * column. NULLs land in bucket 0 — they cluster together at the
+    * z-curve's origin (unchanged). */
+  def bucket(c: Column, bounds: Array[Double]): Column =
+    toCol(BucketIndex(toExpr(c.cast("double")), bounds))
+
+  /** `upperBound(bounds, value)` as a whole-stage-codegen expression
+    * (same discipline as VectorExpressions: interpreted eval + a single
+    * static Kernels call in generated code). NULL input → bucket 0, so
+    * the expression itself is never null. */
+  case class BucketIndex(child: Expression, bounds: Array[Double])
+      extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = false
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"bucket_index expects DOUBLE, got ${child.dataType}")
+    override def eval(input: InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) 0 else Kernels.upperBound(bounds, v.asInstanceOf[Double])
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val b = ctx.addReferenceObj("zBounds", bounds, "double[]")
+      val c = child.genCode(ctx)
+      ev.copy(code = code"""
+        ${c.code}
+        int ${ev.value} = ${c.isNull} ? 0 :
+          graft.functions.Kernels.upperBound($b, ${c.value});""",
+        isNull = FalseLiteral)
+    }
+    override protected def withNewChildInternal(c: Expression): BucketIndex =
+      copy(child = c)
   }
 
   /** Interleave the low 8 bits of each bucket column into one long:

@@ -201,4 +201,39 @@ class ManifestZOrderSpec extends AnyFunSuite {
     assert(seq.distinct.length == seq.length,
       "50 distinct values over 256 equi-depth buckets stay distinct")
   }
+
+  test("codegen'd bucket binary search ≡ the count-of-bounds-≤-value " +
+    "fold, including NULL, NaN, infinities, and boundary duplicates") {
+    import spark.implicits._
+    val bounds = Array(-3.0, -1.0, -1.0, 0.0, 2.5, 2.5, 2.5, 7.0)
+    val vals: Seq[java.lang.Double] = Seq(
+      -10.0, -3.0, -2.0, -1.0, -0.5, 0.0, 0.1, 2.5, 3.0, 7.0, 8.0,
+      Double.NegativeInfinity, Double.PositiveInfinity, Double.NaN, null)
+    val df = vals.toDF("v")
+    // the replaced formulation, evaluated literally (nan-safe >=)
+    val fold = org.apache.spark.sql.functions.aggregate(
+      org.apache.spark.sql.functions.array(
+        bounds.map(org.apache.spark.sql.functions.lit(_)).toIndexedSeq: _*),
+      org.apache.spark.sql.functions.lit(0),
+      (acc, b) => acc + org.apache.spark.sql.functions
+        .when($"v" >= b, 1).otherwise(0))
+    val rows = df.select($"v",
+        graft.functions.ZOrder.bucket($"v", bounds).as("fast"),
+        fold.as("slow")).collect()
+    rows.foreach { r =>
+      assert(r.getInt(1) == r.getInt(2),
+        s"bucket(${r.get(0)}): binary search ${r.getInt(1)} != fold ${r.getInt(2)}")
+    }
+    // interpreted path (no codegen) agrees too
+    val interp = graft.functions.ZOrder.BucketIndex(
+      org.apache.spark.sql.graft.ColumnBridge.expression(
+        $"v".cast("double")), bounds)
+    vals.filter(_ != null).foreach { v =>
+      val row = org.apache.spark.sql.catalyst.InternalRow(v.doubleValue())
+      val direct = graft.functions.Kernels.upperBound(bounds, v.doubleValue())
+      assert(bounds.count(b => java.lang.Double.isNaN(v) ||
+          (!java.lang.Double.isNaN(b) && v >= b)) == direct,
+        s"kernel drifted from the counting definition at $v")
+    }
+  }
 }
