@@ -157,6 +157,15 @@ object Graft {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
+    // Materialize the persisted signatures with ONE pass before wiring
+    // the verify joins: both re-join branches broadcast `sigs`, and
+    // broadcast-exchange jobs are submitted CONCURRENTLY when the final
+    // action starts — against a lazily-persisted relation they race to
+    // compute the same cached plan (scan + O(shingles×k) signatures)
+    // twice. After this count the broadcasts read cached blocks. The
+    // pass is not extra work at any scale: the signature relation is
+    // needed in full by the banding pass anyway.
+    sigs.count()
     // Signatures re-enter only now, joined by id against the (small)
     // distinct pair set to compute the agreement estimate.
     pairs
@@ -545,7 +554,10 @@ object Graft {
       .filter(col("_bsize") > maxBucketSize)
       .select(col("band"), col("bucket"))
     val capped = index.join(oversized, Seq("band", "bucket"), "left_anti")
-    val pairs = capped
+    // The candidate pair set feeds THREE consumers (the final verify
+    // probe and, through candIds, the corpus semi-join under both sig
+    // broadcasts) — persist it so the index self-join runs once.
+    val pairs = pin(capped
       .select(col("band"), col("bucket"), col(idCol).as("doc_a"))
       .join(capped
         .select(col("band"), col("bucket"), col(idCol).as("doc_b")),
@@ -553,6 +565,7 @@ object Graft {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val candIds = pairs.select(col("doc_a").as(idCol))
       .union(pairs.select(col("doc_b").as(idCol))).distinct()
     // candidates-only re-signature: the one corpus touch of the run
@@ -561,6 +574,11 @@ object Graft {
       textCol, numHashes, shingleSize, seed)
       .select(col(idCol).as("doc_id"), col("minhash_sig").as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // ONE materializing pass (fills the pairs cache beneath it too):
+    // without it the two sig broadcasts — submitted concurrently when
+    // the final action starts — race to compute the corpus scan +
+    // candidate re-signature twice, and the index self-join three times.
+    sigs.count()
     pairs
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
         "doc_a")
