@@ -764,12 +764,11 @@ object ManifestMaterializedView {
     // lesson applied to the hot path)
     val delta = deltaRows(
       d.filterSql.map(f => feedJoined.filter(expr(f)))
-        .getOrElse(feedJoined), d).persist()
+        .getOrElse(feedJoined), d)
     // the try opens HERE (round-16 advice): an exception while reading
     // the MV pre-state or constructing the join must still unpersist —
     // a leaked block in a long-lived session never ages out
-    var folded: DataFrame = null
-    var recompute: DataFrame = null
+    var joined: DataFrame = null
     try {
 
     val pre = spark.read.format("graft-manifest")
@@ -785,8 +784,11 @@ object ManifestMaterializedView {
     val dAliased = delta.select(
       (d.groupBy.map(col) ++ deltaCols.map(c => col(c).as(s"__d_$c"))): _*)
     // right join: only TOUCHED groups surface; untouched MV rows are
-    // never rewritten (and never read past the join's key filter)
-    val joined = pre.join(dAliased, d.groupBy, "right")
+    // never rewritten (and never read past the join's key filter).
+    // Persist THIS (group-count-scale) relation: every consumer below —
+    // the gates aggregate, the live write, the dead diff — is a cheap
+    // projection/filter over it, so the CDF join runs exactly once.
+    joined = pre.join(dAliased, d.groupBy, "right").persist()
     // a retraction forces a group recompute ONLY when it ties or beats
     // the stored extremum (dropping an interior value never moves
     // min/max); a missing pre row with a retraction is drift — the
@@ -810,11 +812,23 @@ object ManifestMaterializedView {
            else greatest(col(c), ins)).as(c)
         }
       }
-    folded = joined.filter(!needR).select(foldRow: _*).persist()
-    recompute = joined.filter(needR)
-      .select(d.groupBy.map(col): _*).persist()
+    val folded = joined.filter(!needR).select(foldRow: _*)
+    val recompute = joined.filter(needR)
+      .select(d.groupBy.map(col): _*)
 
-    val negative = folded.filter(col(CntCol) < 0).count()
+    // ONE gates pass (round 16): the negative guard, the recompute
+    // probe, and the live/dead presence checks each cost a job before;
+    // one aggregate over the persisted fold answers all four and fills
+    // the cache the write/delete below read.
+    val foldCnt = coalesce(col(CntCol), lit(0).cast(storage(CntCol).dataType))
+      .plus(col(s"__d_$CntCol")).cast(storage(CntCol).dataType)
+    val gateRow = joined.select(
+      sum(when(needR, 1L).otherwise(0L)).as("nr"),
+      sum(when(!needR && foldCnt < 0, 1L).otherwise(0L)).as("neg"),
+      sum(when(!needR && foldCnt === 0, 1L).otherwise(0L)).as("dead"),
+      sum(when(!needR && foldCnt > 0, 1L).otherwise(0L)).as("live")).first()
+    def gate(i: Int): Long = if (gateRow.isNullAt(i)) 0L else gateRow.getLong(i)
+    val (nR, negative, nDead, nLive) = (gate(0), gate(1), gate(2), gate(3))
     require(negative == 0,
       s"MV '$mv' fold produced $negative negative group counts — the " +
         "change feed and the definition disagree (source rewritten " +
@@ -824,9 +838,9 @@ object ManifestMaterializedView {
     // from the step's END state, restricted to EXACTLY those groups (a
     // semi-join the source's partition/stats pruning and runtime
     // filters bound) — triggered only by extremal retractions, never
-    // by appends; gate on a diff-sized probe so an append-only (or
+    // by appends; gated on the diff-sized probe so an append-only (or
     // interior-delete) refresh never scans the source at all
-    val recomputed = if (minmax.isEmpty || recompute.take(1).isEmpty) None
+    val recomputed = if (minmax.isEmpty || nR == 0) None
     else {
       val srcHead = withDims(spark, root, next,
         tableAt(spark, root, next.source, next.sourceVersion))
@@ -838,7 +852,7 @@ object ManifestMaterializedView {
     }
 
     val live = recomputed.foldLeft(folded.filter(col(CntCol) > 0))(_ unionAll _)
-    if (live.take(1).nonEmpty)
+    if (nLive > 0 || recomputed.exists(_.take(1).nonEmpty))
       live.write.mode("append").format("graft-manifest")
         .option("path", mvDir.toString)
         .option("upsertKeys", d.groupBy.mkString(",")).save()
@@ -852,7 +866,7 @@ object ManifestMaterializedView {
         recompute.join(r.select(d.groupBy.map(col): _*),
           d.groupBy, "left_anti"))
     }
-    if (dead.take(1).nonEmpty) {
+    if (nDead > 0 || (recomputed.isDefined && dead.take(1).nonEmpty)) {
       val view = "graft_mv_dead_" + java.lang.Long.toUnsignedString(
         Thread.currentThread().getId)
       dead.createOrReplaceTempView(view)
@@ -866,9 +880,7 @@ object ManifestMaterializedView {
     publishDef(fs, mvDir, landed, expectFresh = false)
     landed
     } finally {
-      if (folded != null) folded.unpersist()
-      if (recompute != null) recompute.unpersist()
-      delta.unpersist()
+      if (joined != null) joined.unpersist()
     }
   }
 
