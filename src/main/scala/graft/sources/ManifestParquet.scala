@@ -87,8 +87,39 @@ private[sources] object ManifestParquet {
     * storage layout of manifest data files is the FORMAT's contract, not
     * the writing session's (and a session conf copied into the Hadoop
     * conf as the literal string "null" would crash `.toBoolean`). */
+  /** Prepared writer Configurations, memoized per (base conf identity,
+    * schema, lineage flags): a partition-split write opens one parquet
+    * writer PER PARTITION FILE, and `new Configuration(base)` +
+    * setSchema per file is measurable fixed cost (a 91-day layout paid
+    * 91 copies per task). The base conf is a broadcast-shared, effectively
+    * immutable object during a write job, so identity-keying is sound;
+    * the map is bounded by live (conf, schema) pairs and cleared by JVM
+    * exit — entries are a few KB each. */
+  private val writerConfCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[Configuration,
+      java.util.concurrent.ConcurrentHashMap[
+        (StructType, Boolean, Boolean), Configuration]]())
+
   private def writerConf(base: Configuration, schema: StructType,
       withRid: Boolean = false, withLuv: Boolean = false): Configuration = {
+    // Configuration does not override equals, so the weak map keys on
+    // identity — exactly the sharing contract (same broadcast conf
+    // object ⇒ same contents); a dropped base conf unpins its entry
+    val perBase = writerConfCache.synchronized {
+      var m = writerConfCache.get(base)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[
+          (StructType, Boolean, Boolean), Configuration]
+        writerConfCache.put(base, m)
+      }
+      m
+    }
+    perBase.computeIfAbsent((schema, withRid, withLuv),
+      _ => writerConfBuild(base, schema, withRid, withLuv))
+  }
+
+  private def writerConfBuild(base: Configuration, schema: StructType,
+      withRid: Boolean, withLuv: Boolean): Configuration = {
     val conf = new Configuration(base)
     val stored = StructType(storedSchema(schema).fields ++
       (if (withRid) Seq(StructField(RidColName, LongType, nullable = true))

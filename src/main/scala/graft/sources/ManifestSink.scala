@@ -156,17 +156,52 @@ class ManifestSink extends TableProvider
 
 /** Hadoop Configuration is not java-serializable; ship it to the task
   * writers via Writable round-trip (the same trick Spark's own
-  * SerializableConfiguration uses — that class is private[spark]). */
+  * SerializableConfiguration uses — that class is private[spark]).
+  *
+  * Deserialization is CONTENT-DEDUPED per JVM: Spark hands every task
+  * its own copy of the stage's task binary, so without the cache every
+  * scan/write task re-parsed the ~1000-property Configuration —
+  * executor profiling showed that single readFields as the hottest
+  * manifest-task frame (it beat the actual parquet work on small
+  * files). Tasks treat the shipped conf as read-only (driver-side
+  * mutations like setBloomCols happen before serialization), so all
+  * tasks of all stages can share one parsed instance per unique
+  * content; Configuration reads are synchronized internally. */
+private[sources] object SerializableHadoopConf {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Configuration]
+
+  private def parsed(bytes: Array[Byte]): Configuration = {
+    val key = {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+      java.util.Base64.getEncoder.encodeToString(d.digest(bytes))
+    }
+    cache.computeIfAbsent(key, _ => {
+      val c = new Configuration(false)
+      c.readFields(new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+      c
+    })
+  }
+}
+
 private[sources] class SerializableHadoopConf(
     @transient var value: Configuration) extends Serializable {
   private def writeObject(out: java.io.ObjectOutputStream): Unit = {
     out.defaultWriteObject()
-    value.write(out)
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    value.write(dos)
+    dos.flush()
+    val bytes = bos.toByteArray
+    out.writeInt(bytes.length)
+    out.write(bytes)
   }
   private def readObject(in: java.io.ObjectInputStream): Unit = {
     in.defaultReadObject()
-    value = new Configuration(false)
-    value.readFields(in)
+    val bytes = new Array[Byte](in.readInt())
+    in.readFully(bytes)
+    value = SerializableHadoopConf.parsed(bytes)
   }
 }
 
