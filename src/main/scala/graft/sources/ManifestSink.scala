@@ -1493,6 +1493,11 @@ private[sources] object ManifestWriters {
       private val maxs = new Array[Any](schema.length)
       private val rawMins = new Array[String](schema.length)
       private val rawMaxs = new Array[String](schema.length)
+      // parquet path: specialized per-column trackers (no boxing/Option/
+      // type-dispatch per value — see ManifestColTrackers); the CSV path
+      // keeps trackStats, whose raw strings its row codec needs anyway
+      private val colTrackers: Array[ManifestColTrackers.Tracker] =
+        schema.fields.map(f => ManifestColTrackers.forType(f.dataType))
 
       // NESTED LEAF stats (round 12): orderable leaves reachable through
       // STRUCTS get their own bounds, keyed by dotted position paths —
@@ -1722,8 +1727,10 @@ private[sources] object ManifestWriters {
           var i = 0
           while (i < schema.length) {
             if (r.isNullAt(i)) nulls(i) += 1
-            else trackStats(i, r.get(i, schema(i).dataType),
-              schema(i).dataType, needRaw = false)
+            else {
+              val t = colTrackers(i)
+              if (t != null) t.add(r, i)
+            }
             i += 1
           }
           pqOut.write(out)
@@ -1793,6 +1800,16 @@ private[sources] object ManifestWriters {
 
       override def commit(): WriterCommitMessage = {
         closeOut()
+        // fold the parquet path's specialized trackers into the shared
+        // raw-bound arrays the stats assembly below reads
+        if (parquet) {
+          var i = 0
+          while (i < schema.length) {
+            val t = colTrackers(i)
+            if (t != null) { rawMins(i) = t.rawMin; rawMaxs(i) = t.rawMax }
+            i += 1
+          }
+        }
         val bytes = fs.getFileStatus(file).getLen
         // Non-orderable columns (arrays / binary / structs — parquet
         // payload only) get NO stats entry: bounds are meaningless and
