@@ -24,6 +24,10 @@ object GraftSession {
     * DEFAULT deployment — the same single conf a cluster would set. */
   def tune(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.extensions", "graft.GraftExtensions")
+    // fork-free chmod on the local FS (the native-lib behavior; without
+    // it every created file shells out to /bin/chmod twice — see
+    // graft.sources.FastLocalFileSystem)
+    .config("spark.hadoop.fs.file.impl", "graft.sources.FastLocalFileSystem")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.ansi.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
