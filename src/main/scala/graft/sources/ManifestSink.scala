@@ -170,12 +170,18 @@ class ManifestSink extends TableProvider
 private[sources] object SerializableHadoopConf {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Configuration]
+  // every distinct session-conf content is a new key (catalog
+  // registrations ride the serialized conf), so bound the cache for
+  // long-lived multi-tenant drivers: a rare full clear only costs the
+  // next task of each stage one re-parse
+  private val MaxEntries = 256
 
   private def parsed(bytes: Array[Byte]): Configuration = {
     val key = {
       val d = java.security.MessageDigest.getInstance("SHA-256")
       java.util.Base64.getEncoder.encodeToString(d.digest(bytes))
     }
+    if (cache.size > MaxEntries) cache.clear()
     cache.computeIfAbsent(key, _ => {
       val c = new Configuration(false)
       c.readFields(new java.io.DataInputStream(
