@@ -28,6 +28,12 @@ object GraftSession {
     // it every created file shells out to /bin/chmod twice — see
     // graft.sources.FastLocalFileSystem)
     .config("spark.hadoop.fs.file.impl", "graft.sources.FastLocalFileSystem")
+    // same fix for the FileContext/AbstractFileSystem API (snapshot
+    // pointer swings go through FileContext.rename, which otherwise
+    // resolves file:// to Hadoop's own LocalFs and forks `readlink`
+    // per link-status probe — see graft.sources.FastLocalFs)
+    .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+      "graft.sources.FastLocalFs")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.ansi.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")

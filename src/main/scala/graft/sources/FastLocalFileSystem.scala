@@ -3,7 +3,7 @@ package graft.sources
 import java.nio.file.attribute.PosixFilePermission
 import java.nio.file.attribute.PosixFilePermission._
 
-import org.apache.hadoop.fs.{LocalFileSystem, Path, RawLocalFileSystem}
+import org.apache.hadoop.fs.{FileStatus, LocalFileSystem, Path, RawLocalFileSystem}
 import org.apache.hadoop.fs.permission.{FsAction, FsPermission}
 
 /** Local filesystem with a fork-free `setPermission`.
@@ -52,4 +52,62 @@ class NioRawLocalFileSystem extends RawLocalFileSystem {
         super.setPermission(p, permission) // non-POSIX store: shell path
     }
   }
+
+  /** Fork-free `getFileLinkStatus`. Without libhadoop,
+    * `RawLocalFileSystem.deprecatedGetFileLinkStatusInternal` shells out
+    * to `readlink` on EVERY call (`FileUtil.readLink` →
+    * `Shell.execCommand`) — and the FileContext rename path used by the
+    * snapshot pointer swings calls it for source and destination of
+    * every rename, so each manifest commit paid ~6 process forks of pure
+    * link-status probing (driver jstack sampling: 22% of main-thread
+    * samples in the MV/lifecycle bench cluster sat in that fork).
+    *
+    * NIO's `isSymbolicLink` is one lstat syscall. Semantics match the
+    * deprecated path branch for branch: a non-link (every file the
+    * engine ever creates) returns the plain `getFileStatus` exactly as
+    * the shell path does when `readlink` comes back empty (including
+    * FileNotFoundException for a missing path); real or dangling
+    * symlinks — and any store NIO refuses — fall back to Hadoop's own
+    * shell-based resolution, byte-for-byte its semantics. */
+  override def getFileLinkStatus(f: Path): FileStatus = {
+    val isLink =
+      try java.nio.file.Files.isSymbolicLink(pathToFile(f).toPath)
+      catch { case _: Exception => return super.getFileLinkStatus(f) }
+    if (isLink) super.getFileLinkStatus(f)
+    else getFileStatus(f)
+  }
+}
+
+/** The [[FastLocalFileSystem]] fix lifted to the `FileContext` /
+  * `AbstractFileSystem` API: `FileContext.getFileContext(uri, conf)`
+  * resolves `file://` through `fs.AbstractFileSystem.file.impl`
+  * (default `LocalFs`), which wraps its OWN `RawLocalFileSystem` — so
+  * the snapshot pointer swings (ManifestFiles.publishRawV's
+  * overwrite-renames) still paid the forked `readlink` per
+  * link-status probe even after round 16's `fs.file.impl` fix. This is
+  * the same class shape as Hadoop's `LocalFs` (a `ChecksumFs` over a
+  * `DelegateToFileSystem` on the raw local store, so the checksum
+  * sidecar discipline is identical) with the delegate swapped for
+  * [[NioRawLocalFileSystem]]. Wired via
+  * `spark.hadoop.fs.AbstractFileSystem.file.impl` in
+  * [[graft.GraftSession]] — like the round-16 fix, strictly the
+  * native-lib behavior on `file://`, nothing else. */
+class FastLocalFs(uri: java.net.URI, conf: org.apache.hadoop.conf.Configuration)
+    extends org.apache.hadoop.fs.ChecksumFs(new FastRawLocalFs(uri, conf))
+
+class FastRawLocalFs(uri: java.net.URI, conf: org.apache.hadoop.conf.Configuration)
+    extends org.apache.hadoop.fs.DelegateToFileSystem(
+      org.apache.hadoop.fs.FsConstants.LOCAL_FS_URI,
+      new NioRawLocalFileSystem, conf,
+      org.apache.hadoop.fs.FsConstants.LOCAL_FS_URI.getScheme, false) {
+  // the three overrides Hadoop's own RawLocalFs carries (port-less
+  // file:// URIs must pass checkPath; names validate trivially; server
+  // defaults come from the local config keys)
+  override def getUriDefaultPort: Int = -1
+  override def isValidName(src: String): Boolean = true
+  override def getServerDefaults(f: Path): org.apache.hadoop.fs.FsServerDefaults =
+    org.apache.hadoop.fs.local.LocalConfigKeys.getServerDefaults()
+  @deprecated("inherited surface", "")
+  override def getServerDefaults: org.apache.hadoop.fs.FsServerDefaults =
+    org.apache.hadoop.fs.local.LocalConfigKeys.getServerDefaults()
 }
