@@ -79,6 +79,26 @@ object ManifestHist {
       s"no histogram domain for ${other.sql}")
   }
 
+  /** Monomorphic double accessor for the WRITE PATH (round 17, the
+    * [[ManifestColTrackers]] pattern): the generic
+    * `toDouble(dt, r.get(i, dt))` boxed and type-dispatched per non-null
+    * value; this dispatches once per column at writer construction.
+    * Values are identical to [[toDouble]]'s by construction. */
+  def doubleGetter(dt: DataType): (org.apache.spark.sql.catalyst.InternalRow, Int) => Double =
+    dt match {
+      case ByteType => (r, i) => r.getByte(i).toDouble
+      case ShortType => (r, i) => r.getShort(i).toDouble
+      case IntegerType | DateType => (r, i) => r.getInt(i).toDouble
+      case LongType | TimestampType | TimestampNTZType =>
+        (r, i) => r.getLong(i).toDouble
+      case FloatType => (r, i) => r.getFloat(i).toDouble
+      case DoubleType => (r, i) => r.getDouble(i)
+      case d: DecimalType =>
+        (r, i) => r.getDecimal(i, d.precision, d.scale).toDouble
+      case other => throw new IllegalArgumentException(
+        s"no histogram domain for ${other.sql}")
+    }
+
   /** Deterministic position hash for the sampler — the repo-wide
     * splitmix64 mixer (graft.functions.Kernels.mix64). */
   private def splitmix64(x0: Long): Long =

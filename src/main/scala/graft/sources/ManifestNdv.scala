@@ -113,6 +113,39 @@ object ManifestNdv {
       s"ndv sketch over unsupported type $other")
   }
 
+  /** Monomorphic hash accessor for the WRITE PATH (round 17, the
+    * [[ManifestColTrackers]] pattern applied to sketch maintenance): the
+    * generic `hash(dt, r.get(i, dt))` paid one box and one runtime-type
+    * dispatch per non-null value of every declared column. The getter
+    * dispatches ONCE per column at writer construction and reads the
+    * row's primitive slot directly; registers are bit-identical because
+    * the hash input is the same logical value either way (integrals
+    * widen to long exactly as `hash` does, floats widen through double
+    * bits, strings hash their UTF-8 bytes in place — no clone needed,
+    * XXH64 consumes them before the buffer is reused). */
+  def hashGetter(dt: DataType): (org.apache.spark.sql.catalyst.InternalRow, Int) => Long =
+    dt match {
+      case LongType | TimestampType | TimestampNTZType =>
+        (r, i) => XXH64.hashLong(r.getLong(i), Seed)
+      case IntegerType | DateType =>
+        (r, i) => XXH64.hashLong(r.getInt(i).toLong, Seed)
+      case ShortType => (r, i) => XXH64.hashLong(r.getShort(i).toLong, Seed)
+      case ByteType => (r, i) => XXH64.hashLong(r.getByte(i).toLong, Seed)
+      case BooleanType =>
+        (r, i) => XXH64.hashLong(if (r.getBoolean(i)) 1L else 0L, Seed)
+      case DoubleType => (r, i) => XXH64.hashLong(
+        java.lang.Double.doubleToLongBits(r.getDouble(i)), Seed)
+      case FloatType => (r, i) => XXH64.hashLong(
+        java.lang.Double.doubleToLongBits(r.getFloat(i).toDouble), Seed)
+      case StringType =>
+        (r, i) => XXH64.hashUTF8String(r.getUTF8String(i), Seed)
+      case d: DecimalType => (r, i) => XXH64.hashUTF8String(
+        UTF8String.fromString(r.getDecimal(i, d.precision, d.scale)
+          .toJavaBigDecimal.stripTrailingZeros.toPlainString), Seed)
+      case other => throw new IllegalArgumentException(
+        s"ndv sketch over unsupported type $other")
+    }
+
   // ---- `#ndv` rider-line codec -----------------------------------------
 
   private def b64(b: Array[Byte]): String =

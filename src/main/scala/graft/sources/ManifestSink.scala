@@ -1577,9 +1577,15 @@ private[sources] object ManifestWriters {
       // declared-NDV sketches: one register set per tracked column
       private val ndvRegs: Array[Array[Byte]] =
         Array.fill(ndvPos.length)(ManifestNdv.emptyRegisters())
+      // monomorphic accessors, dispatched once per column (round 17 —
+      // the ManifestColTrackers pattern applied to sketch maintenance)
+      private val ndvHash: Array[(InternalRow, Int) => Long] =
+        ndvPos.map(i => ManifestNdv.hashGetter(schema(i).dataType))
 
       private val histTrackers: Array[ManifestHist.Tracker] =
         Array.fill(histPos.length)(new ManifestHist.Tracker)
+      private val histGet: Array[(InternalRow, Int) => Double] =
+        histPos.map(i => ManifestHist.doubleGetter(schema(i).dataType))
 
       // VARIANT SHREDDING (round 16 — ManifestShred): one bound
       // variant_get per declared path, evaluated per row with
@@ -1638,10 +1644,8 @@ private[sources] object ManifestWriters {
         var hi = 0
         while (hi < histPos.length) {
           val i = histPos(hi)
-          if (!r.isNullAt(i)) {
-            val dt = schema(i).dataType
-            histTrackers(hi).add(ManifestHist.toDouble(dt, r.get(i, dt)))
-          }
+          if (!r.isNullAt(i))
+            histTrackers(hi).add(histGet(hi)(r, i))
           hi += 1
         }
       }
@@ -1650,10 +1654,8 @@ private[sources] object ManifestWriters {
         var ni = 0
         while (ni < ndvPos.length) {
           val i = ndvPos(ni)
-          if (!r.isNullAt(i)) {
-            val dt = schema(i).dataType
-            ManifestNdv.add(ndvRegs(ni), ManifestNdv.hash(dt, r.get(i, dt)))
-          }
+          if (!r.isNullAt(i))
+            ManifestNdv.add(ndvRegs(ni), ndvHash(ni)(r, i))
           ni += 1
         }
       }

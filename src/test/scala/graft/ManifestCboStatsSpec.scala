@@ -389,4 +389,35 @@ class ManifestCboStatsSpec extends AnyFunSuite {
       assert(nn > 0, "finite-value count must be positive")
     }
   }
+
+  test("monomorphic write-path accessors match the generic hash/toDouble " +
+      "for every supported type (round-17 sketch-tracker specialization)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val dec = Decimal(new java.math.BigDecimal("1234.5600"), 18, 4)
+    val cases: Seq[(DataType, Any)] = Seq(
+      (LongType, 42L), (LongType, Long.MinValue),
+      (IntegerType, -7), (ShortType, 3.toShort), (ByteType, 9.toByte),
+      (BooleanType, true), (BooleanType, false),
+      (DoubleType, 3.5d), (DoubleType, -0.0d), (DoubleType, Double.NaN),
+      (FloatType, 0.1f), (FloatType, -0.0f),
+      (StringType, UTF8String.fromString("héllo")),
+      (StringType, UTF8String.fromString("")),
+      (DateType, 19876), (TimestampType, 1234567890123456L),
+      (TimestampNTZType, 987654321L),
+      (DecimalType(18, 4), dec))
+    cases.foreach { case (dt, v) =>
+      val row = InternalRow(v)
+      assert(ManifestNdv.hashGetter(dt)(row, 0) ==
+        ManifestNdv.hash(dt, row.get(0, dt)),
+        s"ndv hash diverged for $dt value $v")
+      if (ManifestHist.capable(dt)) {
+        val spec = ManifestHist.doubleGetter(dt)(row, 0)
+        val gen = ManifestHist.toDouble(dt, row.get(0, dt))
+        assert(spec == gen || (spec.isNaN && gen.isNaN),
+          s"hist double diverged for $dt value $v: $spec vs $gen")
+      }
+    }
+  }
 }
