@@ -199,12 +199,13 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     }
     // exact-key candidates first (a Project beats a re-aggregation),
     // then rollup candidates (query keys ⊂ MV keys)
+    val resolver = new DefResolver(agg.child)
     def pass(rollup: Boolean): Option[LogicalPlan] =
       candidates.view.flatMap { case (mvName, d) =>
         // a per-candidate failure (storage drift, unreadable MV) skips
         // that candidate, never the query
         try tryOne(agg, queryFilter, joinConds, leaves, cat, mvName, d,
-          rollup)
+          rollup, resolver)
         catch { case _: Exception => None }
       }.headOption
     pass(rollup = false).orElse(pass(rollup = true))
@@ -224,11 +225,46 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       }
     } catch { case _: Exception => None }
 
+  /** Memoizing resolver for one candidate attempt (round 17): tryOne
+    * resolved the same definition SQL repeatedly — every dim condition,
+    * the filter, and each agg spec PER query output expression — each a
+    * full analyzer pass over the query's child plan, which dominated
+    * the MV queries' probe statements after the round's FS fixes.
+    * `preload` resolves the whole definition in ONE analyzer pass; a
+    * batch that fails (a non-matching candidate referencing columns the
+    * child lacks) falls back to the exact per-expression path, so
+    * refusal semantics are unchanged expression by expression. */
+  private final class DefResolver(child: LogicalPlan) {
+    private val cache =
+      scala.collection.mutable.Map.empty[String, Option[Expression]]
+    def preload(sqls: Seq[String]): Unit = {
+      val todo = sqls.distinct.filterNot(cache.contains)
+      if (todo.isEmpty) return
+      try {
+        val df = org.apache.spark.sql.graft.ColumnBridge.ofRows(spark, child)
+        val exprs = df
+          .select(todo.map(s => org.apache.spark.sql.functions.expr(s)): _*)
+          .queryExecution.analyzed match {
+          case Project(list, _) if list.length == todo.length =>
+            list.map { case Alias(e, _) => e; case e => e }
+          case _ => return
+        }
+        todo.zip(exprs).foreach { case (s, e) => cache(s) = Some(e) }
+      } catch { case _: Exception => } // per-expression fallback below
+    }
+    def apply(sql: String): Option[Expression] =
+      cache.getOrElseUpdate(sql, resolveAgainst(child, sql))
+  }
+
   private def tryOne(agg: Aggregate, queryFilter: Option[Expression],
       joinConds: Seq[Cond], leaves: Seq[Leaf],
       cat: GraftManifestCatalog, mvName: String,
       d: ManifestMaterializedView.MvDef,
-      rollup: Boolean): Option[LogicalPlan] = {
+      rollup: Boolean, resolve: DefResolver): Option[LogicalPlan] = {
+    // one analyzer pass for the whole definition (matching candidates —
+    // the repeated case — resolve everything; see DefResolver)
+    resolve.preload(d.dims.map(_.onSql) ++ d.filterSql.toSeq ++
+      d.aggs.filterNot(_.func == "count_star").map(_.expr))
     val groupingExprs = agg.groupingExpressions
     val bareNames: Option[Seq[String]] =
       if (groupingExprs.forall(_.isInstanceOf[AttributeReference]))
@@ -280,7 +316,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     // left-dim MV — or vice versa — computes a different multiset)
     if (joinConds.length != d.dims.length) return None
     val unmatched = d.dims.foldLeft(joinConds) { (remaining, ds) =>
-      val dc = resolveAgainst(agg.child, ds.onSql).getOrElse(return None)
+      val dc = resolve(ds.onSql).getOrElse(return None)
       val want = if (ds.isLeft) Some(ds.table) else None
       val i = remaining.indexWhere { case (c, tag) =>
         tag == want && c.semanticEquals(dc) }
@@ -343,7 +379,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     // filtered MV instead of refusing. An MV conjunct the query lacks
     // still refuses (the MV holds a subset of the query's rows).
     val mvFilter = d.filterSql.map(f =>
-      resolveAgainst(agg.child, f).getOrElse(return None))
+      resolve(f).getOrElse(return None))
     val residual = mvFilter.map(splitConjunctivePredicates).getOrElse(Seq.empty)
       .foldLeft(queryFilter.map(splitConjunctivePredicates)
         .getOrElse(Seq.empty)) {
@@ -365,7 +401,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     def findSpec(funcs: Seq[String], e: Expression):
         Option[ManifestMaterializedView.AggSpec] =
       funcs.flatMap(f => specByFunc.getOrElse(f, Seq.empty)).find(a =>
-        resolveAgainst(agg.child, a.expr).exists(_.semanticEquals(e)))
+        resolve(a.expr).exists(_.semanticEquals(e)))
 
     // name of the MV storage column(s) + the derivation over them,
     // deferred until the MV plan's attributes exist

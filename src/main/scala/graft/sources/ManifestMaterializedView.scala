@@ -344,8 +344,20 @@ object ManifestMaterializedView {
   private def foldAggCols(df: DataFrame, d: MvDef, sign: Column):
       scala.collection.mutable.LinkedHashMap[String, Column] = {
     val sgn = sign.cast(LongType)
-    def exprType(e: String): DataType =
-      df.select(expr(e).as("_t")).schema.head.dataType
+    // ONE analyzer pass types every aggregate expression (round 17):
+    // the per-expression `df.select(expr(e)).schema` ran a full analysis
+    // of the (CDF-join-sized) child plan PER sum/avg/min/max spec —
+    // pure driver fixed cost on every create/refresh/compensate step
+    val typedExprs = d.aggs.collect {
+      case a if a.func == "sum" || a.func == "avg" ||
+        a.func == "min" || a.func == "max" => a.expr
+    }.distinct
+    val typeOf: Map[String, DataType] =
+      if (typedExprs.isEmpty) Map.empty
+      else typedExprs.zip(
+        df.select(typedExprs.map(e => expr(e)): _*).schema.map(_.dataType))
+        .toMap
+    def exprType(e: String): DataType = typeOf(e)
     val cols = scala.collection.mutable.LinkedHashMap.empty[String, Column]
     cols(CntCol) = sum(sgn).cast(LongType).as(CntCol)
     d.aggs.foreach { a =>
@@ -516,9 +528,8 @@ object ManifestMaterializedView {
     // (current_timestamp()) expression makes groups folded at different
     // refreshes reflect different predicates — the MV silently stops
     // equaling its defining query. Refuse at create, both front doors.
-    def requireStable(what: String, sql: String): Unit = {
-      val e = joined.select(expr(sql).as("__mv_chk"))
-        .queryExecution.analyzed.expressions.head
+    def checkStable(what: String, sql: String,
+        e: org.apache.spark.sql.catalyst.expressions.Expression): Unit = {
       require(e.deterministic,
         s"MV $what '$sql' is non-deterministic — refreshes would " +
           "evaluate it differently each time")
@@ -533,9 +544,20 @@ object ManifestMaterializedView {
           s"(${timeDep.get}) — each refresh would apply a different " +
           "window; materialize the bound as a literal instead")
     }
-    filterSql.foreach(requireStable("filter", _))
-    aggs.filter(_.func != "count_star")
-      .foreach(a => requireStable(s"aggregate ${a.alias}", a.expr))
+    // ONE analyzer pass resolves every checked expression (round 17 —
+    // this gate ran a full analysis of the joined plan per aggregate)
+    val checked: Seq[(String, String)] =
+      filterSql.map(("filter", _)).toSeq ++
+        aggs.filter(_.func != "count_star")
+          .map(a => (s"aggregate ${a.alias}", a.expr))
+    if (checked.nonEmpty) {
+      val analyzedExprs = joined
+        .select(checked.map { case (_, sql) => expr(sql) }: _*)
+        .queryExecution.analyzed.expressions
+      checked.zip(analyzedExprs).foreach { case ((what, sql), e) =>
+        checkStable(what, sql, e)
+      }
+    }
     val rows = aggRows(filterSql.map(f => joined.filter(expr(f)))
       .getOrElse(joined), d0)
     groupBy.foreach { k =>
