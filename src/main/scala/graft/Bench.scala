@@ -130,6 +130,15 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // OPT-IN subset filter for scale-proof captures (round-16 verdict
+    // item 3: time the top-N at a larger SF at two core counts). UNSET —
+    // the driver's case — runs the full headline set with the exact
+    // methodology; the driver contract is untouched.
+    val selected: Seq[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map { s =>
+        val want = s.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        headline.filter(want)
+      }.getOrElse(headline)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = GraftSession.tune(
@@ -160,19 +169,20 @@ object Bench {
         .getOperatingSystemMXBean.getSystemLoadAverage
 
     // --- warmup pass (untimed) -------------------------------------------
-    val warmed = headline.map(n => n -> (runOnce(n) >= 0)).toMap
+    val warmed = selected.map(n => n -> (runOnce(n) >= 0)).toMap
 
     // --- 3 timed passes, round-robin, calibration at start/middle/end ----
     val cal = ArrayBuffer[Double]()
     val loads = ArrayBuffer[Double]()
     def calibrate(): Unit = {
-      cal += (if (warmed(sentinelName)) runOnce(sentinelName) else -1.0)
+      cal += (if (warmed.getOrElse(sentinelName, false)) runOnce(sentinelName)
+        else -1.0)
       loads += loadAvg
     }
     val timings = TrieMap[String, ArrayBuffer[Double]]()
     calibrate()
     for (pass <- 1 to 3) {
-      headline.foreach { n =>
+      selected.foreach { n =>
         timings.getOrElseUpdate(n, ArrayBuffer()) +=
           (if (warmed(n)) runOnce(n) else -1.0)
       }
@@ -191,7 +201,7 @@ object Bench {
 
     /** Min of the 3 interleaved runs (any failure reports -1, not a
       * statistic over garbage). */
-    val results = headline.map { n =>
+    val results = selected.map { n =>
       val ts = timings(n).toSeq
       n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }

@@ -176,6 +176,34 @@ private[sources] object SerializableHadoopConf {
   // next task of each stage one re-parse
   private val MaxEntries = 256
 
+  /** STRUCTURAL read-only enforcement (round-16 advice item): every
+    * task in the JVM shares one parsed instance per content, which is
+    * sound only while nobody mutates it. Every Hadoop setter funnels
+    * through 3-arg `set` (setInt/setBoolean/… call set(String,String)
+    * which calls this) or `unset`, so freezing those two after the
+    * deserializing readFields makes a future task-side mutation fail
+    * fast at the write site instead of silently corrupting unrelated
+    * concurrent queries. Driver-side mutations (setBloomCols etc.)
+    * happen on the ORIGINAL conf before serialization, never on this
+    * shared parse. */
+  private[sources] final class FrozenConfiguration
+      extends Configuration(false) {
+    private var frozen = false
+    def freeze(): Unit = frozen = true
+    override def set(name: String, value: String, source: String): Unit = {
+      if (frozen) throw new UnsupportedOperationException(
+        s"task-shared Hadoop Configuration is read-only (set '$name') — " +
+          "copy it (new Configuration(conf)) before mutating")
+      super.set(name, value, source)
+    }
+    override def unset(name: String): Unit = {
+      if (frozen) throw new UnsupportedOperationException(
+        s"task-shared Hadoop Configuration is read-only (unset '$name') — " +
+          "copy it (new Configuration(conf)) before mutating")
+      super.unset(name)
+    }
+  }
+
   private def parsed(bytes: Array[Byte]): Configuration = {
     val key = {
       val d = java.security.MessageDigest.getInstance("SHA-256")
@@ -183,9 +211,10 @@ private[sources] object SerializableHadoopConf {
     }
     if (cache.size > MaxEntries) cache.clear()
     cache.computeIfAbsent(key, _ => {
-      val c = new Configuration(false)
+      val c = new FrozenConfiguration
       c.readFields(new java.io.DataInputStream(
         new java.io.ByteArrayInputStream(bytes)))
+      c.freeze()
       c
     })
   }

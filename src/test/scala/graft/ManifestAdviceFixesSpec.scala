@@ -294,4 +294,36 @@ class ManifestAdviceFixesSpec extends AnyFunSuite {
       .option("changesFrom", vs.min.toString).load().count()
     assert(ManifestChangeFeed.importCacheEntriesFor(dir) == 1)
   }
+
+  test("task-shared deserialized Hadoop conf is structurally read-only " +
+    "(round-16 advice: the content-deduped parse is shared JVM-wide)") {
+    val original = spark.sessionState.newHadoopConf()
+    original.set("graft.test.marker", "42")
+    val wrapped = new SerializableHadoopConf(original)
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(wrapped); oos.close()
+    val in = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    val shipped = in.readObject().asInstanceOf[SerializableHadoopConf]
+    // reads work; the marker survived the round-trip
+    assert(shipped.value.get("graft.test.marker") == "42")
+    // mutation fails FAST at the write site (set and unset both funnel
+    // every Hadoop setter)
+    intercept[UnsupportedOperationException] {
+      shipped.value.set("graft.test.marker", "boom")
+    }
+    intercept[UnsupportedOperationException] {
+      shipped.value.unset("graft.test.marker")
+    }
+    assert(shipped.value.get("graft.test.marker") == "42")
+    // the documented escape hatch: copy, then mutate the copy
+    val copy = new org.apache.hadoop.conf.Configuration(shipped.value)
+    copy.set("graft.test.marker", "43")
+    assert(copy.get("graft.test.marker") == "43" &&
+      shipped.value.get("graft.test.marker") == "42")
+    // the driver-side original is untouched by the freeze
+    original.set("graft.test.marker", "44")
+    assert(original.get("graft.test.marker") == "44")
+  }
 }
